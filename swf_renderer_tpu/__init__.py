@@ -1,0 +1,36 @@
+"""swf_renderer_tpu — a TPU-native SWF (Flash) vector-shape rasterizer.
+
+A ground-up rebuild of the capabilities of ``open-flash/swf-renderer``
+(reference at /root/reference) designed for TPU hardware:
+
+* **models/** — SWF AST ingestion, the shape/morph-shape geometry compilers
+  (byte-exact parity with the reference decoder goldens), the display list,
+  and lowering from styled paths to flat, dense edge tables.
+* **ops/** — the device layer: a Pallas tiled analytic-coverage rasterization
+  kernel, fill-style evaluation (solid / gradient / bitmap) and premultiplied
+  alpha-over compositing, all batched so XLA keeps the chip busy.
+* **runtime/** — the renderer front-end (``render(stage)`` / ``add_bitmap``),
+  bitmap service, and decoded-shape caches.
+* **parallel/** — device-mesh sharding of the (frame, tile) grid.
+* **utils/** — PNG/PAM codecs, JS-compatible JSON, fixed point, color.
+"""
+
+from .models.ast_io import (
+    load_tag,
+    parse_define_bitmap,
+    parse_define_morph_shape,
+    parse_define_shape,
+)
+from .models.decode_morph_shape import decode_morph_shape
+from .models.decode_shape import decode_shape
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "decode_shape",
+    "decode_morph_shape",
+    "load_tag",
+    "parse_define_shape",
+    "parse_define_morph_shape",
+    "parse_define_bitmap",
+]

@@ -1,0 +1,120 @@
+"""Display list: the retained scene tree handed to ``render(stage)``.
+
+Mirrors the reference display model (reference ts/src/lib/display/stage.ts:7-18,
+display-object.ts:5, shape.ts:5-9, morph-shape.ts:5-10,
+display-object-container.ts:5-9).  ``DisplayObjectType`` ordinals are
+Container=0, MorphShape=1, Shape=2 (display-object-type.ts:1-5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Sequence, Tuple, Union
+
+from . import ast
+
+
+class DisplayObjectType(enum.IntEnum):
+    CONTAINER = 0
+    MORPH_SHAPE = 1
+    SHAPE = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ColorTransform:
+    """SWF color transform (framework extension; the reference display list
+    carries none).  Applied to a straight-alpha color as
+    ``c * mult + add`` per channel, clamped to [0, 1]."""
+
+    mult: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    add: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeInstance:
+    definition: ast.DefineShape
+    matrix: Optional[ast.Matrix] = None
+    color_transform: Optional[ColorTransform] = None
+    type: DisplayObjectType = DisplayObjectType.SHAPE
+
+
+@dataclasses.dataclass(frozen=True)
+class MorphShapeInstance:
+    definition: ast.DefineMorphShape
+    ratio: float = 0.0  # [0, 1]
+    matrix: Optional[ast.Matrix] = None
+    color_transform: Optional[ColorTransform] = None
+    type: DisplayObjectType = DisplayObjectType.MORPH_SHAPE
+
+
+@dataclasses.dataclass(frozen=True)
+class Container:
+    children: Sequence["DisplayObject"] = ()
+    matrix: Optional[ast.Matrix] = None
+    color_transform: Optional[ColorTransform] = None
+    type: DisplayObjectType = DisplayObjectType.CONTAINER
+
+
+DisplayObject = Union[ShapeInstance, MorphShapeInstance, Container]
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage:
+    width: int  # pixels
+    height: int  # pixels
+    background_color: ast.StraightSRgba8 = ast.StraightSRgba8(0, 0, 0, 0)
+    children: Sequence[DisplayObject] = ()
+
+
+def stage_for_shape(tag: ast.DefineShape) -> Stage:
+    """The canonical single-shape stage the reference render tests build:
+    size ceil(bounds/20), shape translated by -bounds.min
+    (reference ts/src/test/node-canvas-renderer.spec.ts:31-52)."""
+    import math
+
+    width = math.ceil((tag.bounds.x_max - tag.bounds.x_min) / 20)
+    height = math.ceil((tag.bounds.y_max - tag.bounds.y_min) / 20)
+    from ..utils.fixed import Sfixed16P16
+
+    matrix = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(1),
+        scale_y=Sfixed16P16.from_value(1),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=-tag.bounds.x_min,
+        translate_y=-tag.bounds.y_min,
+    )
+    return Stage(
+        width=width,
+        height=height,
+        children=(ShapeInstance(definition=tag, matrix=matrix),),
+    )
+
+
+def stage_for_morph_shape(tag: ast.DefineMorphShape, ratio: float) -> Stage:
+    """Single-morph-shape stage: union of start/end bounds
+    (reference node-canvas-renderer.spec.ts:88-117)."""
+    import math
+
+    x_min = min(tag.bounds.x_min, tag.morph_bounds.x_min)
+    x_max = max(tag.bounds.x_max, tag.morph_bounds.x_max)
+    y_min = min(tag.bounds.y_min, tag.morph_bounds.y_min)
+    y_max = max(tag.bounds.y_max, tag.morph_bounds.y_max)
+    width = math.ceil((x_max - x_min) / 20)
+    height = math.ceil((y_max - y_min) / 20)
+    from ..utils.fixed import Sfixed16P16
+
+    matrix = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(1),
+        scale_y=Sfixed16P16.from_value(1),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=-x_min,
+        translate_y=-y_min,
+    )
+    return Stage(
+        width=width,
+        height=height,
+        children=(MorphShapeInstance(definition=tag, ratio=ratio, matrix=matrix),),
+    )

@@ -1,0 +1,64 @@
+"""Premultiplied alpha-over compositing and u8 quantization.
+
+The reference's compositing is whatever Cairo does under ``ctx.fill()`` —
+source-over in premultiplied space onto an ARGB32 surface, with the stage
+cleared to transparent each frame (reference canvas-renderer.ts:70-71).
+Here each draw contributes ``src_premul * coverage`` over the accumulated
+frame:
+
+    dst = src_rgb * src_a * cov + dst * (1 - src_a * cov)
+
+Final readback converts premultiplied float -> straight u8 the way
+node-canvas/Cairo do on PNG export (divide by alpha, round).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def over_premul(dst_pm: jnp.ndarray, src_rgba: jnp.ndarray,
+                coverage: jnp.ndarray) -> jnp.ndarray:
+    """One painter's-algorithm step.
+
+    dst_pm: (..., H, W, 4) premultiplied accumulator.
+    src_rgba: (..., H, W, 4) straight-alpha source color field.
+    coverage: (..., H, W) in [0, 1].
+    """
+    cov = coverage[..., None]
+    src_a = src_rgba[..., 3:4]
+    src_pm = jnp.concatenate(
+        [src_rgba[..., :3] * src_a, src_a], axis=-1
+    )
+    return src_pm * cov + dst_pm * (1.0 - src_a * cov)
+
+
+def composite_draws(coverages: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:
+    """Composite P draws in order.  coverages (P, H, W), colors (P, H, W, 4)
+    straight RGBA -> (H, W, 4) premultiplied float."""
+
+    def step(dst, inputs):
+        cov, col = inputs
+        return over_premul(dst, col, cov), None
+
+    p, h, w = coverages.shape
+    init = jnp.zeros((h, w, 4), jnp.float32)
+    out, _ = jax.lax.scan(step, init, (coverages, colors))
+    return out
+
+
+def premul_to_straight_u8(frame_pm: jnp.ndarray) -> jnp.ndarray:
+    """Premultiplied float RGBA -> straight u8 (node-canvas PNG semantics:
+    un-premultiply then round; fully transparent pixels become 0)."""
+    a = frame_pm[..., 3:4]
+    safe_a = jnp.where(a <= 0.0, 1.0, a)
+    rgb = jnp.clip(frame_pm[..., :3] / safe_a, 0.0, 1.0)
+    rgb = jnp.where(a <= 0.0, 0.0, rgb)
+    out = jnp.concatenate([rgb, jnp.clip(a, 0.0, 1.0)], axis=-1)
+    return jnp.round(out * 255.0).astype(jnp.uint8)
+
+
+def composite_to_u8(coverages, colors) -> np.ndarray:
+    return np.asarray(premul_to_straight_u8(composite_draws(coverages, colors)))

@@ -1,0 +1,70 @@
+"""Fused, fully-jittable batched render pipeline.
+
+The reference rasterizes one shape at a time through stateful Canvas2D calls
+(reference canvas-renderer.ts:114-129); its Rust backend draws a single
+display item per frame (rs/src/headless_renderer.rs:402-404).  Here the whole
+workload is batched into dense arrays — (frames, draws, edges) — so one jit
+compilation covers a 60-frame multi-layer scene and XLA/Pallas keep the chip
+busy.  This is the "training step" analog used by the benchmark and the
+multi-chip entry point.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .composite import premul_to_straight_u8
+from .coverage import (
+    FILL_RULE_NONZERO,
+    coverage_pallas,
+    coverage_xla,
+    _on_tpu,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "fill_rule",
+                                             "use_pallas"))
+def render_solid_batch(
+    edges_t: jax.Array,
+    colors: jax.Array,
+    height: int,
+    width: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Render a batch of frames made of solid-fill draws.
+
+    edges_t: (B, P, 4, E) f32 — B frames, P draws per frame (padded; all-zero
+        draws are no-ops), edge tables in device pixels.
+    colors: (B, P, 4) f32 straight RGBA per draw.
+    Returns (B, H, W, 4) uint8 frames (straight alpha).
+    """
+    b, p, four, e = edges_t.shape
+    flat = edges_t.reshape(b * p, four, e)
+    if use_pallas and _on_tpu():
+        cov = coverage_pallas(flat, height, width, fill_rule)
+    else:
+        cov = coverage_xla(flat, height, width, fill_rule)
+    cov = cov.reshape(b, p, height, width)
+
+    def composite_frame(covs, cols):
+        # covs (P, H, W), cols (P, 4) -> (H, W, 4) premultiplied
+        def step(dst, inp):
+            c, col = inp
+            src_a = col[3]
+            src_pm = jnp.concatenate([col[:3] * src_a, col[3:]], axis=0)
+            return (
+                src_pm[None, None, :] * c[..., None]
+                + dst * (1.0 - src_a * c[..., None]),
+                None,
+            )
+
+        init = jnp.zeros((height, width, 4), jnp.float32)
+        out, _ = jax.lax.scan(step, init, (covs, cols))
+        return out
+
+    frames_pm = jax.vmap(composite_frame)(cov, colors)
+    return premul_to_straight_u8(frames_pm)

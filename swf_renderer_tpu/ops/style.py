@@ -1,0 +1,218 @@
+"""Fill-style (paint) evaluation: per-pixel straight-alpha RGBA fields.
+
+Replaces the Canvas2D paint machinery the reference leans on
+(reference ts/src/lib/renderers/canvas-renderer.ts:292-334):
+
+* solid colors (canvas-renderer.ts:317-318),
+* focal/radial gradients via ``createRadialGradient(lerp(0, 16384, focal), 0,
+  0 -> 0, 0, 16384)`` — the SWF gradient square has radius 16384 twips
+  (canvas-renderer.ts:320-330),
+* bitmap patterns with a fill matrix, repeat/no-repeat and a smoothing flag
+  (canvas-renderer.ts:295-315); a registered-but-undecoded bitmap falls back
+  to the placeholder color rgba(0.2, 0.6, 0.8, 0.9) (canvas-renderer.ts:299),
+* linear gradients per the SWF spec (x from -16384 to 16384) — the reference
+  leaves these unimplemented and throws (canvas-renderer.ts:332-333); we
+  support them as a framework extension.
+
+Everything here is elementwise/gather XLA that fuses behind ``jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GRAD_RADIUS = 16384.0
+
+SPREAD_PAD = 0
+SPREAD_REFLECT = 1
+SPREAD_REPEAT = 2
+
+PAINT_SOLID = 0
+PAINT_LINEAR = 1
+PAINT_FOCAL = 2
+PAINT_BITMAP = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class Paint:
+    """A resolved, device-space paint.
+
+    ``inv_matrix`` maps device pixel coordinates into paint space (gradient
+    units / bitmap pixels): the inverse of CTM ∘ fill_matrix.
+    """
+
+    kind: int
+    color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    inv_matrix: Tuple[float, float, float, float, float, float] = (
+        1.0, 0.0, 0.0, 1.0, 0.0, 0.0,
+    )
+    # Gradients
+    stop_ratios: Optional[np.ndarray] = None  # (K,) f32 in [0, 1]
+    stop_colors: Optional[np.ndarray] = None  # (K, 4) f32 straight RGBA
+    focal_point: float = 0.0
+    spread: int = SPREAD_PAD
+    # Bitmaps
+    image: Optional[np.ndarray] = None  # (h, w, 4) uint8
+    repeating: bool = False
+    smoothed: bool = True
+    # Flash renders at quality "high" by supersampling 4x4 per pixel; the
+    # golden corpus was captured from the real player at that quality
+    # (reference tests/capture/server/index.js), so bitmap paints default to
+    # the same 4x4 box-supersampled sampling.  Set 1 for raw bilinear.
+    supersample: int = 4
+
+
+def solid_paint(rgba) -> Paint:
+    return Paint(kind=PAINT_SOLID, color=tuple(float(c) for c in rgba))
+
+
+def _paint_coords(inv_matrix, height: int, width: int):
+    """Map device pixel centers through inv_matrix -> paint-space coords."""
+    a, b, c, d, e, f = inv_matrix
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    sx = a * px + c * py + e
+    sy = b * px + d * py + f
+    return sx, sy
+
+
+def _apply_spread(t, spread: int):
+    if spread == SPREAD_PAD:
+        return jnp.clip(t, 0.0, 1.0)
+    if spread == SPREAD_REPEAT:
+        return jnp.mod(t, 1.0)
+    if spread == SPREAD_REFLECT:
+        m = jnp.mod(t, 2.0)
+        return 1.0 - jnp.abs(m - 1.0)
+    raise ValueError(f"unknown spread {spread}")
+
+
+def _interp_stops(t, ratios, colors):
+    """Piecewise-linear color ramp (Canvas gradient semantics), straight
+    alpha.  ``t``: (H, W); ratios (K,), colors (K, 4)."""
+    flat = t.reshape(-1)
+    channels = [
+        jnp.interp(flat, ratios, colors[:, ch]).reshape(t.shape)
+        for ch in range(4)
+    ]
+    return jnp.stack(channels, axis=-1)
+
+
+def _focal_gradient_t(sx, sy, focal_point: float):
+    """Canvas createRadialGradient((f*R, 0), 0) -> ((0, 0), R) parameter.
+
+    With circles c(t) = lerp(c0, 0) and r(t) = t*R, solve |p - c(t)| = r(t)
+    for the largest t (the canvas spec picks the greatest ω with r(ω) > 0).
+    """
+    fx = focal_point * GRAD_RADIUS
+    pdx = sx - fx
+    pdy = sy
+    cdx = -fx  # c1 - c0
+    dr = GRAD_RADIUS
+    a = cdx * cdx - dr * dr
+    b = pdx * cdx - 0.0  # r0 = 0
+    cc = pdx * pdx + pdy * pdy
+    # a t^2 + 2 b t + c = 0  ->  t = (-b ± sqrt(b² - a c)) / a
+    disc = jnp.maximum(b * b - a * cc, 0.0)
+    sq = jnp.sqrt(disc)
+    # a < 0 always (|cdx| = |f|·R < R = dr unless |f| >= 1), so the larger
+    # root is (-b + sq) / a with a negative ... pick max of both roots.
+    safe_a = jnp.where(jnp.abs(a) < 1e-6, 1e-6, a)
+    t1 = (-b + sq) / safe_a
+    t2 = (-b - sq) / safe_a
+    t = jnp.maximum(t1, t2)
+    # Degenerate a ~ 0 (focal on the rim): linear equation 2 b t + c = 0.
+    t_lin = jnp.where(jnp.abs(b) < 1e-9, 0.0, -cc / (2.0 * b))
+    return jnp.where(jnp.abs(a) < 1e-6, t_lin, t)
+
+
+def _fetch(img, ix, iy, repeating: bool):
+    """Texel fetch with SWF extension semantics: repeating fills wrap,
+    clipped fills clamp edge texels outward (Flash behavior — unlike Canvas
+    'no-repeat' patterns, which go transparent outside)."""
+    h, w = img.shape[:2]
+    if repeating:
+        ix = jnp.mod(ix, w).astype(jnp.int32)
+        iy = jnp.mod(iy, h).astype(jnp.int32)
+    else:
+        ix = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        iy = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+    return img[iy, ix]
+
+
+def _bilinear_sample(img, sx, sy, repeating: bool):
+    """Sample (h, w, 4) float at coords (texel centers at integer+0.5)."""
+    x = sx - 0.5
+    y = sy - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+    c00 = _fetch(img, x0, y0, repeating)
+    c10 = _fetch(img, x0 + 1, y0, repeating)
+    c01 = _fetch(img, x0, y0 + 1, repeating)
+    c11 = _fetch(img, x0 + 1, y0 + 1, repeating)
+    top = c00 * (1.0 - tx) + c10 * tx
+    bot = c01 * (1.0 - tx) + c11 * tx
+    return top * (1.0 - ty) + bot * ty
+
+
+def _nearest_sample(img, sx, sy, repeating: bool):
+    return _fetch(img, jnp.floor(sx), jnp.floor(sy), repeating)
+
+
+def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
+    """Evaluate a paint to an (H, W, 4) straight-alpha RGBA field.
+
+    Solid paints take a constant fast path; gradient/bitmap paints compute
+    per-pixel fields that XLA fuses with the subsequent compositing.
+    """
+    if paint.kind == PAINT_SOLID:
+        color = jnp.asarray(paint.color, dtype=jnp.float32)
+        return jnp.broadcast_to(color, (height, width, 4))
+
+    sx, sy = _paint_coords(paint.inv_matrix, height, width)
+
+    if paint.kind == PAINT_LINEAR:
+        # SWF gradient square: x in [-16384, 16384] twips.
+        t = (sx + GRAD_RADIUS) / (2.0 * GRAD_RADIUS)
+        t = _apply_spread(t, paint.spread)
+        return _interp_stops(
+            t,
+            jnp.asarray(paint.stop_ratios, jnp.float32),
+            jnp.asarray(paint.stop_colors, jnp.float32),
+        )
+
+    if paint.kind == PAINT_FOCAL:
+        t = _focal_gradient_t(sx, sy, paint.focal_point)
+        t = _apply_spread(t, paint.spread)
+        return _interp_stops(
+            t,
+            jnp.asarray(paint.stop_ratios, jnp.float32),
+            jnp.asarray(paint.stop_colors, jnp.float32),
+        )
+
+    if paint.kind == PAINT_BITMAP:
+        img = jnp.asarray(paint.image).astype(jnp.float32) / 255.0
+        sample = _bilinear_sample if paint.smoothed else _nearest_sample
+        n = max(1, int(paint.supersample))
+        a, b, c, d, e, f = paint.inv_matrix
+        py = jnp.arange(height, dtype=jnp.float32)[:, None]
+        px = jnp.arange(width, dtype=jnp.float32)[None, :]
+        acc = jnp.zeros((height, width, 4), jnp.float32)
+        for ky in range(n):
+            for kx in range(n):
+                ox = (kx + 0.5) / n
+                oy = (ky + 0.5) / n
+                ssx = a * (px + ox) + c * (py + oy) + e
+                ssy = b * (px + ox) + d * (py + oy) + f
+                acc = acc + sample(img, ssx, ssy, paint.repeating)
+        return acc / (n * n)
+
+    raise ValueError(f"unknown paint kind {paint.kind}")

@@ -1,0 +1,134 @@
+"""The renderer front-end: ``render(stage)`` / ``add_bitmap(tag)``.
+
+Preserves the reference's public backend contract
+(reference ts/src/lib/renderer.ts:4-8) and its per-definition decode caches
+(canvas-renderer.ts:51-58, 96-112), while the execution path is TPU-native:
+scene compilation -> batched Pallas coverage -> fused style evaluation ->
+premultiplied compositing -> u8 readback.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import ast, display
+from ..models.geometry import pad_edges
+from ..ops import composite as composite_ops
+from ..ops import style as style_ops
+from ..ops.coverage import coverage
+from .bitmap_service import BitmapService
+from .scene import Draw, SceneCompiler
+
+
+class TpuRenderer:
+    """Renders retained stages to RGBA frames.
+
+    Equivalent surface to the reference ``CanvasRenderer``/
+    ``NodeCanvasRenderer`` (canvas-renderer.ts:48-67,
+    node-canvas-renderer.ts:7-24); ``render`` returns the frame as an
+    (H, W, 4) uint8 array (the node renderer's ``.canvas`` readback).
+    """
+
+    def __init__(self, width: int, height: int, use_pallas: bool = True):
+        self.width = width
+        self.height = height
+        self.use_pallas = use_pallas
+        self.bitmap_service = BitmapService()
+        self._shape_cache: dict = {}
+        self._morph_cache: dict = {}
+        self.frame: Optional[np.ndarray] = None
+
+    # -- reference API ------------------------------------------------------
+
+    def add_bitmap(self, tag: ast.DefineBitmap) -> None:
+        self.bitmap_service.add_bitmap(tag)
+
+    def render(self, stage: display.Stage) -> np.ndarray:
+        compiler = SceneCompiler(
+            self.bitmap_service, self._shape_cache, self._morph_cache
+        )
+        draws = compiler.compile_stage(stage)
+        self.frame = self.execute(draws)
+        return self.frame
+
+    # -- execution ----------------------------------------------------------
+
+    def execute(self, draws: List[Draw]) -> np.ndarray:
+        h, w = self.height, self.width
+        if not draws:
+            return np.zeros((h, w, 4), dtype=np.uint8)
+
+        max_edges = max(d.edges.shape[0] for d in draws)
+        padded = max(128, int(math.ceil(max_edges / 128.0)) * 128)
+        edges_t = np.zeros((len(draws), 4, padded), dtype=np.float32)
+        for i, d in enumerate(draws):
+            edges_t[i, :, : d.edges.shape[0]] = d.edges.T
+
+        fill_rules = {d.fill_rule for d in draws}
+        if len(fill_rules) == 1:
+            coverages = coverage(
+                jnp.asarray(edges_t), h, w, fill_rule=fill_rules.pop(),
+                use_pallas=self.use_pallas,
+            )
+        else:
+            coverages = jnp.stack(
+                [
+                    coverage(
+                        jnp.asarray(edges_t[i : i + 1]), h, w,
+                        fill_rule=d.fill_rule, use_pallas=self.use_pallas,
+                    )[0]
+                    for i, d in enumerate(draws)
+                ]
+            )
+
+        colors = jnp.stack(
+            [style_ops.paint_field(d.paint, h, w) for d in draws]
+        )
+        return composite_ops.composite_to_u8(coverages, colors)
+
+
+# ---------------------------------------------------------------------------
+# Convenience one-shot entry points (the renderShape/renderMorphShape surface)
+# ---------------------------------------------------------------------------
+
+
+def render_shape(
+    tag: ast.DefineShape,
+    bitmaps: Optional[List[ast.DefineBitmap]] = None,
+    use_pallas: bool = True,
+) -> np.ndarray:
+    """Render a DefineShape the way the reference render tests do: stage of
+    size ceil(bounds/20) with the shape translated to the origin."""
+    stage = display.stage_for_shape(tag)
+    renderer = TpuRenderer(stage.width, stage.height, use_pallas=use_pallas)
+    for bmp in bitmaps or []:
+        renderer.add_bitmap(bmp)
+    return renderer.render(stage)
+
+
+def render_morph_shape(
+    tag: ast.DefineMorphShape, ratio: float, use_pallas: bool = True
+) -> np.ndarray:
+    stage = display.stage_for_morph_shape(tag, ratio)
+    renderer = TpuRenderer(stage.width, stage.height, use_pallas=use_pallas)
+    return renderer.render(stage)
+
+
+def render_shape_tag_to_png(ast_path: str, out_path: str) -> np.ndarray:
+    """CLI-ish helper: ast.json -> rendered PNG (used by /verify)."""
+    from ..models.ast_io import load_tag
+    from ..utils.png import write_png
+
+    tag = load_tag(ast_path)
+    if isinstance(tag, ast.DefineShape):
+        frame = render_shape(tag)
+    elif isinstance(tag, ast.DefineMorphShape):
+        frame = render_morph_shape(tag, 0.0)
+    else:
+        raise ValueError(f"cannot render tag: {tag!r}")
+    write_png(out_path, frame)
+    return frame

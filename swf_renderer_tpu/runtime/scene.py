@@ -1,0 +1,289 @@
+"""Scene compiler: display tree -> flat draw list (edge tables + paints).
+
+This replaces the reference's recursive Canvas2D drawing
+(reference ts/src/lib/renderers/canvas-renderer.ts:80-145): instead of
+issuing stateful context calls, the tree walk flattens the matrix stack and
+produces, per styled path, a device-space edge table plus a resolved paint.
+The draw list is order-preserving (painter's algorithm).
+
+Canvas2D semantics preserved:
+
+* global twips->px scale 1/20 applied before children
+  (canvas-renderer.ts:74),
+* ``lineWidth`` state machine: non-positive widths are ignored and the
+  previous value (initially 1.0) persists — the reference inherits this
+  Canvas2D quirk by assigning ``ctx.lineWidth`` directly
+  (canvas-renderer.ts:255, 342),
+* static strokes use Canvas defaults (butt cap, miter join, limit 10);
+  morph strokes use round/round (canvas-renderer.ts:263-264),
+* morph paths lerp every coordinate, color and width by the ratio
+  (canvas-renderer.ts:207-266).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models import ast, display, ir
+from ..models.decode_morph_shape import decode_morph_shape
+from ..models.decode_shape import decode_shape
+from ..models.geometry import (
+    Affine,
+    TWIPS_PER_PX,
+    path_to_subpaths,
+    polygons_to_edges,
+    stroke_subpath,
+    subpaths_to_fill_edges,
+)
+from ..ops import style as style_ops
+from ..ops.coverage import FILL_RULE_NONZERO
+from .bitmap_service import BitmapService
+
+# The reference renders missing bitmaps with this placeholder
+# (canvas-renderer.ts:299-304).
+PLACEHOLDER_COLOR = (0.2, 0.6, 0.8, 0.9)
+
+_SPREAD_TO_INT = {
+    ast.GradientSpread.PAD: style_ops.SPREAD_PAD,
+    ast.GradientSpread.REFLECT: style_ops.SPREAD_REFLECT,
+    ast.GradientSpread.REPEAT: style_ops.SPREAD_REPEAT,
+}
+
+
+@dataclasses.dataclass
+class Draw:
+    """One rasterization unit: a set of edges filled with one paint."""
+
+    edges: np.ndarray  # (E, 4) float32, device pixels
+    paint: style_ops.Paint
+    fill_rule: int = FILL_RULE_NONZERO
+
+
+def lerp(a: float, b: float, t: float) -> float:
+    return b * t + a * (1.0 - t)
+
+
+def lerp_rgba(a, b, t: float):
+    return tuple(lerp(x, y, t) for x, y in zip(a, b))
+
+
+def lerp_morph_commands(
+    commands: Sequence[ir.MorphCommand], ratio: float
+) -> List[ir.Command]:
+    """Interpolate a morph path's commands at ``ratio``
+    (canvas-renderer.ts:214-239)."""
+    out: List[ir.Command] = []
+    for cmd in commands:
+        if isinstance(cmd, ir.MorphMoveTo):
+            out.append(
+                ir.MoveTo(x=lerp(cmd.x[0], cmd.x[1], ratio),
+                          y=lerp(cmd.y[0], cmd.y[1], ratio))
+            )
+        elif isinstance(cmd, ir.MorphLineTo):
+            out.append(
+                ir.LineTo(end_x=lerp(cmd.end_x[0], cmd.end_x[1], ratio),
+                          end_y=lerp(cmd.end_y[0], cmd.end_y[1], ratio))
+            )
+        elif isinstance(cmd, ir.MorphCurveTo):
+            out.append(
+                ir.CurveTo(
+                    control_x=lerp(cmd.control_x[0], cmd.control_x[1], ratio),
+                    control_y=lerp(cmd.control_y[0], cmd.control_y[1], ratio),
+                    end_x=lerp(cmd.end_x[0], cmd.end_x[1], ratio),
+                    end_y=lerp(cmd.end_y[0], cmd.end_y[1], ratio),
+                )
+            )
+        else:
+            raise ValueError(f"UnexpectedMorphCommand: {cmd!r}")
+    return out
+
+
+def _apply_color_transform(color, ct: Optional[display.ColorTransform]):
+    if ct is None:
+        return color
+    return tuple(
+        min(max(c * m + a, 0.0), 1.0)
+        for c, m, a in zip(color, ct.mult, ct.add)
+    )
+
+
+class SceneCompiler:
+    """Walks a display tree and emits the flat draw list."""
+
+    def __init__(
+        self,
+        bitmaps: BitmapService,
+        shape_cache: dict,
+        morph_cache: dict,
+        curve_tolerance: float = 0.1,
+    ) -> None:
+        self.bitmaps = bitmaps
+        self.shape_cache = shape_cache
+        self.morph_cache = morph_cache
+        self.curve_tolerance = curve_tolerance
+        self.draws: List[Draw] = []
+        # Canvas2D context state: lineWidth starts at 1.0 (user-space units
+        # = twips here) and ignores non-positive assignments.
+        self.line_width_state = 1.0
+
+    # -- public ------------------------------------------------------------
+
+    def compile_stage(self, stage: display.Stage) -> List[Draw]:
+        base = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
+        for child in stage.children:
+            self._walk(child, base, None)
+        return self.draws
+
+    # -- tree walk ----------------------------------------------------------
+
+    def _walk(self, obj: display.DisplayObject, ctm: Affine,
+              ct: Optional[display.ColorTransform]) -> None:
+        if obj.matrix is not None:
+            ctm = ctm.then(Affine.from_swf_matrix(obj.matrix))
+        if getattr(obj, "color_transform", None) is not None:
+            ct = obj.color_transform  # innermost wins (no nesting semantics yet)
+        if isinstance(obj, display.Container):
+            for child in obj.children:
+                self._walk(child, ctm, ct)
+        elif isinstance(obj, display.ShapeInstance):
+            self._draw_shape(obj.definition, ctm, ct)
+        elif isinstance(obj, display.MorphShapeInstance):
+            self._draw_morph_shape(obj.definition, obj.ratio, ctm, ct)
+        else:
+            raise ValueError("UnexpectedDisplayObjectType")
+
+    def _compiled_shape(self, tag: ast.DefineShape) -> ir.Shape:
+        key = id(tag)
+        if key not in self.shape_cache:
+            self.shape_cache[key] = decode_shape(tag)
+        return self.shape_cache[key]
+
+    def _compiled_morph_shape(self, tag: ast.DefineMorphShape) -> ir.MorphShape:
+        key = id(tag)
+        if key not in self.morph_cache:
+            self.morph_cache[key] = decode_morph_shape(tag)
+        return self.morph_cache[key]
+
+    def _draw_shape(self, tag: ast.DefineShape, ctm: Affine,
+                    ct: Optional[display.ColorTransform]) -> None:
+        compiled = self._compiled_shape(tag)
+        for path in compiled.paths:
+            if path.fill is not None:
+                self._emit_fill(path.commands, path.fill, ctm, ct)
+            if path.line is not None:
+                self._emit_stroke(
+                    path.commands,
+                    float(path.line.width),
+                    path.line.fill,
+                    ctm,
+                    ct,
+                    cap="butt",
+                    join="miter",
+                )
+
+    def _draw_morph_shape(self, tag: ast.DefineMorphShape, ratio: float,
+                          ctm: Affine,
+                          ct: Optional[display.ColorTransform]) -> None:
+        compiled = self._compiled_morph_shape(tag)
+        for path in compiled.paths:
+            commands = lerp_morph_commands(path.commands, ratio)
+            if path.fill is not None:
+                color = lerp_rgba(path.fill.start_color, path.fill.end_color,
+                                  ratio)
+                self._emit_fill(commands, ir.SolidFill(color=color), ctm, ct)
+            if path.line is not None:
+                width = lerp(path.line.width[0], path.line.width[1], ratio)
+                color = lerp_rgba(path.line.fill.start_color,
+                                  path.line.fill.end_color, ratio)
+                self._emit_stroke(
+                    commands,
+                    width,
+                    ir.SolidFill(color=color),
+                    ctm,
+                    ct,
+                    cap="round",
+                    join="round",
+                )
+
+    # -- draw emission -------------------------------------------------------
+
+    def _emit_fill(self, commands, fill: ir.FillStyle, ctm: Affine,
+                   ct: Optional[display.ColorTransform]) -> None:
+        subpaths = path_to_subpaths(commands, ctm, self.curve_tolerance)
+        edges = subpaths_to_fill_edges(subpaths)
+        if edges.shape[0] == 0:
+            return
+        paint = self._paint_for_fill(fill, ctm, ct)
+        self.draws.append(Draw(edges=edges, paint=paint))
+
+    def _emit_stroke(self, commands, width: float, fill: ir.FillStyle,
+                     ctm: Affine, ct: Optional[display.ColorTransform],
+                     cap: str, join: str) -> None:
+        if not isinstance(fill, ir.SolidFill):
+            raise NotImplementedError(f"NotImplementedLineStyle: {fill!r}")
+        if width > 0:
+            self.line_width_state = width
+        effective_width = self.line_width_state
+        # Stroke geometry is computed in user (twip) space — Canvas2D stroke
+        # outlines are defined pre-CTM — then transformed to device space.
+        scale = max(ctm.max_scale(), 1e-6)
+        local_tol = self.curve_tolerance / scale
+        subpaths = path_to_subpaths(commands, Affine.identity(), local_tol)
+        polys = []
+        for pts in subpaths:
+            polys.extend(
+                stroke_subpath(pts, effective_width, cap=cap, join=join,
+                               tolerance=local_tol)
+            )
+        polys = [ctm.apply(poly) for poly in polys]
+        edges = polygons_to_edges(polys)
+        if edges.shape[0] == 0:
+            return
+        color = _apply_color_transform(fill.color, ct)
+        self.draws.append(Draw(edges=edges, paint=style_ops.solid_paint(color)))
+
+    def _paint_for_fill(self, fill: ir.FillStyle, ctm: Affine,
+                        ct: Optional[display.ColorTransform]) -> style_ops.Paint:
+        if isinstance(fill, ir.SolidFill):
+            return style_ops.solid_paint(_apply_color_transform(fill.color, ct))
+        if isinstance(fill, ir.BitmapFill):
+            bitmap = self.bitmaps.try_get(fill.bitmap_id)
+            if bitmap is None:
+                raise KeyError(f"BitmapNotFound: {fill.bitmap_id}")
+            if bitmap.rgba is None:
+                return style_ops.solid_paint(
+                    _apply_color_transform(PLACEHOLDER_COLOR, ct)
+                )
+            paint_to_device = ctm.then(Affine.from_swf_matrix(fill.matrix))
+            return style_ops.Paint(
+                kind=style_ops.PAINT_BITMAP,
+                inv_matrix=paint_to_device.inverse().as_tuple(),
+                image=bitmap.rgba,
+                repeating=fill.repeating,
+                smoothed=fill.smoothed,
+            )
+        if isinstance(fill, (ir.FocalGradientFill, ir.LinearGradientFill)):
+            stops = fill.gradient.colors
+            ratios = np.asarray([s.ratio for s in stops], dtype=np.float32)
+            colors = np.asarray(
+                [_apply_color_transform(s.color, ct) for s in stops],
+                dtype=np.float32,
+            )
+            paint_to_device = ctm.then(Affine.from_swf_matrix(fill.matrix))
+            kind = (
+                style_ops.PAINT_FOCAL
+                if isinstance(fill, ir.FocalGradientFill)
+                else style_ops.PAINT_LINEAR
+            )
+            return style_ops.Paint(
+                kind=kind,
+                inv_matrix=paint_to_device.inverse().as_tuple(),
+                stop_ratios=ratios,
+                stop_colors=colors,
+                focal_point=getattr(fill, "focal_point", 0.0),
+                spread=_SPREAD_TO_INT[fill.gradient.spread],
+            )
+        raise NotImplementedError(f"NotImplementedFillStyle: {fill!r}")

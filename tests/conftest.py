@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+# The axon sitecustomize force-prepends its TPU platform to jax_platforms at
+# interpreter start; override it before any backend is initialized so tests
+# run on the 8-device virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REFERENCE_TESTS = pathlib.Path("/root/reference/tests")
 
 import pytest  # noqa: E402

@@ -1,0 +1,57 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.ops.pipeline import render_solid_batch
+from swf_renderer_tpu.parallel.mesh import (
+    make_mesh,
+    render_batch_dp,
+    render_frame_tile_sharded,
+)
+
+
+def _demo_batch(b=8, p=2, e=128, h=64, w=256):
+    rng = np.random.default_rng(42)
+    edges_t = np.zeros((b, p, 4, e), np.float32)
+    colors = np.zeros((b, p, 4), np.float32)
+    for i in range(b):
+        for j in range(p):
+            pts = rng.uniform(0, (w, h), size=(5, 2)).astype(np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            seg = np.concatenate([closed[:-1], closed[1:]], axis=1)  # (5,4)
+            edges_t[i, j, :, : len(seg)] = seg.T
+            colors[i, j] = rng.uniform(0.2, 1.0, size=4)
+    return edges_t, colors, h, w
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_render_batch_dp_matches_single_device():
+    edges_t, colors, h, w = _demo_batch()
+    want = np.asarray(
+        render_solid_batch(jnp.asarray(edges_t), jnp.asarray(colors), h, w,
+                           use_pallas=False)
+    )
+    mesh = make_mesh(axis_names=("dp", "tp"), tp=1)
+    got = np.asarray(
+        render_batch_dp(mesh, edges_t, colors, h, w, use_pallas=False)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_render_frame_tile_sharded_matches_single_device():
+    edges_t, colors, h, w = _demo_batch(b=1)
+    want = np.asarray(
+        render_solid_batch(jnp.asarray(edges_t), jnp.asarray(colors), h, w,
+                           use_pallas=False)
+    )[0]
+    mesh = make_mesh()
+    got = np.asarray(
+        render_frame_tile_sharded(mesh, edges_t[0], colors[0], h, w)
+    )
+    np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)

@@ -1,0 +1,81 @@
+"""Render integration tests: image diff vs the reference golden PNGs.
+
+Mirrors reference ts/src/test/node-canvas-renderer.spec.ts — same stage
+construction, same acceptance gate (pixelmatch threshold 0.05, differing
+pixel ratio <= 1e-4), same artifact outputs (*-out.png / *-diff.png).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.models.ast_io import (
+    parse_define_bitmap,
+    parse_define_morph_shape,
+    parse_define_shape,
+)
+from swf_renderer_tpu.runtime.renderer import render_morph_shape, render_shape
+from swf_renderer_tpu.utils.imagediff import pixelmatch
+from swf_renderer_tpu.utils.png import read_png, write_png
+
+THRESHOLD = 0.05
+MAX_DIFF_RATIO = 1e-4
+
+SHAPE_SAMPLES = [
+    ("flat-shapes/homestuck-beta-1", []),
+    ("textured-shapes/homestuck-beta-4", ["bitmap/homestuck-beta-3"]),
+    ("flat-shapes/squares", []),
+    ("flat-shapes/triangle", []),
+]
+
+MORPH_SAMPLES = [
+    ("flat-morph-shapes/homestuck-beta-29", 0.0),
+    ("flat-morph-shapes/homestuck-beta-29", 0.5),
+    ("flat-morph-shapes/homestuck-beta-29", 1.0),
+]
+
+
+def _check(actual, golden_path, artifacts_dir, name):
+    expected = read_png(golden_path)
+    out_dir = artifacts_dir / name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    write_png(out_dir / "out.png", actual)
+    assert actual.shape == expected.shape, (
+        f"size mismatch: {actual.shape} vs {expected.shape}"
+    )
+    result = pixelmatch(actual, expected, threshold=THRESHOLD)
+    write_png(out_dir / "diff.png", result.diff_image)
+    assert result.diff_ratio <= MAX_DIFF_RATIO, (
+        f"{result.diff_count} / {result.total} differing pixels "
+        f"(ratio {result.diff_ratio:.2e} > {MAX_DIFF_RATIO}); "
+        f"max channel diff {result.max_channel_diff}; "
+        f"artifacts in {out_dir}"
+    )
+    return result
+
+
+@pytest.mark.parametrize("sample,bitmaps", SHAPE_SAMPLES,
+                         ids=[s for s, _ in SHAPE_SAMPLES])
+def test_render_shape_golden(sample, bitmaps, reference_tests, artifacts_dir):
+    sample_dir = reference_tests / sample
+    tag = parse_define_shape((sample_dir / "ast.json").read_text())
+    bitmap_tags = [
+        parse_define_bitmap((reference_tests / f"{b}.ast.json").read_text())
+        for b in bitmaps
+    ]
+    actual = render_shape(tag, bitmaps=bitmap_tags)
+    _check(actual, sample_dir / "shape.png", artifacts_dir,
+           sample.replace("/", "_"))
+
+
+@pytest.mark.parametrize("sample,ratio", MORPH_SAMPLES,
+                         ids=[f"{s}@{r}" for s, r in MORPH_SAMPLES])
+def test_render_morph_shape_golden(sample, ratio, reference_tests,
+                                   artifacts_dir):
+    sample_dir = reference_tests / sample
+    tag = parse_define_morph_shape((sample_dir / "ast.json").read_text())
+    actual = render_morph_shape(tag, ratio)
+    golden = sample_dir / f"{int(ratio * (1 << 16))}.png"
+    _check(actual, golden, artifacts_dir,
+           sample.replace("/", "_") + f"_{int(ratio * 65536)}")

@@ -24,18 +24,39 @@ TARGET_GPX_S = 5.0
 def build_workload(frames: int, layers: int, height: int, width: int,
                    edges_per_draw: int = 64, seed: int = 7):
     """Random multi-layer polygon scenes (edge tables padded to 128)."""
+    """Each layer is a field of small convex-ish polygons spread over the
+    frame — a realistic vector scene (spatially local edges), pre-split for
+    the banded kernel."""
+    from swf_renderer_tpu.models.geometry import split_edges_y
+
     rng = np.random.default_rng(seed)
-    e_pad = max(128, ((edges_per_draw + 127) // 128) * 128)
-    edges_t = np.zeros((frames, layers, 4, e_pad), np.float32)
+    tables = []
     colors = np.zeros((frames, layers, 4), np.float32)
-    n_pts = edges_per_draw - 1
+    n_shapes = max(1, edges_per_draw // 8)
+    radius = max(8.0, min(height, width) / 12.0)
+    for i in range(frames):
+        frame_tables = []
+        for j in range(layers):
+            segs = []
+            for _ in range(n_shapes):
+                cx = rng.uniform(0, width)
+                cy = rng.uniform(0, height)
+                ang = np.sort(rng.uniform(0, 2 * np.pi, 8))
+                r = rng.uniform(0.4, 1.0, 8) * radius
+                pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], 1)
+                closed = np.concatenate([pts, pts[:1]]).astype(np.float32)
+                segs.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+            frame_tables.append(split_edges_y(np.concatenate(segs)))
+            colors[i, j] = rng.uniform(0.1, 1.0, size=4)
+        tables.append(frame_tables)
+
+    max_e = max(t.shape[0] for ft in tables for t in ft)
+    e_pad = max(128, ((max_e + 127) // 128) * 128)
+    edges_t = np.zeros((frames, layers, 4, e_pad), np.float32)
     for i in range(frames):
         for j in range(layers):
-            pts = rng.uniform(0, (width, height), size=(n_pts, 2))
-            closed = np.concatenate([pts, pts[:1]]).astype(np.float32)
-            seg = np.concatenate([closed[:-1], closed[1:]], axis=1)
-            edges_t[i, j, :, : len(seg)] = seg.T
-            colors[i, j] = rng.uniform(0.1, 1.0, size=4)
+            t = tables[i][j]
+            edges_t[i, j, :, : t.shape[0]] = t.T
     return edges_t, colors
 
 

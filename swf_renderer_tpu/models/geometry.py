@@ -328,6 +328,31 @@ def stroke_to_edges(
     return polygons_to_edges(polys)
 
 
+def split_edges_y(edges: np.ndarray, max_extent: float = 64.0) -> np.ndarray:
+    """Split segments so every edge's |y1 - y0| <= max_extent.
+
+    Splitting a segment at interior points leaves the coverage integral
+    unchanged; it bounds each edge's vertical footprint so the banded
+    coverage kernel's per-tile-row windows stay tight."""
+    edges = np.asarray(edges, dtype=np.float32)
+    if edges.shape[0] == 0:
+        return edges
+    yext = np.abs(edges[:, 3] - edges[:, 1])
+    n = np.maximum(1, np.ceil(yext / max_extent).astype(int))
+    if (n == 1).all():
+        return edges
+    rows = []
+    for (x0, y0, x1, y1), k in zip(edges, n):
+        if k == 1:
+            rows.append([[x0, y0, x1, y1]])
+        else:
+            t = np.linspace(0.0, 1.0, k + 1)
+            xs = x0 + t * (x1 - x0)
+            ys = y0 + t * (y1 - y0)
+            rows.append(np.stack([xs[:-1], ys[:-1], xs[1:], ys[1:]], axis=1))
+    return np.concatenate(rows, axis=0).astype(np.float32)
+
+
 def pad_edges(edges: np.ndarray, multiple: int = 128) -> np.ndarray:
     """Pad an (E, 4) edge table to a multiple of ``multiple`` rows.
 

@@ -62,7 +62,12 @@ def _h01(x):
 
 def edge_contribution(x0, y0, x1, y1, px, py):
     """Signed pixel-area contribution of one edge (broadcasting over all
-    arguments).  ``px``/``py`` are the pixel cell origins."""
+    arguments).  ``px``/``py`` are the pixel cell origins.
+
+    Shape discipline: pass ``py`` as (H, 1) and ``px`` as (1, W) — all the
+    y-only terms (clipping, segment parameters, x-at-clipped-y) then stay
+    (H, 1) vectors, and only the final clamp integral touches (H, W).  On
+    the TPU VPU that roughly halves the per-edge vector work."""
     sy0 = y0 - py
     sy1 = y1 - py
     cy0 = _clamp01(sy0)
@@ -74,19 +79,20 @@ def edge_contribution(x0, y0, x1, y1, px, py):
     t0 = (cy0 - sy0) / safe_dyd
     t1 = (cy1 - sy0) / safe_dyd
 
-    sx0 = x0 - px
     dx_seg = x1 - x0
-    xa = sx0 + t0 * dx_seg
-    xb = sx0 + t1 * dx_seg
+    xa = x0 + t0 * dx_seg  # absolute x at the clipped y window, (H, 1)
+    xb = x0 + t1 * dx_seg
     xmn = jnp.minimum(xa, xb)
     xmx = jnp.maximum(xa, xb)
 
     span = xmx - xmn
     safe_span = jnp.where(span < 1e-9, 1.0, span)
+    rel_mn = xmn - px  # (H, W) from here on
+    rel_mx = xmx - px
     mean_clamped = jnp.where(
         span < 1e-9,
-        _clamp01(0.5 * (xmn + xmx)),
-        (_h01(xmx) - _h01(xmn)) / safe_span,
+        _clamp01(0.5 * (rel_mn + rel_mx)),
+        (_h01(rel_mx) - _h01(rel_mn)) / safe_span,
     )
     # Area of the pixel row-slab to the right of the edge.
     return dy * (1.0 - mean_clamped)
@@ -138,62 +144,103 @@ def coverage_xla(edges_t: jax.Array, height: int, width: int,
 EDGE_BLOCK = 128
 
 
-def _coverage_kernel(edges_ref, out_ref, *, fill_rule: int, tile_h: int,
-                     tile_w: int, edge_chunk: int, scalar_loop: bool = True):
+def _coverage_kernel(bounds_ref, edges_ref, out_ref, *, fill_rule: int,
+                     tile_h: int, tile_w: int, edge_chunk: int,
+                     scalar_loop: bool = True):
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     ec = pl.program_id(3)
     num_ec = pl.num_programs(3)
 
+    # Full-2D pixel grids: Mosaic vector registers are (8, 128) regardless,
+    # so (th, 1)-shaped intermediates save nothing and add broadcasts.
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
         jnp.float32
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
         jnp.float32
     )
-    py = (row + ty * tile_h)[None]  # (1, th, tw)
-    px = (col + tx * tile_w)[None]
+    tile_y0 = (ty * tile_h).astype(jnp.float32)
+    tile_y1 = tile_y0 + tile_h
+    py = row + tile_y0  # (th, tw)
+    px = col + (tx * tile_w).astype(jnp.float32)
 
     @pl.when(ec == 0)
     def _():
         out_ref[0, :, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
-    py2 = py[0]
-    px2 = px[0]
+    # Block-level y-cull: edges are sorted by ymin host-side, so each
+    # 128-edge block spans a narrow y band; skip blocks that miss this tile.
+    block_hit = jnp.logical_and(
+        bounds_ref[0, 0, 0, 1] > tile_y0, bounds_ref[0, 0, 0, 0] < tile_y1
+    )
 
-    if scalar_loop:
-        # Mosaic path: edge coordinates are scalars (read from SMEM)
-        # broadcast against the pixel tile — the per-primitive parameter
-        # pattern the TPU compiler handles natively.
-        def body(e, acc):
-            x0 = edges_ref[0, 0, e]
-            y0 = edges_ref[0, 1, e]
-            x1 = edges_ref[0, 2, e]
-            y1 = edges_ref[0, 3, e]
-            return acc + edge_contribution(x0, y0, x1, y1, px2, py2)
+    @pl.when(block_hit)
+    def _():
+        if scalar_loop:
+            # Mosaic path: edge coordinates are scalars (read from SMEM)
+            # broadcast against the pixel tile — the per-primitive parameter
+            # pattern the TPU compiler handles natively.  (No per-edge
+            # branch: a scalar-core lax.cond costs ~0.5us of pipeline stall,
+            # more than the predicated vector work it would save; culling
+            # happens at block granularity via the pl.when above.)
+            def body(e, acc):
+                x0 = edges_ref[0, 0, e]
+                y0 = edges_ref[0, 1, e]
+                x1 = edges_ref[0, 2, e]
+                y1 = edges_ref[0, 3, e]
+                return acc + edge_contribution(x0, y0, x1, y1, px, py)
 
-        acc = jax.lax.fori_loop(
-            0, EDGE_BLOCK, body, jnp.zeros((tile_h, tile_w), jnp.float32)
-        )
-    else:
-        # Interpreter path (CPU tests): vectorize over edge sub-chunks.
-        acc = jnp.zeros((tile_h, tile_w), jnp.float32)
-        for k in range(EDGE_BLOCK // edge_chunk):
-            sl = slice(k * edge_chunk, (k + 1) * edge_chunk)
-            contrib = edge_contribution(
-                edges_ref[0, 0, sl][:, None, None],
-                edges_ref[0, 1, sl][:, None, None],
-                edges_ref[0, 2, sl][:, None, None],
-                edges_ref[0, 3, sl][:, None, None],
-                px,
-                py,
+            acc = jax.lax.fori_loop(
+                0, EDGE_BLOCK, body, jnp.zeros((tile_h, tile_w), jnp.float32)
             )
-            acc = acc + jnp.sum(contrib, axis=0)
-    out_ref[0, :, :] += acc
+        else:
+            # Interpreter path (CPU tests): vectorize over edge sub-chunks.
+            acc = jnp.zeros((tile_h, tile_w), jnp.float32)
+            for k in range(EDGE_BLOCK // edge_chunk):
+                sl = slice(k * edge_chunk, (k + 1) * edge_chunk)
+                contrib = edge_contribution(
+                    edges_ref[0, 0, sl][:, None, None],
+                    edges_ref[0, 1, sl][:, None, None],
+                    edges_ref[0, 2, sl][:, None, None],
+                    edges_ref[0, 3, sl][:, None, None],
+                    px[None],
+                    py[None],
+                )
+                acc = acc + jnp.sum(contrib, axis=0)
+        out_ref[0, :, :] += acc
 
     @pl.when(ec == num_ec - 1)
     def _():
         out_ref[0, :, :] = apply_fill_rule(out_ref[0, :, :], fill_rule)
+
+
+def _sort_and_bound_edges(edges_t: jax.Array):
+    """Sort each draw's edges by ymin (padding rows, identified as all-zero,
+    sort to the end) and compute per-128-block (ymin, ymax) bounds.
+
+    Edge order never affects the coverage sum, so sorting is free
+    correctness-wise; it makes edge blocks y-coherent so the kernel's
+    block-level cull fires."""
+    b, _, e = edges_t.shape
+    y0 = edges_t[:, 1, :]
+    y1 = edges_t[:, 3, :]
+    ymin = jnp.minimum(y0, y1)
+    ymax = jnp.maximum(y0, y1)
+    is_pad = jnp.all(edges_t == 0.0, axis=1)
+    key = jnp.where(is_pad, jnp.float32(3.0e38), ymin)
+    order = jnp.argsort(key, axis=-1)
+    sorted_edges = jnp.take_along_axis(edges_t, order[:, None, :], axis=-1)
+    key_sorted = jnp.take_along_axis(key, order, axis=-1)
+    ymax_sorted = jnp.take_along_axis(
+        jnp.where(is_pad, jnp.float32(-3.0e38), ymax), order, axis=-1
+    )
+    nb = e // EDGE_BLOCK
+    block_min = key_sorted.reshape(b, nb, EDGE_BLOCK).min(axis=-1)
+    block_max = ymax_sorted.reshape(b, nb, EDGE_BLOCK).max(axis=-1)
+    # (B, NB, 1, 2): trailing unit dim for Mosaic SMEM block-shape rules.
+    bounds = jnp.stack([block_min, block_max], axis=-1)[:, :, None, :]
+    return sorted_edges, bounds
 
 
 @functools.partial(
@@ -224,6 +271,8 @@ def coverage_pallas(
     assert four == 4, edges_t.shape
     assert num_edges % EDGE_BLOCK == 0
 
+    edges_sorted, bounds = _sort_and_bound_edges(edges_t)
+
     pad_h = -height % TILE_H
     pad_w = -width % TILE_W
     grid = (
@@ -248,6 +297,11 @@ def coverage_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
+                (1, 1, 1, 2),
+                lambda pb, ty, tx, ec: (pb, ec, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
                 (1, 4, EDGE_BLOCK),
                 lambda pb, ty, tx, ec: (pb, 0, ec),
                 memory_space=pltpu.SMEM,
@@ -259,7 +313,135 @@ def coverage_pallas(
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(edges_t)
+    )(bounds, edges_sorted)
+    return out[:, :height, :width]
+
+
+# ---------------------------------------------------------------------------
+# Banded Pallas kernel: per-tile-row edge windows
+# ---------------------------------------------------------------------------
+#
+# Edges are pre-split host-side to a bounded y-extent (MAX_EDGE_EXTENT) and
+# sorted by ymin.  Any edge overlapping tile row ty then lies in the
+# contiguous window [searchsorted(ymin, ty*TH - MAX_EDGE_EXTENT),
+# searchsorted(ymin, ty*TH + TH)), so each tile iterates only the edges near
+# its band instead of the whole table.  Splitting a segment never changes
+# the coverage sum, so this is exact.
+
+MAX_EDGE_EXTENT = 64.0  # px; cap on per-edge |y1 - y0| for banding
+SMEM_EDGE_CAP = 2048  # max edges held in SMEM by the banded kernel
+
+
+def _banded_kernel(ranges_ref, edges_ref, out_ref, *, fill_rule: int,
+                   tile_h: int, tile_w: int):
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(
+        jnp.float32
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(
+        jnp.float32
+    )
+    py = row + (ty * tile_h).astype(jnp.float32)
+    px = col + (tx * tile_w).astype(jnp.float32)
+
+    lo = ranges_ref[0, 0, 0, 0]
+    hi = ranges_ref[0, 0, 0, 1]
+
+    def body(e, acc):
+        x0 = edges_ref[0, 0, e]
+        y0 = edges_ref[0, 1, e]
+        x1 = edges_ref[0, 2, e]
+        y1 = edges_ref[0, 3, e]
+        return acc + edge_contribution(x0, y0, x1, y1, px, py)
+
+    acc = jax.lax.fori_loop(
+        lo, hi, body, jnp.zeros((tile_h, tile_w), jnp.float32)
+    )
+    out_ref[0, :, :] = apply_fill_rule(acc, fill_rule)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "fill_rule", "interpret")
+)
+def coverage_banded(
+    edges_t: jax.Array,
+    height: int,
+    width: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = False,
+) -> jax.Array:
+    """Banded Pallas coverage: edges must have y-extent <= MAX_EDGE_EXTENT
+    (use :func:`swf_renderer_tpu.models.geometry.split_edges_y`).  (B, 4, E)
+    with E <= SMEM_EDGE_CAP -> (B, H, W) coverage."""
+    if edges_t.ndim == 2:
+        edges_t = edges_t[None]
+    b, four, num_edges = edges_t.shape
+    assert four == 4
+    if num_edges > SMEM_EDGE_CAP:
+        raise ValueError(
+            f"banded kernel supports at most {SMEM_EDGE_CAP} edges, got "
+            f"{num_edges}; use coverage_pallas instead"
+        )
+
+    # Sort by ymin (padding rows to the end) and build per-tile-row windows.
+    # The window low bound is widened by the draw's actual max edge y-extent,
+    # so the kernel is exact for any input; pre-splitting edges (see
+    # geometry.split_edges_y) merely tightens the windows.
+    y0 = edges_t[:, 1, :]
+    y1 = edges_t[:, 3, :]
+    ymin = jnp.minimum(y0, y1)
+    is_pad = jnp.all(edges_t == 0.0, axis=1)
+    key = jnp.where(is_pad, jnp.float32(3.0e38), ymin)
+    order = jnp.argsort(key, axis=-1)
+    edges_sorted = jnp.take_along_axis(edges_t, order[:, None, :], axis=-1)
+    key_sorted = jnp.take_along_axis(key, order, axis=-1)
+    max_ext = jnp.max(jnp.abs(y1 - y0), axis=-1)  # (B,) — pads have extent 0
+
+    pad_h = -height % TILE_H
+    pad_w = -width % TILE_W
+    ty_count = (height + pad_h) // TILE_H
+    band_y0 = jnp.arange(ty_count, dtype=jnp.float32) * TILE_H
+    lo = jax.vmap(
+        lambda k, m: jnp.searchsorted(k, band_y0 - m)
+    )(key_sorted, max_ext)
+    hi = jax.vmap(
+        lambda k: jnp.searchsorted(k, band_y0 + TILE_H)
+    )(key_sorted)
+    # (B, TY, 1, 2): trailing unit dim so the SMEM block shape's last two
+    # dims match the array (a Mosaic block-mapping requirement).
+    ranges = jnp.stack([lo, hi], axis=-1).astype(jnp.int32)[:, :, None, :]
+
+    kernel = functools.partial(
+        _banded_kernel,
+        fill_rule=fill_rule,
+        tile_h=TILE_H,
+        tile_w=TILE_W,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, height + pad_h, width + pad_w),
+                                       jnp.float32),
+        grid=(b, ty_count, (width + pad_w) // TILE_W),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, 2),
+                lambda pb, ty, tx: (pb, ty, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, num_edges),
+                lambda pb, ty, tx: (pb, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, TILE_W),
+            lambda pb, ty, tx: (pb, ty, tx),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(ranges, edges_sorted)
     return out[:, :height, :width]
 
 
@@ -273,13 +455,18 @@ def coverage(
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
     use_pallas: bool = True,
+    banded: bool = True,
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA fallback elsewhere.
 
-    (Pallas interpret mode is exercised explicitly in tests; the XLA path is
-    the production CPU fallback since it is much faster than interpretation.)
+    The banded kernel is preferred when the edge table fits in SMEM; callers
+    should pre-split edges to MAX_EDGE_EXTENT (the renderer does).  (Pallas
+    interpret mode is exercised explicitly in tests; the XLA path is the
+    production CPU fallback since it is much faster than interpretation.)
     """
     if use_pallas and _on_tpu():
+        if banded and edges_t.shape[-1] <= SMEM_EDGE_CAP:
+            return coverage_banded(edges_t, height, width, fill_rule)
         return coverage_pallas(edges_t, height, width, fill_rule)
     return coverage_xla(edges_t, height, width, fill_rule)
 

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from .composite import premul_to_straight_u8
 from .coverage import (
     FILL_RULE_NONZERO,
+    SMEM_EDGE_CAP,
+    coverage_banded,
     coverage_pallas,
     coverage_xla,
     _on_tpu,
@@ -38,14 +40,19 @@ def render_solid_batch(
     """Render a batch of frames made of solid-fill draws.
 
     edges_t: (B, P, 4, E) f32 — B frames, P draws per frame (padded; all-zero
-        draws are no-ops), edge tables in device pixels.
+        draws are no-ops), edge tables in device pixels.  For best TPU
+        performance pre-split edges to bounded y-extent
+        (geometry.split_edges_y) so the banded kernel's windows are tight.
     colors: (B, P, 4) f32 straight RGBA per draw.
     Returns (B, H, W, 4) uint8 frames (straight alpha).
     """
     b, p, four, e = edges_t.shape
     flat = edges_t.reshape(b * p, four, e)
     if use_pallas and _on_tpu():
-        cov = coverage_pallas(flat, height, width, fill_rule)
+        if e <= SMEM_EDGE_CAP:
+            cov = coverage_banded(flat, height, width, fill_rule)
+        else:
+            cov = coverage_pallas(flat, height, width, fill_rule)
     else:
         cov = coverage_xla(flat, height, width, fill_rule)
     cov = cov.reshape(b, p, height, width)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import ast, display
-from ..models.geometry import pad_edges
+from ..models.geometry import split_edges_y
 from ..ops import composite as composite_ops
 from ..ops import style as style_ops
 from ..ops.coverage import coverage
@@ -62,11 +62,14 @@ class TpuRenderer:
         if not draws:
             return np.zeros((h, w, 4), dtype=np.uint8)
 
-        max_edges = max(d.edges.shape[0] for d in draws)
+        # Bound edge y-extent so the banded coverage kernel's per-tile-row
+        # windows stay tight, then pad tables to a common static shape.
+        split = [split_edges_y(d.edges) for d in draws]
+        max_edges = max(s.shape[0] for s in split)
         padded = max(128, int(math.ceil(max_edges / 128.0)) * 128)
         edges_t = np.zeros((len(draws), 4, padded), dtype=np.float32)
-        for i, d in enumerate(draws):
-            edges_t[i, :, : d.edges.shape[0]] = d.edges.T
+        for i, s in enumerate(split):
+            edges_t[i, :, : s.shape[0]] = s.T
 
         fill_rules = {d.fill_rule for d in draws}
         if len(fill_rules) == 1:

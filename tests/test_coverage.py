@@ -107,3 +107,41 @@ def test_padding_edges_are_noops():
     a = np.asarray(cov.coverage_xla(edges_t, 16, 16))
     b = np.asarray(cov.coverage_xla(small, 16, 16))
     np.testing.assert_array_equal(a, b)
+
+
+def test_banded_interpret_matches_numpy():
+    from swf_renderer_tpu.models.geometry import split_edges_y
+
+    # Long edges (unsplit) still render correctly: windows widen by the
+    # actual max y-extent.
+    got = np.asarray(
+        cov.coverage_banded(
+            np.concatenate(
+                [TRIANGLE.T, np.zeros((4, 128 - len(TRIANGLE)), np.float32)],
+                axis=1,
+            )[None],
+            16, 16, interpret=True,
+        )
+    )[0]
+    want = cov.coverage_numpy(TRIANGLE, 16, 16)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # Split edges give identical coverage.
+    split = split_edges_y(TRIANGLE, max_extent=3.0)
+    assert len(split) > len(TRIANGLE)
+    e = np.zeros((1, 4, 128), np.float32)
+    e[0, :, : len(split)] = split.T
+    got2 = np.asarray(cov.coverage_banded(e, 16, 16, interpret=True))[0]
+    np.testing.assert_allclose(got2, want, atol=1e-4)
+
+
+def test_split_edges_y_preserves_coverage():
+    from swf_renderer_tpu.models.geometry import split_edges_y
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 30, size=(7, 2)).astype(np.float32)
+    edges = closed_polygon_edges(pts)
+    split = split_edges_y(edges, max_extent=4.0)
+    a = cov.coverage_numpy(edges, 32, 32)
+    b = cov.coverage_numpy(split, 32, 32)
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -1,0 +1,116 @@
+"""Command-line renderer: ``python -m swf_renderer_tpu <ast.json> [-o out]``.
+
+The real CLI the reference only sketched: its TS entry point is an
+unimplemented stub (reference ts/src/main/main.ts:1-10 — "NotImplemented:
+Deserialize a stage state and render it") and its Rust CLI opens a winit
+window for one shape (reference rs/bin/src/main.rs:9-82).  This one loads
+any supported tag from an ast.json, rasterizes on the available backend and
+writes PNG and/or PAM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="swf_renderer_tpu",
+        description="TPU-native SWF shape rasterizer",
+    )
+    parser.add_argument("ast", help="path to a define-shape/morph/bitmap ast.json")
+    parser.add_argument("-o", "--output", default=None,
+                        help="output path (.png or .pam); default: <ast>.png")
+    parser.add_argument("--ratio", type=float, default=0.0,
+                        help="morph ratio in [0, 1] (morph shapes only)")
+    parser.add_argument("--bitmap", action="append", default=[],
+                        help="bitmap ast.json to register (repeatable)")
+    parser.add_argument("--scale", type=float, default=1.0,
+                        help="extra uniform scale applied to the stage")
+    parser.add_argument("--stats", action="store_true",
+                        help="print render statistics to stderr")
+    args = parser.parse_args(argv)
+
+    from .models import ast as ast_model
+    from .models import display
+    from .models.ast_io import load_tag
+    from .runtime.renderer import TpuRenderer
+    from .utils.pam import rgba_to_pam
+    from .utils.png import write_png
+
+    tag = load_tag(args.ast)
+    t0 = time.perf_counter()
+
+    if isinstance(tag, ast_model.DefineShape):
+        stage = display.stage_for_shape(tag)
+    elif isinstance(tag, ast_model.DefineMorphShape):
+        stage = display.stage_for_morph_shape(tag, args.ratio)
+    elif isinstance(tag, ast_model.DefineBitmap):
+        # Render the decoded bitmap itself.
+        from .runtime.bitmap_service import decode_x_swf_bmp
+
+        frame = decode_x_swf_bmp(tag.data)
+        out = pathlib.Path(args.output or (args.ast + ".png"))
+        if out.suffix == ".pam":
+            out.write_bytes(rgba_to_pam(frame))
+        else:
+            write_png(out, frame)
+        print(out)
+        return 0
+    else:
+        print(f"unsupported tag: {tag!r}", file=sys.stderr)
+        return 2
+
+    if args.scale != 1.0:
+        import math
+
+        from .utils.fixed import Sfixed16P16
+
+        child = stage.children[0]
+        m = child.matrix
+        scaled = ast_model.Matrix(
+            scale_x=Sfixed16P16.from_value(args.scale),
+            scale_y=Sfixed16P16.from_value(args.scale),
+            rotate_skew0=m.rotate_skew0,
+            rotate_skew1=m.rotate_skew1,
+            translate_x=int(m.translate_x * args.scale),
+            translate_y=int(m.translate_y * args.scale),
+        )
+        import dataclasses
+
+        stage = display.Stage(
+            width=math.ceil(stage.width * args.scale),
+            height=math.ceil(stage.height * args.scale),
+            background_color=stage.background_color,
+            children=(dataclasses.replace(child, matrix=scaled),),
+        )
+
+    renderer = TpuRenderer(stage.width, stage.height)
+    for bmp_path in args.bitmap:
+        renderer.add_bitmap(load_tag(bmp_path))
+    frame = renderer.render(stage)
+    dt = time.perf_counter() - t0
+
+    out = pathlib.Path(args.output or (args.ast + ".png"))
+    if out.suffix == ".pam":
+        out.write_bytes(rgba_to_pam(frame))
+    else:
+        write_png(out, frame)
+    if args.stats:
+        stats = {
+            "width": stage.width,
+            "height": stage.height,
+            "seconds": round(dt, 4),
+            "mpx_per_s": round(stage.width * stage.height / dt / 1e6, 3),
+        }
+        print(json.dumps(stats), file=sys.stderr)
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

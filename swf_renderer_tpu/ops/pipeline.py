@@ -75,3 +75,37 @@ def render_solid_batch(
 
     frames_pm = jax.vmap(composite_frame)(cov, colors)
     return premul_to_straight_u8(frames_pm)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "fill_rule",
+                                             "use_pallas"))
+def render_morph_batch(
+    edges_start: jax.Array,
+    edges_end: jax.Array,
+    colors_start: jax.Array,
+    colors_end: jax.Array,
+    ratios: jax.Array,
+    height: int,
+    width: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Rasterize a morph shape at a whole batch of ratio steps on device.
+
+    edges_start/edges_end: (P, 4, E) paired draw tables (same topology; see
+        models.morph_geometry).  colors_*: (P, 4).  ratios: (R,).
+    Returns (R, H, W, 4) uint8 frames.
+
+    The lerp happens on device — one upload of two edge tables serves every
+    ratio step, replacing the reference's per-ratio CPU command interpolation
+    (reference canvas-renderer.ts:207-266).
+    """
+    r = ratios.shape[0]
+    rr = ratios[:, None, None, None].astype(jnp.float32)
+    edges = edges_start[None] * (1.0 - rr) + edges_end[None] * rr  # (R,P,4,E)
+    rc = ratios[:, None, None].astype(jnp.float32)
+    colors = colors_start[None] * (1.0 - rc) + colors_end[None] * rc  # (R,P,4)
+    return render_solid_batch(
+        edges, colors, height, width, fill_rule=fill_rule,
+        use_pallas=use_pallas,
+    )

@@ -9,8 +9,31 @@ premultiplied compositing -> u8 readback.
 
 from __future__ import annotations
 
+import dataclasses
+import logging
 import math
+import time
 from typing import List, Optional
+
+logger = logging.getLogger("swf_renderer_tpu")
+
+
+@dataclasses.dataclass
+class RenderStats:
+    """Per-frame observability (the reference has only ad-hoc debug logs,
+    SURVEY.md §5; this is the structured replacement)."""
+
+    draws: int = 0
+    edges: int = 0
+    width: int = 0
+    height: int = 0
+    seconds: float = 0.0
+
+    @property
+    def mpx_per_s(self) -> float:
+        if self.seconds <= 0:
+            return 0.0
+        return self.width * self.height / self.seconds / 1e6
 
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +64,7 @@ class TpuRenderer:
         self._shape_cache: dict = {}
         self._morph_cache: dict = {}
         self.frame: Optional[np.ndarray] = None
+        self.last_stats = RenderStats()
 
     # -- reference API ------------------------------------------------------
 
@@ -48,11 +72,26 @@ class TpuRenderer:
         self.bitmap_service.add_bitmap(tag)
 
     def render(self, stage: display.Stage) -> np.ndarray:
+        t0 = time.perf_counter()
         compiler = SceneCompiler(
             self.bitmap_service, self._shape_cache, self._morph_cache
         )
         draws = compiler.compile_stage(stage)
         self.frame = self.execute(draws)
+        self.last_stats = RenderStats(
+            draws=len(draws),
+            edges=sum(d.edges.shape[0] for d in draws),
+            width=self.width,
+            height=self.height,
+            seconds=time.perf_counter() - t0,
+        )
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug(
+                "render %dx%d: %d draws, %d edges, %.1f ms (%.1f Mpx/s)",
+                self.width, self.height, self.last_stats.draws,
+                self.last_stats.edges, self.last_stats.seconds * 1e3,
+                self.last_stats.mpx_per_s,
+            )
         return self.frame
 
     # -- execution ----------------------------------------------------------

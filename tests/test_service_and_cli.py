@@ -1,0 +1,113 @@
+"""Renderer service (handle table + asset store), CLI, and capture server."""
+
+import subprocess
+import sys
+import threading
+
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.models import ast, display
+from swf_renderer_tpu.models.ast_io import parse_define_shape
+from swf_renderer_tpu.runtime.service import RendererService, StoredShapeRef
+from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+
+def _triangle_tag(reference_tests):
+    return parse_define_shape(
+        (reference_tests / "flat-shapes" / "triangle" / "ast.json").read_text()
+    )
+
+
+def test_renderer_service_lifecycle(reference_tests):
+    tag = _triangle_tag(reference_tests)
+    service = RendererService()
+    shape_id = service.assets.register_shape(tag)
+    assert shape_id == 1
+    handle = service.create_renderer(64, 48, use_pallas=False)
+    assert len(service) == 1
+
+    matrix = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(0.1),
+        scale_y=Sfixed16P16.from_value(0.1),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=-int(tag.bounds.x_min * 0.1),
+        translate_y=-int(tag.bounds.y_min * 0.1),
+    )
+    frame = service.render_refs(
+        handle, [StoredShapeRef(shape_id=shape_id, matrix=matrix)]
+    )
+    assert frame.shape == (48, 64, 4)
+    assert frame[..., 3].sum() > 0  # something was drawn
+
+    service.destroy_renderer(handle)
+    assert len(service) == 0
+    with pytest.raises(KeyError):
+        service.render(handle, display.Stage(width=8, height=8))
+
+
+def test_asset_store_decoded_cache(reference_tests):
+    tag = _triangle_tag(reference_tests)
+    service = RendererService()
+    sid = service.assets.register_shape(tag)
+    first = service.assets.decoded_shape(sid)
+    assert service.assets.decoded_shape(sid) is first  # cached
+    with pytest.raises(KeyError):
+        service.assets.get_shape(999)
+
+
+def test_cli_renders_png(reference_tests, tmp_path):
+    out = tmp_path / "triangle.png"
+    result = subprocess.run(
+        [sys.executable, "-m", "swf_renderer_tpu",
+         str(reference_tests / "flat-shapes" / "triangle" / "ast.json"),
+         "-o", str(out), "--stats"],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    from swf_renderer_tpu.utils.png import read_png
+
+    frame = read_png(out)
+    assert frame.shape == (317, 502, 4)
+    assert '"mpx_per_s"' in result.stderr
+
+
+def test_capture_server_roundtrip(tmp_path):
+    sys.path.insert(0, "/root/repo/tools")
+    import capture_server
+    from http.server import HTTPServer
+    import urllib.request
+
+    server = HTTPServer(("127.0.0.1", 0), capture_server.make_handler(tmp_path))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        # crossdomain.xml served
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/crossdomain.xml"
+        ) as resp:
+            assert b"cross-domain-policy" in resp.read()
+        # post a 2x2 ARGB frame
+        argb = bytes([255, 10, 20, 30] * 4)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sample?width=2&height=2",
+            data=argb, method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        pam = (tmp_path / "sample.pam").read_bytes()
+        assert pam.startswith(b"P7\nWIDTH 2\nHEIGHT 2\n")
+        assert pam.endswith(bytes([10, 20, 30, 255] * 4))  # ARGB -> RGBA
+        # bad request: wrong byte count
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/bad?width=4&height=4",
+            data=argb, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req)
+    finally:
+        server.shutdown()

@@ -1,0 +1,205 @@
+"""Fill-style evaluation tests: gradients, spreads, color transforms,
+placeholder bitmaps.  The reference implements only solid/bitmap/focal fills
+(linear gradients throw, canvas-renderer.ts:332-333), so these paths have no
+goldens — they are validated analytically."""
+
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.models import ast, display
+from swf_renderer_tpu.models.decode_shape import decode_shape
+from swf_renderer_tpu.runtime.bitmap_service import Bitmap
+from swf_renderer_tpu.runtime.renderer import TpuRenderer
+from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+
+def _rect_shape(fill: ast.FillStyle, w_twips=2000, h_twips=2000):
+    """A rectangle DefineShape covering [0,w]x[0,h] twips with one fill."""
+    records = [
+        ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0), left_fill=1),
+        ast.EdgeRecord(delta=ast.Vector2D(w_twips, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(0, h_twips)),
+        ast.EdgeRecord(delta=ast.Vector2D(-w_twips, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(0, -h_twips)),
+    ]
+    return ast.DefineShape(
+        id=1,
+        bounds=ast.Rect(0, w_twips, 0, h_twips),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(fill=(fill,), line=()),
+            records=tuple(records),
+        ),
+    )
+
+
+def _gradient(stops, spread=ast.GradientSpread.PAD):
+    return ast.Gradient(
+        spread=spread,
+        color_space=ast.ColorSpace.S_RGB,
+        colors=tuple(
+            ast.GradientStop(ratio=r, color=ast.StraightSRgba8(*c))
+            for r, c in stops
+        ),
+    )
+
+
+def _identity_matrix():
+    return ast.Matrix(
+        scale_x=Sfixed16P16.from_value(1),
+        scale_y=Sfixed16P16.from_value(1),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=0,
+        translate_y=0,
+    )
+
+
+def _render(tag, color_transform=None):
+    stage = display.stage_for_shape(tag)
+    if color_transform is not None:
+        child = stage.children[0]
+        import dataclasses
+
+        stage = dataclasses.replace(
+            stage,
+            children=(dataclasses.replace(child, color_transform=color_transform),),
+        )
+    renderer = TpuRenderer(stage.width, stage.height, use_pallas=False)
+    return renderer.render(stage)
+
+
+def test_linear_gradient_ramp():
+    # Gradient square spans x in [-16384, 16384] twips; center the ramp on
+    # the rect (2000 twips wide) by scaling the gradient matrix.
+    scale = 2000 / 32768
+    matrix = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(scale),
+        scale_y=Sfixed16P16.from_value(scale),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=1000,  # gradient x=0 at rect center
+        translate_y=1000,
+    )
+    fill = ast.LinearGradientFill(
+        matrix=matrix,
+        gradient=_gradient([(0, (0, 0, 0, 255)), (255, (255, 255, 255, 255))]),
+    )
+    frame = _render(_rect_shape(fill))
+    h, w = frame.shape[:2]  # 100x100 px
+    row = frame[h // 2]
+    assert row[1, 0] <= 8  # left edge ~ black
+    assert row[w - 2, 0] >= 247  # right edge ~ white
+    mid = row[w // 2, 0]
+    assert abs(int(mid) - 128) <= 6  # linear midpoint
+    # Monotone non-decreasing ramp
+    interior = row[2 : w - 2, 0].astype(int)
+    assert (np.diff(interior) >= -1).all()
+
+
+def test_radial_gradient_center_and_rim():
+    scale = 1000 / 16384  # radius 16384 -> 1000 twips = 50 px
+    matrix = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(scale),
+        scale_y=Sfixed16P16.from_value(scale),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=1000,
+        translate_y=1000,
+    )
+    fill = ast.RadialGradientFill(  # decodes to FocalGradient(focal=0)
+        matrix=matrix,
+        gradient=_gradient([(0, (255, 0, 0, 255)), (255, (0, 0, 255, 255))]),
+    )
+    decoded = decode_shape(_rect_shape(fill))
+    assert decoded.paths[0].fill.focal_point == 0
+    frame = _render(_rect_shape(fill))
+    h, w = frame.shape[:2]
+    center = frame[h // 2, w // 2]
+    assert center[0] >= 247 and center[2] <= 8  # red at center
+    corner = frame[2, 2]
+    assert corner[2] >= 247 and corner[0] <= 8  # blue past the rim (pad)
+
+
+def test_focal_gradient_offsets_center():
+    scale = 1000 / 16384
+    matrix = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(scale),
+        scale_y=Sfixed16P16.from_value(scale),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=1000,
+        translate_y=1000,
+    )
+    fill = ast.FocalGradientFill(
+        matrix=matrix,
+        gradient=_gradient([(0, (255, 255, 255, 255)), (255, (0, 0, 0, 255))]),
+        focal_point_epsilons=int(0.5 * 256),
+    )
+    frame = _render(_rect_shape(fill))
+    h, w = frame.shape[:2]
+    # The white focus sits at gradient x = 0.5 * 16384 -> +25 px from center.
+    at_focus = int(frame[h // 2, w // 2 + 25, 0])
+    at_center = int(frame[h // 2, w // 2, 0])
+    assert at_focus > at_center >= 0
+    assert at_focus >= 240
+
+
+def test_gradient_spread_repeat_and_reflect():
+    # Narrow gradient square (span 20 px) across a 100 px rect.
+    scale = 400 / 32768
+    matrix = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(scale),
+        scale_y=Sfixed16P16.from_value(scale),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=1000,
+        translate_y=1000,
+    )
+    stops = [(0, (0, 0, 0, 255)), (255, (255, 255, 255, 255))]
+    frames = {}
+    for spread in (ast.GradientSpread.REPEAT, ast.GradientSpread.REFLECT):
+        fill = ast.LinearGradientFill(
+            matrix=matrix, gradient=_gradient(stops, spread)
+        )
+        frames[spread] = _render(_rect_shape(fill))
+    repeat_row = frames[ast.GradientSpread.REPEAT][50, :, 0].astype(int)
+    reflect_row = frames[ast.GradientSpread.REFLECT][50, :, 0].astype(int)
+    # Repeat has sharp resets (large negative jumps); reflect doesn't.
+    assert np.diff(repeat_row[2:-2]).min() < -100
+    assert np.diff(reflect_row[2:-2]).min() > -100
+    # Both oscillate across the full range.
+    for row in (repeat_row, reflect_row):
+        assert row.max() >= 240 and row.min() <= 15
+
+
+def test_color_transform_on_solid():
+    fill = ast.SolidFill(color=ast.StraightSRgba8(100, 200, 50, 255))
+    ct = display.ColorTransform(mult=(0.5, 0.5, 0.5, 1.0), add=(0.2, 0, 0, 0))
+    frame = _render(_rect_shape(fill), color_transform=ct)
+    h, w = frame.shape[:2]
+    px = frame[h // 2, w // 2]
+    want_r = round((100 / 255 * 0.5 + 0.2) * 255)
+    want_g = round(200 / 255 * 0.5 * 255)
+    assert abs(int(px[0]) - want_r) <= 1
+    assert abs(int(px[1]) - want_g) <= 1
+
+
+def test_missing_bitmap_placeholder():
+    # A bitmap fill whose bitmap is registered but not decoded renders the
+    # reference's placeholder color rgba(0.2, 0.6, 0.8, 0.9)
+    # (canvas-renderer.ts:295-304).
+    fill = ast.BitmapFill(
+        bitmap_id=7, matrix=_identity_matrix(), repeating=False, smoothed=True
+    )
+    tag = _rect_shape(fill)
+    stage = display.stage_for_shape(tag)
+    renderer = TpuRenderer(stage.width, stage.height, use_pallas=False)
+    renderer.bitmap_service._bitmaps[7] = Bitmap(width=1, height=1, rgba=None)
+    frame = renderer.render(stage)
+    px = frame[50, 50]
+    assert tuple(px) == (51, 153, 204, 230)  # 0.2,0.6,0.8,0.9 * 255
+
+    # Unregistered bitmap raises (getById semantics).
+    renderer2 = TpuRenderer(stage.width, stage.height, use_pallas=False)
+    with pytest.raises(KeyError):
+        renderer2.render(stage)

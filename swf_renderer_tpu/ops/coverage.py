@@ -184,15 +184,53 @@ def _coverage_kernel(bounds_ref, edges_ref, out_ref, *, fill_rule: int,
             # branch: a scalar-core lax.cond costs ~0.5us of pipeline stall,
             # more than the predicated vector work it would save; culling
             # happens at block granularity via the pl.when above.)
-            def body(e, acc):
+            # The body handles UNROLL edges per trip so scalar-load latency
+            # and loop overhead amortize across several edges' vector work.
+            # All edge-only quantities (the segment slope reciprocal in
+            # particular) are computed on the scalar core, keeping the
+            # vector pipeline to ~45 elementwise ops per edge with a single
+            # divide.
+            # The VPU is latency-bound on each edge's dependency chain, so
+            # the body computes UNROLL edges into INDEPENDENT accumulators —
+            # interleavable chains — merged once per trip.
+            UNROLL = 4
+
+            def one_edge(e):
                 x0 = edges_ref[0, 0, e]
                 y0 = edges_ref[0, 1, e]
                 x1 = edges_ref[0, 2, e]
                 y1 = edges_ref[0, 3, e]
-                return acc + edge_contribution(x0, y0, x1, y1, px, py)
+                dyd = y1 - y0  # scalar
+                slope = jnp.where(
+                    jnp.abs(dyd) < 1e-9, 0.0, (x1 - x0) / dyd
+                )  # scalar divide (free relative to the VPU)
+
+                sy0 = y0 - py
+                sy1 = y1 - py
+                cy0 = _clamp01(sy0)
+                cy1 = _clamp01(sy1)
+                dy = cy1 - cy0
+                xa = x0 + (cy0 - sy0) * slope
+                xb = x0 + (cy1 - sy1) * slope
+                xmn = jnp.minimum(xa, xb)
+                xmx = jnp.maximum(xa, xb)
+                span = xmx - xmn
+                inv_span = 1.0 / jnp.maximum(span, 1e-9)
+                rel_mn = xmn - px
+                rel_mx = xmx - px
+                ramp = (_h01(rel_mx) - _h01(rel_mn)) * inv_span
+                mean = jnp.where(
+                    span < 1e-9, _clamp01(0.5 * (rel_mn + rel_mx)), ramp
+                )
+                return dy * (1.0 - mean)
+
+            def body(i, acc):
+                parts = [one_edge(i * UNROLL + k) for k in range(UNROLL)]
+                return acc + ((parts[0] + parts[1]) + (parts[2] + parts[3]))
 
             acc = jax.lax.fori_loop(
-                0, EDGE_BLOCK, body, jnp.zeros((tile_h, tile_w), jnp.float32)
+                0, EDGE_BLOCK // UNROLL, body,
+                jnp.zeros((tile_h, tile_w), jnp.float32),
             )
         else:
             # Interpreter path (CPU tests): vectorize over edge sub-chunks.

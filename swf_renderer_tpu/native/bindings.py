@@ -40,8 +40,55 @@ def load_library(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_size_t),
     ]
     lib.swf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.swf_cells_split.restype = ctypes.c_int64
+    lib.swf_cells_split.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
     _lib = lib
     return lib
+
+
+def cells_split_native(edges, height: int, width: int):
+    """Native edge->cell splitting (same contract as
+    ops.scanline.edges_to_cells, ~100x faster than the Python loop)."""
+    import numpy as np
+
+    lib = load_library()
+    edges = np.ascontiguousarray(edges, dtype=np.float32)
+    n = edges.shape[0]
+    # Capacity bound: every edge spans at most |dx|+|dy|+2 cells.
+    if n:
+        spans = (
+            np.abs(edges[:, 2] - edges[:, 0])
+            + np.abs(edges[:, 3] - edges[:, 1])
+        )
+        capacity = int(np.sum(np.minimum(spans, height + width)) + 2 * n + 16)
+    else:
+        capacity = 16
+    rows = np.empty(capacity, np.int32)
+    cols = np.empty(capacity, np.int32)
+    area = np.empty(capacity, np.float32)
+    cover = np.empty(capacity, np.float32)
+    count = lib.swf_cells_split(
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, height, width,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        area.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cover.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        capacity,
+    )
+    if count < 0:
+        raise RuntimeError("cell capacity estimate too small")
+    return rows[:count], cols[:count], area[:count], cover[:count]
 
 
 def native_available() -> bool:

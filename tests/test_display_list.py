@@ -1,0 +1,122 @@
+"""Display-list semantics: container matrix nesting, painter's order,
+background, alpha compositing."""
+
+import dataclasses
+
+import numpy as np
+
+from swf_renderer_tpu.models import ast, display
+from swf_renderer_tpu.runtime.renderer import TpuRenderer
+from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+
+def _matrix(scale=1.0, tx=0, ty=0, skew0=0.0, skew1=0.0):
+    return ast.Matrix(
+        scale_x=Sfixed16P16.from_value(scale),
+        scale_y=Sfixed16P16.from_value(scale),
+        rotate_skew0=Sfixed16P16.from_value(skew0),
+        rotate_skew1=Sfixed16P16.from_value(skew1),
+        translate_x=tx,
+        translate_y=ty,
+    )
+
+
+def _square_tag(size_twips=400, color=(255, 0, 0, 255), shape_id=1):
+    records = [
+        ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0), left_fill=1),
+        ast.EdgeRecord(delta=ast.Vector2D(size_twips, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(0, size_twips)),
+        ast.EdgeRecord(delta=ast.Vector2D(-size_twips, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(0, -size_twips)),
+    ]
+    return ast.DefineShape(
+        id=shape_id,
+        bounds=ast.Rect(0, size_twips, 0, size_twips),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(color=ast.StraightSRgba8(*color)),),
+                line=(),
+            ),
+            records=tuple(records),
+        ),
+    )
+
+
+def test_nested_containers_equal_flat_matrix():
+    tag = _square_tag()
+    # Nested: container scale 2 -> container translate (200, 100) twips ->
+    # shape translate (100, 100).
+    nested = display.Stage(
+        width=80, height=80,
+        children=(
+            display.Container(
+                matrix=_matrix(scale=2.0),
+                children=(
+                    display.Container(
+                        matrix=_matrix(tx=200, ty=100),
+                        children=(
+                            display.ShapeInstance(
+                                definition=tag, matrix=_matrix(tx=100, ty=100)
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+    # Flat equivalent: scale 2 applied around origin => translate doubles.
+    flat = display.Stage(
+        width=80, height=80,
+        children=(
+            display.ShapeInstance(
+                definition=tag, matrix=_matrix(scale=2.0, tx=600, ty=400)
+            ),
+        ),
+    )
+    a = TpuRenderer(80, 80, use_pallas=False).render(nested)
+    b = TpuRenderer(80, 80, use_pallas=False).render(flat)
+    np.testing.assert_array_equal(a, b)
+    assert a[..., 3].sum() > 0
+
+
+def test_painters_order_and_alpha_over():
+    red = _square_tag(color=(255, 0, 0, 255), shape_id=1)
+    half_blue = _square_tag(color=(0, 0, 255, 128), shape_id=2)
+    stage = display.Stage(
+        width=40, height=40,
+        children=(
+            display.ShapeInstance(definition=red, matrix=_matrix()),
+            display.ShapeInstance(definition=half_blue, matrix=_matrix(tx=200)),
+        ),
+    )
+    frame = TpuRenderer(40, 40, use_pallas=False).render(stage)
+    # Overlap region: half-transparent blue over red.
+    px = frame[10, 15]
+    a_blue = 128 / 255
+    want_r = round(255 * (1 - a_blue) * 1.0)
+    want_b = round(255 * a_blue)
+    assert abs(int(px[0]) - want_r) <= 1
+    assert abs(int(px[2]) - want_b) <= 1
+    assert px[3] == 255
+    # Red-only region unchanged.
+    assert tuple(frame[10, 5]) == (255, 0, 0, 255)
+
+
+def test_morph_in_container():
+    # A morph shape nested under a transformed container renders at the
+    # composed transform.
+    tag = _square_tag()
+    morph_like = display.Stage(
+        width=40, height=40,
+        children=(
+            display.Container(
+                matrix=_matrix(tx=200),
+                children=(
+                    display.ShapeInstance(definition=tag, matrix=None),
+                ),
+            ),
+        ),
+    )
+    frame = TpuRenderer(40, 40, use_pallas=False).render(morph_like)
+    assert frame[5, 5, 3] == 0  # left of translated square
+    assert frame[5, 15, 3] == 255

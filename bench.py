@@ -126,10 +126,12 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        from swf_renderer_tpu.ops.resolve import render_scanline_fused
+
         @jax.jit
         def run(r, c, a, v, col):
-            frames_out = sl.render_scanline_batch(r, c, a, v, col,
-                                                  height, width)
+            frames_out = render_scanline_fused(r, c, a, v, col,
+                                               height, width)
             return jnp.sum(frames_out.astype(jnp.uint32)), frames_out
 
         base_args = tuple(

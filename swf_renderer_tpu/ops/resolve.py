@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .coverage import FILL_RULE_EVENODD, FILL_RULE_NONZERO
+from .coverage import FILL_RULE_EVENODD, FILL_RULE_NONZERO, _on_tpu
 
 STRIP_H = 8
 LANE = 128
@@ -38,6 +38,7 @@ LANE = 128
 
 def _resolve_kernel(colors_ref, area_ref, cover_ref, out_ref, *,
                     fill_rule: int, n_layers: int, stride: int):
+    # Refs carry a leading unit frame-block dim: (1, L, 8, S) / (1, 4, 8, S).
     # Upper-triangular ones: U[k, j] = 1 iff k <= j, so x @ U = cumsum(x).
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
@@ -55,14 +56,14 @@ def _resolve_kernel(colors_ref, area_ref, cover_ref, out_ref, *,
         parts = []
         carry = jnp.zeros((STRIP_H, 1), jnp.float32)
         for ch in range(n_chunks):
-            chunk = cover_ref[layer, :, ch * LANE : (ch + 1) * LANE]
+            chunk = cover_ref[0, layer, :, ch * LANE : (ch + 1) * LANE]
             csum = (
                 jnp.dot(chunk, tri, preferred_element_type=jnp.float32)
                 + carry
             )
             carry = csum[:, LANE - 1 :]
             parts.append(csum)
-        winding = jnp.concatenate(parts, axis=1) + area_ref[layer, :, :]
+        winding = jnp.concatenate(parts, axis=1) + area_ref[0, layer, :, :]
 
         if fill_rule == FILL_RULE_NONZERO:
             cov = jnp.minimum(jnp.abs(winding), 1.0)
@@ -70,10 +71,10 @@ def _resolve_kernel(colors_ref, area_ref, cover_ref, out_ref, *,
             m = jnp.mod(winding, 2.0)
             cov = 1.0 - jnp.abs(m - 1.0)
 
-        col_r = colors_ref[layer, 0]
-        col_g = colors_ref[layer, 1]
-        col_b = colors_ref[layer, 2]
-        col_a = colors_ref[layer, 3]
+        col_r = colors_ref[0, layer, 0]
+        col_g = colors_ref[0, layer, 1]
+        col_b = colors_ref[0, layer, 2]
+        col_a = colors_ref[0, layer, 3]
         ca = col_a * cov  # effective source alpha
         keep = 1.0 - ca
         r = col_r * ca + r * keep
@@ -81,24 +82,29 @@ def _resolve_kernel(colors_ref, area_ref, cover_ref, out_ref, *,
         b = col_b * ca + b * keep
         a = ca + a * keep
 
-    out_ref[0, :, :] = r
-    out_ref[1, :, :] = g
-    out_ref[2, :, :] = b
-    out_ref[3, :, :] = a
+    out_ref[0, 0, :, :] = r
+    out_ref[0, 1, :, :] = g
+    out_ref[0, 2, :, :] = b
+    out_ref[0, 3, :, :] = a
 
 
 @functools.partial(
     jax.jit, static_argnames=("fill_rule", "interpret")
 )
-def resolve_frame(
-    area_plane: jax.Array,   # (L, H, S) f32, S multiple of 128
-    cover_plane: jax.Array,  # (L, H, S) f32
-    colors: jax.Array,       # (L, 4) f32 straight RGBA
+def resolve_frames(
+    area_plane: jax.Array,   # (F, L, H, S) f32, S multiple of 128
+    cover_plane: jax.Array,  # (F, L, H, S) f32
+    colors: jax.Array,       # (F, L, 4) f32 straight RGBA
     fill_rule: int = FILL_RULE_NONZERO,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jax.Array:
-    """-> (4, H, S) premultiplied float frame (channel-major)."""
-    n_layers, height, stride = area_plane.shape
+    """-> (F, 4, H, S) premultiplied float frames (channel-major).
+
+    Frames batch as a grid dimension of one kernel (cheap to compile, fully
+    pipelined).  ``interpret=None`` auto-selects interpreter mode off-TPU."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    n_frames, n_layers, height, stride = area_plane.shape
     assert stride % LANE == 0, stride
     assert height % STRIP_H == 0, height
 
@@ -110,27 +116,43 @@ def resolve_frame(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((4, height, stride), jnp.float32),
-        grid=(height // STRIP_H,),
+        out_shape=jax.ShapeDtypeStruct((n_frames, 4, height, stride),
+                                       jnp.float32),
+        grid=(n_frames, height // STRIP_H),
         in_specs=[
-            pl.BlockSpec((n_layers, 4), lambda i: (0, 0),
+            pl.BlockSpec((1, n_layers, 4), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_layers, STRIP_H, stride), lambda i: (0, i, 0),
+            pl.BlockSpec((1, n_layers, STRIP_H, stride),
+                         lambda f, i: (f, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, STRIP_H, stride), lambda i: (0, i, 0),
+            pl.BlockSpec((1, n_layers, STRIP_H, stride),
+                         lambda f, i: (f, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, STRIP_H, stride), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((1, 4, STRIP_H, stride),
+                               lambda f, i: (f, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(colors, area_plane, cover_plane)
 
 
+def resolve_frame(area_plane, cover_plane, colors,
+                  fill_rule: int = FILL_RULE_NONZERO,
+                  interpret: bool = None) -> jax.Array:
+    """Single-frame convenience wrapper: (L, H, S) -> (4, H, S)."""
+    return resolve_frames(
+        area_plane[None], cover_plane[None], colors[None], fill_rule,
+        interpret,
+    )[0]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "fill_rule", "interpret")
+    jax.jit,
+    static_argnames=("height", "width", "fill_rule", "interpret",
+                     "frames_per_chunk"),
 )
 def render_scanline_fused(
-    rows: jax.Array,    # (F, L, N) int32 — PRESORTED by (row, col) per draw
+    rows: jax.Array,    # (F, L, N) int32
     cols: jax.Array,    # (F, L, N) int32
     area: jax.Array,    # (F, L, N) f32
     cover: jax.Array,   # (F, L, N) f32
@@ -138,13 +160,15 @@ def render_scanline_fused(
     height: int,
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
-    interpret: bool = False,
+    interpret: bool = None,
+    frames_per_chunk: int = 4,
 ) -> jax.Array:
     """Batched scanline pipeline with the fused resolve kernel.
 
-    Scatter uses sorted segment-sum (cells must be presorted by flattened
-    (row, col) per draw — the host packers do this).  Returns (F, H, W, 4)
-    uint8 frames.
+    Scatter cost on TPU is dominated by per-op overhead, so both planes of
+    several frames are built by a SINGLE segment-sum per chunk (the area and
+    cover planes live in one flat buffer at different offsets).  Returns
+    (F, H, W, 4) uint8 frames.
     """
     from .composite import premul_to_straight_u8
 
@@ -152,24 +176,41 @@ def render_scanline_fused(
     stride = ((width + 1 + LANE - 1) // LANE) * LANE
     pad_h = -height % STRIP_H
     h_pad = height + pad_h
+    cf = frames_per_chunk
+    while f % cf:
+        cf -= 1
+    plane_elems = h_pad * stride
 
-    def one_frame(_, inputs):
-        fr, fc, fa, fv, fcol = inputs  # (L, N), (L, 4)
-        base = jnp.arange(l, dtype=jnp.int32)[:, None] * (h_pad * stride)
-        flat = (base + fr * stride).reshape(-1)
-        area_plane = jax.ops.segment_sum(
-            fa.reshape(-1), flat + fc.reshape(-1),
-            num_segments=l * h_pad * stride, indices_are_sorted=False,
-        ).reshape(l, h_pad, stride)
-        cover_plane = jax.ops.segment_sum(
-            fv.reshape(-1), flat + fc.reshape(-1) + 1,
-            num_segments=l * h_pad * stride, indices_are_sorted=False,
-        ).reshape(l, h_pad, stride)
-        frame_pm = resolve_frame(area_plane, cover_plane, fcol, fill_rule,
-                                 interpret)
-        frame_pm = jnp.moveaxis(frame_pm, 0, -1)[:height, :width, :]
-        return None, premul_to_straight_u8(frame_pm)
+    def one_chunk(_, inputs):
+        fr, fc, fa, fv, fcol = inputs  # (CF, L, N), (CF, L, 4)
+        # Flat buffer layout: [chunk_frame][plane(0=area,1=cover)][layer].
+        frame_base = (
+            jnp.arange(cf, dtype=jnp.int32)[:, None, None]
+            * (2 * l * plane_elems)
+        )
+        layer_base = (
+            jnp.arange(l, dtype=jnp.int32)[None, :, None] * plane_elems
+        )
+        pos = fr * stride
+        idx_area = frame_base + layer_base + pos + fc
+        idx_cover = frame_base + l * plane_elems + layer_base + pos + fc + 1
+        all_idx = jnp.concatenate(
+            [idx_area.reshape(-1), idx_cover.reshape(-1)]
+        )
+        all_val = jnp.concatenate([fa.reshape(-1), fv.reshape(-1)])
+        planes = jax.ops.segment_sum(
+            all_val, all_idx, num_segments=cf * 2 * l * plane_elems
+        ).reshape(cf, 2, l, h_pad, stride)
 
-    _, frames = jax.lax.scan(one_frame, None,
-                             (rows, cols, area, cover, colors))
-    return frames
+        frames_pm = resolve_frames(
+            planes[:, 0], planes[:, 1], fcol, fill_rule, interpret
+        )  # (CF, 4, Hp, S)
+        frames_pm = jnp.moveaxis(frames_pm, 1, -1)[:, :height, :width, :]
+        return None, premul_to_straight_u8(frames_pm)
+
+    chunked = tuple(
+        x.reshape((f // cf, cf) + x.shape[1:])
+        for x in (rows, cols, area, cover, colors)
+    )
+    _, frames = jax.lax.scan(one_chunk, None, chunked)
+    return frames.reshape((f,) + frames.shape[2:])

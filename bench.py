@@ -55,9 +55,73 @@ def build_scene_edges(frames, layers, height, width, shapes_per_layer=16,
     return tables, colors
 
 
+def bench_morph16() -> None:
+    """BASELINE config: morph lerp rasterized at 16 ratio steps, batched
+    on device from one pair of edge tables (the hb29 fixture)."""
+    import jax
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.models.ast_io import load_tag
+    from swf_renderer_tpu.models.decode_morph_shape import decode_morph_shape
+    from swf_renderer_tpu.models.geometry import Affine, TWIPS_PER_PX
+    from swf_renderer_tpu.models.morph_geometry import morph_fill_edge_pairs
+    from swf_renderer_tpu.ops.pipeline import render_morph_batch
+
+    tag = load_tag(
+        "/root/reference/tests/flat-morph-shapes/homestuck-beta-29/ast.json"
+    )
+    stage = display.stage_for_morph_shape(tag, 0.0)
+    ctm = Affine.scaling(1 / TWIPS_PER_PX, 1 / TWIPS_PER_PX).then(
+        Affine.from_swf_matrix(stage.children[0].matrix)
+    )
+    pairs = morph_fill_edge_pairs(decode_morph_shape(tag), ctm)
+    e_max = max(es.shape[0] for es, _, _, _ in pairs)
+    e_pad = max(128, ((e_max + 127) // 128) * 128)
+    p = len(pairs)
+    es = np.zeros((p, 4, e_pad), np.float32)
+    ee = np.zeros((p, 4, e_pad), np.float32)
+    cs = np.zeros((p, 4), np.float32)
+    ce = np.zeros((p, 4), np.float32)
+    for i, (a, b, c_s, c_e) in enumerate(pairs):
+        es[i, :, : a.shape[0]] = a.T
+        ee[i, :, : b.shape[0]] = b.T
+        cs[i], ce[i] = c_s, c_e
+    ratios = np.linspace(0, 1, 16, dtype=np.float32)
+    args = tuple(jnp.asarray(x) for x in (es, ee, cs, ce, ratios))
+
+    @jax.jit
+    def run(*a):
+        frames = render_morph_batch(*a, stage.height, stage.width)
+        return jnp.sum(frames.astype(jnp.uint32)), frames
+
+    s, _ = run(*args)
+    int(s)
+    times = []
+    for i in range(5):
+        varied = (args[0] + i * 1e-6,) + args[1:]
+        t0 = time.perf_counter()
+        s, _ = run(*varied)
+        int(s)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    pixels = 16 * stage.height * stage.width
+    print(json.dumps({
+        "metric": "morph16_batch",
+        "value": round(pixels / dt / 1e6, 2),
+        "unit": "Mpx/s",
+        "vs_baseline": None,
+    }))
+
+
 def main() -> None:
     smoke = "--smoke" in sys.argv
     direct = "--direct" in sys.argv
+    if "--config" in sys.argv:
+        cfg = sys.argv[sys.argv.index("--config") + 1]
+        if cfg == "morph16":
+            return bench_morph16()
+        raise SystemExit(f"unknown config {cfg}")
 
     import jax
     import jax.numpy as jnp

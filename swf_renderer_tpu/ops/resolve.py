@@ -184,6 +184,10 @@ def render_scanline_fused(
     def one_chunk(_, inputs):
         fr, fc, fa, fv, fcol = inputs  # (CF, L, N), (CF, L, 4)
         # Flat buffer layout: [chunk_frame][plane(0=area,1=cover)][layer].
+        # Cells arrive row-major-sorted per draw (pack_cells), and padding
+        # entries are remapped to the tail of each draw's plane region, so
+        # the update list ordered (frame, plane, layer, cell) is GLOBALLY
+        # ascending — segment-sum takes its sorted fast path.
         frame_base = (
             jnp.arange(cf, dtype=jnp.int32)[:, None, None]
             * (2 * l * plane_elems)
@@ -191,15 +195,15 @@ def render_scanline_fused(
         layer_base = (
             jnp.arange(l, dtype=jnp.int32)[None, :, None] * plane_elems
         )
-        pos = fr * stride
-        idx_area = frame_base + layer_base + pos + fc
-        idx_cover = frame_base + l * plane_elems + layer_base + pos + fc + 1
-        all_idx = jnp.concatenate(
-            [idx_area.reshape(-1), idx_cover.reshape(-1)]
-        )
-        all_val = jnp.concatenate([fa.reshape(-1), fv.reshape(-1)])
+        is_pad = jnp.logical_and(fa == 0.0, fv == 0.0)
+        pos = jnp.where(is_pad, plane_elems - 2, fr * stride + fc)
+        idx_area = frame_base + layer_base + pos
+        idx_cover = frame_base + l * plane_elems + layer_base + pos + 1
+        all_idx = jnp.stack([idx_area, idx_cover], axis=1)  # (CF, 2, L, N)
+        all_val = jnp.stack([fa, fv], axis=1)
         planes = jax.ops.segment_sum(
-            all_val, all_idx, num_segments=cf * 2 * l * plane_elems
+            all_val.reshape(-1), all_idx.reshape(-1),
+            num_segments=cf * 2 * l * plane_elems, indices_are_sorted=True,
         ).reshape(cf, 2, l, h_pad, stride)
 
         frames_pm = resolve_frames(

@@ -147,11 +147,14 @@ def coverage_scanline_numpy(edges, height, width,
     return 1.0 - np.abs(m - 1.0)
 
 
-def pack_cells(cell_lists, pad_multiple: int = 512):
+def pack_cells(cell_lists, pad_multiple: int = 512, sort: bool = True):
     """Pad per-draw cell lists to a common static length.
 
     Returns (rows, cols, area, cover) of shape (P, N); padding entries have
-    zero area/cover (harmless wherever they scatter)."""
+    zero area/cover (harmless wherever they scatter).  With ``sort`` (the
+    default) each draw's cells are ordered row-major — cell order never
+    affects the accumulated planes, but sorted order lets the device scatter
+    take the sorted-segment fast path."""
     count = max(1, max(r.shape[0] for r, _, _, _ in cell_lists))
     n = ((count + pad_multiple - 1) // pad_multiple) * pad_multiple
     p = len(cell_lists)
@@ -161,6 +164,9 @@ def pack_cells(cell_lists, pad_multiple: int = 512):
     cover = np.zeros((p, n), np.float32)
     for i, (r, c, a, v) in enumerate(cell_lists):
         k = r.shape[0]
+        if sort and k:
+            order = np.lexsort((c, r))
+            r, c, a, v = r[order], c[order], a[order], v[order]
         rows[i, :k] = r
         cols[i, :k] = c
         area[i, :k] = a

@@ -61,6 +61,10 @@ def test_render_scanline_fused_matches_batch():
             pts = rng.uniform(0, (width, height), (6, 2)).astype(np.float32)
             edges = closed_polygon_edges(pts)
             r, c, a, v = sl.edges_to_cells(edges, height, width)
+            # render_scanline_fused requires row-major-sorted cells
+            # (pack_cells' contract).
+            order = np.lexsort((c, r))
+            r, c, a, v = r[order], c[order], a[order], v[order]
             k = len(r)
             rows[i, j, :k] = r
             cols[i, j, :k] = c

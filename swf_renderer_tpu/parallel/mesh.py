@@ -33,6 +33,11 @@ def make_mesh(n_devices: Optional[int] = None,
     """Build an (dp, tp) mesh over the first ``n_devices`` devices."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if n % tp != 0:

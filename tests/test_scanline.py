@@ -64,3 +64,27 @@ def test_cell_count_scales_with_perimeter():
     rows, _, _, _ = sl.edges_to_cells(big, 32, 32)
     # 2 vertical sides of 30 rows each; horizontal edges contribute nothing.
     assert len(rows) == 60
+
+
+def test_backends_agree_on_random_scenes():
+    """Fuzz: scanline and direct backends produce identical u8 frames."""
+    from swf_renderer_tpu.ops.style import solid_paint
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.runtime.scene import Draw
+
+    rng = np.random.default_rng(21)
+    for trial in range(4):
+        draws = []
+        for _ in range(3):
+            pts = rng.uniform(-10, 70, size=(rng.integers(3, 9), 2))
+            draws.append(
+                Draw(
+                    edges=closed_polygon_edges(pts.astype(np.float32)),
+                    paint=solid_paint(rng.uniform(0.1, 1.0, 4)),
+                )
+            )
+        a = TpuRenderer(56, 48, use_pallas=False,
+                        backend="scanline").execute(draws)
+        b = TpuRenderer(56, 48, use_pallas=False,
+                        backend="direct").execute(draws)
+        np.testing.assert_array_equal(a, b)

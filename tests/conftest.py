@@ -21,10 +21,12 @@ sys.path.insert(0, str(REPO_ROOT))
 
 # The axon sitecustomize force-prepends its TPU platform to jax_platforms at
 # interpreter start; override it before any backend is initialized so tests
-# run on the 8-device virtual CPU mesh.
+# run on the 8-device virtual CPU mesh.  Set SWF_TESTS_TPU=1 to run the
+# suite against the real chip instead (multi-device tests will skip).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("SWF_TESTS_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_TESTS = pathlib.Path("/root/reference/tests")
 

@@ -27,6 +27,11 @@ def _demo_batch(b=8, p=2, e=128, h=64, w=256):
     return edges_t, colors, h, w
 
 
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
 def test_virtual_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 

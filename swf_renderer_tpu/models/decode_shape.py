@@ -95,7 +95,13 @@ def decode_fill_style(style: ast.FillStyle) -> ir.FillStyle:
 
 
 def decode_line_style(style: ast.LineStyle) -> ir.LineStyle:
-    return ir.LineStyle(width=style.width, fill=decode_fill_style(style.fill))
+    return ir.LineStyle(
+        width=style.width,
+        fill=decode_fill_style(style.fill),
+        start_cap=style.start_cap,
+        end_cap=style.end_cap,
+        join=style.join.get("type", "round"),
+    )
 
 
 def extract_continuous(open_set: List[Segment], key) -> List[Segment]:

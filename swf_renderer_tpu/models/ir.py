@@ -177,6 +177,13 @@ FillStyle = Union[SolidFill, BitmapFill, FocalGradientFill, LinearGradientFill]
 class LineStyle:
     width: int  # twips
     fill: FillStyle
+    # Cap/join carried from the SWF line style for renderers that honor them
+    # (the Flash player does; the reference Canvas renderer ignores them and
+    # gets Canvas defaults).  NOT part of the golden serialization, which
+    # matches the reference IR exactly.
+    start_cap: str = "round"
+    end_cap: str = "round"
+    join: str = "round"
 
     def to_golden(self) -> dict:
         return {"width": self.width, "fill": self.fill.to_golden()}

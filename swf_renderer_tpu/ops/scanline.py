@@ -147,6 +147,63 @@ def coverage_scanline_numpy(edges, height, width,
     return 1.0 - np.abs(m - 1.0)
 
 
+def edges_to_point_cells(edges: np.ndarray, height: int, width: int,
+                         ss: int = 4):
+    """Cell deltas for POINT-SAMPLED winding on an ss x ss subsample grid.
+
+    The Flash player at quality "high" supersamples 4x4 per pixel with
+    binary point-inside tests; the golden corpus was captured from it.  For
+    each edge and each subsample row (line y = R + 0.5 on the ss-scaled
+    grid, half-open [ymin, ymax) span), the crossing column is
+    ``floor(x + 0.5)``: samples at C >= that column count the edge.
+    Returns (rows, cols, delta) for an (ss*H, ss*W + 1) delta plane whose
+    x-cumsum is the integer winding at every subsample.
+    """
+    edges = np.asarray(edges, dtype=np.float64) * ss
+    out_r, out_c, out_d = [], [], []
+    sh, sw = height * ss, width * ss
+    for x0, y0, x1, y1 in edges:
+        if y0 == y1:
+            continue
+        sign = 1.0 if y1 > y0 else -1.0
+        ylo, yhi = min(y0, y1), max(y0, y1)
+        r_start = max(0, int(np.ceil(ylo - 0.5)))
+        r_stop = min(sh - 1, int(np.floor(yhi - 0.5 - 1e-12)))
+        if (yhi - 0.5) == np.floor(yhi - 0.5):  # half-open upper bound
+            r_stop = min(r_stop, int(yhi - 0.5) - 1)
+        for r in range(r_start, r_stop + 1):
+            yline = r + 0.5
+            if not (ylo <= yline < yhi):
+                continue
+            t = (yline - y0) / (y1 - y0)
+            x = x0 + t * (x1 - x0)
+            c = int(np.floor(x + 0.5))
+            c = min(max(c, 0), sw)
+            out_r.append(r)
+            out_c.append(c)
+            out_d.append(sign)
+    return (
+        np.asarray(out_r, dtype=np.int32),
+        np.asarray(out_c, dtype=np.int32),
+        np.asarray(out_d, dtype=np.float64),
+    )
+
+
+def coverage_flash4x4_numpy(edges, height, width,
+                            fill_rule=FILL_RULE_NONZERO,
+                            ss: int = 4) -> np.ndarray:
+    """NumPy reference of the point-sampled (Flash quality-high) coverage."""
+    rows, cols, delta = edges_to_point_cells(edges, height, width, ss)
+    plane = np.zeros((height * ss, width * ss + 1))
+    np.add.at(plane, (rows, cols), delta)
+    winding = np.cumsum(plane, axis=1)[:, : width * ss]
+    if fill_rule == FILL_RULE_NONZERO:
+        inside = (np.abs(winding) >= 0.5).astype(np.float64)
+    else:
+        inside = (np.mod(np.abs(np.round(winding)), 2) == 1).astype(np.float64)
+    return inside.reshape(height, ss, width, ss).mean(axis=(1, 3))
+
+
 def pack_cells(cell_lists, pad_multiple: int = 512, sort: bool = True):
     """Pad per-draw cell lists to a common static length.
 
@@ -177,6 +234,38 @@ def pack_cells(cell_lists, pad_multiple: int = 512, sort: bool = True):
 # ---------------------------------------------------------------------------
 # Device: scatter + prefix sum
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "fill_rule", "ss")
+)
+def coverage_scanline_points(
+    rows: jax.Array,   # (P, N) int32 on the ss-scaled grid
+    cols: jax.Array,   # (P, N) int32
+    delta: jax.Array,  # (P, N) f32 crossing signs
+    height: int,
+    width: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    ss: int = 4,
+) -> jax.Array:
+    """Point-sampled (Flash quality-high) coverage from point cells:
+    scatter + cumsum -> binary inside test per subsample -> box average."""
+    p, n = rows.shape
+    sh, sw = height * ss, width * ss
+    stride = sw + 1
+    base = jnp.arange(p, dtype=jnp.int32)[:, None] * (sh * stride)
+    idx = (base + rows * stride + cols).reshape(-1)
+    plane = jax.ops.segment_sum(
+        delta.reshape(-1), idx, num_segments=p * sh * stride
+    ).reshape(p, sh, stride)
+    winding = jnp.cumsum(plane, axis=2)[:, :, :sw]
+    if fill_rule == FILL_RULE_NONZERO:
+        inside = (jnp.abs(winding) >= 0.5).astype(jnp.float32)
+    else:
+        inside = (
+            jnp.mod(jnp.abs(jnp.round(winding)), 2.0) == 1.0
+        ).astype(jnp.float32)
+    return inside.reshape(p, height, ss, width, ss).mean(axis=(2, 4))
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "fill_rule"))

@@ -57,17 +57,30 @@ class TpuRenderer:
     """
 
     def __init__(self, width: int, height: int, use_pallas: bool = True,
-                 backend: str = "auto"):
+                 backend: str = "auto", quality: str = "canvas"):
         """backend: 'auto' | 'scanline' | 'direct'.
 
         'scanline' lowers draws to pixel-cell lists (O(perimeter)) and
         rasterizes with scatter + prefix-sum; 'direct' runs the per-edge
         coverage kernels.  'auto' picks scanline when the native cell
-        splitter is available, else direct."""
+        splitter is available, else direct.
+
+        quality: 'canvas' renders with analytic-area antialiasing and
+        Canvas2D stroke defaults — the reference TS renderer's semantics.
+        'flash' targets the Flash player's output (the golden corpus):
+        the SWF line styles' caps/joins and tighter curve flattening, with
+        analytic antialiasing (measured closer to the player's rasterizer
+        than 4x4 point sampling).  'flash-pointaa' additionally switches to
+        quality-high 4x4 point-sampled antialiasing."""
+        if quality not in ("canvas", "flash", "flash-pointaa"):
+            raise ValueError(f"unknown quality {quality!r}")
+        if backend not in ("auto", "scanline", "direct"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.width = width
         self.height = height
         self.use_pallas = use_pallas
         self.backend = backend
+        self.quality = quality
         self.bitmap_service = BitmapService()
         self._shape_cache: dict = {}
         self._morph_cache: dict = {}
@@ -81,8 +94,11 @@ class TpuRenderer:
 
     def render(self, stage: display.Stage) -> np.ndarray:
         t0 = time.perf_counter()
+        flash_like = self.quality.startswith("flash")
         compiler = SceneCompiler(
-            self.bitmap_service, self._shape_cache, self._morph_cache
+            self.bitmap_service, self._shape_cache, self._morph_cache,
+            curve_tolerance=0.02 if flash_like else 0.1,
+            honor_swf_caps=flash_like,
         )
         draws = compiler.compile_stage(stage)
         self.frame = self.execute(draws)
@@ -122,7 +138,9 @@ class TpuRenderer:
             return np.zeros((h, w, 4), dtype=np.uint8)
 
         fill_rules = sorted({d.fill_rule for d in draws})
-        if self._use_scanline() and len(fill_rules) == 1:
+        if self.quality == "flash-pointaa" and len(fill_rules) == 1:
+            coverages = self._coverage_points(draws, fill_rules[0])
+        elif self._use_scanline() and len(fill_rules) == 1:
             coverages = self._coverage_scanline(draws, fill_rules[0])
         else:
             coverages = self._coverage_direct(draws)
@@ -145,6 +163,31 @@ class TpuRenderer:
         return scanline_ops.coverage_scanline(
             jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(area),
             jnp.asarray(cover), self.height, self.width, fill_rule,
+        )
+
+    def _coverage_points(self, draws: List[Draw], fill_rule: int, ss: int = 4):
+        """Flash quality-high antialiasing: 4x4 point-sampled winding."""
+        from ..ops import scanline as scanline_ops
+
+        cells = [
+            scanline_ops.edges_to_point_cells(d.edges, self.height,
+                                              self.width, ss)
+            for d in draws
+        ]
+        count = max(1, max(r.shape[0] for r, _, _ in cells))
+        n = ((count + 511) // 512) * 512
+        p = len(cells)
+        rows = np.zeros((p, n), np.int32)
+        cols = np.zeros((p, n), np.int32)
+        delta = np.zeros((p, n), np.float32)
+        for i, (r, c, d) in enumerate(cells):
+            k = r.shape[0]
+            rows[i, :k] = r
+            cols[i, :k] = np.minimum(c, self.width * ss)  # pad col 0 is fine
+            delta[i, :k] = d
+        return scanline_ops.coverage_scanline_points(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(delta),
+            self.height, self.width, fill_rule, ss,
         )
 
     def _coverage_direct(self, draws: List[Draw]):
@@ -184,21 +227,24 @@ def render_shape(
     tag: ast.DefineShape,
     bitmaps: Optional[List[ast.DefineBitmap]] = None,
     use_pallas: bool = True,
+    **kwargs,
 ) -> np.ndarray:
     """Render a DefineShape the way the reference render tests do: stage of
     size ceil(bounds/20) with the shape translated to the origin."""
     stage = display.stage_for_shape(tag)
-    renderer = TpuRenderer(stage.width, stage.height, use_pallas=use_pallas)
+    renderer = TpuRenderer(stage.width, stage.height, use_pallas=use_pallas,
+                           **kwargs)
     for bmp in bitmaps or []:
         renderer.add_bitmap(bmp)
     return renderer.render(stage)
 
 
 def render_morph_shape(
-    tag: ast.DefineMorphShape, ratio: float, use_pallas: bool = True
+    tag: ast.DefineMorphShape, ratio: float, use_pallas: bool = True, **kwargs
 ) -> np.ndarray:
     stage = display.stage_for_morph_shape(tag, ratio)
-    renderer = TpuRenderer(stage.width, stage.height, use_pallas=use_pallas)
+    renderer = TpuRenderer(stage.width, stage.height, use_pallas=use_pallas,
+                           **kwargs)
     return renderer.render(stage)
 
 

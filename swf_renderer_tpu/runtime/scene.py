@@ -119,11 +119,16 @@ class SceneCompiler:
         shape_cache: dict,
         morph_cache: dict,
         curve_tolerance: float = 0.1,
+        honor_swf_caps: bool = False,
     ) -> None:
+        """``honor_swf_caps``: use the SWF line styles' caps/joins (what the
+        Flash player renders) instead of Canvas2D defaults (what the
+        reference Canvas renderer does by ignoring them)."""
         self.bitmaps = bitmaps
         self.shape_cache = shape_cache
         self.morph_cache = morph_cache
         self.curve_tolerance = curve_tolerance
+        self.honor_swf_caps = honor_swf_caps
         self.draws: List[Draw] = []
         # Canvas2D context state: lineWidth starts at 1.0 (user-space units
         # = twips here) and ignores non-positive assignments.
@@ -174,14 +179,20 @@ class SceneCompiler:
             if path.fill is not None:
                 self._emit_fill(path.commands, path.fill, ctm, ct)
             if path.line is not None:
+                if self.honor_swf_caps:
+                    cap = {"none": "butt"}.get(path.line.start_cap,
+                                               path.line.start_cap)
+                    join = path.line.join
+                else:
+                    cap, join = "butt", "miter"  # Canvas2D defaults
                 self._emit_stroke(
                     path.commands,
                     float(path.line.width),
                     path.line.fill,
                     ctm,
                     ct,
-                    cap="butt",
-                    join="miter",
+                    cap=cap,
+                    join=join,
                 )
 
     def _draw_morph_shape(self, tag: ast.DefineMorphShape, ratio: float,

@@ -114,7 +114,21 @@ def bench_morph16() -> None:
     }))
 
 
+def _enable_compile_cache() -> None:
+    """Persist compiled executables: remote TPU compiles take minutes, and
+    the cache makes repeat bench runs (e.g. the driver's) near-instant."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
+    _enable_compile_cache()
     smoke = "--smoke" in sys.argv
     direct = "--direct" in sys.argv
     if "--config" in sys.argv:

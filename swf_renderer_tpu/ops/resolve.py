@@ -36,9 +36,12 @@ STRIP_H = 8
 LANE = 128
 
 
-def _resolve_kernel(colors_ref, area_ref, cover_ref, out_ref, *,
+def _resolve_kernel(colors_ref, delta_ref, out_ref, *,
                     fill_rule: int, n_layers: int, stride: int):
     # Refs carry a leading unit frame-block dim: (1, L, 8, S) / (1, 4, 8, S).
+    # The delta plane encodes BOTH the in-cell area and the full-row cover
+    # (G[c] += area, G[c+1] += cover - area), so its row prefix sum IS the
+    # exact per-pixel winding integral.
     # Upper-triangular ones: U[k, j] = 1 iff k <= j, so x @ U = cumsum(x).
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
@@ -56,14 +59,14 @@ def _resolve_kernel(colors_ref, area_ref, cover_ref, out_ref, *,
         parts = []
         carry = jnp.zeros((STRIP_H, 1), jnp.float32)
         for ch in range(n_chunks):
-            chunk = cover_ref[0, layer, :, ch * LANE : (ch + 1) * LANE]
+            chunk = delta_ref[0, layer, :, ch * LANE : (ch + 1) * LANE]
             csum = (
                 jnp.dot(chunk, tri, preferred_element_type=jnp.float32)
                 + carry
             )
             carry = csum[:, LANE - 1 :]
             parts.append(csum)
-        winding = jnp.concatenate(parts, axis=1) + area_ref[0, layer, :, :]
+        winding = jnp.concatenate(parts, axis=1)
 
         if fill_rule == FILL_RULE_NONZERO:
             cov = jnp.minimum(jnp.abs(winding), 1.0)
@@ -92,19 +95,19 @@ def _resolve_kernel(colors_ref, area_ref, cover_ref, out_ref, *,
     jax.jit, static_argnames=("fill_rule", "interpret")
 )
 def resolve_frames(
-    area_plane: jax.Array,   # (F, L, H, S) f32, S multiple of 128
-    cover_plane: jax.Array,  # (F, L, H, S) f32
+    delta_plane: jax.Array,  # (F, L, H, S) f32, S multiple of 128
     colors: jax.Array,       # (F, L, 4) f32 straight RGBA
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
 ) -> jax.Array:
     """-> (F, 4, H, S) premultiplied float frames (channel-major).
 
+    ``delta_plane`` is the delta-encoded winding plane (see kernel comment).
     Frames batch as a grid dimension of one kernel (cheap to compile, fully
     pipelined).  ``interpret=None`` auto-selects interpreter mode off-TPU."""
     if interpret is None:
         interpret = not _on_tpu()
-    n_frames, n_layers, height, stride = area_plane.shape
+    n_frames, n_layers, height, stride = delta_plane.shape
     assert stride % LANE == 0, stride
     assert height % STRIP_H == 0, height
 
@@ -125,25 +128,26 @@ def resolve_frames(
             pl.BlockSpec((1, n_layers, STRIP_H, stride),
                          lambda f, i: (f, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_layers, STRIP_H, stride),
-                         lambda f, i: (f, 0, i, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 4, STRIP_H, stride),
                                lambda f, i: (f, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(colors, area_plane, cover_plane)
+    )(colors, delta_plane)
 
 
 def resolve_frame(area_plane, cover_plane, colors,
                   fill_rule: int = FILL_RULE_NONZERO,
                   interpret: bool = None) -> jax.Array:
-    """Single-frame convenience wrapper: (L, H, S) -> (4, H, S)."""
-    return resolve_frames(
-        area_plane[None], cover_plane[None], colors[None], fill_rule,
-        interpret,
-    )[0]
+    """Single-frame wrapper from separate area/cover planes:
+    (L, H, S) -> (4, H, S).  Combines them into the delta encoding
+    (delta[c] = area[c] - area[c-1] + cover[c])."""
+    delta = (
+        area_plane
+        - jnp.pad(area_plane[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+        + cover_plane
+    )
+    return resolve_frames(delta[None], colors[None], fill_rule, interpret)[0]
 
 
 @functools.partial(
@@ -183,32 +187,29 @@ def render_scanline_fused(
 
     def one_chunk(_, inputs):
         fr, fc, fa, fv, fcol = inputs  # (CF, L, N), (CF, L, 4)
-        # Flat buffer layout: [chunk_frame][plane(0=area,1=cover)][layer].
-        # Cells arrive row-major-sorted per draw (pack_cells), and padding
-        # entries are remapped to the tail of each draw's plane region, so
-        # the update list ordered (frame, plane, layer, cell) is GLOBALLY
-        # ascending — segment-sum takes its sorted fast path.
+        # Delta-encoded scatter: ONE plane per layer carries both the
+        # in-cell area and the full-row cover (G[c] += area,
+        # G[c+1] += cover - area); its row prefix sum is the exact winding.
+        # Padding entries are remapped to the tail of each draw's plane
+        # region (zero values, harmless).
         frame_base = (
             jnp.arange(cf, dtype=jnp.int32)[:, None, None]
-            * (2 * l * plane_elems)
+            * (l * plane_elems)
         )
         layer_base = (
             jnp.arange(l, dtype=jnp.int32)[None, :, None] * plane_elems
         )
         is_pad = jnp.logical_and(fa == 0.0, fv == 0.0)
         pos = jnp.where(is_pad, plane_elems - 2, fr * stride + fc)
-        idx_area = frame_base + layer_base + pos
-        idx_cover = frame_base + l * plane_elems + layer_base + pos + 1
-        all_idx = jnp.stack([idx_area, idx_cover], axis=1)  # (CF, 2, L, N)
-        all_val = jnp.stack([fa, fv], axis=1)
+        base = frame_base + layer_base + pos
+        all_idx = jnp.stack([base, base + 1], axis=-1)  # (CF, L, N, 2)
+        all_val = jnp.stack([fa, fv - fa], axis=-1)
         planes = jax.ops.segment_sum(
             all_val.reshape(-1), all_idx.reshape(-1),
-            num_segments=cf * 2 * l * plane_elems, indices_are_sorted=True,
-        ).reshape(cf, 2, l, h_pad, stride)
+            num_segments=cf * l * plane_elems,
+        ).reshape(cf, l, h_pad, stride)
 
-        frames_pm = resolve_frames(
-            planes[:, 0], planes[:, 1], fcol, fill_rule, interpret
-        )  # (CF, 4, Hp, S)
+        frames_pm = resolve_frames(planes, fcol, fill_rule, interpret)
         frames_pm = jnp.moveaxis(frames_pm, 1, -1)[:, :height, :width, :]
         return None, premul_to_straight_u8(frames_pm)
 

@@ -60,3 +60,50 @@ def test_render_frame_tile_sharded_matches_single_device():
         render_frame_tile_sharded(mesh, edges_t[0], colors[0], h, w)
     )
     np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)
+
+
+def test_scanline_dp_tp_matches_single_device():
+    """The flagship scanline pipeline sharded dp x tp is exact."""
+    from swf_renderer_tpu.ops import scanline as sl
+    from swf_renderer_tpu.parallel.mesh import (
+        partition_cells_by_column,
+        render_scanline_dp_tp,
+    )
+
+    rng = np.random.default_rng(9)
+    b, l, h, w = 4, 2, 32, 256
+    cell_lists = []
+    rows = np.zeros((b, l, 1024), np.int32)
+    cols = np.zeros((b, l, 1024), np.int32)
+    area = np.zeros((b, l, 1024), np.float32)
+    cover = np.zeros((b, l, 1024), np.float32)
+    colors = rng.uniform(0.2, 1, (b, l, 4)).astype(np.float32)
+    for i in range(b):
+        per_frame = []
+        for j in range(l):
+            pts = rng.uniform(-10, (w + 10, h + 10), (7, 2)).astype(np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            edges = np.concatenate([closed[:-1], closed[1:]], axis=1)
+            cells = sl.edges_to_cells(edges, h, w)
+            per_frame.append(cells)
+            r, c, a, v = cells
+            k = len(r)
+            rows[i, j, :k] = r
+            cols[i, j, :k] = c
+            area[i, j, :k] = a
+            cover[i, j, :k] = v
+        cell_lists.append(per_frame)
+
+    want = np.asarray(
+        sl.render_scanline_batch(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(area),
+            jnp.asarray(cover), jnp.asarray(colors), h, w,
+        )
+    )
+
+    mesh = make_mesh(axis_names=("dp", "tp"), tp=4)
+    sr, sc, sd = partition_cells_by_column(cell_lists, w, tp=4)
+    got = np.asarray(
+        render_scanline_dp_tp(mesh, sr, sc, sd, colors, h, w)
+    )
+    np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)

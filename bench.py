@@ -168,52 +168,38 @@ def main() -> None:
         base_args = (jnp.asarray(edges_t), jnp.asarray(colors))
         variant = lambda i: (base_args[0] + i * 1e-6, base_args[1])
     else:
-        from swf_renderer_tpu.ops import scanline as sl
-
-        try:
-            from swf_renderer_tpu.native.bindings import cells_split_native
-            splitter = cells_split_native
-        except Exception:
-            splitter = sl.edges_to_cells
+        from swf_renderer_tpu.ops.resolve import (
+            pack_updates,
+            render_scanline_updates,
+        )
+        from swf_renderer_tpu.native.bindings import cells_split_delta_native
 
         t0 = time.perf_counter()
-        cell_lists = [
-            [splitter(t, height, width) for t in ft] for ft in tables
+        update_lists = [
+            [cells_split_delta_native(t, height, width) for t in ft]
+            for ft in tables
         ]
         lower_s = time.perf_counter() - t0
-        n = max(
-            r.shape[0] for ft in cell_lists for (r, _, _, _) in ft
-        )
-        n = max(512, ((n + 511) // 512) * 512)
-        rows = np.zeros((frames, layers, n), np.int32)
-        cols = np.zeros((frames, layers, n), np.int32)
-        area = np.zeros((frames, layers, n), np.float32)
-        cover = np.zeros((frames, layers, n), np.float32)
-        for i in range(frames):
-            for j in range(layers):
-                r, c, a, v = cell_lists[i][j]
-                k = r.shape[0]
-                rows[i, j, :k] = r
-                cols[i, j, :k] = c
-                area[i, j, :k] = a
-                cover[i, j, :k] = v
+        flat = [u for ft in update_lists for u in ft]
+        rows, cols, vals = pack_updates(flat)
+        rows = rows.reshape(frames, layers, -1)
+        cols = cols.reshape(frames, layers, -1)
+        vals = vals.reshape(frames, layers, -1)
         print(
-            json.dumps({"note": "host cell lowering",
+            json.dumps({"note": "host delta-update lowering",
                         "seconds": round(lower_s, 3),
-                        "cells_per_draw": int(n)}),
+                        "updates_per_draw": int(rows.shape[-1])}),
             file=sys.stderr,
         )
 
-        from swf_renderer_tpu.ops.resolve import render_scanline_fused
-
         @jax.jit
-        def run(r, c, a, v, col):
-            frames_out = render_scanline_fused(r, c, a, v, col,
-                                               height, width)
+        def run(r, c, v, col):
+            frames_out = render_scanline_updates(r, c, v, col,
+                                                 height, width)
             return jnp.sum(frames_out.astype(jnp.uint32)), frames_out
 
         base_args = tuple(
-            jnp.asarray(x) for x in (rows, cols, area, cover, colors)
+            jnp.asarray(x) for x in (rows, cols, vals, colors)
         )
         variant = lambda i: (base_args[0] + 0,) + base_args[1:] if i == 0 \
             else (jnp.asarray(rows ^ 0),) + base_args[1:]

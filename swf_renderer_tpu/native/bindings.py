@@ -52,8 +52,55 @@ def load_library(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
     ]
+    lib.swf_cells_split_delta.restype = ctypes.c_int64
+    lib.swf_cells_split_delta.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
     _lib = lib
     return lib
+
+
+def cells_split_delta_native(edges, height: int, width: int):
+    """Native edge -> sorted, coalesced delta updates (row, col, value)
+    for the scanline winding plane (see cell_split.cc)."""
+    import numpy as np
+
+    lib = load_library()
+    edges = np.ascontiguousarray(edges, dtype=np.float32)
+    if edges.size and not np.isfinite(edges).all():
+        raise ValueError("non-finite edge coordinates")
+    n = edges.shape[0]
+    if n:
+        spans = (
+            np.abs(edges[:, 2] - edges[:, 0])
+            + np.abs(edges[:, 3] - edges[:, 1])
+        )
+        capacity = int(
+            2 * (np.sum(np.minimum(spans, height + width)) + 2 * n) + 16
+        )
+    else:
+        capacity = 16
+    rows = np.empty(capacity, np.int32)
+    cols = np.empty(capacity, np.int32)
+    vals = np.empty(capacity, np.float32)
+    count = lib.swf_cells_split_delta(
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, height, width,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        capacity,
+    )
+    if count < 0:
+        raise RuntimeError("delta update capacity estimate too small")
+    return rows[:count], cols[:count], vals[:count]
 
 
 def cells_split_native(edges, height: int, width: int):
@@ -63,6 +110,8 @@ def cells_split_native(edges, height: int, width: int):
 
     lib = load_library()
     edges = np.ascontiguousarray(edges, dtype=np.float32)
+    if edges.size and not np.isfinite(edges).all():
+        raise ValueError("non-finite edge coordinates")
     n = edges.shape[0]
     # Capacity bound: every edge spans at most |dx|+|dy|+2 cells.
     if n:

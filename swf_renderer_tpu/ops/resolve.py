@@ -219,3 +219,83 @@ def render_scanline_fused(
     )
     _, frames = jax.lax.scan(one_chunk, None, chunked)
     return frames.reshape((f,) + frames.shape[2:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "fill_rule", "interpret",
+                     "frames_per_chunk"),
+)
+def render_scanline_updates(
+    rows: jax.Array,    # (F, L, N) int32 — SORTED (row, col) per draw,
+    cols: jax.Array,    # (F, L, N) int32   padding at the tail with val 0
+    vals: jax.Array,    # (F, L, N) f32 — coalesced delta-plane updates
+    colors: jax.Array,  # (F, L, 4) f32
+    height: int,
+    width: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = None,
+    frames_per_chunk: int = 4,
+) -> jax.Array:
+    """Fused scanline pipeline fed pre-coalesced delta updates (the native
+    splitter's ``swf_cells_split_delta`` output — ~35% fewer scatter updates
+    than raw cells, already sorted).  Returns (F, H, W, 4) uint8 frames."""
+    from .composite import premul_to_straight_u8
+
+    f, l, n = rows.shape
+    stride = ((width + 1 + LANE - 1) // LANE) * LANE
+    pad_h = -height % STRIP_H
+    h_pad = height + pad_h
+    cf = frames_per_chunk
+    while f % cf:
+        cf -= 1
+    plane_elems = h_pad * stride
+
+    def one_chunk(_, inputs):
+        fr, fc, fv, fcol = inputs
+        frame_base = (
+            jnp.arange(cf, dtype=jnp.int32)[:, None, None]
+            * (l * plane_elems)
+        )
+        layer_base = (
+            jnp.arange(l, dtype=jnp.int32)[None, :, None] * plane_elems
+        )
+        idx = frame_base + layer_base + fr * stride + fc
+        planes = jax.ops.segment_sum(
+            fv.reshape(-1), idx.reshape(-1),
+            num_segments=cf * l * plane_elems, indices_are_sorted=True,
+        ).reshape(cf, l, h_pad, stride)
+        frames_pm = resolve_frames(planes, fcol, fill_rule, interpret)
+        frames_pm = jnp.moveaxis(frames_pm, 1, -1)[:, :height, :width, :]
+        return None, premul_to_straight_u8(frames_pm)
+
+    chunked = tuple(
+        x.reshape((f // cf, cf) + x.shape[1:])
+        for x in (rows, cols, vals, colors)
+    )
+    _, frames = jax.lax.scan(one_chunk, None, chunked)
+    return frames.reshape((f,) + frames.shape[2:])
+
+
+def pack_updates(update_lists, pad_multiple: int = 512):
+    """Pad per-draw (rows, cols, vals) update lists to a common length.
+
+    Padding entries carry value 0 at the draw's last plane position so the
+    per-draw sorted order is preserved."""
+    import numpy as np
+
+    count = max(1, max(r.shape[0] for r, _, _ in update_lists))
+    n = ((count + pad_multiple - 1) // pad_multiple) * pad_multiple
+    p = len(update_lists)
+    rows = np.zeros((p, n), np.int32)
+    cols = np.zeros((p, n), np.int32)
+    vals = np.zeros((p, n), np.float32)
+    for i, (r, c, v) in enumerate(update_lists):
+        k = r.shape[0]
+        rows[i, :k] = r
+        cols[i, :k] = c
+        vals[i, :k] = v
+        if k:  # keep padding sorted after the real updates
+            rows[i, k:] = r[-1]
+            cols[i, k:] = c[-1]
+    return rows, cols, vals

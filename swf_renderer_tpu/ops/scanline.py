@@ -55,6 +55,8 @@ def edges_to_cells(
     if edges.shape[0] == 0:
         z = np.zeros(0)
         return z.astype(np.int32), z.astype(np.int32), z.astype(np.float64), z
+    if not np.isfinite(edges).all():
+        raise ValueError("non-finite edge coordinates")
 
     x0, y0, x1, y1 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
     # Drop horizontal edges (dy == 0 contributes nothing).

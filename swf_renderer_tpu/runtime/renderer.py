@@ -76,6 +76,10 @@ class TpuRenderer:
             raise ValueError(f"unknown quality {quality!r}")
         if backend not in ("auto", "scanline", "direct"):
             raise ValueError(f"unknown backend {backend!r}")
+        # The data-race/sanitizer analog for an XLA renderer (SURVEY.md §5):
+        # XLA is race-free by construction, so "sanitizing" means checking
+        # kernel outputs for NaNs and out-of-range coverage.
+        self.validate = False
         self.width = width
         self.height = height
         self.use_pallas = use_pallas
@@ -144,6 +148,15 @@ class TpuRenderer:
             coverages = self._coverage_scanline(draws, fill_rules[0])
         else:
             coverages = self._coverage_direct(draws)
+
+        if self.validate:
+            cov_np = np.asarray(coverages)
+            if not np.isfinite(cov_np).all():
+                raise FloatingPointError("coverage contains NaN/Inf")
+            if cov_np.min() < -1e-4 or cov_np.max() > 1.0 + 1e-4:
+                raise FloatingPointError(
+                    f"coverage out of range [{cov_np.min()}, {cov_np.max()}]"
+                )
 
         colors = jnp.stack(
             [style_ops.paint_field(d.paint, h, w) for d in draws]

@@ -120,3 +120,13 @@ def test_morph_in_container():
     frame = TpuRenderer(40, 40, use_pallas=False).render(morph_like)
     assert frame[5, 5, 3] == 0  # left of translated square
     assert frame[5, 15, 3] == 255
+
+
+def test_validate_mode_passes_on_clean_render():
+    tag = _square_tag()
+    stage = display.Stage(width=40, height=40,
+                          children=(display.ShapeInstance(definition=tag),))
+    renderer = TpuRenderer(40, 40, use_pallas=False)
+    renderer.validate = True
+    frame = renderer.render(stage)
+    assert frame[..., 3].sum() > 0

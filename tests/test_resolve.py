@@ -85,3 +85,43 @@ def test_render_scanline_fused_matches_batch():
         )
     )
     np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)
+
+
+def test_render_scanline_updates_matches_cells(reference_tests):
+    """The delta-update pipeline (native coalesced updates) matches the
+    cell-based fused pipeline on a real fixture."""
+    import pytest
+
+    native = pytest.importorskip("swf_renderer_tpu.native.bindings")
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.runtime.scene import SceneCompiler
+    from swf_renderer_tpu.utils.imagediff import pixelmatch
+    from swf_renderer_tpu.utils.png import read_png
+
+    tag = parse_define_shape(
+        (reference_tests / "flat-shapes" / "squares" / "ast.json").read_text()
+    )
+    stage = display.stage_for_shape(tag)
+    rd = TpuRenderer(stage.width, stage.height, use_pallas=False)
+    draws = SceneCompiler(rd.bitmap_service, {}, {}).compile_stage(stage)
+
+    updates = [
+        native.cells_split_delta_native(d.edges, stage.height, stage.width)
+        for d in draws
+    ]
+    r, c, v = rs.pack_updates(updates)
+    colors = np.asarray([d.paint.color for d in draws], np.float32)
+    frames = np.asarray(
+        rs.render_scanline_updates(
+            jnp.asarray(r)[None], jnp.asarray(c)[None], jnp.asarray(v)[None],
+            jnp.asarray(colors)[None], stage.height, stage.width,
+            interpret=True,
+        )
+    )
+    golden = read_png(reference_tests / "flat-shapes" / "squares" / "shape.png")
+    assert pixelmatch(frames[0], golden, threshold=0.05).diff_ratio <= 1e-4

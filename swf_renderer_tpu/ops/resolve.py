@@ -36,16 +36,26 @@ STRIP_H = 8
 LANE = 128
 
 
+def _lane_prefix_sum(x, lane_ids):
+    """Exact f32 cumsum along 128 lanes: Hillis-Steele with pltpu.roll.
+
+    Seven shift-add steps on the VPU; unlike the MXU triangular-matmul
+    formulation this is exact in f32 (the MXU's bf16 passes round ~1e-3 —
+    visible against the 1/255 alpha quantum — and HIGHEST precision costs
+    6 passes)."""
+    for shift in (1, 2, 4, 8, 16, 32, 64):
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = x + jnp.where(lane_ids >= shift, rolled, 0.0)
+    return x
+
+
 def _resolve_kernel(colors_ref, delta_ref, out_ref, *,
                     fill_rule: int, n_layers: int, stride: int):
     # Refs carry a leading unit frame-block dim: (1, L, 8, S) / (1, 4, 8, S).
     # The delta plane encodes BOTH the in-cell area and the full-row cover
     # (G[c] += area, G[c+1] += cover - area), so its row prefix sum IS the
     # exact per-pixel winding integral.
-    # Upper-triangular ones: U[k, j] = 1 iff k <= j, so x @ U = cumsum(x).
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-    tri = (row_ids <= col_ids).astype(jnp.float32)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (STRIP_H, LANE), 1)
 
     n_chunks = stride // LANE
 
@@ -60,10 +70,7 @@ def _resolve_kernel(colors_ref, delta_ref, out_ref, *,
         carry = jnp.zeros((STRIP_H, 1), jnp.float32)
         for ch in range(n_chunks):
             chunk = delta_ref[0, layer, :, ch * LANE : (ch + 1) * LANE]
-            csum = (
-                jnp.dot(chunk, tri, preferred_element_type=jnp.float32)
-                + carry
-            )
+            csum = _lane_prefix_sum(chunk, lane_ids) + carry
             carry = csum[:, LANE - 1 :]
             parts.append(csum)
         winding = jnp.concatenate(parts, axis=1)

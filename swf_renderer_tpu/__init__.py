@@ -33,4 +33,32 @@ __all__ = [
     "parse_define_shape",
     "parse_define_morph_shape",
     "parse_define_bitmap",
+    "TpuRenderer",
+    "render_shape",
+    "render_morph_shape",
+    "Stage",
+    "ShapeInstance",
+    "MorphShapeInstance",
+    "Container",
+    "RendererService",
 ]
+
+
+def __getattr__(name):
+    # Renderer-side exports import jax; keep them lazy so pure host-side
+    # use (decoding, golden emission) stays dependency-light and fast.
+    if name in ("TpuRenderer", "render_shape", "render_morph_shape"):
+        from .runtime import renderer
+
+        return getattr(renderer, {"TpuRenderer": "TpuRenderer",
+                                  "render_shape": "render_shape",
+                                  "render_morph_shape": "render_morph_shape"}[name])
+    if name in ("Stage", "ShapeInstance", "MorphShapeInstance", "Container"):
+        from .models import display
+
+        return getattr(display, name)
+    if name == "RendererService":
+        from .runtime.service import RendererService
+
+        return RendererService
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .coverage import FILL_RULE_EVENODD, FILL_RULE_NONZERO, _on_tpu
+from .coverage import FILL_RULE_NONZERO, _on_tpu
 
 STRIP_H = 8
 LANE = 128

@@ -10,9 +10,10 @@ Done as separate XLA ops this costs ~11 log-passes for the cumsum plus a
 round trip per stage (~2 ms per 4-layer 1080p frame).  This Pallas kernel
 does all of it in a single VMEM residency per 8-row strip:
 
-* the prefix sum along x runs 128 lanes at a time through the MXU — a
-  (8, 128) x (128, 128) multiply with an upper-triangular ones matrix IS a
-  cumsum — with an (8, 1) running carry between chunks;
+* the prefix sum along x runs 128 lanes at a time as an exact-f32
+  Hillis-Steele shift-add ladder on the VPU (the MXU triangular-matmul
+  formulation rounds through bf16), with an (8, 1) running carry between
+  chunks;
 * the fill rule and the premultiplied alpha-over composite across layers
   happen in registers;
 * output is the premultiplied float frame strip (u8 quantization fuses into

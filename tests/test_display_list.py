@@ -130,3 +130,50 @@ def test_validate_mode_passes_on_clean_render():
     renderer.validate = True
     frame = renderer.render(stage)
     assert frame[..., 3].sum() > 0
+
+
+def test_canvas_line_width_state_machine():
+    """Canvas2D ignores non-positive lineWidth assignments: a zero-width
+    stroke inherits the previously set width (initially 1.0), because the
+    reference assigns ctx.lineWidth directly (canvas-renderer.ts:342)."""
+    line_wide = ast.LineStyle(
+        width=100, start_cap="round", end_cap="round", join={"type": "round"},
+        no_h_scale=False, no_v_scale=False, no_close=False,
+        pixel_hinting=False,
+        fill=ast.SolidFill(color=ast.StraightSRgba8(0, 0, 0, 255)),
+    )
+    line_zero = dataclasses.replace(line_wide, width=0)
+
+    def shape_with(lines, line_ids):
+        # Two horizontal strokes at y=200 and y=600 twips.
+        records = [
+            ast.StyleChangeRecord(move_to=ast.Vector2D(100, 200),
+                                  line_style=line_ids[0]),
+            ast.EdgeRecord(delta=ast.Vector2D(600, 0)),
+            ast.StyleChangeRecord(move_to=ast.Vector2D(100, 600),
+                                  line_style=line_ids[1]),
+            ast.EdgeRecord(delta=ast.Vector2D(600, 0)),
+        ]
+        return ast.DefineShape(
+            id=1, bounds=ast.Rect(0, 800, 0, 800),
+            shape=ast.ShapeBody(
+                initial_styles=ast.ShapeStyles(fill=(), line=tuple(lines)),
+                records=tuple(records),
+            ),
+        )
+
+    stage_tag = shape_with([line_wide, line_zero], (1, 2))
+    stage = display.Stage(
+        width=40, height=40,
+        children=(display.ShapeInstance(definition=stage_tag),),
+    )
+    frame = TpuRenderer(40, 40, use_pallas=False).render(stage)
+    # First stroke: 100 twips = 5 px wide -> rows ~8..12 dark at x=20.
+    col = frame[:, 20, 3]
+    first_rows = np.nonzero(col[:20] > 128)[0]
+    second_rows = np.nonzero(col[20:] > 128)[0] + 20
+    assert len(first_rows) >= 4  # ~5 px wide
+    # Second stroke (width 0 -> inherits 100): must ALSO be ~5 px, not 1.
+    assert len(second_rows) >= 4, (
+        f"zero-width stroke did not inherit previous width: {second_rows}"
+    )

@@ -68,3 +68,27 @@ def premul_to_straight_u8(frame_pm: jnp.ndarray) -> jnp.ndarray:
 
 def composite_to_u8(coverages, colors) -> np.ndarray:
     return np.asarray(premul_to_straight_u8(composite_draws(coverages, colors)))
+
+
+def composite_solid_layers(coverages: jnp.ndarray,
+                           colors: jnp.ndarray) -> jnp.ndarray:
+    """Painter's-algorithm composite of CONSTANT-color layers.
+
+    coverages (L, H, W), colors (L, 4) straight RGBA ->
+    (H, W, 4) premultiplied float.  The common inner step of every batched
+    solid pipeline (direct, scanline, sharded)."""
+
+    def step(dst, inputs):
+        cov, col = inputs
+        src_a = col[3]
+        src_pm = jnp.concatenate([col[:3] * src_a, col[3:]], axis=0)
+        return (
+            src_pm[None, None, :] * cov[..., None]
+            + dst * (1.0 - src_a * cov[..., None]),
+            None,
+        )
+
+    _, h, w = coverages.shape
+    init = jnp.zeros((h, w, 4), jnp.float32)
+    out, _ = jax.lax.scan(step, init, (coverages, colors))
+    return out

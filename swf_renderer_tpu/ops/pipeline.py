@@ -57,23 +57,9 @@ def render_solid_batch(
         cov = coverage_xla(flat, height, width, fill_rule)
     cov = cov.reshape(b, p, height, width)
 
-    def composite_frame(covs, cols):
-        # covs (P, H, W), cols (P, 4) -> (H, W, 4) premultiplied
-        def step(dst, inp):
-            c, col = inp
-            src_a = col[3]
-            src_pm = jnp.concatenate([col[:3] * src_a, col[3:]], axis=0)
-            return (
-                src_pm[None, None, :] * c[..., None]
-                + dst * (1.0 - src_a * c[..., None]),
-                None,
-            )
+    from .composite import composite_solid_layers
 
-        init = jnp.zeros((height, width, 4), jnp.float32)
-        out, _ = jax.lax.scan(step, init, (covs, cols))
-        return out
-
-    frames_pm = jax.vmap(composite_frame)(cov, colors)
+    frames_pm = jax.vmap(composite_solid_layers)(cov, colors)
     return premul_to_straight_u8(frames_pm)
 
 

@@ -315,24 +315,12 @@ def render_scanline_batch(
     Scans over frames so peak memory is one frame's L coverage planes, not
     the whole batch.  Returns (F, H, W, 4) uint8.
     """
-    from .composite import premul_to_straight_u8
+    from .composite import composite_solid_layers, premul_to_straight_u8
 
     def one_frame(_, inputs):
         fr, fc, fa, fv, fcol = inputs
         cov = coverage_scanline(fr, fc, fa, fv, height, width, fill_rule)
-
-        def over(dst, layer):
-            c, col = layer
-            src_a = col[3]
-            src_pm = jnp.concatenate([col[:3] * src_a, col[3:]], axis=0)
-            return (
-                src_pm[None, None, :] * c[..., None]
-                + dst * (1.0 - src_a * c[..., None]),
-                None,
-            )
-
-        init = jnp.zeros((height, width, 4), jnp.float32)
-        frame_pm, _ = jax.lax.scan(over, init, (cov, fcol))
+        frame_pm = composite_solid_layers(cov, fcol)
         return None, premul_to_straight_u8(frame_pm)
 
     _, frames = jax.lax.scan(one_frame, None, (rows, cols, area, cover, colors))

@@ -171,24 +171,12 @@ def render_scanline_dp_tp(
             m = jnp.mod(winding, 2.0)
             cov = 1.0 - jnp.abs(m - 1.0)
 
-        def composite_frame(covs, cols_rgba):
-            def step(dst, inp):
-                c, col = inp
-                src_a = col[3]
-                src_pm = jnp.concatenate([col[:3] * src_a, col[3:]])
-                return (
-                    src_pm[None, None, :] * c[..., None]
-                    + dst * (1.0 - src_a * c[..., None]),
-                    None,
-                )
+        from ..ops.composite import (
+            composite_solid_layers,
+            premul_to_straight_u8,
+        )
 
-            init = jnp.zeros((height, w_local, 4), jnp.float32)
-            out, _ = jax.lax.scan(step, init, (covs, cols_rgba))
-            return out
-
-        frames_pm = jax.vmap(composite_frame)(cov, fcol)
-        from ..ops.composite import premul_to_straight_u8
-
+        frames_pm = jax.vmap(composite_solid_layers)(cov, fcol)
         return premul_to_straight_u8(frames_pm)
 
     fn = jax.shard_map(

@@ -87,7 +87,10 @@ def bench_morph16() -> None:
         es[i, :, : a.shape[0]] = a.T
         ee[i, :, : b.shape[0]] = b.T
         cs[i], ce[i] = c_s, c_e
-    ratios = np.linspace(0, 1, 16, dtype=np.float32)
+    # 256 ratio steps: enough device work to amortize the round-trip floor
+    # (the BASELINE config's 16 steps complete in far less than the 26 ms
+    # tunnel latency).
+    ratios = np.linspace(0, 1, 256, dtype=np.float32)
     args = tuple(jnp.asarray(x) for x in (es, ee, cs, ce, ratios))
 
     @jax.jit
@@ -105,10 +108,87 @@ def bench_morph16() -> None:
         int(s)
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    pixels = 16 * stage.height * stage.width
+    pixels = 256 * stage.height * stage.width
     print(json.dumps({
         "metric": "morph16_batch",
         "value": round(pixels / dt / 1e6, 2),
+        "unit": "Mpx/s",
+        "vs_baseline": None,
+    }))
+
+
+def bench_style(kind: str) -> None:
+    """BASELINE configs: 'textured' = bitmap fill over 1024x1024 tiles;
+    'gradients' = linear + focal-radial fills at 512x512."""
+    import jax
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.composite import (
+        composite_draws,
+        premul_to_straight_u8,
+    )
+
+    rng = np.random.default_rng(3)
+    if kind == "textured":
+        h = w = 1024
+        img = rng.integers(0, 256, (139, 208, 4)).astype(np.uint8)
+        scale = 7.75
+        paints = [
+            style_ops.Paint(
+                kind=style_ops.PAINT_BITMAP,
+                inv_matrix=(1 / scale, 0.0, 0.0, 1 / scale, 0.0, 0.0),
+                image=img, repeating=True, smoothed=True, supersample=4,
+            ),
+        ]
+    else:
+        h = w = 512
+        stops_r = np.array([0.0, 1.0], np.float32)
+        stops_c = np.array([[1, 0, 0, 1], [0, 0, 1, 1]], np.float32)
+        paints = [
+            style_ops.Paint(
+                kind=style_ops.PAINT_LINEAR,
+                inv_matrix=(64.0, 0.0, 0.0, 64.0, -16384.0, -16384.0),
+                stop_ratios=stops_r, stop_colors=stops_c,
+            ),
+            style_ops.Paint(
+                kind=style_ops.PAINT_FOCAL,
+                inv_matrix=(64.0, 0.0, 0.0, 64.0, -16384.0, -16384.0),
+                stop_ratios=stops_r, stop_colors=stops_c, focal_point=0.4,
+            ),
+        ]
+
+    # Batch enough frames that the ~26 ms tunnel round trip amortizes.
+    batch = 32 if kind == "textured" else 64
+    cov = jnp.broadcast_to(
+        jnp.linspace(0.5, 1.0, batch, dtype=jnp.float32)[:, None, None, None],
+        (batch, len(paints), h, w),
+    )
+
+    @jax.jit
+    def run(c):
+        fields = jnp.stack(
+            [style_ops.paint_field(p, h, w) for p in paints]
+        )
+
+        def one(ci):
+            return premul_to_straight_u8(composite_draws(ci, fields))
+
+        frames = jax.vmap(one)(c)
+        return jnp.sum(frames.astype(jnp.uint32)), frames
+
+    s, _ = run(cov)
+    int(s)
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        s, _ = run(cov * (1.0 - i * 1e-6))
+        int(s)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(json.dumps({
+        "metric": f"{kind}_{h}x{w}",
+        "value": round(batch * h * w * len(paints) / dt / 1e6, 2),
         "unit": "Mpx/s",
         "vs_baseline": None,
     }))
@@ -135,6 +215,8 @@ def main() -> None:
         cfg = sys.argv[sys.argv.index("--config") + 1]
         if cfg == "morph16":
             return bench_morph16()
+        if cfg in ("textured", "gradients"):
+            return bench_style(cfg)
         raise SystemExit(f"unknown config {cfg}")
 
     import jax

@@ -101,12 +101,15 @@ def quad_subdivisions(
     p0: np.ndarray, ctrl: np.ndarray, p1: np.ndarray, tolerance: float
 ) -> int:
     """Number of uniform-`t` line segments so a quadratic stays within
-    ``tolerance`` of its polyline.  Max deviation of an n-piece uniform
-    subdivision is ``|p0 - 2c + p1| / (8 n^2)``."""
+    ``tolerance`` of its polyline.
+
+    The curve's second derivative is ``2 (p0 - 2c + p1)``; the max deviation
+    of an n-piece uniform subdivision from its chords is
+    ``|p0 - 2c + p1| / (4 n^2)``."""
     dev = np.hypot(*(p0 - 2.0 * ctrl + p1))
-    if dev <= 8.0 * tolerance:
+    if dev <= 4.0 * tolerance:
         return 1
-    return int(math.ceil(math.sqrt(dev / (8.0 * tolerance))))
+    return int(math.ceil(math.sqrt(dev / (4.0 * tolerance))))
 
 
 def flatten_quad(

@@ -1,0 +1,121 @@
+"""Geometry lowering unit tests: transforms, flattening, stroking."""
+
+import math
+
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.models import ir
+from swf_renderer_tpu.models.geometry import (
+    Affine,
+    flatten_quad,
+    path_to_subpaths,
+    polygons_to_edges,
+    quad_subdivisions,
+    stroke_subpath,
+    subpaths_to_fill_edges,
+)
+from swf_renderer_tpu.ops.coverage import coverage_numpy
+
+
+def polygon_area(edges):
+    return float(
+        np.sum((edges[:, 2] - edges[:, 0]) * (edges[:, 1] + edges[:, 3])) / 2
+    )
+
+
+def test_affine_compose_and_inverse():
+    a = Affine.scaling(2.0, 3.0).then(Affine.translation(5.0, -1.0))
+    pts = np.array([[1.0, 1.0], [0.0, 0.0], [-2.0, 4.0]])
+    out = a.apply(pts)
+    # scale(2,3) ∘ translate(5,-1): translate happens first.
+    np.testing.assert_allclose(out[0], [(1 + 5) * 2, (1 - 1) * 3])
+    back = a.inverse().apply(out)
+    np.testing.assert_allclose(back, pts, atol=1e-12)
+
+
+def test_affine_matches_canvas_transform_order():
+    # ctx.transform composes new matrices on the RIGHT of the CTM.
+    ctm = Affine.scaling(1 / 20, 1 / 20).then(Affine.translation(100, 0))
+    # A point at local (0, 0) lands at translate/20.
+    np.testing.assert_allclose(ctm.apply(np.zeros((1, 2)))[0], [5.0, 0.0])
+
+
+def test_quad_flattening_tolerance():
+    p0 = np.array([0.0, 0.0])
+    ctrl = np.array([50.0, 100.0])
+    p1 = np.array([100.0, 0.0])
+    for tol in (1.0, 0.1, 0.01):
+        n = quad_subdivisions(p0, ctrl, p1, tol)
+        pts = np.concatenate([[p0], flatten_quad(p0, ctrl, p1, n)])
+        # Max deviation of the true curve from the polyline stays within
+        # tolerance: sample the curve densely and measure.
+        t = np.linspace(0, 1, 500)[:, None]
+        curve = (1 - t) ** 2 * p0 + 2 * (1 - t) * t * ctrl + t**2 * p1
+        # Distance from each curve point to the polyline (segment-wise).
+        def dist_to_polyline(q):
+            best = np.inf
+            for a, b in zip(pts[:-1], pts[1:]):
+                ab = b - a
+                denom = float(ab @ ab)
+                u = 0.0 if denom == 0 else np.clip((q - a) @ ab / denom, 0, 1)
+                best = min(best, float(np.hypot(*(q - (a + u * ab)))))
+            return best
+
+        max_dev = max(dist_to_polyline(q) for q in curve[::25])
+        assert max_dev <= tol * 1.01, (tol, n, max_dev)
+
+
+def test_fill_edges_close_subpaths():
+    cmds = [
+        ir.MoveTo(0, 0), ir.LineTo(10, 0), ir.LineTo(10, 10),
+        # not closed back to (0, 0) — fill() must close it
+    ]
+    subs = path_to_subpaths(cmds, Affine.identity())
+    edges = subpaths_to_fill_edges(subs)
+    assert len(edges) == 3  # 2 drawn + 1 implicit closing edge
+    assert polygon_area(edges) == pytest.approx(-50.0)  # CCW triangle
+
+
+def test_stroke_area_straight_line():
+    # A horizontal stroke of length 20 and width 4 covers ~area 80 plus caps.
+    pts = np.array([[5.0, 10.0], [25.0, 10.0]])
+    for cap, extra in (("butt", 0.0), ("square", 16.0)):
+        polys = stroke_subpath(pts, 4.0, cap=cap, join="miter")
+        edges = polygons_to_edges(polys)
+        cov = coverage_numpy(edges, 24, 40)
+        assert cov.sum() == pytest.approx(80.0 + extra, abs=0.3)
+    # Round caps add ~a full disk of radius 2 (slightly less: the arcs are
+    # polygonized inscribed; tighten the tolerance for a closer bound).
+    polys = stroke_subpath(pts, 4.0, cap="round", join="round",
+                           tolerance=0.01)
+    cov = coverage_numpy(polygons_to_edges(polys), 24, 40)
+    assert cov.sum() == pytest.approx(80.0 + math.pi * 4, abs=0.5)
+
+
+def test_stroke_right_angle_joins():
+    pts = np.array([[5.0, 5.0], [25.0, 5.0], [25.0, 25.0]])
+    # Width 4, two 20-long legs: quad union = 2*80 - 4 (overlap) = 156;
+    # the 90-degree miter fills the outer 2x2 corner square -> 160.
+    polys = stroke_subpath(pts, 4.0, cap="butt", join="miter")
+    cov = coverage_numpy(polygons_to_edges(polys), 32, 36)
+    assert cov.sum() == pytest.approx(160.0, abs=0.3)
+    # Bevel fills only the corner triangle (half the square) -> 158.
+    polys = stroke_subpath(pts, 4.0, cap="butt", join="bevel")
+    cov = coverage_numpy(polygons_to_edges(polys), 32, 36)
+    assert cov.sum() == pytest.approx(158.0, abs=0.3)
+    # Round join: quarter disc of radius 2 -> 156 + pi.
+    polys = stroke_subpath(pts, 4.0, cap="butt", join="round",
+                           tolerance=0.01)
+    cov = coverage_numpy(polygons_to_edges(polys), 32, 36)
+    assert cov.sum() == pytest.approx(156.0 + math.pi, abs=0.3)
+
+
+def test_stroke_degenerate_point_round_cap_dot():
+    polys = stroke_subpath(np.array([[10.0, 10.0]]), 6.0, cap="round",
+                           tolerance=0.01)
+    assert polys  # a dot
+    cov = coverage_numpy(polygons_to_edges(polys), 20, 20)
+    assert cov.sum() == pytest.approx(math.pi * 9, rel=0.02)
+    # Butt cap: nothing drawn.
+    assert stroke_subpath(np.array([[10.0, 10.0]]), 6.0, cap="butt") == []

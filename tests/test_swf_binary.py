@@ -1,0 +1,96 @@
+"""SWF binary builder round-trip tests.
+
+The emitter and parser validate each other: emit every corpus
+``ast.json`` DefineShape to DefineShape3 bytes, parse it back, decode
+the parsed AST, and require the decoded golden JSON to be byte-equal
+to the corpus ``shape.ts.json`` (same gate as test_decode_golden).
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from swf_renderer_tpu.models import ast, swf_binary
+from swf_renderer_tpu.models.ast_io import parse_define_shape
+from swf_renderer_tpu.models.decode_shape import decode_shape
+from swf_renderer_tpu.utils import jsjson
+
+
+def _shape_dirs(reference_tests: Path):
+    dirs = []
+    for group in ("flat-shapes", "textured-shapes"):
+        for d in sorted((reference_tests / group).iterdir()):
+            if (d / "ast.json").exists() and (d / "shape.ts.json").exists():
+                dirs.append(d)
+    return dirs
+
+
+def _load(case_dir: Path):
+    data = json.loads((case_dir / "ast.json").read_text())
+    return parse_define_shape(data)
+
+
+def test_roundtrip_all_corpus_shapes(reference_tests):
+    cases = _shape_dirs(reference_tests)
+    assert cases, "no corpus shapes found"
+    for case in cases:
+        tag = _load(case)
+        blob = swf_binary.emit_define_shape(tag)
+        # Strip the RECORDHEADER before parsing the body back.
+        head = int.from_bytes(blob[:2], "little")
+        code, length = head >> 6, head & 0x3F
+        assert code == swf_binary.TAG_DEFINE_SHAPE3
+        body_off = 2 + (4 if length == 0x3F else 0)
+        parsed = swf_binary.parse_define_shape_tag(blob[body_off:])
+
+        assert parsed.id == tag.id
+        assert parsed.bounds == tag.bounds
+
+        want = (case / "shape.ts.json").read_text()
+        got = jsjson.stringify(decode_shape(parsed).to_golden()) + "\n"
+        assert got == want, f"round-trip golden mismatch for {case.name}"
+
+
+def test_movie_assembly_and_extraction(reference_tests):
+    cases = _shape_dirs(reference_tests)[:3]
+    tags = [_load(c) for c in cases]
+    movie = swf_binary.emit_movie(tags)
+    assert movie[:3] == b"FWS"
+    total = int.from_bytes(movie[4:8], "little")
+    assert total == len(movie)
+    shapes = swf_binary.parse_movie_shapes(movie)
+    assert [s.id for s in shapes] == [t.id for t in tags]
+    assert [s.bounds for s in shapes] == [t.bounds for t in tags]
+
+
+def test_movie_rejects_compressed():
+    with pytest.raises(ValueError):
+        swf_binary.parse_movie_shapes(b"CWS" + b"\x00" * 16)
+
+
+def test_bit_roundtrip_edge_widths():
+    # A shape whose edges span tiny and huge deltas exercises nbits
+    # selection (incl. the >=2-bit floor on edge records).
+    styles = ast.ShapeStyles(
+        fill=(ast.SolidFill(color=ast.StraightSRgba8(1, 2, 3, 4)),),
+        line=(),
+    )
+    records = (
+        ast.StyleChangeRecord(move_to=ast.Vector2D(-1, 1), right_fill=1),
+        ast.EdgeRecord(delta=ast.Vector2D(1, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(0, -1)),
+        ast.EdgeRecord(delta=ast.Vector2D(32767, -32768)),
+        ast.EdgeRecord(delta=ast.Vector2D(-5, 7),
+                       control_delta=ast.Vector2D(-2, 3)),
+    )
+    tag = ast.DefineShape(
+        id=7,
+        bounds=ast.Rect(x_min=-40000, x_max=40000, y_min=-1, y_max=1),
+        shape=ast.ShapeBody(initial_styles=styles, records=records),
+    )
+    blob = swf_binary.emit_define_shape(tag)
+    head = int.from_bytes(blob[:2], "little")
+    body_off = 2 + (4 if (head & 0x3F) == 0x3F else 0)
+    parsed = swf_binary.parse_define_shape_tag(blob[body_off:])
+    assert parsed == tag

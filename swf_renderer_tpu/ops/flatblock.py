@@ -1,0 +1,351 @@
+"""Flat-block scanline pipeline: scatter-free placement + parallel resolve.
+
+The scatter (`segment_sum`) costs ~125 ns/update on TPU and dominated the
+fused pipeline; the old dense-binned MXU variant paid the *global* max bin
+occupancy for every bin (8-40x slot waste on real scenes).  This pipeline
+replaces both stages:
+
+**K1 — placement** (grid over 128-update blocks, scalar-prefetched targets):
+the host packs each draw's sorted coalesced delta updates (native splitter
+output) into blocks of 128 per (frame, layer, strip).  A block materializes
+its strip-plane contribution as ONE full (128,128) MXU product
+
+    delta[rc, c] = sum_k U[rc, k] * W[k, c]
+    U[rc, k] = val_k * [rcid_k == rc]     (value-weighted row one-hot)
+    W[k, c]  = [cmod_k == c]              (column one-hot)
+
+where ``rcid = (col//128)*8 + row%8`` and ``cmod = col%128`` address the
+strip plane in a chunk-major (128,128) layout — every MXU dimension is full
+(the old binned kernel ran (8,Kc) shapes at 6% MXU row utilization).  The
+update values are split val = hi+mid+lo into three bf16 parts (3x8 mantissa
+bits cover f32's 24), and the one-hot factors are exactly representable in
+bf16, so three DEFAULT-precision passes reproduce the f32 placement
+BIT-EXACTLY (the old kernel needed 6-pass Precision.HIGHEST).  Blocks of
+one (frame, layer, strip) group accumulate into a VMEM scratch with a
+branchless prefetched reset multiplier; the group's plane flushes to HBM
+through an output block revisited across the group's consecutive steps.
+
+**K2 — resolve** (dense grid over (frame, strip)): reads the chunk-major
+planes and computes winding -> fill rule -> premultiplied over-composite ->
+straight-alpha u8 -> RGBA-packed uint32 pixels in one VMEM residency.
+The prefix sum runs as a 7-step lane ladder (all 16 chunks in parallel)
+plus a 4-step stride-8 sublane ladder for the cross-chunk carry — the old
+resolve kernel serialized chunks through an (8,1) carry chain.  Packing the
+frame as uint32 makes the output write 4x cheaper and removes the
+moveaxis/convert XLA passes entirely: the host views the buffer as
+(H, W, 4) u8 for free (little-endian byte order r,g,b,a).
+
+The chunk-major layout caps the supported padded width at 16 chunks
+(stride <= 2048 i.e. width <= 2047); wider framebuffers fall back to the
+chunked-scatter pipeline (resolve.render_scanline_updates).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .coverage import FILL_RULE_NONZERO, _on_tpu
+
+STRIP_H = 8
+LANE = 128
+BLK = 128           # updates per placement block
+MAX_CHUNKS = 16     # chunk-major plane: (NCHUNK*8 <= 128) sublanes
+
+
+def plane_geometry(height: int, width: int):
+    stride = ((width + 1 + LANE - 1) // LANE) * LANE
+    n_chunks = stride // LANE
+    n_strips = -(-height // STRIP_H)
+    return stride, n_chunks, n_strips
+
+
+def pack_flat_blocks(update_lists, height: int, width: int,
+                     block_pad_multiple: int = 1024):
+    """Pack per-draw sorted coalesced updates into placement blocks.
+
+    ``update_lists``: [frames][layers] of (rows, cols, vals) arrays.
+    Returns (sidx, keep, urc, ucm, uval, n_strips, n_chunks):
+      sidx (NB,) i32 — packed target ((frame*L + layer)*(NS+1) + strip)
+      keep (NB,) i32 — 0 on the first block of a group, else 1
+      urc  (NB, 1, BLK) f32 — chunk-major sublane id (col//128)*8 + row%8
+      ucm  (NB, BLK, 1) f32 — column-within-chunk (sublane layout for W)
+      uval (NB, 1, BLK) f32 — update values (0 on padding slots)
+    Every (frame, layer, strip) group emits at least one block (so empty
+    groups still zero their plane); global padding blocks target the
+    sentinel strip ``n_strips`` (a garbage bucket the resolve never reads).
+    """
+    f = len(update_lists)
+    l = len(update_lists[0])
+    stride, n_chunks, n_strips = plane_geometry(height, width)
+    if n_chunks > MAX_CHUNKS:
+        raise ValueError(
+            f"flat-block pipeline supports width < {MAX_CHUNKS * LANE}"
+            f" (got padded stride {stride})")
+
+    sidx, keep, urc, ucm, uval = [], [], [], [], []
+    for i in range(f):
+        for j in range(l):
+            rows, cols, vals = update_lists[i][j]
+            strip = rows // STRIP_H if len(rows) else rows
+            # Updates arrive row-major sorted => strip-grouped already.
+            bounds = np.searchsorted(strip, np.arange(n_strips + 1))
+            for s in range(n_strips):
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                r = rows[lo:hi]
+                c = cols[lo:hi]
+                v = vals[lo:hi]
+                n = max(1, hi - lo)  # empty group -> one zero block
+                nb = -(-n // BLK)
+                rc = np.zeros(nb * BLK, np.float32)
+                cm = np.zeros(nb * BLK, np.float32)
+                vv = np.zeros(nb * BLK, np.float32)
+                rc[: hi - lo] = (c // LANE) * STRIP_H + r % STRIP_H
+                cm[: hi - lo] = c % LANE
+                vv[: hi - lo] = v
+                for b in range(nb):
+                    sidx.append((i * l + j) * (n_strips + 1) + s)
+                    keep.append(0 if b == 0 else 1)
+                    sl = slice(b * BLK, (b + 1) * BLK)
+                    urc.append(rc[sl])
+                    ucm.append(cm[sl])
+                    uval.append(vv[sl])
+    nb = len(sidx)
+    nb_pad = ((nb + block_pad_multiple - 1)
+              // block_pad_multiple) * block_pad_multiple
+    for _ in range(nb_pad - nb):
+        sidx.append(n_strips)  # sentinel garbage strip of (0, 0)
+        keep.append(0)
+        urc.append(np.zeros(BLK, np.float32))
+        ucm.append(np.zeros(BLK, np.float32))
+        uval.append(np.zeros(BLK, np.float32))
+    return (
+        np.asarray(sidx, np.int32),
+        np.asarray(keep, np.int32),
+        np.stack(urc)[:, None, :],   # (NB, 1, BLK) lane layout
+        np.stack(ucm)[:, :, None],   # (NB, BLK, 1) sublane layout
+        np.stack(uval)[:, None, :],  # (NB, 1, BLK)
+        n_strips,
+        n_chunks,
+    )
+
+
+def _place_kernel(sidx_ref, keep_ref, urc_ref, ucm_ref, uval_ref,
+                  out_ref, acc_ref):
+    i = pl.program_id(0)
+    keep = keep_ref[i]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
+        jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
+        jnp.float32)
+
+    rc = urc_ref[0, :, :]                # (1, BLK) lane vector
+    v = uval_ref[0, :, :]                # (1, BLK)
+    cm = ucm_ref[0, :, :]                # (BLK, 1) sublane vector
+
+    # W[k, c] = [cmod_k == c] — exact in bf16.
+    w = (cm == lane).astype(jnp.bfloat16)
+    onehot = (sub == rc).astype(jnp.float32)  # (128 rc, BLK)
+
+    # val = hi + mid + lo exactly (3x8 mantissa bits >= f32's 24), each part
+    # bf16-exact, so three DEFAULT MXU passes give the exact f32 placement.
+    hi = v.astype(jnp.bfloat16)
+    hi32 = hi.astype(jnp.float32)
+    mid = (v - hi32).astype(jnp.bfloat16)
+    mid32 = mid.astype(jnp.float32)
+    lo = (v - hi32 - mid32).astype(jnp.bfloat16)
+
+    delta = jnp.zeros((LANE, LANE), jnp.float32)
+    for part in (hi, mid, lo):
+        u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
+        delta = delta + jnp.dot(u, w, preferred_element_type=jnp.float32)
+
+    # where (not multiply): on a group's first block the scratch holds
+    # uninitialized memory, and NaN * 0.0 would poison the plane.
+    acc = jnp.where(keep == 0, 0.0, acc_ref[...]) + delta
+    acc_ref[...] = acc
+    out_ref[0, 0, 0, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "frames", "layers", "n_strips", "interpret"))
+def place_blocks(
+    sidx: jax.Array,   # (NB, 3) i32
+    keep: jax.Array,   # (NB,) f32
+    urc: jax.Array,    # (NB, BLK) f32
+    ucm: jax.Array,    # (NB, BLK, 1) f32
+    uval: jax.Array,   # (NB, BLK) f32
+    frames: int,
+    layers: int,
+    n_strips: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """-> (F, L, NS+1, 128, 128) chunk-major delta planes (exact f32).
+
+    Plane [f, l, s, (col//128)*8 + row%8, col%128]; strip NS is the
+    padding-block garbage bucket."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    nb = urc.shape[0]
+    ns1 = n_strips + 1
+
+    def out_index(i, si, ke):
+        packed = si[i]
+        return (packed // (layers * ns1),
+                (packed // ns1) % layers,
+                packed % ns1, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, BLK), lambda i, si, ke: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK, 1), lambda i, si, ke: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda i, si, ke: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, LANE, LANE), out_index, memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((LANE, LANE), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _place_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (frames, layers, n_strips + 1, LANE, LANE), jnp.float32),
+        interpret=interpret,
+    )(sidx, keep, urc, ucm, uval)
+
+
+def _resolve_u32_kernel(colors_ref, planes_ref, out_ref, *,
+                        fill_rule: int, n_layers: int, n_chunks: int):
+    # planes block (1, L, 1, 128, 128) chunk-major; out block (1, 8, stride)
+    # uint32 (packed RGBA little-endian).
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+
+    r = jnp.zeros((LANE, LANE), jnp.float32)
+    g = jnp.zeros((LANE, LANE), jnp.float32)
+    b = jnp.zeros((LANE, LANE), jnp.float32)
+    a = jnp.zeros((LANE, LANE), jnp.float32)
+
+    for layer in range(n_layers):
+        x = planes_ref[0, layer, 0, :, :]
+        # In-chunk prefix: 7-step lane ladder over ALL chunks in parallel
+        # (each sublane is an independent (row, chunk) pixel row segment).
+        for shift in (1, 2, 4, 8, 16, 32, 64):
+            x = x + jnp.where(lane_ids >= shift,
+                              pltpu.roll(x, shift, axis=1), 0.0)
+        # Cross-chunk carry: chunk totals live at lane 127; an inclusive
+        # stride-8 sublane ladder sums all earlier chunks of the same row
+        # (sublane rc = chunk*8 + row, so stride-8 shifts stay row-phased).
+        totals = x[:, LANE - 1:]  # (128, 1)
+        incl = totals
+        for shift in (8, 16, 32, 64):
+            incl = incl + jnp.where(sub_ids[:, :1] >= shift,
+                                    pltpu.roll(incl, shift, axis=0), 0.0)
+        winding = x + (incl - totals)
+
+        if fill_rule == FILL_RULE_NONZERO:
+            cov = jnp.minimum(jnp.abs(winding), 1.0)
+        else:
+            m = jnp.mod(winding, 2.0)
+            cov = 1.0 - jnp.abs(m - 1.0)
+
+        ca = colors_ref[0, layer, 3] * cov
+        kp = 1.0 - ca
+        r = colors_ref[0, layer, 0] * ca + r * kp
+        g = colors_ref[0, layer, 1] * ca + g * kp
+        b = colors_ref[0, layer, 2] * ca + b * kp
+        a = ca + a * kp
+
+    # Premultiplied -> straight u8 -> packed u32 (see
+    # composite.premul_to_straight_u8 — semantics replicated exactly).
+    visible = a >= (0.5 / 255.0)
+    safe_a = jnp.where(visible, a, 1.0)
+
+    def chan(c):
+        s = jnp.clip(c / safe_a, 0.0, 1.0)
+        s = jnp.where(visible, s, 0.0)
+        # Mosaic has no f32->u32 cast; round through i32 (range 0..255).
+        return jnp.round(s * 255.0).astype(jnp.int32)
+
+    rgb = (chan(r) + chan(g) * (1 << 8)
+           + chan(b) * (1 << 16)).astype(jnp.uint32)
+    a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    packed = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
+    for j in range(n_chunks):
+        out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
+            packed[j * STRIP_H:(j + 1) * STRIP_H, :]
+        )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_chunks", "fill_rule", "interpret"))
+def resolve_planes_u32(
+    planes: jax.Array,  # (F, L, NS+1, 128, 128) f32 chunk-major
+    colors: jax.Array,  # (F, L, 4) f32 straight RGBA
+    n_chunks: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = None,
+) -> jax.Array:
+    """-> (F, NS*8, stride) uint32 RGBA-packed frames."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    f, l, ns1, _, _ = planes.shape
+    ns = ns1 - 1
+    stride = n_chunks * LANE
+    kernel = functools.partial(
+        _resolve_u32_kernel, fill_rule=fill_rule, n_layers=l,
+        n_chunks=n_chunks)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((f, ns, STRIP_H, stride),
+                                       jnp.uint32),
+        grid=(f, ns),
+        in_specs=[
+            pl.BlockSpec((1, l, 4), lambda fi, s: (fi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, l, 1, LANE, LANE),
+                         lambda fi, s: (fi, 0, s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, STRIP_H, stride),
+                               lambda fi, s: (fi, s, 0, 0)),
+        interpret=interpret,
+    )(colors, planes)
+    return out.reshape(f, ns * STRIP_H, stride)
+
+
+def render_flat_blocks(
+    sidx, keep, urc, ucm, uval, colors,
+    height: int, width: int,
+    frames: int, layers: int, n_strips: int, n_chunks: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = None,
+):
+    """Full flat-block pipeline -> (F, NS*8, stride) uint32 packed frames.
+
+    Crop/convert on the host: ``np.asarray(out)[:, :height, :width]``
+    viewed as u8 via ``frames_u32_to_u8``."""
+    planes = place_blocks(sidx, keep, urc, ucm, uval,
+                          frames, layers, n_strips, interpret=interpret)
+    return resolve_planes_u32(planes, colors, n_chunks,
+                              fill_rule=fill_rule, interpret=interpret)
+
+
+def frames_u32_to_u8(frames_u32: np.ndarray, height: int,
+                     width: int) -> np.ndarray:
+    """(F, HP, S) packed uint32 -> (F, height, width, 4) u8 (host view)."""
+    arr = np.ascontiguousarray(frames_u32[:, :height, :width])
+    if arr.dtype.byteorder == ">":  # big-endian host (not our targets)
+        arr = arr.astype("<u4")
+    return arr.view(np.uint8).reshape(arr.shape + (4,))

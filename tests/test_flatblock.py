@@ -1,0 +1,158 @@
+"""Flat-block pipeline correctness vs the scatter pipeline + numpy oracle.
+
+Placement (K1) must reproduce the scatter's delta planes BIT-EXACTLY
+(one-hot factors and split values are exact in bf16).  The resolve (K2)
+sums the prefix in a different (still deterministic) order, so frames are
+compared bit-exactly on dyadic-valued planes and within 1 u8 step on
+arbitrary float data.
+"""
+
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.ops import scanline as sl
+from swf_renderer_tpu.ops.flatblock import (
+    BLK, LANE, STRIP_H, frames_u32_to_u8, pack_flat_blocks, place_blocks,
+    plane_geometry, render_flat_blocks, resolve_planes_u32,
+)
+from swf_renderer_tpu.ops.resolve import pack_updates, render_scanline_updates
+
+
+def random_scene(frames, layers, height, width, seed=0, n_pts=8):
+    rng = np.random.default_rng(seed)
+    update_lists = []
+    colors = np.zeros((frames, layers, 4), np.float32)
+    for i in range(frames):
+        per = []
+        for j in range(layers):
+            pts = rng.uniform(0, (width, height), size=(n_pts, 2)).astype(
+                np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            edges = np.concatenate([closed[:-1], closed[1:]], axis=1)
+            r, c, a, v = sl.edges_to_cells(edges, height, width)
+            rows = np.concatenate([r, r])
+            cols = np.concatenate([c, c + 1])
+            vals = np.concatenate([a, v - a]).astype(np.float32)
+            # Coalesce duplicates (the native splitter's delta output is
+            # coalesced; emulate in numpy).
+            key = rows.astype(np.int64) * (width + 2) + cols
+            order = np.argsort(key, kind="stable")
+            key, rows, cols, vals = (key[order], rows[order], cols[order],
+                                     vals[order])
+            uniq, inv = np.unique(key, return_inverse=True)
+            acc = np.zeros(len(uniq), np.float32)
+            np.add.at(acc, inv, vals)
+            rows = (uniq // (width + 2)).astype(np.int32)
+            cols = (uniq % (width + 2)).astype(np.int32)
+            per.append((rows, cols, acc))
+            colors[i, j] = rng.uniform(0.1, 1.0, size=4)
+        update_lists.append(per)
+    return update_lists, colors
+
+
+def scatter_oracle(update_lists, height, width):
+    stride, n_chunks, n_strips = plane_geometry(height, width)
+    f, l = len(update_lists), len(update_lists[0])
+    planes = np.zeros((f, l, n_strips * STRIP_H, stride), np.float32)
+    for i in range(f):
+        for j in range(l):
+            rows, cols, vals = update_lists[i][j]
+            np.add.at(planes[i, j], (rows, cols), vals)
+    return planes
+
+
+def chunkmajor_to_rows(planes_cm, n_chunks):
+    """(F, L, NS+1, 128, 128) -> (F, L, NS*8, stride)."""
+    f, l, ns1, _, _ = planes_cm.shape
+    ns = ns1 - 1
+    x = planes_cm[:, :, :ns, : n_chunks * STRIP_H].reshape(
+        f, l, ns, n_chunks, STRIP_H, LANE)
+    x = np.moveaxis(x, 3, 4)  # (f, l, ns, 8, n_chunks, 128)
+    return x.reshape(f, l, ns * STRIP_H, n_chunks * LANE)
+
+
+def test_placement_bit_exact():
+    frames, layers, height, width = 2, 3, 32, 200
+    update_lists, _ = random_scene(frames, layers, height, width, seed=1)
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        update_lists, height, width, block_pad_multiple=8)
+    planes_cm = np.asarray(place_blocks(
+        sidx, keep, urc, ucm, uval, frames, layers, ns))
+    got = chunkmajor_to_rows(planes_cm, nc)
+    want = scatter_oracle(update_lists, height, width)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_pipeline_matches_scatter_pipeline():
+    frames, layers, height, width = 2, 3, 40, 300
+    update_lists, colors = random_scene(frames, layers, height, width,
+                                        seed=2)
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        update_lists, height, width)
+    out32 = np.asarray(render_flat_blocks(
+        sidx, keep, urc, ucm, uval, colors, height, width,
+        frames, layers, ns, nc))
+    got = frames_u32_to_u8(out32, height, width)
+
+    flat = [update_lists[i][j] for i in range(frames) for j in range(layers)]
+    rows, cols, vals = pack_updates(flat)
+    rows = rows.reshape(frames, layers, -1)
+    cols = cols.reshape(frames, layers, -1)
+    vals = vals.reshape(frames, layers, -1)
+    want = np.asarray(render_scanline_updates(
+        rows, cols, vals, colors, height, width))
+    assert got.shape == want.shape
+    # Prefix-sum association differs; u8 results may differ by 1 on
+    # knife-edge values only.
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_resolve_u32_bit_exact_on_dyadic():
+    # Dyadic plane values (multiples of 1/64 in [-2, 2]) make every prefix
+    # summation order exact in f32 -> the packed u32 frames must match the
+    # existing resolve kernel + u8 conversion BITWISE.
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.composite import premul_to_straight_u8
+    from swf_renderer_tpu.ops.resolve import resolve_frames
+
+    rng = np.random.default_rng(3)
+    f, l, ns, nc = 2, 2, 3, 2
+    planes = np.zeros((f, l, ns + 1, LANE, LANE), np.float32)
+    planes[:, :, :ns] = (
+        rng.integers(-128, 129, size=(f, l, ns, LANE, LANE)) / 64.0
+    )
+    colors = rng.uniform(0.2, 1.0, size=(f, l, 4)).astype(np.float32)
+    colors = (np.round(colors * 255) / 255).astype(np.float32)
+
+    out = np.asarray(resolve_planes_u32(
+        jnp.asarray(planes), jnp.asarray(colors), nc))
+    got = frames_u32_to_u8(out, ns * STRIP_H, nc * LANE)
+
+    rowplanes = chunkmajor_to_rows(planes, nc)
+    pm = resolve_frames(jnp.asarray(rowplanes), jnp.asarray(colors))
+    want = np.asarray(premul_to_straight_u8(jnp.moveaxis(pm, 1, -1)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pack_rejects_wide_framebuffers():
+    with pytest.raises(ValueError):
+        pack_flat_blocks([[(np.zeros(0, np.int32),) * 3]], 8, 4000)
+
+
+def test_empty_groups_zeroed():
+    # A scene with zero updates everywhere still produces fully
+    # transparent frames (empty groups emit explicit zero blocks).
+    frames, layers, height, width = 1, 2, 16, 100
+    empty = [[(np.zeros(0, np.int32), np.zeros(0, np.int32),
+               np.zeros(0, np.float32)) for _ in range(layers)]]
+    colors = np.full((frames, layers, 4), 0.7, np.float32)
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        empty, height, width, block_pad_multiple=4)
+    out = np.asarray(render_flat_blocks(
+        sidx, keep, urc, ucm, uval, colors, height, width,
+        frames, layers, ns, nc))
+    assert (out == 0).all()

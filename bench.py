@@ -207,6 +207,81 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
+    """Headline: flat-block pipeline (scatter-free MXU placement + fused
+    resolve to packed u32), timed as SUSTAINED throughput.
+
+    BASELINE.md's target is a *sustained* fill rate, so K repetitions are
+    chained inside one jit (each repetition's values data-depend on the
+    previous checksum so XLA cannot collapse them — the perturbation is
+    denormal-scale and leaves results bit-identical) and the per-repetition
+    time comes from a two-point fit, which cancels the fixed dispatch +
+    tunnel round-trip latency (~26 ms on the remote-attached chip).  The
+    single-call latency is reported separately on stderr."""
+    import jax
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.native.bindings import cells_split_delta_native
+    from swf_renderer_tpu.ops.flatblock import (
+        pack_flat_blocks, render_flat_blocks,
+    )
+
+    t0 = time.perf_counter()
+    update_lists = [
+        [cells_split_delta_native(t, height, width) for t in ft]
+        for ft in tables
+    ]
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        update_lists, height, width)
+    lower_s = time.perf_counter() - t0
+    print(
+        json.dumps({"note": "host delta lowering + block packing",
+                    "seconds": round(lower_s, 3),
+                    "blocks": int(len(sidx))}),
+        file=sys.stderr,
+    )
+
+    args = tuple(jnp.asarray(x) for x in (sidx, keep, urc, ucm, uval))
+    colors_j = jnp.asarray(colors)
+
+    def one_rep(uv, prev):
+        out = render_flat_blocks(
+            args[0], args[1], args[2], args[3], uv + prev * 1e-30,
+            colors_j, height, width, frames, layers, ns, nc)
+        return jnp.sum(out[0, :8, :].astype(jnp.float32)) * 1e-12
+
+    def timed(k):
+        @jax.jit
+        def run(uv):
+            return jax.lax.fori_loop(
+                0, k, lambda i, acc: one_rep(uv, acc), 0.0)
+        float(run(args[4]))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(args[4]))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    k0, k1 = 1, 3
+    t_k0, t_k1 = timed(k0), timed(k1)
+    dt = (t_k1 - t_k0) / (k1 - k0)
+    print(
+        json.dumps({"note": "latency (single call, incl. dispatch)",
+                    "ms": round(t_k0 * 1e3, 1)}),
+        file=sys.stderr,
+    )
+
+    pixels = frames * height * width
+    gpx_s = pixels / dt / 1e9
+    print(json.dumps({
+        "metric": "fill_rate_1080p60_multilayer_sustained",
+        "value": round(gpx_s, 4),
+        "unit": "Gpx/s",
+        "vs_baseline": round(gpx_s / TARGET_GPX_S, 4),
+    }))
+
+
 def main() -> None:
     _enable_compile_cache()
     smoke = "--smoke" in sys.argv
@@ -250,41 +325,8 @@ def main() -> None:
         base_args = (jnp.asarray(edges_t), jnp.asarray(colors))
         variant = lambda i: (base_args[0] + i * 1e-6, base_args[1])
     else:
-        from swf_renderer_tpu.ops.resolve import (
-            pack_updates,
-            render_scanline_updates,
-        )
-        from swf_renderer_tpu.native.bindings import cells_split_delta_native
-
-        t0 = time.perf_counter()
-        update_lists = [
-            [cells_split_delta_native(t, height, width) for t in ft]
-            for ft in tables
-        ]
-        lower_s = time.perf_counter() - t0
-        flat = [u for ft in update_lists for u in ft]
-        rows, cols, vals = pack_updates(flat)
-        rows = rows.reshape(frames, layers, -1)
-        cols = cols.reshape(frames, layers, -1)
-        vals = vals.reshape(frames, layers, -1)
-        print(
-            json.dumps({"note": "host delta-update lowering",
-                        "seconds": round(lower_s, 3),
-                        "updates_per_draw": int(rows.shape[-1])}),
-            file=sys.stderr,
-        )
-
-        @jax.jit
-        def run(r, c, v, col):
-            frames_out = render_scanline_updates(r, c, v, col,
-                                                 height, width)
-            return jnp.sum(frames_out.astype(jnp.uint32)), frames_out
-
-        base_args = tuple(
-            jnp.asarray(x) for x in (rows, cols, vals, colors)
-        )
-        variant = lambda i: (base_args[0] + 0,) + base_args[1:] if i == 0 \
-            else (jnp.asarray(rows ^ 0),) + base_args[1:]
+        return bench_flatblock(tables, colors, frames, layers,
+                               height, width)
 
     # Warm up / compile.
     checksum, _ = run(*base_args)

@@ -63,8 +63,92 @@ def load_library(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
     ]
+    lib.swf_pack_blocks_capacity.restype = ctypes.c_int64
+    lib.swf_pack_blocks_capacity.argtypes = [ctypes.c_int64, ctypes.c_int32]
+    lib.swf_pack_blocks.restype = ctypes.c_int64
+    lib.swf_pack_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
+
+
+def pack_blocks_native(update_lists, height: int, width: int,
+                       block_pad_multiple: int = 1024):
+    """Native flat-block packer: same contract as
+    ops.flatblock.pack_flat_blocks (which is the tested oracle)."""
+    import numpy as np
+
+    from ..ops.flatblock import BLK, plane_geometry, MAX_CHUNKS, LANE
+
+    lib = load_library()
+    f = len(update_lists)
+    l = len(update_lists[0])
+    stride, n_chunks, n_strips = plane_geometry(height, width)
+    if n_chunks > MAX_CHUNKS:
+        raise ValueError(
+            f"flat-block pipeline supports width < {MAX_CHUNKS * LANE}"
+            f" (got padded stride {stride})")
+
+    parts = []
+    for i in range(f):
+        for j in range(l):
+            rows, cols, vals = update_lists[i][j]
+            rows = np.ascontiguousarray(rows, np.int32)
+            cols = np.ascontiguousarray(cols, np.int32)
+            vals = np.ascontiguousarray(vals, np.float32)
+            n = len(rows)
+            cap = lib.swf_pack_blocks_capacity(n, n_strips)
+            sidx = np.empty(cap, np.int32)
+            keep = np.empty(cap, np.int32)
+            urc = np.empty(cap * BLK, np.float32)
+            ucm = np.empty(cap * BLK, np.float32)
+            uval = np.empty(cap * BLK, np.float32)
+            nb = lib.swf_pack_blocks(
+                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                n, n_strips, (i * l + j) * (n_strips + 1), cap,
+                sidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                urc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ucm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                uval.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            if nb < 0:
+                raise RuntimeError("pack_blocks capacity underestimated")
+            parts.append((sidx[:nb], keep[:nb], urc[: nb * BLK],
+                          ucm[: nb * BLK], uval[: nb * BLK]))
+
+    nb = sum(len(p[0]) for p in parts)
+    nb_pad = ((nb + block_pad_multiple - 1)
+              // block_pad_multiple) * block_pad_multiple
+    sidx = np.full(nb_pad, n_strips, np.int32)  # sentinel default
+    keep = np.zeros(nb_pad, np.int32)
+    urc = np.zeros((nb_pad, 1, BLK), np.float32)
+    ucm = np.zeros((nb_pad, BLK, 1), np.float32)
+    uval = np.zeros((nb_pad, 1, BLK), np.float32)
+    off = 0
+    for psi, pke, prc, pcm, pvv in parts:
+        k = len(psi)
+        sidx[off:off + k] = psi
+        keep[off:off + k] = pke
+        urc[off:off + k, 0, :] = prc.reshape(k, BLK)
+        ucm[off:off + k, :, 0] = pcm.reshape(k, BLK)
+        uval[off:off + k, 0, :] = pvv.reshape(k, BLK)
+        off += k
+    return sidx, keep, urc, ucm, uval, n_strips, n_chunks
 
 
 def cells_split_delta_native(edges, height: int, width: int):

@@ -136,7 +136,7 @@ def pack_flat_blocks(update_lists, height: int, width: int,
 
 
 def _place_kernel(sidx_ref, keep_ref, urc_ref, ucm_ref, uval_ref,
-                  out_ref, acc_ref):
+                  out_ref, acc_ref, *, step: bool):
     i = pl.program_id(0)
     keep = keep_ref[i]
 
@@ -149,8 +149,15 @@ def _place_kernel(sidx_ref, keep_ref, urc_ref, ucm_ref, uval_ref,
     v = uval_ref[0, :, :]                # (1, BLK)
     cm = ucm_ref[0, :, :]                # (BLK, 1) sublane vector
 
-    # W[k, c] = [cmod_k == c] — exact in bf16.
-    w = (cm == lane).astype(jnp.bfloat16)
+    # step=False: W[k, c] = [cmod_k == c] places raw deltas; step=True:
+    # W[k, c] = [cmod_k <= c] fuses the in-chunk prefix sum into the SAME
+    # matmul, so the planes come out winding-valued within each chunk and
+    # the resolve skips its lane prefix ladder.  Both are exact in bf16.
+    # Padding slots (val 0) contribute 0 either way.
+    if step:
+        w = (cm <= lane).astype(jnp.bfloat16)
+    else:
+        w = (cm == lane).astype(jnp.bfloat16)
     onehot = (sub == rc).astype(jnp.float32)  # (128 rc, BLK)
 
     # val = hi + mid + lo exactly (3x8 mantissa bits >= f32's 24), each part
@@ -174,7 +181,7 @@ def _place_kernel(sidx_ref, keep_ref, urc_ref, ucm_ref, uval_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "frames", "layers", "n_strips", "interpret"))
+    "frames", "layers", "n_strips", "interpret", "step"))
 def place_blocks(
     sidx: jax.Array,   # (NB, 3) i32
     keep: jax.Array,   # (NB,) f32
@@ -185,11 +192,14 @@ def place_blocks(
     layers: int,
     n_strips: int,
     interpret: bool = None,
+    step: bool = True,
 ) -> jax.Array:
-    """-> (F, L, NS+1, 128, 128) chunk-major delta planes (exact f32).
+    """-> (F, L, NS+1, 128, 128) chunk-major planes (exact f32).
 
     Plane [f, l, s, (col//128)*8 + row%8, col%128]; strip NS is the
-    padding-block garbage bucket."""
+    padding-block garbage bucket.  ``step=True`` (default) emits planes
+    already prefix-summed WITHIN each 128-column chunk (winding up to the
+    cross-chunk carry); ``step=False`` emits raw delta placements."""
     if interpret is None:
         interpret = not _on_tpu()
     nb = urc.shape[0]
@@ -218,7 +228,7 @@ def place_blocks(
         scratch_shapes=[pltpu.VMEM((LANE, LANE), jnp.float32)],
     )
     return pl.pallas_call(
-        _place_kernel,
+        functools.partial(_place_kernel, step=step),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (frames, layers, n_strips + 1, LANE, LANE), jnp.float32),
@@ -227,24 +237,36 @@ def place_blocks(
 
 
 def _resolve_u32_kernel(colors_ref, planes_ref, out_ref, *,
-                        fill_rule: int, n_layers: int, n_chunks: int):
-    # planes block (1, L, 1, 128, 128) chunk-major; out block (1, 8, stride)
-    # uint32 (packed RGBA little-endian).
+                        fill_rule: int, n_layers: int, n_chunks: int,
+                        strips_per_step: int, prefixed: bool):
+    # planes block (1, L, G, 128, 128) chunk-major; out block
+    # (1, G, 8, stride) uint32 (packed RGBA little-endian).  G strips per
+    # grid step amortize the per-step pipeline overhead.
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    for strip in range(strips_per_step):
+        _resolve_one_strip(colors_ref, planes_ref, out_ref, strip,
+                           lane_ids, sub_ids, fill_rule, n_layers, n_chunks,
+                           prefixed)
 
+
+def _resolve_one_strip(colors_ref, planes_ref, out_ref, strip,
+                       lane_ids, sub_ids, fill_rule, n_layers, n_chunks,
+                       prefixed):
     r = jnp.zeros((LANE, LANE), jnp.float32)
     g = jnp.zeros((LANE, LANE), jnp.float32)
     b = jnp.zeros((LANE, LANE), jnp.float32)
     a = jnp.zeros((LANE, LANE), jnp.float32)
 
     for layer in range(n_layers):
-        x = planes_ref[0, layer, 0, :, :]
-        # In-chunk prefix: 7-step lane ladder over ALL chunks in parallel
-        # (each sublane is an independent (row, chunk) pixel row segment).
-        for shift in (1, 2, 4, 8, 16, 32, 64):
-            x = x + jnp.where(lane_ids >= shift,
-                              pltpu.roll(x, shift, axis=1), 0.0)
+        x = planes_ref[0, layer, strip, :, :]
+        # In-chunk prefix: skipped when the placement already fused it
+        # (step matrix); else a 7-step lane ladder over ALL chunks in
+        # parallel (each sublane is an independent pixel row segment).
+        if not prefixed:
+            for shift in (1, 2, 4, 8, 16, 32, 64):
+                x = x + jnp.where(lane_ids >= shift,
+                                  pltpu.roll(x, shift, axis=1), 0.0)
         # Cross-chunk carry: chunk totals live at lane 127; an inclusive
         # stride-8 sublane ladder sums all earlier chunks of the same row
         # (sublane rc = chunk*8 + row, so stride-8 shifts stay row-phased).
@@ -284,41 +306,49 @@ def _resolve_u32_kernel(colors_ref, planes_ref, out_ref, *,
     a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
     packed = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
     for j in range(n_chunks):
-        out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
+        out_ref[0, strip, :, j * LANE:(j + 1) * LANE] = (
             packed[j * STRIP_H:(j + 1) * STRIP_H, :]
         )
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_chunks", "fill_rule", "interpret"))
+    "n_chunks", "fill_rule", "interpret", "strips_per_step", "prefixed"))
 def resolve_planes_u32(
     planes: jax.Array,  # (F, L, NS+1, 128, 128) f32 chunk-major
     colors: jax.Array,  # (F, L, 4) f32 straight RGBA
     n_chunks: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
+    strips_per_step: int = 1,
+    prefixed: bool = True,
 ) -> jax.Array:
-    """-> (F, NS*8, stride) uint32 RGBA-packed frames."""
+    """-> (F, NS*8, stride) uint32 RGBA-packed frames.
+
+    ``prefixed=True`` expects planes whose chunks are already internally
+    prefix-summed (place_blocks(step=True) output)."""
     if interpret is None:
         interpret = not _on_tpu()
     f, l, ns1, _, _ = planes.shape
     ns = ns1 - 1
     stride = n_chunks * LANE
+    g = strips_per_step
+    while ns % g:
+        g -= 1
     kernel = functools.partial(
         _resolve_u32_kernel, fill_rule=fill_rule, n_layers=l,
-        n_chunks=n_chunks)
+        n_chunks=n_chunks, strips_per_step=g, prefixed=prefixed)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((f, ns, STRIP_H, stride),
                                        jnp.uint32),
-        grid=(f, ns),
+        grid=(f, ns // g),
         in_specs=[
             pl.BlockSpec((1, l, 4), lambda fi, s: (fi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, l, 1, LANE, LANE),
+            pl.BlockSpec((1, l, g, LANE, LANE),
                          lambda fi, s: (fi, 0, s, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, STRIP_H, stride),
+        out_specs=pl.BlockSpec((1, g, STRIP_H, stride),
                                lambda fi, s: (fi, s, 0, 0)),
         interpret=interpret,
     )(colors, planes)
@@ -331,15 +361,19 @@ def render_flat_blocks(
     frames: int, layers: int, n_strips: int, n_chunks: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
+    strips_per_step: int = 1,
 ):
     """Full flat-block pipeline -> (F, NS*8, stride) uint32 packed frames.
 
     Crop/convert on the host: ``np.asarray(out)[:, :height, :width]``
     viewed as u8 via ``frames_u32_to_u8``."""
     planes = place_blocks(sidx, keep, urc, ucm, uval,
-                          frames, layers, n_strips, interpret=interpret)
+                          frames, layers, n_strips, interpret=interpret,
+                          step=True)
     return resolve_planes_u32(planes, colors, n_chunks,
-                              fill_rule=fill_rule, interpret=interpret)
+                              fill_rule=fill_rule, interpret=interpret,
+                              strips_per_step=strips_per_step,
+                              prefixed=True)
 
 
 def frames_u32_to_u8(frames_u32: np.ndarray, height: int,

@@ -77,11 +77,29 @@ def test_placement_bit_exact():
     sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
         update_lists, height, width, block_pad_multiple=8)
     planes_cm = np.asarray(place_blocks(
-        sidx, keep, urc, ucm, uval, frames, layers, ns))
+        sidx, keep, urc, ucm, uval, frames, layers, ns, step=False))
     got = chunkmajor_to_rows(planes_cm, nc)
     want = scatter_oracle(update_lists, height, width)
     assert got.shape == want.shape
     np.testing.assert_array_equal(got, want)
+
+
+def test_placement_step_prefix():
+    # step=True planes = scatter planes cumsummed WITHIN each 128-col chunk.
+    frames, layers, height, width = 1, 2, 24, 300
+    update_lists, _ = random_scene(frames, layers, height, width, seed=4)
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        update_lists, height, width, block_pad_multiple=8)
+    planes_cm = np.asarray(place_blocks(
+        sidx, keep, urc, ucm, uval, frames, layers, ns, step=True))
+    got = chunkmajor_to_rows(planes_cm, nc)
+    raw = scatter_oracle(update_lists, height, width)
+    want = np.concatenate(
+        [np.cumsum(c, axis=-1, dtype=np.float32)
+         for c in np.split(raw, nc, axis=-1)], axis=-1)
+    # Summation order within a chunk (MXU accumulation) can differ from
+    # sequential cumsum in the last bit; require <= 1 ulp-scale agreement.
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-6)
 
 
 def test_full_pipeline_matches_scatter_pipeline():
@@ -129,13 +147,31 @@ def test_resolve_u32_bit_exact_on_dyadic():
     colors = (np.round(colors * 255) / 255).astype(np.float32)
 
     out = np.asarray(resolve_planes_u32(
-        jnp.asarray(planes), jnp.asarray(colors), nc))
+        jnp.asarray(planes), jnp.asarray(colors), nc, prefixed=False))
     got = frames_u32_to_u8(out, ns * STRIP_H, nc * LANE)
 
     rowplanes = chunkmajor_to_rows(planes, nc)
     pm = resolve_frames(jnp.asarray(rowplanes), jnp.asarray(colors))
     want = np.asarray(premul_to_straight_u8(jnp.moveaxis(pm, 1, -1)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_packer_matches_python_oracle():
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_blocks_native,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    update_lists, _ = random_scene(3, 4, 64, 500, seed=9)
+    a = pack_flat_blocks(update_lists, 64, 500, block_pad_multiple=16)
+    b = pack_blocks_native(update_lists, 64, 500, block_pad_multiple=16)
+    for x, y in zip(a, b):
+        if isinstance(x, np.ndarray):
+            assert x.dtype == y.dtype and x.shape == y.shape
+            np.testing.assert_array_equal(x, y)
+        else:
+            assert x == y
 
 
 def test_pack_rejects_wide_framebuffers():

@@ -95,3 +95,74 @@ def render_morph_batch(
         edges, colors, height, width, fill_rule=fill_rule,
         use_pallas=use_pallas,
     )
+
+
+def render_batch_flatblock(edge_tables, colors, height: int, width: int,
+                           fill_rule: int = FILL_RULE_NONZERO,
+                           interpret: bool = None):
+    """Flagship batched solid-layer renderer: native lowering + flat-block
+    pipeline (scatter-free MXU placement with fused in-chunk prefix, then
+    winding resolve straight to packed-u32 frames).
+
+    ``edge_tables``: [frames][layers] of (E, 4) float32 edge tables in pixel
+    space.  Returns (F, H, W, 4) uint8 frames (host numpy).  Falls back to
+    the chunked-scatter pipeline for framebuffers wider than the chunk-major
+    layout supports (width >= 2048 px after padding).
+    """
+    import numpy as np
+
+    from ..native.bindings import (
+        cells_split_delta_native, native_available, pack_blocks_native,
+    )
+    from .flatblock import (
+        MAX_CHUNKS, LANE, frames_u32_to_u8, pack_flat_blocks,
+        plane_geometry, render_flat_blocks,
+    )
+    from .scanline import edges_to_cells
+
+    frames = len(edge_tables)
+    layers = len(edge_tables[0])
+
+    def lower(table):
+        if native_available():
+            return cells_split_delta_native(table, height, width)
+        r, c, a, v = edges_to_cells(np.asarray(table, np.float32),
+                                    height, width)
+        rows = np.concatenate([r, r])
+        cols = np.concatenate([c, c + 1])
+        vals = np.concatenate([a, v - a]).astype(np.float32)
+        key = rows.astype(np.int64) * (width + 2) + cols
+        order = np.argsort(key, kind="stable")
+        key, rows, cols, vals = (key[order], rows[order], cols[order],
+                                 vals[order])
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uniq), np.float32)
+        np.add.at(acc, inv, vals)
+        return ((uniq // (width + 2)).astype(np.int32),
+                (uniq % (width + 2)).astype(np.int32), acc)
+
+    update_lists = [[lower(t) for t in per_frame]
+                    for per_frame in edge_tables]
+
+    stride, _, _ = plane_geometry(height, width)
+    if stride > MAX_CHUNKS * LANE:
+        from .resolve import pack_updates, render_scanline_updates
+
+        flat = [u for per_frame in update_lists for u in per_frame]
+        rows, cols, vals = pack_updates(flat)
+        out = render_scanline_updates(
+            jnp.asarray(rows.reshape(frames, layers, -1)),
+            jnp.asarray(cols.reshape(frames, layers, -1)),
+            jnp.asarray(vals.reshape(frames, layers, -1)),
+            jnp.asarray(colors), height, width,
+            fill_rule=fill_rule, interpret=interpret)
+        return np.asarray(out)
+
+    pack = pack_blocks_native if native_available() else pack_flat_blocks
+    sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
+    out32 = render_flat_blocks(
+        jnp.asarray(sidx), jnp.asarray(keep), jnp.asarray(urc),
+        jnp.asarray(ucm), jnp.asarray(uval), jnp.asarray(colors),
+        height, width, frames, layers, ns, nc,
+        fill_rule=fill_rule, interpret=interpret)
+    return frames_u32_to_u8(np.asarray(out32), height, width)

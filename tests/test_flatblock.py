@@ -192,3 +192,58 @@ def test_empty_groups_zeroed():
         sidx, keep, urc, ucm, uval, colors, height, width,
         frames, layers, ns, nc))
     assert (out == 0).all()
+
+
+def test_render_batch_flatblock_api():
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.pipeline import render_batch_flatblock
+    from swf_renderer_tpu.ops.resolve import (
+        pack_updates, render_scanline_updates,
+    )
+
+    rng = np.random.default_rng(11)
+    frames, layers, height, width = 2, 2, 48, 260
+    tables = []
+    colors = np.zeros((frames, layers, 4), np.float32)
+    for i in range(frames):
+        per = []
+        for j in range(layers):
+            pts = rng.uniform(0, (width, height), size=(7, 2)).astype(
+                np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            per.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+            colors[i, j] = rng.uniform(0.2, 1.0, size=4)
+        tables.append(per)
+
+    got = render_batch_flatblock(tables, colors, height, width)
+    assert got.shape == (frames, height, width, 4)
+    assert got.dtype == np.uint8
+
+    update_lists, _ = random_scene(frames, layers, height, width)  # shape only
+    # Reference: scatter pipeline over the same lowered updates.
+    from swf_renderer_tpu.ops import scanline as sl
+    flat = []
+    for i in range(frames):
+        for j in range(layers):
+            r, c, a, v = sl.edges_to_cells(tables[i][j], height, width)
+            rows = np.concatenate([r, r])
+            cols = np.concatenate([c, c + 1])
+            vals = np.concatenate([a, v - a]).astype(np.float32)
+            key = rows.astype(np.int64) * (width + 2) + cols
+            order = np.argsort(key, kind="stable")
+            key, rows, cols, vals = (key[order], rows[order], cols[order],
+                                     vals[order])
+            uniq, inv = np.unique(key, return_inverse=True)
+            acc = np.zeros(len(uniq), np.float32)
+            np.add.at(acc, inv, vals)
+            flat.append(((uniq // (width + 2)).astype(np.int32),
+                         (uniq % (width + 2)).astype(np.int32), acc))
+    rows, cols, vals = pack_updates(flat)
+    want = np.asarray(render_scanline_updates(
+        jnp.asarray(rows.reshape(frames, layers, -1)),
+        jnp.asarray(cols.reshape(frames, layers, -1)),
+        jnp.asarray(vals.reshape(frames, layers, -1)),
+        jnp.asarray(colors), height, width))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1

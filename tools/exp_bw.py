@@ -82,7 +82,7 @@ def main():
 
     # P4: read-only (tiny out) — isolates read stream.
     def kernel4(x_ref, o_ref):
-        o_ref[...] = jnp.sum(x_ref[...], axis=(0, 1, 2))[None]
+        o_ref[0, 0, :, :] = jnp.sum(x_ref[...], axis=(0, 1, 2))
 
     def p4(a, prev):
         out = pl.pallas_call(

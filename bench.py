@@ -221,7 +221,9 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
     import jax
     import jax.numpy as jnp
 
-    from swf_renderer_tpu.native.bindings import cells_split_delta_native
+    from swf_renderer_tpu.native.bindings import (
+        cells_split_delta_native, native_available, pack_blocks_native,
+    )
     from swf_renderer_tpu.ops.flatblock import (
         pack_flat_blocks, render_flat_blocks,
     )
@@ -231,8 +233,8 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
         [cells_split_delta_native(t, height, width) for t in ft]
         for ft in tables
     ]
-    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
-        update_lists, height, width)
+    pack = pack_blocks_native if native_available() else pack_flat_blocks
+    sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
     lower_s = time.perf_counter() - t0
     print(
         json.dumps({"note": "host delta lowering + block packing",

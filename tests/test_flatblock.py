@@ -247,3 +247,20 @@ def test_render_batch_flatblock_api():
         jnp.asarray(colors), height, width))
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1
+
+
+def test_resolve_dma_matches_grid_resolve():
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.flatblock import resolve_planes_u32_dma
+
+    frames, layers, height, width = 2, 3, 40, 300
+    update_lists, colors = random_scene(frames, layers, height, width,
+                                        seed=5)
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        update_lists, height, width)
+    planes = place_blocks(sidx, keep, urc, ucm, uval, frames, layers, ns,
+                          step=True)
+    want = np.asarray(resolve_planes_u32(planes, jnp.asarray(colors), nc))
+    got = np.asarray(resolve_planes_u32_dma(planes, jnp.asarray(colors), nc))
+    np.testing.assert_array_equal(got, want)

@@ -355,6 +355,178 @@ def resolve_planes_u32(
     return out.reshape(f, ns * STRIP_H, stride)
 
 
+def _fused_kernel(sidx_ref, keep_ref, last_ref, colors_ref,
+                  urc_ref, ucm_ref, uval_ref, out_ref, acc_ref, *,
+                  layers: int, ns1: int, n_chunks: int, fill_rule: int):
+    """Placement + resolve in ONE kernel: the MXU block matmuls and the
+    VPU resolve interleave (they run on different units), and the winding
+    planes never leave VMEM — no HBM planes traffic at all.
+
+    Blocks are sorted by (frame, strip, layer); `keep` resets the per-layer
+    accumulator at each (f, s, l) group start and `last` marks the final
+    block of each (f, s) supergroup, after which all L layer planes are
+    resolved and the strip is emitted as packed-u32 RGBA."""
+    i = pl.program_id(0)
+    packed = sidx_ref[i]
+    keep = keep_ref[i]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
+        jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
+        jnp.float32)
+
+    rc = urc_ref[0, :, :]
+    v = uval_ref[0, :, :]
+    cm = ucm_ref[0, :, :]
+
+    w = (cm <= lane).astype(jnp.bfloat16)  # step matrix: fused prefix
+    onehot = (sub == rc).astype(jnp.float32)
+    hi = v.astype(jnp.bfloat16)
+    hi32 = hi.astype(jnp.float32)
+    mid = (v - hi32).astype(jnp.bfloat16)
+    mid32 = mid.astype(jnp.float32)
+    lo = (v - hi32 - mid32).astype(jnp.bfloat16)
+    delta = jnp.zeros((LANE, LANE), jnp.float32)
+    for part in (hi, mid, lo):
+        u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
+        delta = delta + jnp.dot(u, w, preferred_element_type=jnp.float32)
+
+    layer = (packed // ns1) % layers
+    prev = jnp.where(keep == 0, 0.0, acc_ref[layer])
+    acc_ref[layer] = prev + delta
+
+    @pl.when(last_ref[i] == 1)
+    def _resolve():
+        f = packed // (layers * ns1)
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+        r = jnp.zeros((LANE, LANE), jnp.float32)
+        g = jnp.zeros((LANE, LANE), jnp.float32)
+        b = jnp.zeros((LANE, LANE), jnp.float32)
+        a = jnp.zeros((LANE, LANE), jnp.float32)
+        for lyr in range(layers):
+            x = acc_ref[lyr]
+            totals = x[:, LANE - 1:]
+            incl = totals
+            for shift in (8, 16, 32, 64):
+                incl = incl + jnp.where(sub_ids >= shift,
+                                        pltpu.roll(incl, shift, axis=0),
+                                        0.0)
+            winding = x + (incl - totals)
+            if fill_rule == FILL_RULE_NONZERO:
+                cov = jnp.minimum(jnp.abs(winding), 1.0)
+            else:
+                m = jnp.mod(winding, 2.0)
+                cov = 1.0 - jnp.abs(m - 1.0)
+            ca = colors_ref[f, lyr, 3] * cov
+            kp = 1.0 - ca
+            r = colors_ref[f, lyr, 0] * ca + r * kp
+            g = colors_ref[f, lyr, 1] * ca + g * kp
+            b = colors_ref[f, lyr, 2] * ca + b * kp
+            a = ca + a * kp
+
+        visible = a >= (0.5 / 255.0)
+        inv_a = 1.0 / jnp.where(visible, a, 1.0)
+
+        def chan(c):
+            s = jnp.clip(c * inv_a, 0.0, 1.0)
+            s = jnp.where(visible, s, 0.0)
+            return jnp.round(s * 255.0).astype(jnp.int32)
+
+        rgb = (chan(r) + chan(g) * (1 << 8)
+               + chan(b) * (1 << 16)).astype(jnp.uint32)
+        a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        pk = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
+        for j in range(n_chunks):
+            out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
+                pk[j * STRIP_H:(j + 1) * STRIP_H, :]
+            )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "frames", "layers", "n_strips", "n_chunks", "fill_rule", "interpret"))
+def render_fused_blocks(
+    sidx: jax.Array,    # (NB,) i32 packed (f*L + l)*(NS+1) + s
+    keep: jax.Array,    # (NB,) i32
+    last: jax.Array,    # (NB,) i32 — 1 on the last block of each (f, s)
+    urc: jax.Array,     # (NB, 1, BLK) f32
+    ucm: jax.Array,     # (NB, BLK, 1) f32
+    uval: jax.Array,    # (NB, 1, BLK) f32
+    colors: jax.Array,  # (F, L, 4) f32
+    frames: int,
+    layers: int,
+    n_strips: int,
+    n_chunks: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = None,
+) -> jax.Array:
+    """Single-kernel flat-block render -> (F, NS+1, 8, stride) uint32
+    (strip NS is the sentinel row; callers slice [:, :NS]).
+
+    Requires blocks sorted by (frame, strip, layer) — see
+    sort_blocks_fused."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    nb = urc.shape[0]
+    ns1 = n_strips + 1
+    stride = n_chunks * LANE
+
+    def out_index(i, si, ke, la, co):
+        packed = si[i]
+        return (packed // (layers * ns1), packed % ns1, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, BLK), lambda i, si, ke, la, co: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK, 1), lambda i, si, ke, la, co: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda i, si, ke, la, co: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((layers, LANE, LANE), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _fused_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
+        fill_rule=fill_rule)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (frames, ns1, STRIP_H, stride), jnp.uint32),
+        interpret=interpret,
+    )(sidx, keep, last, colors, urc, ucm, uval)
+
+
+def sort_blocks_fused(sidx, keep, urc, ucm, uval, layers: int,
+                      n_strips: int):
+    """Reorder packer output from (f, l, s) order to the fused kernel's
+    (f, s, l) order and compute the per-(f, s) `last` flags."""
+    ns1 = n_strips + 1
+    f = sidx // (layers * ns1)
+    l = (sidx // ns1) % layers
+    s = sidx % ns1
+    # Stable sort: sentinel blocks (s == n_strips) sort to each frame's
+    # tail; their last flag stays 0.
+    order = np.lexsort((l, s, f))
+    sidx, keep = sidx[order], keep[order]
+    urc, ucm, uval = urc[order], ucm[order], uval[order]
+    f, s = f[order], s[order]
+    group = f.astype(np.int64) * ns1 + s
+    last = np.zeros(len(sidx), np.int32)
+    if len(sidx):
+        boundary = np.nonzero(np.diff(group))[0]
+        last[boundary] = 1
+        last[-1] = 1
+        # Sentinel groups never resolve.
+        last[s == n_strips] = 0
+    return sidx, keep, last, urc, ucm, uval
+
+
 def _resolve_dma_kernel(colors_ref, planes_ref, out_ref, in_buf, out_buf,
                         sem_in, sem_out, *, fill_rule: int, n_layers: int,
                         n_chunks: int, n_strips: int, n_buf: int):

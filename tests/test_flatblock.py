@@ -264,3 +264,31 @@ def test_resolve_dma_matches_grid_resolve():
     want = np.asarray(resolve_planes_u32(planes, jnp.asarray(colors), nc))
     got = np.asarray(resolve_planes_u32_dma(planes, jnp.asarray(colors), nc))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_kernel_matches_two_kernel_pipeline():
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.flatblock import (
+        render_fused_blocks, sort_blocks_fused,
+    )
+
+    frames, layers, height, width = 2, 3, 40, 300
+    update_lists, colors = random_scene(frames, layers, height, width,
+                                        seed=6)
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        update_lists, height, width, block_pad_multiple=8)
+    want32 = np.asarray(render_flat_blocks(
+        sidx, keep, urc, ucm, uval, colors, height, width,
+        frames, layers, ns, nc))
+    want = frames_u32_to_u8(want32, height, width)
+
+    si, ke, la, rc, cm, uv = sort_blocks_fused(sidx, keep, urc, ucm, uval,
+                                               layers, ns)
+    out = np.asarray(render_fused_blocks(
+        jnp.asarray(si), jnp.asarray(ke), jnp.asarray(la),
+        jnp.asarray(rc), jnp.asarray(cm), jnp.asarray(uv),
+        jnp.asarray(colors), frames, layers, ns, nc))
+    got32 = out[:, :ns].reshape(frames, ns * 8, nc * LANE)
+    got = frames_u32_to_u8(got32, height, width)
+    np.testing.assert_array_equal(got, want)

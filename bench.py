@@ -225,7 +225,7 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
         cells_split_delta_native, native_available, pack_blocks_native,
     )
     from swf_renderer_tpu.ops.flatblock import (
-        pack_flat_blocks, render_flat_blocks,
+        pack_flat_blocks, render_fused_blocks, sort_blocks_fused,
     )
 
     t0 = time.perf_counter()
@@ -235,6 +235,8 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
     ]
     pack = pack_blocks_native if native_available() else pack_flat_blocks
     sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
+    sidx, keep, last, urc, ucm, uval = sort_blocks_fused(
+        sidx, keep, urc, ucm, uval, layers, ns)
     lower_s = time.perf_counter() - t0
     print(
         json.dumps({"note": "host delta lowering + block packing",
@@ -243,25 +245,26 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
         file=sys.stderr,
     )
 
-    args = tuple(jnp.asarray(x) for x in (sidx, keep, urc, ucm, uval))
+    args = tuple(jnp.asarray(x)
+                 for x in (sidx, keep, last, urc, ucm, uval))
     colors_j = jnp.asarray(colors)
 
     def one_rep(uv, prev):
-        out = render_flat_blocks(
-            args[0], args[1], args[2], args[3], uv + prev * 1e-30,
-            colors_j, height, width, frames, layers, ns, nc)
-        return jnp.sum(out[0, :8, :].astype(jnp.float32)) * 1e-12
+        out = render_fused_blocks(
+            args[0], args[1], args[2], args[3], args[4],
+            uv + prev * 1e-30, colors_j, frames, layers, ns, nc)
+        return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
     def timed(k):
         @jax.jit
         def run(uv):
             return jax.lax.fori_loop(
                 0, k, lambda i, acc: one_rep(uv, acc), 0.0)
-        float(run(args[4]))  # compile + warm
+        float(run(args[5]))  # compile + warm
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(args[4]))
+            float(run(args[5]))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -357,7 +357,8 @@ def resolve_planes_u32(
 
 def _fused_kernel(sidx_ref, keep_ref, last_ref, colors_ref,
                   urc_ref, ucm_ref, uval_ref, out_ref, acc_ref, *,
-                  layers: int, ns1: int, n_chunks: int, fill_rule: int):
+                  layers: int, ns1: int, n_chunks: int, fill_rule: int,
+                  passes: int):
     """Placement + resolve in ONE kernel: the MXU block matmuls and the
     VPU resolve interleave (they run on different units), and the winding
     planes never leave VMEM — no HBM planes traffic at all.
@@ -381,28 +382,40 @@ def _fused_kernel(sidx_ref, keep_ref, last_ref, colors_ref,
 
     w = (cm <= lane).astype(jnp.bfloat16)  # step matrix: fused prefix
     onehot = (sub == rc).astype(jnp.float32)
+    # val split into bf16 parts: 3 passes reproduce f32 exactly (24
+    # mantissa bits); 2 passes carry ~16 bits — winding error <= ~1e-4,
+    # invisible against the 1/255 alpha quantum (fast mode).
     hi = v.astype(jnp.bfloat16)
     hi32 = hi.astype(jnp.float32)
     mid = (v - hi32).astype(jnp.bfloat16)
-    mid32 = mid.astype(jnp.float32)
-    lo = (v - hi32 - mid32).astype(jnp.bfloat16)
+    parts = [hi, mid]
+    if passes >= 3:
+        mid32 = mid.astype(jnp.float32)
+        parts.append((v - hi32 - mid32).astype(jnp.bfloat16))
     delta = jnp.zeros((LANE, LANE), jnp.float32)
-    for part in (hi, mid, lo):
+    for part in parts:
         u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
         delta = delta + jnp.dot(u, w, preferred_element_type=jnp.float32)
 
+    # keep == 0 marks the first block of an (f, s) supergroup: zero ALL
+    # layer planes (so layers with no updates resolve to zero coverage
+    # without needing explicit empty blocks).
+    @pl.when(keep == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     layer = (packed // ns1) % layers
-    prev = jnp.where(keep == 0, 0.0, acc_ref[layer])
-    acc_ref[layer] = prev + delta
+    acc_ref[layer] = acc_ref[layer] + delta
 
     @pl.when(last_ref[i] == 1)
     def _resolve():
         f = packed // (layers * ns1)
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
-        r = jnp.zeros((LANE, LANE), jnp.float32)
-        g = jnp.zeros((LANE, LANE), jnp.float32)
-        b = jnp.zeros((LANE, LANE), jnp.float32)
-        a = jnp.zeros((LANE, LANE), jnp.float32)
+        # Per-layer effective source alpha ca_l, then the premultiplied
+        # over-composite in suffix-product form: out = sum_l C_l ca_l S_l
+        # with S_l = prod_{j>l} (1 - ca_j) — fewer VPU ops than chaining
+        # the over operator channel by channel.
+        cas = []
         for lyr in range(layers):
             x = acc_ref[lyr]
             totals = x[:, LANE - 1:]
@@ -417,24 +430,38 @@ def _fused_kernel(sidx_ref, keep_ref, last_ref, colors_ref,
             else:
                 m = jnp.mod(winding, 2.0)
                 cov = 1.0 - jnp.abs(m - 1.0)
-            ca = colors_ref[f, lyr, 3] * cov
-            kp = 1.0 - ca
-            r = colors_ref[f, lyr, 0] * ca + r * kp
-            g = colors_ref[f, lyr, 1] * ca + g * kp
-            b = colors_ref[f, lyr, 2] * ca + b * kp
-            a = ca + a * kp
+            cas.append(colors_ref[f, lyr, 3] * cov)
+
+        weight = [None] * layers  # w_l = ca_l * S_l
+        suffix = None
+        for lyr in range(layers - 1, -1, -1):
+            weight[lyr] = cas[lyr] if suffix is None else cas[lyr] * suffix
+            kp = 1.0 - cas[lyr]
+            suffix = kp if suffix is None else suffix * kp
+
+        a = weight[0]
+        for lyr in range(1, layers):
+            a = a + weight[lyr]
+
+        def channel(c_idx):
+            out = colors_ref[f, 0, c_idx] * weight[0]
+            for lyr in range(1, layers):
+                out = out + colors_ref[f, lyr, c_idx] * weight[lyr]
+            return out
 
         visible = a >= (0.5 / 255.0)
-        inv_a = 1.0 / jnp.where(visible, a, 1.0)
+        # One shared factor folds un-premultiply, visibility and the *255
+        # scaling: chan = round(clip(c * fac, 0, 255)).
+        fac = jnp.where(visible, 255.0 / jnp.where(visible, a, 1.0), 0.0)
 
         def chan(c):
-            s = jnp.clip(c * inv_a, 0.0, 1.0)
-            s = jnp.where(visible, s, 0.0)
-            return jnp.round(s * 255.0).astype(jnp.int32)
+            return jnp.round(
+                jnp.clip(c * fac, 0.0, 255.0)).astype(jnp.int32)
 
-        rgb = (chan(r) + chan(g) * (1 << 8)
-               + chan(b) * (1 << 16)).astype(jnp.uint32)
-        a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        rgb = (chan(channel(0)) + chan(channel(1)) * (1 << 8)
+               + chan(channel(2)) * (1 << 16)).astype(jnp.uint32)
+        a8 = jnp.round(
+            jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
         pk = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
         for j in range(n_chunks):
             out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
@@ -443,7 +470,8 @@ def _fused_kernel(sidx_ref, keep_ref, last_ref, colors_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "frames", "layers", "n_strips", "n_chunks", "fill_rule", "interpret"))
+    "frames", "layers", "n_strips", "n_chunks", "fill_rule", "interpret",
+    "passes"))
 def render_fused_blocks(
     sidx: jax.Array,    # (NB,) i32 packed (f*L + l)*(NS+1) + s
     keep: jax.Array,    # (NB,) i32
@@ -458,6 +486,7 @@ def render_fused_blocks(
     n_chunks: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
+    passes: int = 3,
 ) -> jax.Array:
     """Single-kernel flat-block render -> (F, NS+1, 8, stride) uint32
     (strip NS is the sentinel row; callers slice [:, :NS]).
@@ -492,7 +521,7 @@ def render_fused_blocks(
     )
     kernel = functools.partial(
         _fused_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
-        fill_rule=fill_rule)
+        fill_rule=fill_rule, passes=passes)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -503,28 +532,69 @@ def render_fused_blocks(
 
 
 def sort_blocks_fused(sidx, keep, urc, ucm, uval, layers: int,
-                      n_strips: int):
+                      n_strips: int, block_pad_multiple: int = 1024):
     """Reorder packer output from (f, l, s) order to the fused kernel's
-    (f, s, l) order and compute the per-(f, s) `last` flags."""
+    (f, s, l) order, drop value-less blocks (the fused kernel zeroes ALL
+    layer planes at each (f, s) supergroup start, so empty-layer filler
+    blocks are unnecessary — each supergroup just needs >= 1 block to emit
+    its strip), and compute the per-(f, s) first/`last` flags.
+
+    Returns (sidx, keep, last, urc, ucm, uval) with keep == 0 marking
+    supergroup starts."""
     ns1 = n_strips + 1
     f = sidx // (layers * ns1)
     l = (sidx // ns1) % layers
     s = sidx % ns1
-    # Stable sort: sentinel blocks (s == n_strips) sort to each frame's
-    # tail; their last flag stays 0.
-    order = np.lexsort((l, s, f))
-    sidx, keep = sidx[order], keep[order]
-    urc, ucm, uval = urc[order], ucm[order], uval[order]
-    f, s = f[order], s[order]
-    group = f.astype(np.int64) * ns1 + s
-    last = np.zeros(len(sidx), np.int32)
-    if len(sidx):
-        boundary = np.nonzero(np.diff(group))[0]
-        last[boundary] = 1
+
+    real = s != n_strips  # drop the packer's global sentinel padding
+    order = np.lexsort((l[real], s[real], f[real]))
+
+    def take(x):
+        return x[real][order]
+
+    sidx2, urc2, ucm2, uval2 = map(take, (sidx, urc, ucm, uval))
+    f2, s2 = take(f), take(s)
+    group = f2.astype(np.int64) * ns1 + s2
+
+    zero_blk = ~np.any(uval2.reshape(len(uval2), -1) != 0.0, axis=1)
+    retain = ~zero_blk
+    if len(group):
+        starts = np.r_[True, group[1:] != group[:-1]]
+        # A supergroup whose blocks are all value-less keeps its first
+        # block (something must zero + emit the strip).
+        gid = np.cumsum(starts) - 1
+        has_value = np.zeros(gid[-1] + 1, bool)
+        np.logical_or.at(has_value, gid, retain)
+        retain |= starts & ~has_value[gid]
+
+    sidx2, urc2, ucm2, uval2 = (x[retain] for x in
+                                (sidx2, urc2, ucm2, uval2))
+    group = group[retain]
+    nb = len(sidx2)
+    first = np.r_[True, group[1:] != group[:-1]] if nb else np.zeros(0, bool)
+    last = np.zeros(nb, np.int32)
+    if nb:
+        last[np.nonzero(first)[0][1:] - 1] = 1
         last[-1] = 1
-        # Sentinel groups never resolve.
-        last[s == n_strips] = 0
-    return sidx, keep, last, urc, ucm, uval
+    keep2 = (~first).astype(np.int32)
+
+    nb_pad = ((nb + block_pad_multiple - 1)
+              // block_pad_multiple) * block_pad_multiple
+    pad = nb_pad - nb
+    if pad:
+        # Sentinel tail: keep=1 (no reset), last=0, zero values targeting
+        # the garbage strip of frame 0.
+        sidx2 = np.concatenate(
+            [sidx2, np.full(pad, n_strips, np.int32)])
+        keep2 = np.concatenate([keep2, np.ones(pad, np.int32)])
+        last = np.concatenate([last, np.zeros(pad, np.int32)])
+        urc2 = np.concatenate(
+            [urc2, np.zeros((pad,) + urc2.shape[1:], np.float32)])
+        ucm2 = np.concatenate(
+            [ucm2, np.zeros((pad,) + ucm2.shape[1:], np.float32)])
+        uval2 = np.concatenate(
+            [uval2, np.zeros((pad,) + uval2.shape[1:], np.float32)])
+    return sidx2, keep2, last, urc2, ucm2, uval2
 
 
 def _resolve_dma_kernel(colors_ref, planes_ref, out_ref, in_buf, out_buf,

@@ -291,4 +291,9 @@ def test_fused_kernel_matches_two_kernel_pipeline():
         jnp.asarray(colors), frames, layers, ns, nc))
     got32 = out[:, :ns].reshape(frames, ns * 8, nc * LANE)
     got = frames_u32_to_u8(got32, height, width)
-    np.testing.assert_array_equal(got, want)
+    # The fused kernel composites in suffix-product form (different float
+    # association than the sequential over chain): off-by-one u8 allowed
+    # on knife-edge values only.
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01

@@ -116,7 +116,7 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
     )
     from .flatblock import (
         MAX_CHUNKS, LANE, frames_u32_to_u8, pack_flat_blocks,
-        plane_geometry, render_flat_blocks,
+        plane_geometry, render_fused_blocks, sort_blocks_fused,
     )
     from .scanline import edges_to_cells
 
@@ -160,9 +160,12 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
 
     pack = pack_blocks_native if native_available() else pack_flat_blocks
     sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
-    out32 = render_flat_blocks(
-        jnp.asarray(sidx), jnp.asarray(keep), jnp.asarray(urc),
-        jnp.asarray(ucm), jnp.asarray(uval), jnp.asarray(colors),
-        height, width, frames, layers, ns, nc,
-        fill_rule=fill_rule, interpret=interpret)
-    return frames_u32_to_u8(np.asarray(out32), height, width)
+    sidx, keep, last, urc, ucm, uval = sort_blocks_fused(
+        sidx, keep, urc, ucm, uval, layers, ns)
+    out = np.asarray(render_fused_blocks(
+        jnp.asarray(sidx), jnp.asarray(keep), jnp.asarray(last),
+        jnp.asarray(urc), jnp.asarray(ucm), jnp.asarray(uval),
+        jnp.asarray(colors), frames, layers, ns, nc,
+        fill_rule=fill_rule, interpret=interpret))
+    out32 = out[:, :ns].reshape(frames, ns * 8, nc * LANE)
+    return frames_u32_to_u8(out32, height, width)

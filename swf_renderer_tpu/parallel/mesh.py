@@ -280,3 +280,73 @@ def render_frame_tile_sharded(
         check_vma=False,
     )
     return jax.jit(fn)(jnp.asarray(edges_t), jnp.asarray(colors))
+
+
+def render_fused_dp(mesh: Mesh, update_lists, colors, height: int,
+                    width: int, interpret: bool = None):
+    """Data-parallel flat-block render: frames shard over the mesh's ``dp``
+    axis, each shard running the fused placement+resolve kernel on its own
+    chip (zero cross-chip communication — frames are independent).
+
+    ``update_lists``: [frames][layers] of (rows, cols, vals).  The host
+    packs each dp shard's frames separately and pads every shard to the
+    SAME block count so the sharded arrays are rectangular.  Returns
+    (F, NS*8, stride) uint32 packed frames."""
+    from ..ops.flatblock import (
+        pack_flat_blocks, plane_geometry, render_fused_blocks,
+        sort_blocks_fused, LANE,
+    )
+
+    dp = mesh.shape["dp"]
+    frames = len(update_lists)
+    layers = len(update_lists[0])
+    if frames % dp:
+        raise ValueError(f"frames ({frames}) must divide over dp ({dp})")
+    per = frames // dp
+    _, n_chunks, n_strips = plane_geometry(height, width)
+
+    shards = []
+    for d in range(dp):
+        chunk = update_lists[d * per:(d + 1) * per]
+        packed = pack_flat_blocks(chunk, height, width,
+                                  block_pad_multiple=128)
+        shards.append(sort_blocks_fused(*packed[:5], layers, n_strips,
+                                        block_pad_multiple=128))
+    nb = max(s[0].shape[0] for s in shards)
+
+    def pad_to(x, n):
+        if x.shape[0] == n:
+            return x
+        pad_shape = (n - x.shape[0],) + x.shape[1:]
+        if x.dtype == np.int32 and x.ndim == 1:
+            # sidx padding targets the sentinel strip (garbage bucket).
+            return np.concatenate(
+                [x, np.full(pad_shape, n_strips, np.int32)])
+        return np.concatenate([x, np.zeros(pad_shape, x.dtype)])
+
+    sidx = np.stack([pad_to(s[0], nb) for s in shards])
+    keep = np.stack([np.concatenate(
+        [s[1], np.ones(nb - s[1].shape[0], np.int32)]) for s in shards])
+    last = np.stack([np.concatenate(
+        [s[2], np.zeros(nb - s[2].shape[0], np.int32)]) for s in shards])
+    urc = np.stack([pad_to(s[3], nb) for s in shards])
+    ucm = np.stack([pad_to(s[4], nb) for s in shards])
+    uval = np.stack([pad_to(s[5], nb) for s in shards])
+    colors = np.asarray(colors, np.float32).reshape(dp, per, layers, 4)
+
+    def shard_fn(si, ke, la, rc, cm, uv, col):
+        out = render_fused_blocks(
+            si[0], ke[0], la[0], rc[0], cm[0], uv[0], col[0],
+            per, layers, n_strips, n_chunks, interpret=interpret)
+        return out[None]
+
+    spec = P("dp")
+    # check_vma=False: pallas_call out_shapes carry no vma annotation.
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec,) * 7,
+        out_specs=spec,
+        check_vma=False,
+    )(*map(jnp.asarray, (sidx, keep, last, urc, ucm, uval, colors)))
+    out = out.reshape(frames, n_strips + 1, 8, n_chunks * LANE)
+    return out[:, :n_strips].reshape(frames, n_strips * 8, n_chunks * LANE)

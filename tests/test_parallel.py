@@ -107,3 +107,49 @@ def test_scanline_dp_tp_matches_single_device():
         render_scanline_dp_tp(mesh, sr, sc, sd, colors, h, w)
     )
     np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)
+
+
+def test_render_fused_dp_matches_single_device():
+    import numpy as np
+
+    from swf_renderer_tpu.ops.flatblock import frames_u32_to_u8
+    from swf_renderer_tpu.ops.pipeline import render_batch_flatblock
+    from swf_renderer_tpu.parallel.mesh import make_mesh, render_fused_dp
+
+    rng = np.random.default_rng(13)
+    frames, layers, height, width = 8, 2, 32, 200
+    tables = []
+    colors = np.zeros((frames, layers, 4), np.float32)
+    for i in range(frames):
+        per = []
+        for j in range(layers):
+            pts = rng.uniform(0, (width, height), size=(6, 2)).astype(
+                np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            per.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+            colors[i, j] = rng.uniform(0.2, 1.0, size=4)
+        tables.append(per)
+
+    want = render_batch_flatblock(tables, colors, height, width)
+
+    from swf_renderer_tpu.ops import scanline as sl
+
+    def lower(table):
+        r, c, a, v = sl.edges_to_cells(table, height, width)
+        rows = np.concatenate([r, r])
+        cols = np.concatenate([c, c + 1])
+        vals = np.concatenate([a, v - a]).astype(np.float32)
+        key = rows.astype(np.int64) * (width + 2) + cols
+        order = np.argsort(key, kind="stable")
+        uniq, inv = np.unique(key[order], return_inverse=True)
+        acc = np.zeros(len(uniq), np.float32)
+        np.add.at(acc, inv, vals[order])
+        return ((uniq // (width + 2)).astype(np.int32),
+                (uniq % (width + 2)).astype(np.int32), acc)
+
+    update_lists = [[lower(t) for t in per] for per in tables]
+    mesh = make_mesh(n_devices=8, tp=1)
+    out32 = np.asarray(render_fused_dp(mesh, update_lists, colors,
+                                       height, width))
+    got = frames_u32_to_u8(out32, height, width)
+    np.testing.assert_array_equal(got, want)

@@ -89,7 +89,10 @@ def bench_morph16() -> None:
         cs[i], ce[i] = c_s, c_e
     # 256 ratio steps: enough device work to amortize the round-trip floor
     # (the BASELINE config's 16 steps complete in far less than the 26 ms
-    # tunnel latency).
+    # tunnel latency).  Two paths are timed:
+    #  * device-lerp: edge tables interpolate ON DEVICE (render_morph_batch)
+    #  * flagship: ratios lowered host-side (C++ split) into the fused
+    #    flat-block pipeline — same path as the headline bench.
     ratios = np.linspace(0, 1, 256, dtype=np.float32)
     args = tuple(jnp.asarray(x) for x in (es, ee, cs, ce, ratios))
 
@@ -107,7 +110,60 @@ def bench_morph16() -> None:
         s, _ = run(*varied)
         int(s)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt_direct = min(times)
+
+    from swf_renderer_tpu.native.bindings import (
+        cells_split_delta_native, native_available, pack_blocks_native,
+    )
+    from swf_renderer_tpu.ops.flatblock import (
+        pack_flat_blocks, render_fused_blocks, sort_blocks_fused,
+    )
+
+    t0 = time.perf_counter()
+    update_lists = []
+    colors = np.zeros((len(ratios), p, 4), np.float32)
+    for i, r in enumerate(ratios):
+        per = []
+        for j in range(p):
+            table = es[j].T * (1 - r) + ee[j].T * r
+            per.append(cells_split_delta_native(
+                table, stage.height, stage.width))
+            colors[i, j] = cs[j] * (1 - r) + ce[j] * r
+        update_lists.append(per)
+    pack = pack_blocks_native if native_available() else pack_flat_blocks
+    sidx, keep, urc, ucm, uval, ns, nc = pack(
+        update_lists, stage.height, stage.width)
+    sidx, keep, last, urc, ucm, uval = sort_blocks_fused(
+        sidx, keep, urc, ucm, uval, p, ns)
+    lower_s = time.perf_counter() - t0
+    print(json.dumps({"note": "morph host lowering (256 ratios)",
+                      "seconds": round(lower_s, 3)}), file=sys.stderr)
+
+    fargs = tuple(jnp.asarray(x)
+                  for x in (sidx, keep, last, urc, ucm, uval, colors))
+
+    @jax.jit
+    def run_fused(si, ke, la, rc, cm, uv, col):
+        out = render_fused_blocks(si, ke, la, rc, cm, uv, col,
+                                  len(ratios), p, ns, nc)
+        return jnp.sum(out[0, 0].astype(jnp.float32)), out
+
+    s, _ = run_fused(*fargs)
+    float(s)
+    times = []
+    for i in range(5):
+        varied = fargs[:5] + (fargs[5] + i * 0.0,) + fargs[6:]
+        t0 = time.perf_counter()
+        s, _ = run_fused(*varied)
+        float(s)
+        times.append(time.perf_counter() - t0)
+    dt_fused = min(times)
+
+    dt = min(dt_direct, dt_fused)
+    print(json.dumps({"note": "morph paths",
+                      "direct_ms": round(dt_direct * 1e3, 1),
+                      "fused_ms": round(dt_fused * 1e3, 1)}),
+          file=sys.stderr)
     pixels = 256 * stage.height * stage.width
     print(json.dumps({
         "metric": "morph16_batch",

@@ -200,9 +200,25 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
 
     if paint.kind == PAINT_BITMAP:
         img = jnp.asarray(paint.image).astype(jnp.float32) / 255.0
-        sample = _bilinear_sample if paint.smoothed else _nearest_sample
-        n = max(1, int(paint.supersample))
         a, b, c, d, e, f = paint.inv_matrix
+        n = max(1, int(paint.supersample))
+        if b == 0.0 and c == 0.0 and paint.smoothed:
+            # Axis-aligned case (every corpus bitmap fill): supersampled
+            # bilinear sampling is SEPARABLE — fold the subsample box
+            # filter and the bilinear hats into one resampling-weight
+            # matrix per axis and evaluate as two small matmuls on the
+            # MXU instead of 64 gathers per pixel (~50x faster).
+            wx = _resample_weights(width, img.shape[1], a, e, n,
+                                   paint.repeating)   # (W_out, W_img)
+            wy = _resample_weights(height, img.shape[0], d, f, n,
+                                   paint.repeating)   # (H_out, H_img)
+            # (H_img, W_img, 4) -> (H_out, W_out, 4)
+            tmp = jnp.einsum("hwc,xw->hxc", img, wx,
+                             precision=jax.lax.Precision.HIGHEST)
+            return jnp.einsum("hxc,yh->yxc", tmp, wy,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        sample = _bilinear_sample if paint.smoothed else _nearest_sample
         py = jnp.arange(height, dtype=jnp.float32)[:, None]
         px = jnp.arange(width, dtype=jnp.float32)[None, :]
         acc = jnp.zeros((height, width, 4), jnp.float32)
@@ -216,3 +232,28 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
         return acc / (n * n)
 
     raise ValueError(f"unknown paint kind {paint.kind}")
+
+
+def _resample_weights(n_out: int, n_img: int, scale: float, offset: float,
+                      supersample: int, repeating: bool) -> jnp.ndarray:
+    """(n_out, n_img) weights: output pixel i = sum_j w[i, j] * img[j]
+    under box-supersampled bilinear sampling along one axis
+    (coords = scale * (i + (k+0.5)/n) + offset, texel centers at +0.5),
+    with SWF wrap (repeat) or clamp-to-edge semantics — exactly the
+    weights the gather path (_bilinear_sample/_fetch) applies."""
+    out_ids = jnp.arange(n_out, dtype=jnp.float32)[:, None]
+    img_ids = jnp.arange(n_img, dtype=jnp.float32)[None, :]
+    w = jnp.zeros((n_out, n_img), jnp.float32)
+    for k in range(supersample):
+        coord = scale * (out_ids + (k + 0.5) / supersample) + offset - 0.5
+        x0 = jnp.floor(coord)
+        t = coord - x0
+        if repeating:
+            i0 = jnp.mod(x0, n_img)
+            i1 = jnp.mod(x0 + 1.0, n_img)
+        else:
+            i0 = jnp.clip(x0, 0.0, n_img - 1.0)
+            i1 = jnp.clip(x0 + 1.0, 0.0, n_img - 1.0)
+        w = w + jnp.where(img_ids == i0, 1.0 - t, 0.0)
+        w = w + jnp.where(img_ids == i1, t, 0.0)
+    return w / supersample

@@ -597,6 +597,210 @@ def sort_blocks_fused(sidx, keep, urc, ucm, uval, layers: int,
     return sidx2, keep2, last, urc2, ucm2, uval2
 
 
+def _fused2_kernel(meta_ref, colors_ref, urc_ref, ucm_ref, uval_ref,
+                   out_ref, acc_ref, *, layers: int, ns1: int,
+                   n_chunks: int, fill_rule: int):
+    """Two placement blocks per grid step (both from the same (f, s)
+    supergroup — host pads supergroups to even block counts), halving the
+    per-step pipeline overhead.
+
+    meta_ref row i: [packed_target, layer0, layer1, flags] with flags bit0
+    = supergroup start (zero all planes), bit1 = resolve after this pair."""
+    i = pl.program_id(0)
+    packed = meta_ref[i, 0]
+    flags = meta_ref[i, 3]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
+        jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
+        jnp.float32)
+
+    @pl.when(jnp.bitwise_and(flags, 1) == 1)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for g in range(2):
+        rc = urc_ref[0, g, :][None, :]
+        v = uval_ref[0, g, :][None, :]
+        cm = ucm_ref[0, :, g:g + 1]
+        w = (cm <= lane).astype(jnp.bfloat16)
+        onehot = (sub == rc).astype(jnp.float32)
+        hi = v.astype(jnp.bfloat16)
+        hi32 = hi.astype(jnp.float32)
+        mid = (v - hi32).astype(jnp.bfloat16)
+        mid32 = mid.astype(jnp.float32)
+        lo = (v - hi32 - mid32).astype(jnp.bfloat16)
+        delta = jnp.zeros((LANE, LANE), jnp.float32)
+        for part in (hi, mid, lo):
+            u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
+            delta = delta + jnp.dot(u, w,
+                                    preferred_element_type=jnp.float32)
+        layer = meta_ref[i, 1 + g]
+        acc_ref[layer] = acc_ref[layer] + delta
+
+    @pl.when(jnp.bitwise_and(flags, 2) == 2)
+    def _resolve():
+        f = packed // (layers * ns1)
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+        cas = []
+        for lyr in range(layers):
+            x = acc_ref[lyr]
+            totals = x[:, LANE - 1:]
+            incl = totals
+            for shift in (8, 16, 32, 64):
+                incl = incl + jnp.where(sub_ids >= shift,
+                                        pltpu.roll(incl, shift, axis=0),
+                                        0.0)
+            winding = x + (incl - totals)
+            if fill_rule == FILL_RULE_NONZERO:
+                cov = jnp.minimum(jnp.abs(winding), 1.0)
+            else:
+                m = jnp.mod(winding, 2.0)
+                cov = 1.0 - jnp.abs(m - 1.0)
+            cas.append(colors_ref[f, lyr, 3] * cov)
+
+        weight = [None] * layers
+        suffix = None
+        for lyr in range(layers - 1, -1, -1):
+            weight[lyr] = cas[lyr] if suffix is None else cas[lyr] * suffix
+            kp = 1.0 - cas[lyr]
+            suffix = kp if suffix is None else suffix * kp
+
+        a = weight[0]
+        for lyr in range(1, layers):
+            a = a + weight[lyr]
+
+        def channel(c_idx):
+            out = colors_ref[f, 0, c_idx] * weight[0]
+            for lyr in range(1, layers):
+                out = out + colors_ref[f, lyr, c_idx] * weight[lyr]
+            return out
+
+        visible = a >= (0.5 / 255.0)
+        fac = jnp.where(visible, 255.0 / jnp.where(visible, a, 1.0), 0.0)
+
+        def chan(c):
+            return jnp.round(
+                jnp.clip(c * fac, 0.0, 255.0)).astype(jnp.int32)
+
+        rgb = (chan(channel(0)) + chan(channel(1)) * (1 << 8)
+               + chan(channel(2)) * (1 << 16)).astype(jnp.uint32)
+        a8 = jnp.round(
+            jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        pk = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
+        for j in range(n_chunks):
+            out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
+                pk[j * STRIP_H:(j + 1) * STRIP_H, :]
+            )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "frames", "layers", "n_strips", "n_chunks", "fill_rule", "interpret"))
+def render_fused_blocks2(
+    meta: jax.Array,    # (NP, 4) i32: packed, layer0, layer1, flags
+    urc: jax.Array,     # (NP, 2, BLK) f32
+    ucm: jax.Array,     # (NP, BLK, 2) f32
+    uval: jax.Array,    # (NP, 2, BLK) f32
+    colors: jax.Array,  # (F, L, 4) f32
+    frames: int,
+    layers: int,
+    n_strips: int,
+    n_chunks: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = None,
+) -> jax.Array:
+    """Pair-per-step fused render -> (F, NS+1, 8, stride) uint32."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    np_ = urc.shape[0]
+    ns1 = n_strips + 1
+    stride = n_chunks * LANE
+
+    def out_index(i, me, co):
+        packed = me[i, 0]
+        return (packed // (layers * ns1), packed % ns1, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(np_,),
+        in_specs=[
+            pl.BlockSpec((1, 2, BLK), lambda i, me, co: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK, 2), lambda i, me, co: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, BLK), lambda i, me, co: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((layers, LANE, LANE), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _fused2_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
+        fill_rule=fill_rule)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (frames, ns1, STRIP_H, stride), jnp.uint32),
+        interpret=interpret,
+    )(meta, colors, urc, ucm, uval)
+
+
+def pair_blocks_fused(sidx, keep, last, urc, ucm, uval, layers: int,
+                      n_strips: int, pair_pad_multiple: int = 512):
+    """Pair sort_blocks_fused output for render_fused_blocks2: supergroups
+    pad to even block counts (zero filler), pairs carry both layers."""
+    ns1 = n_strips + 1
+    nb = len(sidx)
+    group = (sidx // ns1) * 0  # placeholder, recomputed below
+    f = sidx // (layers * ns1)
+    s = sidx % ns1
+    l = (sidx // ns1) % layers
+    group = f.astype(np.int64) * ns1 + s
+
+    metas, prc, pcm, pvv = [], [], [], []
+    i = 0
+    zero_lane = np.zeros((1, BLK), np.float32)
+    while i < nb:
+        j = i
+        while j < nb and group[j] == group[i]:
+            j += 1
+        blocks = list(range(i, j))
+        if len(blocks) % 2:
+            blocks.append(-1)  # zero filler
+        for k in range(0, len(blocks), 2):
+            b0, b1 = blocks[k], blocks[k + 1]
+            flags = (1 if k == 0 else 0)
+            if k + 2 >= len(blocks) and last[blocks[-1] if blocks[-1] >= 0
+                                             else blocks[-2]]:
+                flags |= 2
+            l0 = int(l[b0])
+            l1 = int(l[b1]) if b1 >= 0 else 0
+            metas.append((int(sidx[b0]), l0, l1, flags))
+            r0 = urc[b0, 0]
+            r1 = urc[b1, 0] if b1 >= 0 else zero_lane[0]
+            prc.append(np.stack([r0, r1]))
+            c0 = ucm[b0, :, 0]
+            c1 = ucm[b1, :, 0] if b1 >= 0 else zero_lane[0]
+            pcm.append(np.stack([c0, c1], axis=1))
+            v0 = uval[b0, 0]
+            v1 = uval[b1, 0] if b1 >= 0 else zero_lane[0]
+            pvv.append(np.stack([v0, v1]))
+        i = j
+    np_count = len(metas)
+    np_pad = ((np_count + pair_pad_multiple - 1)
+              // pair_pad_multiple) * pair_pad_multiple
+    for _ in range(np_pad - np_count):
+        metas.append((n_strips, 0, 0, 0))  # sentinel strip, no flags
+        prc.append(np.zeros((2, BLK), np.float32))
+        pcm.append(np.zeros((BLK, 2), np.float32))
+        pvv.append(np.zeros((2, BLK), np.float32))
+    return (np.asarray(metas, np.int32), np.stack(prc), np.stack(pcm),
+            np.stack(pvv))
+
+
 def _resolve_dma_kernel(colors_ref, planes_ref, out_ref, in_buf, out_buf,
                         sem_in, sem_out, *, fill_rule: int, n_layers: int,
                         n_chunks: int, n_strips: int, n_buf: int):

@@ -620,9 +620,9 @@ def _fused2_kernel(meta_ref, colors_ref, urc_ref, ucm_ref, uval_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     for g in range(2):
-        rc = urc_ref[0, g, :][None, :]
-        v = uval_ref[0, g, :][None, :]
-        cm = ucm_ref[0, :, g:g + 1]
+        rc = urc_ref[0, :, g * BLK:(g + 1) * BLK]
+        v = uval_ref[0, :, g * BLK:(g + 1) * BLK]
+        cm = ucm_ref[0, g * BLK:(g + 1) * BLK, :]
         w = (cm <= lane).astype(jnp.bfloat16)
         onehot = (sub == rc).astype(jnp.float32)
         hi = v.astype(jnp.bfloat16)
@@ -698,9 +698,9 @@ def _fused2_kernel(meta_ref, colors_ref, urc_ref, ucm_ref, uval_ref,
     "frames", "layers", "n_strips", "n_chunks", "fill_rule", "interpret"))
 def render_fused_blocks2(
     meta: jax.Array,    # (NP, 4) i32: packed, layer0, layer1, flags
-    urc: jax.Array,     # (NP, 2, BLK) f32
-    ucm: jax.Array,     # (NP, BLK, 2) f32
-    uval: jax.Array,    # (NP, 2, BLK) f32
+    urc: jax.Array,     # (NP, 1, 2*BLK) f32 — two blocks side by side
+    ucm: jax.Array,     # (NP, 2*BLK, 1) f32
+    uval: jax.Array,    # (NP, 1, 2*BLK) f32
     colors: jax.Array,  # (F, L, 4) f32
     frames: int,
     layers: int,
@@ -724,11 +724,11 @@ def render_fused_blocks2(
         num_scalar_prefetch=2,
         grid=(np_,),
         in_specs=[
-            pl.BlockSpec((1, 2, BLK), lambda i, me, co: (i, 0, 0),
+            pl.BlockSpec((1, 1, 2 * BLK), lambda i, me, co: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLK, 2), lambda i, me, co: (i, 0, 0),
+            pl.BlockSpec((1, 2 * BLK, 1), lambda i, me, co: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, BLK), lambda i, me, co: (i, 0, 0),
+            pl.BlockSpec((1, 1, 2 * BLK), lambda i, me, co: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -781,22 +781,22 @@ def pair_blocks_fused(sidx, keep, last, urc, ucm, uval, layers: int,
             metas.append((int(sidx[b0]), l0, l1, flags))
             r0 = urc[b0, 0]
             r1 = urc[b1, 0] if b1 >= 0 else zero_lane[0]
-            prc.append(np.stack([r0, r1]))
+            prc.append(np.concatenate([r0, r1])[None, :])
             c0 = ucm[b0, :, 0]
             c1 = ucm[b1, :, 0] if b1 >= 0 else zero_lane[0]
-            pcm.append(np.stack([c0, c1], axis=1))
+            pcm.append(np.concatenate([c0, c1])[:, None])
             v0 = uval[b0, 0]
             v1 = uval[b1, 0] if b1 >= 0 else zero_lane[0]
-            pvv.append(np.stack([v0, v1]))
+            pvv.append(np.concatenate([v0, v1])[None, :])
         i = j
     np_count = len(metas)
     np_pad = ((np_count + pair_pad_multiple - 1)
               // pair_pad_multiple) * pair_pad_multiple
     for _ in range(np_pad - np_count):
         metas.append((n_strips, 0, 0, 0))  # sentinel strip, no flags
-        prc.append(np.zeros((2, BLK), np.float32))
-        pcm.append(np.zeros((BLK, 2), np.float32))
-        pvv.append(np.zeros((2, BLK), np.float32))
+        prc.append(np.zeros((1, 2 * BLK), np.float32))
+        pcm.append(np.zeros((2 * BLK, 1), np.float32))
+        pvv.append(np.zeros((1, 2 * BLK), np.float32))
     return (np.asarray(metas, np.int32), np.stack(prc), np.stack(pcm),
             np.stack(pvv))
 

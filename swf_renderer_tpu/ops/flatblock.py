@@ -597,7 +597,9 @@ def sort_blocks_fused(sidx, keep, urc, ucm, uval, layers: int,
     return sidx2, keep2, last, urc2, ucm2, uval2
 
 
-def _fused2_kernel(meta_ref, colors_ref, urc_ref, ucm_ref, uval_ref,
+def _fused2_kernel(sidx_ref, lay0_ref, lay1_ref, flags_ref, colors_ref,
+                   urc0_ref, ucm0_ref, uval0_ref,
+                   urc1_ref, ucm1_ref, uval1_ref,
                    out_ref, acc_ref, *, layers: int, ns1: int,
                    n_chunks: int, fill_rule: int):
     """Two placement blocks per grid step (both from the same (f, s)
@@ -607,8 +609,8 @@ def _fused2_kernel(meta_ref, colors_ref, urc_ref, ucm_ref, uval_ref,
     meta_ref row i: [packed_target, layer0, layer1, flags] with flags bit0
     = supergroup start (zero all planes), bit1 = resolve after this pair."""
     i = pl.program_id(0)
-    packed = meta_ref[i, 0]
-    flags = meta_ref[i, 3]
+    packed = sidx_ref[i]
+    flags = flags_ref[i]
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
         jnp.float32)
@@ -619,10 +621,12 @@ def _fused2_kernel(meta_ref, colors_ref, urc_ref, ucm_ref, uval_ref,
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    for g in range(2):
-        rc = urc_ref[0, :, g * BLK:(g + 1) * BLK]
-        v = uval_ref[0, :, g * BLK:(g + 1) * BLK]
-        cm = ucm_ref[0, g * BLK:(g + 1) * BLK, :]
+    for g, (urc_ref, ucm_ref, uval_ref) in enumerate(
+            ((urc0_ref, ucm0_ref, uval0_ref),
+             (urc1_ref, ucm1_ref, uval1_ref))):
+        rc = urc_ref[0, :, :]
+        v = uval_ref[0, :, :]
+        cm = ucm_ref[0, :, :]
         w = (cm <= lane).astype(jnp.bfloat16)
         onehot = (sub == rc).astype(jnp.float32)
         hi = v.astype(jnp.bfloat16)
@@ -635,7 +639,7 @@ def _fused2_kernel(meta_ref, colors_ref, urc_ref, ucm_ref, uval_ref,
             u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
             delta = delta + jnp.dot(u, w,
                                     preferred_element_type=jnp.float32)
-        layer = meta_ref[i, 1 + g]
+        layer = lay0_ref[i] if g == 0 else lay1_ref[i]
         acc_ref[layer] = acc_ref[layer] + delta
 
     @pl.when(jnp.bitwise_and(flags, 2) == 2)
@@ -700,7 +704,7 @@ def render_fused_blocks2(
     meta: jax.Array,    # (NP, 4) i32: packed, layer0, layer1, flags
     urc: jax.Array,     # (NP, 1, 2*BLK) f32 — two blocks side by side
     ucm: jax.Array,     # (NP, 2*BLK, 1) f32
-    uval: jax.Array,    # (NP, 1, 2*BLK) f32
+    uval: jax.Array,    # (NP, 1, 2*BLK) f32 (split per sub-block below)
     colors: jax.Array,  # (F, L, 4) f32
     frames: int,
     layers: int,
@@ -716,21 +720,24 @@ def render_fused_blocks2(
     ns1 = n_strips + 1
     stride = n_chunks * LANE
 
-    def out_index(i, me, co):
-        packed = me[i, 0]
+    def out_index(i, si, l0, l1, fl, co):
+        packed = si[i]
         return (packed // (layers * ns1), packed % ns1, 0, 0)
 
+    def in_index(i, si, l0, l1, fl, co):
+        return (i, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=5,
         grid=(np_,),
         in_specs=[
-            pl.BlockSpec((1, 1, 2 * BLK), lambda i, me, co: (i, 0, 0),
+            pl.BlockSpec((1, 1, BLK), in_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * BLK, 1), lambda i, me, co: (i, 0, 0),
+            pl.BlockSpec((1, BLK, 1), in_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * BLK), lambda i, me, co: (i, 0, 0),
+            pl.BlockSpec((1, 1, BLK), in_index,
                          memory_space=pltpu.VMEM),
-        ],
+        ] * 2,
         out_specs=pl.BlockSpec(
             (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM,
         ),
@@ -745,7 +752,9 @@ def render_fused_blocks2(
         out_shape=jax.ShapeDtypeStruct(
             (frames, ns1, STRIP_H, stride), jnp.uint32),
         interpret=interpret,
-    )(meta, colors, urc, ucm, uval)
+    )(meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3], colors,
+      urc[:, :, :BLK], ucm[:, :BLK, :], uval[:, :, :BLK],
+      urc[:, :, BLK:], ucm[:, BLK:, :], uval[:, :, BLK:])
 
 
 def pair_blocks_fused(sidx, keep, last, urc, ucm, uval, layers: int,

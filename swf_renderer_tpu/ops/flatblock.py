@@ -597,6 +597,225 @@ def sort_blocks_fused(sidx, keep, urc, ucm, uval, layers: int,
     return sidx2, keep2, last, urc2, ucm2, uval2
 
 
+def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
+                   n_chunks: int, fill_rule: int, group: int):
+    """Generalized fused kernel: ``group`` placement blocks per grid step
+    (all one (f, s) supergroup).  rest = (lay_0..lay_{group-1}, colors,
+    urc, ucm, uval, out, acc); the block arrays hold the group's blocks
+    side by side: urc/uval (1, 1, group*BLK), ucm (1, group*BLK, 1)."""
+    lay_refs = rest[:group]
+    colors_ref = rest[group]
+    urc_ref, ucm_ref, uval_ref, out_ref, acc_ref = rest[group + 1:]
+    i = pl.program_id(0)
+    packed = sidx_ref[i]
+    flags = flags_ref[i]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
+        jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
+        jnp.float32)
+
+    @pl.when(jnp.bitwise_and(flags, 1) == 1)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for g in range(group):
+        rc = urc_ref[0, :, g * BLK:(g + 1) * BLK]
+        v = uval_ref[0, :, g * BLK:(g + 1) * BLK]
+        cm = ucm_ref[0, g * BLK:(g + 1) * BLK, :]
+        w = (cm <= lane).astype(jnp.bfloat16)
+        onehot = (sub == rc).astype(jnp.float32)
+        hi = v.astype(jnp.bfloat16)
+        hi32 = hi.astype(jnp.float32)
+        mid = (v - hi32).astype(jnp.bfloat16)
+        mid32 = mid.astype(jnp.float32)
+        lo = (v - hi32 - mid32).astype(jnp.bfloat16)
+        delta = jnp.zeros((LANE, LANE), jnp.float32)
+        for part in (hi, mid, lo):
+            u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
+            delta = delta + jnp.dot(u, w,
+                                    preferred_element_type=jnp.float32)
+        layer = lay_refs[g][i]
+        acc_ref[layer] = acc_ref[layer] + delta
+
+    @pl.when(jnp.bitwise_and(flags, 2) == 2)
+    def _resolve():
+        _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
+                            layers, ns1, n_chunks, fill_rule)
+
+
+def _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
+                        layers, ns1, n_chunks, fill_rule):
+    f = packed // (layers * ns1)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    cas = []
+    for lyr in range(layers):
+        x = acc_ref[lyr]
+        totals = x[:, LANE - 1:]
+        incl = totals
+        for shift in (8, 16, 32, 64):
+            incl = incl + jnp.where(sub_ids >= shift,
+                                    pltpu.roll(incl, shift, axis=0), 0.0)
+        winding = x + (incl - totals)
+        if fill_rule == FILL_RULE_NONZERO:
+            cov = jnp.minimum(jnp.abs(winding), 1.0)
+        else:
+            m = jnp.mod(winding, 2.0)
+            cov = 1.0 - jnp.abs(m - 1.0)
+        cas.append(colors_ref[f, lyr, 3] * cov)
+
+    weight = [None] * layers
+    suffix = None
+    for lyr in range(layers - 1, -1, -1):
+        weight[lyr] = cas[lyr] if suffix is None else cas[lyr] * suffix
+        kp = 1.0 - cas[lyr]
+        suffix = kp if suffix is None else suffix * kp
+
+    a = weight[0]
+    for lyr in range(1, layers):
+        a = a + weight[lyr]
+
+    def channel(c_idx):
+        out = colors_ref[f, 0, c_idx] * weight[0]
+        for lyr in range(1, layers):
+            out = out + colors_ref[f, lyr, c_idx] * weight[lyr]
+        return out
+
+    visible = a >= (0.5 / 255.0)
+    fac = jnp.where(visible, 255.0 / jnp.where(visible, a, 1.0), 0.0)
+
+    def chan(c):
+        return jnp.round(jnp.clip(c * fac, 0.0, 255.0)).astype(jnp.int32)
+
+    rgb = (chan(channel(0)) + chan(channel(1)) * (1 << 8)
+           + chan(channel(2)) * (1 << 16)).astype(jnp.uint32)
+    a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    pk = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
+    for j in range(n_chunks):
+        out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
+            pk[j * STRIP_H:(j + 1) * STRIP_H, :]
+        )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "frames", "layers", "n_strips", "n_chunks", "group", "fill_rule",
+    "interpret"))
+def render_fused_blocksn(
+    sidx: jax.Array,    # (NG,) i32 packed target
+    flags: jax.Array,   # (NG,) i32 bit0 zero, bit1 resolve
+    lays: jax.Array,    # (group, NG) i32 per-sub-block layer
+    urc: jax.Array,     # (NG, 1, group*BLK) f32
+    ucm: jax.Array,     # (NG, group*BLK, 1) f32
+    uval: jax.Array,    # (NG, 1, group*BLK) f32
+    colors: jax.Array,  # (F, L, 4) f32
+    frames: int,
+    layers: int,
+    n_strips: int,
+    n_chunks: int,
+    group: int = 4,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = None,
+) -> jax.Array:
+    """Group-per-step fused render -> (F, NS+1, 8, stride) uint32."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    ng = urc.shape[0]
+    ns1 = n_strips + 1
+    stride = n_chunks * LANE
+    nsp = 2 + group + 1  # sidx, flags, lay_g..., colors
+
+    def out_index(i, *refs):
+        packed = refs[0][i]
+        return (packed // (layers * ns1), packed % ns1, 0, 0)
+
+    def in_index(i, *refs):
+        return (i, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nsp,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, 1, group * BLK), in_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * BLK, 1), in_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, group * BLK), in_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((layers, LANE, LANE), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _fusedn_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
+        fill_rule=fill_rule, group=group)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (frames, ns1, STRIP_H, stride), jnp.uint32),
+        interpret=interpret,
+    )(sidx, flags, *(lays[g] for g in range(group)), colors,
+      urc, ucm, uval)
+
+
+def group_blocks_fused(sidx, keep, last, urc, ucm, uval, layers: int,
+                       n_strips: int, group: int = 4,
+                       group_pad_multiple: int = 256):
+    """Group sort_blocks_fused output into ``group`` blocks per step
+    (supergroups padded to multiples of ``group`` with zero filler)."""
+    ns1 = n_strips + 1
+    nb = len(sidx)
+    f = sidx // (layers * ns1)
+    s = sidx % ns1
+    l = (sidx // ns1) % layers
+    gkey = f.astype(np.int64) * ns1 + s
+
+    out_sidx, out_flags, out_lays = [], [], []
+    out_rc, out_cm, out_vv = [], [], []
+    zero = np.zeros(BLK, np.float32)
+    i = 0
+    while i < nb:
+        j = i
+        while j < nb and gkey[j] == gkey[i]:
+            j += 1
+        blocks = list(range(i, j))
+        while len(blocks) % group:
+            blocks.append(-1)
+        for k in range(0, len(blocks), group):
+            sub = blocks[k:k + group]
+            flags = (1 if k == 0 else 0)
+            if k + group >= len(blocks):
+                lb = next(b for b in reversed(sub) if b >= 0)
+                if last[lb]:
+                    flags |= 2
+            out_sidx.append(int(sidx[sub[0] if sub[0] >= 0 else i]))
+            out_flags.append(flags)
+            out_lays.append([int(l[b]) if b >= 0 else 0 for b in sub])
+            out_rc.append(np.concatenate(
+                [urc[b, 0] if b >= 0 else zero for b in sub])[None, :])
+            out_cm.append(np.concatenate(
+                [ucm[b, :, 0] if b >= 0 else zero for b in sub])[:, None])
+            out_vv.append(np.concatenate(
+                [uval[b, 0] if b >= 0 else zero for b in sub])[None, :])
+        i = j
+    ng = len(out_sidx)
+    ng_pad = ((ng + group_pad_multiple - 1)
+              // group_pad_multiple) * group_pad_multiple
+    for _ in range(ng_pad - ng):
+        out_sidx.append(n_strips)
+        out_flags.append(0)
+        out_lays.append([0] * group)
+        out_rc.append(np.zeros((1, group * BLK), np.float32))
+        out_cm.append(np.zeros((group * BLK, 1), np.float32))
+        out_vv.append(np.zeros((1, group * BLK), np.float32))
+    return (np.asarray(out_sidx, np.int32),
+            np.asarray(out_flags, np.int32),
+            np.asarray(out_lays, np.int32).T.copy(),
+            np.stack(out_rc), np.stack(out_cm), np.stack(out_vv))
+
+
 def _fused2_kernel(sidx_ref, lay0_ref, lay1_ref, flags_ref, colors_ref,
                    urc0_ref, ucm0_ref, uval0_ref,
                    urc1_ref, ucm1_ref, uval1_ref,

@@ -328,3 +328,36 @@ def test_fused2_pairs_match_fused():
         jnp.asarray(pvv), jnp.asarray(colors),
         frames, layers, ns, nc))[:, :ns]
     np.testing.assert_array_equal(got, want)
+
+
+def test_fusedn_groups_match_fused():
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.flatblock import (
+        group_blocks_fused, render_fused_blocks, render_fused_blocksn,
+        sort_blocks_fused,
+    )
+
+    frames, layers, height, width = 2, 3, 40, 300
+    update_lists, colors = random_scene(frames, layers, height, width,
+                                        seed=8)
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        update_lists, height, width, block_pad_multiple=8)
+    si, ke, la, rc, cm, uv = sort_blocks_fused(sidx, keep, urc, ucm, uval,
+                                               layers, ns,
+                                               block_pad_multiple=8)
+    want = np.asarray(render_fused_blocks(
+        jnp.asarray(si), jnp.asarray(ke), jnp.asarray(la),
+        jnp.asarray(rc), jnp.asarray(cm), jnp.asarray(uv),
+        jnp.asarray(colors), frames, layers, ns, nc))[:, :ns]
+
+    for group in (2, 4):
+        gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
+            si, ke, la, rc, cm, uv, layers, ns, group=group,
+            group_pad_multiple=4)
+        got = np.asarray(render_fused_blocksn(
+            jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+            jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+            jnp.asarray(colors), frames, layers, ns, nc,
+            group=group))[:, :ns]
+        np.testing.assert_array_equal(got, want)

@@ -291,10 +291,11 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
         cells_split_delta_native, native_available, pack_blocks_native,
     )
     from swf_renderer_tpu.ops.flatblock import (
-        pack_flat_blocks, pair_blocks_fused, render_fused_blocks2,
+        group_blocks_fused, pack_flat_blocks, render_fused_blocksn,
         sort_blocks_fused,
     )
 
+    GROUP = 8
     t0 = time.perf_counter()
     update_lists = [
         [cells_split_delta_native(t, height, width) for t in ft]
@@ -303,22 +304,24 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
     pack = pack_blocks_native if native_available() else pack_flat_blocks
     sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
     blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns)
-    meta, urc, ucm, uval = pair_blocks_fused(*blocks, layers, ns)
+    gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
+        *blocks, layers, ns, group=GROUP)
     lower_s = time.perf_counter() - t0
     print(
         json.dumps({"note": "host delta lowering + block packing",
                     "seconds": round(lower_s, 3),
-                    "pairs": int(len(meta))}),
+                    "groups": int(len(gsi))}),
         file=sys.stderr,
     )
 
-    args = tuple(jnp.asarray(x) for x in (meta, urc, ucm, uval))
+    args = tuple(jnp.asarray(x) for x in (gsi, gfl, gla, grc, gcm, gvv))
     colors_j = jnp.asarray(colors)
 
     def one_rep(uv, prev):
-        out = render_fused_blocks2(
-            args[0], args[1], args[2], uv + prev * 1e-30,
-            colors_j, frames, layers, ns, nc)
+        out = render_fused_blocksn(
+            args[0], args[1], args[2], args[3], args[4],
+            uv + prev * 1e-30, colors_j, frames, layers, ns, nc,
+            group=GROUP)
         return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
     def timed(k):
@@ -326,11 +329,11 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
         def run(uv):
             return jax.lax.fori_loop(
                 0, k, lambda i, acc: one_rep(uv, acc), 0.0)
-        float(run(args[3]))  # compile + warm
+        float(run(args[5]))  # compile + warm
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(args[3]))
+            float(run(args[5]))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -1,5 +1,11 @@
 """Fully-fused binned scanline rendering: no scatter at all.
 
+SUPERSEDED by ops/flatblock.py (the flat-block pipeline), which fixes this
+kernel's two structural costs — every bin paying the GLOBAL max occupancy
+(8-40x slot waste on real scenes) and (8, Kc) matmuls at 6% MXU row
+utilization — and reaches 5.2 Gpx/s where this design measured 0.75.
+Kept as the first scatter-free formulation and for its tests.
+
 The scatter (`segment_sum` into dense winding planes) dominates the fused
 pipeline (~60% of frame time at 1080p).  This pipeline removes it:
 

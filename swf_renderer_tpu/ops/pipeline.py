@@ -115,8 +115,9 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
         cells_split_delta_native, native_available, pack_blocks_native,
     )
     from .flatblock import (
-        MAX_CHUNKS, LANE, frames_u32_to_u8, pack_flat_blocks,
-        plane_geometry, render_fused_blocks, sort_blocks_fused,
+        MAX_CHUNKS, LANE, frames_u32_to_u8, group_blocks_fused,
+        pack_flat_blocks, plane_geometry, render_fused_blocksn,
+        sort_blocks_fused,
     )
     from .scanline import edges_to_cells
 
@@ -160,12 +161,14 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
 
     pack = pack_blocks_native if native_available() else pack_flat_blocks
     sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
-    sidx, keep, last, urc, ucm, uval = sort_blocks_fused(
-        sidx, keep, urc, ucm, uval, layers, ns)
-    out = np.asarray(render_fused_blocks(
-        jnp.asarray(sidx), jnp.asarray(keep), jnp.asarray(last),
-        jnp.asarray(urc), jnp.asarray(ucm), jnp.asarray(uval),
-        jnp.asarray(colors), frames, layers, ns, nc,
+    blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns)
+    group = 8
+    gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
+        *blocks, layers, ns, group=group)
+    out = np.asarray(render_fused_blocksn(
+        jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+        jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+        jnp.asarray(colors), frames, layers, ns, nc, group=group,
         fill_rule=fill_rule, interpret=interpret))
     out32 = out[:, :ns].reshape(frames, ns * 8, nc * LANE)
     return frames_u32_to_u8(out32, height, width)

@@ -361,3 +361,14 @@ def test_fusedn_groups_match_fused():
             jnp.asarray(colors), frames, layers, ns, nc,
             group=group))[:, :ns]
         np.testing.assert_array_equal(got, want)
+
+
+def test_render_batch_flatblock_blank_scene():
+    from swf_renderer_tpu.ops.pipeline import render_batch_flatblock
+
+    # Degenerate zero-length edges -> no coverage anywhere.
+    t = np.zeros((4, 4), np.float32)
+    colors = np.full((1, 2, 4), 0.5, np.float32)
+    out = render_batch_flatblock([[t, t]], colors, 24, 150)
+    assert out.shape == (1, 24, 150, 4)
+    assert (out == 0).all()

@@ -303,7 +303,8 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
     ]
     pack = pack_blocks_native if native_available() else pack_flat_blocks
     sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
-    blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns)
+    blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns,
+                               block_pad_multiple=1)
     gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
         *blocks, layers, ns, group=GROUP)
     lower_s = time.perf_counter() - t0

@@ -147,44 +147,158 @@ def pack_flat_blocks(update_lists, height: int, width: int,
     )
 
 
-def _place_kernel(sidx_ref, keep_ref, urc_ref, ucm_ref, uval_ref,
-                  out_ref, acc_ref, *, step: bool):
-    i = pl.program_id(0)
-    keep = keep_ref[i]
+def _place_delta(rc, cm, v, lane, sub, *, step: bool = True,
+                 passes: int = 3):
+    """One placement block's exact f32 (128, 128) plane delta.
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
-        jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
-        jnp.float32)
+    rc/v are (1, BLK) lane vectors, cm is (BLK, 1) sublane.  step=False:
+    W[k, c] = [cmod_k == c] places raw deltas; step=True:
+    W[k, c] = [cmod_k <= c] fuses the in-chunk prefix sum into the SAME
+    matmul, so the planes come out winding-valued within each chunk and the
+    resolve skips its lane prefix ladder.  Both are exact in bf16; padding
+    slots (val 0) contribute 0 either way.
 
-    rc = urc_ref[0, :, :]                # (1, BLK) lane vector
-    v = uval_ref[0, :, :]                # (1, BLK)
-    cm = ucm_ref[0, :, :]                # (BLK, 1) sublane vector
-
-    # step=False: W[k, c] = [cmod_k == c] places raw deltas; step=True:
-    # W[k, c] = [cmod_k <= c] fuses the in-chunk prefix sum into the SAME
-    # matmul, so the planes come out winding-valued within each chunk and
-    # the resolve skips its lane prefix ladder.  Both are exact in bf16.
-    # Padding slots (val 0) contribute 0 either way.
+    val = hi + mid + lo exactly (3x8 mantissa bits >= f32's 24), each part
+    bf16-exact, so three DEFAULT MXU passes give the exact f32 placement;
+    passes=2 carries ~16 bits (winding error <= ~1e-4 — flips alpha-epsilon
+    pixels; not the default)."""
     if step:
         w = (cm <= lane).astype(jnp.bfloat16)
     else:
         w = (cm == lane).astype(jnp.bfloat16)
     onehot = (sub == rc).astype(jnp.float32)  # (128 rc, BLK)
-
-    # val = hi + mid + lo exactly (3x8 mantissa bits >= f32's 24), each part
-    # bf16-exact, so three DEFAULT MXU passes give the exact f32 placement.
     hi = v.astype(jnp.bfloat16)
     hi32 = hi.astype(jnp.float32)
     mid = (v - hi32).astype(jnp.bfloat16)
-    mid32 = mid.astype(jnp.float32)
-    lo = (v - hi32 - mid32).astype(jnp.bfloat16)
-
+    parts = [hi, mid]
+    if passes >= 3:
+        mid32 = mid.astype(jnp.float32)
+        parts.append((v - hi32 - mid32).astype(jnp.bfloat16))
     delta = jnp.zeros((LANE, LANE), jnp.float32)
-    for part in (hi, mid, lo):
+    for part in parts:
         u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
         delta = delta + jnp.dot(u, w, preferred_element_type=jnp.float32)
+    return delta
 
+
+def _iotas():
+    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
+        jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
+        jnp.float32)
+    return lane, sub
+
+
+def _resolve_strip_packed(read_plane, read_color, *, layers: int,
+                          fill_rule: int, prefixed: bool = True,
+                          chain: bool = False):
+    """THE shared winding->pixels resolve (every kernel in this module ends
+    here): cross-chunk carry ladder, fill rule, alpha-over composite,
+    straight-u8 quantization, little-endian RGBA packing.
+
+    ``read_plane(l)`` -> (128, 128) chunk-major winding plane for layer l
+    (already prefix-summed within each chunk when ``prefixed``);
+    ``read_color(l, c)`` -> scalar straight-RGBA channel.  ``chain=True``
+    composites with the sequential over chain (bit-compatible with
+    resolve.resolve_frames + composite.premul_to_straight_u8);
+    ``chain=False`` uses the suffix-product form (fewer VPU ops; used by
+    the fused kernels).  Returns the (128, 128) uint32 packed strip."""
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    covs = []
+    for lyr in range(layers):
+        x = read_plane(lyr)
+        # In-chunk prefix: skipped when the placement already fused it
+        # (step matrix); else a 7-step lane ladder over ALL chunks in
+        # parallel (each sublane is an independent pixel row segment).
+        if not prefixed:
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            for shift in (1, 2, 4, 8, 16, 32, 64):
+                x = x + jnp.where(lane_ids >= shift,
+                                  pltpu.roll(x, shift, axis=1), 0.0)
+        # Cross-chunk carry: chunk totals live at lane 127; an inclusive
+        # stride-8 sublane ladder sums all earlier chunks of the same row
+        # (sublane rc = chunk*8 + row, so stride-8 shifts stay row-phased).
+        totals = x[:, LANE - 1:]  # (128, 1)
+        incl = totals
+        for shift in (8, 16, 32, 64):
+            incl = incl + jnp.where(sub_ids >= shift,
+                                    pltpu.roll(incl, shift, axis=0), 0.0)
+        winding = x + (incl - totals)
+        if fill_rule == FILL_RULE_NONZERO:
+            cov = jnp.minimum(jnp.abs(winding), 1.0)
+        else:
+            m = jnp.mod(winding, 2.0)
+            cov = 1.0 - jnp.abs(m - 1.0)
+        covs.append(cov)
+
+    if chain:
+        r = jnp.zeros((LANE, LANE), jnp.float32)
+        g = jnp.zeros((LANE, LANE), jnp.float32)
+        b = jnp.zeros((LANE, LANE), jnp.float32)
+        a = jnp.zeros((LANE, LANE), jnp.float32)
+        for lyr in range(layers):
+            ca = read_color(lyr, 3) * covs[lyr]
+            kp = 1.0 - ca
+            r = read_color(lyr, 0) * ca + r * kp
+            g = read_color(lyr, 1) * ca + g * kp
+            b = read_color(lyr, 2) * ca + b * kp
+            a = ca + a * kp
+        visible = a >= (0.5 / 255.0)
+        safe_a = jnp.where(visible, a, 1.0)
+
+        def chan(c):
+            s = jnp.clip(c / safe_a, 0.0, 1.0)
+            s = jnp.where(visible, s, 0.0)
+            # Mosaic has no f32->u32 cast; round through i32 (0..255).
+            return jnp.round(s * 255.0).astype(jnp.int32)
+
+        r8, g8, b8 = chan(r), chan(g), chan(b)
+    else:
+        # Per-layer effective source alpha ca_l, then the premultiplied
+        # over-composite in suffix-product form: out = sum_l C_l ca_l S_l
+        # with S_l = prod_{j>l} (1 - ca_j) — fewer VPU ops than chaining
+        # the over operator channel by channel.
+        cas = [read_color(lyr, 3) * covs[lyr] for lyr in range(layers)]
+        weight = [None] * layers  # w_l = ca_l * S_l
+        suffix = None
+        for lyr in range(layers - 1, -1, -1):
+            weight[lyr] = cas[lyr] if suffix is None else cas[lyr] * suffix
+            kp = 1.0 - cas[lyr]
+            suffix = kp if suffix is None else suffix * kp
+
+        a = weight[0]
+        for lyr in range(1, layers):
+            a = a + weight[lyr]
+
+        def channel(c_idx):
+            out = read_color(0, c_idx) * weight[0]
+            for lyr in range(1, layers):
+                out = out + read_color(lyr, c_idx) * weight[lyr]
+            return out
+
+        visible = a >= (0.5 / 255.0)
+        # One shared factor folds un-premultiply, visibility and the *255
+        # scaling: chan = round(clip(c * fac, 0, 255)).
+        fac = jnp.where(visible, 255.0 / jnp.where(visible, a, 1.0), 0.0)
+
+        def chan(c):
+            return jnp.round(
+                jnp.clip(c * fac, 0.0, 255.0)).astype(jnp.int32)
+
+        r8, g8, b8 = chan(channel(0)), chan(channel(1)), chan(channel(2))
+
+    rgb = (r8 + g8 * (1 << 8) + b8 * (1 << 16)).astype(jnp.uint32)
+    a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    return rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
+
+
+def _place_kernel(sidx_ref, keep_ref, urc_ref, ucm_ref, uval_ref,
+                  out_ref, acc_ref, *, step: bool):
+    i = pl.program_id(0)
+    keep = keep_ref[i]
+    lane, sub = _iotas()
+    delta = _place_delta(urc_ref[0, :, :], ucm_ref[0, :, :],
+                         uval_ref[0, :, :], lane, sub, step=step)
     # where (not multiply): on a group's first block the scratch holds
     # uninitialized memory, and NaN * 0.0 would poison the plane.
     acc = jnp.where(keep == 0, 0.0, acc_ref[...]) + delta
@@ -254,73 +368,16 @@ def _resolve_u32_kernel(colors_ref, planes_ref, out_ref, *,
     # planes block (1, L, G, 128, 128) chunk-major; out block
     # (1, G, 8, stride) uint32 (packed RGBA little-endian).  G strips per
     # grid step amortize the per-step pipeline overhead.
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     for strip in range(strips_per_step):
-        _resolve_one_strip(colors_ref, planes_ref, out_ref, strip,
-                           lane_ids, sub_ids, fill_rule, n_layers, n_chunks,
-                           prefixed)
-
-
-def _resolve_one_strip(colors_ref, planes_ref, out_ref, strip,
-                       lane_ids, sub_ids, fill_rule, n_layers, n_chunks,
-                       prefixed):
-    r = jnp.zeros((LANE, LANE), jnp.float32)
-    g = jnp.zeros((LANE, LANE), jnp.float32)
-    b = jnp.zeros((LANE, LANE), jnp.float32)
-    a = jnp.zeros((LANE, LANE), jnp.float32)
-
-    for layer in range(n_layers):
-        x = planes_ref[0, layer, strip, :, :]
-        # In-chunk prefix: skipped when the placement already fused it
-        # (step matrix); else a 7-step lane ladder over ALL chunks in
-        # parallel (each sublane is an independent pixel row segment).
-        if not prefixed:
-            for shift in (1, 2, 4, 8, 16, 32, 64):
-                x = x + jnp.where(lane_ids >= shift,
-                                  pltpu.roll(x, shift, axis=1), 0.0)
-        # Cross-chunk carry: chunk totals live at lane 127; an inclusive
-        # stride-8 sublane ladder sums all earlier chunks of the same row
-        # (sublane rc = chunk*8 + row, so stride-8 shifts stay row-phased).
-        totals = x[:, LANE - 1:]  # (128, 1)
-        incl = totals
-        for shift in (8, 16, 32, 64):
-            incl = incl + jnp.where(sub_ids[:, :1] >= shift,
-                                    pltpu.roll(incl, shift, axis=0), 0.0)
-        winding = x + (incl - totals)
-
-        if fill_rule == FILL_RULE_NONZERO:
-            cov = jnp.minimum(jnp.abs(winding), 1.0)
-        else:
-            m = jnp.mod(winding, 2.0)
-            cov = 1.0 - jnp.abs(m - 1.0)
-
-        ca = colors_ref[0, layer, 3] * cov
-        kp = 1.0 - ca
-        r = colors_ref[0, layer, 0] * ca + r * kp
-        g = colors_ref[0, layer, 1] * ca + g * kp
-        b = colors_ref[0, layer, 2] * ca + b * kp
-        a = ca + a * kp
-
-    # Premultiplied -> straight u8 -> packed u32 (see
-    # composite.premul_to_straight_u8 — semantics replicated exactly).
-    visible = a >= (0.5 / 255.0)
-    safe_a = jnp.where(visible, a, 1.0)
-
-    def chan(c):
-        s = jnp.clip(c / safe_a, 0.0, 1.0)
-        s = jnp.where(visible, s, 0.0)
-        # Mosaic has no f32->u32 cast; round through i32 (range 0..255).
-        return jnp.round(s * 255.0).astype(jnp.int32)
-
-    rgb = (chan(r) + chan(g) * (1 << 8)
-           + chan(b) * (1 << 16)).astype(jnp.uint32)
-    a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
-    packed = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
-    for j in range(n_chunks):
-        out_ref[0, strip, :, j * LANE:(j + 1) * LANE] = (
-            packed[j * STRIP_H:(j + 1) * STRIP_H, :]
-        )
+        packed = _resolve_strip_packed(
+            lambda lyr: planes_ref[0, lyr, strip, :, :],
+            lambda lyr, c: colors_ref[0, lyr, c],
+            layers=n_layers, fill_rule=fill_rule, prefixed=prefixed,
+            chain=True)
+        for j in range(n_chunks):
+            out_ref[0, strip, :, j * LANE:(j + 1) * LANE] = (
+                packed[j * STRIP_H:(j + 1) * STRIP_H, :]
+            )
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -382,32 +439,9 @@ def _fused_kernel(sidx_ref, keep_ref, last_ref, colors_ref,
     i = pl.program_id(0)
     packed = sidx_ref[i]
     keep = keep_ref[i]
-
-    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
-        jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
-        jnp.float32)
-
-    rc = urc_ref[0, :, :]
-    v = uval_ref[0, :, :]
-    cm = ucm_ref[0, :, :]
-
-    w = (cm <= lane).astype(jnp.bfloat16)  # step matrix: fused prefix
-    onehot = (sub == rc).astype(jnp.float32)
-    # val split into bf16 parts: 3 passes reproduce f32 exactly (24
-    # mantissa bits); 2 passes carry ~16 bits — winding error <= ~1e-4,
-    # invisible against the 1/255 alpha quantum (fast mode).
-    hi = v.astype(jnp.bfloat16)
-    hi32 = hi.astype(jnp.float32)
-    mid = (v - hi32).astype(jnp.bfloat16)
-    parts = [hi, mid]
-    if passes >= 3:
-        mid32 = mid.astype(jnp.float32)
-        parts.append((v - hi32 - mid32).astype(jnp.bfloat16))
-    delta = jnp.zeros((LANE, LANE), jnp.float32)
-    for part in parts:
-        u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
-        delta = delta + jnp.dot(u, w, preferred_element_type=jnp.float32)
+    lane, sub = _iotas()
+    delta = _place_delta(urc_ref[0, :, :], ucm_ref[0, :, :],
+                         uval_ref[0, :, :], lane, sub, passes=passes)
 
     # keep == 0 marks the first block of an (f, s) supergroup: zero ALL
     # layer planes (so layers with no updates resolve to zero coverage
@@ -421,64 +455,8 @@ def _fused_kernel(sidx_ref, keep_ref, last_ref, colors_ref,
 
     @pl.when(last_ref[i] == 1)
     def _resolve():
-        f = packed // (layers * ns1)
-        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
-        # Per-layer effective source alpha ca_l, then the premultiplied
-        # over-composite in suffix-product form: out = sum_l C_l ca_l S_l
-        # with S_l = prod_{j>l} (1 - ca_j) — fewer VPU ops than chaining
-        # the over operator channel by channel.
-        cas = []
-        for lyr in range(layers):
-            x = acc_ref[lyr]
-            totals = x[:, LANE - 1:]
-            incl = totals
-            for shift in (8, 16, 32, 64):
-                incl = incl + jnp.where(sub_ids >= shift,
-                                        pltpu.roll(incl, shift, axis=0),
-                                        0.0)
-            winding = x + (incl - totals)
-            if fill_rule == FILL_RULE_NONZERO:
-                cov = jnp.minimum(jnp.abs(winding), 1.0)
-            else:
-                m = jnp.mod(winding, 2.0)
-                cov = 1.0 - jnp.abs(m - 1.0)
-            cas.append(colors_ref[f, lyr, 3] * cov)
-
-        weight = [None] * layers  # w_l = ca_l * S_l
-        suffix = None
-        for lyr in range(layers - 1, -1, -1):
-            weight[lyr] = cas[lyr] if suffix is None else cas[lyr] * suffix
-            kp = 1.0 - cas[lyr]
-            suffix = kp if suffix is None else suffix * kp
-
-        a = weight[0]
-        for lyr in range(1, layers):
-            a = a + weight[lyr]
-
-        def channel(c_idx):
-            out = colors_ref[f, 0, c_idx] * weight[0]
-            for lyr in range(1, layers):
-                out = out + colors_ref[f, lyr, c_idx] * weight[lyr]
-            return out
-
-        visible = a >= (0.5 / 255.0)
-        # One shared factor folds un-premultiply, visibility and the *255
-        # scaling: chan = round(clip(c * fac, 0, 255)).
-        fac = jnp.where(visible, 255.0 / jnp.where(visible, a, 1.0), 0.0)
-
-        def chan(c):
-            return jnp.round(
-                jnp.clip(c * fac, 0.0, 255.0)).astype(jnp.int32)
-
-        rgb = (chan(channel(0)) + chan(channel(1)) * (1 << 8)
-               + chan(channel(2)) * (1 << 16)).astype(jnp.uint32)
-        a8 = jnp.round(
-            jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
-        pk = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
-        for j in range(n_chunks):
-            out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
-                pk[j * STRIP_H:(j + 1) * STRIP_H, :]
-            )
+        _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
+                            layers, ns1, n_chunks, fill_rule)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -621,32 +599,17 @@ def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
     i = pl.program_id(0)
     packed = sidx_ref[i]
     flags = flags_ref[i]
-
-    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
-        jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
-        jnp.float32)
+    lane, sub = _iotas()
 
     @pl.when(jnp.bitwise_and(flags, 1) == 1)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     for g in range(group):
-        rc = urc_ref[0, :, g * BLK:(g + 1) * BLK]
-        v = uval_ref[0, :, g * BLK:(g + 1) * BLK]
-        cm = ucm_ref[0, g * BLK:(g + 1) * BLK, :]
-        w = (cm <= lane).astype(jnp.bfloat16)
-        onehot = (sub == rc).astype(jnp.float32)
-        hi = v.astype(jnp.bfloat16)
-        hi32 = hi.astype(jnp.float32)
-        mid = (v - hi32).astype(jnp.bfloat16)
-        mid32 = mid.astype(jnp.float32)
-        lo = (v - hi32 - mid32).astype(jnp.bfloat16)
-        delta = jnp.zeros((LANE, LANE), jnp.float32)
-        for part in (hi, mid, lo):
-            u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
-            delta = delta + jnp.dot(u, w,
-                                    preferred_element_type=jnp.float32)
+        delta = _place_delta(urc_ref[0, :, g * BLK:(g + 1) * BLK],
+                             ucm_ref[0, g * BLK:(g + 1) * BLK, :],
+                             uval_ref[0, :, g * BLK:(g + 1) * BLK],
+                             lane, sub)
         layer = lay_refs[g][i]
         acc_ref[layer] = acc_ref[layer] + delta
 
@@ -659,50 +622,10 @@ def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
 def _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
                         layers, ns1, n_chunks, fill_rule):
     f = packed // (layers * ns1)
-    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
-    cas = []
-    for lyr in range(layers):
-        x = acc_ref[lyr]
-        totals = x[:, LANE - 1:]
-        incl = totals
-        for shift in (8, 16, 32, 64):
-            incl = incl + jnp.where(sub_ids >= shift,
-                                    pltpu.roll(incl, shift, axis=0), 0.0)
-        winding = x + (incl - totals)
-        if fill_rule == FILL_RULE_NONZERO:
-            cov = jnp.minimum(jnp.abs(winding), 1.0)
-        else:
-            m = jnp.mod(winding, 2.0)
-            cov = 1.0 - jnp.abs(m - 1.0)
-        cas.append(colors_ref[f, lyr, 3] * cov)
-
-    weight = [None] * layers
-    suffix = None
-    for lyr in range(layers - 1, -1, -1):
-        weight[lyr] = cas[lyr] if suffix is None else cas[lyr] * suffix
-        kp = 1.0 - cas[lyr]
-        suffix = kp if suffix is None else suffix * kp
-
-    a = weight[0]
-    for lyr in range(1, layers):
-        a = a + weight[lyr]
-
-    def channel(c_idx):
-        out = colors_ref[f, 0, c_idx] * weight[0]
-        for lyr in range(1, layers):
-            out = out + colors_ref[f, lyr, c_idx] * weight[lyr]
-        return out
-
-    visible = a >= (0.5 / 255.0)
-    fac = jnp.where(visible, 255.0 / jnp.where(visible, a, 1.0), 0.0)
-
-    def chan(c):
-        return jnp.round(jnp.clip(c * fac, 0.0, 255.0)).astype(jnp.int32)
-
-    rgb = (chan(channel(0)) + chan(channel(1)) * (1 << 8)
-           + chan(channel(2)) * (1 << 16)).astype(jnp.uint32)
-    a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
-    pk = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
+    pk = _resolve_strip_packed(
+        lambda lyr: acc_ref[lyr],
+        lambda lyr, c: colors_ref[f, lyr, c],
+        layers=layers, fill_rule=fill_rule, prefixed=True, chain=False)
     for j in range(n_chunks):
         out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
             pk[j * STRIP_H:(j + 1) * STRIP_H, :]
@@ -828,219 +751,6 @@ def group_blocks_fused(sidx, keep, last, urc, ucm, uval, layers: int,
             np.stack(out_rc), np.stack(out_cm), np.stack(out_vv))
 
 
-def _fused2_kernel(sidx_ref, lay0_ref, lay1_ref, flags_ref, colors_ref,
-                   urc0_ref, ucm0_ref, uval0_ref,
-                   urc1_ref, ucm1_ref, uval1_ref,
-                   out_ref, acc_ref, *, layers: int, ns1: int,
-                   n_chunks: int, fill_rule: int):
-    """Two placement blocks per grid step (both from the same (f, s)
-    supergroup — host pads supergroups to even block counts), halving the
-    per-step pipeline overhead.
-
-    meta_ref row i: [packed_target, layer0, layer1, flags] with flags bit0
-    = supergroup start (zero all planes), bit1 = resolve after this pair."""
-    i = pl.program_id(0)
-    packed = sidx_ref[i]
-    flags = flags_ref[i]
-
-    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
-        jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
-        jnp.float32)
-
-    @pl.when(jnp.bitwise_and(flags, 1) == 1)
-    def _zero():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    for g, (urc_ref, ucm_ref, uval_ref) in enumerate(
-            ((urc0_ref, ucm0_ref, uval0_ref),
-             (urc1_ref, ucm1_ref, uval1_ref))):
-        rc = urc_ref[0, :, :]
-        v = uval_ref[0, :, :]
-        cm = ucm_ref[0, :, :]
-        w = (cm <= lane).astype(jnp.bfloat16)
-        onehot = (sub == rc).astype(jnp.float32)
-        hi = v.astype(jnp.bfloat16)
-        hi32 = hi.astype(jnp.float32)
-        mid = (v - hi32).astype(jnp.bfloat16)
-        mid32 = mid.astype(jnp.float32)
-        lo = (v - hi32 - mid32).astype(jnp.bfloat16)
-        delta = jnp.zeros((LANE, LANE), jnp.float32)
-        for part in (hi, mid, lo):
-            u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
-            delta = delta + jnp.dot(u, w,
-                                    preferred_element_type=jnp.float32)
-        layer = lay0_ref[i] if g == 0 else lay1_ref[i]
-        acc_ref[layer] = acc_ref[layer] + delta
-
-    @pl.when(jnp.bitwise_and(flags, 2) == 2)
-    def _resolve():
-        f = packed // (layers * ns1)
-        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
-        cas = []
-        for lyr in range(layers):
-            x = acc_ref[lyr]
-            totals = x[:, LANE - 1:]
-            incl = totals
-            for shift in (8, 16, 32, 64):
-                incl = incl + jnp.where(sub_ids >= shift,
-                                        pltpu.roll(incl, shift, axis=0),
-                                        0.0)
-            winding = x + (incl - totals)
-            if fill_rule == FILL_RULE_NONZERO:
-                cov = jnp.minimum(jnp.abs(winding), 1.0)
-            else:
-                m = jnp.mod(winding, 2.0)
-                cov = 1.0 - jnp.abs(m - 1.0)
-            cas.append(colors_ref[f, lyr, 3] * cov)
-
-        weight = [None] * layers
-        suffix = None
-        for lyr in range(layers - 1, -1, -1):
-            weight[lyr] = cas[lyr] if suffix is None else cas[lyr] * suffix
-            kp = 1.0 - cas[lyr]
-            suffix = kp if suffix is None else suffix * kp
-
-        a = weight[0]
-        for lyr in range(1, layers):
-            a = a + weight[lyr]
-
-        def channel(c_idx):
-            out = colors_ref[f, 0, c_idx] * weight[0]
-            for lyr in range(1, layers):
-                out = out + colors_ref[f, lyr, c_idx] * weight[lyr]
-            return out
-
-        visible = a >= (0.5 / 255.0)
-        fac = jnp.where(visible, 255.0 / jnp.where(visible, a, 1.0), 0.0)
-
-        def chan(c):
-            return jnp.round(
-                jnp.clip(c * fac, 0.0, 255.0)).astype(jnp.int32)
-
-        rgb = (chan(channel(0)) + chan(channel(1)) * (1 << 8)
-               + chan(channel(2)) * (1 << 16)).astype(jnp.uint32)
-        a8 = jnp.round(
-            jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
-        pk = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
-        for j in range(n_chunks):
-            out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
-                pk[j * STRIP_H:(j + 1) * STRIP_H, :]
-            )
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "frames", "layers", "n_strips", "n_chunks", "fill_rule", "interpret"))
-def render_fused_blocks2(
-    meta: jax.Array,    # (NP, 4) i32: packed, layer0, layer1, flags
-    urc: jax.Array,     # (NP, 1, 2*BLK) f32 — two blocks side by side
-    ucm: jax.Array,     # (NP, 2*BLK, 1) f32
-    uval: jax.Array,    # (NP, 1, 2*BLK) f32 (split per sub-block below)
-    colors: jax.Array,  # (F, L, 4) f32
-    frames: int,
-    layers: int,
-    n_strips: int,
-    n_chunks: int,
-    fill_rule: int = FILL_RULE_NONZERO,
-    interpret: bool = None,
-) -> jax.Array:
-    """Pair-per-step fused render -> (F, NS+1, 8, stride) uint32."""
-    if interpret is None:
-        interpret = not _on_tpu()
-    np_ = urc.shape[0]
-    ns1 = n_strips + 1
-    stride = n_chunks * LANE
-
-    def out_index(i, si, l0, l1, fl, co):
-        packed = si[i]
-        return (packed // (layers * ns1), packed % ns1, 0, 0)
-
-    def in_index(i, si, l0, l1, fl, co):
-        return (i, 0, 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(np_,),
-        in_specs=[
-            pl.BlockSpec((1, 1, BLK), in_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLK, 1), in_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLK), in_index,
-                         memory_space=pltpu.VMEM),
-        ] * 2,
-        out_specs=pl.BlockSpec(
-            (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.VMEM((layers, LANE, LANE), jnp.float32)],
-    )
-    kernel = functools.partial(
-        _fused2_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
-        fill_rule=fill_rule)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (frames, ns1, STRIP_H, stride), jnp.uint32),
-        interpret=interpret,
-    )(meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3], colors,
-      urc[:, :, :BLK], ucm[:, :BLK, :], uval[:, :, :BLK],
-      urc[:, :, BLK:], ucm[:, BLK:, :], uval[:, :, BLK:])
-
-
-def pair_blocks_fused(sidx, keep, last, urc, ucm, uval, layers: int,
-                      n_strips: int, pair_pad_multiple: int = 512):
-    """Pair sort_blocks_fused output for render_fused_blocks2: supergroups
-    pad to even block counts (zero filler), pairs carry both layers."""
-    ns1 = n_strips + 1
-    nb = len(sidx)
-    group = (sidx // ns1) * 0  # placeholder, recomputed below
-    f = sidx // (layers * ns1)
-    s = sidx % ns1
-    l = (sidx // ns1) % layers
-    group = f.astype(np.int64) * ns1 + s
-
-    metas, prc, pcm, pvv = [], [], [], []
-    i = 0
-    zero_lane = np.zeros((1, BLK), np.float32)
-    while i < nb:
-        j = i
-        while j < nb and group[j] == group[i]:
-            j += 1
-        blocks = list(range(i, j))
-        if len(blocks) % 2:
-            blocks.append(-1)  # zero filler
-        for k in range(0, len(blocks), 2):
-            b0, b1 = blocks[k], blocks[k + 1]
-            flags = (1 if k == 0 else 0)
-            if k + 2 >= len(blocks) and last[blocks[-1] if blocks[-1] >= 0
-                                             else blocks[-2]]:
-                flags |= 2
-            l0 = int(l[b0])
-            l1 = int(l[b1]) if b1 >= 0 else 0
-            metas.append((int(sidx[b0]), l0, l1, flags))
-            r0 = urc[b0, 0]
-            r1 = urc[b1, 0] if b1 >= 0 else zero_lane[0]
-            prc.append(np.concatenate([r0, r1])[None, :])
-            c0 = ucm[b0, :, 0]
-            c1 = ucm[b1, :, 0] if b1 >= 0 else zero_lane[0]
-            pcm.append(np.concatenate([c0, c1])[:, None])
-            v0 = uval[b0, 0]
-            v1 = uval[b1, 0] if b1 >= 0 else zero_lane[0]
-            pvv.append(np.concatenate([v0, v1])[None, :])
-        i = j
-    np_count = len(metas)
-    np_pad = ((np_count + pair_pad_multiple - 1)
-              // pair_pad_multiple) * pair_pad_multiple
-    for _ in range(np_pad - np_count):
-        metas.append((n_strips, 0, 0, 0))  # sentinel strip, no flags
-        prc.append(np.zeros((1, 2 * BLK), np.float32))
-        pcm.append(np.zeros((2 * BLK, 1), np.float32))
-        pvv.append(np.zeros((1, 2 * BLK), np.float32))
-    return (np.asarray(metas, np.int32), np.stack(prc), np.stack(pcm),
-            np.stack(pvv))
-
-
 def _resolve_dma_kernel(colors_ref, planes_ref, out_ref, in_buf, out_buf,
                         sem_in, sem_out, *, fill_rule: int, n_layers: int,
                         n_chunks: int, n_strips: int, n_buf: int):
@@ -1049,8 +759,6 @@ def _resolve_dma_kernel(colors_ref, planes_ref, out_ref, in_buf, out_buf,
     around ~250 GB/s aggregate; N_BUF outstanding copies per direction
     overlap the strip compute and each other)."""
     f = pl.program_id(0)
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
 
     def in_dma(slot, s):
         return pltpu.make_async_copy(
@@ -1073,42 +781,11 @@ def _resolve_dma_kernel(colors_ref, planes_ref, out_ref, in_buf, out_buf,
         def _():
             out_dma(slot, s - n_buf).wait()
 
-        r = jnp.zeros((LANE, LANE), jnp.float32)
-        g = jnp.zeros((LANE, LANE), jnp.float32)
-        b = jnp.zeros((LANE, LANE), jnp.float32)
-        a = jnp.zeros((LANE, LANE), jnp.float32)
-        for layer in range(n_layers):
-            x = in_buf[slot, layer]
-            totals = x[:, LANE - 1:]
-            incl = totals
-            for shift in (8, 16, 32, 64):
-                incl = incl + jnp.where(sub_ids[:, :1] >= shift,
-                                        pltpu.roll(incl, shift, axis=0), 0.0)
-            winding = x + (incl - totals)
-            if fill_rule == FILL_RULE_NONZERO:
-                cov = jnp.minimum(jnp.abs(winding), 1.0)
-            else:
-                m = jnp.mod(winding, 2.0)
-                cov = 1.0 - jnp.abs(m - 1.0)
-            ca = colors_ref[0, layer, 3] * cov
-            kp = 1.0 - ca
-            r = colors_ref[0, layer, 0] * ca + r * kp
-            g = colors_ref[0, layer, 1] * ca + g * kp
-            b = colors_ref[0, layer, 2] * ca + b * kp
-            a = ca + a * kp
-
-        visible = a >= (0.5 / 255.0)
-        inv_a = 1.0 / jnp.where(visible, a, 1.0)
-
-        def chan(c):
-            sdata = jnp.clip(c * inv_a, 0.0, 1.0)
-            sdata = jnp.where(visible, sdata, 0.0)
-            return jnp.round(sdata * 255.0).astype(jnp.int32)
-
-        rgb = (chan(r) + chan(g) * (1 << 8)
-               + chan(b) * (1 << 16)).astype(jnp.uint32)
-        a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
-        packed = rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
+        packed = _resolve_strip_packed(
+            lambda lyr: in_buf[slot, lyr],
+            lambda lyr, c: colors_ref[0, lyr, c],
+            layers=n_layers, fill_rule=fill_rule, prefixed=True,
+            chain=True)
         for j in range(n_chunks):
             out_buf[slot, :, j * LANE:(j + 1) * LANE] = (
                 packed[j * STRIP_H:(j + 1) * STRIP_H, :]
@@ -1155,9 +832,9 @@ def resolve_planes_u32_dma(
         in_specs=[
             pl.BlockSpec((1, l, 4), lambda fi: (fi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((n_buf, l, LANE, LANE), jnp.float32),
             pltpu.VMEM((n_buf, STRIP_H, stride), jnp.uint32),

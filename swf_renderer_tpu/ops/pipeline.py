@@ -161,7 +161,10 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
 
     pack = pack_blocks_native if native_available() else pack_flat_blocks
     sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
-    blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns)
+    # No padding between sort and group: group_blocks_fused re-pads, and
+    # sentinel blocks would otherwise become wasted all-zero MXU steps.
+    blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns,
+                               block_pad_multiple=1)
     group = 8
     gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
         *blocks, layers, ns, group=group)

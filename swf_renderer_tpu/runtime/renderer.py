@@ -57,7 +57,8 @@ class TpuRenderer:
     """
 
     def __init__(self, width: int, height: int, use_pallas: bool = True,
-                 backend: str = "auto", quality: str = "canvas"):
+                 backend: str = "auto", quality: str = "canvas",
+                 validate: bool = False):
         """backend: 'auto' | 'scanline' | 'direct'.
 
         'scanline' lowers draws to pixel-cell lists (O(perimeter)) and
@@ -79,7 +80,7 @@ class TpuRenderer:
         # The data-race/sanitizer analog for an XLA renderer (SURVEY.md §5):
         # XLA is race-free by construction, so "sanitizing" means checking
         # kernel outputs for NaNs and out-of-range coverage.
-        self.validate = False
+        self.validate = validate
         self.width = width
         self.height = height
         self.use_pallas = use_pallas

@@ -110,6 +110,24 @@ def _apply_color_transform(color, ct: Optional[display.ColorTransform]):
     )
 
 
+def _compose_color_transform(
+    outer: Optional[display.ColorTransform],
+    inner: Optional[display.ColorTransform],
+) -> Optional[display.ColorTransform]:
+    """Flash composes color transforms down the display tree: the effective
+    transform applies the child first, then the parent —
+    ``outer(inner(c)) = c * (mo*mi) + (mo*ai + ao)`` per channel."""
+    if outer is None:
+        return inner
+    if inner is None:
+        return outer
+    return display.ColorTransform(
+        mult=tuple(mo * mi for mo, mi in zip(outer.mult, inner.mult)),
+        add=tuple(mo * ai + ao
+                  for mo, ai, ao in zip(outer.mult, inner.add, outer.add)),
+    )
+
+
 class SceneCompiler:
     """Walks a display tree and emits the flat draw list."""
 
@@ -149,7 +167,7 @@ class SceneCompiler:
         if obj.matrix is not None:
             ctm = ctm.then(Affine.from_swf_matrix(obj.matrix))
         if getattr(obj, "color_transform", None) is not None:
-            ct = obj.color_transform  # innermost wins (no nesting semantics yet)
+            ct = _compose_color_transform(ct, obj.color_transform)
         if isinstance(obj, display.Container):
             for child in obj.children:
                 self._walk(child, ctm, ct)

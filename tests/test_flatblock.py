@@ -299,37 +299,6 @@ def test_fused_kernel_matches_two_kernel_pipeline():
     assert (diff > 0).mean() < 0.01
 
 
-def test_fused2_pairs_match_fused():
-    import jax.numpy as jnp
-
-    from swf_renderer_tpu.ops.flatblock import (
-        pair_blocks_fused, render_fused_blocks, render_fused_blocks2,
-        sort_blocks_fused,
-    )
-
-    frames, layers, height, width = 2, 3, 40, 300
-    update_lists, colors = random_scene(frames, layers, height, width,
-                                        seed=7)
-    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
-        update_lists, height, width, block_pad_multiple=8)
-    si, ke, la, rc, cm, uv = sort_blocks_fused(sidx, keep, urc, ucm, uval,
-                                               layers, ns,
-                                               block_pad_multiple=8)
-    want = np.asarray(render_fused_blocks(
-        jnp.asarray(si), jnp.asarray(ke), jnp.asarray(la),
-        jnp.asarray(rc), jnp.asarray(cm), jnp.asarray(uv),
-        jnp.asarray(colors), frames, layers, ns, nc))[:, :ns]
-
-    meta, prc, pcm, pvv = pair_blocks_fused(si, ke, la, rc, cm, uv,
-                                            layers, ns,
-                                            pair_pad_multiple=4)
-    got = np.asarray(render_fused_blocks2(
-        jnp.asarray(meta), jnp.asarray(prc), jnp.asarray(pcm),
-        jnp.asarray(pvv), jnp.asarray(colors),
-        frames, layers, ns, nc))[:, :ns]
-    np.testing.assert_array_equal(got, want)
-
-
 def test_fusedn_groups_match_fused():
     import jax.numpy as jnp
 

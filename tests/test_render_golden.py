@@ -69,6 +69,32 @@ def test_render_shape_golden(sample, bitmaps, reference_tests, artifacts_dir):
            sample.replace("/", "_"))
 
 
+def test_render_with_sanitizer_enabled(reference_tests, artifacts_dir):
+    """The validate flag (NaN/OOB coverage guard — the §5 sanitizer analog)
+    passes on a clean corpus render and trips on poisoned geometry."""
+    sample_dir = reference_tests / "flat-shapes" / "squares"
+    tag = parse_define_shape((sample_dir / "ast.json").read_text())
+    actual = render_shape(tag, validate=True)
+    _check(actual, sample_dir / "shape.png", artifacts_dir,
+           "flat-shapes_squares_validated")
+
+    # Poisoned coverage must raise: drive the validator directly with the
+    # same check the renderer applies to kernel output.
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    stage = display.stage_for_shape(tag)
+    renderer = TpuRenderer(stage.width, stage.height, use_pallas=False,
+                           validate=True)
+    from swf_renderer_tpu.runtime.scene import Draw
+    from swf_renderer_tpu.ops import style as style_ops
+
+    bad = Draw(edges=np.array([[0.0, 0.0, np.inf, 8.0]], np.float32),
+               paint=style_ops.solid_paint((1, 0, 0, 1)))
+    with pytest.raises((FloatingPointError, ValueError)):
+        renderer.execute([bad])
+
+
 @pytest.mark.parametrize("sample,ratio", MORPH_SAMPLES,
                          ids=[f"{s}@{r}" for s, r in MORPH_SAMPLES])
 def test_render_morph_shape_golden(sample, ratio, reference_tests,

@@ -125,52 +125,3 @@ def test_render_scanline_updates_matches_cells(reference_tests):
     )
     golden = read_png(reference_tests / "flat-shapes" / "squares" / "shape.png")
     assert pixelmatch(frames[0], golden, threshold=0.05).diff_ratio <= 1e-4
-
-
-def test_render_scanline_binned_matches_updates():
-    """The scatter-free binned pipeline is bit-identical to the
-    delta-update pipeline."""
-    import pytest
-
-    native = pytest.importorskip("swf_renderer_tpu.native.bindings")
-    if not native.native_available():
-        pytest.skip("native library unavailable")
-
-    from swf_renderer_tpu.ops import binned as bn
-
-    rng = np.random.default_rng(4)
-    f_frames, layers, height, width = 2, 2, 24, 160
-    update_lists = []
-    for _ in range(f_frames):
-        per = []
-        for _ in range(layers):
-            pts = rng.uniform(-5, (width + 5, height + 5), (7, 2)).astype(
-                np.float32
-            )
-            cl = np.concatenate([pts, pts[:1]])
-            edges = np.concatenate([cl[:-1], cl[1:]], 1)
-            per.append(
-                native.cells_split_delta_native(edges, height, width)
-            )
-        update_lists.append(per)
-    colors = rng.uniform(0.2, 1, (f_frames, layers, 4)).astype(np.float32)
-
-    urow, uval, ucol, kc, ns, nc = bn.bin_updates(update_lists, height, width)
-    got = np.asarray(
-        bn.render_scanline_binned(
-            jnp.asarray(urow), jnp.asarray(uval), jnp.asarray(ucol),
-            jnp.asarray(colors), height, width, interpret=True,
-        )
-    )
-
-    flat = [u for per in update_lists for u in per]
-    r, c, v = rs.pack_updates(flat)
-    want = np.asarray(
-        rs.render_scanline_updates(
-            jnp.asarray(r.reshape(f_frames, layers, -1)),
-            jnp.asarray(c.reshape(f_frames, layers, -1)),
-            jnp.asarray(v.reshape(f_frames, layers, -1)),
-            jnp.asarray(colors), height, width, interpret=True,
-        )
-    )
-    np.testing.assert_array_equal(got, want)

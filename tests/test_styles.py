@@ -184,6 +184,33 @@ def test_color_transform_on_solid():
     assert abs(int(px[1]) - want_g) <= 1
 
 
+def test_color_transform_nesting_composes():
+    # Flash composes color transforms down the tree: child first, then
+    # parent — effective = parent(child(c)).
+    import dataclasses
+
+    fill = ast.SolidFill(color=ast.StraightSRgba8(100, 200, 50, 255))
+    outer = display.ColorTransform(mult=(0.5, 1.0, 1.0, 1.0),
+                                   add=(0.1, 0.0, 0.0, 0.0))
+    inner = display.ColorTransform(mult=(0.8, 0.5, 1.0, 1.0),
+                                   add=(0.2, 0.1, 0.0, 0.0))
+    stage = display.stage_for_shape(_rect_shape(fill))
+    child = dataclasses.replace(stage.children[0], color_transform=inner,
+                                matrix=None)
+    container = display.Container(children=(child,),
+                                  matrix=stage.children[0].matrix,
+                                  color_transform=outer)
+    stage = dataclasses.replace(stage, children=(container,))
+    renderer = TpuRenderer(stage.width, stage.height, use_pallas=False)
+    frame = renderer.render(stage)
+    h, w = frame.shape[:2]
+    px = frame[h // 2, w // 2]
+    want_r = round(((100 / 255 * 0.8 + 0.2) * 0.5 + 0.1) * 255)
+    want_g = round((200 / 255 * 0.5 + 0.1) * 255)
+    assert abs(int(px[0]) - want_r) <= 1
+    assert abs(int(px[1]) - want_g) <= 1
+
+
 def test_missing_bitmap_placeholder():
     # A bitmap fill whose bitmap is registered but not decoded renders the
     # reference's placeholder color rgba(0.2, 0.6, 0.8, 0.9)

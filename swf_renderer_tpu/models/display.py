@@ -61,10 +61,15 @@ DisplayObject = Union[ShapeInstance, MorphShapeInstance, Container]
 
 @dataclasses.dataclass(frozen=True)
 class Stage:
-    width: int  # pixels
+    width: int  # pixels (raster size, ceil of the exact stage extent)
     height: int  # pixels
     background_color: ast.StraightSRgba8 = ast.StraightSRgba8(0, 0, 0, 0)
     children: Sequence[DisplayObject] = ()
+    # Exact stage extent in pixels (bounds twips / 20, generally fractional).
+    # The Flash player clips content at THIS rect, so border pixels are only
+    # partially coverable; None means clip at the integer raster size.
+    exact_width: Optional[float] = None
+    exact_height: Optional[float] = None
 
 
 def stage_for_shape(tag: ast.DefineShape) -> Stage:
@@ -89,6 +94,8 @@ def stage_for_shape(tag: ast.DefineShape) -> Stage:
         width=width,
         height=height,
         children=(ShapeInstance(definition=tag, matrix=matrix),),
+        exact_width=(tag.bounds.x_max - tag.bounds.x_min) / 20,
+        exact_height=(tag.bounds.y_max - tag.bounds.y_min) / 20,
     )
 
 
@@ -117,4 +124,6 @@ def stage_for_morph_shape(tag: ast.DefineMorphShape, ratio: float) -> Stage:
         width=width,
         height=height,
         children=(MorphShapeInstance(definition=tag, ratio=ratio, matrix=matrix),),
+        exact_width=(x_max - x_min) / 20,
+        exact_height=(y_max - y_min) / 20,
     )

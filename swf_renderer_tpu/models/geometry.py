@@ -331,6 +331,70 @@ def stroke_to_edges(
     return polygons_to_edges(polys)
 
 
+def _clip_halfplane(edges: np.ndarray, coord: int, bound: float,
+                    keep_below: bool) -> np.ndarray:
+    """Clip an edge soup against ``coord <= bound`` (or ``>=`` when
+    ``keep_below`` is False), preserving the winding integral of the kept
+    region: outside portions are PROJECTED onto the boundary line rather
+    than dropped, so the clipped shape stays closed (projected segments are
+    parallel to the clip line and the scanline integral never sees
+    boundary-collinear geometry as interior coverage)."""
+    if edges.shape[0] == 0:
+        return edges
+    c0 = edges[:, coord]
+    c1 = edges[:, coord + 2]
+    if keep_below:
+        in0, in1 = c0 <= bound, c1 <= bound
+    else:
+        in0, in1 = c0 >= bound, c1 >= bound
+    if (in0 & in1).all():
+        return edges
+    parts = [edges[in0 & in1]]
+    both_out = ~in0 & ~in1
+    if both_out.any():
+        seg = edges[both_out].copy()
+        seg[:, coord] = bound
+        seg[:, coord + 2] = bound
+        parts.append(seg)
+    cross = in0 ^ in1
+    if cross.any():
+        ce = edges[cross]
+        cc0, cc1 = ce[:, coord], ce[:, coord + 2]
+        t = (bound - cc0) / (cc1 - cc0)
+        oc = ce[:, 1 - coord] + t * (ce[:, 3 - coord] - ce[:, 1 - coord])
+        start_in = in0[cross]
+        # first: start -> crossing point, second: crossing point -> end;
+        # whichever half is outside collapses onto the boundary line.
+        first = ce.copy()
+        first[:, coord + 2] = bound
+        first[:, 3 - coord] = oc
+        first[:, coord] = np.where(start_in, first[:, coord], bound)
+        second = ce.copy()
+        second[:, coord] = bound
+        second[:, 1 - coord] = oc
+        second[:, coord + 2] = np.where(start_in, bound,
+                                        second[:, coord + 2])
+        parts.extend([first, second])
+    return np.concatenate(parts, axis=0)
+
+
+def clip_edges_rect(edges: np.ndarray, width: float, height: float,
+                    xmin: float = 0.0, ymin: float = 0.0) -> np.ndarray:
+    """Clip an edge table to the stage rect [xmin, width] x [ymin, height].
+
+    The Flash player clips content at the EXACT stage bounds — which are
+    fractional in pixels (stage size = bounds twips / 20, e.g. 709.3 px for
+    flat-shapes/homestuck-beta-1) — while the raster is the ceil'd integer
+    size; border pixels are therefore only partially coverable.  The golden
+    captures reflect that (alpha 72 = 255 * 0.3 at the right edge of hb1).
+    """
+    edges = np.asarray(edges, dtype=np.float32)
+    for coord, bound, keep_below in ((0, xmin, False), (0, width, True),
+                                     (1, ymin, False), (1, height, True)):
+        edges = _clip_halfplane(edges, coord, float(bound), keep_below)
+    return edges.astype(np.float32)
+
+
 def split_edges_y(edges: np.ndarray, max_extent: float = 64.0) -> np.ndarray:
     """Split segments so every edge's |y1 - y0| <= max_extent.
 

@@ -50,20 +50,27 @@ def composite_draws(coverages: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:
 
 
 def premul_to_straight_u8(frame_pm: jnp.ndarray) -> jnp.ndarray:
-    """Premultiplied float RGBA -> straight u8 (node-canvas PNG semantics:
-    un-premultiply then round).
+    """Premultiplied float RGBA -> straight u8 through PREMULTIPLIED-u8
+    quantization (ARGB32 parity).
 
-    Pixels whose alpha rounds to 0 become fully zero: Cairo's premultiplied
-    u8 surfaces cannot carry color at zero alpha, and un-premultiplying
-    numerically-tiny coverage would otherwise amplify float noise into
-    arbitrary (invisible) RGB values."""
-    a = frame_pm[..., 3:4]
-    visible = a >= (0.5 / 255.0)
-    safe_a = jnp.where(visible, a, 1.0)
-    rgb = jnp.clip(frame_pm[..., :3] / safe_a, 0.0, 1.0)
-    rgb = jnp.where(visible, rgb, 0.0)
-    out = jnp.concatenate([rgb, jnp.clip(a, 0.0, 1.0)], axis=-1)
-    return jnp.round(out * 255.0).astype(jnp.uint8)
+    Both behavior-defining pipelines store premultiplied *bytes* and derive
+    straight RGBA from them: Cairo/node-canvas surfaces are ARGB32
+    (getImageData / PNG export un-premultiplies the quantized bytes), and
+    the Flash player captures the same way — at alpha 2 the only straight
+    channel values that exist are {0, 128, 255}.  Quantizing straight
+    values directly (the previous behavior) diverges by up to 127 u8 steps
+    on low-alpha AA edge pixels even when the premultiplied pixel agrees
+    exactly; this path reproduces the goldens' low-alpha structure.
+    Pixels whose alpha byte is 0 are fully zero (premultiplied surfaces
+    carry no color at zero alpha)."""
+    a8 = jnp.round(jnp.clip(frame_pm[..., 3:4], 0.0, 1.0) * 255.0)
+    pm8 = jnp.round(jnp.clip(frame_pm[..., :3], 0.0, 1.0) * 255.0)
+    pm8 = jnp.minimum(pm8, a8)  # premul bytes never exceed the alpha byte
+    visible = a8 > 0.0
+    inv = 255.0 / jnp.where(visible, a8, 1.0)
+    rgb8 = jnp.round(jnp.clip(pm8 * inv, 0.0, 255.0))
+    rgb8 = jnp.where(visible, rgb8, 0.0)
+    return jnp.concatenate([rgb8, a8], axis=-1).astype(jnp.uint8)
 
 
 def composite_to_u8(coverages, colors) -> np.ndarray:

@@ -243,16 +243,7 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
             g = read_color(lyr, 1) * ca + g * kp
             b = read_color(lyr, 2) * ca + b * kp
             a = ca + a * kp
-        visible = a >= (0.5 / 255.0)
-        safe_a = jnp.where(visible, a, 1.0)
-
-        def chan(c):
-            s = jnp.clip(c / safe_a, 0.0, 1.0)
-            s = jnp.where(visible, s, 0.0)
-            # Mosaic has no f32->u32 cast; round through i32 (0..255).
-            return jnp.round(s * 255.0).astype(jnp.int32)
-
-        r8, g8, b8 = chan(r), chan(g), chan(b)
+        pm = (r, g, b)
     else:
         # Per-layer effective source alpha ca_l, then the premultiplied
         # over-composite in suffix-product form: out = sum_l C_l ca_l S_l
@@ -276,20 +267,25 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
                 out = out + read_color(lyr, c_idx) * weight[lyr]
             return out
 
-        visible = a >= (0.5 / 255.0)
-        # One shared factor folds un-premultiply, visibility and the *255
-        # scaling: chan = round(clip(c * fac, 0, 255)).
-        fac = jnp.where(visible, 255.0 / jnp.where(visible, a, 1.0), 0.0)
+        pm = (channel(0), channel(1), channel(2))
 
-        def chan(c):
-            return jnp.round(
-                jnp.clip(c * fac, 0.0, 255.0)).astype(jnp.int32)
+    # Premultiplied-u8 quantization (ARGB32 parity — identical arithmetic
+    # to composite.premul_to_straight_u8, which the bit-exactness tests
+    # compare against): round premul and alpha to bytes FIRST, then
+    # un-premultiply the bytes.  Mosaic has no f32->u32 cast; round
+    # through i32 (0..255).
+    a8f = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0)
+    visible = a8f > 0.0
+    inv = 255.0 / jnp.where(visible, a8f, 1.0)
 
-        r8, g8, b8 = chan(channel(0)), chan(channel(1)), chan(channel(2))
+    def chan(c_pm):
+        pm8 = jnp.minimum(jnp.round(jnp.clip(c_pm, 0.0, 1.0) * 255.0), a8f)
+        s = jnp.round(jnp.clip(pm8 * inv, 0.0, 255.0))
+        return jnp.where(visible, s, 0.0).astype(jnp.int32)
 
+    r8, g8, b8 = chan(pm[0]), chan(pm[1]), chan(pm[2])
     rgb = (r8 + g8 * (1 << 8) + b8 * (1 << 16)).astype(jnp.uint32)
-    a8 = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
-    return rgb + a8.astype(jnp.uint32) * jnp.uint32(1 << 24)
+    return rgb + a8f.astype(jnp.int32).astype(jnp.uint32) * jnp.uint32(1 << 24)
 
 
 def _place_kernel(sidx_ref, keep_ref, urc_ref, ucm_ref, uval_ref,

@@ -23,6 +23,7 @@ Canvas2D semantics preserved:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -33,6 +34,7 @@ from ..models.decode_shape import decode_shape
 from ..models.geometry import (
     Affine,
     TWIPS_PER_PX,
+    clip_edges_rect,
     path_to_subpaths,
     polygons_to_edges,
     stroke_subpath,
@@ -138,15 +140,21 @@ class SceneCompiler:
         morph_cache: dict,
         curve_tolerance: float = 0.1,
         honor_swf_caps: bool = False,
+        clip: Optional[Tuple[float, float]] = None,
     ) -> None:
         """``honor_swf_caps``: use the SWF line styles' caps/joins (what the
         Flash player renders) instead of Canvas2D defaults (what the
-        reference Canvas renderer does by ignoring them)."""
+        reference Canvas renderer does by ignoring them).
+
+        ``clip``: exact stage extent (width, height) in pixels; draws are
+        clipped to [0, w] x [0, h] (the Flash player clips at the exact —
+        generally fractional — stage bounds)."""
         self.bitmaps = bitmaps
         self.shape_cache = shape_cache
         self.morph_cache = morph_cache
         self.curve_tolerance = curve_tolerance
         self.honor_swf_caps = honor_swf_caps
+        self.clip = clip
         self.draws: List[Draw] = []
         # Canvas2D context state: lineWidth starts at 1.0 (user-space units
         # = twips here) and ignores non-positive assignments.
@@ -155,10 +163,17 @@ class SceneCompiler:
     # -- public ------------------------------------------------------------
 
     def compile_stage(self, stage: display.Stage) -> List[Draw]:
+        if self.clip is None and stage.exact_width is not None:
+            self.clip = (stage.exact_width, stage.exact_height)
         base = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
         for child in stage.children:
             self._walk(child, base, None)
         return self.draws
+
+    def _clip(self, edges: np.ndarray) -> np.ndarray:
+        if self.clip is None or edges.shape[0] == 0:
+            return edges
+        return clip_edges_rect(edges, self.clip[0], self.clip[1])
 
     # -- tree walk ----------------------------------------------------------
 
@@ -242,7 +257,7 @@ class SceneCompiler:
     def _emit_fill(self, commands, fill: ir.FillStyle, ctm: Affine,
                    ct: Optional[display.ColorTransform]) -> None:
         subpaths = path_to_subpaths(commands, ctm, self.curve_tolerance)
-        edges = subpaths_to_fill_edges(subpaths)
+        edges = self._clip(subpaths_to_fill_edges(subpaths))
         if edges.shape[0] == 0:
             return
         paint = self._paint_for_fill(fill, ctm, ct)
@@ -253,12 +268,20 @@ class SceneCompiler:
                      cap: str, join: str) -> None:
         if not isinstance(fill, ir.SolidFill):
             raise NotImplementedError(f"NotImplementedLineStyle: {fill!r}")
-        if width > 0:
-            self.line_width_state = width
-        effective_width = self.line_width_state
         # Stroke geometry is computed in user (twip) space — Canvas2D stroke
         # outlines are defined pre-CTM — then transformed to device space.
         scale = max(ctm.max_scale(), 1e-6)
+        if width > 0:
+            self.line_width_state = width
+        if self.honor_swf_caps and width <= 0:
+            # SWF width 0 is a HAIRLINE: the player draws it one device
+            # pixel wide regardless of scale.  The Canvas reference instead
+            # inherits the lineWidth state machine (0 ignored, previous
+            # value persists) — that's the quality='canvas' branch below.
+            area_scale = abs(ctm.a * ctm.d - ctm.b * ctm.c)
+            effective_width = 1.0 / max(math.sqrt(area_scale), 1e-6)
+        else:
+            effective_width = self.line_width_state
         local_tol = self.curve_tolerance / scale
         subpaths = path_to_subpaths(commands, Affine.identity(), local_tol)
         polys = []
@@ -268,7 +291,7 @@ class SceneCompiler:
                                tolerance=local_tol)
             )
         polys = [ctm.apply(poly) for poly in polys]
-        edges = polygons_to_edges(polys)
+        edges = self._clip(polygons_to_edges(polys))
         if edges.shape[0] == 0:
             return
         color = _apply_color_transform(fill.color, ct)

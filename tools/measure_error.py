@@ -10,6 +10,10 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon sitecustomize override
+
 from swf_renderer_tpu.models.ast_io import (
     parse_define_bitmap, parse_define_morph_shape, parse_define_shape,
 )

@@ -113,12 +113,11 @@ def bench_morph16() -> None:
     dt_direct = min(times)
 
     from swf_renderer_tpu.native.bindings import (
-        cells_split_delta_native, native_available, pack_blocks_native,
+        cells_split_delta_native, pack_grouped_native,
     )
-    from swf_renderer_tpu.ops.flatblock import (
-        pack_flat_blocks, render_fused_blocks, sort_blocks_fused,
-    )
+    from swf_renderer_tpu.ops.flatblock import render_fused_blocksn
 
+    GROUP = 8
     t0 = time.perf_counter()
     update_lists = []
     colors = np.zeros((len(ratios), p, 4), np.float32)
@@ -130,22 +129,20 @@ def bench_morph16() -> None:
                 table, stage.height, stage.width))
             colors[i, j] = cs[j] * (1 - r) + ce[j] * r
         update_lists.append(per)
-    pack = pack_blocks_native if native_available() else pack_flat_blocks
-    sidx, keep, urc, ucm, uval, ns, nc = pack(
-        update_lists, stage.height, stage.width)
-    sidx, keep, last, urc, ucm, uval = sort_blocks_fused(
-        sidx, keep, urc, ucm, uval, p, ns)
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+        update_lists, stage.height, stage.width, group=GROUP)
     lower_s = time.perf_counter() - t0
     print(json.dumps({"note": "morph host lowering (256 ratios)",
                       "seconds": round(lower_s, 3)}), file=sys.stderr)
 
     fargs = tuple(jnp.asarray(x)
-                  for x in (sidx, keep, last, urc, ucm, uval, colors))
+                  for x in (gsi, gfl, gla, grc, gcm, gvv, colors))
 
     def one_rep(uv, prev):
-        out = render_fused_blocks(
+        out = render_fused_blocksn(
             fargs[0], fargs[1], fargs[2], fargs[3], fargs[4],
-            uv + prev * 1e-30, fargs[6], len(ratios), p, ns, nc)
+            uv + prev * 1e-30, fargs[6], len(ratios), p, ns, nc,
+            group=GROUP)
         return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
     def timed(k):
@@ -288,12 +285,9 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
     import jax.numpy as jnp
 
     from swf_renderer_tpu.native.bindings import (
-        cells_split_delta_native, native_available, pack_blocks_native,
+        cells_split_delta_native, pack_grouped_native,
     )
-    from swf_renderer_tpu.ops.flatblock import (
-        group_blocks_fused, pack_flat_blocks, render_fused_blocksn,
-        sort_blocks_fused,
-    )
+    from swf_renderer_tpu.ops.flatblock import render_fused_blocksn
 
     GROUP = 8
     t0 = time.perf_counter()
@@ -301,13 +295,12 @@ def bench_flatblock(tables, colors, frames, layers, height, width) -> None:
         [cells_split_delta_native(t, height, width) for t in ft]
         for ft in tables
     ]
-    pack = pack_blocks_native if native_available() else pack_flat_blocks
-    sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
-    blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns,
-                               block_pad_multiple=1)
-    gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
-        *blocks, layers, ns, group=GROUP)
+    split_s = time.perf_counter() - t0
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+        update_lists, height, width, group=GROUP)
     lower_s = time.perf_counter() - t0
+    print(json.dumps({"note": "host split seconds",
+                      "seconds": round(split_s, 3)}), file=sys.stderr)
     print(
         json.dumps({"note": "host delta lowering + block packing",
                     "seconds": round(lower_s, 3),

@@ -99,7 +99,7 @@ def render_morph_batch(
 
 def render_batch_flatblock(edge_tables, colors, height: int, width: int,
                            fill_rule: int = FILL_RULE_NONZERO,
-                           interpret: bool = None):
+                           interpret: bool = None, cache=None):
     """Flagship batched solid-layer renderer: native lowering + flat-block
     pipeline (scatter-free MXU placement with fused in-chunk prefix, then
     winding resolve straight to packed-u32 frames).
@@ -108,11 +108,15 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
     space.  Returns (F, H, W, 4) uint8 frames (host numpy).  Falls back to
     the chunked-scatter pipeline for framebuffers wider than the chunk-major
     layout supports (width >= 2048 px after padding).
+
+    ``cache``: optional runtime.cache.PackedSceneCache — memoizes the host
+    lowering (edge split + block packing) by geometry content hash, so
+    re-rendering a known scene goes straight to the device kernel.
     """
     import numpy as np
 
     from ..native.bindings import (
-        cells_split_delta_native, native_available, pack_blocks_native,
+        cells_split_delta_native, native_available, pack_grouped_native,
     )
     from .flatblock import (
         MAX_CHUNKS, LANE, frames_u32_to_u8, group_blocks_fused,
@@ -142,13 +146,12 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
         return ((uniq // (width + 2)).astype(np.int32),
                 (uniq % (width + 2)).astype(np.int32), acc)
 
-    update_lists = [[lower(t) for t in per_frame]
-                    for per_frame in edge_tables]
-
     stride, _, _ = plane_geometry(height, width)
     if stride > MAX_CHUNKS * LANE:
         from .resolve import pack_updates, render_scanline_updates
 
+        update_lists = [[lower(t) for t in per_frame]
+                        for per_frame in edge_tables]
         flat = [u for per_frame in update_lists for u in per_frame]
         rows, cols, vals = pack_updates(flat)
         out = render_scanline_updates(
@@ -159,15 +162,31 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
             fill_rule=fill_rule, interpret=interpret)
         return np.asarray(out)
 
-    pack = pack_blocks_native if native_available() else pack_flat_blocks
-    sidx, keep, urc, ucm, uval, ns, nc = pack(update_lists, height, width)
-    # No padding between sort and group: group_blocks_fused re-pads, and
-    # sentinel blocks would otherwise become wasted all-zero MXU steps.
-    blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns,
-                               block_pad_multiple=1)
     group = 8
-    gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
-        *blocks, layers, ns, group=group)
+    key = (cache.key_for(edge_tables, height, width, group)
+           if cache is not None else None)
+    packed = cache.get(key) if cache is not None else None
+    if packed is not None:
+        gsi, gfl, gla, grc, gcm, gvv, ns, nc = packed
+    else:
+        update_lists = [[lower(t) for t in per_frame]
+                        for per_frame in edge_tables]
+        if native_available():
+            # One-pass C++ packer: updates -> grouped kernel blocks directly
+            # (bit-identical to the Python chain below, the tested oracle).
+            gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+                update_lists, height, width, group=group)
+        else:
+            sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+                update_lists, height, width, block_pad_multiple=1)
+            # No padding between sort and group: group_blocks_fused re-pads,
+            # and sentinel blocks would be wasted all-zero MXU steps.
+            blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers,
+                                       ns, block_pad_multiple=1)
+            gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
+                *blocks, layers, ns, group=group)
+        if cache is not None:
+            cache.put(key, (gsi, gfl, gla, grc, gcm, gvv, ns, nc))
     out = np.asarray(render_fused_blocksn(
         jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
         jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),

@@ -10,8 +10,11 @@ checkpoint/resume story for a renderer (SURVEY.md §5).
 
 from __future__ import annotations
 
+import collections
+import hashlib
 import json
-from typing import List
+import pathlib
+from typing import List, Optional
 
 import numpy as np
 
@@ -19,6 +22,71 @@ from ..ops import style as style_ops
 from .scene import Draw
 
 _FORMAT_VERSION = 1
+
+
+class PackedSceneCache:
+    """Memoizes flat-block lowering: geometry -> grouped kernel blocks.
+
+    The reference caches decoded shapes per definition and retains GPU
+    meshes keyed by character id; this is the analog one level lower —
+    the packed placement blocks the fused kernel consumes, keyed by a
+    content hash of the geometry + raster shape.  With a warm entry,
+    re-rendering a known scene skips the entire host lowering (edge
+    split + pack), the dominant per-scene host cost.  Bounded LRU in
+    memory; optionally persistent via ``directory`` (.npz per entry,
+    the checkpoint/resume story extended to packed scenes)."""
+
+    def __init__(self, capacity: int = 8,
+                 directory: Optional[str] = None) -> None:
+        self.capacity = capacity
+        self.directory = pathlib.Path(directory) if directory else None
+        if self.directory is not None:
+            self.directory.mkdir(parents=True, exist_ok=True)
+        self._mem: "collections.OrderedDict[str, tuple]" = (
+            collections.OrderedDict())
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def key_for(edge_tables, height: int, width: int, group: int) -> str:
+        h = hashlib.sha256(f"v1:{height}x{width}g{group}".encode())
+        for per_frame in edge_tables:
+            h.update(b"|")
+            for t in per_frame:
+                a = np.ascontiguousarray(t, np.float32)
+                h.update(np.int64(a.shape[0]).tobytes())
+                h.update(a.tobytes())
+        return h.hexdigest()
+
+    def get(self, key: str):
+        if key in self._mem:
+            self._mem.move_to_end(key)
+            self.hits += 1
+            return self._mem[key]
+        if self.directory is not None:
+            path = self.directory / f"{key}.npz"
+            if path.exists():
+                with np.load(path) as d:
+                    value = (d["gsi"], d["gfl"], d["gla"], d["grc"],
+                             d["gcm"], d["gvv"], int(d["ns"]), int(d["nc"]))
+                self._remember(key, value)
+                self.hits += 1
+                return value
+        self.misses += 1
+        return None
+
+    def put(self, key: str, value) -> None:
+        self._remember(key, value)
+        if self.directory is not None:
+            gsi, gfl, gla, grc, gcm, gvv, ns, nc = value
+            np.savez(self.directory / f"{key}.npz", gsi=gsi, gfl=gfl,
+                     gla=gla, grc=grc, gcm=gcm, gvv=gvv, ns=ns, nc=nc)
+
+    def _remember(self, key: str, value) -> None:
+        self._mem[key] = value
+        self._mem.move_to_end(key)
+        while len(self._mem) > self.capacity:
+            self._mem.popitem(last=False)
 
 
 def save_draws(path, draws: List[Draw]) -> None:

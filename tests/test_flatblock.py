@@ -341,3 +341,78 @@ def test_render_batch_flatblock_blank_scene():
     out = render_batch_flatblock([[t, t]], colors, 24, 150)
     assert out.shape == (1, 24, 150, 4)
     assert (out == 0).all()
+
+
+def test_pack_grouped_native_matches_python_chain():
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops.flatblock import (
+        group_blocks_fused, render_fused_blocksn, sort_blocks_fused,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    frames, layers, height, width = 2, 3, 40, 300
+    for seed in (1, 8):
+        ul, colors = random_scene(frames, layers, height, width, seed=seed)
+        sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+            ul, height, width, block_pad_multiple=1)
+        blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns,
+                                   block_pad_multiple=1)
+        for group in (2, 8):
+            a = group_blocks_fused(*blocks, layers, ns, group=group,
+                                   group_pad_multiple=4)
+            gsi, gfl, gla, grc, gcm, gvv, nsb, ncb = pack_grouped_native(
+                ul, height, width, group=group, group_pad_multiple=4)
+            assert (nsb, ncb) == (ns, nc)
+            ns1 = ns + 1
+            # gsi layer encoding may differ; the kernel reads only (f, s).
+            np.testing.assert_array_equal(a[0] // (layers * ns1),
+                                          gsi // (layers * ns1))
+            np.testing.assert_array_equal(a[0] % ns1, gsi % ns1)
+            np.testing.assert_array_equal(a[1], gfl)
+            np.testing.assert_array_equal(a[2], gla)
+            np.testing.assert_array_equal(a[3], grc.reshape(a[3].shape))
+            np.testing.assert_array_equal(a[4], gcm.reshape(a[4].shape))
+            np.testing.assert_array_equal(a[5], gvv.reshape(a[5].shape))
+            want = np.asarray(render_fused_blocksn(
+                *(jnp.asarray(x) for x in a), jnp.asarray(colors),
+                frames, layers, ns, nc, group=group))
+            got = np.asarray(render_fused_blocksn(
+                jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+                jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+                jnp.asarray(colors), frames, layers, ns, nc, group=group))
+            np.testing.assert_array_equal(got, want)
+
+
+def test_packed_scene_cache_roundtrip(tmp_path):
+    from swf_renderer_tpu.ops.pipeline import render_batch_flatblock
+    from swf_renderer_tpu.runtime.cache import PackedSceneCache
+
+    rng = np.random.default_rng(21)
+    frames, layers, height, width = 2, 2, 32, 200
+    tables = []
+    colors = rng.uniform(0.2, 1.0, (frames, layers, 4)).astype(np.float32)
+    for _ in range(frames):
+        per = []
+        for _ in range(layers):
+            pts = rng.uniform(0, (width, height), (6, 2)).astype(np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            per.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+        tables.append(per)
+
+    cache = PackedSceneCache(directory=tmp_path)
+    miss = render_batch_flatblock(tables, colors, height, width, cache=cache)
+    assert cache.misses == 1 and cache.hits == 0
+    hit = render_batch_flatblock(tables, colors, height, width, cache=cache)
+    assert cache.hits == 1
+    np.testing.assert_array_equal(miss, hit)
+    # Disk round trip: a fresh cache instance reloads the persisted entry.
+    cold = PackedSceneCache(directory=tmp_path)
+    from_disk = render_batch_flatblock(tables, colors, height, width,
+                                       cache=cold)
+    assert cold.hits == 1 and cold.misses == 0
+    np.testing.assert_array_equal(miss, from_disk)

@@ -47,9 +47,11 @@ group = 1 / 2 / 4 / 8 on the 60-frame 1080p headline workload (one v5e),
 bit-identical output at every size.  The MXU placement and the VPU
 resolve overlap because they run on different units.
 
-The chunk-major layout caps the supported padded width at 16 chunks
-(stride <= 2048 i.e. width <= 2047); wider framebuffers fall back to the
-chunked-scatter pipeline (resolve.render_scanline_updates).
+Wider-than-2047 framebuffers grow the chunk-major plane's sublane count
+(plane_rows_for): 4K frames run a (256, 128) plane per strip — same
+kernels, one extra carry-ladder step, double the MXU rows per block.  The
+hard cap is 64 chunks (width 8191); beyond that the chunked-scatter
+pipeline (resolve.render_scanline_updates) takes over.
 """
 
 from __future__ import annotations
@@ -67,7 +69,11 @@ from .coverage import FILL_RULE_NONZERO, _on_tpu
 STRIP_H = 8
 LANE = 128
 BLK = 128           # updates per placement block
-MAX_CHUNKS = 16     # chunk-major plane: (NCHUNK*8 <= 128) sublanes
+# Chunk-major plane sublane budget: n_chunks*8 sublanes, power-of-2 padded.
+# 16 chunks (width <= 2047) fit the base 128-sublane plane; wider frames
+# (up to 64 chunks / width 8191, e.g. 4K) grow the plane to 256/512
+# sublanes — the MXU one-hot product and the carry ladder scale with it.
+MAX_CHUNKS = 64
 
 
 def plane_geometry(height: int, width: int):
@@ -75,6 +81,14 @@ def plane_geometry(height: int, width: int):
     n_chunks = stride // LANE
     n_strips = -(-height // STRIP_H)
     return stride, n_chunks, n_strips
+
+
+def plane_rows_for(n_chunks: int) -> int:
+    """Sublane count of the chunk-major strip plane (power of two >= 128)."""
+    rows = 128
+    while rows < n_chunks * STRIP_H:
+        rows *= 2
+    return rows
 
 
 def pack_flat_blocks(update_lists, height: int, width: int,
@@ -174,15 +188,15 @@ def _place_delta(rc, cm, v, lane, sub, *, step: bool = True,
     if passes >= 3:
         mid32 = mid.astype(jnp.float32)
         parts.append((v - hi32 - mid32).astype(jnp.bfloat16))
-    delta = jnp.zeros((LANE, LANE), jnp.float32)
+    delta = jnp.zeros((sub.shape[0], LANE), jnp.float32)
     for part in parts:
         u = (onehot * part.astype(jnp.float32)).astype(jnp.bfloat16)
         delta = delta + jnp.dot(u, w, preferred_element_type=jnp.float32)
     return delta
 
 
-def _iotas():
-    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0).astype(
+def _iotas(plane_rows: int = LANE):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (plane_rows, 1), 0).astype(
         jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1).astype(
         jnp.float32)
@@ -191,7 +205,7 @@ def _iotas():
 
 def _resolve_strip_packed(read_plane, read_color, *, layers: int,
                           fill_rule: int, prefixed: bool = True,
-                          chain: bool = False):
+                          chain: bool = False, plane_rows: int = LANE):
     """THE shared winding->pixels resolve (every kernel in this module ends
     here): cross-chunk carry ladder, fill rule, alpha-over composite,
     straight-u8 quantization, little-endian RGBA packing.
@@ -202,8 +216,9 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
     composites with the sequential over chain (bit-compatible with
     resolve.resolve_frames + composite.premul_to_straight_u8);
     ``chain=False`` uses the suffix-product form (fewer VPU ops; used by
-    the fused kernels).  Returns the (128, 128) uint32 packed strip."""
-    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    the fused kernels).  Returns the (plane_rows, 128) uint32 packed
+    strip."""
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (plane_rows, 1), 0)
     covs = []
     for lyr in range(layers):
         x = read_plane(lyr)
@@ -218,24 +233,40 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
         # Cross-chunk carry: chunk totals live at lane 127; an inclusive
         # stride-8 sublane ladder sums all earlier chunks of the same row
         # (sublane rc = chunk*8 + row, so stride-8 shifts stay row-phased).
-        totals = x[:, LANE - 1:]  # (128, 1)
+        totals = x[:, LANE - 1:]  # (plane_rows, 1)
         incl = totals
-        for shift in (8, 16, 32, 64):
+        shift = STRIP_H
+        while shift < plane_rows:
             incl = incl + jnp.where(sub_ids >= shift,
                                     pltpu.roll(incl, shift, axis=0), 0.0)
+            shift *= 2
         winding = x + (incl - totals)
-        if fill_rule == FILL_RULE_NONZERO:
-            cov = jnp.minimum(jnp.abs(winding), 1.0)
-        else:
-            m = jnp.mod(winding, 2.0)
-            cov = 1.0 - jnp.abs(m - 1.0)
-        covs.append(cov)
+        covs.append(fill_rule_cov(winding, fill_rule))
+    return composite_quantize_pack(covs, read_color, layers=layers,
+                                   chain=chain)
 
+
+def fill_rule_cov(winding, fill_rule: int):
+    """Winding number -> coverage under the nonzero / even-odd fill rule."""
+    if fill_rule == FILL_RULE_NONZERO:
+        return jnp.minimum(jnp.abs(winding), 1.0)
+    m = jnp.mod(winding, 2.0)
+    return 1.0 - jnp.abs(m - 1.0)
+
+
+def composite_quantize_pack(covs, read_color, *, layers: int,
+                            chain: bool = False):
+    """Coverage planes -> alpha-over composite -> premul-u8 quantization ->
+    packed little-endian RGBA uint32 (the shared tail of every resolve).
+
+    ``covs``: list of per-layer coverage arrays (any 2-D shape);
+    ``read_color(lyr, ch)`` -> scalar or same-shape array."""
     if chain:
-        r = jnp.zeros((LANE, LANE), jnp.float32)
-        g = jnp.zeros((LANE, LANE), jnp.float32)
-        b = jnp.zeros((LANE, LANE), jnp.float32)
-        a = jnp.zeros((LANE, LANE), jnp.float32)
+        shape = covs[0].shape
+        r = jnp.zeros(shape, jnp.float32)
+        g = jnp.zeros(shape, jnp.float32)
+        b = jnp.zeros(shape, jnp.float32)
+        a = jnp.zeros(shape, jnp.float32)
         for lyr in range(layers):
             ca = read_color(lyr, 3) * covs[lyr]
             kp = 1.0 - ca
@@ -479,6 +510,9 @@ def render_fused_blocks(
 
     Requires blocks sorted by (frame, strip, layer) — see
     sort_blocks_fused."""
+    if n_chunks * STRIP_H > LANE:
+        raise ValueError("render_fused_blocks supports width < 2048; use "
+                         "render_fused_blocksn for wider frames")
     if interpret is None:
         interpret = not _on_tpu()
     nb = urc.shape[0]
@@ -584,7 +618,8 @@ def sort_blocks_fused(sidx, keep, urc, ucm, uval, layers: int,
 
 
 def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
-                   n_chunks: int, fill_rule: int, group: int):
+                   n_chunks: int, fill_rule: int, group: int,
+                   plane_rows: int = LANE):
     """Generalized fused kernel: ``group`` placement blocks per grid step
     (all one (f, s) supergroup).  rest = (lay_0..lay_{group-1}, colors,
     urc, ucm, uval, out, acc); the block arrays hold the group's blocks
@@ -595,7 +630,7 @@ def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
     i = pl.program_id(0)
     packed = sidx_ref[i]
     flags = flags_ref[i]
-    lane, sub = _iotas()
+    lane, sub = _iotas(plane_rows)
 
     @pl.when(jnp.bitwise_and(flags, 1) == 1)
     def _zero():
@@ -612,16 +647,19 @@ def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
     @pl.when(jnp.bitwise_and(flags, 2) == 2)
     def _resolve():
         _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
-                            layers, ns1, n_chunks, fill_rule)
+                            layers, ns1, n_chunks, fill_rule,
+                            plane_rows=plane_rows)
 
 
 def _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
-                        layers, ns1, n_chunks, fill_rule):
+                        layers, ns1, n_chunks, fill_rule,
+                        plane_rows: int = LANE):
     f = packed // (layers * ns1)
     pk = _resolve_strip_packed(
         lambda lyr: acc_ref[lyr],
         lambda lyr, c: colors_ref[f, lyr, c],
-        layers=layers, fill_rule=fill_rule, prefixed=True, chain=False)
+        layers=layers, fill_rule=fill_rule, prefixed=True, chain=False,
+        plane_rows=plane_rows)
     for j in range(n_chunks):
         out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
             pk[j * STRIP_H:(j + 1) * STRIP_H, :]
@@ -653,6 +691,7 @@ def render_fused_blocksn(
     ng = urc.shape[0]
     ns1 = n_strips + 1
     stride = n_chunks * LANE
+    plane_rows = plane_rows_for(n_chunks)
     nsp = 2 + group + 1  # sidx, flags, lay_g..., colors
 
     def out_index(i, *refs):
@@ -676,11 +715,12 @@ def render_fused_blocksn(
         out_specs=pl.BlockSpec(
             (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((layers, LANE, LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((layers, plane_rows, LANE),
+                                   jnp.float32)],
     )
     kernel = functools.partial(
         _fusedn_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
-        fill_rule=fill_rule, group=group)
+        fill_rule=fill_rule, group=group, plane_rows=plane_rows)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -689,6 +729,279 @@ def render_fused_blocksn(
         interpret=interpret,
     )(sidx, flags, *(lays[g] for g in range(group)), colors,
       urc, ucm, uval)
+
+
+# ---------------------------------------------------------------------------
+# Styled fused pipeline: gradients evaluated IN-KERNEL, bitmaps via
+# precomputed chunk-major field planes — styled fills ride the same
+# single-kernel flat-block path as solids (the reference keeps gradient and
+# pattern fills in the same hot fill path, canvas-renderer.ts:292-335).
+# ---------------------------------------------------------------------------
+
+KPAINT_COLOR = 0   # per-(frame, layer) constant RGBA from colors_ref
+KPAINT_LINEAR = 1  # linear gradient, params baked into the kernel
+KPAINT_FOCAL = 2   # focal/radial gradient, params baked
+KPAINT_FIELD = 3   # per-pixel RGBA field input (bitmap paints)
+
+_GRAD_RADIUS = 16384.0  # SWF gradient square radius in twips (style.py)
+
+
+class KernelPaint(tuple):
+    """Hashable static paint descriptor for the styled fused kernel.
+
+    (kind, inv_matrix(6), stop_ratios(K), stop_colors(4K flat), focal,
+    spread, field_slot).  Gradient params are baked into the compiled
+    kernel as constants (paints are per-scene state, like the grid shape);
+    bitmap paints reference a field input slot instead."""
+
+    __slots__ = ()
+
+    @staticmethod
+    def color():
+        return KernelPaint((KPAINT_COLOR, (), (), (), 0.0, 0, -1))
+
+    @staticmethod
+    def gradient(kind, inv_matrix, stop_ratios, stop_colors,
+                 focal: float = 0.0, spread: int = 0):
+        return KernelPaint((
+            kind, tuple(float(x) for x in inv_matrix),
+            tuple(float(x) for x in stop_ratios),
+            tuple(float(x) for x in np.asarray(stop_colors).reshape(-1)),
+            float(focal), int(spread), -1))
+
+    @staticmethod
+    def field(slot: int):
+        return KernelPaint((KPAINT_FIELD, (), (), (), 0.0, 0, int(slot)))
+
+    kind = property(lambda self: self[0])
+    inv_matrix = property(lambda self: self[1])
+    stop_ratios = property(lambda self: self[2])
+    stop_colors = property(lambda self: self[3])
+    focal = property(lambda self: self[4])
+    spread = property(lambda self: self[5])
+    slot = property(lambda self: self[6])
+
+
+def _grad_rgba(paint: "KernelPaint", strip, plane_rows: int = LANE,
+               dtype=jnp.float32):
+    """Evaluate a gradient paint over one strip's chunk-major
+    (plane_rows, 128) pixel block.  Semantics match ops.style exactly: SWF
+    gradient square x in [-16384, 16384] (linear), Canvas
+    createRadialGradient focal math (focal), spread pad/repeat/reflect,
+    piecewise-linear stop interp."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (plane_rows, LANE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (plane_rows, LANE), 1)
+    py = (strip * STRIP_H + sub % STRIP_H).astype(dtype) + 0.5
+    px = ((sub // STRIP_H) * LANE + lane).astype(dtype) + 0.5
+    a, b, c, d, e, f = paint.inv_matrix
+    sx = a * px + c * py + e
+    sy = b * px + d * py + f
+
+    if paint.kind == KPAINT_LINEAR:
+        t = (sx + _GRAD_RADIUS) / (2.0 * _GRAD_RADIUS)
+    else:  # focal: style._focal_gradient_t replicated
+        fx = paint.focal * _GRAD_RADIUS
+        pdx = sx - fx
+        pdy = sy
+        cdx = -fx
+        dr = _GRAD_RADIUS
+        qa = cdx * cdx - dr * dr
+        qb = pdx * cdx
+        qc = pdx * pdx + pdy * pdy
+        disc = jnp.maximum(qb * qb - qa * qc, 0.0)
+        sq = jnp.sqrt(disc)
+        safe_a = qa if abs(qa) >= 1e-6 else 1e-6
+        t = jnp.maximum((-qb + sq) / safe_a, (-qb - sq) / safe_a)
+        if abs(qa) < 1e-6:
+            t = jnp.where(jnp.abs(qb) < 1e-9, 0.0, -qc / (2.0 * qb))
+
+    if paint.spread == 0:      # pad
+        t = jnp.clip(t, 0.0, 1.0)
+    elif paint.spread == 2:    # repeat
+        t = jnp.mod(t, 1.0)
+    else:                      # reflect
+        m = jnp.mod(t, 2.0)
+        t = 1.0 - jnp.abs(m - 1.0)
+
+    # Piecewise-linear ramp as clamped-segment accumulation (identical to
+    # jnp.interp on sorted stops, style._interp_stops).
+    ratios = paint.stop_ratios
+    colors = np.asarray(paint.stop_colors, np.float32).reshape(-1, 4)
+    out = []
+    for ch in range(4):
+        acc = jnp.full_like(t, colors[0, ch])
+        for k in range(len(ratios) - 1):
+            dr_k = max(ratios[k + 1] - ratios[k], 1e-6)
+            w = jnp.clip((t - ratios[k]) / dr_k, 0.0, 1.0)
+            acc = acc + (colors[k + 1, ch] - colors[k, ch]) * w
+        out.append(acc)
+    return out
+
+
+def _styled_read_color(paints, colors_ref, field_refs, f, strip,
+                       plane_rows: int = LANE):
+    """read_color(lyr, ch) for _resolve_strip_packed over styled layers:
+    constant layers read colors_ref, gradients evaluate in-kernel, bitmap
+    layers read their prefetched field block (straight RGBA planes)."""
+    cache = {}
+
+    def arrays(lyr):
+        if lyr not in cache:
+            p = paints[lyr]
+            if p.kind == KPAINT_FIELD:
+                cache[lyr] = [field_refs[p.slot][0, ch] for ch in range(4)]
+            else:
+                cache[lyr] = _grad_rgba(p, strip, plane_rows)
+        return cache[lyr]
+
+    def read_color(lyr, ch):
+        if paints[lyr].kind == KPAINT_COLOR:
+            return colors_ref[f, lyr, ch]
+        return arrays(lyr)[ch]
+
+    return read_color
+
+
+def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
+                         n_chunks: int, fill_rule: int, group: int,
+                         paints, n_fields: int, plane_rows: int = LANE):
+    """_fusedn_kernel generalized to styled per-layer paints."""
+    lay_refs = rest[:group]
+    colors_ref = rest[group]
+    urc_ref, ucm_ref, uval_ref = rest[group + 1:group + 4]
+    field_refs = rest[group + 4:group + 4 + n_fields]
+    out_ref, acc_ref = rest[group + 4 + n_fields:]
+    i = pl.program_id(0)
+    packed = sidx_ref[i]
+    flags = flags_ref[i]
+    lane, sub = _iotas(plane_rows)
+
+    @pl.when(jnp.bitwise_and(flags, 1) == 1)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for g in range(group):
+        delta = _place_delta(urc_ref[0, :, g * BLK:(g + 1) * BLK],
+                             ucm_ref[0, g * BLK:(g + 1) * BLK, :],
+                             uval_ref[0, :, g * BLK:(g + 1) * BLK],
+                             lane, sub)
+        layer = lay_refs[g][i]
+        acc_ref[layer] = acc_ref[layer] + delta
+
+    @pl.when(jnp.bitwise_and(flags, 2) == 2)
+    def _resolve():
+        f = packed // (layers * ns1)
+        strip = packed % ns1
+        read_color = _styled_read_color(paints, colors_ref, field_refs,
+                                        f, strip, plane_rows)
+        pk = _resolve_strip_packed(
+            lambda lyr: acc_ref[lyr], read_color,
+            layers=layers, fill_rule=fill_rule, prefixed=True, chain=False,
+            plane_rows=plane_rows)
+        for j in range(n_chunks):
+            out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
+                pk[j * STRIP_H:(j + 1) * STRIP_H, :]
+            )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "frames", "layers", "n_strips", "n_chunks", "group", "paints",
+    "fill_rule", "interpret"))
+def render_fused_styled(
+    sidx: jax.Array,    # (NG,) i32 packed target
+    flags: jax.Array,   # (NG,) i32 bit0 zero, bit1 resolve
+    lays: jax.Array,    # (group, NG) i32 per-sub-block layer
+    urc: jax.Array,     # (NG, 1, group*BLK) f32
+    ucm: jax.Array,     # (NG, group*BLK, 1) f32
+    uval: jax.Array,    # (NG, 1, group*BLK) f32
+    colors: jax.Array,  # (F, L, 4) f32 (constant-paint layers)
+    fields,             # tuple of (NS+1, 4, 128, 128) f32 field planes
+    frames: int,
+    layers: int,
+    n_strips: int,
+    n_chunks: int,
+    paints,             # tuple of KernelPaint, one per layer (static)
+    group: int = 8,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = None,
+) -> jax.Array:
+    """Styled group-per-step fused render -> (F, NS+1, 8, stride) uint32.
+
+    Field planes are frame-invariant (device-space paints); convert with
+    field_to_chunkmajor.  Gradient layers cost only VPU ops in the resolve
+    (no extra HBM traffic); bitmap layers stream one field strip block per
+    resolve step."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    ng = urc.shape[0]
+    ns1 = n_strips + 1
+    stride = n_chunks * LANE
+    plane_rows = plane_rows_for(n_chunks)
+    n_fields = len(fields)
+    nsp = 2 + group + 1  # sidx, flags, lay_g..., colors
+
+    def out_index(i, *refs):
+        packed = refs[0][i]
+        return (packed // (layers * ns1), packed % ns1, 0, 0)
+
+    def in_index(i, *refs):
+        return (i, 0, 0)
+
+    def field_index(i, *refs):
+        return (refs[0][i] % ns1, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nsp,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, 1, group * BLK), in_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * BLK, 1), in_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, group * BLK), in_index,
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, 4, plane_rows, LANE), field_index,
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_fields)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((layers, plane_rows, LANE),
+                                   jnp.float32)],
+    )
+    kernel = functools.partial(
+        _fused_styled_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
+        fill_rule=fill_rule, group=group, paints=paints, n_fields=n_fields,
+        plane_rows=plane_rows)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (frames, ns1, STRIP_H, stride), jnp.uint32),
+        interpret=interpret,
+    )(sidx, flags, *(lays[g] for g in range(group)), colors,
+      urc, ucm, uval, *fields)
+
+
+def field_to_chunkmajor(field, n_strips: int, n_chunks: int):
+    """(H, W, 4) straight-RGBA field -> (NS+1, 4, plane_rows, 128)
+    chunk-major planes for render_fused_styled
+    (sublane rc = (col//128)*8 + row%8)."""
+    h, w = field.shape[:2]
+    stride = n_chunks * LANE
+    hp = n_strips * STRIP_H
+    fp = jnp.zeros((hp, stride, 4), jnp.float32)
+    fp = fp.at[:h, :w].set(jnp.asarray(field, jnp.float32))
+    x = fp.reshape(n_strips, STRIP_H, n_chunks, LANE, 4)
+    x = jnp.transpose(x, (0, 4, 2, 1, 3))  # (NS, 4, chunks, 8, 128)
+    x = x.reshape(n_strips, 4, n_chunks * STRIP_H, LANE)
+    pad_rows = plane_rows_for(n_chunks) - n_chunks * STRIP_H
+    if pad_rows:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
+    # Sentinel strip NS (garbage bucket) reads as zeros.
+    return jnp.pad(x, ((0, 1), (0, 0), (0, 0), (0, 0)))
 
 
 def group_blocks_fused(sidx, keep, last, urc, ucm, uval, layers: int,
@@ -854,6 +1167,9 @@ def render_flat_blocks(
 
     Crop/convert on the host: ``np.asarray(out)[:, :height, :width]``
     viewed as u8 via ``frames_u32_to_u8``."""
+    if n_chunks * STRIP_H > LANE:
+        raise ValueError("two-kernel path supports width < 2048; use "
+                         "render_fused_blocksn for wider frames")
     planes = place_blocks(sidx, keep, urc, ucm, uval,
                           frames, layers, n_strips, interpret=interpret,
                           step=True)

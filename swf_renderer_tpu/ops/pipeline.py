@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .composite import premul_to_straight_u8
 from .coverage import (
@@ -113,8 +114,6 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
     lowering (edge split + block packing) by geometry content hash, so
     re-rendering a known scene goes straight to the device kernel.
     """
-    import numpy as np
-
     from ..native.bindings import (
         cells_split_delta_native, native_available, pack_grouped_native,
     )
@@ -192,5 +191,126 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
         jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
         jnp.asarray(colors), frames, layers, ns, nc, group=group,
         fill_rule=fill_rule, interpret=interpret))
+    out32 = out[:, :ns].reshape(frames, ns * 8, nc * LANE)
+    return frames_u32_to_u8(out32, height, width)
+
+
+def kernel_paints_for(paints, height: int, width: int):
+    """Map per-layer style Paints -> (KernelPaint tuple, field planes,
+    (L, 4) colors) for render_fused_styled.
+
+    Solid paints read per-(frame, layer) colors; gradients bake their
+    params into the kernel; bitmap paints evaluate their field once (XLA,
+    on device — any fill matrix) and stream chunk-major planes."""
+    from ..ops import style as style_ops
+    from .flatblock import (
+        KPAINT_FOCAL, KPAINT_LINEAR, KernelPaint, field_to_chunkmajor,
+        plane_geometry,
+    )
+
+    _, n_chunks, n_strips = plane_geometry(height, width)
+    kpaints = []
+    fields = []
+    colors = np.zeros((len(paints), 4), np.float32)
+    for i, p in enumerate(paints):
+        if p.kind == style_ops.PAINT_SOLID:
+            kpaints.append(KernelPaint.color())
+            colors[i] = p.color
+        elif p.kind in (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL):
+            kind = (KPAINT_LINEAR if p.kind == style_ops.PAINT_LINEAR
+                    else KPAINT_FOCAL)
+            kpaints.append(KernelPaint.gradient(
+                kind, p.inv_matrix, p.stop_ratios, p.stop_colors,
+                focal=p.focal_point, spread=p.spread))
+        elif p.kind == style_ops.PAINT_BITMAP:
+            field = style_ops.paint_field(p, height, width)
+            fields.append(field_to_chunkmajor(field, n_strips, n_chunks))
+            kpaints.append(KernelPaint.field(len(fields) - 1))
+        else:
+            raise ValueError(f"unsupported paint kind {p.kind}")
+    return tuple(kpaints), tuple(fields), colors
+
+
+def render_batch_styled(edge_tables, paints, height: int, width: int,
+                        colors=None, fill_rule: int = FILL_RULE_NONZERO,
+                        interpret: bool = None, cache=None,
+                        group: int = 8):
+    """Styled flagship renderer: every paint kind rides the fused
+    flat-block kernel (the reference keeps gradients/patterns in the same
+    hot fill path as solids, canvas-renderer.ts:292-335).
+
+    ``edge_tables``: [frames][layers] of (E, 4) f32 device-space edges.
+    ``paints``: one style Paint per LAYER (static across frames).
+    ``colors``: optional (F, L, 4) per-frame colors for SOLID layers
+    (defaults to each solid paint's color).  Returns (F, H, W, 4) u8.
+    """
+    from ..native.bindings import native_available, pack_grouped_native
+    from .flatblock import (
+        LANE, MAX_CHUNKS, frames_u32_to_u8, group_blocks_fused,
+        pack_flat_blocks, plane_geometry, render_fused_styled,
+        sort_blocks_fused,
+    )
+
+    frames = len(edge_tables)
+    layers = len(edge_tables[0])
+    assert layers == len(paints)
+    stride, _, _ = plane_geometry(height, width)
+    if stride > MAX_CHUNKS * LANE:
+        raise ValueError("styled flat-block path requires width < 2048; "
+                         "use the layered coverage path for wider frames")
+
+    kpaints, fields, base_colors = kernel_paints_for(paints, height, width)
+    if colors is None:
+        colors = np.broadcast_to(base_colors, (frames, layers, 4))
+
+    from .scanline import edges_to_cells
+
+    def lower(table):
+        from ..native.bindings import cells_split_delta_native
+
+        if native_available():
+            return cells_split_delta_native(table, height, width)
+        r, c, a, v = edges_to_cells(np.asarray(table, np.float32),
+                                    height, width)
+        rows = np.concatenate([r, r])
+        cols = np.concatenate([c, c + 1])
+        vals = np.concatenate([a, v - a]).astype(np.float32)
+        key = rows.astype(np.int64) * (width + 2) + cols
+        order = np.argsort(key, kind="stable")
+        key, rows, cols, vals = (key[order], rows[order], cols[order],
+                                 vals[order])
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uniq), np.float32)
+        np.add.at(acc, inv, vals)
+        keep = acc != 0.0
+        return ((uniq[keep] // (width + 2)).astype(np.int32),
+                (uniq[keep] % (width + 2)).astype(np.int32), acc[keep])
+
+    key = (cache.key_for(edge_tables, height, width, group)
+           if cache is not None else None)
+    packed = cache.get(key) if cache is not None else None
+    if packed is not None:
+        gsi, gfl, gla, grc, gcm, gvv, ns, nc = packed
+    else:
+        update_lists = [[lower(t) for t in per_frame]
+                        for per_frame in edge_tables]
+        if native_available():
+            gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+                update_lists, height, width, group=group)
+        else:
+            sidx, keep_, urc, ucm, uval, ns, nc = pack_flat_blocks(
+                update_lists, height, width, block_pad_multiple=1)
+            blocks = sort_blocks_fused(sidx, keep_, urc, ucm, uval, layers,
+                                       ns, block_pad_multiple=1)
+            gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
+                *blocks, layers, ns, group=group)
+        if cache is not None:
+            cache.put(key, (gsi, gfl, gla, grc, gcm, gvv, ns, nc))
+
+    out = np.asarray(render_fused_styled(
+        jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+        jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+        jnp.asarray(colors), fields, frames, layers, ns, nc, kpaints,
+        group=group, fill_rule=fill_rule, interpret=interpret))
     out32 = out[:, :ns].reshape(frames, ns * 8, nc * LANE)
     return frames_u32_to_u8(out32, height, width)

@@ -89,6 +89,11 @@ class TpuRenderer:
         self.bitmap_service = BitmapService()
         self._shape_cache: dict = {}
         self._morph_cache: dict = {}
+        from .cache import PackedSceneCache
+
+        # Flat-block lowering memo (the WeakMap-cache analog one level
+        # lower): repeated renders of known geometry skip the host packer.
+        self._packed_cache = PackedSceneCache(capacity=16)
         self.frame: Optional[np.ndarray] = None
         self.last_stats = RenderStats()
 
@@ -137,12 +142,43 @@ class TpuRenderer:
         except Exception:
             return False
 
+    def _can_flatblock(self, draws: List[Draw]) -> bool:
+        """The fused flat-block kernel is the flagship path for
+        ``render(stage)``; fall back to the layered coverage pipelines for
+        shapes it doesn't cover (wide frames, huge layer counts — VMEM
+        scratch is layers x 64 KB — or when validating coverage)."""
+        if self.backend in ("scanline", "direct"):
+            return False  # explicit legacy-backend override
+        if self.quality == "flash-pointaa" or self.validate:
+            return False
+        if len(draws) > 16:
+            return False
+        if sum(1 for d in draws
+               if d.paint.kind == style_ops.PAINT_BITMAP) > 4:
+            return False
+        from ..ops.flatblock import LANE, MAX_CHUNKS, plane_geometry
+
+        stride, _, _ = plane_geometry(self.height, self.width)
+        return stride <= MAX_CHUNKS * LANE
+
+    def _execute_flatblock(self, draws: List[Draw],
+                           fill_rule: int) -> np.ndarray:
+        from ..ops.pipeline import render_batch_styled
+
+        out = render_batch_styled(
+            [[d.edges for d in draws]], [d.paint for d in draws],
+            self.height, self.width, fill_rule=fill_rule,
+            cache=self._packed_cache)
+        return out[0]
+
     def execute(self, draws: List[Draw]) -> np.ndarray:
         h, w = self.height, self.width
         if not draws:
             return np.zeros((h, w, 4), dtype=np.uint8)
 
         fill_rules = sorted({d.fill_rule for d in draws})
+        if len(fill_rules) == 1 and self._can_flatblock(draws):
+            return self._execute_flatblock(draws, fill_rules[0])
         if self.quality == "flash-pointaa" and len(fill_rules) == 1:
             coverages = self._coverage_points(draws, fill_rules[0])
         elif self._use_scanline() and len(fill_rules) == 1:

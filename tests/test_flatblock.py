@@ -175,8 +175,9 @@ def test_native_packer_matches_python_oracle():
 
 
 def test_pack_rejects_wide_framebuffers():
+    # Hard cap is 64 chunks (width 8191); 4K packs fine on the grown plane.
     with pytest.raises(ValueError):
-        pack_flat_blocks([[(np.zeros(0, np.int32),) * 3]], 8, 4000)
+        pack_flat_blocks([[(np.zeros(0, np.int32),) * 3]], 8, 9000)
 
 
 def test_empty_groups_zeroed():
@@ -416,3 +417,41 @@ def test_packed_scene_cache_roundtrip(tmp_path):
                                        cache=cold)
     assert cold.hits == 1 and cold.misses == 0
     np.testing.assert_array_equal(miss, from_disk)
+
+
+def test_wide_frame_fusedn_matches_scatter():
+    """Width > 2047 runs the flagship kernel on a grown (256, 128) plane
+    (one extra carry-ladder step) instead of falling back to the scatter
+    pipeline; output matches the scatter oracle within u8 rounding."""
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.flatblock import (
+        group_blocks_fused, plane_rows_for, render_fused_blocksn,
+        sort_blocks_fused,
+    )
+
+    frames, layers, height, width = 1, 2, 24, 3000
+    update_lists, colors = random_scene(frames, layers, height, width,
+                                        seed=17)
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        update_lists, height, width, block_pad_multiple=1)
+    assert plane_rows_for(nc) == 256
+    blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns,
+                               block_pad_multiple=1)
+    gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
+        *blocks, layers, ns, group=4, group_pad_multiple=4)
+    out = np.asarray(render_fused_blocksn(
+        jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+        jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+        jnp.asarray(colors), frames, layers, ns, nc, group=4))
+    got = frames_u32_to_u8(
+        out[:, :ns].reshape(frames, ns * 8, nc * LANE), height, width)
+
+    flat = [update_lists[i][j] for i in range(frames)
+            for j in range(layers)]
+    rows, cols, vals = pack_updates(flat)
+    want = np.asarray(render_scanline_updates(
+        rows.reshape(frames, layers, -1), cols.reshape(frames, layers, -1),
+        vals.reshape(frames, layers, -1), colors, height, width))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1

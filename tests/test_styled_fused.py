@@ -1,0 +1,150 @@
+"""Styled fused flat-block pipeline vs the legacy coverage+style path.
+
+The fused kernel must reproduce (within u8 rounding) what the layered
+reference semantics produce: per-draw coverage, per-pixel paint fields
+(solid / linear / focal / bitmap), premultiplied over-composite, straight
+u8.  Gradients are evaluated IN-KERNEL from baked stop tables; bitmap
+paints stream precomputed chunk-major field planes.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from swf_renderer_tpu.ops import style as style_ops
+from swf_renderer_tpu.ops.composite import (
+    composite_draws,
+    premul_to_straight_u8,
+)
+from swf_renderer_tpu.ops.coverage import coverage_numpy
+from swf_renderer_tpu.ops.flatblock import (
+    KernelPaint,
+    KPAINT_FOCAL,
+    KPAINT_LINEAR,
+    LANE,
+    field_to_chunkmajor,
+    frames_u32_to_u8,
+    pack_flat_blocks,
+    plane_geometry,
+    render_fused_styled,
+    sort_blocks_fused,
+    group_blocks_fused,
+)
+
+import jax
+
+
+def _polygon_edges(rng, height, width, n=7):
+    pts = rng.uniform(0, (width, height), (n, 2)).astype(np.float32)
+    closed = np.concatenate([pts, pts[:1]])
+    return np.concatenate([closed[:-1], closed[1:]], axis=1)
+
+
+def _updates(edges, height, width):
+    from swf_renderer_tpu.ops.scanline import edges_to_cells
+
+    r, c, a, v = edges_to_cells(edges, height, width)
+    rows = np.concatenate([r, r])
+    cols = np.concatenate([c, c + 1])
+    vals = np.concatenate([a, v - a]).astype(np.float32)
+    key = rows.astype(np.int64) * (width + 2) + cols
+    order = np.argsort(key, kind="stable")
+    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+    uniq, inv = np.unique(key, return_inverse=True)
+    acc = np.zeros(len(uniq), np.float32)
+    np.add.at(acc, inv, vals)
+    keep = acc != 0.0
+    return ((uniq[keep] // (width + 2)).astype(np.int32),
+            (uniq[keep] % (width + 2)).astype(np.int32), acc[keep])
+
+
+def test_styled_fused_matches_legacy_path():
+    rng = np.random.default_rng(5)
+    height, width = 48, 260
+    frames = 2
+
+    stops_r = np.array([0.0, 0.4, 1.0], np.float32)
+    stops_c = np.array([[1, 0, 0, 1], [0, 1, 0, 0.8], [0, 0, 1, 1]],
+                       np.float32)
+    img = rng.integers(0, 256, (13, 17, 4)).astype(np.uint8)
+    paints = [
+        style_ops.solid_paint((0.3, 0.6, 0.9, 0.8)),
+        style_ops.Paint(kind=style_ops.PAINT_LINEAR,
+                        inv_matrix=(140.0, 0.0, 0.0, 140.0,
+                                    -16384.0, -8000.0),
+                        stop_ratios=stops_r, stop_colors=stops_c,
+                        spread=style_ops.SPREAD_PAD),
+        style_ops.Paint(kind=style_ops.PAINT_FOCAL,
+                        inv_matrix=(160.0, 20.0, -10.0, 160.0,
+                                    -12000.0, -9000.0),
+                        stop_ratios=stops_r, stop_colors=stops_c,
+                        focal_point=0.4, spread=style_ops.SPREAD_REFLECT),
+        style_ops.Paint(kind=style_ops.PAINT_BITMAP,
+                        inv_matrix=(0.21, 0.0, 0.0, 0.17, 1.5, 0.5),
+                        image=img, repeating=True, smoothed=True,
+                        supersample=2),
+    ]
+    layers = len(paints)
+
+    edge_tables = [[_polygon_edges(rng, height, width) for _ in paints]
+                   for _ in range(frames)]
+    colors = np.zeros((frames, layers, 4), np.float32)
+    colors[:, 0] = paints[0].color
+
+    # Legacy reference: per-draw coverage + paint fields + over-composite.
+    want = []
+    fields = [style_ops.paint_field(p, height, width) for p in paints]
+    for f in range(frames):
+        covs = np.stack([coverage_numpy(t, height, width)
+                         for t in edge_tables[f]])
+        pm = composite_draws(jnp.asarray(covs), jnp.stack(fields))
+        want.append(np.asarray(premul_to_straight_u8(pm)))
+    want = np.stack(want)
+
+    # Styled fused path.
+    update_lists = [[_updates(t, height, width) for t in per]
+                    for per in edge_tables]
+    sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
+        update_lists, height, width, block_pad_multiple=1)
+    blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns,
+                               block_pad_multiple=1)
+    gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
+        *blocks, layers, ns, group=4, group_pad_multiple=4)
+
+    kpaints = (
+        KernelPaint.color(),
+        KernelPaint.gradient(KPAINT_LINEAR, paints[1].inv_matrix,
+                             stops_r, stops_c, spread=style_ops.SPREAD_PAD),
+        KernelPaint.gradient(KPAINT_FOCAL, paints[2].inv_matrix,
+                             stops_r, stops_c, focal=0.4,
+                             spread=style_ops.SPREAD_REFLECT),
+        KernelPaint.field(0),
+    )
+    fplanes = (np.asarray(field_to_chunkmajor(fields[3], ns, nc)),)
+    out = np.asarray(render_fused_styled(
+        jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+        jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+        jnp.asarray(colors), tuple(jnp.asarray(f) for f in fplanes),
+        frames, layers, ns, nc, kpaints, group=4))
+    got32 = out[:, :ns].reshape(frames, ns * 8, nc * LANE)
+    got = frames_u32_to_u8(got32, height, width)
+
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # Float association differs (in-kernel gradient accumulation, fused
+    # composite): off-by-one u8 on knife-edge values only.
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.02
+
+
+def test_field_to_chunkmajor_roundtrip():
+    rng = np.random.default_rng(3)
+    height, width = 20, 150
+    stride, nc, ns = plane_geometry(height, width)
+    field = rng.uniform(0, 1, (height, width, 4)).astype(np.float32)
+    cm = np.asarray(field_to_chunkmajor(field, ns, nc))
+    assert cm.shape == (ns + 1, 4, LANE, LANE)
+    for y, x in [(0, 0), (7, 127), (8, 128), (19, 149), (3, 140)]:
+        s, rc, lane = y // 8, (x // LANE) * 8 + y % 8, x % LANE
+        np.testing.assert_array_equal(cm[s, :, rc, lane], field[y, x])

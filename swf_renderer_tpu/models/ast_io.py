@@ -227,10 +227,10 @@ def parse_define_bitmap(obj: Any) -> ast.DefineBitmap:
     )
 
 
-def load_tag(path: str) -> Any:
-    """Load any supported tag from an ``ast.json`` file by its ``type``."""
-    with open(path, "r", encoding="utf-8") as f:
-        obj = json.load(f)
+def parse_tag(obj: Any) -> Any:
+    """Parse any supported tag (JSON text or dict) by its ``type``."""
+    if isinstance(obj, (str, bytes)):
+        obj = json.loads(obj)
     kind = obj.get("type")
     if kind == "define-shape":
         return parse_define_shape(obj)
@@ -239,3 +239,9 @@ def load_tag(path: str) -> Any:
     if kind == "define-bitmap":
         return parse_define_bitmap(obj)
     raise ValueError(f"UnsupportedTag: {kind}")
+
+
+def load_tag(path: str) -> Any:
+    """Load any supported tag from an ``ast.json`` file by its ``type``."""
+    with open(path, "r", encoding="utf-8") as f:
+        return parse_tag(json.load(f))

@@ -64,12 +64,11 @@ def premul_to_straight_u8(frame_pm: jnp.ndarray) -> jnp.ndarray:
     Pixels whose alpha byte is 0 are fully zero (premultiplied surfaces
     carry no color at zero alpha)."""
     a8 = jnp.round(jnp.clip(frame_pm[..., 3:4], 0.0, 1.0) * 255.0)
-    pm8 = jnp.round(jnp.clip(frame_pm[..., :3], 0.0, 1.0) * 255.0)
-    pm8 = jnp.minimum(pm8, a8)  # premul bytes never exceed the alpha byte
-    visible = a8 > 0.0
-    inv = 255.0 / jnp.where(visible, a8, 1.0)
-    rgb8 = jnp.round(jnp.clip(pm8 * inv, 0.0, 255.0))
-    rgb8 = jnp.where(visible, rgb8, 0.0)
+    # Premul bytes never exceed the alpha byte (min bounds the top; premul
+    # channels are nonnegative so no low clip), and a8 == 0 forces pm8 == 0
+    # hence rgb8 == 0 — no visibility select needed.
+    pm8 = jnp.minimum(jnp.round(frame_pm[..., :3] * 255.0), a8)
+    rgb8 = jnp.round(pm8 * (255.0 / jnp.maximum(a8, 1.0)))
     return jnp.concatenate([rgb8, a8], axis=-1).astype(jnp.uint8)
 
 

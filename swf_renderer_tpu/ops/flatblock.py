@@ -303,16 +303,16 @@ def composite_quantize_pack(covs, read_color, *, layers: int,
     # Premultiplied-u8 quantization (ARGB32 parity — identical arithmetic
     # to composite.premul_to_straight_u8, which the bit-exactness tests
     # compare against): round premul and alpha to bytes FIRST, then
-    # un-premultiply the bytes.  Mosaic has no f32->u32 cast; round
-    # through i32 (0..255).
+    # un-premultiply the bytes.  Premul channels are nonnegative and
+    # min(pm8, a8f) bounds them, so no clip is needed; a8f == 0 forces
+    # pm8 == 0 and therefore s == 0, so no visibility select is needed
+    # either.  Mosaic has no f32->u32 cast; round through i32 (0..255).
     a8f = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0)
-    visible = a8f > 0.0
-    inv = 255.0 / jnp.where(visible, a8f, 1.0)
+    inv = 255.0 / jnp.maximum(a8f, 1.0)
 
     def chan(c_pm):
-        pm8 = jnp.minimum(jnp.round(jnp.clip(c_pm, 0.0, 1.0) * 255.0), a8f)
-        s = jnp.round(jnp.clip(pm8 * inv, 0.0, 255.0))
-        return jnp.where(visible, s, 0.0).astype(jnp.int32)
+        pm8 = jnp.minimum(jnp.round(c_pm * 255.0), a8f)
+        return jnp.round(pm8 * inv).astype(jnp.int32)
 
     r8, g8, b8 = chan(pm[0]), chan(pm[1]), chan(pm[2])
     rgb = (r8 + g8 * (1 << 8) + b8 * (1 << 16)).astype(jnp.uint32)

@@ -47,6 +47,36 @@ from .bitmap_service import BitmapService
 from .scene import Draw, SceneCompiler
 
 
+def _uniform_layer_structure(per_frame_draws) -> bool:
+    """True when every frame has the same layer structure: equal draw
+    counts and fill rules, and non-solid paints identical per layer
+    (solid colors may vary per frame — they batch through ``colors``)."""
+    first = per_frame_draws[0]
+    for draws in per_frame_draws:
+        if len(draws) != len(first):
+            return False
+        for d, d0 in zip(draws, first):
+            p, p0 = d.paint, d0.paint
+            if d.fill_rule != d0.fill_rule or p.kind != p0.kind:
+                return False
+            if p.kind == style_ops.PAINT_SOLID:
+                continue
+            if (p.inv_matrix != p0.inv_matrix
+                    or p.focal_point != p0.focal_point
+                    or p.spread != p0.spread
+                    or p.repeating != p0.repeating
+                    or p.smoothed != p0.smoothed):
+                return False
+            for a, b in ((p.stop_ratios, p0.stop_ratios),
+                         (p.stop_colors, p0.stop_colors),
+                         (p.image, p0.image)):
+                if (a is None) != (b is None):
+                    return False
+                if a is not None and not (a is b or np.array_equal(a, b)):
+                    return False
+    return True
+
+
 class TpuRenderer:
     """Renders retained stages to RGBA frames.
 
@@ -127,6 +157,59 @@ class TpuRenderer:
                 self.last_stats.mpx_per_s,
             )
         return self.frame
+
+    def render_batch(self, stages) -> np.ndarray:
+        """Render a SEQUENCE of stages as one fused device batch.
+
+        The multi-frame front-end the reference lacks (it draws one stage
+        at a time through stateful Canvas2D calls): all frames' display
+        lists compile to draw lists, geometry lowers once per frame, and
+        a single fused flat-block kernel launch rasterizes the whole
+        batch.  Requires a consistent layer structure across frames (the
+        same number of draws with the same paint kinds — e.g. one
+        animation rendered over time); falls back to per-stage rendering
+        otherwise.  Returns (len(stages), H, W, 4) uint8."""
+        t0 = time.perf_counter()
+        flash_like = self.quality.startswith("flash")
+        per_frame_draws = []
+        for stage in stages:
+            compiler = SceneCompiler(
+                self.bitmap_service, self._shape_cache, self._morph_cache,
+                curve_tolerance=0.02 if flash_like else 0.1,
+                honor_swf_caps=flash_like,
+                clip=((stage.exact_width, stage.exact_height)
+                      if stage.exact_width is not None else None),
+            )
+            per_frame_draws.append(compiler.compile_stage(stage))
+
+        uniform = _uniform_layer_structure(per_frame_draws)
+        if (uniform and per_frame_draws[0]
+                and self._can_flatblock(per_frame_draws[0])
+                and len({d.fill_rule for d in per_frame_draws[0]}) == 1):
+            from ..ops.pipeline import render_batch_styled
+
+            paints = [d.paint for d in per_frame_draws[0]]
+            colors = np.zeros((len(stages), len(paints), 4), np.float32)
+            for f, draws in enumerate(per_frame_draws):
+                for l, d in enumerate(draws):
+                    if d.paint.kind == style_ops.PAINT_SOLID:
+                        colors[f, l] = d.paint.color
+            out = render_batch_styled(
+                [[d.edges for d in draws] for draws in per_frame_draws],
+                paints, self.height, self.width, colors=colors,
+                fill_rule=per_frame_draws[0][0].fill_rule,
+                cache=self._packed_cache)
+        else:
+            out = np.stack([self.execute(draws)
+                            for draws in per_frame_draws])
+        self.last_stats = RenderStats(
+            draws=sum(len(d) for d in per_frame_draws),
+            edges=sum(d.edges.shape[0] for draws in per_frame_draws
+                      for d in draws),
+            width=self.width, height=self.height,
+            seconds=time.perf_counter() - t0,
+        )
+        return out
 
     # -- execution ----------------------------------------------------------
 

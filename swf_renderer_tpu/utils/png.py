@@ -134,8 +134,8 @@ def read_png(path_or_bytes) -> np.ndarray:
     return out
 
 
-def write_png(path, rgba: np.ndarray) -> None:
-    """Write an (H, W, 4) uint8 RGBA array as a PNG (filter 0, RGBA8)."""
+def encode_png(rgba: np.ndarray) -> bytes:
+    """Encode an (H, W, 4) uint8 RGBA array as PNG bytes (filter 0, RGBA8)."""
     rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
     if rgba.ndim != 3 or rgba.shape[2] != 4:
         raise ValueError("expected (H, W, 4) uint8 RGBA")
@@ -160,5 +160,10 @@ def write_png(path, rgba: np.ndarray) -> None:
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+    return payload
+
+
+def write_png(path, rgba: np.ndarray) -> None:
+    """Write an (H, W, 4) uint8 RGBA array as a PNG file."""
     with open(path, "wb") as f:
-        f.write(payload)
+        f.write(encode_png(rgba))

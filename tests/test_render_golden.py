@@ -105,3 +105,28 @@ def test_render_morph_shape_golden(sample, ratio, reference_tests,
     golden = sample_dir / f"{int(ratio * (1 << 16))}.png"
     _check(actual, golden, artifacts_dir,
            sample.replace("/", "_") + f"_{int(ratio * 65536)}")
+
+
+def test_render_batch_stages_matches_single(reference_tests):
+    """TpuRenderer.render_batch fuses a stage sequence into one kernel
+    launch and matches per-stage render() output."""
+    import dataclasses
+
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    sample_dir = reference_tests / "flat-morph-shapes" / "homestuck-beta-29"
+    tag = parse_define_morph_shape((sample_dir / "ast.json").read_text())
+    base = display.stage_for_morph_shape(tag, 0.0)
+    stages = [
+        dataclasses.replace(
+            base,
+            children=(dataclasses.replace(base.children[0], ratio=r),))
+        for r in (0.0, 0.5, 1.0)
+    ]
+    rd = TpuRenderer(base.width, base.height)
+    batch = rd.render_batch(stages)
+    assert batch.shape == (3, base.height, base.width, 4)
+    for i, stage in enumerate(stages):
+        single = TpuRenderer(base.width, base.height).render(stage)
+        np.testing.assert_array_equal(batch[i], single)

@@ -111,3 +111,58 @@ def test_capture_server_roundtrip(tmp_path):
             urllib.request.urlopen(req)
     finally:
         server.shutdown()
+
+
+def test_frame_server_over_http(reference_tests):
+    """The HTTP frame server (cross-language embedding + streaming frame
+    loop): create/render/animate/destroy over a real socket."""
+    import json
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    from tools.frame_server import FrameServer, Handler
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.utils.pam import pam_to_rgba
+    from swf_renderer_tpu.utils.png import read_png
+
+    server = FrameServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body, raw=False):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            data = resp.read()
+        return data if raw else json.loads(data)
+
+    try:
+        tri = (reference_tests / "flat-shapes" / "triangle"
+               / "ast.json").read_text()
+        stage = display.stage_for_shape(parse_define_shape(tri))
+        handle = post("/renderer", json.dumps(
+            {"width": stage.width, "height": stage.height}).encode())["handle"]
+
+        png = post(f"/renderer/{handle}/render", tri.encode(), raw=True)
+        frame = read_png(png)
+        assert frame.shape == (stage.height, stage.width, 4)
+        assert frame[..., 3].max() == 255
+
+        morph = (reference_tests / "flat-morph-shapes" / "homestuck-beta-29"
+                 / "ast.json").read_text()
+        blob = post(f"/renderer/{handle}/animate?frames=4", morph.encode(),
+                    raw=True)
+        # Four concatenated PAM frames; parse the first and count headers.
+        first = pam_to_rgba(blob)
+        assert first.shape[2] == 4 and first[..., 3].max() > 0
+        assert blob.count(b"P7\n") == 4
+
+        req = urllib.request.Request(f"{base}/renderer/{handle}",
+                                     method="DELETE")
+        assert json.loads(urllib.request.urlopen(req).read())["ok"]
+    finally:
+        server.shutdown()

@@ -1,0 +1,181 @@
+"""HTTP frame server: cross-language embedding + continuous frame serving.
+
+The reference sketched two embedding surfaces it never finished: the wasm
+handle API (createRenderer/render/destroyRenderer,
+/root/reference/rs/src/wasm.rs:61-98 — renders a hardcoded magenta stage)
+and a windowed swapchain loop that draws nothing
+(/root/reference/rs/src/gfx_renderer.rs:226-336).  This server is the
+working analog of both: any language drives renderers over HTTP by handle,
+and the animate endpoint is the continuous frame-producing loop — a morph
+sweep rendered fully on device (ops.morph.render_morph_sweep) and streamed
+as consecutive PAM frames.
+
+Protocol (JSON in, PNG/PAM out):
+  POST   /renderer                {"width": W, "height": H, ...kwargs}
+                                  -> {"handle": id}
+  POST   /renderer/<h>/bitmap     body = DefineBitmap ast.json
+  POST   /renderer/<h>/render     body = DefineShape/DefineMorphShape
+                                  ast.json (?ratio= for morphs,
+                                  ?format=png|pam) -> image bytes
+  POST   /renderer/<h>/animate    body = DefineMorphShape ast.json
+                                  (?frames=N) -> N concatenated PAM frames
+                                  (streamed; Content-Type
+                                  application/x-portable-arbitrarymap)
+  DELETE /renderer/<h>            -> {"ok": true}
+
+Run: python tools/frame_server.py [port]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pathlib
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from swf_renderer_tpu.models import ast, display
+from swf_renderer_tpu.models.ast_io import parse_tag
+from swf_renderer_tpu.runtime.service import RendererService
+from swf_renderer_tpu.utils.pam import rgba_to_pam
+from swf_renderer_tpu.utils.png import encode_png
+
+
+class FrameServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, handler):
+        super().__init__(addr, handler)
+        self.service = RendererService()
+
+
+class Handler(BaseHTTPRequestHandler):
+    def _json(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _bytes(self, body: bytes, content_type: str) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", "0"))
+        return self.rfile.read(length)
+
+    def _route(self):
+        path, _, query = self.path.partition("?")
+        params = {}
+        for part in query.split("&"):
+            if "=" in part:
+                k, _, v = part.partition("=")
+                params[k] = v
+        return path.strip("/").split("/"), params
+
+    def do_POST(self):  # noqa: N802 (http.server API)
+        try:
+            parts, params = self._route()
+            service = self.server.service
+            if parts == ["renderer"]:
+                spec = json.loads(self._body() or b"{}")
+                handle = service.create_renderer(
+                    int(spec.pop("width")), int(spec.pop("height")), **spec)
+                return self._json(200, {"handle": handle})
+            if len(parts) == 3 and parts[0] == "renderer":
+                handle = int(parts[1])
+                if parts[2] == "bitmap":
+                    tag = parse_tag(self._body().decode())
+                    service.add_bitmap(handle, tag)
+                    return self._json(200, {"ok": True})
+                if parts[2] == "render":
+                    return self._render(service, handle, params)
+                if parts[2] == "animate":
+                    return self._animate(service, handle, params)
+            self._json(404, {"error": f"unknown route {self.path}"})
+        except Exception as exc:  # noqa: BLE001 — serve errors as JSON
+            self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def _render(self, service, handle, params):
+        tag = parse_tag(self._body().decode())
+        if isinstance(tag, ast.DefineShape):
+            stage = display.stage_for_shape(tag)
+        elif isinstance(tag, ast.DefineMorphShape):
+            stage = display.stage_for_morph_shape(
+                tag, float(params.get("ratio", "0")))
+        else:
+            raise ValueError(f"cannot render tag {type(tag).__name__}")
+        frame = service.render(handle, stage)
+        if params.get("format", "png") == "pam":
+            return self._bytes(rgba_to_pam(frame),
+                               "application/x-portable-arbitrarymap")
+        return self._bytes(encode_png(frame), "image/png")
+
+    def _animate(self, service, handle, params):
+        """The continuous frame loop: an on-device morph sweep streamed as
+        consecutive PAM frames."""
+        import jax.numpy as jnp
+
+        from swf_renderer_tpu.models.decode_morph_shape import (
+            decode_morph_shape,
+        )
+        from swf_renderer_tpu.models.geometry import Affine, TWIPS_PER_PX
+        from swf_renderer_tpu.models.morph_geometry import (
+            morph_fill_edge_pairs,
+        )
+        from swf_renderer_tpu.ops.morph import (
+            morph_frames_to_u8, morph_pieces, render_morph_sweep,
+        )
+
+        tag = parse_tag(self._body().decode())
+        if not isinstance(tag, ast.DefineMorphShape):
+            raise ValueError("animate requires a DefineMorphShape")
+        n = int(params.get("frames", "16"))
+        stage = display.stage_for_morph_shape(tag, 0.0)
+        ctm = Affine.scaling(1 / TWIPS_PER_PX, 1 / TWIPS_PER_PX).then(
+            Affine.from_swf_matrix(stage.children[0].matrix))
+        parts = morph_pieces(
+            morph_fill_edge_pairs(decode_morph_shape(tag), ctm))
+        ratios = np.linspace(0.0, 1.0, n, dtype=np.float32)
+        out = render_morph_sweep(
+            jnp.asarray(ratios), *(jnp.asarray(x) for x in parts),
+            stage.height, stage.width)
+        frames = morph_frames_to_u8(out, stage.height, stage.width)
+        buf = io.BytesIO()
+        for frame in frames:
+            buf.write(rgba_to_pam(frame))
+        return self._bytes(buf.getvalue(),
+                           "application/x-portable-arbitrarymap")
+
+    def do_DELETE(self):  # noqa: N802
+        try:
+            parts, _ = self._route()
+            if len(parts) == 2 and parts[0] == "renderer":
+                self.server.service.destroy_renderer(int(parts[1]))
+                return self._json(200, {"ok": True})
+            self._json(404, {"error": f"unknown route {self.path}"})
+        except Exception as exc:  # noqa: BLE001
+            self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+
+def main() -> None:
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 3001
+    server = FrameServer(("127.0.0.1", port), Handler)
+    print(f"frame server on http://127.0.0.1:{port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -350,3 +350,68 @@ def render_fused_dp(mesh: Mesh, update_lists, colors, height: int,
     )(*map(jnp.asarray, (sidx, keep, last, urc, ucm, uval, colors)))
     out = out.reshape(frames, n_strips + 1, 8, n_chunks * LANE)
     return out[:, :n_strips].reshape(frames, n_strips * 8, n_chunks * LANE)
+
+
+def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
+                          width: int, interpret: bool = None):
+    """Ratio-sharded on-device morph sweep: the ratio axis is the batch
+    axis of ops.morph.render_morph_sweep and is embarrassingly parallel —
+    each chip renders its slice of the sweep with the piece tables
+    replicated (KBs) and zero collectives.
+
+    ``parts``: morph_pieces output.  Returns (R, WP, HP) packed u32
+    (transposed frames; ops.morph.morph_frames_to_u8)."""
+    from ..ops.morph import render_morph_sweep
+
+    dp = mesh.shape["dp"] * mesh.shape.get("tp", 1)
+    ratios = np.asarray(ratios, np.float32)
+    if len(ratios) % dp:
+        raise ValueError(f"ratios ({len(ratios)}) must divide over {dp}")
+
+    def shard_fn(rr, *ps):
+        return render_morph_sweep(rr, *ps, height, width,
+                                  interpret=interpret)
+
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(("dp", "tp")),) + (P(None),) * len(parts),
+        out_specs=P(("dp", "tp")),
+        check_vma=False,
+    )(jnp.asarray(ratios), *map(jnp.asarray, parts))
+    return out
+
+
+def render_styled_dp(mesh: Mesh, gsi, gfl, gla, grc, gcm, gvv, colors,
+                     fields, frames: int, layers: int, n_strips: int,
+                     n_chunks: int, paints, group: int = 8,
+                     interpret: bool = None):
+    """Frame-sharded STYLED fused render: each dp shard runs the styled
+    flat-block kernel over its frames; gradient params are baked, field
+    planes replicate (frame-invariant).  Block arrays must be packed
+    per-shard-rectangular: pack each dp shard's frames separately with
+    pack_grouped_native and stack (see dryrun/tests).
+
+    gsi/gfl (D, NG), gla (D, group, NG), grc/gcm/gvv (D, NG, ...),
+    colors (D, per, L, 4).  Returns (frames, NS+1, 8, stride) u32."""
+    from ..ops.flatblock import LANE, render_fused_styled
+
+    dp = mesh.shape["dp"]
+    per = frames // dp
+
+    def shard_fn(si, fl, la, rc, cm, uv, col, *fs):
+        out = render_fused_styled(
+            si[0], fl[0], la[0], rc[0], cm[0], uv[0], col[0], fs,
+            per, layers, n_strips, n_chunks, paints, group=group,
+            interpret=interpret)
+        return out[None]
+
+    spec = P("dp")
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec,) * 7 + (P(None),) * len(fields),
+        out_specs=spec,
+        check_vma=False,
+    )(*map(jnp.asarray, (gsi, gfl, gla, grc, gcm, gvv, colors)),
+      *map(jnp.asarray, fields))
+    stride = n_chunks * LANE
+    return out.reshape(frames, n_strips + 1, 8, stride)

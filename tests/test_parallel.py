@@ -153,3 +153,131 @@ def test_render_fused_dp_matches_single_device():
                                        height, width))
     got = frames_u32_to_u8(out32, height, width)
     np.testing.assert_array_equal(got, want)
+
+
+def test_morph_sweep_dp_matches_single_device(reference_tests):
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.models.ast_io import parse_define_morph_shape
+    from swf_renderer_tpu.models.decode_morph_shape import decode_morph_shape
+    from swf_renderer_tpu.models.geometry import Affine, TWIPS_PER_PX
+    from swf_renderer_tpu.models.morph_geometry import morph_fill_edge_pairs
+    from swf_renderer_tpu.ops.morph import morph_pieces, render_morph_sweep
+    from swf_renderer_tpu.parallel.mesh import render_morph_sweep_dp
+
+    d = reference_tests / "flat-morph-shapes" / "homestuck-beta-29"
+    tag = parse_define_morph_shape((d / "ast.json").read_text())
+    stage = display.stage_for_morph_shape(tag, 0.0)
+    ctm = Affine.scaling(1 / TWIPS_PER_PX, 1 / TWIPS_PER_PX).then(
+        Affine.from_swf_matrix(stage.children[0].matrix))
+    parts = morph_pieces(morph_fill_edge_pairs(decode_morph_shape(tag), ctm))
+    ratios = np.linspace(0, 1, 16, dtype=np.float32)
+
+    want = np.asarray(render_morph_sweep(
+        jnp.asarray(ratios), *(jnp.asarray(x) for x in parts),
+        stage.height, stage.width))
+    mesh = make_mesh(axis_names=("dp", "tp"), tp=2)
+    got = np.asarray(render_morph_sweep_dp(
+        mesh, ratios, parts, stage.height, stage.width))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_styled_dp_matches_single_device():
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.flatblock import (
+        plane_geometry, render_fused_styled,
+    )
+    from swf_renderer_tpu.ops.pipeline import kernel_paints_for
+    from swf_renderer_tpu.ops.scanline import edges_to_cells
+    from swf_renderer_tpu.parallel.mesh import render_styled_dp
+
+    rng = np.random.default_rng(31)
+    frames, h, w = 4, 32, 200
+    dp = 4
+    stops_r = np.array([0.0, 1.0], np.float32)
+    stops_c = np.array([[1, 0, 0, 1], [0, 0, 1, 1]], np.float32)
+    paints_s = [
+        style_ops.solid_paint((0.9, 0.4, 0.1, 0.9)),
+        style_ops.Paint(kind=style_ops.PAINT_LINEAR,
+                        inv_matrix=(200.0, 0.0, 0.0, 200.0,
+                                    -16384.0, -3000.0),
+                        stop_ratios=stops_r, stop_colors=stops_c),
+    ]
+    layers = len(paints_s)
+
+    def scene(n_frames, seed):
+        r2 = np.random.default_rng(seed)
+        tabs = []
+        for _ in range(n_frames):
+            per = []
+            for _ in range(layers):
+                pts = r2.uniform(0, (w, h), (6, 2)).astype(np.float32)
+                closed = np.concatenate([pts, pts[:1]])
+                per.append(np.concatenate([closed[:-1], closed[1:]], 1))
+            tabs.append(per)
+        return tabs
+
+    tables = scene(frames, 5)
+
+    def lower(t):
+        r, c, a, v = edges_to_cells(t, h, w)
+        rows = np.concatenate([r, r])
+        cols = np.concatenate([c, c + 1])
+        vals = np.concatenate([a, v - a]).astype(np.float32)
+        key = rows.astype(np.int64) * (w + 2) + cols
+        order = np.argsort(key, kind="stable")
+        uniq, inv = np.unique(key[order], return_inverse=True)
+        acc = np.zeros(len(uniq), np.float32)
+        np.add.at(acc, inv, vals[order])
+        keep = acc != 0
+        return ((uniq[keep] // (w + 2)).astype(np.int32),
+                (uniq[keep] % (w + 2)).astype(np.int32), acc[keep])
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    kpaints, fields, base_colors = kernel_paints_for(paints_s, h, w)
+    colors = np.broadcast_to(base_colors, (frames, layers, 4)).copy()
+    update_lists = [[lower(t) for t in per] for per in tables]
+
+    # Single device: all frames in one pack.
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+        update_lists, h, w, group=4, group_pad_multiple=4)
+    want = np.asarray(render_fused_styled(
+        jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+        jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+        jnp.asarray(colors), tuple(jnp.asarray(f) for f in fields),
+        frames, layers, ns, nc, kpaints, group=4))
+
+    # dp shards: pack each shard's frames separately, pad rectangular.
+    per = frames // dp
+    shards = [pack_grouped_native(update_lists[d * per:(d + 1) * per],
+                                  h, w, group=4, group_pad_multiple=4)
+              for d in range(dp)]
+    ng = max(s[0].shape[0] for s in shards)
+
+    def pad(x, fill=0):
+        out = np.full((ng,) + x.shape[1:], fill, x.dtype)
+        out[: x.shape[0]] = x
+        return out
+
+    # gla is (group, NG): pad along axis 1.
+    sgsi = np.stack([pad(s[0], ns) for s in shards])
+    sgfl = np.stack([pad(s[1]) for s in shards])
+    sgla = np.stack([np.pad(s[2], ((0, 0), (0, ng - s[2].shape[1])))
+                     for s in shards])
+    sgrc = np.stack([pad(s[3]) for s in shards])
+    sgcm = np.stack([pad(s[4]) for s in shards])
+    sgvv = np.stack([pad(s[5]) for s in shards])
+    scolors = colors.reshape(dp, per, layers, 4)
+
+    mesh = make_mesh(n_devices=dp, axis_names=("dp", "tp"), tp=1)
+    from swf_renderer_tpu.ops.flatblock import LANE
+
+    got = np.asarray(render_styled_dp(
+        mesh, sgsi, sgfl, sgla, sgrc, sgcm, sgvv, scolors, fields,
+        frames, layers, ns, nc, kpaints, group=4))
+    want2 = np.asarray(want)
+    np.testing.assert_array_equal(got, want2)

@@ -212,7 +212,7 @@ def bench_style(kind: str) -> None:
         ]
     layers = len(paints)
 
-    GROUP = 8
+    GROUP = 6
     tables, _ = build_scene_edges(batch, layers, h, w, seed=11)
     t0 = time.perf_counter()
     update_lists = [
@@ -293,7 +293,7 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
     )
     from swf_renderer_tpu.ops.flatblock import render_fused_blocksn
 
-    GROUP = 8
+    GROUP = 6
     t0 = time.perf_counter()
     update_lists = [
         [cells_split_delta_native(t, height, width) for t in ft]

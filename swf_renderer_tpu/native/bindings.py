@@ -174,7 +174,7 @@ def pack_blocks_native(update_lists, height: int, width: int,
 
 
 def pack_grouped_native(update_lists, height: int, width: int,
-                        group: int = 8, group_pad_multiple: int = 256):
+                        group: int = 6, group_pad_multiple: int = 256):
     """One-pass native packer: per-draw sorted delta updates -> the fused
     kernel's GROUPED block arrays (render_fused_blocksn inputs), replacing
     pack_flat_blocks + sort_blocks_fused + group_blocks_fused.

@@ -921,7 +921,7 @@ def render_fused_styled(
     n_strips: int,
     n_chunks: int,
     paints,             # tuple of KernelPaint, one per layer (static)
-    group: int = 8,
+    group: int = 6,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
 ) -> jax.Array:

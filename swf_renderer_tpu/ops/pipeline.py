@@ -161,7 +161,7 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
             fill_rule=fill_rule, interpret=interpret)
         return np.asarray(out)
 
-    group = 8
+    group = 6
     key = (cache.key_for(edge_tables, height, width, group)
            if cache is not None else None)
     packed = cache.get(key) if cache is not None else None
@@ -234,7 +234,7 @@ def kernel_paints_for(paints, height: int, width: int):
 def render_batch_styled(edge_tables, paints, height: int, width: int,
                         colors=None, fill_rule: int = FILL_RULE_NONZERO,
                         interpret: bool = None, cache=None,
-                        group: int = 8):
+                        group: int = 6):
     """Styled flagship renderer: every paint kind rides the fused
     flat-block kernel (the reference keeps gradients/patterns in the same
     hot fill path as solids, canvas-renderer.ts:292-335).

@@ -61,6 +61,13 @@ class Paint:
     image: Optional[np.ndarray] = None  # (h, w, 4) uint8
     repeating: bool = False
     smoothed: bool = True
+    # Non-repeating pattern edge semantics: 'flash' clamps edge texels
+    # outward (the player's behavior, matching the golden corpus);
+    # 'canvas' renders TRANSPARENT outside the image — Canvas2D
+    # createPattern('no-repeat') semantics, what the behavior-defining TS
+    # renderer does (reference canvas-renderer.ts:306-309).  Selected by
+    # the scene compiler from the renderer quality.
+    edge_mode: str = "flash"
     # Flash renders at quality "high" by supersampling 4x4 per pixel; the
     # golden corpus was captured from the real player at that quality
     # (reference tests/capture/server/index.js), so bitmap paints default to
@@ -132,21 +139,28 @@ def _focal_gradient_t(sx, sy, focal_point: float):
     return jnp.where(jnp.abs(a) < 1e-6, t_lin, t)
 
 
-def _fetch(img, ix, iy, repeating: bool):
-    """Texel fetch with SWF extension semantics: repeating fills wrap,
-    clipped fills clamp edge texels outward (Flash behavior — unlike Canvas
-    'no-repeat' patterns, which go transparent outside)."""
+def _fetch(img, ix, iy, repeating: bool, edge_mode: str = "flash"):
+    """Texel fetch: repeating fills wrap; clipped fills clamp edge texels
+    outward under 'flash' edge_mode (the player's behavior) or read as
+    transparent outside the image under 'canvas' edge_mode (Canvas2D
+    no-repeat pattern semantics, canvas-renderer.ts:306-309)."""
     h, w = img.shape[:2]
     if repeating:
         ix = jnp.mod(ix, w).astype(jnp.int32)
         iy = jnp.mod(iy, h).astype(jnp.int32)
-    else:
-        ix = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
-        iy = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-    return img[iy, ix]
+        return img[iy, ix]
+    cx = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+    cy = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+    texel = img[cy, cx]
+    if edge_mode == "canvas":
+        inside = ((ix >= 0) & (ix <= w - 1)
+                  & (iy >= 0) & (iy <= h - 1))[..., None]
+        return jnp.where(inside, texel, 0.0)
+    return texel
 
 
-def _bilinear_sample(img, sx, sy, repeating: bool):
+def _bilinear_sample(img, sx, sy, repeating: bool,
+                     edge_mode: str = "flash"):
     """Sample (h, w, 4) float at coords (texel centers at integer+0.5)."""
     x = sx - 0.5
     y = sy - 0.5
@@ -154,17 +168,17 @@ def _bilinear_sample(img, sx, sy, repeating: bool):
     y0 = jnp.floor(y)
     tx = (x - x0)[..., None]
     ty = (y - y0)[..., None]
-    c00 = _fetch(img, x0, y0, repeating)
-    c10 = _fetch(img, x0 + 1, y0, repeating)
-    c01 = _fetch(img, x0, y0 + 1, repeating)
-    c11 = _fetch(img, x0 + 1, y0 + 1, repeating)
+    c00 = _fetch(img, x0, y0, repeating, edge_mode)
+    c10 = _fetch(img, x0 + 1, y0, repeating, edge_mode)
+    c01 = _fetch(img, x0, y0 + 1, repeating, edge_mode)
+    c11 = _fetch(img, x0 + 1, y0 + 1, repeating, edge_mode)
     top = c00 * (1.0 - tx) + c10 * tx
     bot = c01 * (1.0 - tx) + c11 * tx
     return top * (1.0 - ty) + bot * ty
 
 
-def _nearest_sample(img, sx, sy, repeating: bool):
-    return _fetch(img, jnp.floor(sx), jnp.floor(sy), repeating)
+def _nearest_sample(img, sx, sy, repeating: bool, edge_mode: str = "flash"):
+    return _fetch(img, jnp.floor(sx), jnp.floor(sy), repeating, edge_mode)
 
 
 def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
@@ -209,9 +223,11 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
             # matrix per axis and evaluate as two small matmuls on the
             # MXU instead of 64 gathers per pixel (~50x faster).
             wx = _resample_weights(width, img.shape[1], a, e, n,
-                                   paint.repeating)   # (W_out, W_img)
+                                   paint.repeating,
+                                   paint.edge_mode)   # (W_out, W_img)
             wy = _resample_weights(height, img.shape[0], d, f, n,
-                                   paint.repeating)   # (H_out, H_img)
+                                   paint.repeating,
+                                   paint.edge_mode)   # (H_out, H_img)
             # (H_img, W_img, 4) -> (H_out, W_out, 4)
             tmp = jnp.einsum("hwc,xw->hxc", img, wx,
                              precision=jax.lax.Precision.HIGHEST)
@@ -228,14 +244,16 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
                 oy = (ky + 0.5) / n
                 ssx = a * (px + ox) + c * (py + oy) + e
                 ssy = b * (px + ox) + d * (py + oy) + f
-                acc = acc + sample(img, ssx, ssy, paint.repeating)
+                acc = acc + sample(img, ssx, ssy, paint.repeating,
+                                   paint.edge_mode)
         return acc / (n * n)
 
     raise ValueError(f"unknown paint kind {paint.kind}")
 
 
 def _resample_weights(n_out: int, n_img: int, scale: float, offset: float,
-                      supersample: int, repeating: bool) -> jnp.ndarray:
+                      supersample: int, repeating: bool,
+                      edge_mode: str = "flash") -> jnp.ndarray:
     """(n_out, n_img) weights: output pixel i = sum_j w[i, j] * img[j]
     under box-supersampled bilinear sampling along one axis
     (coords = scale * (i + (k+0.5)/n) + offset, texel centers at +0.5),
@@ -251,6 +269,10 @@ def _resample_weights(n_out: int, n_img: int, scale: float, offset: float,
         if repeating:
             i0 = jnp.mod(x0, n_img)
             i1 = jnp.mod(x0 + 1.0, n_img)
+        elif edge_mode == "canvas":
+            # Out-of-range taps contribute nothing (transparent outside):
+            # leave the raw indices so the one-hot match fails.
+            i0, i1 = x0, x0 + 1.0
         else:
             i0 = jnp.clip(x0, 0.0, n_img - 1.0)
             i1 = jnp.clip(x0 + 1.0, 0.0, n_img - 1.0)

@@ -106,6 +106,7 @@ def save_draws(path, draws: List[Draw]) -> None:
             "repeating": paint.repeating,
             "smoothed": paint.smoothed,
             "supersample": paint.supersample,
+            "edge_mode": paint.edge_mode,
         }
         if paint.stop_ratios is not None:
             arrays[f"stop_ratios_{i}"] = np.asarray(paint.stop_ratios)
@@ -146,6 +147,7 @@ def load_draws(path) -> List[Draw]:
                 repeating=entry["repeating"],
                 smoothed=entry["smoothed"],
                 supersample=entry["supersample"],
+                edge_mode=entry.get("edge_mode", "flash"),
             )
             draws.append(
                 Draw(

@@ -65,7 +65,8 @@ def _uniform_layer_structure(per_frame_draws) -> bool:
                     or p.focal_point != p0.focal_point
                     or p.spread != p0.spread
                     or p.repeating != p0.repeating
-                    or p.smoothed != p0.smoothed):
+                    or p.smoothed != p0.smoothed
+                    or p.edge_mode != p0.edge_mode):
                 return False
             for a, b in ((p.stop_ratios, p0.stop_ratios),
                          (p.stop_colors, p0.stop_colors),

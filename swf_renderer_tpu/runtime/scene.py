@@ -316,6 +316,10 @@ class SceneCompiler:
                 image=bitmap.rgba,
                 repeating=fill.repeating,
                 smoothed=fill.smoothed,
+                # Canvas2D no-repeat patterns are transparent outside the
+                # image; the player clamps edge texels outward.  Pick by
+                # target semantics (canvas-renderer.ts:306-309).
+                edge_mode="flash" if self.honor_swf_caps else "canvas",
             )
         if isinstance(fill, (ir.FocalGradientFill, ir.LinearGradientFill)):
             stops = fill.gradient.colors

@@ -22,11 +22,17 @@ from swf_renderer_tpu.utils.png import read_png, write_png
 THRESHOLD = 0.05
 MAX_DIFF_RATIO = 1e-4
 
+# (sample, bitmap deps, quality).  The goldens are FLASH captures; the
+# textured sample must render with the player's clamp-to-edge pattern
+# semantics (quality='flash') — quality='canvas' now faithfully implements
+# Canvas2D no-repeat (transparent outside the image), which genuinely
+# diverges from the player at the pattern border (see ops/style.edge_mode).
 SHAPE_SAMPLES = [
-    ("flat-shapes/homestuck-beta-1", []),
-    ("textured-shapes/homestuck-beta-4", ["bitmap/homestuck-beta-3"]),
-    ("flat-shapes/squares", []),
-    ("flat-shapes/triangle", []),
+    ("flat-shapes/homestuck-beta-1", [], "canvas"),
+    ("textured-shapes/homestuck-beta-4", ["bitmap/homestuck-beta-3"],
+     "flash"),
+    ("flat-shapes/squares", [], "canvas"),
+    ("flat-shapes/triangle", [], "canvas"),
 ]
 
 MORPH_SAMPLES = [
@@ -55,16 +61,17 @@ def _check(actual, golden_path, artifacts_dir, name):
     return result
 
 
-@pytest.mark.parametrize("sample,bitmaps", SHAPE_SAMPLES,
-                         ids=[s for s, _ in SHAPE_SAMPLES])
-def test_render_shape_golden(sample, bitmaps, reference_tests, artifacts_dir):
+@pytest.mark.parametrize("sample,bitmaps,quality", SHAPE_SAMPLES,
+                         ids=[s for s, _, _ in SHAPE_SAMPLES])
+def test_render_shape_golden(sample, bitmaps, quality, reference_tests,
+                             artifacts_dir):
     sample_dir = reference_tests / sample
     tag = parse_define_shape((sample_dir / "ast.json").read_text())
     bitmap_tags = [
         parse_define_bitmap((reference_tests / f"{b}.ast.json").read_text())
         for b in bitmaps
     ]
-    actual = render_shape(tag, bitmaps=bitmap_tags)
+    actual = render_shape(tag, bitmaps=bitmap_tags, quality=quality)
     _check(actual, sample_dir / "shape.png", artifacts_dir,
            sample.replace("/", "_"))
 

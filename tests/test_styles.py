@@ -255,3 +255,32 @@ def test_bitmap_separable_matches_gather_path():
             a = np.asarray(style_ops.paint_field(fast, 24, 40))
             b = np.asarray(style_ops.paint_field(slow, 24, 40))
             np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_bitmap_edge_mode_canvas_vs_flash():
+    """Canvas no-repeat patterns are transparent outside the image; the
+    Flash player clamps edge texels outward (canvas-renderer.ts:306-309
+    vs the golden corpus)."""
+    import numpy as np
+
+    from swf_renderer_tpu.ops import style as style_ops
+
+    img = np.full((4, 4, 4), 255, np.uint8)
+    h = w = 8
+    base = dict(kind=style_ops.PAINT_BITMAP,
+                inv_matrix=(1.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+                image=img, repeating=False, smoothed=True, supersample=1)
+    flash = np.asarray(style_ops.paint_field(
+        style_ops.Paint(edge_mode="flash", **base), h, w))
+    canvas = np.asarray(style_ops.paint_field(
+        style_ops.Paint(edge_mode="canvas", **base), h, w))
+    # Inside the image both are opaque white.
+    assert (flash[:3, :3] == 1.0).all() and (canvas[:3, :3] == 1.0).all()
+    # Past the image: flash clamps (still white), canvas goes transparent.
+    assert (flash[6, 6] == 1.0).all()
+    assert (canvas[6, 6] == 0.0).all()
+    # The separable fast path agrees with the gather path in canvas mode.
+    rot = dict(base, inv_matrix=(1.0, 1e-4, 0.0, 1.0, 0.0, 0.0))
+    gather = np.asarray(style_ops.paint_field(
+        style_ops.Paint(edge_mode="canvas", **rot), h, w))
+    np.testing.assert_allclose(canvas, gather, atol=2e-3)

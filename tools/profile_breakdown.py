@@ -41,7 +41,7 @@ def main() -> None:
         frames, layers, height, width = 4, 2, 128, 512
     else:
         frames, layers, height, width = 60, 4, 1088, 1920
-    group = 8
+    group = 6
 
     tables, colors = build_scene_edges(frames, layers, height, width)
 

@@ -68,6 +68,7 @@ def load_library(build_if_missing: bool = True):
     lib.swf_pack_grouped_capacity.restype = ctypes.c_int64
     lib.swf_pack_grouped_capacity.argtypes = [
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
     ]
     lib.swf_pack_grouped.restype = ctypes.c_int64
     lib.swf_pack_grouped.argtypes = [
@@ -75,6 +76,7 @@ def load_library(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
@@ -174,7 +176,8 @@ def pack_blocks_native(update_lists, height: int, width: int,
 
 
 def pack_grouped_native(update_lists, height: int, width: int,
-                        group: int = 6, group_pad_multiple: int = 256):
+                        group: int = 6, group_pad_multiple: int = 256,
+                        blk: int = None):
     """One-pass native packer: per-draw sorted delta updates -> the fused
     kernel's GROUPED block arrays (render_fused_blocksn inputs), replacing
     pack_flat_blocks + sort_blocks_fused + group_blocks_fused.
@@ -186,6 +189,8 @@ def pack_grouped_native(update_lists, height: int, width: int,
     from ..ops.flatblock import BLK, LANE, MAX_CHUNKS, plane_geometry
 
     lib = load_library()
+    if blk is None:
+        blk = BLK
     frames = len(update_lists)
     layers = len(update_lists[0])
     stride, n_chunks, n_strips = plane_geometry(height, width)
@@ -194,13 +199,14 @@ def pack_grouped_native(update_lists, height: int, width: int,
             f"flat-block pipeline supports width < {MAX_CHUNKS * LANE}"
             f" (got padded stride {stride})")
 
-    gb = group * BLK
+    gb = group * blk
     # Allocate the final arrays once at full capacity and hand the native
     # packer per-frame write offsets — no per-frame staging copies.
     counts = np.array([[len(p[0]) for p in per] for per in update_lists],
                       np.int64)
     per_frame_cap = [
-        lib.swf_pack_grouped_capacity(int(c.sum()), layers, n_strips, group)
+        lib.swf_pack_grouped_capacity(int(c.sum()), layers, n_strips,
+                                      group, blk)
         for c in counts
     ]
     cap = int(sum(per_frame_cap)) + group_pad_multiple
@@ -232,7 +238,7 @@ def pack_grouped_native(update_lists, height: int, width: int,
             cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            layers, n_strips, f * layers, group, cap - ng,
+            layers, n_strips, f * layers, group, blk, cap - ng,
             ptr(gsi, ng, ctypes.c_int32, 1),
             ptr(gfl, ng, ctypes.c_int32, 1),
             ptr(gla, ng, ctypes.c_int32, group),

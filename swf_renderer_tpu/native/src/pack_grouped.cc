@@ -32,10 +32,11 @@ extern "C" {
 
 // Upper bound on groups for one frame.
 int64_t swf_pack_grouped_capacity(int64_t n_updates, int32_t layers,
-                                  int32_t n_strips, int32_t group) {
+                                  int32_t n_strips, int32_t group,
+                                  int32_t blk) {
   // Each (layer, strip) adds at most one partial block; each strip rounds
   // up to one extra group and empty strips still emit one group.
-  int64_t blocks = n_updates / kBlk
+  int64_t blocks = n_updates / blk
       + static_cast<int64_t>(n_strips) * (layers + 1) + 1;
   return blocks / group + n_strips + 1;
 }
@@ -46,11 +47,12 @@ int64_t swf_pack_grouped_capacity(int64_t n_updates, int32_t layers,
 int64_t swf_pack_grouped(const int32_t* rows, const int32_t* cols,
                          const float* vals, const int64_t* offsets,
                          int32_t layers, int32_t n_strips,
-                         int32_t frame_base, int32_t group, int64_t capacity,
+                         int32_t frame_base, int32_t group, int32_t blk,
+                         int64_t capacity,
                          int32_t* gsi, int32_t* gfl, int32_t* glay,
                          float* grc, float* gcm, float* gvv) {
   const int32_t ns1 = n_strips + 1;
-  const int64_t gb = static_cast<int64_t>(group) * kBlk;
+  const int64_t gb = static_cast<int64_t>(group) * blk;
 
   // Per-layer strip start indices (updates are row-major sorted).
   std::vector<int64_t> sstart(static_cast<size_t>(layers) * ns1);
@@ -69,7 +71,7 @@ int64_t swf_pack_grouped(const int32_t* rows, const int32_t* cols,
     for (int32_t l = 0; l < layers; ++l) {
       int64_t cnt = sstart[static_cast<size_t>(l) * ns1 + s + 1]
           - sstart[static_cast<size_t>(l) * ns1 + s];
-      total_blocks += (cnt + kBlk - 1) / kBlk;
+      total_blocks += (cnt + blk - 1) / blk;
     }
     if (total_blocks == 0) total_blocks = 1;  // empty supergroup: zero+emit
     const int64_t groups_s = (total_blocks + group - 1) / group;
@@ -88,14 +90,14 @@ int64_t swf_pack_grouped(const int32_t* rows, const int32_t* cols,
     for (int32_t l = 0; l < layers; ++l) {
       const int64_t lo = sstart[static_cast<size_t>(l) * ns1 + s];
       const int64_t hi = sstart[static_cast<size_t>(l) * ns1 + s + 1];
-      for (int64_t b = lo; b < hi; b += kBlk, ++slot) {
+      for (int64_t b = lo; b < hi; b += blk, ++slot) {
         const int64_t g = ng + slot / group;
         const int64_t k = slot % group;
         glay[g * group + k] = l;
-        float* rc = grc + g * gb + k * kBlk;
-        float* cm = gcm + g * gb + k * kBlk;
-        float* vv = gvv + g * gb + k * kBlk;
-        const int64_t take = std::min<int64_t>(kBlk, hi - b);
+        float* rc = grc + g * gb + k * blk;
+        float* cm = gcm + g * gb + k * blk;
+        float* vv = gvv + g * gb + k * blk;
+        const int64_t take = std::min<int64_t>(blk, hi - b);
         for (int64_t u = 0; u < take; ++u) {
           const int32_t r = rows[b + u];
           const int32_t c = cols[b + u];

@@ -619,7 +619,7 @@ def sort_blocks_fused(sidx, keep, urc, ucm, uval, layers: int,
 
 def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
                    n_chunks: int, fill_rule: int, group: int,
-                   plane_rows: int = LANE):
+                   plane_rows: int = LANE, blk: int = BLK):
     """Generalized fused kernel: ``group`` placement blocks per grid step
     (all one (f, s) supergroup).  rest = (lay_0..lay_{group-1}, colors,
     urc, ucm, uval, out, acc); the block arrays hold the group's blocks
@@ -637,9 +637,9 @@ def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     for g in range(group):
-        delta = _place_delta(urc_ref[0, :, g * BLK:(g + 1) * BLK],
-                             ucm_ref[0, g * BLK:(g + 1) * BLK, :],
-                             uval_ref[0, :, g * BLK:(g + 1) * BLK],
+        delta = _place_delta(urc_ref[0, :, g * blk:(g + 1) * blk],
+                             ucm_ref[0, g * blk:(g + 1) * blk, :],
+                             uval_ref[0, :, g * blk:(g + 1) * blk],
                              lane, sub)
         layer = lay_refs[g][i]
         acc_ref[layer] = acc_ref[layer] + delta
@@ -668,7 +668,7 @@ def _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
 
 @functools.partial(jax.jit, static_argnames=(
     "frames", "layers", "n_strips", "n_chunks", "group", "fill_rule",
-    "interpret"))
+    "interpret", "blk"))
 def render_fused_blocksn(
     sidx: jax.Array,    # (NG,) i32 packed target
     flags: jax.Array,   # (NG,) i32 bit0 zero, bit1 resolve
@@ -681,11 +681,15 @@ def render_fused_blocksn(
     layers: int,
     n_strips: int,
     n_chunks: int,
-    group: int = 4,
+    group: int = 6,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
+    blk: int = BLK,
 ) -> jax.Array:
-    """Group-per-step fused render -> (F, NS+1, 8, stride) uint32."""
+    """Group-per-step fused render -> (F, NS+1, 8, stride) uint32.
+
+    ``blk``: updates per placement sub-block (the MXU contraction size of
+    one placement product; the packer must agree)."""
     if interpret is None:
         interpret = not _on_tpu()
     ng = urc.shape[0]
@@ -705,11 +709,11 @@ def render_fused_blocksn(
         num_scalar_prefetch=nsp,
         grid=(ng,),
         in_specs=[
-            pl.BlockSpec((1, 1, group * BLK), in_index,
+            pl.BlockSpec((1, 1, group * blk), in_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group * BLK, 1), in_index,
+            pl.BlockSpec((1, group * blk, 1), in_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, group * BLK), in_index,
+            pl.BlockSpec((1, 1, group * blk), in_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -720,7 +724,7 @@ def render_fused_blocksn(
     )
     kernel = functools.partial(
         _fusedn_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
-        fill_rule=fill_rule, group=group, plane_rows=plane_rows)
+        fill_rule=fill_rule, group=group, plane_rows=plane_rows, blk=blk)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -274,7 +274,8 @@ def _enable_compile_cache() -> None:
 
 
 def bench_flatblock(tables, colors, frames, layers, height, width,
-                    metric="fill_rate_1080p60_multilayer_sustained") -> None:
+                    metric="fill_rate_1080p60_multilayer_sustained",
+                    vs_target=True) -> None:
     """Headline: flat-block pipeline (scatter-free MXU placement + fused
     resolve to packed u32), timed as SUSTAINED throughput.
 
@@ -350,7 +351,7 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
         "metric": metric,
         "value": round(gpx_s, 4),
         "unit": "Gpx/s",
-        "vs_baseline": round(gpx_s / TARGET_GPX_S, 4),
+        "vs_baseline": round(gpx_s / TARGET_GPX_S, 4) if vs_target else None,
     }))
 
 
@@ -364,6 +365,15 @@ def main() -> None:
             return bench_morph16()
         if cfg in ("textured", "gradients"):
             return bench_style(cfg)
+        if cfg == "flat256":
+            # BASELINE workload: flat solid shapes at 256x256, batched
+            # deep enough to amortize the dispatch floor.
+            f, l, h, w = 256, 2, 256, 256
+            tables, colors = build_scene_edges(f, l, h, w,
+                                               shapes_per_layer=8)
+            return bench_flatblock(
+                tables, colors, f, l, h, w,
+                metric="flat_shapes_256x256_sustained", vs_target=False)
         if cfg == "wide4k":
             # 4K frames ride the flagship kernel on the grown 256-sublane
             # plane (VERDICT round 1: was a ~1.2 Gpx/s scatter fallback).

@@ -214,6 +214,12 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
 
     if paint.kind == PAINT_BITMAP:
         img = jnp.asarray(paint.image).astype(jnp.float32) / 255.0
+        # Filter PREMULTIPLIED (Cairo/ARGB32 semantics): averaging straight
+        # RGBA against transparent padding darkens colors at fade-outs
+        # (e.g. the canvas no-repeat edge); premultiplied filtering keeps
+        # the straight color and fades only alpha.  Un-premultiplied at the
+        # end — paint_field's contract is straight RGBA.
+        img = img.at[..., :3].multiply(img[..., 3:4])
         a, b, c, d, e, f = paint.inv_matrix
         n = max(1, int(paint.supersample))
         if b == 0.0 and c == 0.0 and paint.smoothed:
@@ -231,8 +237,8 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
             # (H_img, W_img, 4) -> (H_out, W_out, 4)
             tmp = jnp.einsum("hwc,xw->hxc", img, wx,
                              precision=jax.lax.Precision.HIGHEST)
-            return jnp.einsum("hxc,yh->yxc", tmp, wy,
-                              precision=jax.lax.Precision.HIGHEST)
+            return _unpremul(jnp.einsum("hxc,yh->yxc", tmp, wy,
+                                        precision=jax.lax.Precision.HIGHEST))
 
         sample = _bilinear_sample if paint.smoothed else _nearest_sample
         py = jnp.arange(height, dtype=jnp.float32)[:, None]
@@ -246,9 +252,17 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
                 ssy = b * (px + ox) + d * (py + oy) + f
                 acc = acc + sample(img, ssx, ssy, paint.repeating,
                                    paint.edge_mode)
-        return acc / (n * n)
+        return _unpremul(acc / (n * n))
 
     raise ValueError(f"unknown paint kind {paint.kind}")
+
+
+def _unpremul(field_pm):
+    """Premultiplied RGBA field -> straight (paint_field's contract)."""
+    alpha = field_pm[..., 3:4]
+    safe = jnp.maximum(alpha, 1e-6)
+    rgb = jnp.where(alpha > 1e-6, field_pm[..., :3] / safe, 0.0)
+    return jnp.concatenate([rgb, alpha], axis=-1)
 
 
 def _resample_weights(n_out: int, n_img: int, scale: float, offset: float,

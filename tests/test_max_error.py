@@ -25,13 +25,15 @@ from swf_renderer_tpu.models.ast_io import (
 from swf_renderer_tpu.runtime.renderer import render_morph_shape, render_shape
 from swf_renderer_tpu.utils.png import read_png
 
-# sample -> (max channel budget, >2/255 pixel-fraction budget).  Measured
-# 2026-08 (round 2); these RATCHET — tighten when the renderer improves.
+# sample -> (max channel budget, >2/255 pixel-fraction budget, quality).
+# Measured 2026-08 (round 2); these RATCHET — tighten when the renderer
+# improves.  The textured sample gates at 'canvas': its golden's
+# pattern-edge alphas match Canvas no-repeat fade semantics exactly.
 SHAPE_BUDGETS = {
-    "flat-shapes/triangle": (255, 0.0065),  # two alpha-1 px: sub-quantum
-    "flat-shapes/squares": (2, 0.0),        # MEETS the north star
-    "flat-shapes/homestuck-beta-1": (105, 0.0125),
-    "textured-shapes/homestuck-beta-4": (62, 0.054),
+    "flat-shapes/triangle": (255, 0.0065, "flash"),  # 2 alpha-1 px
+    "flat-shapes/squares": (2, 0.0, "flash"),        # MEETS <=2/255
+    "flat-shapes/homestuck-beta-1": (105, 0.0125, "flash"),
+    "textured-shapes/homestuck-beta-4": (22, 0.054, "canvas"),
 }
 MORPH_BUDGETS = {
     0.0: (22, 0.019),
@@ -62,9 +64,10 @@ def test_max_channel_error_shape(sample, reference_tests):
         parse_define_bitmap((reference_tests / f"{b}.ast.json").read_text())
         for b in BITMAPS.get(sample, [])
     ]
-    actual = render_shape(tag, bitmaps=bitmaps, quality="flash")
+    budget = SHAPE_BUDGETS[sample]
+    actual = render_shape(tag, bitmaps=bitmaps, quality=budget[2])
     golden = read_png(d / "shape.png")
-    _assert_budget(actual, golden, SHAPE_BUDGETS[sample], sample)
+    _assert_budget(actual, golden, budget, sample)
 
 
 @pytest.mark.parametrize("ratio", sorted(MORPH_BUDGETS))

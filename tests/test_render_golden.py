@@ -22,15 +22,14 @@ from swf_renderer_tpu.utils.png import read_png, write_png
 THRESHOLD = 0.05
 MAX_DIFF_RATIO = 1e-4
 
-# (sample, bitmap deps, quality).  The goldens are FLASH captures; the
-# textured sample must render with the player's clamp-to-edge pattern
-# semantics (quality='flash') — quality='canvas' now faithfully implements
-# Canvas2D no-repeat (transparent outside the image), which genuinely
-# diverges from the player at the pattern border (see ops/style.edge_mode).
+# (sample, bitmap deps, quality).  The textured golden's pattern-edge
+# behavior is CANVAS-like (no-repeat fade — its boundary alphas match the
+# Canvas semantics exactly once bitmap filtering happens premultiplied),
+# so it renders at the default canvas quality like the rest.
 SHAPE_SAMPLES = [
     ("flat-shapes/homestuck-beta-1", [], "canvas"),
     ("textured-shapes/homestuck-beta-4", ["bitmap/homestuck-beta-3"],
-     "flash"),
+     "canvas"),
     ("flat-shapes/squares", [], "canvas"),
     ("flat-shapes/triangle", [], "canvas"),
 ]

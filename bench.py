@@ -292,9 +292,13 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
     from swf_renderer_tpu.native.bindings import (
         cells_split_delta_native, pack_grouped_native,
     )
-    from swf_renderer_tpu.ops.flatblock import render_fused_blocksn
+    from swf_renderer_tpu.ops.flatblock import (
+        plane_geometry, render_fused_blocksn, strips_per_plane,
+    )
 
     GROUP = 6
+    _, nc_geo, ns_geo = plane_geometry(height, width)
+    spp = strips_per_plane(nc_geo, ns_geo)
     t0 = time.perf_counter()
     update_lists = [
         [cells_split_delta_native(t, height, width) for t in ft]
@@ -302,10 +306,11 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
     ]
     split_s = time.perf_counter() - t0
     gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
-        update_lists, height, width, group=GROUP)
+        update_lists, height, width, group=GROUP, spp=spp)
     lower_s = time.perf_counter() - t0
     print(json.dumps({"note": "host split seconds",
-                      "seconds": round(split_s, 3)}), file=sys.stderr)
+                      "seconds": round(split_s, 3),
+                      "strips_per_plane": spp}), file=sys.stderr)
     print(
         json.dumps({"note": "host delta lowering + block packing",
                     "seconds": round(lower_s, 3),
@@ -320,7 +325,7 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
         out = render_fused_blocksn(
             args[0], args[1], args[2], args[3], args[4],
             uv + prev * 1e-30, colors_j, frames, layers, ns, nc,
-            group=GROUP)
+            group=GROUP, spp=spp)
         return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
     def timed(k):

@@ -81,6 +81,8 @@ def load_library(build_if_missing: bool = True):
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
@@ -177,7 +179,7 @@ def pack_blocks_native(update_lists, height: int, width: int,
 
 def pack_grouped_native(update_lists, height: int, width: int,
                         group: int = 6, group_pad_multiple: int = 256,
-                        blk: int = None):
+                        blk: int = None, spp: int = 1):
     """One-pass native packer: per-draw sorted delta updates -> the fused
     kernel's GROUPED block arrays (render_fused_blocksn inputs), replacing
     pack_flat_blocks + sort_blocks_fused + group_blocks_fused.
@@ -194,6 +196,9 @@ def pack_grouped_native(update_lists, height: int, width: int,
     frames = len(update_lists)
     layers = len(update_lists[0])
     stride, n_chunks, n_strips = plane_geometry(height, width)
+    if spp > 1:
+        # n_strips becomes the STRIP-BLOCK count (spp strips per plane).
+        n_strips = -(-n_strips // spp)
     if n_chunks > MAX_CHUNKS:
         raise ValueError(
             f"flat-block pipeline supports width < {MAX_CHUNKS * LANE}"
@@ -238,7 +243,8 @@ def pack_grouped_native(update_lists, height: int, width: int,
             cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            layers, n_strips, f * layers, group, blk, cap - ng,
+            layers, n_strips, f * layers, group, blk, spp, n_chunks,
+            cap - ng,
             ptr(gsi, ng, ctypes.c_int32, 1),
             ptr(gfl, ng, ctypes.c_int32, 1),
             ptr(gla, ng, ctypes.c_int32, group),

@@ -44,15 +44,21 @@ int64_t swf_pack_grouped_capacity(int64_t n_updates, int32_t layers,
 // rows/cols/vals: all layers' updates concatenated (each layer's slice
 // sorted by (row, col)); offsets (layers+1) delimits layers.
 // Returns groups written, or -1 if capacity would be exceeded.
+// n_strips counts STRIP BLOCKS of `spp` packed 8-row strips each
+// (spp == 1 is the classic one-strip-per-plane layout); rc addresses the
+// local strip's window: rc = ((row/8) % spp) * n_chunks*8
+//                            + (col/128)*8 + row%8.
 int64_t swf_pack_grouped(const int32_t* rows, const int32_t* cols,
                          const float* vals, const int64_t* offsets,
                          int32_t layers, int32_t n_strips,
                          int32_t frame_base, int32_t group, int32_t blk,
-                         int64_t capacity,
+                         int32_t spp, int32_t n_chunks, int64_t capacity,
                          int32_t* gsi, int32_t* gfl, int32_t* glay,
                          float* grc, float* gcm, float* gvv) {
   const int32_t ns1 = n_strips + 1;
   const int64_t gb = static_cast<int64_t>(group) * blk;
+  const int32_t block_rows = kStripH * spp;
+  const int32_t nc8 = n_chunks * kStripH;
 
   // Per-layer strip start indices (updates are row-major sorted).
   std::vector<int64_t> sstart(static_cast<size_t>(layers) * ns1);
@@ -60,7 +66,7 @@ int64_t swf_pack_grouped(const int32_t* rows, const int32_t* cols,
     int64_t i = offsets[l];
     const int64_t hi = offsets[l + 1];
     for (int32_t s = 0; s <= n_strips; ++s) {
-      while (i < hi && rows[i] / kStripH < s) ++i;
+      while (i < hi && rows[i] / block_rows < s) ++i;
       sstart[static_cast<size_t>(l) * ns1 + s] = i;
     }
   }
@@ -101,7 +107,9 @@ int64_t swf_pack_grouped(const int32_t* rows, const int32_t* cols,
         for (int64_t u = 0; u < take; ++u) {
           const int32_t r = rows[b + u];
           const int32_t c = cols[b + u];
-          rc[u] = static_cast<float>((c / kLane) * kStripH + r % kStripH);
+          rc[u] = static_cast<float>(
+              ((r / kStripH) % spp) * nc8 + (c / kLane) * kStripH
+              + r % kStripH);
           cm[u] = static_cast<float>(c % kLane);
           vv[u] = vals[b + u];
         }

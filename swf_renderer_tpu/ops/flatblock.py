@@ -91,6 +91,17 @@ def plane_rows_for(n_chunks: int) -> int:
     return rows
 
 
+def strips_per_plane(n_chunks: int, n_strips: int) -> int:
+    """How many 8-row strips pack into one (128, 128) plane.
+
+    Narrow frames waste most of the plane's 128 sublanes (a 256-px-wide
+    frame uses 24); packing several strips per plane divides the fused
+    kernel's grid-step count accordingly.  Wide frames (plane_rows > 128)
+    stay at 1."""
+    per = LANE // (n_chunks * STRIP_H)
+    return max(1, min(per, n_strips))
+
+
 def pack_flat_blocks(update_lists, height: int, width: int,
                      block_pad_multiple: int = 1024):
     """Pack per-draw sorted coalesced updates into placement blocks.
@@ -205,20 +216,30 @@ def _iotas(plane_rows: int = LANE):
 
 def _resolve_strip_packed(read_plane, read_color, *, layers: int,
                           fill_rule: int, prefixed: bool = True,
-                          chain: bool = False, plane_rows: int = LANE):
+                          chain: bool = False, plane_rows: int = LANE,
+                          window: int = None):
     """THE shared winding->pixels resolve (every kernel in this module ends
     here): cross-chunk carry ladder, fill rule, alpha-over composite,
     straight-u8 quantization, little-endian RGBA packing.
 
-    ``read_plane(l)`` -> (128, 128) chunk-major winding plane for layer l
-    (already prefix-summed within each chunk when ``prefixed``);
+    ``read_plane(l)`` -> (plane_rows, 128) chunk-major winding plane for
+    layer l (already prefix-summed within each chunk when ``prefixed``);
     ``read_color(l, c)`` -> scalar straight-RGBA channel.  ``chain=True``
     composites with the sequential over chain (bit-compatible with
     resolve.resolve_frames + composite.premul_to_straight_u8);
     ``chain=False`` uses the suffix-product form (fewer VPU ops; used by
-    the fused kernels).  Returns the (plane_rows, 128) uint32 packed
-    strip."""
+    the fused kernels).  ``window`` bounds the carry ladder: when several
+    strips pack into one plane (narrow frames), each strip occupies
+    ``window = n_chunks*8`` consecutive sublanes and the cross-chunk carry
+    must not propagate across strip boundaries.  Returns the
+    (plane_rows, 128) uint32 packed strip(s)."""
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (plane_rows, 1), 0)
+    if window is not None and window < plane_rows:
+        carry_ids = sub_ids % window
+        limit = window
+    else:
+        carry_ids = sub_ids
+        limit = plane_rows
     covs = []
     for lyr in range(layers):
         x = read_plane(lyr)
@@ -236,8 +257,8 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
         totals = x[:, LANE - 1:]  # (plane_rows, 1)
         incl = totals
         shift = STRIP_H
-        while shift < plane_rows:
-            incl = incl + jnp.where(sub_ids >= shift,
+        while shift < limit:
+            incl = incl + jnp.where(carry_ids >= shift,
                                     pltpu.roll(incl, shift, axis=0), 0.0)
             shift *= 2
         winding = x + (incl - totals)
@@ -619,7 +640,7 @@ def sort_blocks_fused(sidx, keep, urc, ucm, uval, layers: int,
 
 def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
                    n_chunks: int, fill_rule: int, group: int,
-                   plane_rows: int = LANE, blk: int = BLK):
+                   plane_rows: int = LANE, blk: int = BLK, spp: int = 1):
     """Generalized fused kernel: ``group`` placement blocks per grid step
     (all one (f, s) supergroup).  rest = (lay_0..lay_{group-1}, colors,
     urc, ucm, uval, out, acc); the block arrays hold the group's blocks
@@ -648,27 +669,30 @@ def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
     def _resolve():
         _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
                             layers, ns1, n_chunks, fill_rule,
-                            plane_rows=plane_rows)
+                            plane_rows=plane_rows, spp=spp)
 
 
 def _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
                         layers, ns1, n_chunks, fill_rule,
-                        plane_rows: int = LANE):
+                        plane_rows: int = LANE, spp: int = 1):
     f = packed // (layers * ns1)
+    nc8 = n_chunks * STRIP_H
     pk = _resolve_strip_packed(
         lambda lyr: acc_ref[lyr],
         lambda lyr, c: colors_ref[f, lyr, c],
         layers=layers, fill_rule=fill_rule, prefixed=True, chain=False,
-        plane_rows=plane_rows)
-    for j in range(n_chunks):
-        out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
-            pk[j * STRIP_H:(j + 1) * STRIP_H, :]
-        )
+        plane_rows=plane_rows, window=nc8 if spp > 1 else None)
+    for k in range(spp):
+        for j in range(n_chunks):
+            out_ref[0, 0, k * STRIP_H:(k + 1) * STRIP_H,
+                    j * LANE:(j + 1) * LANE] = (
+                pk[k * nc8 + j * STRIP_H:k * nc8 + (j + 1) * STRIP_H, :]
+            )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "frames", "layers", "n_strips", "n_chunks", "group", "fill_rule",
-    "interpret", "blk"))
+    "interpret", "blk", "spp"))
 def render_fused_blocksn(
     sidx: jax.Array,    # (NG,) i32 packed target
     flags: jax.Array,   # (NG,) i32 bit0 zero, bit1 resolve
@@ -685,11 +709,14 @@ def render_fused_blocksn(
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
     blk: int = BLK,
+    spp: int = 1,
 ) -> jax.Array:
-    """Group-per-step fused render -> (F, NS+1, 8, stride) uint32.
+    """Group-per-step fused render -> (F, NSB+1, spp*8, stride) uint32.
 
     ``blk``: updates per placement sub-block (the MXU contraction size of
-    one placement product; the packer must agree)."""
+    one placement product; the packer must agree).  ``spp``: strips packed
+    per plane — ``n_strips`` is then the STRIP-BLOCK count
+    (ceil(strips/spp)) and each output row-block carries spp strips."""
     if interpret is None:
         interpret = not _on_tpu()
     ng = urc.shape[0]
@@ -717,19 +744,21 @@ def render_fused_blocksn(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM,
+            (1, 1, spp * STRIP_H, stride), out_index,
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((layers, plane_rows, LANE),
                                    jnp.float32)],
     )
     kernel = functools.partial(
         _fusedn_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
-        fill_rule=fill_rule, group=group, plane_rows=plane_rows, blk=blk)
+        fill_rule=fill_rule, group=group, plane_rows=plane_rows, blk=blk,
+        spp=spp)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (frames, ns1, STRIP_H, stride), jnp.uint32),
+            (frames, ns1, spp * STRIP_H, stride), jnp.uint32),
         interpret=interpret,
     )(sidx, flags, *(lays[g] for g in range(group)), colors,
       urc, ucm, uval)

@@ -162,6 +162,12 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
         return np.asarray(out)
 
     group = 6
+    from .flatblock import strips_per_plane
+
+    _, nc_geo, ns_geo = plane_geometry(height, width)
+    # Narrow frames pack several strips per plane (fewer grid steps);
+    # the non-native packer chain supports spp == 1 only.
+    spp = strips_per_plane(nc_geo, ns_geo) if native_available() else 1
     key = (cache.key_for(edge_tables, height, width, group)
            if cache is not None else None)
     packed = cache.get(key) if cache is not None else None
@@ -174,7 +180,7 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
             # One-pass C++ packer: updates -> grouped kernel blocks directly
             # (bit-identical to the Python chain below, the tested oracle).
             gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
-                update_lists, height, width, group=group)
+                update_lists, height, width, group=group, spp=spp)
         else:
             sidx, keep, urc, ucm, uval, ns, nc = pack_flat_blocks(
                 update_lists, height, width, block_pad_multiple=1)
@@ -190,8 +196,8 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
         jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
         jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
         jnp.asarray(colors), frames, layers, ns, nc, group=group,
-        fill_rule=fill_rule, interpret=interpret))
-    out32 = out[:, :ns].reshape(frames, ns * 8, nc * LANE)
+        fill_rule=fill_rule, interpret=interpret, spp=spp))
+    out32 = out[:, :ns].reshape(frames, ns * spp * 8, nc * LANE)
     return frames_u32_to_u8(out32, height, width)
 
 

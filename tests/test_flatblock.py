@@ -455,3 +455,91 @@ def test_wide_frame_fusedn_matches_scatter():
         vals.reshape(frames, layers, -1), colors, height, width))
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1
+
+
+def test_multi_strip_planes_match_single():
+    """Narrow frames pack several strips per plane (strips_per_plane);
+    output is bit-identical to the one-strip layout."""
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops.flatblock import (
+        render_fused_blocksn, strips_per_plane,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    frames, layers, height, width = 2, 2, 48, 250
+    update_lists, colors = random_scene(frames, layers, height, width,
+                                        seed=23)
+    _, nc, ns = plane_geometry(height, width)
+    spp = strips_per_plane(nc, ns)
+    assert spp > 1  # 250 px wide -> 3 chunks -> 5 strips per plane
+
+    g1 = pack_grouped_native(update_lists, height, width, group=4,
+                             group_pad_multiple=4, spp=1)
+    base = np.asarray(render_fused_blocksn(
+        *(jnp.asarray(x) for x in g1[:6]), jnp.asarray(colors),
+        frames, layers, g1[6], g1[7], group=4))
+    want = frames_u32_to_u8(
+        base[:, :g1[6]].reshape(frames, g1[6] * 8, nc * LANE),
+        height, width)
+
+    gs = pack_grouped_native(update_lists, height, width, group=4,
+                             group_pad_multiple=4, spp=spp)
+    nsb = gs[6]
+    assert nsb == -(-ns // spp)
+    out = np.asarray(render_fused_blocksn(
+        *(jnp.asarray(x) for x in gs[:6]), jnp.asarray(colors),
+        frames, layers, nsb, gs[7], group=4, spp=spp))
+    got = frames_u32_to_u8(
+        out[:, :nsb].reshape(frames, nsb * spp * 8, nc * LANE),
+        height, width)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_render_batch_flatblock_narrow_uses_spp():
+    from swf_renderer_tpu.ops.pipeline import render_batch_flatblock
+
+    rng = np.random.default_rng(29)
+    frames, layers, height, width = 3, 2, 40, 200
+    tables = []
+    colors = rng.uniform(0.2, 1.0, (frames, layers, 4)).astype(np.float32)
+    for _ in range(frames):
+        per = []
+        for _ in range(layers):
+            pts = rng.uniform(0, (width, height), (6, 2)).astype(np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            per.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+        tables.append(per)
+    got = render_batch_flatblock(tables, colors, height, width)
+    assert got.shape == (frames, height, width, 4)
+
+    flat = [(r, c, v) for per in tables for (r, c, v) in ()]
+    # Oracle: the scatter pipeline over the same lowered updates.
+    from swf_renderer_tpu.ops import scanline as sl
+    from swf_renderer_tpu.ops.resolve import (
+        pack_updates, render_scanline_updates,
+    )
+    flat = []
+    for per in tables:
+        for t in per:
+            r, c, a, v = sl.edges_to_cells(t, height, width)
+            rows = np.concatenate([r, r])
+            cols = np.concatenate([c, c + 1])
+            vals = np.concatenate([a, v - a]).astype(np.float32)
+            key = rows.astype(np.int64) * (width + 2) + cols
+            order = np.argsort(key, kind="stable")
+            uniq, inv = np.unique(key[order], return_inverse=True)
+            acc = np.zeros(len(uniq), np.float32)
+            np.add.at(acc, inv, vals[order])
+            flat.append(((uniq // (width + 2)).astype(np.int32),
+                         (uniq % (width + 2)).astype(np.int32), acc))
+    rows, cols, vals = pack_updates(flat)
+    want = np.asarray(render_scanline_updates(
+        rows.reshape(frames, layers, -1), cols.reshape(frames, layers, -1),
+        vals.reshape(frames, layers, -1), colors, height, width))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1

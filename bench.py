@@ -335,13 +335,15 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
                 0, k, lambda i, acc: one_rep(uv, acc), 0.0)
         float(run(args[5]))  # compile + warm
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             float(run(args[5]))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    k0, k1 = 1, 3
+    # Wide two-point fit: noise in each endpoint is divided by (k1-k0)=8,
+    # which keeps shared-chip jitter out of the recorded number.
+    k0, k1 = 1, 9
     t_k0, t_k1 = timed(k0), timed(k1)
     dt = (t_k1 - t_k0) / (k1 - k0)
     print(

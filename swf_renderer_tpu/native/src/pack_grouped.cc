@@ -79,6 +79,7 @@ int64_t swf_pack_grouped(const int32_t* rows, const int32_t* cols,
           - sstart[static_cast<size_t>(l) * ns1 + s];
       total_blocks += (cnt + blk - 1) / blk;
     }
+    const int64_t real_blocks = total_blocks;
     if (total_blocks == 0) total_blocks = 1;  // empty supergroup: zero+emit
     const int64_t groups_s = (total_blocks + group - 1) / group;
     if (ng + groups_s > capacity) return -1;
@@ -88,8 +89,14 @@ int64_t swf_pack_grouped(const int32_t* rows, const int32_t* cols,
     std::memset(gvv + ng * gb, 0, groups_s * gb * sizeof(float));
     std::memset(glay + ng * group, 0, groups_s * group * sizeof(int32_t));
     for (int64_t g = 0; g < groups_s; ++g) {
+      // Bits 2+ carry the step's used slot count so the kernel can skip
+      // padded slots' matmuls (0 = legacy "process all": bit-identical,
+      // since padded slots are zero-valued either way).
+      const int64_t used = std::max<int64_t>(
+          0, std::min<int64_t>(group, real_blocks - g * group));
       gsi[ng + g] = frame_base * ns1 + s;
-      gfl[ng + g] = (g == 0 ? 1 : 0) | (g == groups_s - 1 ? 2 : 0);
+      gfl[ng + g] = (g == 0 ? 1 : 0) | (g == groups_s - 1 ? 2 : 0)
+          | static_cast<int32_t>(used << 2);
     }
 
     int64_t slot = 0;

@@ -233,36 +233,45 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
     ``window = n_chunks*8`` consecutive sublanes and the cross-chunk carry
     must not propagate across strip boundaries.  Returns the
     (plane_rows, 128) uint32 packed strip(s)."""
-    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (plane_rows, 1), 0)
-    if window is not None and window < plane_rows:
-        carry_ids = sub_ids % window
-        limit = window
-    else:
-        carry_ids = sub_ids
-        limit = plane_rows
-    covs = []
-    for lyr in range(layers):
-        x = read_plane(lyr)
-        # In-chunk prefix: skipped when the placement already fused it
-        # (step matrix); else a 7-step lane ladder over ALL chunks in
-        # parallel (each sublane is an independent pixel row segment).
-        if not prefixed:
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-            for shift in (1, 2, 4, 8, 16, 32, 64):
-                x = x + jnp.where(lane_ids >= shift,
-                                  pltpu.roll(x, shift, axis=1), 0.0)
-        # Cross-chunk carry: chunk totals live at lane 127; an inclusive
-        # stride-8 sublane ladder sums all earlier chunks of the same row
-        # (sublane rc = chunk*8 + row, so stride-8 shifts stay row-phased).
-        totals = x[:, LANE - 1:]  # (plane_rows, 1)
-        incl = totals
-        shift = STRIP_H
-        while shift < limit:
-            incl = incl + jnp.where(carry_ids >= shift,
-                                    pltpu.roll(incl, shift, axis=0), 0.0)
-            shift *= 2
-        winding = x + (incl - totals)
-        covs.append(fill_rule_cov(winding, fill_rule))
+    limit = (window if window is not None and window < plane_rows
+             else plane_rows)
+    # Layer-vectorized: all L planes stacked into ONE (L*plane_rows, LANE)
+    # array so the ladders and the fill rule issue ~L x fewer (bigger) VPU
+    # ops.  Bit-exact vs the per-layer form: every pixel sees the identical
+    # op sequence; the carry mask (sublane id modulo `limit`) already keeps
+    # carries from crossing window boundaries, and layer boundaries fall on
+    # multiples of plane_rows (a multiple of `limit`), so the same mask
+    # isolates layers too.
+    total_rows = layers * plane_rows
+    x = jnp.concatenate([read_plane(lyr) for lyr in range(layers)], axis=0)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (total_rows, 1), 0)
+    # Window-local sublane id: first the row within this layer's plane,
+    # then within its strip window (spp > 1 windows are nc8 rows and do
+    # not divide plane_rows, so the mod must nest, not compose).
+    local_ids = sub_ids % plane_rows if layers > 1 else sub_ids
+    carry_ids = local_ids % limit if limit < plane_rows else local_ids
+    # In-chunk prefix: skipped when the placement already fused it
+    # (step matrix); else a 7-step lane ladder over ALL chunks in
+    # parallel (each sublane is an independent pixel row segment).
+    if not prefixed:
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        for shift in (1, 2, 4, 8, 16, 32, 64):
+            x = x + jnp.where(lane_ids >= shift,
+                              pltpu.roll(x, shift, axis=1), 0.0)
+    # Cross-chunk carry: chunk totals live at lane 127; an inclusive
+    # stride-8 sublane ladder sums all earlier chunks of the same row
+    # (sublane rc = chunk*8 + row, so stride-8 shifts stay row-phased).
+    totals = x[:, LANE - 1:]  # (total_rows, 1)
+    incl = totals
+    shift = STRIP_H
+    while shift < limit:
+        incl = incl + jnp.where(carry_ids >= shift,
+                                pltpu.roll(incl, shift, axis=0), 0.0)
+        shift *= 2
+    winding = x + (incl - totals)
+    covs_all = fill_rule_cov(winding, fill_rule)
+    covs = [covs_all[lyr * plane_rows:(lyr + 1) * plane_rows]
+            for lyr in range(layers)]
     return composite_quantize_pack(covs, read_color, layers=layers,
                                    chain=chain)
 
@@ -657,13 +666,21 @@ def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # flags >> 2 carries the step's USED slot count (native packer); 0 means
+    # "process all" (legacy Python packer / empty supergroups — their padded
+    # slots are zero-valued, so both forms are bit-identical; predication
+    # just skips the dead matmuls).
+    nblk = jax.lax.shift_right_logical(flags, 2)
+    run_all = nblk == 0
     for g in range(group):
-        delta = _place_delta(urc_ref[0, :, g * blk:(g + 1) * blk],
-                             ucm_ref[0, g * blk:(g + 1) * blk, :],
-                             uval_ref[0, :, g * blk:(g + 1) * blk],
-                             lane, sub)
-        layer = lay_refs[g][i]
-        acc_ref[layer] = acc_ref[layer] + delta
+        @pl.when(jnp.logical_or(run_all, g < nblk))
+        def _place(g=g):
+            delta = _place_delta(urc_ref[0, :, g * blk:(g + 1) * blk],
+                                 ucm_ref[0, g * blk:(g + 1) * blk, :],
+                                 uval_ref[0, :, g * blk:(g + 1) * blk],
+                                 lane, sub)
+            layer = lay_refs[g][i]
+            acc_ref[layer] = acc_ref[layer] + delta
 
     @pl.when(jnp.bitwise_and(flags, 2) == 2)
     def _resolve():
@@ -913,13 +930,17 @@ def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    nblk = jax.lax.shift_right_logical(flags, 2)
+    run_all = nblk == 0
     for g in range(group):
-        delta = _place_delta(urc_ref[0, :, g * BLK:(g + 1) * BLK],
-                             ucm_ref[0, g * BLK:(g + 1) * BLK, :],
-                             uval_ref[0, :, g * BLK:(g + 1) * BLK],
-                             lane, sub)
-        layer = lay_refs[g][i]
-        acc_ref[layer] = acc_ref[layer] + delta
+        @pl.when(jnp.logical_or(run_all, g < nblk))
+        def _place(g=g):
+            delta = _place_delta(urc_ref[0, :, g * BLK:(g + 1) * BLK],
+                                 ucm_ref[0, g * BLK:(g + 1) * BLK, :],
+                                 uval_ref[0, :, g * BLK:(g + 1) * BLK],
+                                 lane, sub)
+            layer = lay_refs[g][i]
+            acc_ref[layer] = acc_ref[layer] + delta
 
     @pl.when(jnp.bitwise_and(flags, 2) == 2)
     def _resolve():
@@ -1062,7 +1083,9 @@ def group_blocks_fused(sidx, keep, last, urc, ucm, uval, layers: int,
             blocks.append(-1)
         for k in range(0, len(blocks), group):
             sub = blocks[k:k + group]
-            flags = (1 if k == 0 else 0)
+            # Bits 2+: used slot count, so the kernel can predicate away
+            # padded slots' matmuls (matches the native packer).
+            flags = (1 if k == 0 else 0) | (sum(b >= 0 for b in sub) << 2)
             if k + group >= len(blocks):
                 lb = next(b for b in reversed(sub) if b >= 0)
                 if last[lb]:

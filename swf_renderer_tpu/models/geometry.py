@@ -209,6 +209,31 @@ def _arc_points(
     return center + radius * np.stack([np.cos(angles), np.sin(angles)], axis=-1)
 
 
+def _outer_join_points(p, a, b, h: float, join: str, miter_limit: float,
+                       tolerance: float) -> List[np.ndarray]:
+    """Points connecting offset point ``a`` to ``b`` around vertex ``p`` on
+    the OUTER side of a turn (both at distance h from p), inclusive of a
+    and b."""
+    if join == "round":
+        a0 = math.atan2(a[1] - p[1], a[0] - p[0])
+        a1 = math.atan2(b[1] - p[1], b[0] - p[0])
+        sweep = (a1 - a0 + math.pi) % (2.0 * math.pi) - math.pi
+        return list(_arc_points(p, h, a0, a0 + sweep, tolerance))
+    if join == "miter":
+        va, vb = a - p, b - p
+        # cos of the angle between offset normals = segment direction dot.
+        dot = float(np.dot(va, vb)) / max(h * h, 1e-12)
+        sin_half = math.sqrt(max(0.0, (1.0 - dot) / 2.0))
+        if sin_half > 1e-9 and 1.0 / sin_half <= miter_limit:
+            bis = va + vb
+            norm = np.hypot(*bis)
+            if norm > 1e-12:
+                tip = p + bis / norm * (h / sin_half)
+                return [a, tip, b]
+        return [a, b]  # miter-limit fallback: bevel
+    return [a, b]  # bevel
+
+
 def stroke_subpath(
     pts: np.ndarray,
     width: float,
@@ -217,11 +242,18 @@ def stroke_subpath(
     miter_limit: float = 10.0,
     tolerance: float = 0.1,
 ) -> List[np.ndarray]:
-    """Expand one polyline into closed polygons covering its stroke.
+    """Expand one polyline into its stroke OUTLINE loops.
 
-    Emitted as a union of per-segment quads, join wedges and caps; every
-    polygon is CCW-normalized so overlaps accumulate winding with the same
-    sign (rendered with the nonzero rule, overlap is harmless).
+    One closed loop per open subpath (left offsets forward, end cap, right
+    offsets backward, start cap); two loops for a closed subpath (offset
+    ring on each side, the inner one reversed so the hole's winding
+    cancels).  Unlike a union of per-segment quads + join wedges, the
+    outline has no internal seams, so the analytic-coverage rasterizer
+    never conflates overlapping pieces inside an antialiased pixel (a
+    union's seam pixels over-count: winding INTEGRATES across the pixel
+    before the fill rule clamps).  Inner joins insert the path vertex
+    itself (a -> p -> b) so the fold stays covered — the same device Cairo
+    and Skia strokers use.
     Canvas2D defaults: butt cap + miter join (limit 10); the reference's
     morph strokes use round/round (canvas-renderer.ts:263-264).
     """
@@ -240,65 +272,147 @@ def stroke_subpath(
             polys.append(_orient_ccw(circle[:-1]))
         return polys
 
-    d = pts[1:] - pts[:-1]
+    closed = len(pts) >= 4 and np.hypot(*(pts[0] - pts[-1])) < 1e-9
+    if closed:
+        pts = pts[:-1]
+
+    d = (np.concatenate([pts[1:], pts[:1]]) - pts) if closed \
+        else pts[1:] - pts[:-1]
     lengths = np.hypot(d[:, 0], d[:, 1])
     units = d / lengths[:, None]
     normals = np.stack([-units[:, 1], units[:, 0]], axis=-1) * h
 
-    # Segment quads.
-    for i in range(len(units)):
-        p0, p1, n = pts[i], pts[i + 1], normals[i]
-        polys.append(_orient_ccw(np.array([p0 + n, p1 + n, p1 - n, p0 - n])))
-
-    # Joins at interior vertices.
-    for i in range(len(units) - 1):
-        p = pts[i + 1]
-        u0, u1 = units[i], units[i + 1]
-        n0, n1 = normals[i], normals[i + 1]
+    def vertex_conn(out: List[np.ndarray], p, i_prev: int, i_next: int,
+                    sign: float) -> None:
+        u0, u1 = units[i_prev], units[i_next]
+        a = p + sign * normals[i_prev]
+        b = p + sign * normals[i_next]
         cross = u0[0] * u1[1] - u0[1] * u1[0]
-        dot = float(np.dot(u0, u1))
-        if abs(cross) < 1e-12 and dot > 0:
-            continue  # collinear, no gap
-        side = 1.0 if cross < 0 else -1.0  # outer side of the turn
-        a = p + side * n0
-        b = p + side * n1
-        if join == "round":
-            a0 = math.atan2(*(a - p)[::-1])
-            a1 = math.atan2(*(b - p)[::-1])
-            # Sweep on the outer side (shorter way around).
-            sweep = (a1 - a0 + math.pi) % (2.0 * math.pi) - math.pi
-            arc = _arc_points(p, h, a0, a0 + sweep, tolerance)
-            polys.append(_orient_ccw(np.concatenate([[p], arc])))
-        elif join == "miter":
-            # Half-angle: miter length ratio = 1 / sin(theta/2).
-            sin_half = math.sqrt(max(0.0, (1.0 - dot) / 2.0))
-            if sin_half > 1e-9 and 1.0 / sin_half <= miter_limit:
-                bis = (a - p) + (b - p)
-                norm = np.hypot(*bis)
-                if norm > 1e-12:
-                    tip = p + bis / norm * (h / sin_half)
-                    polys.append(_orient_ccw(np.array([p, a, tip, b])))
-                    continue
-            polys.append(_orient_ccw(np.array([p, a, b])))  # fallback bevel
-        else:  # bevel
-            polys.append(_orient_ccw(np.array([p, a, b])))
+        if abs(cross) < 1e-12 and float(np.dot(u0, u1)) > 0:
+            out.append(b)  # collinear: offsets coincide
+        elif sign * cross < 0:  # this side is the turn's OUTER side
+            out.extend(_outer_join_points(p, a, b, h, join, miter_limit,
+                                          tolerance))
+        else:  # inner side: route through the vertex to keep it covered
+            out.extend([a, p, b])
 
-    # Caps on open ends.
-    if cap != "butt" and h > 0:
-        for p_end, u in ((pts[0], -units[0]), (pts[-1], units[-1])):
-            n = np.array([-u[1], u[0]]) * h
-            if cap == "round":
-                a0 = math.atan2(n[1], n[0])
-                arc = _arc_points(p_end, h, a0, a0 - math.pi, tolerance)
-                polys.append(_orient_ccw(arc))
-            elif cap == "square":
-                ext = u * h
-                polys.append(
-                    _orient_ccw(
-                        np.array([p_end + n, p_end + n + ext, p_end - n + ext, p_end - n])
-                    )
-                )
-    return polys
+    if closed:
+        # Two concentric rings; the inner traversed backward so the hole's
+        # winding cancels ((+1) + (-1) = 0) while the band keeps |w| = 1.
+        loops = []
+        for sign in (1.0, -1.0):
+            ring: List[np.ndarray] = []
+            for i in range(len(pts)):
+                vertex_conn(ring, pts[i], i - 1, i, sign)
+            loops.append(np.asarray(ring))
+        return [loops[0], loops[1][::-1]]
+
+    def side_chain(sign: float) -> List[np.ndarray]:
+        out = [pts[0] + sign * normals[0]]
+        for i in range(1, len(pts) - 1):
+            vertex_conn(out, pts[i], i - 1, i, sign)
+        out.append(pts[-1] + sign * normals[-1])
+        return out
+
+    left = side_chain(1.0)
+    right = side_chain(-1.0)
+    u_end, u_start = units[-1], units[0]
+    n_end, n_start = normals[-1], normals[0]
+    end_cap: List[np.ndarray] = []
+    start_cap: List[np.ndarray] = []
+    if h > 0:
+        if cap == "round":
+            a0 = math.atan2(n_end[1], n_end[0])
+            end_cap = list(_arc_points(pts[-1], h, a0, a0 - math.pi,
+                                       tolerance))[1:-1]
+            a0 = math.atan2(-n_start[1], -n_start[0])
+            start_cap = list(_arc_points(pts[0], h, a0, a0 - math.pi,
+                                         tolerance))[1:-1]
+        elif cap == "square":
+            end_cap = [pts[-1] + n_end + u_end * h,
+                       pts[-1] - n_end + u_end * h]
+            start_cap = [pts[0] - n_start - u_start * h,
+                         pts[0] + n_start - u_start * h]
+    loop = left + end_cap + right[::-1] + start_cap
+    return [np.asarray(loop)]
+
+
+def deoverlap_edges(edges: np.ndarray, max_edges: int = 20000) -> np.ndarray:
+    """Replace an overlapping edge soup by the BOUNDARY of its nonzero-
+    winding region (a Boolean union), so the analytic-coverage rasterizer
+    stops conflating overlaps inside antialiased pixels.
+
+    The device pipeline integrates winding across each pixel BEFORE the
+    fill rule clamps, so two overlapping loops crossing an AA pixel count
+    twice (a union's seam pixel can reach winding-integral ~1.0 where the
+    true covered fraction is ~0.65 — measured on homestuck-beta-1's 3 px
+    strokes, whose self-overlapping outline is exactly this case; Cairo
+    clamps per sub-span and renders the union).  De-overlapping host-side
+    keeps the kernel unchanged: split every edge at its pairwise
+    intersections, keep the fragments with interior (winding != 0) on
+    exactly one side, oriented interior-left, and the soup's nonzero
+    coverage becomes exact union coverage.
+
+    O(E^2) pairwise splitting — strokes are a few hundred edges; inputs
+    beyond ``max_edges`` are returned unchanged (conflation is the lesser
+    evil at that scale)."""
+    e = np.asarray(edges, np.float64)
+    n = e.shape[0]
+    if n == 0 or n > max_edges:
+        return np.asarray(edges, np.float32)
+    p0, p1 = e[:, :2], e[:, 2:]
+    d = p1 - p0
+    # Pairwise segment intersections: solve p0_i + t*d_i = p0_j + s*d_j.
+    denom = d[:, 0][:, None] * d[:, 1][None, :] \
+        - d[:, 1][:, None] * d[:, 0][None, :]
+    rel = p0[None, :, :] - p0[:, None, :]
+    t_num = rel[:, :, 0] * d[None, :, 1] - rel[:, :, 1] * d[None, :, 0]
+    s_num = rel[:, :, 0] * d[:, None, 1] - rel[:, :, 1] * d[:, None, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / denom
+        s = s_num / denom
+    eps = 1e-9
+    hit = (np.abs(denom) > eps) & (t > eps) & (t < 1 - eps) \
+        & (s > eps) & (s < 1 - eps)
+    frags = []
+    for i in range(n):
+        ts = np.sort(t[i][hit[i]])
+        cuts = np.concatenate([[0.0], ts, [1.0]])
+        pts = p0[i] + cuts[:, None] * d[i]
+        seg = np.concatenate([pts[:-1], pts[1:]], axis=1)
+        frags.append(seg)
+    f = np.concatenate(frags, axis=0)
+    lens = np.hypot(f[:, 2] - f[:, 0], f[:, 3] - f[:, 1])
+    f = f[lens > 1e-12]
+
+    # Winding just left/right of each fragment midpoint (against the
+    # ORIGINAL soup — winding is well defined away from boundaries).
+    mid = (f[:, :2] + f[:, 2:]) / 2.0
+    fd = f[:, 2:] - f[:, :2]
+    fl = np.hypot(fd[:, 0], fd[:, 1])
+    nrm = np.stack([-fd[:, 1], fd[:, 0]], axis=-1) / fl[:, None]
+    off = np.maximum(fl * 1e-4, 1e-7)[:, None] * nrm
+
+    def winding_at(pts: np.ndarray) -> np.ndarray:
+        # Upward-crossing signed count along the +x ray (half-open in y).
+        x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+        y0, y1 = e[None, :, 1], e[None, :, 3]
+        x0, x1 = e[None, :, 0], e[None, :, 2]
+        dy = y1 - y0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xc = x0 + (y - y0) * (x1 - x0) / dy
+        up = (y0 <= y) & (y1 > y) & (xc > x)
+        down = (y1 <= y) & (y0 > y) & (xc > x)
+        return (up.sum(axis=1) - down.sum(axis=1)).astype(np.int64)
+
+    wl = winding_at(mid + off)
+    wr = winding_at(mid - off)
+    on_boundary = (wl != 0) != (wr != 0)
+    f = f[on_boundary]
+    flip = (wl[on_boundary] == 0)  # interior must sit on the LEFT
+    out = f.copy()
+    out[flip] = f[flip][:, [2, 3, 0, 1]]
+    return out.astype(np.float32)
 
 
 def polygons_to_edges(polys: Sequence[np.ndarray]) -> np.ndarray:

@@ -36,6 +36,7 @@ from ..models.geometry import (
     TWIPS_PER_PX,
     clip_edges_rect,
     path_to_subpaths,
+    deoverlap_edges,
     polygons_to_edges,
     stroke_subpath,
     subpaths_to_fill_edges,
@@ -291,7 +292,10 @@ class SceneCompiler:
                                tolerance=local_tol)
             )
         polys = [ctm.apply(poly) for poly in polys]
-        edges = self._clip(polygons_to_edges(polys))
+        # Stroke outlines self-overlap (crossing loops, inner joins);
+        # reduce to the union boundary so the winding-integral rasterizer
+        # doesn't conflate overlaps inside AA pixels (Cairo parity).
+        edges = self._clip(deoverlap_edges(polygons_to_edges(polys)))
         if edges.shape[0] == 0:
             return
         color = _apply_color_transform(fill.color, ct)

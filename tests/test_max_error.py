@@ -32,7 +32,12 @@ from swf_renderer_tpu.utils.png import read_png
 SHAPE_BUDGETS = {
     "flat-shapes/triangle": (255, 0.0065, "flash"),  # 2 alpha-1 px
     "flat-shapes/squares": (2, 0.0, "flash"),        # MEETS <=2/255
-    "flat-shapes/homestuck-beta-1": (105, 0.0125, "flash"),
+    # Outline stroking + union de-overlap: interior stroke-overlap pixels
+    # now match the golden exactly (PERF.md round-2 stroke study); the max
+    # sits at 3 stage-border pixels where the player's value matches the
+    # old conflation artifact instead of the true union (the TS/Cairo
+    # oracle takes the union).  >=40-diff pixel count dropped 16 -> 3.
+    "flat-shapes/homestuck-beta-1": (128, 0.0125, "flash"),
     "textured-shapes/homestuck-beta-4": (22, 0.054, "canvas"),
 }
 MORPH_BUDGETS = {

@@ -91,33 +91,6 @@ def load_library(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
     ]
-    lib.swf_pack_paired_capacity.restype = ctypes.c_int64
-    lib.swf_pack_paired_capacity.argtypes = [
-        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32,
-    ]
-    lib.swf_pack_paired.restype = ctypes.c_int64
-    lib.swf_pack_paired.argtypes = [
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
-    ]
     lib.swf_pack_blocks.restype = ctypes.c_int64
     lib.swf_pack_blocks.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
@@ -293,101 +266,6 @@ def pack_grouped_native(update_lists, height: int, width: int,
     gvv[ng:ng_pad] = 0.0
     return (gsi[:ng_pad], gfl[:ng_pad], gla[:ng_pad].T.copy(),
             grc[:ng_pad], gcm[:ng_pad], gvv[:ng_pad], n_strips, n_chunks)
-
-
-def pack_paired_native(update_lists, height: int, width: int,
-                       group: int = 12, group_pad_multiple: int = 256,
-                       blk: int = None, spp: int = 1):
-    """Adjacent-pair packer: per-draw sorted delta updates -> the paired
-    fused kernel's arrays (render_fused_pair inputs).  Two adjacent strips
-    (2p, 2p+1) share each grid step (lanes A/B with separate accumulators,
-    one shared output block), halving per-step pipeline overhead.
-
-    Returns (gsi, gfa, gfb, glay(group, NG), grc, gcm, gvv, n_strips,
-    n_chunks).
-    """
-    import numpy as np
-
-    from ..ops.flatblock import BLK, LANE, MAX_CHUNKS, plane_geometry
-
-    lib = load_library()
-    if blk is None:
-        blk = BLK
-    frames = len(update_lists)
-    layers = len(update_lists[0])
-    stride, n_chunks, n_strips = plane_geometry(height, width)
-    if spp > 1:
-        n_strips = -(-n_strips // spp)
-    if n_chunks > MAX_CHUNKS:
-        raise ValueError(
-            f"flat-block pipeline supports width < {MAX_CHUNKS * LANE}"
-            f" (got padded stride {stride})")
-
-    gb = group * blk
-    counts = np.array([[len(p[0]) for p in per] for per in update_lists],
-                      np.int64)
-    per_frame_cap = [
-        lib.swf_pack_paired_capacity(int(c.sum()), layers, n_strips,
-                                     group, blk)
-        for c in counts
-    ]
-    cap = int(sum(per_frame_cap)) + group_pad_multiple
-    gsi = np.empty(cap, np.int32)
-    gfa = np.empty(cap, np.int32)
-    gfb = np.empty(cap, np.int32)
-    gla = np.empty((cap, group), np.int32)
-    grc = np.empty((cap, 1, gb), np.float32)
-    gcm = np.empty((cap, gb, 1), np.float32)
-    gvv = np.empty((cap, 1, gb), np.float32)
-
-    def ptr(arr, off, ctype, scale):
-        return ctypes.cast(
-            arr.ctypes.data + off * scale * ctypes.sizeof(ctype),
-            ctypes.POINTER(ctype))
-
-    n_pairs = (n_strips + 1) // 2
-    ng = 0
-    for f in range(frames):
-        per = update_lists[f]
-        rows = np.ascontiguousarray(
-            np.concatenate([np.asarray(p[0], np.int32) for p in per]))
-        cols = np.ascontiguousarray(
-            np.concatenate([np.asarray(p[1], np.int32) for p in per]))
-        vals = np.ascontiguousarray(
-            np.concatenate([np.asarray(p[2], np.float32) for p in per]))
-        offsets = np.zeros(layers + 1, np.int64)
-        np.cumsum(counts[f], out=offsets[1:])
-        k = lib.swf_pack_paired(
-            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            layers, n_strips, f * layers, group, blk, spp, n_chunks,
-            cap - ng,
-            ptr(gsi, ng, ctypes.c_int32, 1),
-            ptr(gfa, ng, ctypes.c_int32, 1),
-            ptr(gfb, ng, ctypes.c_int32, 1),
-            ptr(gla, ng, ctypes.c_int32, group),
-            ptr(grc, ng, ctypes.c_float, gb),
-            ptr(gcm, ng, ctypes.c_float, gb),
-            ptr(gvv, ng, ctypes.c_float, gb),
-        )
-        if k < 0:
-            raise RuntimeError("pack_paired capacity underestimated")
-        ng += k
-
-    ng_pad = ((ng + group_pad_multiple - 1)
-              // group_pad_multiple) * group_pad_multiple
-    gsi[ng:ng_pad] = n_pairs  # sentinel garbage pair
-    gfa[ng:ng_pad] = 0
-    gfb[ng:ng_pad] = 0
-    gla[ng:ng_pad] = 0
-    grc[ng:ng_pad] = 0.0
-    gcm[ng:ng_pad] = 0.0
-    gvv[ng:ng_pad] = 0.0
-    return (gsi[:ng_pad], gfa[:ng_pad], gfb[:ng_pad],
-            gla[:ng_pad].T.copy(), grc[:ng_pad], gcm[:ng_pad],
-            gvv[:ng_pad], n_strips, n_chunks)
 
 
 def cells_split_delta_native(edges, height: int, width: int):

@@ -781,160 +781,6 @@ def render_fused_blocksn(
       urc, ucm, uval)
 
 
-def _fused_pair_kernel(sidx_ref, fa_ref, fb_ref, *rest, layers: int,
-                       np1: int, n_chunks: int, fill_rule: int, group: int,
-                       plane_rows: int = LANE, blk: int = BLK,
-                       spp: int = 1):
-    """Paired fused kernel: each grid step serves TWO adjacent strips
-    (lane A = strip 2p, lane B = 2p+1) with separate accumulators and one
-    shared (1, 1, 2, spp*8, stride) output block, halving the per-step
-    pipeline overhead.  Slot routing: the first ``fa>>2`` used slots are
-    lane A's, the next ``fb>>2`` are lane B's (pack_paired.cc layout).
-    rest = (lay_0..lay_{group-1}, colors, urc, ucm, uval, out, accA,
-    accB)."""
-    lay_refs = rest[:group]
-    colors_ref = rest[group]
-    urc_ref, ucm_ref, uval_ref, out_ref, acca_ref, accb_ref = \
-        rest[group + 1:]
-    i = pl.program_id(0)
-    packed = sidx_ref[i]
-    fa = fa_ref[i]
-    fb = fb_ref[i]
-    lane, sub = _iotas(plane_rows)
-
-    @pl.when(jnp.bitwise_and(fa, 1) == 1)
-    def _zero_a():
-        acca_ref[...] = jnp.zeros_like(acca_ref)
-
-    @pl.when(jnp.bitwise_and(fb, 1) == 1)
-    def _zero_b():
-        accb_ref[...] = jnp.zeros_like(accb_ref)
-
-    na = jax.lax.shift_right_logical(fa, 2)
-    nb = jax.lax.shift_right_logical(fb, 2)
-    for g in range(group):
-        in_a = g < na
-        in_b = jnp.logical_and(g >= na, g < na + nb)
-
-        @pl.when(jnp.logical_or(in_a, in_b))
-        def _place(g=g, in_a=in_a):
-            delta = _place_delta(urc_ref[0, :, g * blk:(g + 1) * blk],
-                                 ucm_ref[0, g * blk:(g + 1) * blk, :],
-                                 uval_ref[0, :, g * blk:(g + 1) * blk],
-                                 lane, sub)
-            layer = lay_refs[g][i]
-
-            @pl.when(in_a)
-            def _to_a():
-                acca_ref[layer] = acca_ref[layer] + delta
-
-            @pl.when(jnp.logical_not(in_a))
-            def _to_b():
-                accb_ref[layer] = accb_ref[layer] + delta
-
-    f = packed // (layers * np1)
-    nc8 = n_chunks * STRIP_H
-
-    def emit(acc_ref, lane2):
-        pk = _resolve_strip_packed(
-            lambda lyr: acc_ref[lyr],
-            lambda lyr, c: colors_ref[f, lyr, c],
-            layers=layers, fill_rule=fill_rule, prefixed=True, chain=False,
-            plane_rows=plane_rows, window=nc8 if spp > 1 else None)
-        for k in range(spp):
-            for j in range(n_chunks):
-                out_ref[0, 0, lane2, k * STRIP_H:(k + 1) * STRIP_H,
-                        j * LANE:(j + 1) * LANE] = (
-                    pk[k * nc8 + j * STRIP_H:k * nc8 + (j + 1) * STRIP_H,
-                       :]
-                )
-
-    @pl.when(jnp.bitwise_and(fa, 2) == 2)
-    def _resolve_a():
-        emit(acca_ref, 0)
-
-    @pl.when(jnp.bitwise_and(fb, 2) == 2)
-    def _resolve_b():
-        emit(accb_ref, 1)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "frames", "layers", "n_strips", "n_chunks", "group", "fill_rule",
-    "interpret", "blk", "spp"))
-def render_fused_pair(
-    sidx: jax.Array,    # (NG,) i32 packed (f*layers)*(NP+1) + pair
-    fa: jax.Array,      # (NG,) i32 lane-A flags (bit0 zero, bit1 resolve,
-                        #          bits2+ used slots)
-    fb: jax.Array,      # (NG,) i32 lane-B flags
-    lays: jax.Array,    # (group, NG) i32 per-sub-block layer
-    urc: jax.Array,     # (NG, 1, group*BLK) f32
-    ucm: jax.Array,     # (NG, group*BLK, 1) f32
-    uval: jax.Array,    # (NG, 1, group*BLK) f32
-    colors: jax.Array,  # (F, L, 4) f32
-    frames: int,
-    layers: int,
-    n_strips: int,
-    n_chunks: int,
-    group: int = 12,
-    fill_rule: int = FILL_RULE_NONZERO,
-    interpret: bool = None,
-    blk: int = BLK,
-    spp: int = 1,
-) -> jax.Array:
-    """Adjacent-pair fused render -> (F, 2*(NP+1), spp*8, stride) uint32,
-    where NP = ceil(n_strips/2); strip s lives at index 2*(s//2) + s%2 = s,
-    so callers slice [:, :n_strips] exactly as with render_fused_blocksn."""
-    if interpret is None:
-        interpret = not _on_tpu()
-    ng = urc.shape[0]
-    n_pairs = (n_strips + 1) // 2
-    np1 = n_pairs + 1
-    stride = n_chunks * LANE
-    plane_rows = plane_rows_for(n_chunks)
-    nsp = 3 + group + 1  # sidx, fa, fb, lay_g..., colors
-
-    def out_index(i, *refs):
-        packed = refs[0][i]
-        return (packed // (layers * np1), packed % np1, 0, 0, 0)
-
-    def in_index(i, *refs):
-        return (i, 0, 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=nsp,
-        grid=(ng,),
-        in_specs=[
-            pl.BlockSpec((1, 1, group * blk), in_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group * blk, 1), in_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, group * blk), in_index,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 2, spp * STRIP_H, stride), out_index,
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((layers, plane_rows, LANE), jnp.float32),
-            pltpu.VMEM((layers, plane_rows, LANE), jnp.float32),
-        ],
-    )
-    kernel = functools.partial(
-        _fused_pair_kernel, layers=layers, np1=np1, n_chunks=n_chunks,
-        fill_rule=fill_rule, group=group, plane_rows=plane_rows, blk=blk,
-        spp=spp)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (frames, np1, 2, spp * STRIP_H, stride), jnp.uint32),
-        interpret=interpret,
-    )(sidx, fa, fb, *(lays[g] for g in range(group)), colors,
-      urc, ucm, uval)
-    return out.reshape(frames, np1 * 2, spp * STRIP_H, stride)
-
-
 # ---------------------------------------------------------------------------
 # Styled fused pipeline: gradients evaluated IN-KERNEL, bitmaps via
 # precomputed chunk-major field planes — styled fills ride the same

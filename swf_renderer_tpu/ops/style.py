@@ -228,12 +228,18 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
             # filter and the bilinear hats into one resampling-weight
             # matrix per axis and evaluate as two small matmuls on the
             # MXU instead of 64 gathers per pixel (~50x faster).
-            wx = _resample_weights(width, img.shape[1], a, e, n,
-                                   paint.repeating,
-                                   paint.edge_mode)   # (W_out, W_img)
-            wy = _resample_weights(height, img.shape[0], d, f, n,
-                                   paint.repeating,
-                                   paint.edge_mode)   # (H_out, H_img)
+            # Downscaled axes (footprint >= 1 texel) use the EXACT box
+            # filter (area average — pixman GOOD / player semantics);
+            # upscaled axes keep supersampled bilinear.
+            def axis_weights(n_out, n_img, scale, off):
+                if abs(scale) >= 1.0:
+                    return _box_weights(n_out, n_img, scale, off,
+                                        paint.repeating, paint.edge_mode)
+                return _resample_weights(n_out, n_img, scale, off, n,
+                                         paint.repeating, paint.edge_mode)
+
+            wx = axis_weights(width, img.shape[1], a, e)   # (W_out, W_img)
+            wy = axis_weights(height, img.shape[0], d, f)  # (H_out, H_img)
             # (H_img, W_img, 4) -> (H_out, W_out, 4)
             tmp = jnp.einsum("hwc,xw->hxc", img, wx,
                              precision=jax.lax.Precision.HIGHEST)
@@ -263,6 +269,43 @@ def _unpremul(field_pm):
     safe = jnp.maximum(alpha, 1e-6)
     rgb = jnp.where(alpha > 1e-6, field_pm[..., :3] / safe, 0.0)
     return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def _box_weights(n_out: int, n_img: int, scale: float, offset: float,
+                 repeating: bool, edge_mode: str = "flash") -> jnp.ndarray:
+    """(n_out, n_img) EXACT box-filter weights along one axis: output pixel
+    i averages the texels its footprint [scale*i+offset, scale*(i+1)+offset)
+    overlaps (texel j covers [j, j+1) in sample space, matching _fetch's
+    floor convention).  This is the n -> infinity limit of the
+    supersampled-nearest sampling and the correct area-average for
+    DOWNSCALED patterns: measured on the textured golden it beats the 4x4
+    bilinear approximation 0.0533 -> ~0.02 of pixels >2/255 (PERF.md).
+    Matches pixman's GOOD-filter downscale behavior (area averaging) and
+    the player's."""
+    import numpy as np
+
+    out = np.arange(n_out, dtype=np.float64)[:, None]
+    lo = scale * out + offset
+    hi = scale * (out + 1.0) + offset
+    lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+    length = np.maximum(hi - lo, 1e-12)
+    j = np.arange(n_img, dtype=np.float64)[None, :]
+    if repeating:
+        w = np.zeros((n_out, n_img))
+        k0 = int(np.floor(lo.min() / n_img))
+        k1 = int(np.floor(hi.max() / n_img))
+        for k in range(k0, k1 + 1):
+            jj = j + k * n_img
+            w += np.clip(np.minimum(hi, jj + 1.0) - np.maximum(lo, jj),
+                         0.0, None)
+    else:
+        w = np.clip(np.minimum(hi, j + 1.0) - np.maximum(lo, j), 0.0, None)
+        if edge_mode != "canvas":
+            # Clamp-to-edge: out-of-range footprint lands on edge texels.
+            w[:, 0:1] += np.clip(np.minimum(hi, 0.0) - lo, 0.0, None)
+            w[:, -1:] += np.clip(hi - np.maximum(lo, float(n_img)), 0.0,
+                                 None)
+    return jnp.asarray(w / length, jnp.float32)
 
 
 def _resample_weights(n_out: int, n_img: int, scale: float, offset: float,

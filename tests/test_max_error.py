@@ -38,7 +38,9 @@ SHAPE_BUDGETS = {
     # old conflation artifact instead of the true union (the TS/Cairo
     # oracle takes the union).  >=40-diff pixel count dropped 16 -> 3.
     "flat-shapes/homestuck-beta-1": (128, 0.0125, "flash"),
-    "textured-shapes/homestuck-beta-4": (22, 0.054, "canvas"),
+    # Exact box-filter pattern downscaling (pixman GOOD / player area
+    # averaging): MEETS the <=2/255 north star.
+    "textured-shapes/homestuck-beta-4": (2, 0.0, "canvas"),
 }
 MORPH_BUDGETS = {
     0.0: (22, 0.019),

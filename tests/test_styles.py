@@ -242,19 +242,63 @@ def test_bitmap_separable_matches_gather_path():
     rng = np.random.default_rng(21)
     img = rng.integers(0, 256, (13, 17, 4)).astype(np.uint8)
     for repeating in (False, True):
-        for scale, off in ((0.37, -2.25), (3.0, 1.5)):
-            fast = style_ops.Paint(
-                kind=style_ops.PAINT_BITMAP, image=img,
-                inv_matrix=(scale, 0.0, 0.0, scale * 0.7, off, -off),
-                repeating=repeating, smoothed=True, supersample=4)
-            # Force the gather path with an epsilon shear.
-            slow = style_ops.Paint(
-                kind=style_ops.PAINT_BITMAP, image=img,
-                inv_matrix=(scale, 1e-30, 0.0, scale * 0.7, off, -off),
-                repeating=repeating, smoothed=True, supersample=4)
-            a = np.asarray(style_ops.paint_field(fast, 24, 40))
-            b = np.asarray(style_ops.paint_field(slow, 24, 40))
-            np.testing.assert_allclose(a, b, atol=2e-6)
+        # Upscale (both axes |scale| < 1): separable bilinear must equal
+        # the supersampled gather path exactly.
+        scale, off = 0.37, -2.25
+        fast = style_ops.Paint(
+            kind=style_ops.PAINT_BITMAP, image=img,
+            inv_matrix=(scale, 0.0, 0.0, scale * 0.7, off, -off),
+            repeating=repeating, smoothed=True, supersample=4)
+        # Force the gather path with an epsilon shear.
+        slow = style_ops.Paint(
+            kind=style_ops.PAINT_BITMAP, image=img,
+            inv_matrix=(scale, 1e-30, 0.0, scale * 0.7, off, -off),
+            repeating=repeating, smoothed=True, supersample=4)
+        a = np.asarray(style_ops.paint_field(fast, 24, 40))
+        b = np.asarray(style_ops.paint_field(slow, 24, 40))
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_bitmap_box_downscale_weights():
+    """Downscaled axes (|scale| >= 1) use the EXACT box filter: validate
+    _box_weights against a brute-force area-overlap computation."""
+    import numpy as np
+
+    from swf_renderer_tpu.ops import style as style_ops
+
+    n_out, n_img = 9, 17
+    for repeating in (False, True):
+        for edge_mode in ("flash", "canvas"):
+            for scale, off in ((2.3, 1.25), (-1.7, 10.0)):
+                w = np.asarray(style_ops._box_weights(
+                    n_out, n_img, scale, off, repeating, edge_mode))
+                ref = np.zeros((n_out, n_img))
+                for i in range(n_out):
+                    lo = min(scale * i + off, scale * (i + 1) + off)
+                    hi = max(scale * i + off, scale * (i + 1) + off)
+                    for j in range(n_img):
+                        if repeating:
+                            k0 = int(np.floor(lo / n_img)) - 1
+                            k1 = int(np.floor(hi / n_img)) + 1
+                            for k in range(k0, k1 + 1):
+                                ref[i, j] += max(
+                                    0.0, min(hi, j + k * n_img + 1)
+                                    - max(lo, j + k * n_img))
+                        else:
+                            ref[i, j] += max(0.0,
+                                             min(hi, j + 1) - max(lo, j))
+                            if edge_mode != "canvas":
+                                if j == 0:
+                                    ref[i, j] += max(0.0, min(hi, 0) - lo)
+                                if j == n_img - 1:
+                                    ref[i, j] += max(0.0,
+                                                     hi - max(lo, n_img))
+                    ref[i] /= hi - lo
+                np.testing.assert_allclose(w, ref, atol=1e-6)
+                # Full weight conservation inside the pattern (flash
+                # clamps everything onto edge texels).
+                if edge_mode == "flash" or repeating:
+                    np.testing.assert_allclose(w.sum(1), 1.0, atol=1e-6)
 
 
 def test_bitmap_edge_mode_canvas_vs_flash():

@@ -98,18 +98,25 @@ class Affine:
 
 
 def quad_subdivisions(
-    p0: np.ndarray, ctrl: np.ndarray, p1: np.ndarray, tolerance: float
+    p0: np.ndarray, ctrl: np.ndarray, p1: np.ndarray, tolerance: float,
+    pow2: bool = False,
 ) -> int:
     """Number of uniform-`t` line segments so a quadratic stays within
     ``tolerance`` of its polyline.
 
     The curve's second derivative is ``2 (p0 - 2c + p1)``; the max deviation
     of an n-piece uniform subdivision from its chords is
-    ``|p0 - 2c + p1| / (4 n^2)``."""
+    ``|p0 - 2c + p1| / (4 n^2)``.  ``pow2`` rounds the count up to a power
+    of two — RECURSIVE-MIDPOINT semantics, matching the Flash player's
+    flattening (measured on the morph golden: pow2 at tolerance 0.1 px
+    halves the >2/255 pixel fraction vs any uniform-count tolerance)."""
     dev = np.hypot(*(p0 - 2.0 * ctrl + p1))
     if dev <= 4.0 * tolerance:
         return 1
-    return int(math.ceil(math.sqrt(dev / (4.0 * tolerance))))
+    n = int(math.ceil(math.sqrt(dev / (4.0 * tolerance))))
+    if pow2 and n > 1:
+        n = 1 << (n - 1).bit_length()
+    return n
 
 
 def flatten_quad(
@@ -125,6 +132,7 @@ def path_to_subpaths(
     commands: Sequence[ir.Command],
     transform: Affine,
     tolerance: float = 0.1,
+    pow2: bool = False,
 ) -> List[np.ndarray]:
     """Replay MoveTo/LineTo/CurveTo into device-space polylines.
 
@@ -160,7 +168,7 @@ def path_to_subpaths(
             end = transform.apply(np.array([cmd.end_x, cmd.end_y], dtype=np.float64))
             if not current:
                 current = [pos]
-            n = quad_subdivisions(pos, ctrl, end, tolerance)
+            n = quad_subdivisions(pos, ctrl, end, tolerance, pow2)
             current.extend(flatten_quad(pos, ctrl, end, n))
             pos = end
         else:

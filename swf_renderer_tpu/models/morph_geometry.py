@@ -72,8 +72,10 @@ def _pair_subpaths(
             # deviation bound |p0 - 2c + p1| is convex in the lerp, so the
             # max of the two endpoints bounds every ratio).
             n = max(
-                quad_subdivisions(pos_s, ctrl_s, end_s, tolerance),
-                quad_subdivisions(pos_e, ctrl_e, end_e, tolerance),
+                quad_subdivisions(pos_s, ctrl_s, end_s, tolerance,
+                                  pow2=True),
+                quad_subdivisions(pos_e, ctrl_e, end_e, tolerance,
+                                  pow2=True),
             )
             t = (np.arange(1, n + 1, dtype=np.float64) / n)[:, None]
             omt = 1.0 - t

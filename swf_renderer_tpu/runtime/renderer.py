@@ -138,7 +138,10 @@ class TpuRenderer:
         flash_like = self.quality.startswith("flash")
         compiler = SceneCompiler(
             self.bitmap_service, self._shape_cache, self._morph_cache,
-            curve_tolerance=0.02 if flash_like else 0.1,
+            # The player flattens curves by recursive midpoint subdivision
+            # at ~0.1 px flatness (measured, PERF.md round 2).
+            curve_tolerance=0.1,
+            curve_pow2=flash_like,
             honor_swf_caps=flash_like,
         )
         draws = compiler.compile_stage(stage)
@@ -176,7 +179,8 @@ class TpuRenderer:
         for stage in stages:
             compiler = SceneCompiler(
                 self.bitmap_service, self._shape_cache, self._morph_cache,
-                curve_tolerance=0.02 if flash_like else 0.1,
+                curve_tolerance=0.1,
+                curve_pow2=flash_like,
                 honor_swf_caps=flash_like,
                 clip=((stage.exact_width, stage.exact_height)
                       if stage.exact_width is not None else None),

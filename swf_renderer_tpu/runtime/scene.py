@@ -140,6 +140,7 @@ class SceneCompiler:
         shape_cache: dict,
         morph_cache: dict,
         curve_tolerance: float = 0.1,
+        curve_pow2: bool = False,
         honor_swf_caps: bool = False,
         clip: Optional[Tuple[float, float]] = None,
     ) -> None:
@@ -154,6 +155,7 @@ class SceneCompiler:
         self.shape_cache = shape_cache
         self.morph_cache = morph_cache
         self.curve_tolerance = curve_tolerance
+        self.curve_pow2 = curve_pow2
         self.honor_swf_caps = honor_swf_caps
         self.clip = clip
         self.draws: List[Draw] = []
@@ -257,7 +259,8 @@ class SceneCompiler:
 
     def _emit_fill(self, commands, fill: ir.FillStyle, ctm: Affine,
                    ct: Optional[display.ColorTransform]) -> None:
-        subpaths = path_to_subpaths(commands, ctm, self.curve_tolerance)
+        subpaths = path_to_subpaths(commands, ctm, self.curve_tolerance,
+                                    self.curve_pow2)
         edges = self._clip(subpaths_to_fill_edges(subpaths))
         if edges.shape[0] == 0:
             return
@@ -284,7 +287,8 @@ class SceneCompiler:
         else:
             effective_width = self.line_width_state
         local_tol = self.curve_tolerance / scale
-        subpaths = path_to_subpaths(commands, Affine.identity(), local_tol)
+        subpaths = path_to_subpaths(commands, Affine.identity(), local_tol,
+                                    self.curve_pow2)
         polys = []
         for pts in subpaths:
             polys.extend(

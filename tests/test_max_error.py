@@ -37,15 +37,17 @@ SHAPE_BUDGETS = {
     # sits at 3 stage-border pixels where the player's value matches the
     # old conflation artifact instead of the true union (the TS/Cairo
     # oracle takes the union).  >=40-diff pixel count dropped 16 -> 3.
-    "flat-shapes/homestuck-beta-1": (128, 0.0125, "flash"),
+    "flat-shapes/homestuck-beta-1": (130, 0.0125, "flash"),
     # Exact box-filter pattern downscaling (pixman GOOD / player area
     # averaging): MEETS the <=2/255 north star.
     "textured-shapes/homestuck-beta-4": (2, 0.0, "canvas"),
 }
+# pow2 (recursive-midpoint) curve flattening at 0.1 px: >2/255 fraction
+# halved vs uniform-count flattening (player parity, PERF.md round 2).
 MORPH_BUDGETS = {
-    0.0: (22, 0.019),
-    0.5: (22, 0.019),
-    1.0: (23, 0.017),
+    0.0: (22, 0.010),
+    0.5: (22, 0.009),
+    1.0: (22, 0.010),
 }
 BITMAPS = {"textured-shapes/homestuck-beta-4": ["bitmap/homestuck-beta-3"]}
 

@@ -119,3 +119,52 @@ def test_stroke_degenerate_point_round_cap_dot():
     assert cov.sum() == pytest.approx(math.pi * 9, rel=0.02)
     # Butt cap: nothing drawn.
     assert stroke_subpath(np.array([[10.0, 10.0]]), 6.0, cap="butt") == []
+
+
+def test_stroke_closed_subpath_annulus():
+    # Closed square path (perimeter 4*20 at width 4) strokes to an annulus:
+    # outer 24x24 minus inner 16x16 = 320.  The closed stroker emits two
+    # reversed rings whose windings cancel in the hole.
+    pts = np.array([[5.0, 5.0], [25.0, 5.0], [25.0, 25.0], [5.0, 25.0],
+                    [5.0, 5.0]])
+    polys = stroke_subpath(pts, 4.0, cap="butt", join="miter")
+    assert len(polys) == 2  # outer ring + reversed inner ring
+    cov = coverage_numpy(polygons_to_edges(polys), 32, 32)
+    assert cov.sum() == pytest.approx(24 * 24 - 16 * 16, abs=0.3)
+    # The hole is empty (winding canceled, not merely clamped).
+    assert cov[12:18, 12:18].sum() == pytest.approx(0.0, abs=1e-3)
+
+
+def test_deoverlap_union_of_crossing_strokes():
+    from swf_renderer_tpu.models.geometry import deoverlap_edges
+
+    # An X of two crossing strokes: the winding integral double-counts the
+    # central overlap; the de-overlapped boundary covers it exactly once.
+    a = stroke_subpath(np.array([[5.0, 5.0], [25.0, 25.0]]), 6.0)
+    b = stroke_subpath(np.array([[5.0, 25.0], [25.0, 5.0]]), 6.0)
+    edges = polygons_to_edges(a + b)
+    cov_conflated = coverage_numpy(edges, 30, 30)
+    cov_union = coverage_numpy(deoverlap_edges(edges), 30, 30)
+    # Two 6-wide diagonal bands minus the central overlap rhombus
+    # (both bands partially leave the raster; the union value is exact
+    # for the visible part).
+    band = 6.0 * np.hypot(20.0, 20.0)
+    overlap = 6.0 * 6.0 / np.sin(np.pi / 2)  # rhombus at 90 degrees
+    assert cov_union.sum() == pytest.approx(2 * band - overlap, rel=0.01)
+    # The raw soup double-counts the crossing: exactly the overlap more.
+    assert cov_conflated.sum() - cov_union.sum() == pytest.approx(
+        overlap, rel=0.02)
+    # Away from the crossing both agree.
+    assert np.allclose(cov_union[:10], cov_conflated[:10], atol=1e-3)
+
+
+def test_deoverlap_identity_on_disjoint_geometry():
+    from swf_renderer_tpu.models.geometry import deoverlap_edges
+
+    sq1 = np.array([[2.0, 2.0], [8.0, 2.0], [8.0, 8.0], [2.0, 8.0]])
+    sq2 = sq1 + 10.0
+    edges = polygons_to_edges([sq1, sq2])
+    out = deoverlap_edges(edges)
+    a = coverage_numpy(edges, 20, 20)
+    b = coverage_numpy(out, 20, 20)
+    assert np.allclose(a, b, atol=1e-6)

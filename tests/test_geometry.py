@@ -138,24 +138,23 @@ def test_stroke_closed_subpath_annulus():
 def test_deoverlap_union_of_crossing_strokes():
     from swf_renderer_tpu.models.geometry import deoverlap_edges
 
-    # An X of two crossing strokes: the winding integral double-counts the
-    # central overlap; the de-overlapped boundary covers it exactly once.
+    # An X of two crossing strokes: the de-overlapped boundary must cover
+    # the same region (coverage_numpy clamps per sub-span, so it reads the
+    # union for BOTH inputs — the conflation only exists in the device
+    # pipeline's integrate-then-clamp; deoverlap removes the overlap so
+    # the device matches this union too, asserted at the corpus level by
+    # tests/test_max_error.py).
     a = stroke_subpath(np.array([[5.0, 5.0], [25.0, 25.0]]), 6.0)
     b = stroke_subpath(np.array([[5.0, 25.0], [25.0, 5.0]]), 6.0)
     edges = polygons_to_edges(a + b)
-    cov_conflated = coverage_numpy(edges, 30, 30)
+    cov_soup = coverage_numpy(edges, 30, 30)
     cov_union = coverage_numpy(deoverlap_edges(edges), 30, 30)
-    # Two 6-wide diagonal bands minus the central overlap rhombus
-    # (both bands partially leave the raster; the union value is exact
-    # for the visible part).
-    band = 6.0 * np.hypot(20.0, 20.0)
-    overlap = 6.0 * 6.0 / np.sin(np.pi / 2)  # rhombus at 90 degrees
-    assert cov_union.sum() == pytest.approx(2 * band - overlap, rel=0.01)
-    # The raw soup double-counts the crossing: exactly the overlap more.
-    assert cov_conflated.sum() - cov_union.sum() == pytest.approx(
-        overlap, rel=0.02)
-    # Away from the crossing both agree.
-    assert np.allclose(cov_union[:10], cov_conflated[:10], atol=1e-3)
+    np.testing.assert_allclose(cov_union, cov_soup, atol=0.05)
+    # Sanity: the union region itself is right — two 6-wide diagonal
+    # bands minus the central rhombus (both leave the raster; compare the
+    # fully-visible central area instead of totals): the crossing pixel
+    # is covered exactly once.
+    assert cov_union[14:16, 14:16].sum() == pytest.approx(4.0, abs=1e-3)
 
 
 def test_deoverlap_identity_on_disjoint_geometry():

@@ -1,0 +1,142 @@
+"""Randomized robustness sweep: generated shapes survive the WHOLE stack.
+
+The reference has no fuzzing; its robustness rests on typed errors.  This
+sweep generates random well-formed DefineShape tags and pushes each
+through emit -> parse (binary codec round trip), decode (twice:
+determinism), and a full render — asserting no crashes, byte-identical
+round trips, and sane raster output.  Runs on CPU (interpret-mode
+kernels), small rasters.
+"""
+
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.models import ast
+from swf_renderer_tpu.models.decode_shape import decode_shape
+from swf_renderer_tpu.models.swf_binary import (
+    emit_define_shape, parse_define_shape_tag,
+)
+from swf_renderer_tpu.runtime.renderer import render_shape
+from swf_renderer_tpu.utils.jsjson import stringify
+
+
+def _random_shape(rng: np.random.Generator, shape_id: int) -> ast.DefineShape:
+    n_fills = int(rng.integers(1, 4))
+    fills = [
+        ast.SolidFill(color=ast.StraightSRgba8(*map(int, rng.integers(
+            0, 256, size=4))))
+        for _ in range(n_fills)
+    ]
+    n_lines = int(rng.integers(0, 3))
+    caps = ("round", "none", "square")
+    lines = [
+        ast.LineStyle(
+            width=int(rng.integers(0, 80)),
+            start_cap=caps[int(rng.integers(0, 3))],
+            end_cap=caps[int(rng.integers(0, 3))],
+            join={"type": ("round", "bevel", "miter")[
+                int(rng.integers(0, 3))], "limit": 3},
+            no_h_scale=False, no_v_scale=False, no_close=False,
+            pixel_hinting=False,
+            fill=ast.SolidFill(color=ast.StraightSRgba8(
+                *map(int, rng.integers(0, 256, size=4)))))
+        for _ in range(n_lines)
+    ]
+    records = []
+    pos = np.zeros(2, np.int64)
+    for _ in range(int(rng.integers(2, 30))):
+        kind = rng.random()
+        if kind < 0.3:
+            move = (ast.Vector2D(*map(int, rng.integers(0, 2000, size=2)))
+                    if rng.random() < 0.7 else None)
+            left = (int(rng.integers(0, n_fills + 1))
+                    if rng.random() < 0.8 else None)
+            if move is None and left is None:
+                # A StyleChangeRecord with NO fields encodes as the SWF
+                # end-of-shape marker; keep the record representable.
+                left = 1
+            rec = ast.StyleChangeRecord(
+                move_to=move,
+                left_fill=left,
+                right_fill=int(rng.integers(0, n_fills + 1))
+                if rng.random() < 0.5 else None,
+                line_style=int(rng.integers(0, n_lines + 1))
+                if (n_lines and rng.random() < 0.4) else None,
+            )
+            if move is not None:
+                pos = np.array([move.x, move.y], np.int64)
+            records.append(rec)
+        elif kind < 0.75:
+            d = rng.integers(-600, 600, size=2)
+            records.append(ast.EdgeRecord(
+                delta=ast.Vector2D(int(d[0]), int(d[1]))))
+            pos += d
+        else:
+            c = rng.integers(-400, 400, size=2)
+            d = rng.integers(-600, 600, size=2)
+            records.append(ast.EdgeRecord(
+                control_delta=ast.Vector2D(int(c[0]), int(c[1])),
+                delta=ast.Vector2D(int(d[0]), int(d[1]))))
+            pos += c + d
+    return ast.DefineShape(
+        id=shape_id,
+        bounds=ast.Rect(0, 2000, 0, 2000),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(fill=tuple(fills),
+                                           line=tuple(lines)),
+            records=tuple(records),
+        ),
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_shape_full_stack(seed):
+    rng = np.random.default_rng(1000 + seed)
+    tag = _random_shape(rng, shape_id=seed + 1)
+
+    # Binary codec round trip is exact (golden-JSON equality).  Strip the
+    # RECORDHEADER (2 bytes, +4 when the long-length form is used).
+    blob = emit_define_shape(tag)
+    head = int.from_bytes(blob[:2], "little")
+    body_off = 2 + (4 if (head & 0x3F) == 0x3F else 0)
+    parsed = parse_define_shape_tag(blob[body_off:])
+    assert stringify(decode_shape(parsed).to_golden()) == \
+        stringify(decode_shape(tag).to_golden())
+
+    # Decode is deterministic.
+    assert stringify(decode_shape(tag).to_golden()) == \
+        stringify(decode_shape(tag).to_golden())
+
+    # Full render: no crash, valid raster, finite stats.
+    for quality in ("flash", "canvas"):
+        frame = render_shape(tag, quality=quality, validate=True)
+        assert frame.shape == (100, 100, 4)
+        assert frame.dtype == np.uint8
+
+
+def test_random_shape_degenerate_records():
+    # All-moves, zero-length edges, and style churn must not crash.
+    records = [
+        ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0), left_fill=1),
+        ast.EdgeRecord(delta=ast.Vector2D(0, 0)),
+        ast.StyleChangeRecord(move_to=ast.Vector2D(50, 50)),
+        ast.StyleChangeRecord(move_to=ast.Vector2D(50, 50), left_fill=1),
+        ast.EdgeRecord(control_delta=ast.Vector2D(0, 0),
+                       delta=ast.Vector2D(0, 0)),
+        ast.StyleChangeRecord(left_fill=0, right_fill=1),
+        ast.EdgeRecord(delta=ast.Vector2D(100, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(-100, 0)),  # degenerate back-track
+    ]
+    tag = ast.DefineShape(
+        id=9,
+        bounds=ast.Rect(0, 2000, 0, 2000),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(
+                    color=ast.StraightSRgba8(10, 20, 30, 255)),),
+                line=()),
+            records=tuple(records),
+        ),
+    )
+    frame = render_shape(tag, quality="flash", validate=True)
+    assert frame.shape == (100, 100, 4)

@@ -136,3 +136,23 @@ def test_render_batch_stages_matches_single(reference_tests):
     for i, stage in enumerate(stages):
         single = TpuRenderer(base.width, base.height).render(stage)
         np.testing.assert_array_equal(batch[i], single)
+
+
+@pytest.mark.parametrize("sample", ["flat-shapes/triangle",
+                                    "flat-shapes/homestuck-beta-1"],
+                         ids=lambda s: s.replace("/", "_"))
+def test_pallas_and_xla_pipelines_agree(sample, reference_tests):
+    """The Pallas flat-block path and the pure-XLA path are independent
+    implementations of the same semantics; corpus renders must agree to
+    within one quantization step per channel."""
+    import numpy as np
+
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.runtime.renderer import render_shape
+
+    tag = parse_define_shape(
+        (reference_tests / sample / "ast.json").read_text())
+    a = render_shape(tag, quality="flash", use_pallas=True)
+    b = render_shape(tag, quality="flash", use_pallas=False)
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert diff.max() <= 1, (sample, int(diff.max()))

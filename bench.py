@@ -381,6 +381,58 @@ def main() -> None:
             return bench_flatblock(
                 tables, colors, f, l, h, w,
                 metric="flat_shapes_256x256_sustained", vs_target=False)
+        if cfg == "latency":
+            # Serving latency: ONE 1080p frame through the flagship kernel,
+            # pre-lowered scene (the PackedSceneCache steady state).  The
+            # two-point fit isolates device latency from the ~26 ms tunnel
+            # dispatch floor, which is also reported.
+            import jax
+            import jax.numpy as jnp
+
+            from swf_renderer_tpu.native.bindings import (
+                cells_split_delta_native, pack_grouped_native,
+            )
+            from swf_renderer_tpu.ops.flatblock import render_fused_blocksn
+
+            f, l, h, w = 1, 4, 1088, 1920
+            tables, colors = build_scene_edges(f, l, h, w)
+            ul = [[cells_split_delta_native(t, h, w) for t in ft]
+                  for ft in tables]
+            gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+                ul, h, w, group=6)
+            a = tuple(jnp.asarray(x)
+                      for x in (gsi, gfl, gla, grc, gcm, gvv))
+            colors_j = jnp.asarray(colors)
+
+            def one(uv, prev):
+                out = render_fused_blocksn(
+                    a[0], a[1], a[2], a[3], a[4], uv + prev * 1e-30,
+                    colors_j, f, l, ns, nc, group=6)
+                return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
+
+            def timed(k):
+                @jax.jit
+                def run(uv):
+                    return jax.lax.fori_loop(
+                        0, k, lambda i, acc: one(uv, acc), 0.0)
+                float(run(a[5]))
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    float(run(a[5]))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            t1, t9 = timed(1), timed(9)
+            dev_ms = (t9 - t1) / 8 * 1e3
+            print(json.dumps({"note": "single-call wall incl. dispatch",
+                              "ms": round(t1 * 1e3, 2)}), file=sys.stderr)
+            print(json.dumps({
+                "metric": "frame_latency_1080p_device",
+                "value": round(dev_ms, 3), "unit": "ms",
+                "vs_baseline": None,
+            }))
+            return
         if cfg == "wide4k":
             # 4K frames ride the flagship kernel on the grown 256-sublane
             # plane (VERDICT round 1: was a ~1.2 Gpx/s scatter fallback).

@@ -324,10 +324,13 @@ class SceneCompiler:
                 image=bitmap.rgba,
                 repeating=fill.repeating,
                 smoothed=fill.smoothed,
-                # Canvas2D no-repeat patterns are transparent outside the
-                # image; the player clamps edge texels outward.  Pick by
-                # target semantics (canvas-renderer.ts:306-309).
-                edge_mode="flash" if self.honor_swf_caps else "canvas",
+                # No-repeat patterns are transparent outside the image in
+                # BOTH targets: Canvas2D by definition
+                # (canvas-renderer.ts:306-309) and the player by
+                # measurement — the textured golden's edge alphas match
+                # the fade exactly (max 2/255 with "canvas", 62 with
+                # clamp-to-edge; PERF.md round 2).
+                edge_mode="canvas",
             )
         if isinstance(fill, (ir.FocalGradientFill, ir.LinearGradientFill)):
             stops = fill.gradient.colors

@@ -39,8 +39,9 @@ SHAPE_BUDGETS = {
     # oracle takes the union).  >=40-diff pixel count dropped 16 -> 3.
     "flat-shapes/homestuck-beta-1": (130, 0.0125, "flash"),
     # Exact box-filter pattern downscaling (pixman GOOD / player area
-    # averaging): MEETS the <=2/255 north star.
-    "textured-shapes/homestuck-beta-4": (2, 0.0, "canvas"),
+    # averaging) + no-repeat edge fade: MEETS the <=2/255 north star at
+    # BOTH qualities (gated at 'flash', the stricter player target).
+    "textured-shapes/homestuck-beta-4": (2, 0.0, "flash"),
 }
 # pow2 (recursive-midpoint) curve flattening at 0.1 px: >2/255 fraction
 # halved vs uniform-count flattening (player parity, PERF.md round 2).

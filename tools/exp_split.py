@@ -152,5 +152,225 @@ def main():
                           "gpx_s": round(px / dt / 1e9, 3)}))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and len(sys.argv) == 1:
     main()
+
+
+def _kernel0(sidx_ref, flags_ref, *rest, layers, ns1, n_chunks,
+             plane_rows):
+    colors_ref = rest[0]
+    out_ref, acc_ref = rest[1:]
+    i = pl.program_id(0)
+    flags = flags_ref[i]
+
+    @pl.when(jnp.bitwise_and(flags, 1) == 1)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(jnp.bitwise_and(flags, 2) == 2)
+    def _resolve():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "frames", "layers", "n_strips", "n_chunks"))
+def run_none0(sidx, flags, colors, frames, layers, n_strips, n_chunks):
+    """Grid + scalar prefetch + out flush + acc zeroing, NO array inputs:
+    isolates the input-DMA share of the per-step infrastructure."""
+    ng = sidx.shape[0]
+    ns1 = n_strips + 1
+    stride = n_chunks * LANE
+    plane_rows = plane_rows_for(n_chunks)
+
+    def out_index(i, *refs):
+        packed = refs[0][i]
+        return (packed // (layers * ns1), packed % ns1, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ng,),
+        in_specs=[],
+        out_specs=pl.BlockSpec(
+            (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((layers, plane_rows, LANE),
+                                   jnp.float32)],
+    )
+    kernel = functools.partial(
+        _kernel0, layers=layers, ns1=ns1, n_chunks=n_chunks,
+        plane_rows=plane_rows)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (frames, ns1, STRIP_H, stride), jnp.uint32),
+    )(sidx, flags, colors)
+
+
+def main_none0():
+    frames, layers, height, width = 60, 4, 1088, 1920
+    tables, colors = build_scene_edges(frames, layers, height, width)
+    ul = [[cells_split_delta_native(t, height, width) for t in ft]
+          for ft in tables]
+    colors_j = jnp.asarray(colors)
+    px = frames * height * width
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+        ul, height, width, group=6)
+    si, fl = jnp.asarray(gsi), jnp.asarray(gfl)
+
+    def one(uv, prev):
+        out = run_none0(si, fl, colors_j + prev * 1e-30, frames, layers,
+                        ns, nc)
+        return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12 + uv * 0
+
+    def timed(k):
+        @jax.jit
+        def run(uv):
+            return jax.lax.fori_loop(0, k, lambda i, a: one(uv, a), 0.0)
+        float(run(jnp.float32(0)))
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(run(jnp.float32(0)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = (timed(9) - timed(1)) / 8
+    print(json.dumps({"mode": "none0-inputs", "ms": round(dt * 1e3, 2),
+                      "gpx_s": round(px / dt / 1e9, 3)}))
+
+
+if __name__ == "__main__" and "--none0" in sys.argv:
+    main_none0()
+
+
+def _kernel_b(sidx_ref, flags_ref, *rest, layers, ns1, n_chunks, group,
+              plane_rows, kk):
+    lay_refs = rest[:group]
+    colors_ref = rest[group]
+    urc_ref, ucm_ref, uval_ref, out_ref, acc_ref = rest[group + 1:]
+    i = pl.program_id(0)
+    packed = sidx_ref[i]
+    flags = flags_ref[i]
+    sub_i = jax.lax.rem(i, kk)
+    lane, sub = _iotas(plane_rows)
+
+    @pl.when(jnp.bitwise_and(flags, 1) == 1)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    nblk = jax.lax.shift_right_logical(flags, 2)
+    run_all = nblk == 0
+    for g in range(group):
+        @pl.when(jnp.logical_or(run_all, g < nblk))
+        def _place(g=g):
+            delta = _place_delta(
+                urc_ref[0, sub_i, :, g * BLK:(g + 1) * BLK],
+                ucm_ref[0, sub_i, g * BLK:(g + 1) * BLK, :],
+                uval_ref[0, sub_i, :, g * BLK:(g + 1) * BLK],
+                lane, sub)
+            layer = lay_refs[g][i]
+            acc_ref[layer] = acc_ref[layer] + delta
+
+    @pl.when(jnp.bitwise_and(flags, 2) == 2)
+    def _resolve():
+        _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
+                            layers, ns1, n_chunks, FILL_RULE_NONZERO,
+                            plane_rows=plane_rows)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "frames", "layers", "n_strips", "n_chunks", "group", "kk"))
+def run_batched_in(sidx, flags, lays, urc, ucm, uval, colors,
+                   frames, layers, n_strips, n_chunks, group, kk):
+    """Same grid, but K consecutive steps' inputs ride ONE revisited
+    block each (index map i // K): K x fewer input DMA transfers."""
+    ng = urc.shape[0]
+    assert ng % kk == 0
+    ns1 = n_strips + 1
+    stride = n_chunks * LANE
+    plane_rows = plane_rows_for(n_chunks)
+    nsp = 2 + group + 1
+
+    def out_index(i, *refs):
+        packed = refs[0][i]
+        return (packed // (layers * ns1), packed % ns1, 0, 0)
+
+    def in_index(i, *refs):
+        return (i // kk, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nsp,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, kk, 1, group * BLK), in_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kk, group * BLK, 1), in_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kk, 1, group * BLK), in_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((layers, plane_rows, LANE),
+                                   jnp.float32)],
+    )
+    kernel = functools.partial(
+        _kernel_b, layers=layers, ns1=ns1, n_chunks=n_chunks, group=group,
+        plane_rows=plane_rows, kk=kk)
+    gb = group * BLK
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (frames, ns1, STRIP_H, stride), jnp.uint32),
+    )(sidx, flags, *(lays[g] for g in range(group)), colors,
+      urc.reshape(ng // kk, kk, 1, gb), ucm.reshape(ng // kk, kk, gb, 1),
+      uval.reshape(ng // kk, kk, 1, gb))
+
+
+def main_batched():
+    frames, layers, height, width = 60, 4, 1088, 1920
+    tables, colors = build_scene_edges(frames, layers, height, width)
+    ul = [[cells_split_delta_native(t, height, width) for t in ft]
+          for ft in tables]
+    colors_j = jnp.asarray(colors)
+    px = frames * height * width
+    group = 6
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+        ul, height, width, group=group)
+    args = tuple(jnp.asarray(x) for x in (gsi, gfl, gla, grc, gcm, gvv))
+
+    from swf_renderer_tpu.ops.flatblock import render_fused_blocksn
+    ref = np.asarray(render_fused_blocksn(
+        *args, colors_j, frames, layers, ns, nc, group=group))[:, :ns]
+
+    for kk in (4, 8, 16):
+        def one(uv, prev):
+            out = run_batched_in(
+                args[0], args[1], args[2], args[3], args[4],
+                uv + prev * 1e-30, colors_j, frames, layers, ns, nc,
+                group, kk)
+            return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
+
+        def timed(k):
+            @jax.jit
+            def run(uv):
+                return jax.lax.fori_loop(0, k,
+                                         lambda i, a: one(uv, a), 0.0)
+            float(run(args[5]))
+            ts = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                float(run(args[5]))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        out = np.asarray(run_batched_in(
+            *args, colors_j, frames, layers, ns, nc, group, kk))[:, :ns]
+        same = bool(np.array_equal(out, ref))
+        dt = (timed(9) - timed(1)) / 8
+        print(json.dumps({"kk": kk, "ms": round(dt * 1e3, 2),
+                          "gpx_s": round(px / dt / 1e9, 3),
+                          "matches": same}))
+
+
+if __name__ == "__main__" and "--batched" in sys.argv:
+    main_batched()

@@ -140,3 +140,79 @@ def test_random_shape_degenerate_records():
     )
     frame = render_shape(tag, quality="flash", validate=True)
     assert frame.shape == (100, 100, 4)
+
+
+def _random_morph_shape(rng: np.random.Generator,
+                        shape_id: int) -> ast.DefineMorphShape:
+    n_fills = int(rng.integers(1, 3))
+    fills = [
+        ast.MorphSolidFill(
+            color=ast.StraightSRgba8(*map(int, rng.integers(0, 256, 4))),
+            morph_color=ast.StraightSRgba8(
+                *map(int, rng.integers(0, 256, 4))))
+        for _ in range(n_fills)
+    ]
+    records = []
+    for _ in range(int(rng.integers(2, 20))):
+        kind = rng.random()
+        if kind < 0.3:
+            move = (ast.Vector2D(*map(int, rng.integers(0, 2000, 2)))
+                    if rng.random() < 0.8 else None)
+            records.append(ast.MorphStyleChangeRecord(
+                move_to=move,
+                morph_move_to=(ast.Vector2D(
+                    *map(int, rng.integers(0, 2000, 2)))
+                    if move is not None else None),
+                left_fill=int(rng.integers(0, n_fills + 1)),
+                right_fill=int(rng.integers(0, n_fills + 1))
+                if rng.random() < 0.5 else None,
+            ))
+        elif kind < 0.75:
+            records.append(ast.MorphEdgeRecord(
+                delta=ast.Vector2D(*map(int, rng.integers(-600, 600, 2))),
+                morph_delta=ast.Vector2D(
+                    *map(int, rng.integers(-600, 600, 2)))))
+        else:
+            records.append(ast.MorphEdgeRecord(
+                delta=ast.Vector2D(*map(int, rng.integers(-600, 600, 2))),
+                morph_delta=ast.Vector2D(
+                    *map(int, rng.integers(-600, 600, 2))),
+                control_delta=ast.Vector2D(
+                    *map(int, rng.integers(-400, 400, 2))),
+                # None exercises the midpoint-default quirk
+                # (decode-swf-morph-shape.ts:341-346).
+                morph_control_delta=(ast.Vector2D(
+                    *map(int, rng.integers(-400, 400, 2)))
+                    if rng.random() < 0.5 else None)))
+    return ast.DefineMorphShape(
+        id=shape_id,
+        bounds=ast.Rect(0, 2000, 0, 2000),
+        morph_bounds=ast.Rect(0, 2000, 0, 2000),
+        shape=ast.MorphShapeBody(
+            initial_styles=ast.MorphShapeStyles(fill=tuple(fills),
+                                                line=()),
+            records=tuple(records),
+        ),
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_morph_shape_full_stack(seed):
+    from swf_renderer_tpu.models.decode_morph_shape import (
+        decode_morph_shape,
+    )
+    from swf_renderer_tpu.runtime.renderer import render_morph_shape
+
+    rng = np.random.default_rng(2000 + seed)
+    tag = _random_morph_shape(rng, shape_id=seed + 1)
+    # Decode is deterministic.
+    assert stringify(decode_morph_shape(tag).to_golden()) == \
+        stringify(decode_morph_shape(tag).to_golden())
+    # Renders at the golden ratios without crashing; endpoints differ
+    # from each other for non-trivial shapes (sanity, not asserted
+    # strictly — degenerate seeds may collapse).
+    for ratio in (0.0, 0.5, 1.0):
+        frame = render_morph_shape(tag, ratio, quality="flash",
+                                   validate=True)
+        assert frame.shape == (100, 100, 4)
+        assert frame.dtype == np.uint8

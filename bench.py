@@ -342,10 +342,16 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
         return min(ts)
 
     # Wide two-point fit: noise in each endpoint is divided by (k1-k0)=8,
-    # which keeps shared-chip jitter out of the recorded number.
+    # which keeps shared-chip jitter out of the recorded number; two full
+    # fits guard against minute-scale load epochs on the shared chip.
     k0, k1 = 1, 9
-    t_k0, t_k1 = timed(k0), timed(k1)
-    dt = (t_k1 - t_k0) / (k1 - k0)
+    fits = []
+    t_k0 = None
+    for _ in range(2):
+        a, b = timed(k0), timed(k1)
+        t_k0 = a if t_k0 is None else min(t_k0, a)
+        fits.append((b - a) / (k1 - k0))
+    dt = min(fits)
     print(
         json.dumps({"note": "latency (single call, incl. dispatch)",
                     "ms": round(t_k0 * 1e3, 1)}),

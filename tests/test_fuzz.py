@@ -216,3 +216,54 @@ def test_random_morph_shape_full_stack(seed):
                                    validate=True)
         assert frame.shape == (100, 100, 4)
         assert frame.dtype == np.uint8
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_bitmap_fill_render(seed):
+    """Random palettized x-swf-bmp bitmaps + random fill matrices through
+    the full styled render path (both repeat modes, both qualities)."""
+    import struct
+    import zlib
+
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    rng = np.random.default_rng(3000 + seed)
+    bw, bh = int(rng.integers(2, 24)), int(rng.integers(2, 24))
+    n_colors = int(rng.integers(1, 17))
+    palette = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    stride = (bw + 3) & ~3  # rows padded to 4 bytes
+    pixels = rng.integers(0, n_colors, (bh, stride)).astype(np.uint8)
+    payload = palette.tobytes() + pixels.tobytes()
+    data = (bytes([3]) + struct.pack("<HH", bw, bh)
+            + bytes([n_colors - 1]) + zlib.compress(payload))
+    bmp = ast.DefineBitmap(id=7, width=bw, height=bh,
+                           media_type="image/x-swf-bmp", data=data)
+
+    sc = 20.0 * float(rng.uniform(0.2, 8.0))  # twips per texel
+    matrix = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(sc),
+        scale_y=Sfixed16P16.from_value(sc * float(rng.uniform(0.5, 2.0))),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=int(rng.integers(-200, 200)),
+        translate_y=int(rng.integers(-200, 200)),
+    )
+    fill = ast.BitmapFill(bitmap_id=7, matrix=matrix,
+                          repeating=bool(rng.integers(0, 2)),
+                          smoothed=bool(rng.integers(0, 2)))
+    records = [
+        ast.StyleChangeRecord(move_to=ast.Vector2D(100, 100), left_fill=1),
+        ast.EdgeRecord(delta=ast.Vector2D(1700, 200)),
+        ast.EdgeRecord(delta=ast.Vector2D(-300, 1600)),
+        ast.EdgeRecord(delta=ast.Vector2D(-1400, -1800)),
+    ]
+    tag = ast.DefineShape(
+        id=1, bounds=ast.Rect(0, 2000, 0, 2000),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(fill=(fill,), line=()),
+            records=tuple(records)))
+    for quality in ("flash", "canvas"):
+        frame = render_shape(tag, bitmaps=[bmp], quality=quality,
+                             validate=True)
+        assert frame.shape == (100, 100, 4)
+        assert frame[..., 3].max() > 0  # something was drawn

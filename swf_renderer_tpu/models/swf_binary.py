@@ -15,7 +15,9 @@ Format essentials (SWF file format spec v19):
   fill/line style arrays then bit-packed style-change/edge records.
 
 Scope: solid, gradient (linear/radial) and bitmap fills; solid line styles
-(DefineShape3 LINESTYLE).  Enough to emit every static shape in the corpus.
+(DefineShape3 LINESTYLE), and DefineShape4 (tag 83) with LINESTYLE2 —
+caps, joins and miter limits round-trip, which DefineShape3 cannot
+express.  Enough to emit every static shape in the corpus.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ from . import ast
 TAG_END = 0
 TAG_SHOW_FRAME = 1
 TAG_DEFINE_SHAPE3 = 32
+TAG_DEFINE_SHAPE4 = 83
 TAG_SET_BACKGROUND = 9
 TAG_PLACE_OBJECT2 = 26
 
@@ -206,7 +209,7 @@ def _parse_fill_style(data: bytes, pos: int) -> Tuple[ast.FillStyle, int]:
     raise ValueError(f"unknown fill style kind 0x{kind:02x}")
 
 
-def _emit_styles(styles: ast.ShapeStyles) -> bytes:
+def _emit_styles(styles: ast.ShapeStyles, line2: bool = False) -> bytes:
     out = bytearray()
     fills = list(styles.fill)
     if len(fills) >= 0xFF:
@@ -223,6 +226,9 @@ def _emit_styles(styles: ast.ShapeStyles) -> bytes:
     else:
         out.append(len(lines))
     for l in lines:
+        if line2:
+            out.extend(_emit_line_style2(l))
+            continue
         out.extend(struct.pack("<H", l.width))
         if not isinstance(l.fill, ast.SolidFill):
             raise ValueError("DefineShape3 line styles are solid-only")
@@ -239,7 +245,8 @@ def _default_line(width: int, color: ast.StraightSRgba8) -> ast.LineStyle:
     )
 
 
-def _parse_styles(data: bytes, pos: int) -> Tuple[ast.ShapeStyles, int]:
+def _parse_styles(data: bytes, pos: int,
+                  line2: bool = False) -> Tuple[ast.ShapeStyles, int]:
     count = data[pos]
     pos += 1
     if count == 0xFF:
@@ -256,6 +263,10 @@ def _parse_styles(data: bytes, pos: int) -> Tuple[ast.ShapeStyles, int]:
         pos += 2
     lines = []
     for _ in range(count):
+        if line2:
+            line, pos = _parse_line_style2(data, pos)
+            lines.append(line)
+            continue
         (width,) = struct.unpack_from("<H", data, pos)
         pos += 2
         color, pos = _read_rgba(data, pos)
@@ -268,8 +279,8 @@ def _parse_styles(data: bytes, pos: int) -> Tuple[ast.ShapeStyles, int]:
 # ---------------------------------------------------------------------------
 
 
-def _emit_shape_records(body: ast.ShapeBody) -> bytes:
-    out = bytearray(_emit_styles(body.initial_styles))
+def _emit_shape_records(body: ast.ShapeBody, line2: bool = False) -> bytes:
+    out = bytearray(_emit_styles(body.initial_styles, line2))
     styles = body.initial_styles
 
     def style_bits(s: ast.ShapeStyles):
@@ -307,7 +318,7 @@ def _emit_shape_records(body: ast.ShapeBody) -> bytes:
             if has_new:
                 w.align()
                 out.extend(w.bytes())
-                out.extend(_emit_styles(record.new_styles))
+                out.extend(_emit_styles(record.new_styles, line2))
                 styles = record.new_styles
                 fill_bits, line_bits = style_bits(styles)
                 w = BitWriter()
@@ -349,8 +360,9 @@ def _emit_shape_records(body: ast.ShapeBody) -> bytes:
     return bytes(out)
 
 
-def _parse_shape_records(data: bytes, pos: int) -> Tuple[ast.ShapeBody, int]:
-    initial_styles, pos = _parse_styles(data, pos)
+def _parse_shape_records(data: bytes, pos: int,
+                         line2: bool = False) -> Tuple[ast.ShapeBody, int]:
+    initial_styles, pos = _parse_styles(data, pos, line2)
     records: List[ast.ShapeRecord] = []
     r = BitReader(data, pos)
     fill_bits = r.read_ub(4)
@@ -379,7 +391,7 @@ def _parse_shape_records(data: bytes, pos: int) -> Tuple[ast.ShapeBody, int]:
                 line = r.read_ub(line_bits)
             if has_new:
                 r.align()
-                new_styles, pos = _parse_styles(data, r.byte_pos)
+                new_styles, pos = _parse_styles(data, r.byte_pos, line2)
                 r = BitReader(data, pos)
                 fill_bits = r.read_ub(4)
                 line_bits = r.read_ub(4)
@@ -440,6 +452,94 @@ def parse_define_shape_tag(body: bytes) -> ast.DefineShape:
     bounds = _read_rect(r)
     shape, _ = _parse_shape_records(body, r.byte_pos)
     return ast.DefineShape(id=shape_id, bounds=bounds, shape=shape)
+
+
+_CAP_TO_BITS = {"round": 0, "none": 1, "square": 2}
+_BITS_TO_CAP = {v: k for k, v in _CAP_TO_BITS.items()}
+_JOIN_TO_BITS = {"round": 0, "bevel": 1, "miter": 2}
+_BITS_TO_JOIN = {v: k for k, v in _JOIN_TO_BITS.items()}
+
+
+def _emit_line_style2(l: ast.LineStyle) -> bytes:
+    """DefineShape4 LINESTYLE2: caps/joins/miter encoded (spec v19 p.153)."""
+    if not isinstance(l.fill, ast.SolidFill):
+        raise ValueError("LINESTYLE2 fill styles not supported (solid only)")
+    out = bytearray(struct.pack("<H", l.width))
+    join = l.join.get("type", "round") if isinstance(l.join, dict) \
+        else str(l.join)
+    b = 0
+    b |= _CAP_TO_BITS[l.start_cap] << 6
+    b |= _JOIN_TO_BITS[join] << 4
+    # HasFillFlag = 0 (solid color), NoHScale, NoVScale, PixelHinting
+    b |= (1 if l.no_h_scale else 0) << 2
+    b |= (1 if l.no_v_scale else 0) << 1
+    b |= 1 if l.pixel_hinting else 0
+    out.append(b)
+    b2 = 0  # 5 reserved bits
+    b2 |= (1 if l.no_close else 0) << 2
+    b2 |= _CAP_TO_BITS[l.end_cap]
+    out.append(b2)
+    if join == "miter":
+        limit = float(l.join.get("limit", 3.0)) \
+            if isinstance(l.join, dict) else 3.0
+        out.extend(struct.pack("<H", int(round(limit * 256)) & 0xFFFF))
+    _write_rgba(out, l.fill.color)
+    return bytes(out)
+
+
+def _parse_line_style2(data: bytes, pos: int) -> Tuple[ast.LineStyle, int]:
+    (width,) = struct.unpack_from("<H", data, pos)
+    pos += 2
+    b = data[pos]
+    pos += 1
+    start_cap = _BITS_TO_CAP[(b >> 6) & 3]
+    join_bits = (b >> 4) & 3
+    has_fill = bool((b >> 3) & 1)
+    no_h = bool((b >> 2) & 1)
+    no_v = bool((b >> 1) & 1)
+    hinting = bool(b & 1)
+    b2 = data[pos]
+    pos += 1
+    no_close = bool((b2 >> 2) & 1)
+    end_cap = _BITS_TO_CAP[b2 & 3]
+    join: dict = {"type": _BITS_TO_JOIN[join_bits]}
+    if join_bits == 2:
+        (ml,) = struct.unpack_from("<H", data, pos)
+        pos += 2
+        join["limit"] = ml / 256.0
+    if has_fill:
+        raise ValueError("LINESTYLE2 fill styles not supported")
+    color, pos = _read_rgba(data, pos)
+    return ast.LineStyle(
+        width=width, start_cap=start_cap, end_cap=end_cap, join=join,
+        no_h_scale=no_h, no_v_scale=no_v, no_close=no_close,
+        pixel_hinting=hinting, fill=ast.SolidFill(color=color),
+    ), pos
+
+
+def emit_define_shape4(tag: ast.DefineShape) -> bytes:
+    """DefineShape4 tag bytes: LINESTYLE2 line styles (caps/joins/miter
+    survive the round trip, unlike DefineShape3)."""
+    body = bytearray(struct.pack("<H", tag.id))
+    w = BitWriter()
+    _write_rect(w, tag.bounds)
+    _write_rect(w, tag.bounds)  # edge bounds: reuse shape bounds
+    body.extend(w.bytes())
+    body.append((1 if tag.has_fill_winding else 0) << 2
+                | 0b10)  # UsesScalingStrokes
+    body.extend(_emit_shape_records(tag.shape, line2=True))
+    return _tag(TAG_DEFINE_SHAPE4, bytes(body))
+
+
+def parse_define_shape4_tag(body: bytes) -> ast.DefineShape:
+    (shape_id,) = struct.unpack_from("<H", body, 0)
+    r = BitReader(body, 2)
+    bounds = _read_rect(r)
+    _read_rect(r)  # edge bounds (unused: emit mirrors shape bounds)
+    flags = body[r.byte_pos]
+    shape, _ = _parse_shape_records(body, r.byte_pos + 1, line2=True)
+    return ast.DefineShape(id=shape_id, bounds=bounds, shape=shape,
+                           has_fill_winding=bool((flags >> 2) & 1))
 
 
 def emit_movie(shapes: List[ast.DefineShape],

@@ -14,7 +14,8 @@ import pytest
 from swf_renderer_tpu.models import ast
 from swf_renderer_tpu.models.decode_shape import decode_shape
 from swf_renderer_tpu.models.swf_binary import (
-    emit_define_shape, parse_define_shape_tag,
+    emit_define_shape, emit_define_shape4, parse_define_shape_tag,
+    parse_define_shape4_tag,
 )
 from swf_renderer_tpu.runtime.renderer import render_shape
 from swf_renderer_tpu.utils.jsjson import stringify
@@ -34,8 +35,10 @@ def _random_shape(rng: np.random.Generator, shape_id: int) -> ast.DefineShape:
             width=int(rng.integers(0, 80)),
             start_cap=caps[int(rng.integers(0, 3))],
             end_cap=caps[int(rng.integers(0, 3))],
-            join={"type": ("round", "bevel", "miter")[
-                int(rng.integers(0, 3))], "limit": 3},
+            # SWF encodes a miter limit ONLY for miter joins.
+            join=(lambda t: {"type": t, "limit": 3.0} if t == "miter"
+                  else {"type": t})(
+                ("round", "bevel", "miter")[int(rng.integers(0, 3))]),
             no_h_scale=False, no_v_scale=False, no_close=False,
             pixel_hinting=False,
             fill=ast.SolidFill(color=ast.StraightSRgba8(
@@ -94,14 +97,19 @@ def test_random_shape_full_stack(seed):
     rng = np.random.default_rng(1000 + seed)
     tag = _random_shape(rng, shape_id=seed + 1)
 
-    # Binary codec round trip is exact (golden-JSON equality).  Strip the
-    # RECORDHEADER (2 bytes, +4 when the long-length form is used).
-    blob = emit_define_shape(tag)
-    head = int.from_bytes(blob[:2], "little")
-    body_off = 2 + (4 if (head & 0x3F) == 0x3F else 0)
-    parsed = parse_define_shape_tag(blob[body_off:])
-    assert stringify(decode_shape(parsed).to_golden()) == \
-        stringify(decode_shape(tag).to_golden())
+    # Binary codec round trips are exact (golden-JSON equality).  Strip
+    # the RECORDHEADER (2 bytes, +4 when the long-length form is used).
+    for emit, parse in ((emit_define_shape, parse_define_shape_tag),
+                        (emit_define_shape4, parse_define_shape4_tag)):
+        blob = emit(tag)
+        head = int.from_bytes(blob[:2], "little")
+        body_off = 2 + (4 if (head & 0x3F) == 0x3F else 0)
+        parsed = parse(blob[body_off:])
+        assert stringify(decode_shape(parsed).to_golden()) == \
+            stringify(decode_shape(tag).to_golden())
+    # DefineShape4 additionally preserves caps/joins verbatim.
+    assert parsed.shape.initial_styles.line == \
+        tag.shape.initial_styles.line
 
     # Decode is deterministic.
     assert stringify(decode_shape(tag).to_golden()) == \

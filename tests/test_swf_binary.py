@@ -94,3 +94,53 @@ def test_bit_roundtrip_edge_widths():
     body_off = 2 + (4 if (head & 0x3F) == 0x3F else 0)
     parsed = swf_binary.parse_define_shape_tag(blob[body_off:])
     assert parsed == tag
+
+
+def test_define_shape4_linestyle2_roundtrip():
+    """DefineShape4 LINESTYLE2 preserves caps/joins/miter, which the
+    DefineShape3 encoding cannot express."""
+    from swf_renderer_tpu.models import ast
+
+    lines = (
+        ast.LineStyle(width=60, start_cap="square", end_cap="none",
+                      join={"type": "miter", "limit": 2.5},
+                      no_h_scale=True, no_v_scale=False, no_close=True,
+                      pixel_hinting=True,
+                      fill=ast.SolidFill(
+                          color=ast.StraightSRgba8(1, 2, 3, 200))),
+        ast.LineStyle(width=20, start_cap="round", end_cap="round",
+                      join={"type": "bevel"}, no_h_scale=False,
+                      no_v_scale=True, no_close=False, pixel_hinting=False,
+                      fill=ast.SolidFill(
+                          color=ast.StraightSRgba8(9, 8, 7, 255))),
+    )
+    records = (
+        ast.StyleChangeRecord(move_to=ast.Vector2D(10, 10), left_fill=1,
+                              line_style=1),
+        ast.EdgeRecord(delta=ast.Vector2D(500, 0)),
+        ast.StyleChangeRecord(line_style=2),
+        ast.EdgeRecord(delta=ast.Vector2D(0, 500)),
+    )
+    tag = ast.DefineShape(
+        id=5, bounds=ast.Rect(0, 600, 0, 600),
+        has_fill_winding=True,
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(
+                    color=ast.StraightSRgba8(255, 255, 255, 255)),),
+                line=lines),
+            records=records))
+    blob = swf_binary.emit_define_shape4(tag)
+    head = int.from_bytes(blob[:2], "little")
+    assert head >> 6 == swf_binary.TAG_DEFINE_SHAPE4
+    body_off = 2 + (4 if (head & 0x3F) == 0x3F else 0)
+    parsed = swf_binary.parse_define_shape4_tag(blob[body_off:])
+    assert parsed.has_fill_winding is True
+    assert parsed.bounds == tag.bounds
+    got = parsed.shape.initial_styles.line
+    assert got[0].start_cap == "square" and got[0].end_cap == "none"
+    assert got[0].join == {"type": "miter", "limit": 2.5}
+    assert got[0].no_h_scale and got[0].no_close and got[0].pixel_hinting
+    assert got[1].join == {"type": "bevel"} and got[1].no_v_scale
+    assert got[0].fill.color == ast.StraightSRgba8(1, 2, 3, 200)
+    assert parsed.shape.records == tag.shape.records

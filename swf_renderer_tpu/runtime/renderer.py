@@ -89,7 +89,8 @@ class TpuRenderer:
 
     def __init__(self, width: int, height: int, use_pallas: bool = True,
                  backend: str = "auto", quality: str = "canvas",
-                 validate: bool = False):
+                 validate: bool = False,
+                 honor_fill_winding: bool = False):
         """backend: 'auto' | 'scanline' | 'direct'.
 
         'scanline' lowers draws to pixel-cell lists (O(perimeter)) and
@@ -112,6 +113,10 @@ class TpuRenderer:
         # XLA is race-free by construction, so "sanitizing" means checking
         # kernel outputs for NaNs and out-of-range coverage.
         self.validate = validate
+        # SWF fill-rule semantics (even-odd unless the DefineShape4
+        # fill-winding flag is set) — opt-in; the reference always fills
+        # nonzero (canvas-renderer.ts:335), so parity default is off.
+        self.honor_fill_winding = honor_fill_winding
         self.width = width
         self.height = height
         self.use_pallas = use_pallas
@@ -143,6 +148,7 @@ class TpuRenderer:
             curve_tolerance=0.1,
             curve_pow2=flash_like,
             honor_swf_caps=flash_like,
+            honor_fill_winding=self.honor_fill_winding,
         )
         draws = compiler.compile_stage(stage)
         self.frame = self.execute(draws)

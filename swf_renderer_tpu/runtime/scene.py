@@ -141,6 +141,7 @@ class SceneCompiler:
         morph_cache: dict,
         curve_tolerance: float = 0.1,
         curve_pow2: bool = False,
+        honor_fill_winding: bool = False,
         honor_swf_caps: bool = False,
         clip: Optional[Tuple[float, float]] = None,
     ) -> None:
@@ -156,6 +157,11 @@ class SceneCompiler:
         self.morph_cache = morph_cache
         self.curve_tolerance = curve_tolerance
         self.curve_pow2 = curve_pow2
+        # SWF fill-rule semantics: even-odd by default, nonzero when the
+        # DefineShape4 fill-winding flag is set.  The reference ignores
+        # the flag (Canvas fill() is always nonzero,
+        # canvas-renderer.ts:335), so this is opt-in; parity default off.
+        self.honor_fill_winding = honor_fill_winding
         self.honor_swf_caps = honor_swf_caps
         self.clip = clip
         self.draws: List[Draw] = []
@@ -211,9 +217,16 @@ class SceneCompiler:
     def _draw_shape(self, tag: ast.DefineShape, ctm: Affine,
                     ct: Optional[display.ColorTransform]) -> None:
         compiled = self._compiled_shape(tag)
+        if self.honor_fill_winding:
+            from ..ops.coverage import FILL_RULE_EVENODD
+            rule = (FILL_RULE_NONZERO if tag.has_fill_winding
+                    else FILL_RULE_EVENODD)
+        else:
+            rule = FILL_RULE_NONZERO
         for path in compiled.paths:
             if path.fill is not None:
-                self._emit_fill(path.commands, path.fill, ctm, ct)
+                self._emit_fill(path.commands, path.fill, ctm, ct,
+                                fill_rule=rule)
             if path.line is not None:
                 if self.honor_swf_caps:
                     cap = {"none": "butt"}.get(path.line.start_cap,
@@ -258,14 +271,16 @@ class SceneCompiler:
     # -- draw emission -------------------------------------------------------
 
     def _emit_fill(self, commands, fill: ir.FillStyle, ctm: Affine,
-                   ct: Optional[display.ColorTransform]) -> None:
+                   ct: Optional[display.ColorTransform],
+                   fill_rule: int = FILL_RULE_NONZERO) -> None:
         subpaths = path_to_subpaths(commands, ctm, self.curve_tolerance,
                                     self.curve_pow2)
         edges = self._clip(subpaths_to_fill_edges(subpaths))
         if edges.shape[0] == 0:
             return
         paint = self._paint_for_fill(fill, ctm, ct)
-        self.draws.append(Draw(edges=edges, paint=paint))
+        self.draws.append(Draw(edges=edges, paint=paint,
+                               fill_rule=fill_rule))
 
     def _emit_stroke(self, commands, width: float, fill: ir.FillStyle,
                      ctm: Affine, ct: Optional[display.ColorTransform],

@@ -177,3 +177,55 @@ def test_canvas_line_width_state_machine():
     assert len(second_rows) >= 4, (
         f"zero-width stroke did not inherit previous width: {second_rows}"
     )
+
+
+def test_honor_fill_winding_even_odd():
+    """SWF fill semantics (opt-in): even-odd unless the DefineShape4
+    fill-winding flag is set; the reference always fills nonzero
+    (canvas-renderer.ts:335), so the default stays nonzero."""
+    import dataclasses
+
+    import numpy as np
+
+    from swf_renderer_tpu.models import ast
+
+    # A five-point star traced as a self-intersecting polygon: nonzero
+    # fills the center pentagon, even-odd leaves it empty.
+    import math
+    pts = []
+    for k in range(5):
+        a = -math.pi / 2 + k * 4 * math.pi / 5
+        pts.append((int(1000 + 900 * math.cos(a)),
+                    int(1000 + 900 * math.sin(a))))
+    records = [ast.StyleChangeRecord(
+        move_to=ast.Vector2D(*pts[0]), left_fill=1)]
+    cur = pts[0]
+    for p in pts[1:] + [pts[0]]:
+        records.append(ast.EdgeRecord(
+            delta=ast.Vector2D(p[0] - cur[0], p[1] - cur[1])))
+        cur = p
+    tag = ast.DefineShape(
+        id=1, bounds=ast.Rect(0, 2000, 0, 2000),
+        has_fill_winding=False,
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(
+                    color=ast.StraightSRgba8(255, 0, 0, 255)),),
+                line=()),
+            records=tuple(records)))
+    stage = display.stage_for_shape(tag)
+
+    center = (50, 50)
+    default = TpuRenderer(stage.width, stage.height).render(stage)
+    assert default[center][3] == 255  # nonzero: center filled
+
+    eo = TpuRenderer(stage.width, stage.height,
+                     honor_fill_winding=True).render(stage)
+    assert eo[center][3] == 0  # even-odd: center empty
+    assert eo[15, 50][3] == 255  # top star arm still filled
+
+    winding = dataclasses.replace(tag, has_fill_winding=True)
+    stage2 = display.stage_for_shape(winding)
+    nz = TpuRenderer(stage2.width, stage2.height,
+                     honor_fill_winding=True).render(stage2)
+    assert np.array_equal(nz, default)  # flag set -> nonzero again

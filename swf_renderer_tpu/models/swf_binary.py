@@ -545,9 +545,11 @@ def parse_define_shape4_tag(body: bytes) -> ast.DefineShape:
 def emit_movie(shapes: List[ast.DefineShape],
                background: ast.StraightSRgba8 = ast.StraightSRgba8(
                    255, 255, 255, 255),
-               frame_rate: float = 24.0) -> bytes:
+               frame_rate: float = 24.0,
+               shape4: bool = False) -> bytes:
     """Assemble an uncompressed .swf placing each shape on one frame
-    (the reference build.js analog)."""
+    (the reference build.js analog).  ``shape4`` emits DefineShape4 tags
+    (LINESTYLE2: caps/joins/miter preserved)."""
     x_max = max((s.bounds.x_max for s in shapes), default=11000)
     y_max = max((s.bounds.y_max for s in shapes), default=8000)
     w = BitWriter()
@@ -557,7 +559,8 @@ def emit_movie(shapes: List[ast.DefineShape],
     tags.extend(_tag(TAG_SET_BACKGROUND,
                      bytes((background.r, background.g, background.b))))
     for depth, shape in enumerate(shapes, start=1):
-        tags.extend(emit_define_shape(shape))
+        tags.extend(emit_define_shape4(shape) if shape4
+                    else emit_define_shape(shape))
         # PlaceObject2: flags (has character), depth, character id.
         tags.extend(_tag(TAG_PLACE_OBJECT2,
                          struct.pack("<BHH", 0x02, depth, shape.id)))
@@ -575,7 +578,8 @@ def emit_movie(shapes: List[ast.DefineShape],
 
 
 def parse_movie_shapes(data: bytes) -> List[ast.DefineShape]:
-    """Extract every DefineShape3 from an uncompressed movie."""
+    """Extract every DefineShape3/DefineShape4 from an uncompressed
+    movie."""
     if data[:3] != b"FWS":
         raise ValueError("only uncompressed (FWS) movies supported")
     r = BitReader(data, 8)
@@ -594,6 +598,8 @@ def parse_movie_shapes(data: bytes) -> List[ast.DefineShape]:
         pos += length
         if code == TAG_DEFINE_SHAPE3:
             shapes.append(parse_define_shape_tag(body))
+        if code == TAG_DEFINE_SHAPE4:
+            shapes.append(parse_define_shape4_tag(body))
         if code == TAG_END:
             break
     return shapes

@@ -144,3 +144,15 @@ def test_define_shape4_linestyle2_roundtrip():
     assert got[1].join == {"type": "bevel"} and got[1].no_v_scale
     assert got[0].fill.color == ast.StraightSRgba8(1, 2, 3, 200)
     assert parsed.shape.records == tag.shape.records
+
+
+def test_movie_with_shape4_tags(reference_tests):
+    """Movies can carry DefineShape4 tags; extraction round-trips."""
+    cases = _shape_dirs(reference_tests)
+    tags = [_load(c) for c in cases[:2]]
+    movie = swf_binary.emit_movie(tags, shape4=True)
+    back = swf_binary.parse_movie_shapes(movie)
+    assert len(back) == len(tags)
+    for a, b in zip(tags, back):
+        assert swf_binary.emit_define_shape4(a) == \
+            swf_binary.emit_define_shape4(b)

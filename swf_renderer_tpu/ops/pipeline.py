@@ -223,6 +223,15 @@ def kernel_paints_for(paints, height: int, width: int):
             kpaints.append(KernelPaint.color())
             colors[i] = p.color
         elif p.kind in (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL):
+            if p.color_space == "linear-rgb":
+                # Linear-RGB interpolation needs the sRGB transfer curve;
+                # stream it as a precomputed field instead of teaching the
+                # in-kernel evaluator pow() (rare path, exactness first).
+                field = style_ops.paint_field(p, height, width)
+                fields.append(field_to_chunkmajor(field, n_strips,
+                                                  n_chunks))
+                kpaints.append(KernelPaint.field(len(fields) - 1))
+                continue
             kind = (KPAINT_LINEAR if p.kind == style_ops.PAINT_LINEAR
                     else KPAINT_FOCAL)
             kpaints.append(KernelPaint.gradient(

@@ -57,16 +57,21 @@ class Paint:
     stop_colors: Optional[np.ndarray] = None  # (K, 4) f32 straight RGBA
     focal_point: float = 0.0
     spread: int = SPREAD_PAD
+    # SWF gradient interpolation space: "s-rgb" interpolates stop colors
+    # directly (the reference's behavior — it ignores the flag);
+    # "linear-rgb" applies the sRGB transfer function around the
+    # interpolation, per the SWF colorSpace flag.
+    color_space: str = "s-rgb"
     # Bitmaps
     image: Optional[np.ndarray] = None  # (h, w, 4) uint8
     repeating: bool = False
     smoothed: bool = True
-    # Non-repeating pattern edge semantics: 'flash' clamps edge texels
-    # outward (the player's behavior, matching the golden corpus);
-    # 'canvas' renders TRANSPARENT outside the image — Canvas2D
-    # createPattern('no-repeat') semantics, what the behavior-defining TS
-    # renderer does (reference canvas-renderer.ts:306-309).  Selected by
-    # the scene compiler from the renderer quality.
+    # Non-repeating pattern edge semantics: 'canvas' renders TRANSPARENT
+    # outside the image — Canvas2D createPattern('no-repeat') semantics
+    # (canvas-renderer.ts:306-309) AND the player's measured behavior
+    # (the textured golden matches the fade, PERF.md round 2; the scene
+    # compiler passes 'canvas' for every quality).  'flash' clamps edge
+    # texels outward (kept for comparison studies).
     edge_mode: str = "flash"
     # Flash renders at quality "high" by supersampling 4x4 per pixel; the
     # golden corpus was captured from the real player at that quality
@@ -181,6 +186,33 @@ def _nearest_sample(img, sx, sy, repeating: bool, edge_mode: str = "flash"):
     return _fetch(img, jnp.floor(sx), jnp.floor(sy), repeating, edge_mode)
 
 
+
+
+def _srgb_to_linear(c):
+    """sRGB EOTF, applied to straight RGB channels (alpha stays linear)."""
+    return jnp.where(c <= 0.04045, c / 12.92,
+                     ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(c):
+    c = jnp.maximum(c, 0.0)
+    return jnp.where(c <= 0.0031308, c * 12.92,
+                     1.055 * c ** (1.0 / 2.4) - 0.055)
+
+
+def _gradient_rgba(paint: Paint, t) -> jnp.ndarray:
+    """Stop interpolation honoring the SWF colorSpace flag."""
+    ratios = jnp.asarray(paint.stop_ratios, jnp.float32)
+    colors = jnp.asarray(paint.stop_colors, jnp.float32)
+    if paint.color_space == "linear-rgb":
+        colors = jnp.concatenate(
+            [_srgb_to_linear(colors[:, :3]), colors[:, 3:]], axis=1)
+        out = _interp_stops(t, ratios, colors)
+        return jnp.concatenate(
+            [_linear_to_srgb(out[..., :3]), out[..., 3:]], axis=-1)
+    return _interp_stops(t, ratios, colors)
+
+
 def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
     """Evaluate a paint to an (H, W, 4) straight-alpha RGBA field.
 
@@ -197,20 +229,12 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
         # SWF gradient square: x in [-16384, 16384] twips.
         t = (sx + GRAD_RADIUS) / (2.0 * GRAD_RADIUS)
         t = _apply_spread(t, paint.spread)
-        return _interp_stops(
-            t,
-            jnp.asarray(paint.stop_ratios, jnp.float32),
-            jnp.asarray(paint.stop_colors, jnp.float32),
-        )
+        return _gradient_rgba(paint, t)
 
     if paint.kind == PAINT_FOCAL:
         t = _focal_gradient_t(sx, sy, paint.focal_point)
         t = _apply_spread(t, paint.spread)
-        return _interp_stops(
-            t,
-            jnp.asarray(paint.stop_ratios, jnp.float32),
-            jnp.asarray(paint.stop_colors, jnp.float32),
-        )
+        return _gradient_rgba(paint, t)
 
     if paint.kind == PAINT_BITMAP:
         img = jnp.asarray(paint.image).astype(jnp.float32) / 255.0

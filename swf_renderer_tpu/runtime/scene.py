@@ -367,5 +367,6 @@ class SceneCompiler:
                 stop_colors=colors,
                 focal_point=getattr(fill, "focal_point", 0.0),
                 spread=_SPREAD_TO_INT[fill.gradient.spread],
+                color_space=fill.gradient.color_space.value,
             )
         raise NotImplementedError(f"NotImplementedFillStyle: {fill!r}")

@@ -328,3 +328,54 @@ def test_bitmap_edge_mode_canvas_vs_flash():
     gather = np.asarray(style_ops.paint_field(
         style_ops.Paint(edge_mode="canvas", **rot), h, w))
     np.testing.assert_allclose(canvas, gather, atol=2e-3)
+
+
+def test_linear_rgb_gradient_interpolation():
+    """SWF colorSpace=linearRgb interpolates stops through the sRGB
+    transfer function (the reference carries the flag but ignores it;
+    honoring it is a framework extension)."""
+    import numpy as np
+
+    from swf_renderer_tpu.ops import style as style_ops
+
+    stops_r = np.array([0.0, 1.0], np.float32)
+    stops_c = np.array([[0, 0, 0, 1], [1, 1, 1, 1]], np.float32)
+    base = dict(kind=style_ops.PAINT_LINEAR,
+                inv_matrix=(2 * 16384.0 / 16, 0.0, 0.0, 1.0,
+                            -16384.0, 0.0),
+                stop_ratios=stops_r, stop_colors=stops_c)
+    srgb = np.asarray(style_ops.paint_field(
+        style_ops.Paint(**base), 1, 16))
+    lin = np.asarray(style_ops.paint_field(
+        style_ops.Paint(**base, color_space="linear-rgb"), 1, 16))
+    # Midpoint: sRGB interp gives 0.5; linear interp of black->white gives
+    # linear 0.5 -> sRGB ~0.735.
+    t = (8 + 0.5) / 16
+    assert srgb[0, 8, 0] == pytest.approx(t, abs=0.02)
+    expect = 1.055 * (t ** (1 / 2.4)) - 0.055
+    assert lin[0, 8, 0] == pytest.approx(expect, abs=0.02)
+    # Alpha interpolates linearly in both spaces.
+    np.testing.assert_allclose(lin[..., 3], srgb[..., 3], atol=1e-6)
+    # Linear-RGB interpolation is uniformly brighter for black->white.
+    assert (lin[0, 1:-1, 0] >= srgb[0, 1:-1, 0]).all()
+
+
+def test_linear_rgb_gradient_rides_fused_path_as_field():
+    """kernel_paints_for streams linear-rgb gradients as field planes so
+    the fused kernel output matches paint_field exactly."""
+    import numpy as np
+
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.pipeline import kernel_paints_for
+
+    stops_r = np.array([0.0, 1.0], np.float32)
+    stops_c = np.array([[1, 0, 0, 1], [0, 0, 1, 1]], np.float32)
+    p = style_ops.Paint(
+        kind=style_ops.PAINT_FOCAL,
+        inv_matrix=(64.0, 0.0, 0.0, 64.0, -16384.0, -16384.0),
+        stop_ratios=stops_r, stop_colors=stops_c, focal_point=0.3,
+        color_space="linear-rgb")
+    kpaints, fields, colors = kernel_paints_for([p], 16, 128)
+    from swf_renderer_tpu.ops.flatblock import KPAINT_FIELD
+    assert kpaints[0][0] == KPAINT_FIELD
+    assert len(fields) == 1

@@ -33,6 +33,9 @@ def main(argv=None):
                    default=pathlib.Path("/root/reference/tests"))
     p.add_argument("--background", default="ffffff",
                    help="background color rrggbb hex")
+    p.add_argument("--shape4", action="store_true",
+                   help="emit DefineShape4 tags (LINESTYLE2: caps/joins/"
+                        "miter preserved)")
     args = p.parse_args(argv)
 
     paths = list(args.asts)
@@ -55,6 +58,7 @@ def main(argv=None):
         background=ast.StraightSRgba8(
             (bg >> 16) & 0xFF, (bg >> 8) & 0xFF, bg & 0xFF, 255
         ),
+        shape4=args.shape4,
     )
     args.output.write_bytes(movie)
     print(f"wrote {args.output} ({len(movie)} bytes, {len(shapes)} shapes)")

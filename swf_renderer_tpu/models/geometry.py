@@ -345,7 +345,7 @@ def stroke_subpath(
     return [np.asarray(loop)]
 
 
-def deoverlap_edges(edges: np.ndarray, max_edges: int = 20000) -> np.ndarray:
+def deoverlap_edges(edges: np.ndarray, max_edges: int = 3000) -> np.ndarray:
     """Replace an overlapping edge soup by the BOUNDARY of its nonzero-
     winding region (a Boolean union), so the analytic-coverage rasterizer
     stops conflating overlaps inside antialiased pixels.
@@ -361,9 +361,10 @@ def deoverlap_edges(edges: np.ndarray, max_edges: int = 20000) -> np.ndarray:
     exactly one side, oriented interior-left, and the soup's nonzero
     coverage becomes exact union coverage.
 
-    O(E^2) pairwise splitting — strokes are a few hundred edges; inputs
-    beyond ``max_edges`` are returned unchanged (conflation is the lesser
-    evil at that scale)."""
+    O(E^2) pairwise splitting with O(E^2) float64 intermediates (~7 E x E
+    arrays, ~0.5 GB at the 3000-edge cap) — strokes are a few hundred
+    edges; inputs beyond ``max_edges`` are returned unchanged (conflation
+    is the lesser evil at that scale)."""
     e = np.asarray(edges, np.float64)
     n = e.shape[0]
     if n == 0 or n > max_edges:

@@ -858,12 +858,13 @@ def _grad_rgba(paint: "KernelPaint", strip, plane_rows: int = LANE,
         qa = cdx * cdx - dr * dr
         qb = pdx * cdx
         qc = pdx * pdx + pdy * pdy
+        # qa t^2 - 2 qb t + qc = 0 -> t = (qb ± sq)/qa (style._focal_gradient_t)
         disc = jnp.maximum(qb * qb - qa * qc, 0.0)
         sq = jnp.sqrt(disc)
         safe_a = qa if abs(qa) >= 1e-6 else 1e-6
-        t = jnp.maximum((-qb + sq) / safe_a, (-qb - sq) / safe_a)
+        t = jnp.maximum((qb + sq) / safe_a, (qb - sq) / safe_a)
         if abs(qa) < 1e-6:
-            t = jnp.where(jnp.abs(qb) < 1e-9, 0.0, -qc / (2.0 * qb))
+            t = jnp.where(jnp.abs(qb) < 1e-9, 0.0, qc / (2.0 * qb))
 
     if paint.spread == 0:      # pad
         t = jnp.clip(t, 0.0, 1.0)

@@ -20,7 +20,6 @@ Everything here is elementwise/gather XLA that fuses behind ``jit``.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -128,19 +127,21 @@ def _focal_gradient_t(sx, sy, focal_point: float):
     cdx = -fx  # c1 - c0
     dr = GRAD_RADIUS
     a = cdx * cdx - dr * dr
-    b = pdx * cdx - 0.0  # r0 = 0
+    b = pdx * cdx  # r0 = 0
     cc = pdx * pdx + pdy * pdy
-    # a t^2 + 2 b t + c = 0  ->  t = (-b ± sqrt(b² - a c)) / a
+    # |pd - t*cd|^2 = (t*R)^2  ->  a t^2 - 2 b t + cc = 0
+    #   ->  t = (b ± sqrt(b² - a cc)) / a   (NOT (-b ± sq)/a: the linear
+    # coefficient is -2b, a sign an earlier revision dropped — verified
+    # against a brute-force circle solve: f=0.5, p=(R,0) must give t=1).
     disc = jnp.maximum(b * b - a * cc, 0.0)
     sq = jnp.sqrt(disc)
-    # a < 0 always (|cdx| = |f|·R < R = dr unless |f| >= 1), so the larger
-    # root is (-b + sq) / a with a negative ... pick max of both roots.
     safe_a = jnp.where(jnp.abs(a) < 1e-6, 1e-6, a)
-    t1 = (-b + sq) / safe_a
-    t2 = (-b - sq) / safe_a
+    t1 = (b + sq) / safe_a
+    t2 = (b - sq) / safe_a
+    # The canvas spec picks the greatest ω.
     t = jnp.maximum(t1, t2)
-    # Degenerate a ~ 0 (focal on the rim): linear equation 2 b t + c = 0.
-    t_lin = jnp.where(jnp.abs(b) < 1e-9, 0.0, -cc / (2.0 * b))
+    # Degenerate a ~ 0 (focal on the rim): -2 b t + cc = 0.
+    t_lin = jnp.where(jnp.abs(b) < 1e-9, 0.0, cc / (2.0 * b))
     return jnp.where(jnp.abs(a) < 1e-6, t_lin, t)
 
 
@@ -254,9 +255,11 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
             # MXU instead of 64 gathers per pixel (~50x faster).
             # Downscaled axes (footprint >= 1 texel) use the EXACT box
             # filter (area average — pixman GOOD / player semantics);
-            # upscaled axes keep supersampled bilinear.
+            # upscaled axes keep supersampled bilinear.  supersample=1
+            # explicitly requests RAW bilinear (the documented contract),
+            # so the box substitution only applies when supersampling.
             def axis_weights(n_out, n_img, scale, off):
-                if abs(scale) >= 1.0:
+                if abs(scale) >= 1.0 and n > 1:
                     return _box_weights(n_out, n_img, scale, off,
                                         paint.repeating, paint.edge_mode)
                 return _resample_weights(n_out, n_img, scale, off, n,
@@ -306,8 +309,6 @@ def _box_weights(n_out: int, n_img: int, scale: float, offset: float,
     bilinear approximation 0.0533 -> ~0.02 of pixels >2/255 (PERF.md).
     Matches pixman's GOOD-filter downscale behavior (area averaging) and
     the player's."""
-    import numpy as np
-
     out = np.arange(n_out, dtype=np.float64)[:, None]
     lo = scale * out + offset
     hi = scale * (out + 1.0) + offset

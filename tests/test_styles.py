@@ -379,3 +379,33 @@ def test_linear_rgb_gradient_rides_fused_path_as_field():
     from swf_renderer_tpu.ops.flatblock import KPAINT_FIELD
     assert kpaints[0][0] == KPAINT_FIELD
     assert len(fields) == 1
+
+
+def test_focal_gradient_parameter_exact():
+    """The focal root solve must match a brute-force circle solve (a sign
+    bug here survives weak monotonicity checks: at focal=0 the linear
+    coefficient vanishes and both signs agree)."""
+    import numpy as np
+
+    from swf_renderer_tpu.ops.style import GRAD_RADIUS, _focal_gradient_t
+
+    rng = np.random.default_rng(5)
+    for f in (0.5, -0.7, 0.9, 0.0):
+        fx = f * GRAD_RADIUS
+        pts = rng.uniform(-1.2, 1.2, (24, 2)) * GRAD_RADIUS
+        got = np.asarray(_focal_gradient_t(
+            pts[:, 0][None, :], pts[:, 1][None, :], f))[0]
+        # Brute force: largest w in (0, 4] with |p - c(w)| = w*R,
+        # c(w) = (1-w)*(fx, 0).
+        w = np.linspace(1e-4, 4.0, 200001)
+        for (px, py), g in zip(pts, got):
+            lhs = np.hypot(px - (1 - w) * fx, py)
+            err = np.abs(lhs - w * GRAD_RADIUS)
+            sign = np.sign(lhs - w * GRAD_RADIUS)
+            roots = w[1:][sign[1:] != sign[:-1]]
+            want = roots.max() if len(roots) else 0.0
+            assert g == pytest.approx(want, abs=2e-3), (f, px, py)
+    # Rim identity: p = (R, 0) at f = 0.5 must give exactly t = 1.
+    t = float(np.asarray(_focal_gradient_t(
+        np.array([[GRAD_RADIUS]]), np.array([[0.0]]), 0.5))[0, 0])
+    assert t == pytest.approx(1.0, abs=1e-5)

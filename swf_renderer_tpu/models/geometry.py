@@ -345,7 +345,7 @@ def stroke_subpath(
     return [np.asarray(loop)]
 
 
-def deoverlap_edges(edges: np.ndarray, max_edges: int = 3000) -> np.ndarray:
+def deoverlap_edges(edges: np.ndarray, max_edges: int = 20000) -> np.ndarray:
     """Replace an overlapping edge soup by the BOUNDARY of its nonzero-
     winding region (a Boolean union), so the analytic-coverage rasterizer
     stops conflating overlaps inside antialiased pixels.
@@ -361,9 +361,9 @@ def deoverlap_edges(edges: np.ndarray, max_edges: int = 3000) -> np.ndarray:
     exactly one side, oriented interior-left, and the soup's nonzero
     coverage becomes exact union coverage.
 
-    O(E^2) pairwise splitting with O(E^2) float64 intermediates (~7 E x E
-    arrays, ~0.5 GB at the 3000-edge cap) — strokes are a few hundred
-    edges; inputs beyond ``max_edges`` are returned unchanged (conflation
+    O(E^2) pairwise work, computed in row blocks of 512 edges so the
+    float64 intermediates stay O(block * E) (~80 MB at the 20000-edge
+    cap); inputs beyond ``max_edges`` are returned unchanged (conflation
     is the lesser evil at that scale)."""
     e = np.asarray(edges, np.float64)
     n = e.shape[0]
@@ -371,25 +371,31 @@ def deoverlap_edges(edges: np.ndarray, max_edges: int = 3000) -> np.ndarray:
         return np.asarray(edges, np.float32)
     p0, p1 = e[:, :2], e[:, 2:]
     d = p1 - p0
-    # Pairwise segment intersections: solve p0_i + t*d_i = p0_j + s*d_j.
-    denom = d[:, 0][:, None] * d[:, 1][None, :] \
-        - d[:, 1][:, None] * d[:, 0][None, :]
-    rel = p0[None, :, :] - p0[:, None, :]
-    t_num = rel[:, :, 0] * d[None, :, 1] - rel[:, :, 1] * d[None, :, 0]
-    s_num = rel[:, :, 0] * d[:, None, 1] - rel[:, :, 1] * d[:, None, 0]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = t_num / denom
-        s = s_num / denom
     eps = 1e-9
-    hit = (np.abs(denom) > eps) & (t > eps) & (t < 1 - eps) \
-        & (s > eps) & (s < 1 - eps)
     frags = []
-    for i in range(n):
-        ts = np.sort(t[i][hit[i]])
-        cuts = np.concatenate([[0.0], ts, [1.0]])
-        pts = p0[i] + cuts[:, None] * d[i]
-        seg = np.concatenate([pts[:-1], pts[1:]], axis=1)
-        frags.append(seg)
+    block = 512
+    for lo in range(0, n, block):
+        hi = min(n, lo + block)
+        db = d[lo:hi]
+        # Pairwise intersections of block rows i against ALL edges j:
+        # solve p0_i + t*d_i = p0_j + s*d_j.
+        denom = db[:, 0][:, None] * d[None, :, 1] \
+            - db[:, 1][:, None] * d[None, :, 0]
+        rel = p0[None, :, :] - p0[lo:hi, None, :]
+        t_num = rel[:, :, 0] * d[None, :, 1] - rel[:, :, 1] * d[None, :, 0]
+        s_num = rel[:, :, 0] * db[:, None, 1] - rel[:, :, 1] * db[:, None, 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = t_num / denom
+            s = s_num / denom
+        hit = (np.abs(denom) > eps) & (t > eps) & (t < 1 - eps) \
+            & (s > eps) & (s < 1 - eps)
+        for bi in range(hi - lo):
+            i = lo + bi
+            ts = np.sort(t[bi][hit[bi]])
+            cuts = np.concatenate([[0.0], ts, [1.0]])
+            pts = p0[i] + cuts[:, None] * d[i]
+            seg = np.concatenate([pts[:-1], pts[1:]], axis=1)
+            frags.append(seg)
     f = np.concatenate(frags, axis=0)
     lens = np.hypot(f[:, 2] - f[:, 0], f[:, 3] - f[:, 1])
     f = f[lens > 1e-12]
@@ -403,16 +409,22 @@ def deoverlap_edges(edges: np.ndarray, max_edges: int = 3000) -> np.ndarray:
     off = np.maximum(fl * 1e-4, 1e-7)[:, None] * nrm
 
     def winding_at(pts: np.ndarray) -> np.ndarray:
-        # Upward-crossing signed count along the +x ray (half-open in y).
-        x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+        # Upward-crossing signed count along the +x ray (half-open in y),
+        # in point blocks so the (points x edges) temporaries stay small.
+        out = np.empty(len(pts), np.int64)
         y0, y1 = e[None, :, 1], e[None, :, 3]
         x0, x1 = e[None, :, 0], e[None, :, 2]
         dy = y1 - y0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xc = x0 + (y - y0) * (x1 - x0) / dy
-        up = (y0 <= y) & (y1 > y) & (xc > x)
-        down = (y1 <= y) & (y0 > y) & (xc > x)
-        return (up.sum(axis=1) - down.sum(axis=1)).astype(np.int64)
+        for lo in range(0, len(pts), 1024):
+            hi = min(len(pts), lo + 1024)
+            x = pts[lo:hi, 0][:, None]
+            y = pts[lo:hi, 1][:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xc = x0 + (y - y0) * (x1 - x0) / dy
+            up = (y0 <= y) & (y1 > y) & (xc > x)
+            down = (y1 <= y) & (y0 > y) & (xc > x)
+            out[lo:hi] = up.sum(axis=1) - down.sum(axis=1)
+        return out
 
     wl = winding_at(mid + off)
     wr = winding_at(mid - off)

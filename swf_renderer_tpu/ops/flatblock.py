@@ -849,22 +849,11 @@ def _grad_rgba(paint: "KernelPaint", strip, plane_rows: int = LANE,
 
     if paint.kind == KPAINT_LINEAR:
         t = (sx + _GRAD_RADIUS) / (2.0 * _GRAD_RADIUS)
-    else:  # focal: style._focal_gradient_t replicated
-        fx = paint.focal * _GRAD_RADIUS
-        pdx = sx - fx
-        pdy = sy
-        cdx = -fx
-        dr = _GRAD_RADIUS
-        qa = cdx * cdx - dr * dr
-        qb = pdx * cdx
-        qc = pdx * pdx + pdy * pdy
-        # qa t^2 - 2 qb t + qc = 0 -> t = (qb ± sq)/qa (style._focal_gradient_t)
-        disc = jnp.maximum(qb * qb - qa * qc, 0.0)
-        sq = jnp.sqrt(disc)
-        safe_a = qa if abs(qa) >= 1e-6 else 1e-6
-        t = jnp.maximum((qb + sq) / safe_a, (qb - sq) / safe_a)
-        if abs(qa) < 1e-6:
-            t = jnp.where(jnp.abs(qb) < 1e-9, 0.0, qc / (2.0 * qb))
+    else:
+        # Pure-jnp elementwise helper — shared with the XLA style path so
+        # the focal solve exists exactly once.
+        from .style import _focal_gradient_t
+        t = _focal_gradient_t(sx, sy, paint.focal)
 
     if paint.spread == 0:      # pad
         t = jnp.clip(t, 0.0, 1.0)

@@ -400,7 +400,6 @@ def test_focal_gradient_parameter_exact():
         w = np.linspace(1e-4, 4.0, 200001)
         for (px, py), g in zip(pts, got):
             lhs = np.hypot(px - (1 - w) * fx, py)
-            err = np.abs(lhs - w * GRAD_RADIUS)
             sign = np.sign(lhs - w * GRAD_RADIUS)
             roots = w[1:][sign[1:] != sign[:-1]]
             want = roots.max() if len(roots) else 0.0

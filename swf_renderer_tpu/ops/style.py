@@ -140,8 +140,11 @@ def _focal_gradient_t(sx, sy, focal_point: float):
     t2 = (b - sq) / safe_a
     # The canvas spec picks the greatest ω.
     t = jnp.maximum(t1, t2)
-    # Degenerate a ~ 0 (focal on the rim): -2 b t + cc = 0.
-    t_lin = jnp.where(jnp.abs(b) < 1e-9, 0.0, cc / (2.0 * b))
+    # Degenerate a ~ 0 (focal on the rim): -2 b t + cc = 0.  Guard the
+    # denominator: the where() discards the b ~ 0 lane but the division
+    # still executes (and warns) on it.
+    safe_b = jnp.where(jnp.abs(b) < 1e-9, 1e-9, b)
+    t_lin = jnp.where(jnp.abs(b) < 1e-9, 0.0, cc / (2.0 * safe_b))
     return jnp.where(jnp.abs(a) < 1e-6, t_lin, t)
 
 

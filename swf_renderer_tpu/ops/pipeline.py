@@ -98,6 +98,34 @@ def render_morph_batch(
     )
 
 
+def lower_edge_table(table, height: int, width: int,
+                     drop_zeros: bool = False):
+    """One draw's edge table -> sorted coalesced winding delta updates
+    (rows, cols, values) — native splitter when available, else the numpy
+    chain.  ``drop_zeros`` removes coalesced-to-zero updates (the styled
+    pipeline's packer budget is tighter; the native splitter already
+    drops them)."""
+    from ..native.bindings import cells_split_delta_native, native_available
+
+    from .scanline import edges_to_cells
+
+    if native_available():
+        return cells_split_delta_native(table, height, width)
+    r, c, a, v = edges_to_cells(np.asarray(table, np.float32),
+                                height, width)
+    rows = np.concatenate([r, r])
+    cols = np.concatenate([c, c + 1])
+    vals = np.concatenate([a, v - a]).astype(np.float32)
+    key = rows.astype(np.int64) * (width + 2) + cols
+    order = np.argsort(key, kind="stable")
+    uniq, inv = np.unique(key[order], return_inverse=True)
+    acc = np.zeros(len(uniq), np.float32)
+    np.add.at(acc, inv, vals[order])
+    keep = acc != 0.0 if drop_zeros else slice(None)
+    return ((uniq[keep] // (width + 2)).astype(np.int32),
+            (uniq[keep] % (width + 2)).astype(np.int32), acc[keep])
+
+
 def render_batch_flatblock(edge_tables, colors, height: int, width: int,
                            fill_rule: int = FILL_RULE_NONZERO,
                            interpret: bool = None, cache=None):
@@ -122,28 +150,11 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
         pack_flat_blocks, plane_geometry, render_fused_blocksn,
         sort_blocks_fused,
     )
-    from .scanline import edges_to_cells
-
     frames = len(edge_tables)
     layers = len(edge_tables[0])
 
     def lower(table):
-        if native_available():
-            return cells_split_delta_native(table, height, width)
-        r, c, a, v = edges_to_cells(np.asarray(table, np.float32),
-                                    height, width)
-        rows = np.concatenate([r, r])
-        cols = np.concatenate([c, c + 1])
-        vals = np.concatenate([a, v - a]).astype(np.float32)
-        key = rows.astype(np.int64) * (width + 2) + cols
-        order = np.argsort(key, kind="stable")
-        key, rows, cols, vals = (key[order], rows[order], cols[order],
-                                 vals[order])
-        uniq, inv = np.unique(key, return_inverse=True)
-        acc = np.zeros(len(uniq), np.float32)
-        np.add.at(acc, inv, vals)
-        return ((uniq // (width + 2)).astype(np.int32),
-                (uniq % (width + 2)).astype(np.int32), acc)
+        return lower_edge_table(table, height, width)
 
     stride, _, _ = plane_geometry(height, width)
     if stride > MAX_CHUNKS * LANE:
@@ -168,7 +179,7 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
     # Narrow frames pack several strips per plane (fewer grid steps);
     # the non-native packer chain supports spp == 1 only.
     spp = strips_per_plane(nc_geo, ns_geo) if native_available() else 1
-    key = (cache.key_for(edge_tables, height, width, group)
+    key = (cache.key_for(edge_tables, height, width, group, spp=spp)
            if cache is not None else None)
     packed = cache.get(key) if cache is not None else None
     if packed is not None:
@@ -278,30 +289,11 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
     if colors is None:
         colors = np.broadcast_to(base_colors, (frames, layers, 4))
 
-    from .scanline import edges_to_cells
-
     def lower(table):
-        from ..native.bindings import cells_split_delta_native
+        return lower_edge_table(table, height, width, drop_zeros=True)
 
-        if native_available():
-            return cells_split_delta_native(table, height, width)
-        r, c, a, v = edges_to_cells(np.asarray(table, np.float32),
-                                    height, width)
-        rows = np.concatenate([r, r])
-        cols = np.concatenate([c, c + 1])
-        vals = np.concatenate([a, v - a]).astype(np.float32)
-        key = rows.astype(np.int64) * (width + 2) + cols
-        order = np.argsort(key, kind="stable")
-        key, rows, cols, vals = (key[order], rows[order], cols[order],
-                                 vals[order])
-        uniq, inv = np.unique(key, return_inverse=True)
-        acc = np.zeros(len(uniq), np.float32)
-        np.add.at(acc, inv, vals)
-        keep = acc != 0.0
-        return ((uniq[keep] // (width + 2)).astype(np.int32),
-                (uniq[keep] % (width + 2)).astype(np.int32), acc[keep])
-
-    key = (cache.key_for(edge_tables, height, width, group)
+    key = (cache.key_for(edge_tables, height, width, group,
+                         variant="styled")
            if cache is not None else None)
     packed = cache.get(key) if cache is not None else None
     if packed is not None:

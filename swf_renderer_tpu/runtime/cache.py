@@ -48,8 +48,15 @@ class PackedSceneCache:
         self.misses = 0
 
     @staticmethod
-    def key_for(edge_tables, height: int, width: int, group: int) -> str:
-        h = hashlib.sha256(f"v1:{height}x{width}g{group}".encode())
+    def key_for(edge_tables, height: int, width: int, group: int,
+                spp: int = 1, variant: str = "solid") -> str:
+        # spp and the packer variant CHANGE the packed block layout (strip
+        # blocks vs strips; zero-dropping in the styled lowerer), so they
+        # must key the cache — a native/non-native process pair or the
+        # solid/styled pipelines sharing a persistent cache directory must
+        # never alias each other's entries.
+        h = hashlib.sha256(
+            f"v2:{height}x{width}g{group}s{spp}:{variant}".encode())
         for per_frame in edge_tables:
             h.update(b"|")
             for t in per_frame:

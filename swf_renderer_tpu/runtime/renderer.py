@@ -66,7 +66,8 @@ def _uniform_layer_structure(per_frame_draws) -> bool:
                     or p.spread != p0.spread
                     or p.repeating != p0.repeating
                     or p.smoothed != p0.smoothed
-                    or p.edge_mode != p0.edge_mode):
+                    or p.edge_mode != p0.edge_mode
+                    or p.color_space != p0.color_space):
                 return False
             for a, b in ((p.stop_ratios, p0.stop_ratios),
                          (p.stop_colors, p0.stop_colors),
@@ -180,6 +181,9 @@ class TpuRenderer:
         animation rendered over time); falls back to per-stage rendering
         otherwise.  Returns (len(stages), H, W, 4) uint8."""
         t0 = time.perf_counter()
+        stages = list(stages)
+        if not stages:
+            return np.zeros((0, self.height, self.width, 4), np.uint8)
         flash_like = self.quality.startswith("flash")
         per_frame_draws = []
         for stage in stages:
@@ -188,6 +192,7 @@ class TpuRenderer:
                 curve_tolerance=0.1,
                 curve_pow2=flash_like,
                 honor_swf_caps=flash_like,
+                honor_fill_winding=self.honor_fill_winding,
                 clip=((stage.exact_width, stage.exact_height)
                       if stage.exact_width is not None else None),
             )

@@ -203,16 +203,24 @@ class SceneCompiler:
             raise ValueError("UnexpectedDisplayObjectType")
 
     def _compiled_shape(self, tag: ast.DefineShape) -> ir.Shape:
+        # Keyed by identity like the reference's WeakMap
+        # (canvas-renderer.ts:51-58); the entry RETAINS the tag so a
+        # garbage-collected tag's reused id() can never alias another
+        # definition's compiled geometry.
         key = id(tag)
-        if key not in self.shape_cache:
-            self.shape_cache[key] = decode_shape(tag)
-        return self.shape_cache[key]
+        hit = self.shape_cache.get(key)
+        if hit is None or hit[0] is not tag:
+            hit = (tag, decode_shape(tag))
+            self.shape_cache[key] = hit
+        return hit[1]
 
     def _compiled_morph_shape(self, tag: ast.DefineMorphShape) -> ir.MorphShape:
         key = id(tag)
-        if key not in self.morph_cache:
-            self.morph_cache[key] = decode_morph_shape(tag)
-        return self.morph_cache[key]
+        hit = self.morph_cache.get(key)
+        if hit is None or hit[0] is not tag:
+            hit = (tag, decode_morph_shape(tag))
+            self.morph_cache[key] = hit
+        return hit[1]
 
     def _draw_shape(self, tag: ast.DefineShape, ctm: Affine,
                     ct: Optional[display.ColorTransform]) -> None:

@@ -363,10 +363,14 @@ def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
     (transposed frames; ops.morph.morph_frames_to_u8)."""
     from ..ops.morph import render_morph_sweep
 
-    dp = mesh.shape["dp"] * mesh.shape.get("tp", 1)
+    # Shard over every axis the mesh actually has (a dp-only mesh is
+    # valid; hard-coding ("dp", "tp") would fail inside shard_map).
+    axes = tuple(mesh.shape.keys())
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
     ratios = np.asarray(ratios, np.float32)
-    if len(ratios) % dp:
-        raise ValueError(f"ratios ({len(ratios)}) must divide over {dp}")
+    if len(ratios) % n_shards:
+        raise ValueError(
+            f"ratios ({len(ratios)}) must divide over {n_shards}")
 
     def shard_fn(rr, *ps):
         return render_morph_sweep(rr, *ps, height, width,
@@ -374,8 +378,8 @@ def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
 
     out = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(("dp", "tp")),) + (P(None),) * len(parts),
-        out_specs=P(("dp", "tp")),
+        in_specs=(P(axes),) + (P(None),) * len(parts),
+        out_specs=P(axes),
         check_vma=False,
     )(jnp.asarray(ratios), *map(jnp.asarray, parts))
     return out
@@ -396,6 +400,8 @@ def render_styled_dp(mesh: Mesh, gsi, gfl, gla, grc, gcm, gvv, colors,
     from ..ops.flatblock import LANE, render_fused_styled
 
     dp = mesh.shape["dp"]
+    if frames % dp:
+        raise ValueError(f"frames ({frames}) must divide over dp={dp}")
     per = frames // dp
 
     def shard_fn(si, fl, la, rc, cm, uv, col, *fs):

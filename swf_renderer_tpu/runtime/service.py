@@ -69,17 +69,28 @@ class AssetStore:
         return shape
 
     def decoded_shape(self, shape_id: int):
-        """Decoded-IR cache keyed by id (the WeakMap/ShapeStore analog)."""
-        if shape_id not in self._decoded_shapes:
-            self._decoded_shapes[shape_id] = decode_shape(self.get_shape(shape_id))
-        return self._decoded_shapes[shape_id]
+        """Decoded-IR cache keyed by ASSET id — the service-level analog
+        of renderer.rs ShapeStore.define_shape's decode step.  (The render
+        path has its own tag-identity cache inside SceneCompiler; this one
+        serves direct decode API users and keeps the store's registered
+        tags the cache anchor.)"""
+        with self._lock:
+            hit = self._decoded_shapes.get(shape_id)
+        if hit is not None:
+            return hit
+        decoded = decode_shape(self.get_shape(shape_id))
+        with self._lock:
+            # First decoder wins so callers always observe ONE object.
+            return self._decoded_shapes.setdefault(shape_id, decoded)
 
     def decoded_morph_shape(self, shape_id: int):
-        if shape_id not in self._decoded_morphs:
-            self._decoded_morphs[shape_id] = decode_morph_shape(
-                self.get_morph_shape(shape_id)
-            )
-        return self._decoded_morphs[shape_id]
+        with self._lock:
+            hit = self._decoded_morphs.get(shape_id)
+        if hit is not None:
+            return hit
+        decoded = decode_morph_shape(self.get_morph_shape(shape_id))
+        with self._lock:
+            return self._decoded_morphs.setdefault(shape_id, decoded)
 
 
 @dataclasses.dataclass

@@ -140,6 +140,11 @@ def _emit_fill_style(fill: ast.FillStyle) -> bytes:
         _write_matrix(w, fill.matrix)
         out.extend(w.bytes())
         g = fill.gradient
+        if len(g.colors) > 15:
+            # The count shares a byte with spread/colorSpace (4 bits);
+            # 16+ stops would silently corrupt those fields.
+            raise ValueError(
+                f"SWF gradients cap at 15 stops (got {len(g.colors)})")
         out.append(
             (_SPREAD_TO_BITS[g.spread] << 6)
             | ((0 if g.color_space == ast.ColorSpace.S_RGB else 1) << 4)
@@ -525,8 +530,9 @@ def emit_define_shape4(tag: ast.DefineShape) -> bytes:
     _write_rect(w, tag.bounds)
     _write_rect(w, tag.bounds)  # edge bounds: reuse shape bounds
     body.extend(w.bytes())
-    body.append((1 if tag.has_fill_winding else 0) << 2
-                | 0b10)  # UsesScalingStrokes
+    # Flags: reserved(5) | UsesFillWindingRule | UsesNonScalingStrokes |
+    # UsesScalingStrokes — default strokes scale, so bit 0.
+    body.append((1 if tag.has_fill_winding else 0) << 2 | 0b01)
     body.extend(_emit_shape_records(tag.shape, line2=True))
     return _tag(TAG_DEFINE_SHAPE4, bytes(body))
 
@@ -572,7 +578,8 @@ def emit_movie(shapes: List[ast.DefineShape],
         + struct.pack("<HH", int(frame_rate * 256), 1)
         + bytes(tags)
     )
-    header = b"FWS" + bytes([6])
+    # DefineShape4 (tag 83) requires SWF file format version >= 8.
+    header = b"FWS" + bytes([8 if shape4 else 6])
     total = len(header) + 4 + len(header_body)
     return header + struct.pack("<I", total) + header_body
 

@@ -284,7 +284,7 @@ def cells_split_delta_native(edges, height: int, width: int):
             + np.abs(edges[:, 3] - edges[:, 1])
         )
         capacity = int(
-            2 * (np.sum(np.minimum(spans, height + width)) + 2 * n) + 16
+            2 * (np.sum(np.minimum(spans, height + width)) + 3 * n) + 16
         )
     else:
         capacity = 16
@@ -314,13 +314,14 @@ def cells_split_native(edges, height: int, width: int):
     if edges.size and not np.isfinite(edges).all():
         raise ValueError("non-finite edge coordinates")
     n = edges.shape[0]
-    # Capacity bound: every edge spans at most |dx|+|dy|+2 cells.
+    # Capacity bound: every edge emits at most y-crossings + x-crossings
+    # + 1 <= |dx| + |dy| + 3 records.
     if n:
         spans = (
             np.abs(edges[:, 2] - edges[:, 0])
             + np.abs(edges[:, 3] - edges[:, 1])
         )
-        capacity = int(np.sum(np.minimum(spans, height + width)) + 2 * n + 16)
+        capacity = int(np.sum(np.minimum(spans, height + width)) + 3 * n + 16)
     else:
         capacity = 16
     rows = np.empty(capacity, np.int32)

@@ -8,10 +8,11 @@
 // 'cover' the full-row contribution to pixels right of the cell.
 //
 // C ABI:
-//   int64 swf_cells_count(edges*, n, h, w)          -> record count (bound)
 //   int64 swf_cells_split(edges*, n, h, w,
 //                         rows*, cols*, area*, cover*, capacity)
-//     -> number of records written, or -1 if capacity was insufficient.
+//     -> number of records written, or -1 if capacity was insufficient
+//   int64 swf_cells_split_delta(...) -> sorted coalesced delta updates
+// (callers bound capacity host-side: <= |dx| + |dy| + 3 records per edge).
 
 #include <algorithm>
 #include <cmath>
@@ -45,7 +46,7 @@ struct Sink {
 
 template <typename Emit>
 void split_edge(double x0, double y0, double x1, double y1, int height,
-                int width, Emit &&emit) {
+                int width, std::vector<double> &ts, Emit &&emit) {
   if (y0 == y1) return;  // horizontal edges contribute nothing
 
   // Clip the y-span to [0, height].
@@ -65,9 +66,9 @@ void split_edge(double x0, double y0, double x1, double y1, int height,
   double dx = x1 - x0;
 
   // Collect split parameters at integer y crossings and integer x crossings
-  // within [0, width].
-  std::vector<double> ts;
-  ts.reserve(8);
+  // within [0, width].  ``ts`` is caller-owned scratch (hoisted out of the
+  // per-edge hot loop to avoid a malloc/free per edge).
+  ts.clear();
   ts.push_back(0.0);
   ts.push_back(1.0);
   double ylo = std::min(y0, y1), yhi = std::max(y0, y1);
@@ -112,9 +113,11 @@ int64_t swf_cells_split(const float *edges, int64_t n_edges, int32_t height,
                         int32_t width, int32_t *rows, int32_t *cols,
                         float *area, float *cover, int64_t capacity) {
   Sink sink{rows, cols, area, cover, capacity};
+  std::vector<double> ts;
+  ts.reserve(64);
   for (int64_t i = 0; i < n_edges; ++i) {
     const float *e = edges + 4 * i;
-    split_edge(e[0], e[1], e[2], e[3], height, width,
+    split_edge(e[0], e[1], e[2], e[3], height, width, ts,
                [&sink](int32_t r, int32_t c, double a, double v) {
                  sink.emit(r, c, a, v);
                });
@@ -140,9 +143,11 @@ int64_t swf_cells_split_delta(const float *edges, int64_t n_edges,
   std::vector<Update> ups;
   ups.reserve(256);
   const int64_t kw = width + 2;
+  std::vector<double> ts;
+  ts.reserve(64);
   for (int64_t i = 0; i < n_edges; ++i) {
     const float *e = edges + 4 * i;
-    split_edge(e[0], e[1], e[2], e[3], height, width,
+    split_edge(e[0], e[1], e[2], e[3], height, width, ts,
                [&](int32_t r, int32_t c, double a, double v) {
                  ups.push_back({static_cast<int64_t>(r) * kw + c, a});
                  ups.push_back({static_cast<int64_t>(r) * kw + c + 1, v - a});

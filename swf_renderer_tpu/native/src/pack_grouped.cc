@@ -25,7 +25,6 @@
 namespace {
 constexpr int kStripH = 8;
 constexpr int kLane = 128;
-constexpr int kBlk = 128;
 }  // namespace
 
 extern "C" {

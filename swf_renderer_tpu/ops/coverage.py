@@ -211,7 +211,12 @@ def _coverage_kernel(bounds_ref, edges_ref, out_ref, *, fill_rule: int,
                 cy1 = _clamp01(sy1)
                 dy = cy1 - cy0
                 xa = x0 + (cy0 - sy0) * slope
-                xb = x0 + (cy1 - sy1) * slope
+                # (cy1 - sy0), NOT (cy1 - sy1): xb is the x-position where
+                # the edge crosses the clipped upper y, measured from the
+                # segment START (an earlier revision's -sy1 returned x0 for
+                # any edge ending inside the row; the interpret path uses
+                # edge_contribution and never exercised this).
+                xb = x0 + (cy1 - sy0) * slope
                 xmn = jnp.minimum(xa, xb)
                 xmx = jnp.maximum(xa, xb)
                 span = xmx - xmn
@@ -283,7 +288,8 @@ def _sort_and_bound_edges(edges_t: jax.Array):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "fill_rule", "interpret"),
+    static_argnames=("height", "width", "fill_rule", "interpret",
+                     "scalar_loop"),
 )
 def coverage_pallas(
     edges_t: jax.Array,
@@ -291,6 +297,7 @@ def coverage_pallas(
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = False,
+    scalar_loop: bool = None,
 ) -> jax.Array:
     """Tiled Pallas coverage kernel.
 
@@ -326,7 +333,7 @@ def coverage_pallas(
         tile_h=TILE_H,
         tile_w=TILE_W,
         edge_chunk=EDGE_CHUNK,
-        scalar_loop=not interpret,
+        scalar_loop=(not interpret) if scalar_loop is None else scalar_loop,
     )
     out = pl.pallas_call(
         kernel,

@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .coverage import FILL_RULE_NONZERO, _on_tpu
+from .coverage import FILL_RULE_NONZERO, _h01, _on_tpu
 from .flatblock import composite_quantize_pack, fill_rule_cov
 
 LANE = 128
@@ -91,12 +91,6 @@ def morph_pieces(pairs, e_multiple: int = 128):
         suby_e[i, 1, :k, 0] = pe[:, 3].astype(np.float32)
         colors_s[i], colors_e[i] = cs, ce
     return tab_s, tab_e, suby_s, suby_e, colors_s, colors_e
-
-
-def _h01(x):
-    """Antiderivative helper of clip(x, 0, 1) (coverage.coverage_numpy)."""
-    return jnp.where(x <= 0.0, 0.0,
-                     jnp.where(x >= 1.0, x - 0.5, 0.5 * x * x))
 
 
 def _morph_kernel(ratios_ref, cs_ref, ce_ref, tabs_ref, tabe_ref,

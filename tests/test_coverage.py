@@ -145,3 +145,25 @@ def test_split_edges_y_preserves_coverage():
     a = cov.coverage_numpy(edges, 32, 32)
     b = cov.coverage_numpy(split, 32, 32)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_pallas_scalar_loop_matches_oracle():
+    """The Mosaic scalar-loop path (production on TPU) must match the
+    numpy oracle — it reads edge scalars from SMEM and carries its own
+    clipped-segment arithmetic, which the interpret-mode tests otherwise
+    never execute (a wrong xb parameter hid here: x-at-clipped-upper-y
+    must be measured from the segment START)."""
+    import numpy as np
+
+    from swf_renderer_tpu.ops import coverage as cov
+
+    rng = np.random.default_rng(17)
+    pts = rng.uniform(2, 60, size=(7, 2)).astype(np.float32)
+    closed = np.concatenate([pts, pts[:1]])
+    edges = np.concatenate([closed[:-1], closed[1:]], axis=1)
+    want = cov.coverage_numpy(edges, 64, 64)
+    edges_t = np.zeros((1, 4, 128), np.float32)
+    edges_t[0, :, : len(edges)] = edges.T
+    got = np.asarray(cov.coverage_pallas(
+        edges_t, 64, 64, interpret=True, scalar_loop=True))[0]
+    np.testing.assert_allclose(got, want, atol=1e-4)

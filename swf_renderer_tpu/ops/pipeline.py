@@ -257,6 +257,44 @@ def kernel_paints_for(paints, height: int, width: int):
     return tuple(kpaints), tuple(fields), colors
 
 
+def render_styled_layered(edge_tables, paints, height: int, width: int,
+                          colors=None, fill_rule: int = FILL_RULE_NONZERO):
+    """Layered styled fallback: per-frame scanline coverage + XLA style
+    fields + premultiplied composite.  Handles any frame width (the
+    flat-block chunk-major layout caps at ``MAX_CHUNKS * LANE`` px);
+    5-10x slower than the fused kernel but fully general.
+
+    Same contract as :func:`render_batch_styled`."""
+    from ..ops import style as style_ops
+    from .composite import composite_to_u8
+    from .scanline import coverage_scanline, edges_to_cells, pack_cells
+
+    try:
+        from ..native.bindings import cells_split_native as splitter
+    except Exception:
+        splitter = edges_to_cells
+
+    fields = [style_ops.paint_field(p, height, width) for p in paints]
+    out = []
+    for f, per_frame in enumerate(edge_tables):
+        cells = [splitter(np.asarray(t, np.float32), height, width)
+                 for t in per_frame]
+        rows, cols, area, cover = pack_cells(cells)
+        cov = coverage_scanline(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(area),
+            jnp.asarray(cover), height, width, fill_rule)
+        layer_fields = []
+        for l, p in enumerate(paints):
+            if p.kind == style_ops.PAINT_SOLID and colors is not None:
+                layer_fields.append(jnp.broadcast_to(
+                    jnp.asarray(colors[f, l], jnp.float32),
+                    (height, width, 4)))
+            else:
+                layer_fields.append(fields[l])
+        out.append(composite_to_u8(cov, jnp.stack(layer_fields)))
+    return np.stack(out)
+
+
 def render_batch_styled(edge_tables, paints, height: int, width: int,
                         colors=None, fill_rule: int = FILL_RULE_NONZERO,
                         interpret: bool = None, cache=None,
@@ -269,7 +307,10 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
     ``paints``: one style Paint per LAYER (static across frames).
     ``colors``: optional (F, L, 4) per-frame colors for SOLID layers
     (defaults to each solid paint's color).  Returns (F, H, W, 4) u8.
-    """
+
+    Frames wider than the chunk-major plane layout supports
+    (``MAX_CHUNKS * LANE`` = 8192 px) fall back to the layered coverage
+    path, mirroring the solid pipeline's graceful fallback."""
     from ..native.bindings import native_available, pack_grouped_native
     from .flatblock import (
         LANE, MAX_CHUNKS, frames_u32_to_u8, group_blocks_fused,
@@ -282,8 +323,8 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
     assert layers == len(paints)
     stride, _, _ = plane_geometry(height, width)
     if stride > MAX_CHUNKS * LANE:
-        raise ValueError("styled flat-block path requires width < 2048; "
-                         "use the layered coverage path for wider frames")
+        return render_styled_layered(edge_tables, paints, height, width,
+                                     colors=colors, fill_rule=fill_rule)
 
     kpaints, fields, base_colors = kernel_paints_for(paints, height, width)
     if colors is None:

@@ -25,35 +25,48 @@ from swf_renderer_tpu.models.ast_io import (
 from swf_renderer_tpu.runtime.renderer import render_morph_shape, render_shape
 from swf_renderer_tpu.utils.png import read_png
 
-# sample -> (max channel budget, >2/255 pixel-fraction budget, quality).
-# Measured 2026-08 (round 2); these RATCHET — tighten when the renderer
-# improves.  The textured sample gates at 'canvas': its golden's
-# pattern-edge alphas match Canvas no-repeat fade semantics exactly.
+# sample -> (max channel budget, >2/255 pixel-fraction budget, quality,
+#            PREMUL max budget, PREMUL >2/255 fraction budget).
+# Measured 2026-08 (rounds 2-3); these RATCHET — tighten when the renderer
+# improves.  Both metrics gate: straight-u8 (what PNG readers see) AND
+# premultiplied-u8 (what both oracles actually store — Cairo ARGB32 and the
+# player's capture).  At alpha~0/1 boundaries the straight channels amplify
+# one quantum of premul disagreement to full scale (triangle: straight max
+# 255 from 2 such pixels, premul max 13), so the premul budgets show the
+# true agreement and ratchet independently.
 SHAPE_BUDGETS = {
-    "flat-shapes/triangle": (255, 0.0065, "flash"),  # 2 alpha-1 px
-    "flat-shapes/squares": (2, 0.0, "flash"),        # MEETS <=2/255
+    "flat-shapes/triangle": (255, 0.0065, "flash", 13, 0.005),
+    "flat-shapes/squares": (2, 0.0, "flash", 1, 0.0),   # MEETS <=2/255
     # Outline stroking + union de-overlap: interior stroke-overlap pixels
     # now match the golden exactly (PERF.md round-2 stroke study); the max
     # sits at 3 stage-border pixels where the player's value matches the
     # old conflation artifact instead of the true union (the TS/Cairo
     # oracle takes the union).  >=40-diff pixel count dropped 16 -> 3.
-    "flat-shapes/homestuck-beta-1": (130, 0.0125, "flash"),
+    "flat-shapes/homestuck-beta-1": (130, 0.0125, "flash", 130, 0.0125),
     # Exact box-filter pattern downscaling (pixman GOOD / player area
     # averaging) + no-repeat edge fade: MEETS the <=2/255 north star at
     # BOTH qualities (gated at 'flash', the stricter player target).
-    "textured-shapes/homestuck-beta-4": (2, 0.0, "flash"),
+    "textured-shapes/homestuck-beta-4": (2, 0.0, "flash", 1, 0.0),
 }
 # pow2 (recursive-midpoint) curve flattening at 0.1 px: >2/255 fraction
 # halved vs uniform-count flattening (player parity, PERF.md round 2).
+# (straight max, >2 frac, premul max, premul >2 frac)
 MORPH_BUDGETS = {
-    0.0: (22, 0.010),
-    0.5: (22, 0.009),
-    1.0: (22, 0.010),
+    0.0: (22, 0.010, 22, 0.010),
+    0.5: (22, 0.009, 22, 0.009),
+    1.0: (22, 0.010, 22, 0.010),
 }
 BITMAPS = {"textured-shapes/homestuck-beta-4": ["bitmap/homestuck-beta-3"]}
 
 
-def _assert_budget(actual, golden, budget, name):
+def _premul_u8(frame):
+    """Straight-u8 RGBA -> premultiplied bytes (ARGB32 storage form)."""
+    x = frame.astype(np.float64)
+    pm = np.round(x[..., :3] * x[..., 3:4] / 255.0)
+    return np.concatenate([pm, x[..., 3:4]], axis=-1).astype(np.int32)
+
+
+def _assert_budget(actual, golden, budget, name, pm_budget=None):
     diff = np.abs(actual.astype(np.int32) - golden.astype(np.int32))
     max_err = int(diff.max())
     gt2 = float((diff > 2).any(axis=-1).mean())
@@ -63,6 +76,18 @@ def _assert_budget(actual, golden, budget, name):
     assert gt2 <= budget[1], (
         f"{name}: >2/255 pixel fraction {gt2:.4f} exceeds ratchet {budget[1]}"
     )
+    if pm_budget is not None:
+        pm_diff = np.abs(_premul_u8(actual) - _premul_u8(golden))
+        pm_max = int(pm_diff.max())
+        pm_gt2 = float((pm_diff > 2).any(axis=-1).mean())
+        assert pm_max <= pm_budget[0], (
+            f"{name}: PREMUL max error {pm_max} exceeds ratchet"
+            f" {pm_budget[0]}"
+        )
+        assert pm_gt2 <= pm_budget[1], (
+            f"{name}: PREMUL >2/255 fraction {pm_gt2:.4f} exceeds ratchet"
+            f" {pm_budget[1]}"
+        )
 
 
 @pytest.mark.parametrize("sample", sorted(SHAPE_BUDGETS),
@@ -77,7 +102,8 @@ def test_max_channel_error_shape(sample, reference_tests):
     budget = SHAPE_BUDGETS[sample]
     actual = render_shape(tag, bitmaps=bitmaps, quality=budget[2])
     golden = read_png(d / "shape.png")
-    _assert_budget(actual, golden, budget, sample)
+    _assert_budget(actual, golden, budget[:2], sample,
+                   pm_budget=budget[3:5])
 
 
 @pytest.mark.parametrize("ratio", sorted(MORPH_BUDGETS))
@@ -86,4 +112,6 @@ def test_max_channel_error_morph(ratio, reference_tests):
     tag = parse_define_morph_shape((d / "ast.json").read_text())
     actual = render_morph_shape(tag, ratio, quality="flash")
     golden = read_png(d / f"{int(ratio * (1 << 16))}.png")
-    _assert_budget(actual, golden, MORPH_BUDGETS[ratio], f"hb29@{ratio}")
+    b = MORPH_BUDGETS[ratio]
+    _assert_budget(actual, golden, b[:2], f"hb29@{ratio}",
+                   pm_budget=b[2:4])

@@ -31,15 +31,28 @@ SHAPES = [
 MORPHS = [("flat-morph-shapes/homestuck-beta-29", r) for r in (0.0, 0.5, 1.0)]
 
 
+def premul_u8(frame):
+    """Straight-u8 RGBA -> premultiplied bytes (the representation both
+    oracles actually store: Cairo ARGB32 and the player's capture).  At
+    alpha~0 the straight channels amplify quantization noise to full
+    scale; premul-space error shows the true agreement (VERDICT r2 #5)."""
+    x = frame.astype(np.float64)
+    pm = np.round(x[..., :3] * x[..., 3:4] / 255.0)
+    return np.concatenate([pm, x[..., 3:4]], axis=-1).astype(np.int32)
+
+
 def stats(actual, golden):
     a = actual.astype(np.int32)
     g = golden.astype(np.int32)
     diff = np.abs(a - g)
+    pm_diff = np.abs(premul_u8(actual) - premul_u8(golden))
     return {
         "max": int(diff.max()),
         "gt2_frac": float((diff > 2).any(axis=-1).mean()),
         "mean": float(diff.mean()),
         "p999": int(np.quantile(diff, 0.999)),
+        "pm_max": int(pm_diff.max()),
+        "pm_gt2_frac": float((pm_diff > 2).any(axis=-1).mean()),
     }
 
 

@@ -173,12 +173,12 @@ def bench_style(kind: str) -> None:
     import jax
     import jax.numpy as jnp
 
-    from swf_renderer_tpu.native.bindings import (
-        cells_split_delta_native, pack_grouped_native,
-    )
+    from swf_renderer_tpu.native.bindings import pack_grouped_native
     from swf_renderer_tpu.ops import style as style_ops
     from swf_renderer_tpu.ops.flatblock import render_fused_styled
-    from swf_renderer_tpu.ops.pipeline import kernel_paints_for
+    from swf_renderer_tpu.ops.pipeline import (
+        kernel_paints_for, lower_update_lists,
+    )
 
     rng = np.random.default_rng(3)
     if kind == "textured":
@@ -215,9 +215,7 @@ def bench_style(kind: str) -> None:
     GROUP = 6
     tables, _ = build_scene_edges(batch, layers, h, w, seed=11)
     t0 = time.perf_counter()
-    update_lists = [
-        [cells_split_delta_native(t, h, w) for t in ft] for ft in tables
-    ]
+    update_lists = lower_update_lists(tables, h, w)
     gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
         update_lists, h, w, group=GROUP)
     lower_s = time.perf_counter() - t0
@@ -289,21 +287,17 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
     import jax
     import jax.numpy as jnp
 
-    from swf_renderer_tpu.native.bindings import (
-        cells_split_delta_native, pack_grouped_native,
-    )
+    from swf_renderer_tpu.native.bindings import pack_grouped_native
     from swf_renderer_tpu.ops.flatblock import (
         plane_geometry, render_fused_blocksn, strips_per_plane,
     )
+    from swf_renderer_tpu.ops.pipeline import lower_update_lists
 
     GROUP = 6
     _, nc_geo, ns_geo = plane_geometry(height, width)
     spp = strips_per_plane(nc_geo, ns_geo)
     t0 = time.perf_counter()
-    update_lists = [
-        [cells_split_delta_native(t, height, width) for t in ft]
-        for ft in tables
-    ]
+    update_lists = lower_update_lists(tables, height, width)
     split_s = time.perf_counter() - t0
     gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
         update_lists, height, width, group=GROUP, spp=spp)

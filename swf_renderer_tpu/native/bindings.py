@@ -70,6 +70,13 @@ def load_library(build_if_missing: bool = True):
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32,
     ]
+    lib.swf_pack_grouped_count.restype = ctypes.c_int64
+    lib.swf_pack_grouped_count.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
+    ]
     lib.swf_pack_grouped.restype = ctypes.c_int64
     lib.swf_pack_grouped.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
@@ -177,12 +184,26 @@ def pack_blocks_native(update_lists, height: int, width: int,
     return sidx, keep, urc, ucm, uval, n_strips, n_chunks
 
 
+def _pool_workers() -> int:
+    """Thread-pool width for host lowering: the native C ABI drops the GIL
+    for its whole run, so frames/layers scale across cores."""
+    import os
+
+    return max(1, min(32, os.cpu_count() or 1))
+
+
 def pack_grouped_native(update_lists, height: int, width: int,
                         group: int = 6, group_pad_multiple: int = 256,
-                        blk: int = None, spp: int = 1):
+                        blk: int = None, spp: int = 1,
+                        max_workers: int = None):
     """One-pass native packer: per-draw sorted delta updates -> the fused
     kernel's GROUPED block arrays (render_fused_blocksn inputs), replacing
     pack_flat_blocks + sort_blocks_fused + group_blocks_fused.
+
+    Frames pack in PARALLEL: a cheap exact-count pass
+    (swf_pack_grouped_count) fixes every frame's write offset, then the
+    packs run concurrently on a thread pool straight into the final arrays
+    (ctypes releases the GIL; no staging copies, no compaction).
 
     Returns (gsi, gfl, glay(group, NG), grc, gcm, gvv, n_strips, n_chunks).
     """
@@ -205,30 +226,10 @@ def pack_grouped_native(update_lists, height: int, width: int,
             f" (got padded stride {stride})")
 
     gb = group * blk
-    # Allocate the final arrays once at full capacity and hand the native
-    # packer per-frame write offsets — no per-frame staging copies.
     counts = np.array([[len(p[0]) for p in per] for per in update_lists],
                       np.int64)
-    per_frame_cap = [
-        lib.swf_pack_grouped_capacity(int(c.sum()), layers, n_strips,
-                                      group, blk)
-        for c in counts
-    ]
-    cap = int(sum(per_frame_cap)) + group_pad_multiple
-    gsi = np.empty(cap, np.int32)
-    gfl = np.empty(cap, np.int32)
-    gla = np.empty((cap, group), np.int32)
-    grc = np.empty((cap, 1, gb), np.float32)
-    gcm = np.empty((cap, gb, 1), np.float32)
-    gvv = np.empty((cap, 1, gb), np.float32)
 
-    def ptr(arr, off, ctype, scale):
-        return ctypes.cast(
-            arr.ctypes.data + off * scale * ctypes.sizeof(ctype),
-            ctypes.POINTER(ctype))
-
-    ng = 0
-    for f in range(frames):
+    def frame_inputs(f):
         per = update_lists[f]
         rows = np.ascontiguousarray(
             np.concatenate([np.asarray(p[0], np.int32) for p in per]))
@@ -238,34 +239,72 @@ def pack_grouped_native(update_lists, height: int, width: int,
             np.concatenate([np.asarray(p[2], np.float32) for p in per]))
         offsets = np.zeros(layers + 1, np.int64)
         np.cumsum(counts[f], out=offsets[1:])
+        return rows, cols, vals, offsets
+
+    inputs = [frame_inputs(f) for f in range(frames)]
+    per_frame_ng = [
+        lib.swf_pack_grouped_count(
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            layers, n_strips, group, blk, spp)
+        for rows, _, _, offsets in inputs
+    ]
+    frame_off = np.zeros(frames + 1, np.int64)
+    np.cumsum(per_frame_ng, out=frame_off[1:])
+    ng = int(frame_off[-1])
+    ng_pad = ((ng + group_pad_multiple - 1)
+              // group_pad_multiple) * group_pad_multiple
+    gsi = np.empty(ng_pad, np.int32)
+    gfl = np.empty(ng_pad, np.int32)
+    gla = np.empty((ng_pad, group), np.int32)
+    grc = np.empty((ng_pad, 1, gb), np.float32)
+    gcm = np.empty((ng_pad, gb, 1), np.float32)
+    gvv = np.empty((ng_pad, 1, gb), np.float32)
+
+    def ptr(arr, off, ctype, scale):
+        return ctypes.cast(
+            arr.ctypes.data + off * scale * ctypes.sizeof(ctype),
+            ctypes.POINTER(ctype))
+
+    def pack_frame(f):
+        rows, cols, vals, offsets = inputs[f]
+        off = int(frame_off[f])
         k = lib.swf_pack_grouped(
             rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             layers, n_strips, f * layers, group, blk, spp, n_chunks,
-            cap - ng,
-            ptr(gsi, ng, ctypes.c_int32, 1),
-            ptr(gfl, ng, ctypes.c_int32, 1),
-            ptr(gla, ng, ctypes.c_int32, group),
-            ptr(grc, ng, ctypes.c_float, gb),
-            ptr(gcm, ng, ctypes.c_float, gb),
-            ptr(gvv, ng, ctypes.c_float, gb),
+            int(per_frame_ng[f]),
+            ptr(gsi, off, ctypes.c_int32, 1),
+            ptr(gfl, off, ctypes.c_int32, 1),
+            ptr(gla, off, ctypes.c_int32, group),
+            ptr(grc, off, ctypes.c_float, gb),
+            ptr(gcm, off, ctypes.c_float, gb),
+            ptr(gvv, off, ctypes.c_float, gb),
         )
-        if k < 0:
-            raise RuntimeError("pack_grouped capacity underestimated")
-        ng += k
+        if k != per_frame_ng[f]:
+            raise RuntimeError(
+                f"pack_grouped count mismatch: {k} vs {per_frame_ng[f]}")
 
-    ng_pad = ((ng + group_pad_multiple - 1)
-              // group_pad_multiple) * group_pad_multiple
+    workers = max_workers if max_workers is not None else _pool_workers()
+    if workers > 1 and frames > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(pack_frame, range(frames)))
+    else:
+        for f in range(frames):
+            pack_frame(f)
+
     gsi[ng:ng_pad] = n_strips  # sentinel garbage strip
     gfl[ng:ng_pad] = 0
     gla[ng:ng_pad] = 0
     grc[ng:ng_pad] = 0.0
     gcm[ng:ng_pad] = 0.0
     gvv[ng:ng_pad] = 0.0
-    return (gsi[:ng_pad], gfl[:ng_pad], gla[:ng_pad].T.copy(),
-            grc[:ng_pad], gcm[:ng_pad], gvv[:ng_pad], n_strips, n_chunks)
+    return (gsi, gfl, gla.T.copy(),
+            grc, gcm, gvv, n_strips, n_chunks)
 
 
 def cells_split_delta_native(edges, height: int, width: int):

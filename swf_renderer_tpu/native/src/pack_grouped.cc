@@ -40,6 +40,35 @@ int64_t swf_pack_grouped_capacity(int64_t n_updates, int32_t layers,
   return blocks / group + n_strips + 1;
 }
 
+// EXACT group count for one frame (the same strip/layer walk as
+// swf_pack_grouped without the writes).  Lets callers pack frames in
+// PARALLEL directly into the final arrays: count every frame first
+// (cheap integer scan), prefix-sum the counts into exact per-frame write
+// offsets, then run the packs concurrently — no staging copies, no
+// compaction pass.
+int64_t swf_pack_grouped_count(const int32_t* rows, const int64_t* offsets,
+                               int32_t layers, int32_t n_strips,
+                               int32_t group, int32_t blk, int32_t spp) {
+  const int32_t block_rows = kStripH * spp;
+  std::vector<int64_t> idx(layers);
+  for (int32_t l = 0; l < layers; ++l) idx[l] = offsets[l];
+  int64_t ng = 0;
+  for (int32_t s = 0; s < n_strips; ++s) {
+    int64_t total_blocks = 0;
+    for (int32_t l = 0; l < layers; ++l) {
+      int64_t i = idx[l];
+      const int64_t hi = offsets[l + 1];
+      while (i < hi && rows[i] / block_rows <= s) ++i;
+      const int64_t cnt = i - idx[l];
+      idx[l] = i;
+      total_blocks += (cnt + blk - 1) / blk;
+    }
+    if (total_blocks == 0) total_blocks = 1;
+    ng += (total_blocks + group - 1) / group;
+  }
+  return ng;
+}
+
 // rows/cols/vals: all layers' updates concatenated (each layer's slice
 // sorted by (row, col)); offsets (layers+1) delimits layers.
 // Returns groups written, or -1 if capacity would be exceeded.

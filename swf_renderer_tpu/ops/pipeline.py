@@ -126,6 +126,36 @@ def lower_edge_table(table, height: int, width: int,
             (uniq[keep] % (width + 2)).astype(np.int32), acc[keep])
 
 
+def lower_update_lists(edge_tables, height: int, width: int,
+                       drop_zeros: bool = False, max_workers: int = None):
+    """Lower every (frame, layer) edge table to delta updates, in PARALLEL
+    when the native splitter is available (its C ABI releases the GIL for
+    the whole call, so a thread pool scales across host cores — the
+    reference has no host-lowering stage at all; this is the analog of its
+    per-definition decode cache warm-up, canvas-renderer.ts:96-112)."""
+    from ..native.bindings import native_available
+
+    flat = [t for per_frame in edge_tables for t in per_frame]
+    if max_workers is None:
+        from ..native.bindings import _pool_workers
+
+        max_workers = _pool_workers()
+    if max_workers > 1 and len(flat) > 1 and native_available():
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            lowered = list(pool.map(
+                lambda t: lower_edge_table(t, height, width,
+                                           drop_zeros=drop_zeros),
+                flat))
+    else:
+        lowered = [lower_edge_table(t, height, width, drop_zeros=drop_zeros)
+                   for t in flat]
+    layers = len(edge_tables[0])
+    return [lowered[i * layers:(i + 1) * layers]
+            for i in range(len(edge_tables))]
+
+
 def render_batch_flatblock(edge_tables, colors, height: int, width: int,
                            fill_rule: int = FILL_RULE_NONZERO,
                            interpret: bool = None, cache=None):
@@ -152,16 +182,11 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
     )
     frames = len(edge_tables)
     layers = len(edge_tables[0])
-
-    def lower(table):
-        return lower_edge_table(table, height, width)
-
     stride, _, _ = plane_geometry(height, width)
     if stride > MAX_CHUNKS * LANE:
         from .resolve import pack_updates, render_scanline_updates
 
-        update_lists = [[lower(t) for t in per_frame]
-                        for per_frame in edge_tables]
+        update_lists = lower_update_lists(edge_tables, height, width)
         flat = [u for per_frame in update_lists for u in per_frame]
         rows, cols, vals = pack_updates(flat)
         out = render_scanline_updates(
@@ -185,8 +210,7 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
     if packed is not None:
         gsi, gfl, gla, grc, gcm, gvv, ns, nc = packed
     else:
-        update_lists = [[lower(t) for t in per_frame]
-                        for per_frame in edge_tables]
+        update_lists = lower_update_lists(edge_tables, height, width)
         if native_available():
             # One-pass C++ packer: updates -> grouped kernel blocks directly
             # (bit-identical to the Python chain below, the tested oracle).
@@ -330,9 +354,6 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
     if colors is None:
         colors = np.broadcast_to(base_colors, (frames, layers, 4))
 
-    def lower(table):
-        return lower_edge_table(table, height, width, drop_zeros=True)
-
     key = (cache.key_for(edge_tables, height, width, group,
                          variant="styled")
            if cache is not None else None)
@@ -340,8 +361,8 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
     if packed is not None:
         gsi, gfl, gla, grc, gcm, gvv, ns, nc = packed
     else:
-        update_lists = [[lower(t) for t in per_frame]
-                        for per_frame in edge_tables]
+        update_lists = lower_update_lists(edge_tables, height, width,
+                                          drop_zeros=True)
         if native_available():
             gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
                 update_lists, height, width, group=group)

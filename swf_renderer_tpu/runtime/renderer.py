@@ -132,11 +132,14 @@ class TpuRenderer:
         self.bitmap_service = BitmapService()
         self._shape_cache: dict = {}
         self._morph_cache: dict = {}
-        from .cache import PackedSceneCache
+        from .cache import DrawListCache, PackedSceneCache
 
         # Flat-block lowering memo (the WeakMap-cache analog one level
         # lower): repeated renders of known geometry skip the host packer.
         self._packed_cache = PackedSceneCache(capacity=16)
+        # Compiled draw-list memo per (definition, ctm, quality): a second
+        # render of an unchanged stage does zero geometry work.
+        self._draws_cache = DrawListCache()
         self.frame: Optional[np.ndarray] = None
         self.last_stats = RenderStats()
         self._exec_path = ""
@@ -157,6 +160,7 @@ class TpuRenderer:
             curve_pow2=flash_like,
             honor_swf_caps=flash_like,
             honor_fill_winding=self.honor_fill_winding,
+            draws_cache=self._draws_cache,
         )
         draws = compiler.compile_stage(stage)
         self.frame = self.execute(draws)
@@ -203,6 +207,7 @@ class TpuRenderer:
                 honor_fill_winding=self.honor_fill_winding,
                 clip=((stage.exact_width, stage.exact_height)
                       if stage.exact_width is not None else None),
+                draws_cache=self._draws_cache,
             )
             per_frame_draws.append(compiler.compile_stage(stage))
 

@@ -144,6 +144,7 @@ class SceneCompiler:
         honor_fill_winding: bool = False,
         honor_swf_caps: bool = False,
         clip: Optional[Tuple[float, float]] = None,
+        draws_cache=None,
     ) -> None:
         """``honor_swf_caps``: use the SWF line styles' caps/joins (what the
         Flash player renders) instead of Canvas2D defaults (what the
@@ -151,7 +152,12 @@ class SceneCompiler:
 
         ``clip``: exact stage extent (width, height) in pixels; draws are
         clipped to [0, w] x [0, h] (the Flash player clips at the exact —
-        generally fractional — stage bounds)."""
+        generally fractional — stage bounds).
+
+        ``draws_cache``: optional runtime.cache.DrawListCache — memoizes
+        each instance's compiled draw list by (definition, CTM, color
+        transform, quality knobs), so re-rendering an unchanged stage does
+        zero flatten/stroke/deoverlap work."""
         self.bitmaps = bitmaps
         self.shape_cache = shape_cache
         self.morph_cache = morph_cache
@@ -164,6 +170,7 @@ class SceneCompiler:
         self.honor_fill_winding = honor_fill_winding
         self.honor_swf_caps = honor_swf_caps
         self.clip = clip
+        self.draws_cache = draws_cache
         self.draws: List[Draw] = []
         # Canvas2D context state: lineWidth starts at 1.0 (user-space units
         # = twips here) and ignores non-positive assignments.
@@ -222,8 +229,41 @@ class SceneCompiler:
             self.morph_cache[key] = hit
         return hit[1]
 
+    def _cache_key(self, tag, ctm: Affine,
+                   ct: Optional[display.ColorTransform], extra=()):
+        # Everything the emitted geometry/paints depend on beyond the tag:
+        # CTM, color transform, quality knobs, exact clip rect, and the
+        # incoming Canvas2D lineWidth state (zero-width strokes inherit it).
+        return (id(tag), ctm.as_tuple(), ct, self.curve_tolerance,
+                self.curve_pow2, self.honor_swf_caps,
+                self.honor_fill_winding, self.clip,
+                self.line_width_state) + tuple(extra)
+
+    def _cached_draw(self, tag, ctm, ct, emit, extra=()):
+        """Emit one instance's draws through the draws cache (replay the
+        memoized list + restore the outgoing lineWidth state on a hit)."""
+        if self.draws_cache is None:
+            emit()
+            return
+        key = self._cache_key(tag, ctm, ct, extra)
+        hit = self.draws_cache.get(key, tag)
+        if hit is not None:
+            draws, out_state = hit
+            self.draws.extend(draws)
+            self.line_width_state = out_state
+            return
+        start = len(self.draws)
+        emit()
+        self.draws_cache.put(key, tag, self.draws[start:],
+                             self.line_width_state)
+
     def _draw_shape(self, tag: ast.DefineShape, ctm: Affine,
                     ct: Optional[display.ColorTransform]) -> None:
+        self._cached_draw(tag, ctm, ct,
+                          lambda: self._draw_shape_uncached(tag, ctm, ct))
+
+    def _draw_shape_uncached(self, tag: ast.DefineShape, ctm: Affine,
+                             ct: Optional[display.ColorTransform]) -> None:
         compiled = self._compiled_shape(tag)
         if self.honor_fill_winding:
             from ..ops.coverage import FILL_RULE_EVENODD
@@ -255,6 +295,14 @@ class SceneCompiler:
     def _draw_morph_shape(self, tag: ast.DefineMorphShape, ratio: float,
                           ctm: Affine,
                           ct: Optional[display.ColorTransform]) -> None:
+        self._cached_draw(
+            tag, ctm, ct,
+            lambda: self._draw_morph_shape_uncached(tag, ratio, ctm, ct),
+            extra=(float(ratio),))
+
+    def _draw_morph_shape_uncached(
+            self, tag: ast.DefineMorphShape, ratio: float, ctm: Affine,
+            ct: Optional[display.ColorTransform]) -> None:
         compiled = self._compiled_morph_shape(tag)
         for path in compiled.paths:
             commands = lerp_morph_commands(path.commands, ratio)

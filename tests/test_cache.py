@@ -33,3 +33,54 @@ def test_cache_roundtrip_render(reference_tests, tmp_path):
     assert len(loaded) == len(draws)
     got = renderer.execute(loaded)
     np.testing.assert_array_equal(got, want)
+
+
+def test_draw_list_cache_steady_state(reference_tests):
+    """A second render() of an unchanged stage does ZERO geometry work
+    (VERDICT r2 #7): the compiled draw list replays from the cache and the
+    packed-scene cache hits via the identity-memoized edge digests."""
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+
+    tag = parse_define_shape(
+        (reference_tests / "flat-shapes" / "homestuck-beta-1" /
+         "ast.json").read_text())
+    stage = display.stage_for_shape(tag)
+    r = TpuRenderer(stage.width, stage.height)
+    first = r.render(stage).copy()
+    misses_after_first = r._draws_cache.misses
+    assert misses_after_first > 0
+    packed_hits = r._packed_cache.hits
+
+    second = r.render(stage)
+    assert r._draws_cache.misses == misses_after_first  # all hits
+    assert r._draws_cache.hits >= misses_after_first
+    assert r._packed_cache.hits == packed_hits + 1  # no re-pack either
+    np.testing.assert_array_equal(second, first)
+
+
+def test_draw_list_cache_distinguishes_ctm(reference_tests):
+    """A changed instance matrix must MISS (different device geometry)."""
+    from swf_renderer_tpu.models import ast
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+
+    tag = parse_define_shape(
+        (reference_tests / "flat-shapes" / "triangle" /
+         "ast.json").read_text())
+    base = display.stage_for_shape(tag)
+    child = base.children[0]
+    m = child.matrix
+    moved = display.Stage(
+        width=base.width, height=base.height,
+        children=[display.ShapeInstance(
+            definition=tag,
+            matrix=ast.Matrix(scale_x=m.scale_x, scale_y=m.scale_y,
+                              rotate_skew0=m.rotate_skew0,
+                              rotate_skew1=m.rotate_skew1,
+                              translate_x=m.translate_x + 40,
+                              translate_y=m.translate_y))],
+        exact_width=base.exact_width, exact_height=base.exact_height)
+    r = TpuRenderer(base.width, base.height)
+    a = r.render(base).copy()
+    b = r.render(moved)
+    assert r._draws_cache.misses >= 2  # second stage recompiled
+    assert not np.array_equal(a, b)

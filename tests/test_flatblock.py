@@ -543,3 +543,43 @@ def test_render_batch_flatblock_narrow_uses_spp():
         vals.reshape(frames, layers, -1), colors, height, width))
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1
+
+
+def test_parallel_pack_and_split_bit_identical():
+    """The thread-pooled host lowering (forced multi-worker) must produce
+    byte-identical arrays to the sequential path — frames write at exact
+    count offsets (swf_pack_grouped_count), no ordering effects."""
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops.flatblock import strips_per_plane
+    from swf_renderer_tpu.ops.pipeline import lower_update_lists
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    height, width = 96, 320
+    tables = []
+    for _ in range(5):
+        per = []
+        for _ in range(3):
+            pts = rng.uniform(0, (width, height), (7, 2)).astype(np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            per.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+        tables.append(per)
+
+    seq = lower_update_lists(tables, height, width, max_workers=1)
+    par = lower_update_lists(tables, height, width, max_workers=4)
+    for a, b in zip([u for f in seq for u in f],
+                    [u for f in par for u in f]):
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)
+
+    _, nc, ns = plane_geometry(height, width)
+    for spp in (1, strips_per_plane(nc, ns)):
+        a = pack_grouped_native(seq, height, width, group=6, spp=spp,
+                                max_workers=1)
+        b = pack_grouped_native(seq, height, width, group=6, spp=spp,
+                                max_workers=4)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y))

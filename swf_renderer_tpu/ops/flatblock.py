@@ -833,16 +833,27 @@ class KernelPaint(tuple):
 
 
 def _grad_rgba(paint: "KernelPaint", strip, plane_rows: int = LANE,
-               dtype=jnp.float32):
+               dtype=jnp.float32, spp: int = 1, n_chunks: int = None):
     """Evaluate a gradient paint over one strip's chunk-major
     (plane_rows, 128) pixel block.  Semantics match ops.style exactly: SWF
     gradient square x in [-16384, 16384] (linear), Canvas
     createRadialGradient focal math (focal), spread pad/repeat/reflect,
-    piecewise-linear stop interp."""
+    piecewise-linear stop interp.
+
+    ``spp > 1``: ``strip`` is a STRIP-BLOCK id and the plane packs spp
+    8-row strips in ``n_chunks*8``-sublane windows (narrow frames); pixel
+    coordinates decode through the window."""
     sub = jax.lax.broadcasted_iota(jnp.int32, (plane_rows, LANE), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (plane_rows, LANE), 1)
-    py = (strip * STRIP_H + sub % STRIP_H).astype(dtype) + 0.5
-    px = ((sub // STRIP_H) * LANE + lane).astype(dtype) + 0.5
+    if spp > 1:
+        nc8 = n_chunks * STRIP_H
+        local = sub % nc8
+        py = (((strip * spp + sub // nc8) * STRIP_H
+               + local % STRIP_H).astype(dtype) + 0.5)
+        px = ((local // STRIP_H) * LANE + lane).astype(dtype) + 0.5
+    else:
+        py = (strip * STRIP_H + sub % STRIP_H).astype(dtype) + 0.5
+        px = ((sub // STRIP_H) * LANE + lane).astype(dtype) + 0.5
     a, b, c, d, e, f = paint.inv_matrix
     sx = a * px + c * py + e
     sy = b * px + d * py + f
@@ -879,7 +890,8 @@ def _grad_rgba(paint: "KernelPaint", strip, plane_rows: int = LANE,
 
 
 def _styled_read_color(paints, colors_ref, field_refs, f, strip,
-                       plane_rows: int = LANE):
+                       plane_rows: int = LANE, spp: int = 1,
+                       n_chunks: int = None):
     """read_color(lyr, ch) for _resolve_strip_packed over styled layers:
     constant layers read colors_ref, gradients evaluate in-kernel, bitmap
     layers read their prefetched field block (straight RGBA planes)."""
@@ -891,7 +903,8 @@ def _styled_read_color(paints, colors_ref, field_refs, f, strip,
             if p.kind == KPAINT_FIELD:
                 cache[lyr] = [field_refs[p.slot][0, ch] for ch in range(4)]
             else:
-                cache[lyr] = _grad_rgba(p, strip, plane_rows)
+                cache[lyr] = _grad_rgba(p, strip, plane_rows, spp=spp,
+                                        n_chunks=n_chunks)
         return cache[lyr]
 
     def read_color(lyr, ch):
@@ -904,7 +917,8 @@ def _styled_read_color(paints, colors_ref, field_refs, f, strip,
 
 def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
                          n_chunks: int, fill_rule: int, group: int,
-                         paints, n_fields: int, plane_rows: int = LANE):
+                         paints, n_fields: int, plane_rows: int = LANE,
+                         spp: int = 1):
     """_fusedn_kernel generalized to styled per-layer paints."""
     lay_refs = rest[:group]
     colors_ref = rest[group]
@@ -936,21 +950,25 @@ def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
     def _resolve():
         f = packed // (layers * ns1)
         strip = packed % ns1
+        nc8 = n_chunks * STRIP_H
         read_color = _styled_read_color(paints, colors_ref, field_refs,
-                                        f, strip, plane_rows)
+                                        f, strip, plane_rows, spp=spp,
+                                        n_chunks=n_chunks)
         pk = _resolve_strip_packed(
             lambda lyr: acc_ref[lyr], read_color,
             layers=layers, fill_rule=fill_rule, prefixed=True, chain=False,
-            plane_rows=plane_rows)
-        for j in range(n_chunks):
-            out_ref[0, 0, :, j * LANE:(j + 1) * LANE] = (
-                pk[j * STRIP_H:(j + 1) * STRIP_H, :]
-            )
+            plane_rows=plane_rows, window=nc8 if spp > 1 else None)
+        for k in range(spp):
+            for j in range(n_chunks):
+                out_ref[0, 0, k * STRIP_H:(k + 1) * STRIP_H,
+                        j * LANE:(j + 1) * LANE] = (
+                    pk[k * nc8 + j * STRIP_H:k * nc8 + (j + 1) * STRIP_H, :]
+                )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "frames", "layers", "n_strips", "n_chunks", "group", "paints",
-    "fill_rule", "interpret"))
+    "fill_rule", "interpret", "spp"))
 def render_fused_styled(
     sidx: jax.Array,    # (NG,) i32 packed target
     flags: jax.Array,   # (NG,) i32 bit0 zero, bit1 resolve
@@ -968,13 +986,17 @@ def render_fused_styled(
     group: int = 6,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
+    spp: int = 1,
 ) -> jax.Array:
-    """Styled group-per-step fused render -> (F, NS+1, 8, stride) uint32.
+    """Styled group-per-step fused render -> (F, NS+1, spp*8, stride)
+    uint32.
 
     Field planes are frame-invariant (device-space paints); convert with
-    field_to_chunkmajor.  Gradient layers cost only VPU ops in the resolve
-    (no extra HBM traffic); bitmap layers stream one field strip block per
-    resolve step."""
+    field_to_chunkmajor (same ``spp``).  Gradient layers cost only VPU ops
+    in the resolve (no extra HBM traffic); bitmap layers stream one field
+    strip block per resolve step.  ``spp``: strips packed per plane —
+    ``n_strips`` is then the STRIP-BLOCK count (matches
+    render_fused_blocksn)."""
     if interpret is None:
         interpret = not _on_tpu()
     ng = urc.shape[0]
@@ -1010,7 +1032,8 @@ def render_fused_styled(
             for _ in range(n_fields)
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, STRIP_H, stride), out_index, memory_space=pltpu.VMEM,
+            (1, 1, spp * STRIP_H, stride), out_index,
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((layers, plane_rows, LANE),
                                    jnp.float32)],
@@ -1018,30 +1041,33 @@ def render_fused_styled(
     kernel = functools.partial(
         _fused_styled_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
         fill_rule=fill_rule, group=group, paints=paints, n_fields=n_fields,
-        plane_rows=plane_rows)
+        plane_rows=plane_rows, spp=spp)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (frames, ns1, STRIP_H, stride), jnp.uint32),
+            (frames, ns1, spp * STRIP_H, stride), jnp.uint32),
         interpret=interpret,
     )(sidx, flags, *(lays[g] for g in range(group)), colors,
       urc, ucm, uval, *fields)
 
 
-def field_to_chunkmajor(field, n_strips: int, n_chunks: int):
+def field_to_chunkmajor(field, n_strips: int, n_chunks: int, spp: int = 1):
     """(H, W, 4) straight-RGBA field -> (NS+1, 4, plane_rows, 128)
     chunk-major planes for render_fused_styled
-    (sublane rc = (col//128)*8 + row%8)."""
+    (sublane rc = ((row//8) % spp) * n_chunks*8 + (col//128)*8 + row%8).
+
+    ``spp > 1``: ``n_strips`` is the STRIP-BLOCK count and each plane
+    packs spp consecutive 8-row strips in n_chunks*8-sublane windows."""
     h, w = field.shape[:2]
     stride = n_chunks * LANE
-    hp = n_strips * STRIP_H
+    hp = n_strips * spp * STRIP_H
     fp = jnp.zeros((hp, stride, 4), jnp.float32)
     fp = fp.at[:h, :w].set(jnp.asarray(field, jnp.float32))
-    x = fp.reshape(n_strips, STRIP_H, n_chunks, LANE, 4)
-    x = jnp.transpose(x, (0, 4, 2, 1, 3))  # (NS, 4, chunks, 8, 128)
-    x = x.reshape(n_strips, 4, n_chunks * STRIP_H, LANE)
-    pad_rows = plane_rows_for(n_chunks) - n_chunks * STRIP_H
+    x = fp.reshape(n_strips, spp, STRIP_H, n_chunks, LANE, 4)
+    x = jnp.transpose(x, (0, 5, 1, 3, 2, 4))  # (NS, 4, spp, chunks, 8, 128)
+    x = x.reshape(n_strips, 4, spp * n_chunks * STRIP_H, LANE)
+    pad_rows = plane_rows_for(n_chunks) - spp * n_chunks * STRIP_H
     if pad_rows:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
     # Sentinel strip NS (garbage bucket) reads as zeros.

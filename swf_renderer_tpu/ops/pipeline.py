@@ -236,13 +236,14 @@ def render_batch_flatblock(edge_tables, colors, height: int, width: int,
     return frames_u32_to_u8(out32, height, width)
 
 
-def kernel_paints_for(paints, height: int, width: int):
+def kernel_paints_for(paints, height: int, width: int, spp: int = 1):
     """Map per-layer style Paints -> (KernelPaint tuple, field planes,
     (L, 4) colors) for render_fused_styled.
 
     Solid paints read per-(frame, layer) colors; gradients bake their
     params into the kernel; bitmap paints evaluate their field once (XLA,
-    on device — any fill matrix) and stream chunk-major planes."""
+    on device — any fill matrix) and stream chunk-major planes (packed
+    ``spp`` strips per plane to match the kernel layout)."""
     from ..ops import style as style_ops
     from .flatblock import (
         KPAINT_FOCAL, KPAINT_LINEAR, KernelPaint, field_to_chunkmajor,
@@ -250,6 +251,8 @@ def kernel_paints_for(paints, height: int, width: int):
     )
 
     _, n_chunks, n_strips = plane_geometry(height, width)
+    if spp > 1:
+        n_strips = -(-n_strips // spp)  # strip-block count
     kpaints = []
     fields = []
     colors = np.zeros((len(paints), 4), np.float32)
@@ -264,7 +267,7 @@ def kernel_paints_for(paints, height: int, width: int):
                 # in-kernel evaluator pow() (rare path, exactness first).
                 field = style_ops.paint_field(p, height, width)
                 fields.append(field_to_chunkmajor(field, n_strips,
-                                                  n_chunks))
+                                                  n_chunks, spp=spp))
                 kpaints.append(KernelPaint.field(len(fields) - 1))
                 continue
             kind = (KPAINT_LINEAR if p.kind == style_ops.PAINT_LINEAR
@@ -274,7 +277,8 @@ def kernel_paints_for(paints, height: int, width: int):
                 focal=p.focal_point, spread=p.spread))
         elif p.kind == style_ops.PAINT_BITMAP:
             field = style_ops.paint_field(p, height, width)
-            fields.append(field_to_chunkmajor(field, n_strips, n_chunks))
+            fields.append(field_to_chunkmajor(field, n_strips, n_chunks,
+                                              spp=spp))
             kpaints.append(KernelPaint.field(len(fields) - 1))
         else:
             raise ValueError(f"unsupported paint kind {p.kind}")
@@ -345,16 +349,23 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
     frames = len(edge_tables)
     layers = len(edge_tables[0])
     assert layers == len(paints)
-    stride, _, _ = plane_geometry(height, width)
+    stride, nc_geo, ns_geo = plane_geometry(height, width)
     if stride > MAX_CHUNKS * LANE:
         return render_styled_layered(edge_tables, paints, height, width,
                                      colors=colors, fill_rule=fill_rule)
 
-    kpaints, fields, base_colors = kernel_paints_for(paints, height, width)
+    # Narrow frames pack several strips per plane (fewer grid steps; +48%
+    # measured on flat256 for the solid path).  The non-native packer
+    # chain supports spp == 1 only.
+    from .flatblock import strips_per_plane
+
+    spp = strips_per_plane(nc_geo, ns_geo) if native_available() else 1
+    kpaints, fields, base_colors = kernel_paints_for(paints, height, width,
+                                                     spp=spp)
     if colors is None:
         colors = np.broadcast_to(base_colors, (frames, layers, 4))
 
-    key = (cache.key_for(edge_tables, height, width, group,
+    key = (cache.key_for(edge_tables, height, width, group, spp=spp,
                          variant="styled")
            if cache is not None else None)
     packed = cache.get(key) if cache is not None else None
@@ -365,7 +376,7 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
                                           drop_zeros=True)
         if native_available():
             gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
-                update_lists, height, width, group=group)
+                update_lists, height, width, group=group, spp=spp)
         else:
             sidx, keep_, urc, ucm, uval, ns, nc = pack_flat_blocks(
                 update_lists, height, width, block_pad_multiple=1)
@@ -380,6 +391,6 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
         jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
         jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
         jnp.asarray(colors), fields, frames, layers, ns, nc, kpaints,
-        group=group, fill_rule=fill_rule, interpret=interpret))
-    out32 = out[:, :ns].reshape(frames, ns * 8, nc * LANE)
+        group=group, fill_rule=fill_rule, interpret=interpret, spp=spp))
+    out32 = out[:, :ns].reshape(frames, ns * spp * 8, nc * LANE)
     return frames_u32_to_u8(out32, height, width)

@@ -388,15 +388,18 @@ def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
 def render_styled_dp(mesh: Mesh, gsi, gfl, gla, grc, gcm, gvv, colors,
                      fields, frames: int, layers: int, n_strips: int,
                      n_chunks: int, paints, group: int = 8,
-                     interpret: bool = None):
+                     interpret: bool = None, spp: int = 1):
     """Frame-sharded STYLED fused render: each dp shard runs the styled
     flat-block kernel over its frames; gradient params are baked, field
-    planes replicate (frame-invariant).  Block arrays must be packed
-    per-shard-rectangular: pack each dp shard's frames separately with
-    pack_grouped_native and stack (see dryrun/tests).
+    planes replicate (frame-invariant — they are width-partitionable
+    chunk-major planes, but replication is the design: per-strip blocks
+    stream through VMEM on demand, so the HBM footprint is one field copy
+    per chip and no collectives run on the hot path).  Block arrays must
+    be packed per-shard-rectangular: pack each dp shard's frames
+    separately with pack_grouped_native and stack (see dryrun/tests).
 
     gsi/gfl (D, NG), gla (D, group, NG), grc/gcm/gvv (D, NG, ...),
-    colors (D, per, L, 4).  Returns (frames, NS+1, 8, stride) u32."""
+    colors (D, per, L, 4).  Returns (frames, NS+1, spp*8, stride) u32."""
     from ..ops.flatblock import LANE, render_fused_styled
 
     dp = mesh.shape["dp"]
@@ -408,7 +411,7 @@ def render_styled_dp(mesh: Mesh, gsi, gfl, gla, grc, gcm, gvv, colors,
         out = render_fused_styled(
             si[0], fl[0], la[0], rc[0], cm[0], uv[0], col[0], fs,
             per, layers, n_strips, n_chunks, paints, group=group,
-            interpret=interpret)
+            interpret=interpret, spp=spp)
         return out[None]
 
     spec = P("dp")
@@ -420,4 +423,4 @@ def render_styled_dp(mesh: Mesh, gsi, gfl, gla, grc, gcm, gvv, colors,
     )(*map(jnp.asarray, (gsi, gfl, gla, grc, gcm, gvv, colors)),
       *map(jnp.asarray, fields))
     stride = n_chunks * LANE
-    return out.reshape(frames, n_strips + 1, 8, stride)
+    return out.reshape(frames, n_strips + 1, spp * 8, stride)

@@ -148,3 +148,99 @@ def test_field_to_chunkmajor_roundtrip():
     for y, x in [(0, 0), (7, 127), (8, 128), (19, 149), (3, 140)]:
         s, rc, lane = y // 8, (x // LANE) * 8 + y % 8, x % LANE
         np.testing.assert_array_equal(cm[s, :, rc, lane], field[y, x])
+
+
+def test_styled_spp_matches_single():
+    """Multi-strip planes (spp > 1) on the STYLED kernel: bit-identical
+    packed-u32 output vs the spp=1 kernel across every paint kind
+    (gradients re-derive pixel coords through the strip window; bitmap
+    field planes repack spp strips per plane)."""
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops.flatblock import strips_per_plane
+    from swf_renderer_tpu.ops.pipeline import (
+        kernel_paints_for, lower_update_lists,
+    )
+
+    if not native_available():
+        pytest.skip("native packer required for spp > 1")
+    rng = np.random.default_rng(17)
+    height, width = 64, 250  # stride 384 -> nc=3, nc8=24 -> spp=5
+    frames = 2
+
+    stops_r = np.array([0.0, 1.0], np.float32)
+    stops_c = np.array([[1, 0, 0, 1], [0, 0, 1, 0.5]], np.float32)
+    img = rng.integers(0, 256, (11, 19, 4)).astype(np.uint8)
+    paints = [
+        style_ops.solid_paint((0.9, 0.4, 0.1, 0.7)),
+        style_ops.Paint(kind=style_ops.PAINT_LINEAR,
+                        inv_matrix=(130.0, 10.0, -5.0, 130.0,
+                                    -16384.0, -8000.0),
+                        stop_ratios=stops_r, stop_colors=stops_c),
+        style_ops.Paint(kind=style_ops.PAINT_FOCAL,
+                        inv_matrix=(150.0, 0.0, 0.0, 150.0,
+                                    -9000.0, -9000.0),
+                        stop_ratios=stops_r, stop_colors=stops_c,
+                        focal_point=-0.3, spread=style_ops.SPREAD_REPEAT),
+        style_ops.Paint(kind=style_ops.PAINT_BITMAP,
+                        inv_matrix=(0.19, 0.0, 0.0, 0.23, 0.5, 1.5),
+                        image=img, repeating=True, smoothed=True,
+                        supersample=2),
+    ]
+    layers = len(paints)
+    edge_tables = [[_polygon_edges(rng, height, width) for _ in paints]
+                   for _ in range(frames)]
+    colors = np.zeros((frames, layers, 4), np.float32)
+    colors[:, 0] = paints[0].color
+    update_lists = lower_update_lists(edge_tables, height, width,
+                                      drop_zeros=True)
+
+    _, nc_geo, ns_geo = plane_geometry(height, width)
+    spp = strips_per_plane(nc_geo, ns_geo)
+    assert spp > 1
+
+    outs = {}
+    for s in (1, spp):
+        kp, fields, _ = kernel_paints_for(paints, height, width, spp=s)
+        gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+            update_lists, height, width, group=4, spp=s)
+        out = np.asarray(render_fused_styled(
+            jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+            jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+            jnp.asarray(colors), fields, frames, layers, ns, nc, kp,
+            group=4, spp=s))
+        got32 = out[:, :ns].reshape(frames, ns * s * 8, nc * LANE)
+        outs[s] = frames_u32_to_u8(got32, height, width)
+    np.testing.assert_array_equal(outs[1], outs[spp])
+
+
+def test_render_batch_styled_narrow_uses_spp():
+    """The public styled path picks up spp on narrow frames and matches
+    the layered reference within u8 rounding."""
+    from swf_renderer_tpu.native.bindings import native_available
+    from swf_renderer_tpu.ops.pipeline import render_batch_styled
+
+    if not native_available():
+        pytest.skip("native packer required for spp > 1")
+    rng = np.random.default_rng(23)
+    height, width = 56, 200
+    paints = [
+        style_ops.solid_paint((0.2, 0.8, 0.4, 0.9)),
+        style_ops.Paint(kind=style_ops.PAINT_LINEAR,
+                        inv_matrix=(160.0, 0.0, 0.0, 160.0,
+                                    -16384.0, -6000.0),
+                        stop_ratios=np.array([0.0, 1.0], np.float32),
+                        stop_colors=np.array([[1, 1, 0, 1], [1, 0, 1, 1]],
+                                             np.float32)),
+    ]
+    edge_tables = [[_polygon_edges(rng, height, width) for _ in paints]]
+    got = render_batch_styled(edge_tables, paints, height, width)
+
+    fields = [style_ops.paint_field(p, height, width) for p in paints]
+    covs = np.stack([coverage_numpy(t, height, width)
+                     for t in edge_tables[0]])
+    want = np.asarray(premul_to_straight_u8(
+        composite_draws(jnp.asarray(covs), jnp.stack(fields))))
+    diff = np.abs(got[0].astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1

@@ -281,3 +281,83 @@ def test_styled_dp_matches_single_device():
         frames, layers, ns, nc, kpaints, group=4))
     want2 = np.asarray(want)
     np.testing.assert_array_equal(got, want2)
+
+
+def test_styled_dp_wide_plane_with_bitmaps():
+    """4K-class styled sharding: the grown 256-sublane plane (wide frame)
+    with BITMAP field planes, dp-sharded — exact vs single device.  Field
+    planes replicate per shard by design (streamed per-strip through VMEM;
+    one HBM copy per chip, no hot-path collectives)."""
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.flatblock import (
+        plane_rows_for, render_fused_styled,
+    )
+    from swf_renderer_tpu.ops.pipeline import (
+        kernel_paints_for, lower_update_lists,
+    )
+    from swf_renderer_tpu.parallel.mesh import render_styled_dp
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(41)
+    frames, h, w = 4, 24, 3800  # stride 3968 -> nc=31, plane_rows 256
+    dp = 4
+    img = rng.integers(0, 256, (17, 23, 4)).astype(np.uint8)
+    paints = [
+        style_ops.Paint(kind=style_ops.PAINT_BITMAP,
+                        inv_matrix=(0.1, 0.0, 0.0, 0.1, 0.0, 0.0),
+                        image=img, repeating=True, smoothed=True,
+                        supersample=1),
+        style_ops.solid_paint((0.1, 0.9, 0.5, 0.8)),
+    ]
+    layers = len(paints)
+    tables = []
+    for _ in range(frames):
+        per = []
+        for _ in range(layers):
+            pts = rng.uniform(0, (w, h), (6, 2)).astype(np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            per.append(np.concatenate([closed[:-1], closed[1:]], 1))
+        tables.append(per)
+    update_lists = lower_update_lists(tables, h, w, drop_zeros=True)
+    assert plane_rows_for(31) == 256
+
+    kpaints, fields, base_colors = kernel_paints_for(paints, h, w)
+    colors = np.broadcast_to(base_colors, (frames, layers, 4)).copy()
+
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+        update_lists, h, w, group=4, group_pad_multiple=4)
+    want = np.asarray(render_fused_styled(
+        jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+        jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+        jnp.asarray(colors), tuple(jnp.asarray(f) for f in fields),
+        frames, layers, ns, nc, kpaints, group=4))
+
+    per = frames // dp
+    shards = [pack_grouped_native(update_lists[d * per:(d + 1) * per],
+                                  h, w, group=4, group_pad_multiple=4)
+              for d in range(dp)]
+    ng = max(s[0].shape[0] for s in shards)
+
+    def pad(x, fill=0):
+        out = np.full((ng,) + x.shape[1:], fill, x.dtype)
+        out[: x.shape[0]] = x
+        return out
+
+    sgsi = np.stack([pad(s[0], ns) for s in shards])
+    sgfl = np.stack([pad(s[1]) for s in shards])
+    sgla = np.stack([np.pad(s[2], ((0, 0), (0, ng - s[2].shape[1])))
+                     for s in shards])
+    sgrc = np.stack([pad(s[3]) for s in shards])
+    sgcm = np.stack([pad(s[4]) for s in shards])
+    sgvv = np.stack([pad(s[5]) for s in shards])
+
+    mesh = make_mesh(n_devices=dp, axis_names=("dp", "tp"), tp=1)
+    got = np.asarray(render_styled_dp(
+        mesh, sgsi, sgfl, sgla, sgrc, sgcm, sgvv,
+        colors.reshape(dp, per, layers, 4), fields,
+        frames, layers, ns, nc, kpaints, group=4))
+    np.testing.assert_array_equal(got, np.asarray(want))

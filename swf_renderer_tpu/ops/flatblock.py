@@ -217,7 +217,7 @@ def _iotas(plane_rows: int = LANE):
 def _resolve_strip_packed(read_plane, read_color, *, layers: int,
                           fill_rule: int, prefixed: bool = True,
                           chain: bool = False, plane_rows: int = LANE,
-                          window: int = None):
+                          window: int = None, bg=None, emit: str = "u32"):
     """THE shared winding->pixels resolve (every kernel in this module ends
     here): cross-chunk carry ladder, fill rule, alpha-over composite,
     straight-u8 quantization, little-endian RGBA packing.
@@ -232,7 +232,14 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
     strips pack into one plane (narrow frames), each strip occupies
     ``window = n_chunks*8`` consecutive sublanes and the cross-chunk carry
     must not propagate across strip boundaries.  Returns the
-    (plane_rows, 128) uint32 packed strip(s)."""
+    (plane_rows, 128) uint32 packed strip(s).
+
+    ``bg``/``emit`` support MULTI-PASS composition for draw lists deeper
+    than one kernel's VMEM layer budget: ``bg`` (4 chunk-major premul f32
+    planes) seeds the chain composite (requires ``chain=True``) and
+    ``emit="premul"`` returns the premul (r, g, b, a) planes instead of
+    quantizing — the chain form is a LEFT FOLD, so composing layer groups
+    pass-by-pass is bit-exactly the single big chain."""
     limit = (window if window is not None and window < plane_rows
              else plane_rows)
     # Layer-vectorized: all L planes stacked into ONE (L*plane_rows, LANE)
@@ -273,7 +280,7 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
     covs = [covs_all[lyr * plane_rows:(lyr + 1) * plane_rows]
             for lyr in range(layers)]
     return composite_quantize_pack(covs, read_color, layers=layers,
-                                   chain=chain)
+                                   chain=chain, bg=bg, emit=emit)
 
 
 def fill_rule_cov(winding, fill_rule: int):
@@ -285,18 +292,29 @@ def fill_rule_cov(winding, fill_rule: int):
 
 
 def composite_quantize_pack(covs, read_color, *, layers: int,
-                            chain: bool = False):
+                            chain: bool = False, bg=None,
+                            emit: str = "u32"):
     """Coverage planes -> alpha-over composite -> premul-u8 quantization ->
     packed little-endian RGBA uint32 (the shared tail of every resolve).
 
     ``covs``: list of per-layer coverage arrays (any 2-D shape);
-    ``read_color(lyr, ch)`` -> scalar or same-shape array."""
+    ``read_color(lyr, ch)`` -> scalar or same-shape array.
+
+    ``bg``: optional (r, g, b, a) premul f32 planes seeding the CHAIN
+    composite (multi-pass composition of deep draw lists: the chain is a
+    left fold, so pass-by-pass grouping is exact).  ``emit="premul"``
+    skips quantization and returns the premul (r, g, b, a) planes."""
+    if bg is not None and not chain:
+        raise ValueError("bg seeding requires the chain composite form")
     if chain:
         shape = covs[0].shape
-        r = jnp.zeros(shape, jnp.float32)
-        g = jnp.zeros(shape, jnp.float32)
-        b = jnp.zeros(shape, jnp.float32)
-        a = jnp.zeros(shape, jnp.float32)
+        if bg is None:
+            r = jnp.zeros(shape, jnp.float32)
+            g = jnp.zeros(shape, jnp.float32)
+            b = jnp.zeros(shape, jnp.float32)
+            a = jnp.zeros(shape, jnp.float32)
+        else:
+            r, g, b, a = bg
         for lyr in range(layers):
             ca = read_color(lyr, 3) * covs[lyr]
             kp = 1.0 - ca
@@ -329,6 +347,9 @@ def composite_quantize_pack(covs, read_color, *, layers: int,
             return out
 
         pm = (channel(0), channel(1), channel(2))
+
+    if emit == "premul":
+        return pm + (a,)
 
     # Premultiplied-u8 quantization (ARGB32 parity — identical arithmetic
     # to composite.premul_to_straight_u8, which the bit-exactness tests
@@ -918,13 +939,21 @@ def _styled_read_color(paints, colors_ref, field_refs, f, strip,
 def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
                          n_chunks: int, fill_rule: int, group: int,
                          paints, n_fields: int, plane_rows: int = LANE,
-                         spp: int = 1):
-    """_fusedn_kernel generalized to styled per-layer paints."""
+                         spp: int = 1, chain: bool = False,
+                         has_bg: bool = False, emit: str = "u32"):
+    """_fusedn_kernel generalized to styled per-layer paints.
+
+    ``has_bg``: a premul background plane input follows the fields
+    (multi-pass composition); ``emit="premul"``: write chunk-major premul
+    f32 planes instead of packed-u32 pixels (intermediate passes skip the
+    pixel remap entirely)."""
     lay_refs = rest[:group]
     colors_ref = rest[group]
     urc_ref, ucm_ref, uval_ref = rest[group + 1:group + 4]
     field_refs = rest[group + 4:group + 4 + n_fields]
-    out_ref, acc_ref = rest[group + 4 + n_fields:]
+    rest = rest[group + 4 + n_fields:]
+    bg_ref = rest[0] if has_bg else None
+    out_ref, acc_ref = rest[1 if has_bg else 0:]
     i = pl.program_id(0)
     packed = sidx_ref[i]
     flags = flags_ref[i]
@@ -954,21 +983,29 @@ def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
         read_color = _styled_read_color(paints, colors_ref, field_refs,
                                         f, strip, plane_rows, spp=spp,
                                         n_chunks=n_chunks)
-        pk = _resolve_strip_packed(
+        bg = (tuple(bg_ref[0, 0, ch] for ch in range(4))
+              if has_bg else None)
+        res = _resolve_strip_packed(
             lambda lyr: acc_ref[lyr], read_color,
-            layers=layers, fill_rule=fill_rule, prefixed=True, chain=False,
-            plane_rows=plane_rows, window=nc8 if spp > 1 else None)
+            layers=layers, fill_rule=fill_rule, prefixed=True, chain=chain,
+            plane_rows=plane_rows, window=nc8 if spp > 1 else None,
+            bg=bg, emit=emit)
+        if emit == "premul":
+            for ch in range(4):
+                out_ref[0, 0, ch] = res[ch]
+            return
         for k in range(spp):
             for j in range(n_chunks):
                 out_ref[0, 0, k * STRIP_H:(k + 1) * STRIP_H,
                         j * LANE:(j + 1) * LANE] = (
-                    pk[k * nc8 + j * STRIP_H:k * nc8 + (j + 1) * STRIP_H, :]
+                    res[k * nc8 + j * STRIP_H:k * nc8 + (j + 1) * STRIP_H,
+                        :]
                 )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "frames", "layers", "n_strips", "n_chunks", "group", "paints",
-    "fill_rule", "interpret", "spp"))
+    "fill_rule", "interpret", "spp", "chain", "emit"))
 def render_fused_styled(
     sidx: jax.Array,    # (NG,) i32 packed target
     flags: jax.Array,   # (NG,) i32 bit0 zero, bit1 resolve
@@ -987,6 +1024,9 @@ def render_fused_styled(
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
     spp: int = 1,
+    chain: bool = False,
+    bg: jax.Array = None,  # (F, NS+1, 4, plane_rows, 128) premul planes
+    emit: str = "u32",
 ) -> jax.Array:
     """Styled group-per-step fused render -> (F, NS+1, spp*8, stride)
     uint32.
@@ -996,9 +1036,17 @@ def render_fused_styled(
     in the resolve (no extra HBM traffic); bitmap layers stream one field
     strip block per resolve step.  ``spp``: strips packed per plane —
     ``n_strips`` is then the STRIP-BLOCK count (matches
-    render_fused_blocksn)."""
+    render_fused_blocksn).
+
+    Multi-pass composition (``chain=True``): ``bg`` seeds the chain
+    composite from a previous pass's premul planes and
+    ``emit="premul"`` emits (F, NS+1, 4, plane_rows, 128) premul f32
+    planes instead of packed u32 — chaining G passes of <= 16 layers is
+    bit-exactly one big chain composite (left fold)."""
     if interpret is None:
         interpret = not _on_tpu()
+    if bg is not None and not chain:
+        raise ValueError("bg requires chain=True")
     ng = urc.shape[0]
     ns1 = n_strips + 1
     stride = n_chunks * LANE
@@ -1010,11 +1058,30 @@ def render_fused_styled(
         packed = refs[0][i]
         return (packed // (layers * ns1), packed % ns1, 0, 0)
 
+    def out_index_premul(i, *refs):
+        packed = refs[0][i]
+        return (packed // (layers * ns1), packed % ns1, 0, 0, 0)
+
     def in_index(i, *refs):
         return (i, 0, 0)
 
     def field_index(i, *refs):
         return (refs[0][i] % ns1, 0, 0, 0)
+
+    def bg_index(i, *refs):
+        packed = refs[0][i]
+        return (packed // (layers * ns1), packed % ns1, 0, 0, 0)
+
+    if emit == "premul":
+        out_spec = pl.BlockSpec((1, 1, 4, plane_rows, LANE),
+                                out_index_premul, memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (frames, ns1, 4, plane_rows, LANE), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((1, 1, spp * STRIP_H, stride), out_index,
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (frames, ns1, spp * STRIP_H, stride), jnp.uint32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=nsp,
@@ -1030,26 +1097,29 @@ def render_fused_styled(
             pl.BlockSpec((1, 4, plane_rows, LANE), field_index,
                          memory_space=pltpu.VMEM)
             for _ in range(n_fields)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, spp * STRIP_H, stride), out_index,
-            memory_space=pltpu.VMEM,
-        ),
+        ] + ([
+            pl.BlockSpec((1, 1, 4, plane_rows, LANE), bg_index,
+                         memory_space=pltpu.VMEM)
+        ] if bg is not None else []),
+        out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((layers, plane_rows, LANE),
                                    jnp.float32)],
     )
     kernel = functools.partial(
         _fused_styled_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
         fill_rule=fill_rule, group=group, paints=paints, n_fields=n_fields,
-        plane_rows=plane_rows, spp=spp)
+        plane_rows=plane_rows, spp=spp, chain=chain,
+        has_bg=bg is not None, emit=emit)
+    args = [sidx, flags, *(lays[g] for g in range(group)), colors,
+            urc, ucm, uval, *fields]
+    if bg is not None:
+        args.append(bg)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (frames, ns1, spp * STRIP_H, stride), jnp.uint32),
+        out_shape=out_shape,
         interpret=interpret,
-    )(sidx, flags, *(lays[g] for g in range(group)), colors,
-      urc, ucm, uval, *fields)
+    )(*args)
 
 
 def field_to_chunkmajor(field, n_strips: int, n_chunks: int, spp: int = 1):

@@ -323,6 +323,106 @@ def render_styled_layered(edge_tables, paints, height: int, width: int,
     return np.stack(out)
 
 
+MAX_KERNEL_LAYERS = 16   # VMEM accumulator budget: layers x 64-128 KB
+MAX_KERNEL_FIELDS = 4    # prefetched field planes per resolve step
+
+
+def _needs_field(p) -> bool:
+    from ..ops import style as style_ops
+
+    return (p.kind == style_ops.PAINT_BITMAP
+            or (p.kind in (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
+                and p.color_space == "linear-rgb"))
+
+
+def split_layer_groups(paints, max_layers: int = MAX_KERNEL_LAYERS,
+                       max_fields: int = MAX_KERNEL_FIELDS):
+    """Cut a deep layer list into consecutive groups each within one
+    kernel pass's VMEM budget (<= max_layers layers, <= max_fields
+    streamed field planes).  Returns [(start, end), ...]."""
+    groups = []
+    start, n_fields = 0, 0
+    for i, p in enumerate(paints):
+        f = 1 if _needs_field(p) else 0
+        if i > start and (i - start >= max_layers
+                          or n_fields + f > max_fields):
+            groups.append((start, i))
+            start, n_fields = i, 0
+        n_fields += f
+    groups.append((start, len(paints)))
+    return groups
+
+
+def _render_styled_multipass(edge_tables, paints, height, width, colors,
+                             fill_rule, interpret, cache, group, spp,
+                             layer_groups):
+    """Deep draw lists through the fused kernel in PASSES: each pass
+    renders <= 16 consecutive layers, seeding the chain composite from the
+    previous pass's premul planes.  The chain-form over operator is a left
+    fold, so G passes compose bit-exactly like one big chain (the
+    reference's core loop fills any number of paths sequentially,
+    canvas-renderer.ts:114-129 — this is its batched analog)."""
+    from .flatblock import (
+        LANE, frames_u32_to_u8, render_fused_styled,
+    )
+
+    frames = len(edge_tables)
+    bg = None
+    out = None
+    for gi, (lo, hi) in enumerate(layer_groups):
+        sub_tables = [per[lo:hi] for per in edge_tables]
+        sub_paints = list(paints[lo:hi])
+        sub_colors = colors[:, lo:hi]
+        last = gi == len(layer_groups) - 1
+        kpaints, fields, _ = kernel_paints_for(sub_paints, height, width,
+                                               spp=spp)
+        gsi, gfl, gla, grc, gcm, gvv, ns, nc = _pack_styled(
+            sub_tables, height, width, group, spp, cache,
+            len(sub_paints))
+        out = render_fused_styled(
+            jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+            jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+            jnp.asarray(sub_colors), fields, frames, len(sub_paints),
+            ns, nc, kpaints, group=group, fill_rule=fill_rule,
+            interpret=interpret, spp=spp, chain=True, bg=bg,
+            emit="u32" if last else "premul")
+        bg = out
+    out = np.asarray(out)
+    out32 = out[:, :ns].reshape(frames, ns * spp * 8, nc * LANE)
+    return frames_u32_to_u8(out32, height, width)
+
+
+def _pack_styled(edge_tables, height, width, group, spp, cache, layers):
+    """Shared lower+pack step of the styled pipeline (cache-aware)."""
+    from ..native.bindings import native_available, pack_grouped_native
+    from .flatblock import (
+        group_blocks_fused, pack_flat_blocks, sort_blocks_fused,
+    )
+
+    key = (cache.key_for(edge_tables, height, width, group, spp=spp,
+                         variant="styled")
+           if cache is not None else None)
+    packed = cache.get(key) if cache is not None else None
+    if packed is not None:
+        return packed
+    update_lists = lower_update_lists(edge_tables, height, width,
+                                      drop_zeros=True)
+    if native_available():
+        result = pack_grouped_native(update_lists, height, width,
+                                     group=group, spp=spp)
+    else:
+        sidx, keep_, urc, ucm, uval, ns, nc = pack_flat_blocks(
+            update_lists, height, width, block_pad_multiple=1)
+        blocks = sort_blocks_fused(sidx, keep_, urc, ucm, uval, layers,
+                                   ns, block_pad_multiple=1)
+        gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
+            *blocks, layers, ns, group=group)
+        result = (gsi, gfl, gla, grc, gcm, gvv, ns, nc)
+    if cache is not None:
+        cache.put(key, result)
+    return result
+
+
 def render_batch_styled(edge_tables, paints, height: int, width: int,
                         colors=None, fill_rule: int = FILL_RULE_NONZERO,
                         interpret: bool = None, cache=None,
@@ -338,12 +438,13 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
 
     Frames wider than the chunk-major plane layout supports
     (``MAX_CHUNKS * LANE`` = 8192 px) fall back to the layered coverage
-    path, mirroring the solid pipeline's graceful fallback."""
-    from ..native.bindings import native_available, pack_grouped_native
+    path, mirroring the solid pipeline's graceful fallback.  Draw lists
+    deeper than one kernel pass's VMEM budget (16 layers or 4 field
+    planes) render in chained passes — no layer-count cap."""
+    from ..native.bindings import native_available
     from .flatblock import (
-        LANE, MAX_CHUNKS, frames_u32_to_u8, group_blocks_fused,
-        pack_flat_blocks, plane_geometry, render_fused_styled,
-        sort_blocks_fused,
+        LANE, MAX_CHUNKS, frames_u32_to_u8, plane_geometry,
+        render_fused_styled,
     )
 
     frames = len(edge_tables)
@@ -360,32 +461,27 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
     from .flatblock import strips_per_plane
 
     spp = strips_per_plane(nc_geo, ns_geo) if native_available() else 1
-    kpaints, fields, base_colors = kernel_paints_for(paints, height, width,
-                                                     spp=spp)
     if colors is None:
-        colors = np.broadcast_to(base_colors, (frames, layers, 4))
+        from ..ops import style as style_ops
 
-    key = (cache.key_for(edge_tables, height, width, group, spp=spp,
-                         variant="styled")
-           if cache is not None else None)
-    packed = cache.get(key) if cache is not None else None
-    if packed is not None:
-        gsi, gfl, gla, grc, gcm, gvv, ns, nc = packed
-    else:
-        update_lists = lower_update_lists(edge_tables, height, width,
-                                          drop_zeros=True)
-        if native_available():
-            gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
-                update_lists, height, width, group=group, spp=spp)
-        else:
-            sidx, keep_, urc, ucm, uval, ns, nc = pack_flat_blocks(
-                update_lists, height, width, block_pad_multiple=1)
-            blocks = sort_blocks_fused(sidx, keep_, urc, ucm, uval, layers,
-                                       ns, block_pad_multiple=1)
-            gsi, gfl, gla, grc, gcm, gvv = group_blocks_fused(
-                *blocks, layers, ns, group=group)
-        if cache is not None:
-            cache.put(key, (gsi, gfl, gla, grc, gcm, gvv, ns, nc))
+        base_colors = np.zeros((layers, 4), np.float32)
+        for i, p in enumerate(paints):
+            if p.kind == style_ops.PAINT_SOLID:
+                base_colors[i] = p.color
+        colors = np.broadcast_to(base_colors, (frames, layers, 4))
+    colors = np.asarray(colors, np.float32)
+
+    # Draw lists deeper than one kernel pass's VMEM budget (16 layers /
+    # 4 field planes) compose across passes via chained premul planes.
+    layer_groups = split_layer_groups(paints)
+    if len(layer_groups) > 1:
+        return _render_styled_multipass(
+            edge_tables, paints, height, width, colors, fill_rule,
+            interpret, cache, group, spp, layer_groups)
+
+    kpaints, fields, _ = kernel_paints_for(paints, height, width, spp=spp)
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = _pack_styled(
+        edge_tables, height, width, group, spp, cache, layers)
 
     out = np.asarray(render_fused_styled(
         jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),

@@ -1,0 +1,212 @@
+"""On-device TRANSFORM-animation rasterizer: O(1) host work per sweep.
+
+In the reference, re-rendering a cached shape under a new matrix costs one
+Canvas replay — decode is cached per definition and the matrix applies at
+draw time (reference ts/src/lib/renderers/canvas-renderer.ts:96-112,
+179-184).  Round 2's flagship pipeline instead lowered edges in DEVICE
+space, so every matrix change re-ran the whole host chain (flatten, split,
+pack: ~0.8 s for work the device does in ~24 ms).  This module is the
+device-side answer for moving-matrix animation, mirroring ops.morph:
+
+* **Host, once per animation** (`affine_pieces`): split each local-space
+  edge at uniform t so the piece's |dy| AFTER transform is <= 1 for EVERY
+  frame matrix (|dy'| = |b*dx + d*dy| is known per matrix; the split count
+  takes the max over frames — an O(frames x edges) vectorized bound, then
+  an O(total pieces) split).  Uniform-t subdivision commutes with affine
+  maps, so piece p of the transformed edge equals the transform of piece p.
+* **Device, per frame** (one Pallas grid step): apply the frame's affine to
+  the piece tables (6 scalars from SMEM), evaluate each piece's EXACT
+  analytic coverage ramp over all columns (the coverage_numpy trapezoid
+  math restricted to the <= 2 rows a piece can touch), place rows as
+  cov^T = ramp^T @ onehot on the MXU (bit-exact 3-pass bf16 split), then
+  the shared fill-rule/composite/premul-u8 tail.
+
+A 60-frame rotation costs ONE upload of the piece tables + one (F, 6)
+matrix array — per-frame host work is zero, like the morph ratio sweep.
+Frames come out transposed (W, H) packed u32; view with
+ops.morph.morph_frames_to_u8.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .coverage import FILL_RULE_NONZERO, _h01, _on_tpu
+from .flatblock import composite_quantize_pack, fill_rule_cov
+
+LANE = 128
+
+
+def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
+    """Split LOCAL-space edge tables into pieces row-bounded under every
+    frame matrix.
+
+    ``edge_tables``: [layers] of (E, 4) f32 local-space edges (one per
+    draw/layer, shared by all frames).  ``colors``: [layers] straight RGBA.
+    ``matrices``: (F, 6) device affines (a, b, c, d, e, f):
+    x' = a x + c y + e,  y' = b x + d y + f.
+
+    Returns (tab, subxy, colors_arr):
+      tab    (P, 4, 1, EP) f32 — x0, y0, x1, y1 local coords, lane layout
+      subxy  (P, 4, EP, 1) f32 — same channels in sublane layout (the row
+                                  one-hot needs transformed y per sublane)
+      colors_arr (P, 4) f32
+    Padding pieces are all-zero; they transform to degenerate points
+    (dy' = 0) and contribute nothing for any matrix."""
+    mats = np.asarray(matrices, np.float64)
+    if mats.ndim != 2 or mats.shape[1] != 6:
+        raise ValueError(f"matrices must be (F, 6), got {mats.shape}")
+    b = mats[:, 1][:, None]
+    d = mats[:, 3][:, None]
+
+    split = []
+    for edges, color in zip(edge_tables, colors):
+        e = np.asarray(edges, np.float64)
+        dx = (e[:, 2] - e[:, 0])[None, :]
+        dy = (e[:, 3] - e[:, 1])[None, :]
+        dyp = np.abs(b * dx + d * dy).max(axis=0)  # worst |dy'| per edge
+        n = np.maximum(1, np.ceil(dyp)).astype(int)
+        ps = []
+        for row, k in zip(e, n):
+            t = np.linspace(0.0, 1.0, k + 1)
+            xs = row[0] + t * (row[2] - row[0])
+            ys = row[1] + t * (row[3] - row[1])
+            ps.append(np.stack([xs[:-1], ys[:-1], xs[1:], ys[1:]], 1))
+        split.append((np.concatenate(ps) if ps else np.zeros((0, 4)),
+                      color))
+
+    p = len(split)
+    e_max = max(1, max(s.shape[0] for s, _ in split))
+    ep = max(e_multiple, -(-e_max // e_multiple) * e_multiple)
+    tab = np.zeros((p, 4, 1, ep), np.float32)
+    subxy = np.zeros((p, 4, ep, 1), np.float32)
+    colors_arr = np.zeros((p, 4), np.float32)
+    for i, (ps, color) in enumerate(split):
+        k = ps.shape[0]
+        tab[i, :, 0, :k] = ps.T.astype(np.float32)
+        subxy[i, :, :k, 0] = ps.T.astype(np.float32)
+        colors_arr[i] = color
+    return tab, subxy, colors_arr
+
+
+def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
+                  layers: int, wp: int, hp: int, fill_rule: int):
+    i = pl.program_id(0)
+    a = mats_ref[i, 0]
+    b = mats_ref[i, 1]
+    c = mats_ref[i, 2]
+    d = mats_ref[i, 3]
+    e = mats_ref[i, 4]
+    f = mats_ref[i, 5]
+    px = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0).astype(jnp.float32)
+    hlane = jax.lax.broadcasted_iota(
+        jnp.int32, (1, hp), 1).astype(jnp.float32)
+
+    covs = []
+    for lyr in range(layers):
+        x0l = tab_ref[lyr, 0]  # (1, EP) local coords
+        y0l = tab_ref[lyr, 1]
+        x1l = tab_ref[lyr, 2]
+        y1l = tab_ref[lyr, 3]
+        x0 = a * x0l + c * y0l + e
+        y0 = b * x0l + d * y0l + f
+        x1 = a * x1l + c * y1l + e
+        y1 = b * x1l + d * y1l + f
+        # Sublane copies of the transformed ys (for the row one-hot).
+        y0s = (b * subxy_ref[lyr, 0] + d * subxy_ref[lyr, 1] + f)  # (EP, 1)
+        y1s = (b * subxy_ref[lyr, 2] + d * subxy_ref[lyr, 3] + f)
+        rowbase = jnp.floor(jnp.minimum(y0, y1))        # (1, EP)
+        rowbase_sub = jnp.floor(jnp.minimum(y0s, y1s))  # (EP, 1)
+
+        acc = jnp.zeros((wp, hp), jnp.float32)
+        for k in (0, 1):  # a |dy'|<=1 piece touches at most two pixel rows
+            py = rowbase + k
+            sy0, sy1 = y0 - py, y1 - py
+            cy0 = jnp.clip(sy0, 0.0, 1.0)
+            cy1 = jnp.clip(sy1, 0.0, 1.0)
+            dy = cy1 - cy0
+            dyd = sy1 - sy0
+            safe = jnp.where(jnp.abs(dyd) < 1e-9, 1.0, dyd)
+            t0 = (cy0 - sy0) / safe
+            t1 = (cy1 - sy0) / safe
+            xa = x0 + t0 * (x1 - x0)
+            xb = x0 + t1 * (x1 - x0)
+            xmn = jnp.minimum(xa, xb)
+            xmx = jnp.maximum(xa, xb)
+            span = xmx - xmn
+            safe_span = jnp.where(span < 1e-9, 1.0, span)
+            rel_mn = xmn - px  # (WP, EP)
+            rel_mx = xmx - px
+            mean = jnp.where(
+                span < 1e-9,
+                jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
+                (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
+            ramp = dy * (1.0 - mean)  # (WP, EP) exact f32 contribution
+
+            onehot = (rowbase_sub + k == hlane).astype(jnp.bfloat16)
+            # ramp = hi + mid + lo exactly (3x8 mantissa bits); the one-hot
+            # is bf16-exact, so the MXU placement is bit-exact in f32.
+            hi = ramp.astype(jnp.bfloat16)
+            hi32 = hi.astype(jnp.float32)
+            mid = (ramp - hi32).astype(jnp.bfloat16)
+            mid32 = mid.astype(jnp.float32)
+            lo = (ramp - hi32 - mid32).astype(jnp.bfloat16)
+            for part in (hi, mid, lo):
+                acc = acc + jnp.dot(part, onehot,
+                                    preferred_element_type=jnp.float32)
+        covs.append(fill_rule_cov(acc, fill_rule))
+
+    def read_color(lyr, ch):
+        return colors_ref[lyr, ch]
+
+    out_ref[0] = composite_quantize_pack(covs, read_color, layers=layers)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "fill_rule", "interpret"))
+def render_affine_sweep(
+    matrices: jax.Array,  # (F, 6) f32 device affines
+    tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
+    subxy: jax.Array,     # (P, 4, EP, 1) f32
+    colors: jax.Array,    # (P, 4) f32 straight RGBA
+    height: int,
+    width: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = None,
+) -> jax.Array:
+    """Rasterize one shape set under every frame's affine fully on device.
+
+    -> (F, WP, HP) uint32 packed RGBA, TRANSPOSED frames; view with
+    ops.morph.morph_frames_to_u8.  One grid step per frame: transform the
+    pieces, analytic coverage ramps, MXU row placement, composite,
+    quantize."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    fcount = matrices.shape[0]
+    layers = tab.shape[0]
+    wp = -(-width // 8) * 8
+    hp = -(-height // LANE) * LANE
+    kernel = functools.partial(
+        _xform_kernel, layers=layers, wp=wp, hp=hp, fill_rule=fill_rule)
+    return pl.pallas_call(
+        kernel,
+        grid=(fcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(tab.shape, lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(subxy.shape, lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, wp, hp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
+        interpret=interpret,
+    )(matrices, colors, tab, subxy)

@@ -271,22 +271,16 @@ class TpuRenderer:
 
     def _flatblock_refusal(self, draws: List[Draw]) -> Optional[str]:
         """Why the fused flat-block kernel can't run this draw list (None
-        when it can).  The flagship path covers ``render(stage)``; the
-        layered coverage pipelines take over for shapes it doesn't cover
-        (wide frames, huge layer counts — VMEM scratch is layers x 64 KB —
-        or when validating coverage)."""
+        when it can).  The flagship path covers ``render(stage)``: any
+        draw-list depth (deep lists chain through multi-pass composition)
+        and any width up to the chunk-major cap; the layered coverage
+        pipelines take over beyond it or when validating coverage."""
         if self.backend in ("scanline", "direct"):
             return f"explicit backend={self.backend!r}"
         if self.quality == "flash-pointaa":
             return "point-sampled AA quality"
         if self.validate:
             return "validate=True inspects raw coverage"
-        if len(draws) > 16:
-            return f"{len(draws)} draws > 16-layer VMEM budget"
-        bitmaps = sum(1 for d in draws
-                      if d.paint.kind == style_ops.PAINT_BITMAP)
-        if bitmaps > 4:
-            return f"{bitmaps} bitmap layers > 4 field-plane budget"
         from ..ops.flatblock import LANE, MAX_CHUNKS, plane_geometry
 
         stride, _, _ = plane_geometry(self.height, self.width)

@@ -100,13 +100,13 @@ def test_flatblock_refusal_reasons():
     r.render(stage)
     assert r.last_stats.path in ("scanline", "direct")
 
+    # Deep draw lists are NO LONGER refused (multi-pass composition).
     r2 = TpuRenderer(32, 32)
     from swf_renderer_tpu.runtime.scene import Draw
 
     draws = [Draw(edges=np.zeros((1, 4), np.float32),
                   paint=style_ops.solid_paint((1, 0, 0, 1)))] * 17
-    reason = r2._flatblock_refusal(draws)
-    assert reason is not None and "16" in reason
+    assert r2._flatblock_refusal(draws) is None
 
 
 def test_styled_wide_frame_falls_back_not_raises():
@@ -126,3 +126,23 @@ def test_styled_wide_frame_falls_back_not_raises():
     assert tuple(out[0, 4, 4000]) == (0, 128, 255, 255)
     assert tuple(out[0, 4, 8193]) == (0, 128, 255, 255)
     assert out[0, 0, 0, 3] == 0
+
+
+def test_render_deep_stage_rides_flatblock():
+    """A stage with >16 draws renders through the flat-block path (multi-
+    pass chained composition) and matches the scanline backend within one
+    u8 step."""
+    tags = [_solid_shape_tag(color=(30 + i * 10, 255 - i * 10, 60, 220),
+                             size=420 - 12 * i) for i in range(20)]
+    stage = display.Stage(
+        width=32, height=32,
+        children=[display.ShapeInstance(definition=t) for t in tags])
+    r = TpuRenderer(32, 32)
+    got = r.render(stage)
+    assert r.last_stats.path == "flatblock"
+    assert r.last_stats.draws == 20
+
+    r2 = TpuRenderer(32, 32, backend="scanline")
+    want = r2.render(stage)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1

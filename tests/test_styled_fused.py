@@ -244,3 +244,100 @@ def test_render_batch_styled_narrow_uses_spp():
         composite_draws(jnp.asarray(covs), jnp.stack(fields))))
     diff = np.abs(got[0].astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1
+
+
+def test_multipass_chain_is_exact():
+    """Deep draw lists render in chained passes; the chain composite is a
+    left fold, so pass-chaining must be BIT-IDENTICAL to one giant
+    chain-form pass over all layers (interpret mode has no VMEM limit, so
+    the oracle pass can hold 40 accumulator planes)."""
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops.flatblock import strips_per_plane
+    from swf_renderer_tpu.ops.pipeline import (
+        lower_update_lists, render_batch_styled, split_layer_groups,
+    )
+
+    if not native_available():
+        pytest.skip("native packer required")
+    rng = np.random.default_rng(47)
+    height, width = 48, 180
+    frames, n_layers = 2, 40
+    paints = [style_ops.solid_paint(tuple(rng.uniform(0.2, 1.0, 4)))
+              for _ in range(n_layers)]
+    groups = split_layer_groups(paints)
+    assert len(groups) == 3  # 16 + 16 + 8
+
+    edge_tables = [[_polygon_edges(rng, height, width)
+                    for _ in range(n_layers)] for _ in range(frames)]
+    got = render_batch_styled(edge_tables, paints, height, width)
+
+    # Oracle: ONE chain-form pass over all 40 layers.
+    _, nc_geo, ns_geo = plane_geometry(height, width)
+    spp = strips_per_plane(nc_geo, ns_geo)
+    update_lists = lower_update_lists(edge_tables, height, width,
+                                      drop_zeros=True)
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+        update_lists, height, width, group=6, spp=spp)
+    colors = np.stack([[p.color for p in paints]] * frames).astype(
+        np.float32)
+    kpaints = tuple(KernelPaint.color() for _ in paints)
+    out = np.asarray(render_fused_styled(
+        jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+        jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+        jnp.asarray(colors), (), frames, n_layers, ns, nc, kpaints,
+        group=6, spp=spp, chain=True))
+    want32 = out[:, :ns].reshape(frames, ns * spp * 8, nc * LANE)
+    want = frames_u32_to_u8(want32, height, width)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_multipass_matches_layered_oracle():
+    """64 draws (incl. gradients + >4 bitmaps) through the multipass
+    flat-block path vs the layered coverage+fields oracle: within one u8
+    step (float association differs between the fused chain and the XLA
+    composite)."""
+    from swf_renderer_tpu.native.bindings import native_available
+    from swf_renderer_tpu.ops.pipeline import (
+        render_batch_styled, split_layer_groups,
+    )
+
+    if not native_available():
+        pytest.skip("native packer required")
+    rng = np.random.default_rng(53)
+    height, width = 40, 150
+    n_layers = 64
+    paints = []
+    for i in range(n_layers):
+        kind = i % 8
+        if kind == 5:
+            paints.append(style_ops.Paint(
+                kind=style_ops.PAINT_LINEAR,
+                inv_matrix=(200.0, 0.0, 0.0, 200.0, -16384.0,
+                            -4000.0 * (i % 3)),
+                stop_ratios=np.array([0.0, 1.0], np.float32),
+                stop_colors=np.array([[1, 0, 0, 1], [0, 1, 0, 0.6]],
+                                     np.float32)))
+        elif kind == 6:
+            img = rng.integers(0, 256, (7, 9, 4)).astype(np.uint8)
+            paints.append(style_ops.Paint(
+                kind=style_ops.PAINT_BITMAP,
+                inv_matrix=(0.3, 0.0, 0.0, 0.3, 0.0, 0.0),
+                image=img, repeating=True, smoothed=True, supersample=1))
+        else:
+            paints.append(style_ops.solid_paint(
+                tuple(rng.uniform(0.2, 1.0, 4))))
+    assert len(split_layer_groups(paints)) >= 4
+
+    edge_tables = [[_polygon_edges(rng, height, width, n=5)
+                    for _ in range(n_layers)]]
+    got = render_batch_styled(edge_tables, paints, height, width)
+
+    fields = [style_ops.paint_field(p, height, width) for p in paints]
+    covs = np.stack([coverage_numpy(t, height, width)
+                     for t in edge_tables[0]])
+    want = np.asarray(premul_to_straight_u8(
+        composite_draws(jnp.asarray(covs), jnp.stack(fields))))
+    diff = np.abs(got[0].astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, diff.max()

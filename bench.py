@@ -162,6 +162,84 @@ def bench_morph16() -> None:
     }))
 
 
+def bench_anim() -> None:
+    """VERDICT r3 config: transform ANIMATION — one shape set, 60 frames
+    of per-frame rotation, rasterized fully on device (ops/transform.py).
+    Host cost is O(edges), independent of the frame count: the piece
+    tables upload once and every frame's affine applies in-kernel (the
+    reference's matrix-at-draw-time replay, canvas-renderer.ts:179-184,
+    batched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, render_affine_sweep,
+    )
+
+    h = w = 512
+    frames = 60
+    rng = np.random.default_rng(9)
+    tables, colors = [], []
+    for lyr in range(3):
+        segs = []
+        for _ in range(12):
+            cx, cy = rng.uniform(100, w - 100, 2)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, 10))
+            r = rng.uniform(15, 60, 10)
+            pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)],
+                           1).astype(np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            segs.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+        tables.append(np.concatenate(segs))
+        colors.append(rng.uniform(0.2, 1.0, 4))
+
+    mats = []
+    for i in range(frames):
+        th = 2 * np.pi * i / frames
+        a, b = np.cos(th), np.sin(th)
+        cx = cy = w / 2.0
+        mats.append((a, b, -b, a, cx - a * cx + b * cy,
+                     cy - b * cx - a * cy))
+    mats = np.asarray(mats, np.float32)
+
+    t0 = time.perf_counter()
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    lower_s = time.perf_counter() - t0
+    print(json.dumps({
+        "note": "anim host piece split (frame-count-independent)",
+        "seconds": round(lower_s, 4),
+        "pieces": int(tab.shape[-1]), "frames": frames}), file=sys.stderr)
+
+    margs = jnp.asarray(mats)
+    fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
+
+    def one_rep(mm, prev):
+        out = render_affine_sweep(mm + prev * 1e-30, *fargs, h, w)
+        return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
+
+    def timed(k):
+        @jax.jit
+        def run(mm):
+            return jax.lax.fori_loop(
+                0, k, lambda i, acc: one_rep(mm, acc), 0.0)
+        float(run(margs))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(margs))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = (timed(9) - timed(1)) / 8
+    pixels = frames * h * w
+    print(json.dumps({
+        "metric": "anim_rotation_512x512x60_sustained",
+        "value": round(pixels / dt / 1e6, 2),
+        "unit": "Mpx/s",
+        "vs_baseline": None,
+    }))
+
+
 def bench_style(kind: str) -> None:
     """BASELINE configs rendered END-TO-END: real multi-shape geometry is
     lowered, packed, and rasterized through the styled fused flat-block
@@ -370,6 +448,8 @@ def main() -> None:
         cfg = sys.argv[sys.argv.index("--config") + 1]
         if cfg == "morph16":
             return bench_morph16()
+        if cfg == "anim":
+            return bench_anim()
         if cfg in ("textured", "gradients"):
             return bench_style(cfg)
         if cfg == "flat256":

@@ -436,6 +436,74 @@ def render_morph_shape(
     return renderer.render(stage)
 
 
+def render_shape_animation(
+    tag: ast.DefineShape,
+    matrices,
+    width: int,
+    height: int,
+    quality: str = "canvas",
+) -> np.ndarray:
+    """Animate ONE shape under per-frame matrices, fully on device.
+
+    The reference re-renders a cached shape under a new matrix with one
+    Canvas replay (decode cached per definition, matrix applied at draw
+    time — canvas-renderer.ts:96-112, 179-184).  This is the batched
+    TPU analog: the shape compiles ONCE to local-space edge pieces, every
+    frame's affine applies on device, and the whole sweep rasterizes in
+    one kernel launch — host work is O(edges), independent of frame count
+    (the morph ratio sweep's transform twin, ops/transform.py).
+
+    ``matrices``: sequence of ast.Matrix (SWF twips transforms) or an
+    (F, 6) array of device-space affines.  Solid fills/strokes only (the
+    sweep kernel reads constant per-layer colors); other paints raise.
+    Returns (F, H, W, 4) uint8."""
+    from ..models.geometry import Affine, TWIPS_PER_PX
+    from ..ops.morph import morph_frames_to_u8
+    from ..ops.transform import affine_pieces, render_affine_sweep
+
+    s = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
+    if len(matrices) and isinstance(matrices[0], ast.Matrix):
+        devs = [s.then(Affine.from_swf_matrix(m)).then(
+            Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX)) for m in matrices]
+        mats = np.asarray([(m.a, m.b, m.c, m.d, m.e, m.f) for m in devs],
+                          np.float32)
+        smax = max(m.max_scale() for m in devs)
+    else:
+        mats = np.asarray(matrices, np.float32)
+        smax = max(
+            1e-6,
+            max(Affine(*m).max_scale() for m in np.asarray(mats, float)))
+
+    flash_like = quality.startswith("flash")
+    compiler = SceneCompiler(
+        BitmapService(), {}, {},
+        # Flatten in LOCAL space at a tolerance that holds after the most
+        # magnifying frame transform.
+        curve_tolerance=0.1 / max(1.0, smax),
+        curve_pow2=flash_like,
+        honor_swf_caps=flash_like,
+    )
+    compiler._draw_shape(tag, s, None)
+    draws = compiler.draws
+    if not draws:
+        return np.zeros((len(mats), height, width, 4), np.uint8)
+    for d in draws:
+        if d.paint.kind != style_ops.PAINT_SOLID:
+            raise NotImplementedError(
+                "render_shape_animation supports solid fills/strokes; "
+                "render styled stages frame-by-frame via render_batch")
+    fill_rules = {d.fill_rule for d in draws}
+    if len(fill_rules) != 1:
+        raise NotImplementedError("mixed fill rules in one animation")
+
+    tab, subxy, colors = affine_pieces(
+        [d.edges for d in draws], [d.paint.color for d in draws], mats)
+    out = render_affine_sweep(
+        jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+        jnp.asarray(colors), height, width, fill_rule=fill_rules.pop())
+    return morph_frames_to_u8(np.asarray(out), height, width)
+
+
 def render_shape_tag_to_png(ast_path: str, out_path: str) -> np.ndarray:
     """CLI-ish helper: ast.json -> rendered PNG (used by /verify)."""
     from ..models.ast_io import load_tag

@@ -1,0 +1,164 @@
+"""On-device transform-animation sweep (ops/transform.py) vs the
+per-frame host oracle (transform edges on host, classic coverage +
+composite).  VERDICT r2 #1: moving-matrix animation with O(1) host work."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from swf_renderer_tpu.ops.composite import (
+    composite_draws,
+    premul_to_straight_u8,
+)
+from swf_renderer_tpu.ops.coverage import coverage_numpy
+from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+from swf_renderer_tpu.ops.transform import affine_pieces, render_affine_sweep
+
+
+def _star_edges(cx, cy, r_out, r_in, points=7):
+    ang = np.linspace(0, 2 * np.pi, 2 * points, endpoint=False)
+    rad = np.where(np.arange(2 * points) % 2 == 0, r_out, r_in)
+    pts = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)],
+                   1).astype(np.float32)
+    closed = np.concatenate([pts, pts[:1]])
+    return np.concatenate([closed[:-1], closed[1:]], axis=1)
+
+
+def _rotation_mats(frames, cx, cy, scale=1.0):
+    mats = []
+    for i in range(frames):
+        th = 2 * np.pi * i / frames
+        a, b = np.cos(th) * scale, np.sin(th) * scale
+        # Rotate about (cx, cy): translate so the pivot maps to itself.
+        e = cx - a * cx + b * cy
+        f = cy - b * cx - a * cy
+        mats.append((a, b, -b, a, e, f))
+    return np.asarray(mats, np.float32)
+
+
+def _oracle_frame(edge_tables, colors, mat, height, width):
+    covs = []
+    for t in edge_tables:
+        a, b, c, d, e, f = mat
+        x0, y0, x1, y1 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+        xt = np.stack([a * x0 + c * y0 + e, b * x0 + d * y0 + f,
+                       a * x1 + c * y1 + e, b * x1 + d * y1 + f],
+                      1).astype(np.float32)
+        covs.append(coverage_numpy(xt, height, width))
+    fields = np.broadcast_to(
+        np.asarray(colors, np.float32)[:, None, None, :],
+        (len(covs), height, width, 4))
+    pm = composite_draws(jnp.asarray(np.stack(covs), jnp.float32),
+                         jnp.asarray(fields))
+    return np.asarray(premul_to_straight_u8(pm))
+
+
+def test_affine_sweep_matches_host_oracle():
+    height, width = 96, 120
+    tables = [_star_edges(60.0, 48.0, 40.0, 18.0),
+              _star_edges(55.0, 50.0, 22.0, 9.0, points=5)]
+    colors = [(0.9, 0.2, 0.1, 0.9), (0.1, 0.4, 0.95, 0.8)]
+    mats = _rotation_mats(6, 60.0, 48.0)
+
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    out = render_affine_sweep(
+        jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+        jnp.asarray(colarr), height, width)
+    got = morph_frames_to_u8(out, height, width)
+
+    for i in range(len(mats)):
+        want = _oracle_frame(tables, colors, mats[i], height, width)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        # Piece-split coverage accumulates in a different float order
+        # than whole-edge coverage; premul-u8 un-multiply can amplify one
+        # quantum at AA pixels.
+        assert diff.max() <= 2, (i, diff.max())
+        assert (diff > 1).mean() < 1e-3
+        assert (diff > 0).mean() < 0.01
+
+
+def test_affine_sweep_scaling_matrices():
+    """Anisotropic scale + shear: the split bound must hold for the most
+    dy-expanding matrix, not just rotations."""
+    height, width = 64, 64
+    tables = [_star_edges(32.0, 32.0, 12.0, 5.0)]
+    colors = [(0.2, 0.8, 0.3, 1.0)]
+    mats = np.asarray([
+        (1.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+        (2.0, 0.5, -0.3, 1.7, 4.0, -2.0),   # scale+shear up
+        (0.5, -0.2, 0.1, 0.4, 10.0, 12.0),  # scale down
+    ], np.float32)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    # Bound check: |dy'| <= 1 for every matrix over every piece.
+    x0, y0, x1, y1 = tab[0, 0, 0], tab[0, 1, 0], tab[0, 2, 0], tab[0, 3, 0]
+    for a, b, c, d, e, f in mats:
+        dyp = np.abs(b * (x1 - x0) + d * (y1 - y0))
+        assert dyp.max() <= 1.0 + 1e-5
+
+    out = render_affine_sweep(
+        jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+        jnp.asarray(colarr), height, width)
+    got = morph_frames_to_u8(out, height, width)
+    for i in range(len(mats)):
+        want = _oracle_frame(tables, colors, mats[i], height, width)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, (i, diff.max())
+
+
+def test_affine_pieces_host_cost_is_frame_independent():
+    """The host artifact depends on edge count, not frame count: 600
+    frames produce the same piece tables as 6 (only the |dy'| bound sees
+    the matrices)."""
+    tables = [_star_edges(32.0, 32.0, 12.0, 5.0)]
+    colors = [(1.0, 0.0, 0.0, 1.0)]
+    m6 = _rotation_mats(6, 32.0, 32.0)
+    m600 = _rotation_mats(600, 32.0, 32.0)
+    t6 = affine_pieces(tables, colors, m6)
+    t600 = affine_pieces(tables, colors, m600)
+    # Rotations preserve lengths, so the bound (and the split) agree up to
+    # the sampling of the max; shapes must match exactly here.
+    assert t6[0].shape == t600[0].shape
+
+
+def test_render_shape_animation_matches_per_frame_render(reference_tests):
+    """The public animation API: a rotating triangle sweep matches
+    per-frame TpuRenderer renders of the same instance matrices."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.runtime.renderer import (
+        TpuRenderer, render_shape_animation,
+    )
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    tag = parse_define_shape(
+        (reference_tests / "flat-shapes" / "triangle" /
+         "ast.json").read_text())
+    w = h = 48
+    mats = []
+    for i in range(4):
+        th = 2 * np.pi * i / 16
+        # Rotate in twips space about the raster center (24 px = 480 tw).
+        a, b = np.cos(th), np.sin(th)
+        cx = cy = 480.0
+        mats.append(ast.Matrix(
+            scale_x=Sfixed16P16.from_value(a),
+            scale_y=Sfixed16P16.from_value(a),
+            rotate_skew0=Sfixed16P16.from_value(b),
+            rotate_skew1=Sfixed16P16.from_value(-b),
+            translate_x=int(round(cx - a * cx + b * cy)),
+            translate_y=int(round(cy - b * cx - a * cy)),
+        ))
+
+    got = render_shape_animation(tag, mats, w, h)
+    assert got.shape == (4, h, w, 4)
+
+    r = TpuRenderer(w, h)
+    for i, m in enumerate(mats):
+        stage = display.Stage(
+            width=w, height=h,
+            children=[display.ShapeInstance(definition=tag, matrix=m)])
+        want = r.render(stage)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())
+        assert (diff > 1).mean() < 1e-3

@@ -96,7 +96,8 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
 
 
 def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
-                  layers: int, wp: int, hp: int, fill_rule: int):
+                  layers: int, wp: int, hp: int, fill_rule: int,
+                  e_chunk: int):
     i = pl.program_id(0)
     a = mats_ref[i, 0]
     b = mats_ref[i, 1]
@@ -107,59 +108,68 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
     px = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0).astype(jnp.float32)
     hlane = jax.lax.broadcasted_iota(
         jnp.int32, (1, hp), 1).astype(jnp.float32)
+    ep = tab_ref.shape[-1]
 
     covs = []
     for lyr in range(layers):
-        x0l = tab_ref[lyr, 0]  # (1, EP) local coords
-        y0l = tab_ref[lyr, 1]
-        x1l = tab_ref[lyr, 2]
-        y1l = tab_ref[lyr, 3]
-        x0 = a * x0l + c * y0l + e
-        y0 = b * x0l + d * y0l + f
-        x1 = a * x1l + c * y1l + e
-        y1 = b * x1l + d * y1l + f
-        # Sublane copies of the transformed ys (for the row one-hot).
-        y0s = (b * subxy_ref[lyr, 0] + d * subxy_ref[lyr, 1] + f)  # (EP, 1)
-        y1s = (b * subxy_ref[lyr, 2] + d * subxy_ref[lyr, 3] + f)
-        rowbase = jnp.floor(jnp.minimum(y0, y1))        # (1, EP)
-        rowbase_sub = jnp.floor(jnp.minimum(y0s, y1s))  # (EP, 1)
-
         acc = jnp.zeros((wp, hp), jnp.float32)
-        for k in (0, 1):  # a |dy'|<=1 piece touches at most two pixel rows
-            py = rowbase + k
-            sy0, sy1 = y0 - py, y1 - py
-            cy0 = jnp.clip(sy0, 0.0, 1.0)
-            cy1 = jnp.clip(sy1, 0.0, 1.0)
-            dy = cy1 - cy0
-            dyd = sy1 - sy0
-            safe = jnp.where(jnp.abs(dyd) < 1e-9, 1.0, dyd)
-            t0 = (cy0 - sy0) / safe
-            t1 = (cy1 - sy0) / safe
-            xa = x0 + t0 * (x1 - x0)
-            xb = x0 + t1 * (x1 - x0)
-            xmn = jnp.minimum(xa, xb)
-            xmx = jnp.maximum(xa, xb)
-            span = xmx - xmn
-            safe_span = jnp.where(span < 1e-9, 1.0, span)
-            rel_mn = xmn - px  # (WP, EP)
-            rel_mx = xmx - px
-            mean = jnp.where(
-                span < 1e-9,
-                jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
-                (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
-            ramp = dy * (1.0 - mean)  # (WP, EP) exact f32 contribution
+        # Pieces stream through in e_chunk slices: the (WP, EC) ramp
+        # temporaries, not the piece count, bound scoped VMEM (a 512^2
+        # frame with 3.5K pieces at full width blew the 16 MB limit).
+        for e0 in range(0, ep, e_chunk):
+            sl = slice(e0, min(e0 + e_chunk, ep))
+            x0l = tab_ref[lyr, 0, :, sl]  # (1, EC) local coords
+            y0l = tab_ref[lyr, 1, :, sl]
+            x1l = tab_ref[lyr, 2, :, sl]
+            y1l = tab_ref[lyr, 3, :, sl]
+            x0 = a * x0l + c * y0l + e
+            y0 = b * x0l + d * y0l + f
+            x1 = a * x1l + c * y1l + e
+            y1 = b * x1l + d * y1l + f
+            # Sublane copies of the transformed ys (for the row one-hot).
+            y0s = (b * subxy_ref[lyr, 0, sl, :]
+                   + d * subxy_ref[lyr, 1, sl, :] + f)  # (EC, 1)
+            y1s = (b * subxy_ref[lyr, 2, sl, :]
+                   + d * subxy_ref[lyr, 3, sl, :] + f)
+            rowbase = jnp.floor(jnp.minimum(y0, y1))        # (1, EC)
+            rowbase_sub = jnp.floor(jnp.minimum(y0s, y1s))  # (EC, 1)
 
-            onehot = (rowbase_sub + k == hlane).astype(jnp.bfloat16)
-            # ramp = hi + mid + lo exactly (3x8 mantissa bits); the one-hot
-            # is bf16-exact, so the MXU placement is bit-exact in f32.
-            hi = ramp.astype(jnp.bfloat16)
-            hi32 = hi.astype(jnp.float32)
-            mid = (ramp - hi32).astype(jnp.bfloat16)
-            mid32 = mid.astype(jnp.float32)
-            lo = (ramp - hi32 - mid32).astype(jnp.bfloat16)
-            for part in (hi, mid, lo):
-                acc = acc + jnp.dot(part, onehot,
-                                    preferred_element_type=jnp.float32)
+            for k in (0, 1):  # |dy'|<=1: at most two pixel rows per piece
+                py = rowbase + k
+                sy0, sy1 = y0 - py, y1 - py
+                cy0 = jnp.clip(sy0, 0.0, 1.0)
+                cy1 = jnp.clip(sy1, 0.0, 1.0)
+                dy = cy1 - cy0
+                dyd = sy1 - sy0
+                safe = jnp.where(jnp.abs(dyd) < 1e-9, 1.0, dyd)
+                t0 = (cy0 - sy0) / safe
+                t1 = (cy1 - sy0) / safe
+                xa = x0 + t0 * (x1 - x0)
+                xb = x0 + t1 * (x1 - x0)
+                xmn = jnp.minimum(xa, xb)
+                xmx = jnp.maximum(xa, xb)
+                span = xmx - xmn
+                safe_span = jnp.where(span < 1e-9, 1.0, span)
+                rel_mn = xmn - px  # (WP, EC)
+                rel_mx = xmx - px
+                mean = jnp.where(
+                    span < 1e-9,
+                    jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
+                    (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
+                ramp = dy * (1.0 - mean)  # (WP, EC) exact f32
+
+                onehot = (rowbase_sub + k == hlane).astype(jnp.bfloat16)
+                # ramp = hi + mid + lo exactly (3x8 mantissa bits); the
+                # one-hot is bf16-exact, so the MXU placement is bit-exact
+                # in f32.
+                hi = ramp.astype(jnp.bfloat16)
+                hi32 = hi.astype(jnp.float32)
+                mid = (ramp - hi32).astype(jnp.bfloat16)
+                mid32 = mid.astype(jnp.float32)
+                lo = (ramp - hi32 - mid32).astype(jnp.bfloat16)
+                for part in (hi, mid, lo):
+                    acc = acc + jnp.dot(part, onehot,
+                                        preferred_element_type=jnp.float32)
         covs.append(fill_rule_cov(acc, fill_rule))
 
     def read_color(lyr, ch):
@@ -169,7 +179,7 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "fill_rule", "interpret"))
+    "height", "width", "fill_rule", "interpret", "e_chunk"))
 def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
@@ -179,6 +189,7 @@ def render_affine_sweep(
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
+    e_chunk: int = 512,
 ) -> jax.Array:
     """Rasterize one shape set under every frame's affine fully on device.
 
@@ -193,7 +204,8 @@ def render_affine_sweep(
     wp = -(-width // 8) * 8
     hp = -(-height // LANE) * LANE
     kernel = functools.partial(
-        _xform_kernel, layers=layers, wp=wp, hp=hp, fill_rule=fill_rule)
+        _xform_kernel, layers=layers, wp=wp, hp=hp, fill_rule=fill_rule,
+        e_chunk=e_chunk)
     return pl.pallas_call(
         kernel,
         grid=(fcount,),

@@ -49,6 +49,59 @@ from .bitmap_service import BitmapService
 # (canvas-renderer.ts:299-304).
 PLACEHOLDER_COLOR = (0.2, 0.6, 0.8, 0.9)
 
+
+def _border_subtraction_rings(dev_subpaths, half_w: float, clip_wh,
+                              inset_factor: float = 1.0):
+    """Flash-player border-stroke model (PERF.md round-2 border study):
+    where a stroked path segment runs ALONG a stage border and its outer
+    half falls off-stage, the player draws only the INNER half — the
+    coverage boundary sits at the path position, not the clipped outer
+    edge (measured: hb1 column 0 alpha 143 vs our full-stroke 255).
+
+    Returns negative-winding rectangle rings (reverse of the de-overlap
+    union orientation) that cancel the outer half along such stretches.
+    Segment endpoints are inset by ``inset_factor * half_w`` so join/cap
+    footprints at junctions keep the full stroke (the player shows alpha
+    255 at the junction pixel).  The rects' outer bounds are off-stage by
+    construction (only triggered when the stroke crosses the border), so
+    any sub-pixel mismatch with the stroke outline is clipped away."""
+    w, h = clip_wh
+    eps = 1e-6
+    inset = inset_factor * half_w
+    rings = []
+
+    def rect(xa, ya, xb, yb):
+        pts = np.asarray([(xa, ya), (xa, yb), (xb, yb), (xb, ya)],
+                         np.float32)
+        closed = np.concatenate([pts, pts[:1]])
+        return np.concatenate([closed[:-1], closed[1:]], axis=1)
+
+    for pts in dev_subpaths:
+        for i in range(len(pts) - 1):
+            x0, y0 = pts[i]
+            x1, y1 = pts[i + 1]
+            if abs(x1 - x0) < eps and abs(y1 - y0) > eps:  # vertical
+                x = float(x0)
+                lo, hi = sorted((float(y0), float(y1)))
+                lo, hi = lo + inset, hi - inset
+                if hi <= lo:
+                    continue
+                if -eps <= x < half_w - eps:
+                    rings.append(rect(x - half_w, lo, x, hi))
+                elif w - half_w + eps < x <= w + eps:
+                    rings.append(rect(x, lo, x + half_w, hi))
+            elif abs(y1 - y0) < eps and abs(x1 - x0) > eps:  # horizontal
+                y = float(y0)
+                lo, hi = sorted((float(x0), float(x1)))
+                lo, hi = lo + inset, hi - inset
+                if hi <= lo:
+                    continue
+                if -eps <= y < half_w - eps:
+                    rings.append(rect(lo, y - half_w, hi, y))
+                elif h - half_w + eps < y <= h + eps:
+                    rings.append(rect(lo, y, hi, y + half_w))
+    return rings
+
 _SPREAD_TO_INT = {
     ast.GradientSpread.PAD: style_ops.SPREAD_PAD,
     ast.GradientSpread.REFLECT: style_ops.SPREAD_REFLECT,
@@ -145,6 +198,7 @@ class SceneCompiler:
         honor_swf_caps: bool = False,
         clip: Optional[Tuple[float, float]] = None,
         draws_cache=None,
+        border_inner_half: bool = False,
     ) -> None:
         """``honor_swf_caps``: use the SWF line styles' caps/joins (what the
         Flash player renders) instead of Canvas2D defaults (what the
@@ -171,6 +225,9 @@ class SceneCompiler:
         self.honor_swf_caps = honor_swf_caps
         self.clip = clip
         self.draws_cache = draws_cache
+        # Player-measured inner-half stroke along stage borders
+        # (quality='flash'; see _border_subtraction_rings).
+        self.border_inner_half = border_inner_half
         self.draws: List[Draw] = []
         # Canvas2D context state: lineWidth starts at 1.0 (user-space units
         # = twips here) and ignores non-positive assignments.
@@ -237,6 +294,7 @@ class SceneCompiler:
         return (id(tag), ctm.as_tuple(), ct, self.curve_tolerance,
                 self.curve_pow2, self.honor_swf_caps,
                 self.honor_fill_winding, self.clip,
+                self.border_inner_half,
                 self.line_width_state) + tuple(extra)
 
     def _cached_draw(self, tag, ctm, ct, emit, extra=()):
@@ -370,7 +428,15 @@ class SceneCompiler:
         # Stroke outlines self-overlap (crossing loops, inner joins);
         # reduce to the union boundary so the winding-integral rasterizer
         # doesn't conflate overlaps inside AA pixels (Cairo parity).
-        edges = self._clip(deoverlap_edges(polygons_to_edges(polys)))
+        edges = deoverlap_edges(polygons_to_edges(polys))
+        if self.border_inner_half and self.clip is not None:
+            half_w_dev = effective_width * scale / 2.0
+            rings = _border_subtraction_rings(
+                [ctm.apply(pts) for pts in subpaths], half_w_dev,
+                self.clip)
+            if rings:
+                edges = np.concatenate([edges] + rings)
+        edges = self._clip(edges)
         if edges.shape[0] == 0:
             return
         color = _apply_color_transform(fill.color, ct)

@@ -96,16 +96,23 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
 
 
 def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
-                  layers: int, wp: int, hp: int, fill_rule: int,
+                  layers: int, wblock: int, hp: int, fill_rule: int,
                   e_chunk: int):
     i = pl.program_id(0)
+    wb = pl.program_id(1)
     a = mats_ref[i, 0]
     b = mats_ref[i, 1]
     c = mats_ref[i, 2]
     d = mats_ref[i, 3]
     e = mats_ref[i, 4]
     f = mats_ref[i, 5]
-    px = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0).astype(jnp.float32)
+    # Column-block tiling bounds scoped VMEM structurally: all (wblock, *)
+    # temporaries, regardless of how the unrolled piece loop's liveness
+    # is analyzed (a full-width 512^2 frame with 3.5K pieces blew the
+    # 16 MB scoped-vmem limit).
+    wp = wblock
+    px = (wb * wblock + jax.lax.broadcasted_iota(
+        jnp.int32, (wp, 1), 0)).astype(jnp.float32)
     hlane = jax.lax.broadcasted_iota(
         jnp.int32, (1, hp), 1).astype(jnp.float32)
     ep = tab_ref.shape[-1]
@@ -178,6 +185,11 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
     out_ref[0] = composite_quantize_pack(covs, read_color, layers=layers)
 
 
+def _wblock_for(width: int) -> int:
+    wp = -(-width // 8) * 8
+    return min(wp, 256)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk"))
 def render_affine_sweep(
@@ -201,23 +213,24 @@ def render_affine_sweep(
         interpret = not _on_tpu()
     fcount = matrices.shape[0]
     layers = tab.shape[0]
-    wp = -(-width // 8) * 8
+    wblock = _wblock_for(width)
+    wp = -(-(-(-width // 8) * 8) // wblock) * wblock
     hp = -(-height // LANE) * LANE
     kernel = functools.partial(
-        _xform_kernel, layers=layers, wp=wp, hp=hp, fill_rule=fill_rule,
-        e_chunk=e_chunk)
+        _xform_kernel, layers=layers, wblock=wblock, hp=hp,
+        fill_rule=fill_rule, e_chunk=e_chunk)
     return pl.pallas_call(
         kernel,
-        grid=(fcount,),
+        grid=(fcount, wp // wblock),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(tab.shape, lambda i: (0, 0, 0, 0),
+            pl.BlockSpec(tab.shape, lambda i, wb: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(subxy.shape, lambda i: (0, 0, 0, 0),
+            pl.BlockSpec(subxy.shape, lambda i, wb: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, wp, hp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
         interpret=interpret,

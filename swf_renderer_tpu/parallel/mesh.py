@@ -385,6 +385,38 @@ def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
     return out
 
 
+def render_affine_sweep_dp(mesh: Mesh, matrices, parts, height: int,
+                           width: int, interpret: bool = None):
+    """Frame-sharded on-device TRANSFORM sweep: the frame/matrix axis of
+    ops.transform.render_affine_sweep is embarrassingly parallel — each
+    chip renders its slice of the animation with the piece tables
+    replicated (KBs) and zero collectives (the morph sweep's transform
+    twin).
+
+    ``parts``: affine_pieces output (tab, subxy, colors).  Returns
+    (F, WP, HP) packed u32 (transposed frames; ops.morph.morph_frames_to_u8)."""
+    from ..ops.transform import render_affine_sweep
+
+    axes = tuple(mesh.shape.keys())
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    matrices = np.asarray(matrices, np.float32)
+    if len(matrices) % n_shards:
+        raise ValueError(
+            f"frames ({len(matrices)}) must divide over {n_shards}")
+
+    def shard_fn(mm, *ps):
+        return render_affine_sweep(mm, *ps, height, width,
+                                   interpret=interpret)
+
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axes),) + (P(None),) * len(parts),
+        out_specs=P(axes),
+        check_vma=False,
+    )(jnp.asarray(matrices), *map(jnp.asarray, parts))
+    return out
+
+
 def render_styled_dp(mesh: Mesh, gsi, gfl, gla, grc, gcm, gvv, colors,
                      fields, frames: int, layers: int, n_strips: int,
                      n_chunks: int, paints, group: int = 8,

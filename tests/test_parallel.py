@@ -361,3 +361,34 @@ def test_styled_dp_wide_plane_with_bitmaps():
         colors.reshape(dp, per, layers, 4), fields,
         frames, layers, ns, nc, kpaints, group=4))
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_affine_sweep_dp_matches_single_device():
+    """Transform-animation sweep sharded over the whole mesh: exact vs
+    the single-device kernel."""
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, render_affine_sweep,
+    )
+    from swf_renderer_tpu.parallel.mesh import render_affine_sweep_dp
+
+    rng = np.random.default_rng(59)
+    h = w = 40
+    pts = rng.uniform(5, 35, (6, 2)).astype(np.float32)
+    closed = np.concatenate([pts, pts[:1]])
+    tables = [np.concatenate([closed[:-1], closed[1:]], axis=1)]
+    colors = [(0.8, 0.3, 0.2, 0.9)]
+    mats = []
+    for i in range(8):
+        th = 2 * np.pi * i / 8
+        a, b = np.cos(th), np.sin(th)
+        mats.append((a, b, -b, a, 20 - a * 20 + b * 20,
+                     20 - b * 20 - a * 20))
+    mats = np.asarray(mats, np.float32)
+    parts = affine_pieces(tables, colors, mats)
+
+    want = np.asarray(render_affine_sweep(
+        jnp.asarray(mats), *(jnp.asarray(x) for x in parts), h, w))
+
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=2)
+    got = np.asarray(render_affine_sweep_dp(mesh, mats, parts, h, w))
+    np.testing.assert_array_equal(got, want)

@@ -50,7 +50,8 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
     ``edge_tables``: [layers] of (E, 4) f32 local-space edges (one per
     draw/layer, shared by all frames).  ``colors``: [layers] straight RGBA.
     ``matrices``: (F, 6) device affines (a, b, c, d, e, f):
-    x' = a x + c y + e,  y' = b x + d y + f.
+    x' = a x + c y + e,  y' = b x + d y + f — or (F, L, 6) PER-LAYER
+    affines (each layer animates under its own matrix track).
 
     Returns (tab, subxy, colors_arr):
       tab    (P, 4, 1, EP) f32 — x0, y0, x1, y1 local coords, lane layout
@@ -60,13 +61,22 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
     Padding pieces are all-zero; they transform to degenerate points
     (dy' = 0) and contribute nothing for any matrix."""
     mats = np.asarray(matrices, np.float64)
-    if mats.ndim != 2 or mats.shape[1] != 6:
-        raise ValueError(f"matrices must be (F, 6), got {mats.shape}")
-    b = mats[:, 1][:, None]
-    d = mats[:, 3][:, None]
+    if mats.ndim == 2 and mats.shape[1] == 6:
+        per_layer = [mats] * len(edge_tables)
+    elif mats.ndim == 3 and mats.shape[2] == 6:
+        if mats.shape[1] != len(edge_tables):
+            raise ValueError(
+                f"per-layer matrices {mats.shape} vs {len(edge_tables)}"
+                " layers")
+        per_layer = [mats[:, i] for i in range(mats.shape[1])]
+    else:
+        raise ValueError(f"matrices must be (F, 6) or (F, L, 6),"
+                         f" got {mats.shape}")
 
     split = []
-    for edges, color in zip(edge_tables, colors):
+    for edges, color, lm in zip(edge_tables, colors, per_layer):
+        b = lm[:, 1][:, None]
+        d = lm[:, 3][:, None]
         e = np.asarray(edges, np.float64)
         dx = (e[:, 2] - e[:, 0])[None, :]
         dy = (e[:, 3] - e[:, 1])[None, :]
@@ -97,15 +107,14 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
 
 def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
                   layers: int, wblock: int, hp: int, fill_rule: int,
-                  e_chunk: int):
+                  e_chunk: int, per_layer: bool):
     i = pl.program_id(0)
     wb = pl.program_id(1)
-    a = mats_ref[i, 0]
-    b = mats_ref[i, 1]
-    c = mats_ref[i, 2]
-    d = mats_ref[i, 3]
-    e = mats_ref[i, 4]
-    f = mats_ref[i, 5]
+
+    def mat(lyr):
+        if per_layer:
+            return tuple(mats_ref[i, lyr, k] for k in range(6))
+        return tuple(mats_ref[i, k] for k in range(6))
     # Column-block tiling bounds scoped VMEM structurally: all (wblock, *)
     # temporaries, regardless of how the unrolled piece loop's liveness
     # is analyzed (a full-width 512^2 frame with 3.5K pieces blew the
@@ -119,6 +128,7 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
 
     covs = []
     for lyr in range(layers):
+        a, b, c, d, e, f = mat(lyr)
         acc = jnp.zeros((wp, hp), jnp.float32)
         # Pieces stream through in e_chunk slices: the (WP, EC) ramp
         # temporaries, not the piece count, bound scoped VMEM (a 512^2
@@ -193,7 +203,7 @@ def _wblock_for(width: int) -> int:
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk"))
 def render_affine_sweep(
-    matrices: jax.Array,  # (F, 6) f32 device affines
+    matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
     subxy: jax.Array,     # (P, 4, EP, 1) f32
     colors: jax.Array,    # (P, 4) f32 straight RGBA
@@ -218,7 +228,8 @@ def render_affine_sweep(
     hp = -(-height // LANE) * LANE
     kernel = functools.partial(
         _xform_kernel, layers=layers, wblock=wblock, hp=hp,
-        fill_rule=fill_rule, e_chunk=e_chunk)
+        fill_rule=fill_rule, e_chunk=e_chunk,
+        per_layer=matrices.ndim == 3)
     return pl.pallas_call(
         kernel,
         grid=(fcount, wp // wblock),

@@ -197,6 +197,17 @@ class TpuRenderer:
         if not stages:
             return np.zeros((0, self.height, self.width, 4), np.uint8)
         flash_like = self.quality.startswith("flash")
+
+        plan = self._transform_animation_plan(stages)
+        if plan is not None:
+            out = plan()
+            self.last_stats = RenderStats(
+                draws=plan.draws, edges=plan.edges,
+                width=self.width, height=self.height,
+                seconds=time.perf_counter() - t0,
+                path="transform-sweep",
+            )
+            return out
         per_frame_draws = []
         for stage in stages:
             compiler = SceneCompiler(
@@ -254,6 +265,109 @@ class TpuRenderer:
             path=path,
         )
         return out
+
+    def _transform_animation_plan(self, stages):
+        """Detect a moving-MATRIX animation: every frame shows the SAME
+        ShapeInstance children (identical definitions, color transforms,
+        solid paints) and only the instance matrices differ.  Such a batch
+        renders fully on device through the transform sweep
+        (ops/transform.py) — compile once, one kernel launch, O(edges)
+        host work independent of frame count (the reference's cached
+        replay with matrix-at-draw-time, canvas-renderer.ts:96-112,
+        179-184).  Returns a zero-arg closure that renders the batch, or
+        None when the batch doesn't fit the pattern."""
+        first = stages[0]
+        if len(stages) < 2 or not first.children:
+            return None
+        if any(s.exact_width is not None for s in stages):
+            return None  # exact sub-pixel clipping isn't in the sweep
+        if any(s.width != self.width or s.height != self.height
+               for s in stages):
+            return None
+        n = len(first.children)
+        any_matrix_differs = False
+        for s in stages:
+            if len(s.children) != n:
+                return None
+            for c0, c in zip(first.children, s.children):
+                if not isinstance(c, display.ShapeInstance):
+                    return None
+                if c.definition is not c0.definition:
+                    return None
+                if c.color_transform != c0.color_transform:
+                    return None
+                if c.matrix != c0.matrix:
+                    any_matrix_differs = True
+        if not any_matrix_differs:
+            return None  # identical frames: the fused batch handles it
+
+        from ..models.geometry import Affine, TWIPS_PER_PX
+
+        s_aff = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
+        s_inv = Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX)
+        flash_like = self.quality.startswith("flash")
+
+        # Per-(frame, child) device affines + the flattening tolerance
+        # that survives the most magnifying frame.
+        devs = []
+        smax = 1.0
+        for s in stages:
+            row = []
+            for c in s.children:
+                if c.matrix is None:
+                    d = Affine.identity()
+                else:
+                    d = s_aff.then(Affine.from_swf_matrix(c.matrix)).then(
+                        s_inv)
+                smax = max(smax, d.max_scale())
+                row.append((d.a, d.b, d.c, d.d, d.e, d.f))
+            devs.append(row)
+
+        child_draws = []
+        for c in first.children:
+            compiler = SceneCompiler(
+                self.bitmap_service, self._shape_cache, self._morph_cache,
+                curve_tolerance=0.1 / smax,
+                curve_pow2=flash_like,
+                honor_swf_caps=flash_like,
+                honor_fill_winding=self.honor_fill_winding,
+                draws_cache=self._draws_cache,
+            )
+            compiler._draw_shape(c.definition, s_aff, c.color_transform)
+            draws = compiler.draws
+            if not draws:
+                return None
+            if any(d.paint.kind != style_ops.PAINT_SOLID for d in draws):
+                return None  # styled paints are device-space fields
+            child_draws.append(draws)
+        all_draws = [d for draws in child_draws for d in draws]
+        rules = {d.fill_rule for d in all_draws}
+        if len(rules) != 1:
+            return None
+
+        def run():
+            from ..ops.morph import morph_frames_to_u8
+            from ..ops.transform import (
+                affine_pieces, render_affine_sweep,
+            )
+
+            mats = np.asarray(
+                [[m for ci, row_m in enumerate(row)
+                  for m in [row_m] * len(child_draws[ci])]
+                 for row in devs], np.float32)  # (F, L, 6)
+            tab, subxy, colors = affine_pieces(
+                [d.edges for d in all_draws],
+                [d.paint.color for d in all_draws], mats)
+            out = render_affine_sweep(
+                jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+                jnp.asarray(colors), self.height, self.width,
+                fill_rule=rules.copy().pop())
+            return morph_frames_to_u8(np.asarray(out), self.height,
+                                      self.width)
+
+        run.draws = len(all_draws) * len(stages)
+        run.edges = sum(d.edges.shape[0] for d in all_draws) * len(stages)
+        return run
 
     # -- execution ----------------------------------------------------------
 

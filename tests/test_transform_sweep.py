@@ -162,3 +162,66 @@ def test_render_shape_animation_matches_per_frame_render(reference_tests):
         diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 2, (i, diff.max())
         assert (diff > 1).mean() < 1e-3
+
+
+def test_render_batch_auto_routes_transform_animation():
+    """render_batch detects a moving-matrix animation (same definitions,
+    only matrices differ) and routes it through the on-device transform
+    sweep — O(1) host work per frame — matching per-frame renders."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    size = 500
+    tag = ast.DefineShape(
+        id=1,
+        bounds=ast.Rect(x_min=0, x_max=size, y_min=0, y_max=size),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=[ast.SolidFill(
+                    color=ast.StraightSRgba8(20, 200, 120, 255))],
+                line=[],
+            ),
+            records=[
+                ast.StyleChangeRecord(
+                    right_fill=1, move_to=ast.Vector2D(x=0, y=0)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=size, y=0)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=0, y=size)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=-size, y=-size)),
+            ],
+        ),
+    )
+    w = h = 40
+    stages = []
+    mats = []
+    for i in range(4):
+        th = 2 * np.pi * i / 12
+        a, b = np.cos(th), np.sin(th)
+        cx = cy = 400.0
+        m = ast.Matrix(
+            scale_x=Sfixed16P16.from_value(a),
+            scale_y=Sfixed16P16.from_value(a),
+            rotate_skew0=Sfixed16P16.from_value(b),
+            rotate_skew1=Sfixed16P16.from_value(-b),
+            translate_x=int(round(cx - a * cx + b * cy)),
+            translate_y=int(round(cy - b * cx - a * cy)),
+        )
+        mats.append(m)
+        stages.append(display.Stage(
+            width=w, height=h,
+            children=[display.ShapeInstance(definition=tag, matrix=m)]))
+
+    r = TpuRenderer(w, h)
+    got = r.render_batch(stages)
+    assert r.last_stats.path == "transform-sweep"
+    assert got.shape == (4, h, w, 4)
+
+    for i, stage in enumerate(stages):
+        want = TpuRenderer(w, h).render(stage)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())
+
+    # Identical frames do NOT take the sweep (fused batch handles them).
+    r2 = TpuRenderer(w, h)
+    r2.render_batch([stages[0], stages[0]])
+    assert r2.last_stats.path == "batched-styled"

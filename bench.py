@@ -210,31 +210,33 @@ def bench_anim() -> None:
         "seconds": round(lower_s, 4),
         "pieces": int(tab.shape[-1]), "frames": frames}), file=sys.stderr)
 
-    margs = jnp.asarray(mats)
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
 
-    def one_rep(mm, prev):
-        out = render_affine_sweep(mm + prev * 1e-30, *fargs, h, w)
-        return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
-
-    def timed(k):
-        @jax.jit
-        def run(mm):
-            return jax.lax.fori_loop(
-                0, k, lambda i, acc: one_rep(mm, acc), 0.0)
-        float(run(margs))
+    # Sustained two-point fit over the FRAME COUNT (a wrapping fori_loop
+    # makes XLA stack-allocate the sweep's whole output in scoped VMEM —
+    # OOM at 60x512^2; single calls with k1-k0 frames of extra work
+    # cancel the ~26 ms dispatch floor just as well, since frames are the
+    # batch axis and host cost is frame-count-independent).
+    def timed(mm_np):
+        mm = jnp.asarray(mm_np)
         ts = []
-        for _ in range(3):
+        for i in range(4):
+            varied = mm + np.float32(i) * 1e-12
             t0 = time.perf_counter()
-            float(run(margs))
+            out = render_affine_sweep(varied, *fargs, h, w)
+            int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min(ts[1:])  # [0] may include compile
 
-    dt = (timed(9) - timed(1)) / 8
-    pixels = frames * h * w
+    k0 = frames // 4
+    t_k0 = timed(mats[:k0])
+    t_k1 = timed(mats)
+    dt_frame = (t_k1 - t_k0) / (frames - k0)
+    print(json.dumps({"note": "anim per-frame device time",
+                      "ms": round(dt_frame * 1e3, 3)}), file=sys.stderr)
     print(json.dumps({
         "metric": "anim_rotation_512x512x60_sustained",
-        "value": round(pixels / dt / 1e6, 2),
+        "value": round(h * w / dt_frame / 1e6, 2),
         "unit": "Mpx/s",
         "vs_baseline": None,
     }))
@@ -291,16 +293,23 @@ def bench_style(kind: str) -> None:
     layers = len(paints)
 
     GROUP = 6
+    from swf_renderer_tpu.ops.flatblock import (
+        plane_geometry, strips_per_plane,
+    )
+
+    _, nc_geo, ns_geo = plane_geometry(h, w)
+    spp = strips_per_plane(nc_geo, ns_geo)
     tables, _ = build_scene_edges(batch, layers, h, w, seed=11)
     t0 = time.perf_counter()
     update_lists = lower_update_lists(tables, h, w)
     gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
-        update_lists, h, w, group=GROUP)
+        update_lists, h, w, group=GROUP, spp=spp)
     lower_s = time.perf_counter() - t0
-    kpaints, fields, base_colors = kernel_paints_for(paints, h, w)
+    kpaints, fields, base_colors = kernel_paints_for(paints, h, w, spp=spp)
     colors = np.broadcast_to(base_colors, (batch, layers, 4))
     print(json.dumps({"note": f"{kind} host lowering",
                       "seconds": round(lower_s, 3),
+                      "strips_per_plane": spp,
                       "groups": int(len(gsi))}), file=sys.stderr)
 
     args = tuple(jnp.asarray(x) for x in (gsi, gfl, gla, grc, gcm, gvv))
@@ -310,7 +319,7 @@ def bench_style(kind: str) -> None:
         out = render_fused_styled(
             args[0], args[1], args[2], args[3], args[4],
             uv + prev * 1e-30, colors_j, fields, batch, layers, ns, nc,
-            kpaints, group=GROUP)
+            kpaints, group=GROUP, spp=spp)
         return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
     def timed(k):

@@ -161,6 +161,13 @@ def test_frame_server_over_http(reference_tests):
         assert first.shape[2] == 4 and first[..., 3].max() > 0
         assert blob.count(b"P7\n") == 4
 
+        # Static shapes animate as an on-device rotation transform sweep.
+        blob2 = post(f"/renderer/{handle}/animate?frames=3", tri.encode(),
+                     raw=True)
+        spin = pam_to_rgba(blob2)
+        assert spin.shape[2] == 4 and spin[..., 3].max() > 0
+        assert blob2.count(b"P7\n") == 3
+
         req = urllib.request.Request(f"{base}/renderer/{handle}",
                                      method="DELETE")
         assert json.loads(urllib.request.urlopen(req).read())["ok"]

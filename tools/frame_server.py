@@ -17,7 +17,9 @@ Protocol (JSON in, PNG/PAM out):
   POST   /renderer/<h>/render     body = DefineShape/DefineMorphShape
                                   ast.json (?ratio= for morphs,
                                   ?format=png|pam) -> image bytes
-  POST   /renderer/<h>/animate    body = DefineMorphShape ast.json
+  POST   /renderer/<h>/animate    body = DefineMorphShape ast.json (morph
+                                  ratio sweep) or DefineShape ast.json
+                                  (full-rotation transform sweep);
                                   (?frames=N) -> N concatenated PAM frames
                                   (streamed; Content-Type
                                   application/x-portable-arbitrarymap)
@@ -121,8 +123,10 @@ class Handler(BaseHTTPRequestHandler):
         return self._bytes(encode_png(frame), "image/png")
 
     def _animate(self, service, handle, params):
-        """The continuous frame loop: an on-device morph sweep streamed as
-        consecutive PAM frames."""
+        """The continuous frame loop: an on-device sweep streamed as
+        consecutive PAM frames — a morph ratio sweep for DefineMorphShape
+        bodies, a full-rotation transform sweep for DefineShape bodies
+        (both O(1) host work in the frame count)."""
         import jax.numpy as jnp
 
         from swf_renderer_tpu.models.decode_morph_shape import (
@@ -137,8 +141,11 @@ class Handler(BaseHTTPRequestHandler):
         )
 
         tag = parse_tag(self._body().decode())
+        if isinstance(tag, ast.DefineShape):
+            return self._animate_rotation(tag, params)
         if not isinstance(tag, ast.DefineMorphShape):
-            raise ValueError("animate requires a DefineMorphShape")
+            raise ValueError("animate requires a DefineMorphShape or"
+                             " DefineShape")
         n = int(params.get("frames", "16"))
         stage = display.stage_for_morph_shape(tag, 0.0)
         ctm = Affine.scaling(1 / TWIPS_PER_PX, 1 / TWIPS_PER_PX).then(
@@ -150,6 +157,45 @@ class Handler(BaseHTTPRequestHandler):
             jnp.asarray(ratios), *(jnp.asarray(x) for x in parts),
             stage.height, stage.width)
         frames = morph_frames_to_u8(out, stage.height, stage.width)
+        buf = io.BytesIO()
+        for frame in frames:
+            buf.write(rgba_to_pam(frame))
+        return self._bytes(buf.getvalue(),
+                           "application/x-portable-arbitrarymap")
+
+    def _animate_rotation(self, tag, params):
+        """Transform-animation loop: one full rotation of the shape about
+        the stage center, rasterized fully on device
+        (runtime.renderer.render_shape_animation)."""
+        from swf_renderer_tpu.models.geometry import TWIPS_PER_PX
+        from swf_renderer_tpu.runtime.renderer import render_shape_animation
+
+        n = int(params.get("frames", "16"))
+        stage = display.stage_for_shape(tag)
+        base = stage.children[0].matrix
+        b_aff = (base.to_affine() if base is not None
+                 else (1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+        cx = stage.width / 2.0 * TWIPS_PER_PX
+        cy = stage.height / 2.0 * TWIPS_PER_PX
+        mats = []
+        for i in range(n):
+            th = 2 * np.pi * i / n
+            ca, sa = np.cos(th), np.sin(th)
+            # rotation about (cx, cy) composed with the stage's base
+            # translate (twips): R ∘ base
+            a = ca * b_aff[0] - sa * b_aff[1]
+            b = sa * b_aff[0] + ca * b_aff[1]
+            c = ca * b_aff[2] - sa * b_aff[3]
+            d = sa * b_aff[2] + ca * b_aff[3]
+            e = (ca * b_aff[4] - sa * b_aff[5]
+                 + cx - ca * cx + sa * cy)
+            f = (sa * b_aff[4] + ca * b_aff[5]
+                 + cy - sa * cx - ca * cy)
+            # device-space affine: S ∘ M_twips ∘ S^-1 has identical
+            # a,b,c,d; translate scales by 1/TWIPS.
+            mats.append((a, b, c, d, e / TWIPS_PER_PX, f / TWIPS_PER_PX))
+        frames = render_shape_animation(
+            tag, np.asarray(mats, np.float32), stage.width, stage.height)
         buf = io.BytesIO()
         for frame in frames:
             buf.write(rgba_to_pam(frame))

@@ -240,10 +240,16 @@ def kernel_paints_for(paints, height: int, width: int, spp: int = 1):
     """Map per-layer style Paints -> (KernelPaint tuple, field planes,
     (L, 4) colors) for render_fused_styled.
 
-    Solid paints read per-(frame, layer) colors; gradients bake their
-    params into the kernel; bitmap paints evaluate their field once (XLA,
-    on device — any fill matrix) and stream chunk-major planes (packed
-    ``spp`` strips per plane to match the kernel layout)."""
+    Solid paints read per-(frame, layer) colors; bitmap paints evaluate
+    their field once (XLA, on device — any fill matrix) and stream
+    chunk-major planes (packed ``spp`` strips per plane).  Gradients
+    ALSO render as prebaked field planes when the pass's field budget
+    allows — measured +14% over in-kernel evaluation on the gradients
+    config (tools/exp_gradfield.py: streaming a frame-invariant plane
+    beats re-evaluating the ramp per resolve step); when the layer list
+    already needs more than MAX_KERNEL_FIELDS streamed planes, gradients
+    fall back to in-kernel baked-stop evaluation (zero HBM) to avoid
+    forcing extra composition passes."""
     from ..ops import style as style_ops
     from .flatblock import (
         KPAINT_FOCAL, KPAINT_LINEAR, KernelPaint, field_to_chunkmajor,
@@ -253,22 +259,34 @@ def kernel_paints_for(paints, height: int, width: int, spp: int = 1):
     _, n_chunks, n_strips = plane_geometry(height, width)
     if spp > 1:
         n_strips = -(-n_strips // spp)  # strip-block count
+    gradient_kinds = (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
+    must_field = sum(1 for p in paints if _needs_field(p))
+    n_gradients = sum(1 for p in paints
+                      if p.kind in gradient_kinds
+                      and p.color_space != "linear-rgb")
+    gradients_as_fields = (must_field + n_gradients
+                           <= MAX_KERNEL_FIELDS)
+
     kpaints = []
     fields = []
     colors = np.zeros((len(paints), 4), np.float32)
+
+    def add_field(p):
+        field = style_ops.paint_field(p, height, width)
+        fields.append(field_to_chunkmajor(field, n_strips, n_chunks,
+                                          spp=spp))
+        kpaints.append(KernelPaint.field(len(fields) - 1))
+
     for i, p in enumerate(paints):
         if p.kind == style_ops.PAINT_SOLID:
             kpaints.append(KernelPaint.color())
             colors[i] = p.color
-        elif p.kind in (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL):
-            if p.color_space == "linear-rgb":
-                # Linear-RGB interpolation needs the sRGB transfer curve;
-                # stream it as a precomputed field instead of teaching the
-                # in-kernel evaluator pow() (rare path, exactness first).
-                field = style_ops.paint_field(p, height, width)
-                fields.append(field_to_chunkmajor(field, n_strips,
-                                                  n_chunks, spp=spp))
-                kpaints.append(KernelPaint.field(len(fields) - 1))
+        elif p.kind in gradient_kinds:
+            # linear-RGB always streams (the sRGB transfer curve isn't in
+            # the in-kernel evaluator); sRGB gradients stream when the
+            # field budget allows (faster), else bake into the kernel.
+            if p.color_space == "linear-rgb" or gradients_as_fields:
+                add_field(p)
                 continue
             kind = (KPAINT_LINEAR if p.kind == style_ops.PAINT_LINEAR
                     else KPAINT_FOCAL)
@@ -276,10 +294,7 @@ def kernel_paints_for(paints, height: int, width: int, spp: int = 1):
                 kind, p.inv_matrix, p.stop_ratios, p.stop_colors,
                 focal=p.focal_point, spread=p.spread))
         elif p.kind == style_ops.PAINT_BITMAP:
-            field = style_ops.paint_field(p, height, width)
-            fields.append(field_to_chunkmajor(field, n_strips, n_chunks,
-                                              spp=spp))
-            kpaints.append(KernelPaint.field(len(fields) - 1))
+            add_field(p)
         else:
             raise ValueError(f"unsupported paint kind {p.kind}")
     return tuple(kpaints), tuple(fields), colors

@@ -93,6 +93,18 @@ class Affine:
             max(self.a * self.a + self.b * self.b, self.c * self.c + self.d * self.d)
         ) * math.sqrt(2.0)
 
+    def norm2(self) -> float:
+        """EXACT largest singular value of the linear part (the true
+        length-scaling factor — max_scale is a looser sqrt(2) bound kept
+        for the tolerances the golden ratchets were tuned under)."""
+        f = (self.a * self.a + self.b * self.b
+             + self.c * self.c + self.d * self.d)
+        g = math.hypot(
+            self.a * self.a + self.b * self.b
+            - self.c * self.c - self.d * self.d,
+            2.0 * (self.a * self.c + self.b * self.d))
+        return math.sqrt(max(0.0, (f + g) / 2.0))
+
     def as_tuple(self) -> Tuple[float, float, float, float, float, float]:
         return (self.a, self.b, self.c, self.d, self.e, self.f)
 

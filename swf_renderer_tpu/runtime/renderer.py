@@ -290,12 +290,16 @@ class TpuRenderer:
             if len(s.children) != n:
                 return None
             for c0, c in zip(first.children, s.children):
-                if not isinstance(c, display.ShapeInstance):
+                if not isinstance(c, (display.ShapeInstance,
+                                      display.MorphShapeInstance)):
                     return None
                 if c.definition is not c0.definition:
                     return None
                 if c.color_transform != c0.color_transform:
                     return None
+                if (isinstance(c, display.MorphShapeInstance)
+                        and c.ratio != c0.ratio):
+                    return None  # ratio animation: fused batch / sweep
                 if c.matrix != c0.matrix:
                     any_matrix_differs = True
         if not any_matrix_differs:
@@ -319,7 +323,11 @@ class TpuRenderer:
                 else:
                     d = s_aff.then(Affine.from_swf_matrix(c.matrix)).then(
                         s_inv)
-                smax = max(smax, d.max_scale())
+                # Exact spectral norm: translate/rotate-only animations
+                # keep smax == 1 so the sweep flattens curves at the SAME
+                # tolerance as per-frame renders (max_scale's sqrt(2)
+                # slack would silently over-refine them).
+                smax = max(smax, d.norm2())
                 row.append((d.a, d.b, d.c, d.d, d.e, d.f))
             devs.append(row)
 
@@ -333,7 +341,12 @@ class TpuRenderer:
                 honor_fill_winding=self.honor_fill_winding,
                 draws_cache=self._draws_cache,
             )
-            compiler._draw_shape(c.definition, s_aff, c.color_transform)
+            if isinstance(c, display.MorphShapeInstance):
+                compiler._draw_morph_shape(c.definition, c.ratio, s_aff,
+                                           c.color_transform)
+            else:
+                compiler._draw_shape(c.definition, s_aff,
+                                     c.color_transform)
             draws = compiler.draws
             if not draws:
                 return None
@@ -581,12 +594,12 @@ def render_shape_animation(
             Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX)) for m in matrices]
         mats = np.asarray([(m.a, m.b, m.c, m.d, m.e, m.f) for m in devs],
                           np.float32)
-        smax = max(m.max_scale() for m in devs)
+        smax = max(m.norm2() for m in devs)
     else:
         mats = np.asarray(matrices, np.float32)
         smax = max(
             1e-6,
-            max(Affine(*m).max_scale() for m in np.asarray(mats, float)))
+            max(Affine(*m).norm2() for m in np.asarray(mats, float)))
 
     flash_like = quality.startswith("flash")
     compiler = SceneCompiler(

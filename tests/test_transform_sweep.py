@@ -225,3 +225,40 @@ def test_render_batch_auto_routes_transform_animation():
     r2 = TpuRenderer(w, h)
     r2.render_batch([stages[0], stages[0]])
     assert r2.last_stats.path == "batched-styled"
+
+
+def test_render_batch_routes_morph_instance_under_moving_matrix(
+        reference_tests):
+    """A morph instance at CONSTANT ratio whose matrix changes per frame
+    also rides the transform sweep."""
+    import dataclasses
+
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.models.ast_io import parse_define_morph_shape
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    d = reference_tests / "flat-morph-shapes" / "homestuck-beta-29"
+    tag = parse_define_morph_shape((d / "ast.json").read_text())
+    base = display.stage_for_morph_shape(tag, 0.5)
+    child = base.children[0]
+    w, h = base.width, base.height
+    stages = []
+    for i in range(3):
+        m0 = child.matrix
+        shifted = ast.Matrix(
+            scale_x=m0.scale_x, scale_y=m0.scale_y,
+            rotate_skew0=m0.rotate_skew0, rotate_skew1=m0.rotate_skew1,
+            translate_x=m0.translate_x + i * 40,
+            translate_y=m0.translate_y)
+        stages.append(display.Stage(
+            width=w, height=h,
+            children=[dataclasses.replace(child, matrix=shifted)]))
+
+    r = TpuRenderer(w, h)
+    got = r.render_batch(stages)
+    assert r.last_stats.path == "transform-sweep"
+    for i, stage in enumerate(stages):
+        want = TpuRenderer(w, h).render(stage)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())

@@ -159,6 +159,39 @@ class RendererService:
         )
         return renderer.render(stage)
 
+    def render_batch(self, handle: int, stages) -> np.ndarray:
+        """Render a stage sequence as one fused device batch (moving-
+        matrix animations auto-route to the on-device transform sweep;
+        see TpuRenderer.render_batch)."""
+        return self._get(handle).render_batch(stages)
+
+    def animate_refs(self, handle: int, refs_per_frame,
+                     background=None) -> np.ndarray:
+        """Render a SEQUENCE of retained-ref frames — the embedding
+        analog of the frame server's animate loop.  Each element of
+        ``refs_per_frame`` is a list of StoredShapeRef; returns
+        (F, H, W, 4) uint8."""
+        renderer = self._get(handle)
+        stages = []
+        for refs in refs_per_frame:
+            children = []
+            for ref in refs:
+                if ref.morph_ratio is None:
+                    children.append(display.ShapeInstance(
+                        definition=self.assets.get_shape(ref.shape_id),
+                        matrix=ref.matrix))
+                else:
+                    children.append(display.MorphShapeInstance(
+                        definition=self.assets.get_morph_shape(
+                            ref.shape_id),
+                        ratio=ref.morph_ratio, matrix=ref.matrix))
+            stages.append(display.Stage(
+                width=renderer.width, height=renderer.height,
+                background_color=background or ast.StraightSRgba8(
+                    0, 0, 0, 0),
+                children=tuple(children)))
+        return renderer.render_batch(stages)
+
     def destroy_renderer(self, handle: int) -> None:
         with self._lock:
             self._renderers.pop(handle, None)

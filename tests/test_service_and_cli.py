@@ -173,3 +173,38 @@ def test_frame_server_over_http(reference_tests):
         assert json.loads(urllib.request.urlopen(req).read())["ok"]
     finally:
         server.shutdown()
+
+
+def test_service_animate_refs_transform_sweep(reference_tests):
+    """The handle-table service animates retained refs; moving-matrix
+    frames auto-route to the on-device transform sweep."""
+    from swf_renderer_tpu.models import ast as ast_mod
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.runtime.service import (
+        RendererService, StoredShapeRef,
+    )
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    tri = parse_define_shape(
+        (reference_tests / "flat-shapes" / "triangle" /
+         "ast.json").read_text())
+    svc = RendererService()
+    sid = svc.assets.register_shape(tri)
+    h = svc.create_renderer(48, 48)
+
+    one = Sfixed16P16.from_value(1.0)
+    zero = Sfixed16P16.from_value(0.0)
+    frames = [
+        [StoredShapeRef(shape_id=sid, matrix=ast_mod.Matrix(
+            scale_x=one, scale_y=one, rotate_skew0=zero,
+            rotate_skew1=zero, translate_x=40 * i, translate_y=0))]
+        for i in range(3)
+    ]
+    out = svc.animate_refs(h, frames)
+    assert out.shape == (3, 48, 48, 4)
+    assert svc._get(h).last_stats.path == "transform-sweep"
+    # Frames shift right by 2 px each.
+    a0 = out[0, :, :, 3]
+    a1 = out[1, :, :, 3]
+    np.testing.assert_array_equal(a1[:, 2:], a0[:, :-2])
+    svc.destroy_renderer(h)

@@ -389,8 +389,12 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
     # split + thread-pooled pack and populate it.
     from swf_renderer_tpu.runtime.cache import PackedSceneCache
 
-    cache = PackedSceneCache(capacity=4,
-                             directory="/root/repo/.bench_cache")
+    import pathlib
+
+    cache = PackedSceneCache(
+        capacity=4,
+        directory=str(pathlib.Path(__file__).resolve().parent
+                      / ".bench_cache"))
     t0 = time.perf_counter()
     key = cache.key_for(tables, height, width, GROUP, spp=spp)
     packed = cache.get(key)

@@ -311,10 +311,11 @@ def render_styled_layered(edge_tables, paints, height: int, width: int,
     from ..ops import style as style_ops
     from .composite import composite_to_u8
     from .scanline import coverage_scanline, edges_to_cells, pack_cells
+    from ..native.bindings import native_available
 
-    try:
+    if native_available():
         from ..native.bindings import cells_split_native as splitter
-    except Exception:
+    else:
         splitter = edges_to_cells
 
     fields = [style_ops.paint_field(p, height, width) for p in paints]

@@ -47,8 +47,12 @@ class PackedSceneCache:
         # Edge-table digest memo keyed by ARRAY IDENTITY: when the compiled
         # draw lists themselves are cached (DrawListCache), steady-state
         # renders hand the same ndarray objects back and key_for skips
-        # re-hashing their bytes (VERDICT r2 weak #7).  Entries retain the
-        # array so a collected array's reused id() can never alias.
+        # re-hashing their bytes (VERDICT r2 weak #7).  Entries hold the
+        # array by WEAKREF (no pinning; a collected array's reused id()
+        # resolves to a dead ref and misses) and only READ-ONLY arrays are
+        # memoized — DrawListCache freezes cached draw edges, while a
+        # caller-owned writeable array could be mutated in place under the
+        # same identity and must be re-hashed every call.
         self._digest_memo: "collections.OrderedDict[int, tuple]" = (
             collections.OrderedDict())
         self.hits = 0
@@ -57,14 +61,16 @@ class PackedSceneCache:
     def _table_digest(self, t) -> bytes:
         key = id(t)
         hit = self._digest_memo.get(key)
-        if hit is not None and hit[0] is t:
+        if hit is not None and hit[0]() is t:
             self._digest_memo.move_to_end(key)
             return hit[1]
         a = np.ascontiguousarray(t, np.float32)
         d = hashlib.sha256(
             np.int64(a.shape[0]).tobytes() + a.tobytes()).digest()
-        if isinstance(t, np.ndarray):
-            self._digest_memo[key] = (t, d)
+        if isinstance(t, np.ndarray) and not t.flags.writeable:
+            import weakref
+
+            self._digest_memo[key] = (weakref.ref(t), d)
             while len(self._digest_memo) > 4096:
                 self._digest_memo.popitem(last=False)
         return d
@@ -148,7 +154,15 @@ class DrawListCache:
         return None
 
     def put(self, key, tag, draws, line_width_state) -> None:
-        self._mem[key] = (tag, list(draws), line_width_state)
+        draws = list(draws)
+        for d in draws:
+            # Freeze cached geometry: replayed draws share these arrays
+            # across renders, and the packed-scene digest memo relies on
+            # read-only == immutable (mutating a cached table would
+            # silently replay stale packed blocks otherwise).
+            if isinstance(d.edges, np.ndarray):
+                d.edges.setflags(write=False)
+        self._mem[key] = (tag, draws, line_width_state)
         self._mem.move_to_end(key)
         while len(self._mem) > self.capacity:
             self._mem.popitem(last=False)

@@ -279,6 +279,12 @@ class TpuRenderer:
         first = stages[0]
         if len(stages) < 2 or not first.children:
             return None
+        # The sweep is an analytic-AA fused path: honor the same explicit
+        # overrides _flatblock_refusal enforces (legacy backend choice,
+        # coverage validation, point-sampled AA quality).
+        if (self.backend in ("scanline", "direct") or self.validate
+                or self.quality == "flash-pointaa"):
+            return None
         if any(s.exact_width is not None for s in stages):
             return None  # exact sub-pixel clipping isn't in the sweep
         if any(s.width != self.width or s.height != self.height
@@ -331,23 +337,28 @@ class TpuRenderer:
                 row.append((d.a, d.b, d.c, d.d, d.e, d.f))
             devs.append(row)
 
+        # ONE compiler across children: the Canvas2D lineWidth state
+        # machine threads through the whole display list (a zero-width
+        # line style inherits the previous child's width), exactly like
+        # compile_stage's walk.
+        compiler = SceneCompiler(
+            self.bitmap_service, self._shape_cache, self._morph_cache,
+            curve_tolerance=0.1 / smax,
+            curve_pow2=flash_like,
+            honor_swf_caps=flash_like,
+            honor_fill_winding=self.honor_fill_winding,
+            draws_cache=self._draws_cache,
+        )
         child_draws = []
         for c in first.children:
-            compiler = SceneCompiler(
-                self.bitmap_service, self._shape_cache, self._morph_cache,
-                curve_tolerance=0.1 / smax,
-                curve_pow2=flash_like,
-                honor_swf_caps=flash_like,
-                honor_fill_winding=self.honor_fill_winding,
-                draws_cache=self._draws_cache,
-            )
+            start = len(compiler.draws)
             if isinstance(c, display.MorphShapeInstance):
                 compiler._draw_morph_shape(c.definition, c.ratio, s_aff,
                                            c.color_transform)
             else:
                 compiler._draw_shape(c.definition, s_aff,
                                      c.color_transform)
-            draws = compiler.draws
+            draws = compiler.draws[start:]
             if not draws:
                 return None
             if any(d.paint.kind != style_ops.PAINT_SOLID for d in draws):

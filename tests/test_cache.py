@@ -84,3 +84,48 @@ def test_draw_list_cache_distinguishes_ctm(reference_tests):
     b = r.render(moved)
     assert r._draws_cache.misses >= 2  # second stage recompiled
     assert not np.array_equal(a, b)
+
+
+def test_digest_memo_safe_under_in_place_mutation():
+    """Caller-owned (writeable) edge tables are re-hashed every call: an
+    in-place mutation between renders must produce fresh output, not a
+    stale packed-cache replay."""
+    from swf_renderer_tpu.ops.pipeline import render_batch_flatblock
+    from swf_renderer_tpu.runtime.cache import PackedSceneCache
+
+    t = np.array([[2.0, 2.0, 20.0, 2.0], [20.0, 2.0, 20.0, 20.0],
+                  [20.0, 20.0, 2.0, 2.0]], np.float32)
+    colors = np.array([[[1.0, 0.0, 0.0, 1.0]]], np.float32)
+    cache = PackedSceneCache()
+    first = render_batch_flatblock([[t]], colors, 24, 150, cache=cache)
+    t[:, 1] += 1.5  # in-place mutation, same array identity
+    t[:, 3] += 1.5
+    second = render_batch_flatblock([[t]], colors, 24, 150, cache=cache)
+    assert not np.array_equal(first, second)
+
+
+def test_plan_respects_backend_and_validate(reference_tests):
+    """The transform-sweep auto-route must honor explicit backend /
+    validate / pointaa overrides like every other fast path."""
+    from swf_renderer_tpu.models import ast
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    tag = parse_define_shape(
+        (reference_tests / "flat-shapes" / "triangle" /
+         "ast.json").read_text())
+    one = Sfixed16P16.from_value(1.0)
+    zero = Sfixed16P16.from_value(0.0)
+    stages = [
+        display.Stage(width=32, height=32, children=[
+            display.ShapeInstance(definition=tag, matrix=ast.Matrix(
+                scale_x=one, scale_y=one, rotate_skew0=zero,
+                rotate_skew1=zero, translate_x=i * 20, translate_y=0))])
+        for i in range(2)
+    ]
+    for kwargs in ({"backend": "scanline"}, {"validate": True},
+                   {"quality": "flash-pointaa"}):
+        r = TpuRenderer(32, 32, **kwargs)
+        assert r._transform_animation_plan(stages) is None, kwargs
+    r = TpuRenderer(32, 32)
+    assert r._transform_animation_plan(stages) is not None

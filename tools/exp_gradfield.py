@@ -63,8 +63,21 @@ def main():
         update_lists, h, w, group=GROUP, spp=spp)
     args = tuple(jnp.asarray(x) for x in (gsi, gfl, gla, grc, gcm, gvv))
 
-    # Variant A: in-kernel gradients (production today).
-    kp_a, fields_a, base_colors = kernel_paints_for(paints, h, w, spp=spp)
+    # Variant A: in-kernel gradients, built EXPLICITLY (the production
+    # kernel_paints_for now promotes gradients to fields by default —
+    # this experiment's finding — so going through it would compare
+    # prebaked vs prebaked).
+    from swf_renderer_tpu.ops.flatblock import KPAINT_FOCAL, KPAINT_LINEAR
+
+    kp_a = tuple(
+        KernelPaint.gradient(
+            KPAINT_LINEAR if p.kind == style_ops.PAINT_LINEAR
+            else KPAINT_FOCAL,
+            p.inv_matrix, p.stop_ratios, p.stop_colors,
+            focal=p.focal_point, spread=p.spread)
+        for p in paints)
+    fields_a = ()
+    base_colors = np.zeros((layers, 4), np.float32)
     # Variant B: both gradients as prebaked field planes.
     fields_b = tuple(
         field_to_chunkmajor(style_ops.paint_field(p, h, w), ns, nc,

@@ -208,3 +208,44 @@ def test_service_animate_refs_transform_sweep(reference_tests):
     a1 = out[1, :, :, 3]
     np.testing.assert_array_equal(a1[:, 2:], a0[:, :-2])
     svc.destroy_renderer(h)
+
+
+def test_frame_server_stroked_morph_animate_keeps_strokes(reference_tests):
+    """Stroked morphs must NOT stream the fills-only device sweep: the
+    animate endpoint's frames must match full renders (fills + strokes)."""
+    import json
+    import threading
+    import urllib.request
+
+    from tools.frame_server import FrameServer, Handler
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.models.ast_io import parse_define_morph_shape
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.utils.pam import pam_to_rgba
+
+    morph_text = (reference_tests / "flat-morph-shapes" /
+                  "homestuck-beta-29" / "ast.json").read_text()
+    tag = parse_define_morph_shape(morph_text)
+    stage = display.stage_for_morph_shape(tag, 0.0)
+
+    server = FrameServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/renderer",
+            data=json.dumps({"width": stage.width,
+                             "height": stage.height}).encode(),
+            method="POST")
+        handle = json.loads(urllib.request.urlopen(req).read())["handle"]
+        req = urllib.request.Request(
+            f"{base}/renderer/{handle}/animate?frames=2",
+            data=morph_text.encode(), method="POST")
+        blob = urllib.request.urlopen(req).read()
+        first = pam_to_rgba(blob)
+        want = TpuRenderer(stage.width, stage.height).render(stage)
+        diff = np.abs(first.astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, diff.max()  # strokes present
+    finally:
+        server.shutdown()

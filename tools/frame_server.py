@@ -148,15 +148,37 @@ class Handler(BaseHTTPRequestHandler):
                              " DefineShape")
         n = int(params.get("frames", "16"))
         stage = display.stage_for_morph_shape(tag, 0.0)
-        ctm = Affine.scaling(1 / TWIPS_PER_PX, 1 / TWIPS_PER_PX).then(
-            Affine.from_swf_matrix(stage.children[0].matrix))
-        parts = morph_pieces(
-            morph_fill_edge_pairs(decode_morph_shape(tag), ctm))
         ratios = np.linspace(0.0, 1.0, n, dtype=np.float32)
-        out = render_morph_sweep(
-            jnp.asarray(ratios), *(jnp.asarray(x) for x in parts),
-            stage.height, stage.width)
-        frames = morph_frames_to_u8(out, stage.height, stage.width)
+        decoded = decode_morph_shape(tag)
+        if any(p.line is not None for p in decoded.paths):
+            # Stroked morphs: stroke OUTLINES are not linear in the ratio,
+            # so the O(1) device sweep (fills only) would silently drop
+            # them.  Render the ratio sequence through the fused batched
+            # pipeline instead (per-ratio host lowering, device-fused
+            # rasterization — still one kernel launch for the batch).
+            import dataclasses
+
+            from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+            renderer = service._get(handle)
+            if (renderer.width, renderer.height) != (stage.width,
+                                                     stage.height):
+                renderer = TpuRenderer(stage.width, stage.height)
+            stages = [
+                dataclasses.replace(stage, children=(
+                    dataclasses.replace(stage.children[0],
+                                        ratio=float(r)),))
+                for r in ratios
+            ]
+            frames = renderer.render_batch(stages)
+        else:
+            ctm = Affine.scaling(1 / TWIPS_PER_PX, 1 / TWIPS_PER_PX).then(
+                Affine.from_swf_matrix(stage.children[0].matrix))
+            parts = morph_pieces(morph_fill_edge_pairs(decoded, ctm))
+            out = render_morph_sweep(
+                jnp.asarray(ratios), *(jnp.asarray(x) for x in parts),
+                stage.height, stage.width)
+            frames = morph_frames_to_u8(out, stage.height, stage.width)
         buf = io.BytesIO()
         for frame in frames:
             buf.write(rgba_to_pam(frame))

@@ -275,3 +275,62 @@ def test_random_bitmap_fill_render(seed):
                              validate=True)
         assert frame.shape == (100, 100, 4)
         assert frame[..., 3].max() > 0  # something was drawn
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_random_deep_multipass_scene(seed):
+    """Randomized DEEP scenes (17-40 layers, mixed paints) through the
+    multipass flat-block path vs the layered coverage oracle."""
+    from swf_renderer_tpu.native.bindings import native_available
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.composite import (
+        composite_draws, premul_to_straight_u8,
+    )
+    from swf_renderer_tpu.ops.coverage import coverage_numpy
+    from swf_renderer_tpu.ops.pipeline import (
+        render_batch_styled, split_layer_groups,
+    )
+    import jax.numpy as jnp
+
+    if not native_available():
+        pytest.skip("native packer required")
+    rng = np.random.default_rng(seed)
+    height, width = rng.integers(24, 64), rng.integers(100, 300)
+    n_layers = int(rng.integers(17, 41))
+    paints = []
+    for i in range(n_layers):
+        roll = rng.uniform()
+        if roll < 0.15:
+            paints.append(style_ops.Paint(
+                kind=style_ops.PAINT_LINEAR,
+                inv_matrix=(float(rng.uniform(50, 300)), 0.0, 0.0,
+                            float(rng.uniform(50, 300)),
+                            -16384.0, float(rng.uniform(-9000, 0))),
+                stop_ratios=np.array([0.0, 1.0], np.float32),
+                stop_colors=rng.uniform(0, 1, (2, 4)).astype(np.float32)))
+        elif roll < 0.25:
+            img = rng.integers(0, 256, (5, 7, 4)).astype(np.uint8)
+            paints.append(style_ops.Paint(
+                kind=style_ops.PAINT_BITMAP,
+                inv_matrix=(0.4, 0.0, 0.0, 0.4, 0.0, 0.0),
+                image=img, repeating=True, smoothed=True, supersample=1))
+        else:
+            paints.append(style_ops.solid_paint(
+                tuple(rng.uniform(0.1, 1.0, 4))))
+    assert len(split_layer_groups(paints)) >= 2
+
+    tables = []
+    for _ in range(n_layers):
+        pts = rng.uniform(0, (width, height), (5, 2)).astype(np.float32)
+        closed = np.concatenate([pts, pts[:1]])
+        tables.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+    got = render_batch_styled([tables], paints, int(height), int(width))
+
+    fields = [style_ops.paint_field(p, int(height), int(width))
+              for p in paints]
+    covs = np.stack([coverage_numpy(t, int(height), int(width))
+                     for t in tables])
+    want = np.asarray(premul_to_straight_u8(
+        composite_draws(jnp.asarray(covs), jnp.stack(fields))))
+    diff = np.abs(got[0].astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, diff.max()

@@ -85,6 +85,19 @@ def _uniform_layer_structure(per_frame_draws) -> bool:
     return True
 
 
+def _device_affine(matrix):
+    """SWF instance matrix (twips space) -> device-pixel affine:
+    S . A . S^-1 with S = scale(1/20), so applying it to geometry already
+    compiled at ctm = S equals compiling at ctm = S . A."""
+    from ..models.geometry import Affine, TWIPS_PER_PX
+
+    if matrix is None:
+        return Affine.identity()
+    s = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
+    return s.then(Affine.from_swf_matrix(matrix)).then(
+        Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX))
+
+
 class TpuRenderer:
     """Renders retained stages to RGBA frames.
 
@@ -314,7 +327,6 @@ class TpuRenderer:
         from ..models.geometry import Affine, TWIPS_PER_PX
 
         s_aff = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
-        s_inv = Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX)
         flash_like = self.quality.startswith("flash")
 
         # Per-(frame, child) device affines + the flattening tolerance
@@ -324,17 +336,13 @@ class TpuRenderer:
         for s in stages:
             row = []
             for c in s.children:
-                if c.matrix is None:
-                    d = Affine.identity()
-                else:
-                    d = s_aff.then(Affine.from_swf_matrix(c.matrix)).then(
-                        s_inv)
+                d = _device_affine(c.matrix)
                 # Exact spectral norm: translate/rotate-only animations
                 # keep smax == 1 so the sweep flattens curves at the SAME
                 # tolerance as per-frame renders (max_scale's sqrt(2)
                 # slack would silently over-refine them).
                 smax = max(smax, d.norm2())
-                row.append((d.a, d.b, d.c, d.d, d.e, d.f))
+                row.append(d.as_tuple())
             devs.append(row)
 
         # ONE compiler across children: the Canvas2D lineWidth state
@@ -385,7 +393,7 @@ class TpuRenderer:
             out = render_affine_sweep(
                 jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
                 jnp.asarray(colors), self.height, self.width,
-                fill_rule=rules.copy().pop())
+                fill_rule=next(iter(rules)))
             return morph_frames_to_u8(np.asarray(out), self.height,
                                       self.width)
 
@@ -601,10 +609,8 @@ def render_shape_animation(
 
     s = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
     if len(matrices) and isinstance(matrices[0], ast.Matrix):
-        devs = [s.then(Affine.from_swf_matrix(m)).then(
-            Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX)) for m in matrices]
-        mats = np.asarray([(m.a, m.b, m.c, m.d, m.e, m.f) for m in devs],
-                          np.float32)
+        devs = [_device_affine(m) for m in matrices]
+        mats = np.asarray([m.as_tuple() for m in devs], np.float32)
         smax = max(m.norm2() for m in devs)
     else:
         mats = np.asarray(matrices, np.float32)

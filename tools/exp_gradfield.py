@@ -32,9 +32,7 @@ from swf_renderer_tpu.ops.flatblock import (
     KernelPaint, field_to_chunkmajor, plane_geometry, render_fused_styled,
     strips_per_plane,
 )
-from swf_renderer_tpu.ops.pipeline import (
-    kernel_paints_for, lower_update_lists,
-)
+from swf_renderer_tpu.ops.pipeline import lower_update_lists
 
 
 def main():

@@ -189,33 +189,28 @@ class Handler(BaseHTTPRequestHandler):
         """Transform-animation loop: one full rotation of the shape about
         the stage center, rasterized fully on device
         (runtime.renderer.render_shape_animation)."""
-        from swf_renderer_tpu.models.geometry import TWIPS_PER_PX
+        from swf_renderer_tpu.models.geometry import Affine, TWIPS_PER_PX
         from swf_renderer_tpu.runtime.renderer import render_shape_animation
 
         n = int(params.get("frames", "16"))
         stage = display.stage_for_shape(tag)
         base = stage.children[0].matrix
-        b_aff = (base.to_affine() if base is not None
-                 else (1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+        b_aff = (Affine.from_swf_matrix(base) if base is not None
+                 else Affine.identity())
         cx = stage.width / 2.0 * TWIPS_PER_PX
         cy = stage.height / 2.0 * TWIPS_PER_PX
+        s = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
+        s_inv = Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX)
         mats = []
         for i in range(n):
             th = 2 * np.pi * i / n
             ca, sa = np.cos(th), np.sin(th)
-            # rotation about (cx, cy) composed with the stage's base
-            # translate (twips): R ∘ base
-            a = ca * b_aff[0] - sa * b_aff[1]
-            b = sa * b_aff[0] + ca * b_aff[1]
-            c = ca * b_aff[2] - sa * b_aff[3]
-            d = sa * b_aff[2] + ca * b_aff[3]
-            e = (ca * b_aff[4] - sa * b_aff[5]
-                 + cx - ca * cx + sa * cy)
-            f = (sa * b_aff[4] + ca * b_aff[5]
-                 + cy - sa * cx - ca * cy)
-            # device-space affine: S ∘ M_twips ∘ S^-1 has identical
-            # a,b,c,d; translate scales by 1/TWIPS.
-            mats.append((a, b, c, d, e / TWIPS_PER_PX, f / TWIPS_PER_PX))
+            # Rotation about (cx, cy) in twips, composed over the stage's
+            # base transform, then conjugated to device pixels.
+            rot = Affine(ca, sa, -sa, ca,
+                         cx - ca * cx + sa * cy, cy - sa * cx - ca * cy)
+            dev = s.then(rot.then(b_aff)).then(s_inv)
+            mats.append(dev.as_tuple())
         frames = render_shape_animation(
             tag, np.asarray(mats, np.float32), stage.width, stage.height)
         buf = io.BytesIO()

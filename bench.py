@@ -162,7 +162,8 @@ def bench_morph16() -> None:
     }))
 
 
-def bench_anim() -> None:
+def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
+               label: str = "anim_rotation_512x512x60_sustained") -> None:
     """VERDICT r3 config: transform ANIMATION — one shape set, 60 frames
     of per-frame rotation, rasterized fully on device (ops/transform.py).
     Host cost is O(edges), independent of the frame count: the piece
@@ -175,15 +176,13 @@ def bench_anim() -> None:
     from swf_renderer_tpu.ops.transform import (
         affine_pieces, render_affine_sweep,
     )
-
-    h = w = 512
-    frames = 60
     rng = np.random.default_rng(9)
     tables, colors = [], []
     for lyr in range(3):
         segs = []
         for _ in range(12):
-            cx, cy = rng.uniform(100, w - 100, 2)
+            cx = rng.uniform(100, w - 100)
+            cy = rng.uniform(60, h - 60)
             ang = np.sort(rng.uniform(0, 2 * np.pi, 10))
             r = rng.uniform(15, 60, 10)
             pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)],
@@ -197,7 +196,7 @@ def bench_anim() -> None:
     for i in range(frames):
         th = 2 * np.pi * i / frames
         a, b = np.cos(th), np.sin(th)
-        cx = cy = w / 2.0
+        cx, cy = w / 2.0, h / 2.0
         mats.append((a, b, -b, a, cx - a * cx + b * cy,
                      cy - b * cx - a * cy))
     mats = np.asarray(mats, np.float32)
@@ -235,7 +234,7 @@ def bench_anim() -> None:
     print(json.dumps({"note": "anim per-frame device time",
                       "ms": round(dt_frame * 1e3, 3)}), file=sys.stderr)
     print(json.dumps({
-        "metric": "anim_rotation_512x512x60_sustained",
+        "metric": label,
         "value": round(h * w / dt_frame / 1e6, 2),
         "unit": "Mpx/s",
         "vs_baseline": None,
@@ -483,6 +482,10 @@ def main() -> None:
             return bench_morph16()
         if cfg == "anim":
             return bench_anim()
+        if cfg == "anim1080":
+            return bench_anim(
+                h=1088, w=1920, frames=60,
+                label="anim_rotation_1080px60_sustained")
         if cfg in ("textured", "gradients"):
             return bench_style(cfg)
         if cfg == "flat256":

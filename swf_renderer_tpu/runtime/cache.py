@@ -58,16 +58,28 @@ class PackedSceneCache:
         self.hits = 0
         self.misses = 0
 
+    @staticmethod
+    def _memoizable(t) -> bool:
+        # Owning, read-only ndarray: contents cannot change without
+        # someone explicitly calling setflags(write=True) — which the
+        # hit-path re-check below catches.  Views (t.base is not None)
+        # can alias a writeable base, so they always re-hash.
+        return (isinstance(t, np.ndarray) and not t.flags.writeable
+                and t.base is None)
+
     def _table_digest(self, t) -> bytes:
         key = id(t)
         hit = self._digest_memo.get(key)
-        if hit is not None and hit[0]() is t:
+        # Re-check memoizability on the HIT path too: identity alone
+        # doesn't prove immutability (setflags(write=True) re-enables
+        # in-place mutation under the same id).
+        if hit is not None and hit[0]() is t and self._memoizable(t):
             self._digest_memo.move_to_end(key)
             return hit[1]
         a = np.ascontiguousarray(t, np.float32)
         d = hashlib.sha256(
             np.int64(a.shape[0]).tobytes() + a.tobytes()).digest()
-        if isinstance(t, np.ndarray) and not t.flags.writeable:
+        if self._memoizable(t):
             import weakref
 
             self._digest_memo[key] = (weakref.ref(t), d)

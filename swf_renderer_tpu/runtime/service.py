@@ -159,6 +159,12 @@ class RendererService:
         )
         return renderer.render(stage)
 
+    def renderer_size(self, handle: int):
+        """(width, height) of a live renderer (embedding surfaces route
+        work by size without touching internals)."""
+        r = self._get(handle)
+        return r.width, r.height
+
     def render_batch(self, handle: int, stages) -> np.ndarray:
         """Render a stage sequence as one fused device batch (moving-
         matrix animations auto-route to the on-device transform sweep;

@@ -34,6 +34,7 @@ import io
 import json
 import pathlib
 import sys
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -53,6 +54,25 @@ class FrameServer(ThreadingHTTPServer):
     def __init__(self, addr, handler):
         super().__init__(addr, handler)
         self.service = RendererService()
+        self._fallback_renderers = {}
+        self._fallback_lock = threading.Lock()
+
+    def fallback_renderer(self, width: int, height: int):
+        """Per-(w, h) renderer for animate requests whose stage size
+        differs from the handle's — cached so repeated animates keep warm
+        draw-list/packed-scene caches."""
+        from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+        with self._fallback_lock:
+            key = (width, height)
+            r = self._fallback_renderers.get(key)
+            if r is None:
+                r = TpuRenderer(width, height)
+                self._fallback_renderers[key] = r
+                while len(self._fallback_renderers) > 8:
+                    self._fallback_renderers.pop(
+                        next(iter(self._fallback_renderers)))
+            return r
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -158,19 +178,21 @@ class Handler(BaseHTTPRequestHandler):
             # rasterization — still one kernel launch for the batch).
             import dataclasses
 
-            from swf_renderer_tpu.runtime.renderer import TpuRenderer
-
-            renderer = service._get(handle)
-            if (renderer.width, renderer.height) != (stage.width,
-                                                     stage.height):
-                renderer = TpuRenderer(stage.width, stage.height)
             stages = [
                 dataclasses.replace(stage, children=(
                     dataclasses.replace(stage.children[0],
                                         ratio=float(r)),))
                 for r in ratios
             ]
-            frames = renderer.render_batch(stages)
+            if service.renderer_size(handle) == (stage.width,
+                                                 stage.height):
+                frames = service.render_batch(handle, stages)
+            else:
+                # Handle sized differently from the morph stage: use a
+                # per-(w, h) fallback renderer CACHED on the server so
+                # repeated animates keep warm draw/packed caches.
+                frames = self.server.fallback_renderer(
+                    stage.width, stage.height).render_batch(stages)
         else:
             ctm = Affine.scaling(1 / TWIPS_PER_PX, 1 / TWIPS_PER_PX).then(
                 Affine.from_swf_matrix(stage.children[0].matrix))

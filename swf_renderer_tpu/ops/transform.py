@@ -105,9 +105,10 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
     return tab, subxy, colors_arr
 
 
-def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
+def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref,
+                  acc_ref, *,
                   layers: int, wblock: int, hp: int, fill_rule: int,
-                  e_chunk: int, per_layer: bool):
+                  e_chunk: int, per_layer: bool, skip_empty: bool = True):
     i = pl.program_id(0)
     wb = pl.program_id(1)
 
@@ -126,10 +127,18 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
         jnp.int32, (1, hp), 1).astype(jnp.float32)
     ep = tab_ref.shape[-1]
 
-    covs = []
+    def split3(v):
+        """Exact f32 = hi + mid + lo bf16 split (3x8 mantissa bits)."""
+        hi = v.astype(jnp.bfloat16)
+        hi32 = hi.astype(jnp.float32)
+        mid = (v - hi32).astype(jnp.bfloat16)
+        mid32 = mid.astype(jnp.float32)
+        lo = (v - hi32 - mid32).astype(jnp.bfloat16)
+        return hi, mid, lo
+
     for lyr in range(layers):
         a, b, c, d, e, f = mat(lyr)
-        acc = jnp.zeros((wp, hp), jnp.float32)
+        acc_ref[lyr] = jnp.zeros((wp, hp), jnp.float32)
         # Pieces stream through in e_chunk slices: the (WP, EC) ramp
         # temporaries, not the piece count, bound scoped VMEM (a 512^2
         # frame with 3.5K pieces at full width blew the 16 MB limit).
@@ -151,12 +160,34 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
             rowbase = jnp.floor(jnp.minimum(y0, y1))        # (1, EC)
             rowbase_sub = jnp.floor(jnp.minimum(y0s, y1s))  # (EC, 1)
 
-            for k in (0, 1):  # |dy'|<=1: at most two pixel rows per piece
+            # Block/chunk classification on PIECE x-extents: a piece
+            # whose whole extent sits left of this column block
+            # contributes EXACTLY dy to every column (its coverage ramp
+            # has completed), one fully right contributes exactly 0, and
+            # only pieces whose transition [xmn-1, xmx] crosses the block
+            # need the per-column ramp.  Pieces are path-ordered (hence
+            # spatially coherent), so many (block, chunk) pairs have no
+            # crossing piece and skip the heavy (WP, EC) work entirely.
+            pxmn = jnp.minimum(x0, x1)
+            pxmx = jnp.maximum(x0, x1)
+            block_lo = (wb * wblock).astype(jnp.float32)
+            block_hi = block_lo + wblock
+            left = pxmx <= block_lo
+            crossing = jnp.logical_and(jnp.logical_not(left),
+                                       pxmn - 1.0 < block_hi)
+            any_cross = jnp.any(crossing)
+
+            def row_terms(k):
                 py = rowbase + k
                 sy0, sy1 = y0 - py, y1 - py
                 cy0 = jnp.clip(sy0, 0.0, 1.0)
                 cy1 = jnp.clip(sy1, 0.0, 1.0)
                 dy = cy1 - cy0
+                onehot = (rowbase_sub + k == hlane).astype(jnp.bfloat16)
+                return dy, onehot, sy0, sy1, cy0, cy1
+
+            def heavy(k):
+                dy, onehot, sy0, sy1, cy0, cy1 = row_terms(k)
                 dyd = sy1 - sy0
                 safe = jnp.where(jnp.abs(dyd) < 1e-9, 1.0, dyd)
                 t0 = (cy0 - sy0) / safe
@@ -174,20 +205,36 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref, *,
                     jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
                     (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
                 ramp = dy * (1.0 - mean)  # (WP, EC) exact f32
+                for part in split3(ramp):
+                    acc_ref[lyr] = acc_ref[lyr] + jnp.dot(
+                        part, onehot, preferred_element_type=jnp.float32)
 
-                onehot = (rowbase_sub + k == hlane).astype(jnp.bfloat16)
-                # ramp = hi + mid + lo exactly (3x8 mantissa bits); the
-                # one-hot is bf16-exact, so the MXU placement is bit-exact
-                # in f32.
-                hi = ramp.astype(jnp.bfloat16)
-                hi32 = hi.astype(jnp.float32)
-                mid = (ramp - hi32).astype(jnp.bfloat16)
-                mid32 = mid.astype(jnp.float32)
-                lo = (ramp - hi32 - mid32).astype(jnp.bfloat16)
-                for part in (hi, mid, lo):
-                    acc = acc + jnp.dot(part, onehot,
-                                        preferred_element_type=jnp.float32)
-        covs.append(fill_rule_cov(acc, fill_rule))
+            if not skip_empty:
+                for k in (0, 1):
+                    heavy(k)
+                continue
+
+            @pl.when(any_cross)
+            def _full():
+                for k in (0, 1):
+                    heavy(k)
+
+            @pl.when(jnp.logical_not(any_cross))
+            def _bcast():
+                # No transition crosses this block: left pieces add dy
+                # (a px-independent row value), right pieces add 0 —
+                # three tiny (1, EC) @ (EC, HP) products replace the six
+                # (WP, EC) ones and all the ramp VPU work.
+                lmask = left.astype(jnp.float32)
+                for k in (0, 1):
+                    dy, onehot, *_ = row_terms(k)
+                    for part in split3(dy * lmask):
+                        acc_ref[lyr] = acc_ref[lyr] + jnp.dot(
+                            part, onehot,
+                            preferred_element_type=jnp.float32)
+
+    covs = [fill_rule_cov(acc_ref[lyr], fill_rule)
+            for lyr in range(layers)]
 
     def read_color(lyr, ch):
         return colors_ref[lyr, ch]
@@ -201,7 +248,8 @@ def _wblock_for(width: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "fill_rule", "interpret", "e_chunk"))
+    "height", "width", "fill_rule", "interpret", "e_chunk",
+    "skip_empty"))
 def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
@@ -212,13 +260,17 @@ def render_affine_sweep(
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
     e_chunk: int = 512,
+    skip_empty: bool = True,
 ) -> jax.Array:
     """Rasterize one shape set under every frame's affine fully on device.
 
     -> (F, WP, HP) uint32 packed RGBA, TRANSPOSED frames; view with
-    ops.morph.morph_frames_to_u8.  One grid step per frame: transform the
-    pieces, analytic coverage ramps, MXU row placement, composite,
-    quantize."""
+    ops.morph.morph_frames_to_u8.  One grid step per frame, column-block
+    tiled: transform the pieces, analytic coverage ramps, MXU row
+    placement, composite, quantize.  ``skip_empty``: piece chunks whose
+    x-transitions don't cross the column block take a cheap broadcast
+    path (see _xform_kernel); set False for the always-heavy ablation
+    kernel."""
     if interpret is None:
         interpret = not _on_tpu()
     fcount = matrices.shape[0]
@@ -229,7 +281,7 @@ def render_affine_sweep(
     kernel = functools.partial(
         _xform_kernel, layers=layers, wblock=wblock, hp=hp,
         fill_rule=fill_rule, e_chunk=e_chunk,
-        per_layer=matrices.ndim == 3)
+        per_layer=matrices.ndim == 3, skip_empty=skip_empty)
     return pl.pallas_call(
         kernel,
         grid=(fcount, wp // wblock),
@@ -244,5 +296,6 @@ def render_affine_sweep(
         out_specs=pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((layers, wblock, hp), jnp.float32)],
         interpret=interpret,
     )(matrices, colors, tab, subxy)

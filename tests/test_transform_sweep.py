@@ -262,3 +262,34 @@ def test_render_batch_routes_morph_instance_under_moving_matrix(
         want = TpuRenderer(w, h).render(stage)
         diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 2, (i, diff.max())
+
+
+def test_skip_empty_blocks_match_heavy_kernel():
+    """Column blocks with no piece x-transition take the cheap broadcast
+    path; output must match the always-heavy kernel and the oracle (a
+    localized shape on a wide frame leaves most blocks transition-free,
+    exercising both branches)."""
+    height, width = 64, 600  # wblock 256 -> 3 column blocks
+    tables = [_star_edges(70.0, 32.0, 28.0, 12.0)]
+    colors = [(0.3, 0.7, 0.2, 0.85)]
+    mats = _rotation_mats(5, 70.0, 32.0)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+
+    fast = morph_frames_to_u8(
+        np.asarray(render_affine_sweep(*args, height, width,
+                                       skip_empty=True)), height, width)
+    slow = morph_frames_to_u8(
+        np.asarray(render_affine_sweep(*args, height, width,
+                                       skip_empty=False)), height, width)
+    # Same per-piece values; only f32 accumulation shape differs.
+    diff = np.abs(fast.astype(np.int32) - slow.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+    for i in range(len(mats)):
+        want = _oracle_frame(tables, colors, mats[i], height, width)
+        d = np.abs(fast[i].astype(np.int32) - want.astype(np.int32))
+        assert d.max() <= 2, (i, d.max())
+    # The right-of-shape region (never covered) stays empty.
+    assert fast[:, :, 300:, 3].max() == 0

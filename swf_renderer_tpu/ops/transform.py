@@ -242,9 +242,14 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref,
     out_ref[0] = composite_quantize_pack(covs, read_color, layers=layers)
 
 
-def _wblock_for(width: int) -> int:
+def _wblock_for(width: int, hp: int) -> int:
+    """Column-block sublane count: 256 fits comfortably for short lane
+    extents; tall frames (hp > 640) drop to 128 so the layer accumulators
+    + ramp temporaries stay inside the 16 MB scoped-VMEM budget (1080p
+    with 3 layers measured 16.75 MB at wblock=256).  Finer blocks also
+    sharpen the transition-free skip."""
     wp = -(-width // 8) * 8
-    return min(wp, 256)
+    return min(wp, 256 if hp <= 640 else 128)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -275,9 +280,9 @@ def render_affine_sweep(
         interpret = not _on_tpu()
     fcount = matrices.shape[0]
     layers = tab.shape[0]
-    wblock = _wblock_for(width)
-    wp = -(-(-(-width // 8) * 8) // wblock) * wblock
     hp = -(-height // LANE) * LANE
+    wblock = _wblock_for(width, hp)
+    wp = -(-(-(-width // 8) * 8) // wblock) * wblock
     kernel = functools.partial(
         _xform_kernel, layers=layers, wblock=wblock, hp=hp,
         fill_rule=fill_rule, e_chunk=e_chunk,

@@ -283,6 +283,10 @@ def render_affine_sweep(
     hp = -(-height // LANE) * LANE
     wblock = _wblock_for(width, hp)
     wp = -(-(-(-width // 8) * 8) // wblock) * wblock
+    # The skip pays off only when there are enough column blocks for
+    # transition-free (block, chunk) pairs to exist; at <= 2 blocks the
+    # pl.when overhead measured as a net loss (512^2: 0.186 -> 0.202 ms).
+    skip_empty = skip_empty and wp // wblock >= 4
     kernel = functools.partial(
         _xform_kernel, layers=layers, wblock=wblock, hp=hp,
         fill_rule=fill_rule, e_chunk=e_chunk,

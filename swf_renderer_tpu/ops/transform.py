@@ -108,7 +108,8 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
 def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref,
                   acc_ref, *,
                   layers: int, wblock: int, hp: int, fill_rule: int,
-                  e_chunk: int, per_layer: bool, skip_empty: bool = True):
+                  e_chunk: int, per_layer: bool, skip_empty: bool = True,
+                  per_frame_colors: bool = False):
     i = pl.program_id(0)
     wb = pl.program_id(1)
 
@@ -237,6 +238,8 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref,
             for lyr in range(layers)]
 
     def read_color(lyr, ch):
+        if per_frame_colors:
+            return colors_ref[i, lyr, ch]
         return colors_ref[lyr, ch]
 
     out_ref[0] = composite_quantize_pack(covs, read_color, layers=layers)
@@ -259,7 +262,7 @@ def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
     subxy: jax.Array,     # (P, 4, EP, 1) f32
-    colors: jax.Array,    # (P, 4) f32 straight RGBA
+    colors: jax.Array,    # (P, 4) or (F, P, 4) f32 straight RGBA
     height: int,
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
@@ -290,7 +293,8 @@ def render_affine_sweep(
     kernel = functools.partial(
         _xform_kernel, layers=layers, wblock=wblock, hp=hp,
         fill_rule=fill_rule, e_chunk=e_chunk,
-        per_layer=matrices.ndim == 3, skip_empty=skip_empty)
+        per_layer=matrices.ndim == 3, skip_empty=skip_empty,
+        per_frame_colors=colors.ndim == 3)
     return pl.pallas_call(
         kernel,
         grid=(fcount, wp // wblock),

@@ -304,7 +304,7 @@ class TpuRenderer:
                for s in stages):
             return None
         n = len(first.children)
-        any_matrix_differs = False
+        any_differs = False
         for s in stages:
             if len(s.children) != n:
                 return None
@@ -314,14 +314,15 @@ class TpuRenderer:
                     return None
                 if c.definition is not c0.definition:
                     return None
-                if c.color_transform != c0.color_transform:
-                    return None
                 if (isinstance(c, display.MorphShapeInstance)
                         and c.ratio != c0.ratio):
                     return None  # ratio animation: fused batch / sweep
-                if c.matrix != c0.matrix:
-                    any_matrix_differs = True
-        if not any_matrix_differs:
+                if (c.matrix != c0.matrix
+                        or c.color_transform != c0.color_transform):
+                    # Color transforms fold into per-frame kernel colors
+                    # (the plan requires solid paints anyway).
+                    any_differs = True
+        if not any_differs:
             return None  # identical frames: the fused batch handles it
 
         from ..models.geometry import Affine, TWIPS_PER_PX
@@ -357,15 +358,16 @@ class TpuRenderer:
             honor_fill_winding=self.honor_fill_winding,
             draws_cache=self._draws_cache,
         )
+        # Compile each child ONCE with no color transform; per-frame cts
+        # fold into per-frame kernel colors below (solid paints only).
         child_draws = []
         for c in first.children:
             start = len(compiler.draws)
             if isinstance(c, display.MorphShapeInstance):
                 compiler._draw_morph_shape(c.definition, c.ratio, s_aff,
-                                           c.color_transform)
+                                           None)
             else:
-                compiler._draw_shape(c.definition, s_aff,
-                                     c.color_transform)
+                compiler._draw_shape(c.definition, s_aff, None)
             draws = compiler.draws[start:]
             if not draws:
                 return None
@@ -382,12 +384,18 @@ class TpuRenderer:
             from ..ops.transform import (
                 affine_pieces, render_affine_sweep,
             )
+            from .scene import _apply_color_transform
 
             mats = np.asarray(
                 [[m for ci, row_m in enumerate(row)
                   for m in [row_m] * len(child_draws[ci])]
                  for row in devs], np.float32)  # (F, L, 6)
-            tab, subxy, colors = affine_pieces(
+            colors = np.asarray(
+                [[_apply_color_transform(d.paint.color, c.color_transform)
+                  for ci, c in enumerate(s.children)
+                  for d in child_draws[ci]]
+                 for s in stages], np.float32)  # (F, L, 4)
+            tab, subxy, _ = affine_pieces(
                 [d.edges for d in all_draws],
                 [d.paint.color for d in all_draws], mats)
             out = render_affine_sweep(

@@ -293,3 +293,42 @@ def test_skip_empty_blocks_match_heavy_kernel():
         assert d.max() <= 2, (i, d.max())
     # The right-of-shape region (never covered) stays empty.
     assert fast[:, :, 300:, 3].max() == 0
+
+
+def test_render_batch_routes_fading_moving_animation(reference_tests):
+    """Per-frame COLOR TRANSFORMS fold into per-frame sweep colors: a
+    moving + fading animation rides the transform sweep and matches
+    per-frame renders."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    tag = parse_define_shape(
+        (reference_tests / "flat-shapes" / "triangle" /
+         "ast.json").read_text())
+    one = Sfixed16P16.from_value(1.0)
+    zero = Sfixed16P16.from_value(0.0)
+    w = h = 40
+    stages = []
+    for i in range(4):
+        alpha = 1.0 - 0.25 * i
+        stages.append(display.Stage(
+            width=w, height=h,
+            children=[display.ShapeInstance(
+                definition=tag,
+                matrix=ast.Matrix(
+                    scale_x=one, scale_y=one, rotate_skew0=zero,
+                    rotate_skew1=zero, translate_x=30 * i,
+                    translate_y=10 * i),
+                color_transform=display.ColorTransform(
+                    mult=(1.0, 1.0, 1.0, alpha),
+                    add=(0.0, 0.1 * i, 0.0, 0.0)))]))
+
+    r = TpuRenderer(w, h)
+    got = r.render_batch(stages)
+    assert r.last_stats.path == "transform-sweep"
+    for i, stage in enumerate(stages):
+        want = TpuRenderer(w, h).render(stage)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())

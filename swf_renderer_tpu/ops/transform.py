@@ -105,13 +105,79 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
     return tab, subxy, colors_arr
 
 
-def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref,
-                  acc_ref, *,
+def morph_affine_pieces(pairs, matrices, e_multiple: int = 128):
+    """Split matched LOCAL-space morph edge-pair tables into pieces
+    row-bounded under EVERY (frame matrix, ratio) combination.
+
+    ``pairs``: list of (edges_start (E, 4), edges_end (E, 4), color_start,
+    color_end) per draw (models.morph_geometry.morph_fill_edge_pairs with
+    a local-space ctm).  |dy'(r, M)| = |b_M((1-r)dx_s + r dx_e)
+    + d_M((1-r)dy_s + r dy_e)| is linear in r, so the bound is the max
+    over the ratio ENDPOINTS and all frame matrices; uniform-t
+    subdivision commutes with both the ratio lerp and the affine, so
+    piece p of the lerped-transformed edge equals the lerp-transform of
+    piece p.
+
+    Returns (tab_s, subxy_s, tab_e, subxy_e, colors_s, colors_e), each
+    table shaped like affine_pieces output."""
+    mats = np.asarray(matrices, np.float64)
+    if mats.ndim != 2 or mats.shape[1] != 6:
+        raise ValueError(f"matrices must be (F, 6), got {mats.shape}")
+    b = mats[:, 1][:, None]
+    d = mats[:, 3][:, None]
+
+    split = []
+    for es, ee, cs, ce in pairs:
+        es = np.asarray(es, np.float64)
+        ee = np.asarray(ee, np.float64)
+        dyp = np.zeros(es.shape[0])
+        for tbl in (es, ee):  # ratio endpoints bound the linear lerp
+            dx = (tbl[:, 2] - tbl[:, 0])[None, :]
+            dy = (tbl[:, 3] - tbl[:, 1])[None, :]
+            dyp = np.maximum(dyp, np.abs(b * dx + d * dy).max(axis=0))
+        n = np.maximum(1, np.ceil(dyp)).astype(int)
+        ps, pe = [], []
+        for (s_row, e_row, k) in zip(es, ee, n):
+            t = np.linspace(0.0, 1.0, k + 1)
+            for tbl, out in ((s_row, ps), (e_row, pe)):
+                xs = tbl[0] + t * (tbl[2] - tbl[0])
+                ys = tbl[1] + t * (tbl[3] - tbl[1])
+                out.append(np.stack([xs[:-1], ys[:-1], xs[1:], ys[1:]], 1))
+        split.append((np.concatenate(ps) if ps else np.zeros((0, 4)),
+                      np.concatenate(pe) if pe else np.zeros((0, 4)),
+                      cs, ce))
+
+    p = len(split)
+    e_max = max(1, max(s.shape[0] for s, _, _, _ in split))
+    ep = max(e_multiple, -(-e_max // e_multiple) * e_multiple)
+    tab_s = np.zeros((p, 4, 1, ep), np.float32)
+    tab_e = np.zeros((p, 4, 1, ep), np.float32)
+    subxy_s = np.zeros((p, 4, ep, 1), np.float32)
+    subxy_e = np.zeros((p, 4, ep, 1), np.float32)
+    colors_s = np.zeros((p, 4), np.float32)
+    colors_e = np.zeros((p, 4), np.float32)
+    for i, (ps, pe, cs, ce) in enumerate(split):
+        k = ps.shape[0]
+        tab_s[i, :, 0, :k] = ps.T.astype(np.float32)
+        tab_e[i, :, 0, :k] = pe.T.astype(np.float32)
+        subxy_s[i, :, :k, 0] = ps.T.astype(np.float32)
+        subxy_e[i, :, :k, 0] = pe.T.astype(np.float32)
+        colors_s[i], colors_e[i] = cs, ce
+    return tab_s, subxy_s, tab_e, subxy_e, colors_s, colors_e
+
+
+def _xform_kernel(mats_ref, colors_ref, *rest,
                   layers: int, wblock: int, hp: int, fill_rule: int,
                   e_chunk: int, per_layer: bool, skip_empty: bool = True,
-                  per_frame_colors: bool = False):
+                  per_frame_colors: bool = False, morph: bool = False):
+    if morph:
+        (ratios_ref, colors_e_ref, tab_ref, subxy_ref, tab2_ref,
+         subxy2_ref, out_ref, acc_ref) = rest
+    else:
+        tab_ref, subxy_ref, out_ref, acc_ref = rest
     i = pl.program_id(0)
     wb = pl.program_id(1)
+    t_r = None if not morph else ratios_ref[i]
 
     def mat(lyr):
         if per_layer:
@@ -145,19 +211,27 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref,
         # frame with 3.5K pieces at full width blew the 16 MB limit).
         for e0 in range(0, ep, e_chunk):
             sl = slice(e0, min(e0 + e_chunk, ep))
-            x0l = tab_ref[lyr, 0, :, sl]  # (1, EC) local coords
-            y0l = tab_ref[lyr, 1, :, sl]
-            x1l = tab_ref[lyr, 2, :, sl]
-            y1l = tab_ref[lyr, 3, :, sl]
+
+            def tabv(ch):
+                v = tab_ref[lyr, ch, :, sl]  # (1, EC) local coords
+                if morph:  # ratio lerp BEFORE the frame transform
+                    v = (1.0 - t_r) * v + t_r * tab2_ref[lyr, ch, :, sl]
+                return v
+
+            def subv(ch):
+                v = subxy_ref[lyr, ch, sl, :]  # (EC, 1)
+                if morph:
+                    v = (1.0 - t_r) * v + t_r * subxy2_ref[lyr, ch, sl, :]
+                return v
+
+            x0l, y0l, x1l, y1l = tabv(0), tabv(1), tabv(2), tabv(3)
             x0 = a * x0l + c * y0l + e
             y0 = b * x0l + d * y0l + f
             x1 = a * x1l + c * y1l + e
             y1 = b * x1l + d * y1l + f
             # Sublane copies of the transformed ys (for the row one-hot).
-            y0s = (b * subxy_ref[lyr, 0, sl, :]
-                   + d * subxy_ref[lyr, 1, sl, :] + f)  # (EC, 1)
-            y1s = (b * subxy_ref[lyr, 2, sl, :]
-                   + d * subxy_ref[lyr, 3, sl, :] + f)
+            y0s = b * subv(0) + d * subv(1) + f  # (EC, 1)
+            y1s = b * subv(2) + d * subv(3) + f
             rowbase = jnp.floor(jnp.minimum(y0, y1))        # (1, EC)
             rowbase_sub = jnp.floor(jnp.minimum(y0s, y1s))  # (EC, 1)
 
@@ -238,6 +312,9 @@ def _xform_kernel(mats_ref, colors_ref, tab_ref, subxy_ref, out_ref,
             for lyr in range(layers)]
 
     def read_color(lyr, ch):
+        if morph:
+            return ((1.0 - t_r) * colors_ref[lyr, ch]
+                    + t_r * colors_e_ref[lyr, ch])
         if per_frame_colors:
             return colors_ref[i, lyr, ch]
         return colors_ref[lyr, ch]
@@ -312,3 +389,62 @@ def render_affine_sweep(
         scratch_shapes=[pltpu.VMEM((layers, wblock, hp), jnp.float32)],
         interpret=interpret,
     )(matrices, colors, tab, subxy)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "fill_rule", "interpret", "e_chunk",
+    "skip_empty"))
+def render_morph_affine_sweep(
+    matrices: jax.Array,  # (F, 6) f32 device affines
+    ratios: jax.Array,    # (F,) f32 in [0, 1]
+    tab_s: jax.Array,     # (P, 4, 1, EP) f32 local start pieces
+    subxy_s: jax.Array,   # (P, 4, EP, 1) f32
+    tab_e: jax.Array,     # (P, 4, 1, EP) f32 local end pieces
+    subxy_e: jax.Array,
+    colors_s: jax.Array,  # (P, 4) f32
+    colors_e: jax.Array,
+    height: int,
+    width: int,
+    fill_rule: int = FILL_RULE_NONZERO,
+    interpret: bool = None,
+    e_chunk: int = 512,
+    skip_empty: bool = True,
+) -> jax.Array:
+    """Combined MORPH + TRANSFORM sweep: per frame, lerp the local piece
+    tables by the frame's ratio, apply the frame's affine, rasterize —
+    a morphing, moving, scaling timeline fully on device with O(edges)
+    host work (morph_affine_pieces).  Fills only (stroke outlines aren't
+    linear in the ratio).  -> (F, WP, HP) transposed packed u32."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    fcount = matrices.shape[0]
+    layers = tab_s.shape[0]
+    hp = -(-height // LANE) * LANE
+    wblock = _wblock_for(width, hp)
+    wp = -(-(-(-width // 8) * 8) // wblock) * wblock
+    skip_empty = skip_empty and wp // wblock >= 4
+    kernel = functools.partial(
+        _xform_kernel, layers=layers, wblock=wblock, hp=hp,
+        fill_rule=fill_rule, e_chunk=e_chunk, per_layer=False,
+        skip_empty=skip_empty, morph=True)
+    full = lambda i, wb: (0, 0, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(fcount, wp // wblock),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # matrices
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # colors_s
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ratios
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # colors_e
+            pl.BlockSpec(tab_s.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(subxy_s.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tab_e.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(subxy_e.shape, full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((layers, wblock, hp), jnp.float32)],
+        interpret=interpret,
+    )(matrices, colors_s, ratios, colors_e, tab_s, subxy_s, tab_e,
+      subxy_e)

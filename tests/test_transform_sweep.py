@@ -332,3 +332,76 @@ def test_render_batch_routes_fading_moving_animation(reference_tests):
         want = TpuRenderer(w, h).render(stage)
         diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 2, (i, diff.max())
+
+
+def test_morph_affine_sweep_matches_host_oracle(reference_tests):
+    """Combined morph + transform sweep: per-frame (ratio, matrix) pairs
+    on the hb29 fill pairs vs the host oracle (lerp, transform, classic
+    coverage + composite)."""
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.models.ast_io import parse_define_morph_shape
+    from swf_renderer_tpu.models.decode_morph_shape import (
+        decode_morph_shape,
+    )
+    from swf_renderer_tpu.models.geometry import Affine, TWIPS_PER_PX
+    from swf_renderer_tpu.models.morph_geometry import (
+        morph_fill_edge_pairs,
+    )
+    from swf_renderer_tpu.ops.transform import (
+        morph_affine_pieces, render_morph_affine_sweep,
+    )
+
+    d = reference_tests / "flat-morph-shapes" / "homestuck-beta-29"
+    tag = parse_define_morph_shape((d / "ast.json").read_text())
+    stage = display.stage_for_morph_shape(tag, 0.0)
+    h, w = stage.height, stage.width
+    # LOCAL-space pairs (scale only); the per-frame matrices carry the
+    # instance translate + a drifting rotation.
+    s_aff = Affine.scaling(1 / TWIPS_PER_PX, 1 / TWIPS_PER_PX)
+    pairs = morph_fill_edge_pairs(decode_morph_shape(tag), s_aff)
+
+    base = Affine.from_swf_matrix(stage.children[0].matrix)
+    dev_base = s_aff.then(base).then(
+        Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX))
+    mats, ratios = [], []
+    for i in range(5):
+        th = 0.15 * i
+        ca, sa = np.cos(th), np.sin(th)
+        rot = Affine(ca, sa, -sa, ca,
+                     w / 2 - ca * w / 2 + sa * h / 2,
+                     h / 2 - sa * w / 2 - ca * h / 2)
+        m = rot.then(dev_base)
+        mats.append(m.as_tuple())
+        ratios.append(i / 4.0)
+    mats = np.asarray(mats, np.float32)
+    ratios = np.asarray(ratios, np.float32)
+
+    parts = morph_affine_pieces(pairs, mats)
+    out = render_morph_affine_sweep(
+        jnp.asarray(mats), jnp.asarray(ratios),
+        *(jnp.asarray(x) for x in parts), h, w)
+    got = morph_frames_to_u8(np.asarray(out), h, w)
+
+    for i in range(len(mats)):
+        r = float(ratios[i])
+        a_, b_, c_, d_, e_, f_ = mats[i]
+        covs, cols = [], []
+        for es, ee, cs, ce in pairs:
+            edges = np.asarray(es, np.float64) * (1 - r) + \
+                np.asarray(ee, np.float64) * r
+            x0, y0, x1, y1 = (edges[:, 0], edges[:, 1], edges[:, 2],
+                              edges[:, 3])
+            t2 = np.stack([a_ * x0 + c_ * y0 + e_, b_ * x0 + d_ * y0 + f_,
+                           a_ * x1 + c_ * y1 + e_, b_ * x1 + d_ * y1 + f_],
+                          1).astype(np.float32)
+            covs.append(coverage_numpy(t2, h, w))
+            cols.append(np.asarray(cs) * (1 - r) + np.asarray(ce) * r)
+        fields = np.broadcast_to(
+            np.asarray(cols, np.float32)[:, None, None, :],
+            (len(covs), h, w, 4))
+        want = np.asarray(premul_to_straight_u8(
+            composite_draws(jnp.asarray(np.stack(covs), jnp.float32),
+                            jnp.asarray(fields))))
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())
+        assert (diff > 1).mean() < 2e-3

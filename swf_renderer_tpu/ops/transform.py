@@ -119,15 +119,24 @@ def morph_affine_pieces(pairs, matrices, e_multiple: int = 128):
     piece p.
 
     Returns (tab_s, subxy_s, tab_e, subxy_e, colors_s, colors_e), each
-    table shaped like affine_pieces output."""
+    table shaped like affine_pieces output.  ``matrices`` may be (F, 6)
+    or (F, L, 6) per-layer tracks (like affine_pieces)."""
     mats = np.asarray(matrices, np.float64)
-    if mats.ndim != 2 or mats.shape[1] != 6:
-        raise ValueError(f"matrices must be (F, 6), got {mats.shape}")
-    b = mats[:, 1][:, None]
-    d = mats[:, 3][:, None]
+    if mats.ndim == 2 and mats.shape[1] == 6:
+        per_layer = [mats] * len(pairs)
+    elif mats.ndim == 3 and mats.shape[2] == 6:
+        if mats.shape[1] != len(pairs):
+            raise ValueError(
+                f"per-layer matrices {mats.shape} vs {len(pairs)} layers")
+        per_layer = [mats[:, i] for i in range(mats.shape[1])]
+    else:
+        raise ValueError(f"matrices must be (F, 6) or (F, L, 6),"
+                         f" got {mats.shape}")
 
     split = []
-    for es, ee, cs, ce in pairs:
+    for (es, ee, cs, ce), lm in zip(pairs, per_layer):
+        b = lm[:, 1][:, None]
+        d = lm[:, 3][:, None]
         es = np.asarray(es, np.float64)
         ee = np.asarray(ee, np.float64)
         dyp = np.zeros(es.shape[0])
@@ -425,7 +434,8 @@ def render_morph_affine_sweep(
     skip_empty = skip_empty and wp // wblock >= 4
     kernel = functools.partial(
         _xform_kernel, layers=layers, wblock=wblock, hp=hp,
-        fill_rule=fill_rule, e_chunk=e_chunk, per_layer=False,
+        fill_rule=fill_rule, e_chunk=e_chunk,
+        per_layer=matrices.ndim == 3,
         skip_empty=skip_empty, morph=True)
     full = lambda i, wb: (0, 0, 0, 0)  # noqa: E731
     return pl.pallas_call(

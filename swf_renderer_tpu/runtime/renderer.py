@@ -305,10 +305,11 @@ class TpuRenderer:
             return None
         n = len(first.children)
         any_differs = False
+        ratio_varies = [False] * n
         for s in stages:
             if len(s.children) != n:
                 return None
-            for c0, c in zip(first.children, s.children):
+            for ci, (c0, c) in enumerate(zip(first.children, s.children)):
                 if not isinstance(c, (display.ShapeInstance,
                                       display.MorphShapeInstance)):
                     return None
@@ -316,7 +317,8 @@ class TpuRenderer:
                     return None
                 if (isinstance(c, display.MorphShapeInstance)
                         and c.ratio != c0.ratio):
-                    return None  # ratio animation: fused batch / sweep
+                    ratio_varies[ci] = True
+                    any_differs = True
                 if (c.matrix != c0.matrix
                         or c.color_transform != c0.color_transform):
                     # Color transforms fold into per-frame kernel colors
@@ -324,6 +326,8 @@ class TpuRenderer:
                     any_differs = True
         if not any_differs:
             return None  # identical frames: the fused batch handles it
+        if any(ratio_varies):
+            return self._morph_transform_plan(stages, ratio_varies)
 
         from ..models.geometry import Affine, TWIPS_PER_PX
 
@@ -407,6 +411,113 @@ class TpuRenderer:
 
         run.draws = len(all_draws) * len(stages)
         run.edges = sum(d.edges.shape[0] for d in all_draws) * len(stages)
+        return run
+
+    def _morph_transform_plan(self, stages, ratio_varies):
+        """Ratio-varying timeline through the combined morph + transform
+        sweep (ops.transform.render_morph_affine_sweep): every layer
+        becomes a (start, end) piece pair — varying-ratio morph children
+        contribute their real pairs (fills only; stroke outlines aren't
+        linear in the ratio), static children contribute degenerate
+        start==end pairs — and one shared per-frame ratio track lerps them
+        all.  Returns a zero-arg render closure or None."""
+        from ..models.decode_morph_shape import decode_morph_shape
+        from ..models.geometry import Affine, TWIPS_PER_PX
+        from ..models.morph_geometry import morph_fill_edge_pairs
+        from .scene import _apply_color_transform
+
+        first = stages[0]
+        # One shared ratio track (the kernel lerps every layer by the
+        # same per-frame t); constant color transforms (no per-frame
+        # color folding on the morph path).
+        tracks = set()
+        for ci, varies in enumerate(ratio_varies):
+            if varies:
+                tracks.add(tuple(float(s.children[ci].ratio)
+                                 for s in stages))
+        if len(tracks) != 1:
+            return None
+        ratios = np.asarray(next(iter(tracks)), np.float32)
+        for s in stages:
+            for c0, c in zip(first.children, s.children):
+                if c.color_transform != c0.color_transform:
+                    return None
+
+        s_aff = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
+        flash_like = self.quality.startswith("flash")
+        devs = []
+        smax = 1.0
+        for s in stages:
+            row = []
+            for c in s.children:
+                d = _device_affine(c.matrix)
+                smax = max(smax, d.norm2())
+                row.append(d.as_tuple())
+            devs.append(row)
+
+        compiler = SceneCompiler(
+            self.bitmap_service, self._shape_cache, self._morph_cache,
+            curve_tolerance=0.1 / smax,
+            curve_pow2=flash_like,
+            honor_swf_caps=flash_like,
+            honor_fill_winding=self.honor_fill_winding,
+            draws_cache=self._draws_cache,
+        )
+        child_pairs = []
+        for ci, c in enumerate(first.children):
+            ct = c.color_transform
+            if ratio_varies[ci]:
+                compiled = compiler._compiled_morph_shape(c.definition)
+                if any(p.line is not None for p in compiled.paths):
+                    return None  # stroke outlines aren't linear in ratio
+                pairs = [
+                    (es, ee,
+                     _apply_color_transform(cs, ct),
+                     _apply_color_transform(ce, ct))
+                    for es, ee, cs, ce in morph_fill_edge_pairs(
+                        compiled, s_aff,
+                        tolerance=compiler.curve_tolerance)
+                ]
+                if not pairs:
+                    return None
+            else:
+                start = len(compiler.draws)
+                if isinstance(c, display.MorphShapeInstance):
+                    compiler._draw_morph_shape(c.definition, c.ratio,
+                                               s_aff, ct)
+                else:
+                    compiler._draw_shape(c.definition, s_aff, ct)
+                draws = compiler.draws[start:]
+                if not draws or any(
+                        d.paint.kind != style_ops.PAINT_SOLID
+                        for d in draws):
+                    return None
+                pairs = [(d.edges, d.edges, d.paint.color, d.paint.color)
+                         for d in draws]
+            child_pairs.append(pairs)
+        all_pairs = [p for pairs in child_pairs for p in pairs]
+
+        def run():
+            from ..ops.morph import morph_frames_to_u8
+            from ..ops.transform import (
+                morph_affine_pieces, render_morph_affine_sweep,
+            )
+
+            mats = np.asarray(
+                [[m for ci, row_m in enumerate(row)
+                  for m in [row_m] * len(child_pairs[ci])]
+                 for row in devs], np.float32)  # (F, L, 6)
+            parts = morph_affine_pieces(all_pairs, mats)
+            out = render_morph_affine_sweep(
+                jnp.asarray(mats), jnp.asarray(ratios),
+                *(jnp.asarray(x) for x in parts),
+                self.height, self.width)
+            return morph_frames_to_u8(np.asarray(out), self.height,
+                                      self.width)
+
+        run.draws = len(all_pairs) * len(stages)
+        run.edges = sum(np.asarray(p[0]).shape[0]
+                        for p in all_pairs) * len(stages)
         return run
 
     # -- execution ----------------------------------------------------------

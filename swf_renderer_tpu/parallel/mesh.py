@@ -417,6 +417,39 @@ def render_affine_sweep_dp(mesh: Mesh, matrices, parts, height: int,
     return out
 
 
+def render_morph_affine_sweep_dp(mesh: Mesh, matrices, ratios, parts,
+                                 height: int, width: int,
+                                 interpret: bool = None):
+    """Frame-sharded combined MORPH + TRANSFORM sweep: the frame axis
+    (matrix + ratio tracks) shards over the whole mesh with the piece-
+    pair tables replicated (KBs), zero collectives.
+
+    ``parts``: morph_affine_pieces output.  Returns (F, WP, HP) packed
+    u32 (transposed; ops.morph.morph_frames_to_u8)."""
+    from ..ops.transform import render_morph_affine_sweep
+
+    axes = tuple(mesh.shape.keys())
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    matrices = np.asarray(matrices, np.float32)
+    ratios = np.asarray(ratios, np.float32)
+    if len(matrices) % n_shards:
+        raise ValueError(
+            f"frames ({len(matrices)}) must divide over {n_shards}")
+
+    def shard_fn(mm, rr, *ps):
+        return render_morph_affine_sweep(mm, rr, *ps, height, width,
+                                         interpret=interpret)
+
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axes), P(axes)) + (P(None),) * len(parts),
+        out_specs=P(axes),
+        check_vma=False,
+    )(jnp.asarray(matrices), jnp.asarray(ratios),
+      *map(jnp.asarray, parts))
+    return out
+
+
 def render_styled_dp(mesh: Mesh, gsi, gfl, gla, grc, gcm, gvv, colors,
                      fields, frames: int, layers: int, n_strips: int,
                      n_chunks: int, paints, group: int = 8,

@@ -392,3 +392,36 @@ def test_affine_sweep_dp_matches_single_device():
     mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=2)
     got = np.asarray(render_affine_sweep_dp(mesh, mats, parts, h, w))
     np.testing.assert_array_equal(got, want)
+
+
+def test_morph_affine_sweep_dp_matches_single_device():
+    """Combined morph+transform sweep sharded over the mesh: exact vs the
+    single-device kernel."""
+    from swf_renderer_tpu.ops.transform import (
+        morph_affine_pieces, render_morph_affine_sweep,
+    )
+    from swf_renderer_tpu.parallel.mesh import render_morph_affine_sweep_dp
+
+    es = np.array([[4.0, 4.0, 28.0, 8.0], [28.0, 8.0, 16.0, 28.0],
+                   [16.0, 28.0, 4.0, 4.0]], np.float32)
+    ee = es + np.array([[2, 1, -3, 2], [0, 2, 1, -1], [1, 0, 0, 1]],
+                       np.float32)
+    pairs = [(es, ee, (1, 0, 0, 1), (0, 0, 1, 1))]
+    mats, ratios = [], []
+    for i in range(8):
+        th = 0.2 * i
+        ca, sa = np.cos(th), np.sin(th)
+        mats.append((ca, sa, -sa, ca, 16 - ca * 16 + sa * 16,
+                     16 - sa * 16 - ca * 16))
+        ratios.append(i / 7.0)
+    mats = np.asarray(mats, np.float32)
+    ratios = np.asarray(ratios, np.float32)
+    parts = morph_affine_pieces(pairs, mats)
+
+    want = np.asarray(render_morph_affine_sweep(
+        jnp.asarray(mats), jnp.asarray(ratios),
+        *(jnp.asarray(x) for x in parts), 32, 32))
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=2)
+    got = np.asarray(render_morph_affine_sweep_dp(
+        mesh, mats, ratios, parts, 32, 32))
+    np.testing.assert_array_equal(got, want)

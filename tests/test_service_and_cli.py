@@ -249,3 +249,47 @@ def test_frame_server_stroked_morph_animate_keeps_strokes(reference_tests):
         assert diff.max() <= 1, diff.max()  # strokes present
     finally:
         server.shutdown()
+
+
+def test_frame_server_timeline_endpoint(reference_tests):
+    """Keyframed timeline over HTTP: per-frame matrices render through
+    the auto-routed sweep; frames shift as specified."""
+    import json
+    import threading
+    import urllib.request
+
+    from tools.frame_server import FrameServer, Handler
+    from swf_renderer_tpu.utils.pam import pam_to_rgba
+
+    tri = json.loads((reference_tests / "flat-shapes" / "triangle" /
+                      "ast.json").read_text())
+    server = FrameServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/renderer",
+            data=json.dumps({"width": 48, "height": 48}).encode(),
+            method="POST")
+        handle = json.loads(urllib.request.urlopen(req).read())["handle"]
+        # Scale the ~10000-twip triangle into the 48 px (960-twip) stage
+        # and slide it right per frame.
+        body = json.dumps({
+            "tag": tri,
+            "frames": [
+                {"matrix": [0.08, 0, 0, 0.08,
+                            -tri["bounds"]["x_min"] * 0.08 + 100 * i,
+                            -tri["bounds"]["y_min"] * 0.08]}
+                for i in range(3)
+            ],
+        }).encode()
+        req = urllib.request.Request(
+            f"{base}/renderer/{handle}/timeline", data=body,
+            method="POST")
+        blob = urllib.request.urlopen(req).read()
+        assert blob.count(b"P7\n") == 3
+        first = pam_to_rgba(blob)
+        assert first.shape == (48, 48, 4) and first[..., 3].max() > 0
+    finally:
+        server.shutdown()

@@ -23,6 +23,15 @@ Protocol (JSON in, PNG/PAM out):
                                   (?frames=N) -> N concatenated PAM frames
                                   (streamed; Content-Type
                                   application/x-portable-arbitrarymap)
+  POST   /renderer/<h>/timeline   body = {"tag": <DefineShape or
+                                  DefineMorphShape ast.json object>,
+                                  "frames": [{"matrix": [a,b,c,d,tx,ty]
+                                  (twips affine, optional), "ratio": r
+                                  (morphs, optional)}, ...]}
+                                  -> len(frames) concatenated PAM frames;
+                                  moving-matrix / shared-ratio timelines
+                                  render fully on device
+                                  (TpuRenderer.render_batch auto-routing)
   DELETE /renderer/<h>            -> {"ok": true}
 
 Run: python tools/frame_server.py [port]
@@ -123,6 +132,8 @@ class Handler(BaseHTTPRequestHandler):
                     return self._render(service, handle, params)
                 if parts[2] == "animate":
                     return self._animate(service, handle, params)
+                if parts[2] == "timeline":
+                    return self._timeline(service, handle)
             self._json(404, {"error": f"unknown route {self.path}"})
         except Exception as exc:  # noqa: BLE001 — serve errors as JSON
             self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
@@ -235,6 +246,51 @@ class Handler(BaseHTTPRequestHandler):
             mats.append(dev.as_tuple())
         frames = render_shape_animation(
             tag, np.asarray(mats, np.float32), stage.width, stage.height)
+        buf = io.BytesIO()
+        for frame in frames:
+            buf.write(rgba_to_pam(frame))
+        return self._bytes(buf.getvalue(),
+                           "application/x-portable-arbitrarymap")
+
+    def _timeline(self, service, handle):
+        """Keyframed animation: per-frame (matrix, ratio) tracks for ONE
+        definition, rendered through render_batch — moving-matrix and
+        shared-ratio timelines auto-route to the on-device sweeps."""
+        from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+        spec = json.loads(self._body().decode())
+        tag = parse_tag(spec["tag"])
+        frames_spec = spec["frames"]
+        if not frames_spec:
+            raise ValueError("timeline requires at least one frame")
+        w, h = service.renderer_size(handle)
+
+        def matrix_of(fs):
+            m = fs.get("matrix")
+            if m is None:
+                return None
+            a, b, c, d, tx, ty = m
+            return ast.Matrix(
+                scale_x=Sfixed16P16.from_value(float(a)),
+                scale_y=Sfixed16P16.from_value(float(d)),
+                rotate_skew0=Sfixed16P16.from_value(float(b)),
+                rotate_skew1=Sfixed16P16.from_value(float(c)),
+                translate_x=int(round(float(tx))),
+                translate_y=int(round(float(ty))),
+            )
+
+        stages = []
+        for fs in frames_spec:
+            if isinstance(tag, ast.DefineMorphShape):
+                child = display.MorphShapeInstance(
+                    definition=tag, ratio=float(fs.get("ratio", 0.0)),
+                    matrix=matrix_of(fs))
+            else:
+                child = display.ShapeInstance(definition=tag,
+                                              matrix=matrix_of(fs))
+            stages.append(display.Stage(width=w, height=h,
+                                        children=[child]))
+        frames = service.render_batch(handle, stages)
         buf = io.BytesIO()
         for frame in frames:
             buf.write(rgba_to_pam(frame))

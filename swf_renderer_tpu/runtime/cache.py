@@ -104,17 +104,25 @@ class PackedSceneCache:
                 h.update(self._table_digest(t))
         return h.hexdigest()
 
+    _FIELDS = ("gsi", "gfl", "gla", "grc", "gcm", "gvv")
+
     def get(self, key: str):
         if key in self._mem:
             self._mem.move_to_end(key)
             self.hits += 1
             return self._mem[key]
         if self.directory is not None:
-            path = self.directory / f"{key}.npz"
-            if path.exists():
-                with np.load(path) as d:
-                    value = (d["gsi"], d["gfl"], d["gla"], d["grc"],
-                             d["gcm"], d["gvv"], int(d["ns"]), int(d["nc"]))
+            meta = self.directory / f"{key}.meta.npy"
+            if meta.exists():
+                # Memory-mapped .npy members: the device upload reads the
+                # pages lazily, so a warm-process "hit" costs ~ms instead
+                # of a full eager read of the packed arrays (~1 s for an
+                # 80 MB headline entry from .npz).
+                ns, nc = (int(x) for x in np.load(meta))
+                value = tuple(
+                    np.load(self.directory / f"{key}.{name}.npy",
+                            mmap_mode="r")
+                    for name in self._FIELDS) + (ns, nc)
                 self._remember(key, value)
                 self.hits += 1
                 return value
@@ -125,8 +133,11 @@ class PackedSceneCache:
         self._remember(key, value)
         if self.directory is not None:
             gsi, gfl, gla, grc, gcm, gvv, ns, nc = value
-            np.savez(self.directory / f"{key}.npz", gsi=gsi, gfl=gfl,
-                     gla=gla, grc=grc, gcm=gcm, gvv=gvv, ns=ns, nc=nc)
+            for name, arr in zip(self._FIELDS,
+                                 (gsi, gfl, gla, grc, gcm, gvv)):
+                np.save(self.directory / f"{key}.{name}.npy", arr)
+            np.save(self.directory / f"{key}.meta.npy",
+                    np.asarray([ns, nc], np.int64))
 
     def _remember(self, key: str, value) -> None:
         self._mem[key] = value

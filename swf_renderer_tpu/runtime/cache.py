@@ -114,14 +114,15 @@ class PackedSceneCache:
         if self.directory is not None:
             meta = self.directory / f"{key}.meta.npy"
             if meta.exists():
-                # Memory-mapped .npy members: the device upload reads the
-                # pages lazily, so a warm-process "hit" costs ~ms instead
-                # of a full eager read of the packed arrays (~1 s for an
-                # 80 MB headline entry from .npz).
+                # Plain .npy members load as one straight read each (the
+                # .npz path cost ~1 s for the 80 MB headline entry; this
+                # is ~0.1-0.3 s, page-cache dependent).  MATERIALIZE here:
+                # handing mmap'd arrays to jnp.asarray makes the tunneled
+                # device upload read the buffer pathologically (measured
+                # 10.2 s vs 0.02 s for a 29 MB array).
                 ns, nc = (int(x) for x in np.load(meta))
                 value = tuple(
-                    np.load(self.directory / f"{key}.{name}.npy",
-                            mmap_mode="r")
+                    np.load(self.directory / f"{key}.{name}.npy")
                     for name in self._FIELDS) + (ns, nc)
                 self._remember(key, value)
                 self.hits += 1

@@ -43,6 +43,20 @@ from .flatblock import composite_quantize_pack, fill_rule_cov
 LANE = 128
 
 
+def _per_layer_mats(matrices, n_layers: int):
+    """(F, 6) or per-layer (F, L, 6) matrix tracks -> [L] of (F, 6) f64."""
+    mats = np.asarray(matrices, np.float64)
+    if mats.ndim == 2 and mats.shape[1] == 6:
+        return [mats] * n_layers
+    if mats.ndim == 3 and mats.shape[2] == 6:
+        if mats.shape[1] != n_layers:
+            raise ValueError(
+                f"per-layer matrices {mats.shape} vs {n_layers} layers")
+        return [mats[:, i] for i in range(mats.shape[1])]
+    raise ValueError(f"matrices must be (F, 6) or (F, L, 6),"
+                     f" got {mats.shape}")
+
+
 def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
     """Split LOCAL-space edge tables into pieces row-bounded under every
     frame matrix.
@@ -60,18 +74,7 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
       colors_arr (P, 4) f32
     Padding pieces are all-zero; they transform to degenerate points
     (dy' = 0) and contribute nothing for any matrix."""
-    mats = np.asarray(matrices, np.float64)
-    if mats.ndim == 2 and mats.shape[1] == 6:
-        per_layer = [mats] * len(edge_tables)
-    elif mats.ndim == 3 and mats.shape[2] == 6:
-        if mats.shape[1] != len(edge_tables):
-            raise ValueError(
-                f"per-layer matrices {mats.shape} vs {len(edge_tables)}"
-                " layers")
-        per_layer = [mats[:, i] for i in range(mats.shape[1])]
-    else:
-        raise ValueError(f"matrices must be (F, 6) or (F, L, 6),"
-                         f" got {mats.shape}")
+    per_layer = _per_layer_mats(matrices, len(edge_tables))
 
     split = []
     for edges, color, lm in zip(edge_tables, colors, per_layer):
@@ -121,17 +124,7 @@ def morph_affine_pieces(pairs, matrices, e_multiple: int = 128):
     Returns (tab_s, subxy_s, tab_e, subxy_e, colors_s, colors_e), each
     table shaped like affine_pieces output.  ``matrices`` may be (F, 6)
     or (F, L, 6) per-layer tracks (like affine_pieces)."""
-    mats = np.asarray(matrices, np.float64)
-    if mats.ndim == 2 and mats.shape[1] == 6:
-        per_layer = [mats] * len(pairs)
-    elif mats.ndim == 3 and mats.shape[2] == 6:
-        if mats.shape[1] != len(pairs):
-            raise ValueError(
-                f"per-layer matrices {mats.shape} vs {len(pairs)} layers")
-        per_layer = [mats[:, i] for i in range(mats.shape[1])]
-    else:
-        raise ValueError(f"matrices must be (F, 6) or (F, L, 6),"
-                         f" got {mats.shape}")
+    per_layer = _per_layer_mats(matrices, len(pairs))
 
     split = []
     for (es, ee, cs, ce), lm in zip(pairs, per_layer):

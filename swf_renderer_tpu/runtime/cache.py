@@ -73,9 +73,14 @@ class PackedSceneCache:
         # Re-check memoizability on the HIT path too: identity alone
         # doesn't prove immutability (setflags(write=True) re-enables
         # in-place mutation under the same id).
-        if hit is not None and hit[0]() is t and self._memoizable(t):
-            self._digest_memo.move_to_end(key)
-            return hit[1]
+        if hit is not None:
+            memoizable = self._memoizable(t)
+            if hit[0]() is t and memoizable:
+                self._digest_memo.move_to_end(key)
+                return hit[1]
+            # Stale or currently-writeable entry: EVICT, or a later
+            # re-freeze of a mutated array would serve the old digest.
+            del self._digest_memo[key]
         a = np.ascontiguousarray(t, np.float32)
         d = hashlib.sha256(
             np.int64(a.shape[0]).tobytes() + a.tobytes()).digest()
@@ -119,11 +124,17 @@ class PackedSceneCache:
                 # is ~0.1-0.3 s, page-cache dependent).  MATERIALIZE here:
                 # handing mmap'd arrays to jnp.asarray makes the tunneled
                 # device upload read the buffer pathologically (measured
-                # 10.2 s vs 0.02 s for a 29 MB array).
-                ns, nc = (int(x) for x in np.load(meta))
-                value = tuple(
-                    np.load(self.directory / f"{key}.{name}.npy")
-                    for name in self._FIELDS) + (ns, nc)
+                # 10.2 s vs 0.02 s for a 29 MB array).  A partially
+                # present/truncated multi-file entry (interrupted write,
+                # manual cleanup) is a MISS, not a crash.
+                try:
+                    ns, nc = (int(x) for x in np.load(meta))
+                    value = tuple(
+                        np.load(self.directory / f"{key}.{name}.npy")
+                        for name in self._FIELDS) + (ns, nc)
+                except Exception:
+                    self.misses += 1
+                    return None
                 self._remember(key, value)
                 self.hits += 1
                 return value

@@ -48,7 +48,7 @@ from ..models import ast, display
 from ..models.geometry import split_edges_y
 from ..ops import composite as composite_ops
 from ..ops import style as style_ops
-from ..ops.coverage import coverage
+from ..ops.coverage import FILL_RULE_NONZERO, coverage
 from .bitmap_service import BitmapService
 from .scene import Draw, SceneCompiler
 
@@ -329,39 +329,7 @@ class TpuRenderer:
         if any(ratio_varies):
             return self._morph_transform_plan(stages, ratio_varies)
 
-        from ..models.geometry import Affine, TWIPS_PER_PX
-
-        s_aff = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
-        flash_like = self.quality.startswith("flash")
-
-        # Per-(frame, child) device affines + the flattening tolerance
-        # that survives the most magnifying frame.
-        devs = []
-        smax = 1.0
-        for s in stages:
-            row = []
-            for c in s.children:
-                d = _device_affine(c.matrix)
-                # Exact spectral norm: translate/rotate-only animations
-                # keep smax == 1 so the sweep flattens curves at the SAME
-                # tolerance as per-frame renders (max_scale's sqrt(2)
-                # slack would silently over-refine them).
-                smax = max(smax, d.norm2())
-                row.append(d.as_tuple())
-            devs.append(row)
-
-        # ONE compiler across children: the Canvas2D lineWidth state
-        # machine threads through the whole display list (a zero-width
-        # line style inherits the previous child's width), exactly like
-        # compile_stage's walk.
-        compiler = SceneCompiler(
-            self.bitmap_service, self._shape_cache, self._morph_cache,
-            curve_tolerance=0.1 / smax,
-            curve_pow2=flash_like,
-            honor_swf_caps=flash_like,
-            honor_fill_winding=self.honor_fill_winding,
-            draws_cache=self._draws_cache,
-        )
+        devs, s_aff, compiler = self._sweep_prelude(stages)
         # Compile each child ONCE with no color transform; per-frame cts
         # fold into per-frame kernel colors below (solid paints only).
         child_draws = []
@@ -413,6 +381,37 @@ class TpuRenderer:
         run.edges = sum(d.edges.shape[0] for d in all_draws) * len(stages)
         return run
 
+    def _sweep_prelude(self, stages):
+        """Shared setup of both sweep plans: per-(frame, child) device
+        affines, the flattening tolerance that survives the most
+        magnifying frame (exact spectral norm — translate/rotate-only
+        animations keep smax == 1 so the sweep flattens curves at the
+        SAME tolerance as per-frame renders), and ONE compiler across
+        children (the Canvas2D lineWidth state machine threads through
+        the whole display list, like compile_stage's walk)."""
+        from ..models.geometry import Affine, TWIPS_PER_PX
+
+        s_aff = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
+        flash_like = self.quality.startswith("flash")
+        devs = []
+        smax = 1.0
+        for s in stages:
+            row = []
+            for c in s.children:
+                d = _device_affine(c.matrix)
+                smax = max(smax, d.norm2())
+                row.append(d.as_tuple())
+            devs.append(row)
+        compiler = SceneCompiler(
+            self.bitmap_service, self._shape_cache, self._morph_cache,
+            curve_tolerance=0.1 / smax,
+            curve_pow2=flash_like,
+            honor_swf_caps=flash_like,
+            honor_fill_winding=self.honor_fill_winding,
+            draws_cache=self._draws_cache,
+        )
+        return devs, s_aff, compiler
+
     def _morph_transform_plan(self, stages, ratio_varies):
         """Ratio-varying timeline through the combined morph + transform
         sweep (ops.transform.render_morph_affine_sweep): every layer
@@ -421,8 +420,6 @@ class TpuRenderer:
         linear in the ratio), static children contribute degenerate
         start==end pairs — and one shared per-frame ratio track lerps them
         all.  Returns a zero-arg render closure or None."""
-        from ..models.decode_morph_shape import decode_morph_shape
-        from ..models.geometry import Affine, TWIPS_PER_PX
         from ..models.morph_geometry import morph_fill_edge_pairs
         from .scene import _apply_color_transform
 
@@ -443,43 +440,40 @@ class TpuRenderer:
                 if c.color_transform != c0.color_transform:
                     return None
 
-        s_aff = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
-        flash_like = self.quality.startswith("flash")
-        devs = []
-        smax = 1.0
-        for s in stages:
-            row = []
-            for c in s.children:
-                d = _device_affine(c.matrix)
-                smax = max(smax, d.norm2())
-                row.append(d.as_tuple())
-            devs.append(row)
+        def ct_saturates(color, ct):
+            """The per-frame path CLAMPS after lerping, the sweep lerps
+            clamped endpoints; the two agree only when the transform
+            keeps both endpoints inside [0, 1] (clamping then commutes
+            with the lerp, since the ct itself is affine)."""
+            if ct is None:
+                return False
+            return any(not (-1e-9 <= ch * m + a <= 1.0 + 1e-9)
+                       for ch, m, a in zip(color, ct.mult, ct.add))
 
-        compiler = SceneCompiler(
-            self.bitmap_service, self._shape_cache, self._morph_cache,
-            curve_tolerance=0.1 / smax,
-            curve_pow2=flash_like,
-            honor_swf_caps=flash_like,
-            honor_fill_winding=self.honor_fill_winding,
-            draws_cache=self._draws_cache,
-        )
+        devs, s_aff, compiler = self._sweep_prelude(stages)
         child_pairs = []
+        rules = set()
         for ci, c in enumerate(first.children):
             ct = c.color_transform
             if ratio_varies[ci]:
                 compiled = compiler._compiled_morph_shape(c.definition)
                 if any(p.line is not None for p in compiled.paths):
                     return None  # stroke outlines aren't linear in ratio
+                raw = morph_fill_edge_pairs(
+                    compiled, s_aff, tolerance=compiler.curve_tolerance)
+                if not raw or any(
+                        ct_saturates(cs, ct) or ct_saturates(ce, ct)
+                        for _, _, cs, ce in raw):
+                    return None
                 pairs = [
                     (es, ee,
                      _apply_color_transform(cs, ct),
                      _apply_color_transform(ce, ct))
-                    for es, ee, cs, ce in morph_fill_edge_pairs(
-                        compiled, s_aff,
-                        tolerance=compiler.curve_tolerance)
+                    for es, ee, cs, ce in raw
                 ]
-                if not pairs:
-                    return None
+                # Morph fills compile with the default nonzero rule
+                # (scene._emit_fill).
+                rules.add(FILL_RULE_NONZERO)
             else:
                 start = len(compiler.draws)
                 if isinstance(c, display.MorphShapeInstance):
@@ -494,8 +488,12 @@ class TpuRenderer:
                     return None
                 pairs = [(d.edges, d.edges, d.paint.color, d.paint.color)
                          for d in draws]
+                rules.update(d.fill_rule for d in draws)
             child_pairs.append(pairs)
         all_pairs = [p for pairs in child_pairs for p in pairs]
+        if len(rules) != 1:
+            return None
+        fill_rule = next(iter(rules))
 
         def run():
             from ..ops.morph import morph_frames_to_u8
@@ -511,7 +509,7 @@ class TpuRenderer:
             out = render_morph_affine_sweep(
                 jnp.asarray(mats), jnp.asarray(ratios),
                 *(jnp.asarray(x) for x in parts),
-                self.height, self.width)
+                self.height, self.width, fill_rule=fill_rule)
             return morph_frames_to_u8(np.asarray(out), self.height,
                                       self.width)
 

@@ -447,6 +447,7 @@ def test_render_batch_routes_morph_ratio_and_matrix(reference_tests):
             want = TpuRenderer(base.width, base.height).render(stage)
             np.testing.assert_array_equal(got[i], want)
         return
+    pytest.skip("hb29 has no strokes in this checkout; positive routing is covered by test_render_batch_routes_fills_only_morph_timeline")
 
 
 def test_render_batch_routes_fills_only_morph_timeline():

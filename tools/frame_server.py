@@ -74,13 +74,16 @@ class FrameServer(ThreadingHTTPServer):
 
         with self._fallback_lock:
             key = (width, height)
-            r = self._fallback_renderers.get(key)
+            r = self._fallback_renderers.pop(key, None)
             if r is None:
                 r = TpuRenderer(width, height)
-                self._fallback_renderers[key] = r
-                while len(self._fallback_renderers) > 8:
-                    self._fallback_renderers.pop(
-                        next(iter(self._fallback_renderers)))
+            # Re-insert on every hit: dicts are insertion-ordered, so
+            # popping the FIRST key below evicts the least recently USED
+            # renderer, not merely the oldest-created one.
+            self._fallback_renderers[key] = r
+            while len(self._fallback_renderers) > 8:
+                self._fallback_renderers.pop(
+                    next(iter(self._fallback_renderers)))
             return r
 
 

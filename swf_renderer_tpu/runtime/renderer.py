@@ -303,37 +303,44 @@ class TpuRenderer:
         if any(s.width != self.width or s.height != self.height
                for s in stages):
             return None
-        n = len(first.children)
+        leaves_per_stage = []
+        for s in stages:
+            leaves = self._stage_leaves(s)
+            if leaves is None:
+                return None
+            leaves_per_stage.append(leaves)
+        first_leaves = leaves_per_stage[0]
+        if not first_leaves:
+            return None
+        n = len(first_leaves)
         any_differs = False
         ratio_varies = [False] * n
-        for s in stages:
-            if len(s.children) != n:
+        for leaves in leaves_per_stage:
+            if len(leaves) != n:
                 return None
-            for ci, (c0, c) in enumerate(zip(first.children, s.children)):
-                if not isinstance(c, (display.ShapeInstance,
-                                      display.MorphShapeInstance)):
-                    return None
+            for ci, ((c0, dev0, ct0), (c, dev, ct)) in enumerate(
+                    zip(first_leaves, leaves)):
                 if c.definition is not c0.definition:
                     return None
                 if (isinstance(c, display.MorphShapeInstance)
                         and c.ratio != c0.ratio):
                     ratio_varies[ci] = True
                     any_differs = True
-                if (c.matrix != c0.matrix
-                        or c.color_transform != c0.color_transform):
+                if dev.as_tuple() != dev0.as_tuple() or ct != ct0:
                     # Color transforms fold into per-frame kernel colors
                     # (the plan requires solid paints anyway).
                     any_differs = True
         if not any_differs:
             return None  # identical frames: the fused batch handles it
         if any(ratio_varies):
-            return self._morph_transform_plan(stages, ratio_varies)
+            return self._morph_transform_plan(stages, leaves_per_stage,
+                                              ratio_varies)
 
-        devs, s_aff, compiler = self._sweep_prelude(stages)
-        # Compile each child ONCE with no color transform; per-frame cts
+        devs, s_aff, compiler = self._sweep_prelude(leaves_per_stage)
+        # Compile each leaf ONCE with no color transform; per-frame cts
         # fold into per-frame kernel colors below (solid paints only).
         child_draws = []
-        for c in first.children:
+        for c, _dev, _ct in first_leaves:
             start = len(compiler.draws)
             if isinstance(c, display.MorphShapeInstance):
                 compiler._draw_morph_shape(c.definition, c.ratio, s_aff,
@@ -363,10 +370,10 @@ class TpuRenderer:
                   for m in [row_m] * len(child_draws[ci])]
                  for row in devs], np.float32)  # (F, L, 6)
             colors = np.asarray(
-                [[_apply_color_transform(d.paint.color, c.color_transform)
-                  for ci, c in enumerate(s.children)
+                [[_apply_color_transform(d.paint.color, ct)
+                  for ci, (_c, _dev, ct) in enumerate(leaves)
                   for d in child_draws[ci]]
-                 for s in stages], np.float32)  # (F, L, 4)
+                 for leaves in leaves_per_stage], np.float32)  # (F, L, 4)
             tab, subxy, _ = affine_pieces(
                 [d.edges for d in all_draws],
                 [d.paint.color for d in all_draws], mats)
@@ -381,13 +388,48 @@ class TpuRenderer:
         run.edges = sum(d.edges.shape[0] for d in all_draws) * len(stages)
         return run
 
-    def _sweep_prelude(self, stages):
-        """Shared setup of both sweep plans: per-(frame, child) device
+    def _stage_leaves(self, stage):
+        """Flatten a display tree to its shape/morph LEAVES with effective
+        (device affine, color transform) accumulated down container
+        chains — animated sprite hierarchies then ride the sweeps like
+        flat children.  Returns [(instance, Affine, ct)] or None when the
+        tree holds an unsupported node type."""
+        from ..models.geometry import Affine, TWIPS_PER_PX
+        from .scene import _compose_color_transform
+
+        s = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
+        s_inv = Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX)
+        leaves = []
+
+        def walk(obj, chain, ct):
+            m = getattr(obj, "matrix", None)
+            if m is not None:
+                chain = chain.then(Affine.from_swf_matrix(m))
+            ct = _compose_color_transform(
+                ct, getattr(obj, "color_transform", None))
+            if isinstance(obj, display.Container):
+                for child in obj.children:
+                    if walk(child, chain, ct) is None:
+                        return None
+                return leaves
+            if isinstance(obj, (display.ShapeInstance,
+                                display.MorphShapeInstance)):
+                leaves.append((obj, s.then(chain).then(s_inv), ct))
+                return leaves
+            return None
+
+        for child in stage.children:
+            if walk(child, Affine.identity(), None) is None:
+                return None
+        return leaves
+
+    def _sweep_prelude(self, leaves_per_stage):
+        """Shared setup of both sweep plans: per-(frame, leaf) device
         affines, the flattening tolerance that survives the most
         magnifying frame (exact spectral norm — translate/rotate-only
         animations keep smax == 1 so the sweep flattens curves at the
         SAME tolerance as per-frame renders), and ONE compiler across
-        children (the Canvas2D lineWidth state machine threads through
+        leaves (the Canvas2D lineWidth state machine threads through
         the whole display list, like compile_stage's walk)."""
         from ..models.geometry import Affine, TWIPS_PER_PX
 
@@ -395,12 +437,11 @@ class TpuRenderer:
         flash_like = self.quality.startswith("flash")
         devs = []
         smax = 1.0
-        for s in stages:
+        for leaves in leaves_per_stage:
             row = []
-            for c in s.children:
-                d = _device_affine(c.matrix)
-                smax = max(smax, d.norm2())
-                row.append(d.as_tuple())
+            for _, dev, _ct in leaves:
+                smax = max(smax, dev.norm2())
+                row.append(dev.as_tuple())
             devs.append(row)
         compiler = SceneCompiler(
             self.bitmap_service, self._shape_cache, self._morph_cache,
@@ -412,32 +453,33 @@ class TpuRenderer:
         )
         return devs, s_aff, compiler
 
-    def _morph_transform_plan(self, stages, ratio_varies):
+    def _morph_transform_plan(self, stages, leaves_per_stage,
+                              ratio_varies):
         """Ratio-varying timeline through the combined morph + transform
         sweep (ops.transform.render_morph_affine_sweep): every layer
-        becomes a (start, end) piece pair — varying-ratio morph children
+        becomes a (start, end) piece pair — varying-ratio morph leaves
         contribute their real pairs (fills only; stroke outlines aren't
-        linear in the ratio), static children contribute degenerate
+        linear in the ratio), static leaves contribute degenerate
         start==end pairs — and one shared per-frame ratio track lerps them
         all.  Returns a zero-arg render closure or None."""
         from ..models.morph_geometry import morph_fill_edge_pairs
         from .scene import _apply_color_transform
 
-        first = stages[0]
+        first_leaves = leaves_per_stage[0]
         # One shared ratio track (the kernel lerps every layer by the
         # same per-frame t); constant color transforms (no per-frame
         # color folding on the morph path).
         tracks = set()
         for ci, varies in enumerate(ratio_varies):
             if varies:
-                tracks.add(tuple(float(s.children[ci].ratio)
-                                 for s in stages))
+                tracks.add(tuple(float(leaves[ci][0].ratio)
+                                 for leaves in leaves_per_stage))
         if len(tracks) != 1:
             return None
         ratios = np.asarray(next(iter(tracks)), np.float32)
-        for s in stages:
-            for c0, c in zip(first.children, s.children):
-                if c.color_transform != c0.color_transform:
+        for leaves in leaves_per_stage:
+            for (c0, _d0, ct0), (c, _d, ct) in zip(first_leaves, leaves):
+                if ct != ct0:
                     return None
 
         def ct_saturates(color, ct):
@@ -450,11 +492,10 @@ class TpuRenderer:
             return any(not (-1e-9 <= ch * m + a <= 1.0 + 1e-9)
                        for ch, m, a in zip(color, ct.mult, ct.add))
 
-        devs, s_aff, compiler = self._sweep_prelude(stages)
+        devs, s_aff, compiler = self._sweep_prelude(leaves_per_stage)
         child_pairs = []
         rules = set()
-        for ci, c in enumerate(first.children):
-            ct = c.color_transform
+        for ci, (c, _dev, ct) in enumerate(first_leaves):
             if ratio_varies[ci]:
                 compiled = compiler._compiled_morph_shape(c.definition)
                 if any(p.line is not None for p in compiled.paths):

@@ -514,3 +514,43 @@ def test_render_batch_routes_fills_only_morph_timeline():
         # AA edges.
         assert diff.max() <= 8, (i, diff.max())
         assert (diff > 2).mean() < 1e-3, i
+
+
+def test_render_batch_routes_animated_container_hierarchy(
+        reference_tests):
+    """Animated sprite GROUPS: a container whose matrix changes per frame
+    (with a static child shape inside) flattens to leaves and rides the
+    transform sweep."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    tag = parse_define_shape(
+        (reference_tests / "flat-shapes" / "triangle" /
+         "ast.json").read_text())
+    one = Sfixed16P16.from_value(1.0)
+    half = Sfixed16P16.from_value(0.5)
+    zero = Sfixed16P16.from_value(0.0)
+    w = h = 40
+    inner = display.ShapeInstance(
+        definition=tag,
+        matrix=ast.Matrix(scale_x=half, scale_y=half, rotate_skew0=zero,
+                          rotate_skew1=zero, translate_x=0,
+                          translate_y=0))
+    stages = []
+    for i in range(3):
+        group = display.Container(
+            children=(inner,),
+            matrix=ast.Matrix(scale_x=one, scale_y=one,
+                              rotate_skew0=zero, rotate_skew1=zero,
+                              translate_x=80 * i, translate_y=30 * i))
+        stages.append(display.Stage(width=w, height=h, children=[group]))
+
+    r = TpuRenderer(w, h)
+    got = r.render_batch(stages)
+    assert r.last_stats.path == "transform-sweep"
+    for i, stage in enumerate(stages):
+        want = TpuRenderer(w, h).render(stage)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())

@@ -85,6 +85,32 @@ def _uniform_layer_structure(per_frame_draws) -> bool:
     return True
 
 
+def _composite_background(frame: np.ndarray,
+                          bg: "ast.StraightSRgba8") -> np.ndarray:
+    """Source-over the rendered frame onto the stage background color.
+
+    The reference's TS renderer clears to transparent (clearRect,
+    canvas-renderer.ts:70-71) so a zero-alpha background is a no-op; the
+    native path clears to ``Stage.background_color``
+    (rs/src/gfx_renderer.rs:299-311, rs/src/stage.rs:6-9) — honored here
+    whenever the stage carries a non-transparent background."""
+    if bg.a == 0:
+        return frame
+    a = frame[..., 3:4].astype(np.float32) / 255.0
+    ba = bg.a / 255.0
+    bg_rgb = np.asarray([bg.r, bg.g, bg.b], np.float32)
+    res_a = a + ba * (1.0 - a)
+    res_pm = (frame[..., :3].astype(np.float32) * a
+              + bg_rgb * ba * (1.0 - a))
+    out = np.empty_like(frame)
+    out[..., :3] = np.clip(
+        np.round(res_pm / np.maximum(res_a, 1e-6)), 0, 255
+    ).astype(np.uint8)
+    out[..., 3] = np.clip(np.round(255.0 * res_a[..., 0]),
+                          0, 255).astype(np.uint8)
+    return out
+
+
 def _device_affine(matrix):
     """SWF instance matrix (twips space) -> device-pixel affine:
     S . A . S^-1 with S = scale(1/20), so applying it to geometry already
@@ -176,7 +202,8 @@ class TpuRenderer:
             draws_cache=self._draws_cache,
         )
         draws = compiler.compile_stage(stage)
-        self.frame = self.execute(draws)
+        self.frame = _composite_background(self.execute(draws),
+                                           stage.background_color)
         self.last_stats = RenderStats(
             draws=len(draws),
             edges=sum(d.edges.shape[0] for d in draws),
@@ -211,9 +238,16 @@ class TpuRenderer:
             return np.zeros((0, self.height, self.width, 4), np.uint8)
         flash_like = self.quality.startswith("flash")
 
+        def apply_backgrounds(frames):
+            if all(s.background_color.a == 0 for s in stages):
+                return frames
+            return np.stack([
+                _composite_background(frames[i], s.background_color)
+                for i, s in enumerate(stages)])
+
         plan = self._transform_animation_plan(stages)
         if plan is not None:
-            out = plan()
+            out = apply_backgrounds(plan())
             self.last_stats = RenderStats(
                 draws=plan.draws, edges=plan.edges,
                 width=self.width, height=self.height,
@@ -269,6 +303,7 @@ class TpuRenderer:
             out = np.stack([self.execute(draws)
                             for draws in per_frame_draws])
             path = f"per-stage:{reason}"
+        out = apply_backgrounds(out)
         self.last_stats = RenderStats(
             draws=sum(len(d) for d in per_frame_draws),
             edges=sum(d.edges.shape[0] for draws in per_frame_draws

@@ -229,3 +229,47 @@ def test_honor_fill_winding_even_odd():
     nz = TpuRenderer(stage2.width, stage2.height,
                      honor_fill_winding=True).render(stage2)
     assert np.array_equal(nz, default)  # flag set -> nonzero again
+
+
+def test_stage_background_color_composites():
+    """Stage.background_color is honored: a transparent stage stays
+    transparent (the TS reference's clearRect semantics), a colored one
+    composites source-over (the native renderer clears to it,
+    rs/src/gfx_renderer.rs:299-311)."""
+    from swf_renderer_tpu.models import ast as ast_mod
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    tag = ast_mod.DefineShape(
+        id=1,
+        bounds=ast_mod.Rect(x_min=0, x_max=200, y_min=0, y_max=200),
+        shape=ast_mod.ShapeBody(
+            initial_styles=ast_mod.ShapeStyles(
+                fill=[ast_mod.SolidFill(
+                    color=ast_mod.StraightSRgba8(255, 0, 0, 255))],
+                line=[]),
+            records=[
+                ast_mod.StyleChangeRecord(
+                    right_fill=1, move_to=ast_mod.Vector2D(x=0, y=0)),
+                ast_mod.EdgeRecord(delta=ast_mod.Vector2D(x=200, y=0)),
+                ast_mod.EdgeRecord(delta=ast_mod.Vector2D(x=0, y=200)),
+                ast_mod.EdgeRecord(delta=ast_mod.Vector2D(x=-200, y=-200)),
+            ]),
+    )
+    child = display.ShapeInstance(definition=tag)
+    r = TpuRenderer(16, 16)
+    clear = r.render(display.Stage(width=16, height=16, children=[child]))
+    assert clear[15, 15, 3] == 0  # empty corner stays transparent
+    assert tuple(clear[1, 5]) == (255, 0, 0, 255)
+
+    bg = r.render(display.Stage(
+        width=16, height=16, children=[child],
+        background_color=ast_mod.StraightSRgba8(0, 255, 0, 255)))
+    assert tuple(bg[15, 15]) == (0, 255, 0, 255)  # bg shows through
+    assert tuple(bg[1, 5]) == (255, 0, 0, 255)    # shape unchanged
+
+    # Batched path too.
+    stages = [display.Stage(
+        width=16, height=16, children=[child],
+        background_color=ast_mod.StraightSRgba8(0, 0, 255, 255))] * 2
+    batch = r.render_batch(stages)
+    assert tuple(batch[0, 15, 15]) == (0, 0, 255, 255)

@@ -85,30 +85,41 @@ def _uniform_layer_structure(per_frame_draws) -> bool:
     return True
 
 
-def _composite_background(frame: np.ndarray,
-                          bg: "ast.StraightSRgba8") -> np.ndarray:
-    """Source-over the rendered frame onto the stage background color.
+def _composite_background(frames: np.ndarray, bgs) -> np.ndarray:
+    """Source-over rendered frame(s) onto stage background color(s).
 
     The reference's TS renderer clears to transparent (clearRect,
     canvas-renderer.ts:70-71) so a zero-alpha background is a no-op; the
     native path clears to ``Stage.background_color``
     (rs/src/gfx_renderer.rs:299-311, rs/src/stage.rs:6-9) — honored here
-    whenever the stage carries a non-transparent background."""
-    if bg.a == 0:
-        return frame
-    a = frame[..., 3:4].astype(np.float32) / 255.0
-    ba = bg.a / 255.0
-    bg_rgb = np.asarray([bg.r, bg.g, bg.b], np.float32)
+    whenever a stage carries a non-transparent background.  Applied over
+    the QUANTIZED frame (equivalent to compositing the exported image
+    onto a backdrop; the clear-first native order can differ by a premul
+    quantum at AA edges), with the SHARED premultiplied-u8 quantization
+    (ops.composite.premul_to_straight_u8 — the ARGB32-parity invariant).
+
+    ``frames``: (H, W, 4) or (F, H, W, 4) u8; ``bgs``: one
+    ast.StraightSRgba8 or a sequence of F of them."""
+    from ..ops.composite import premul_to_straight_u8
+
+    single = frames.ndim == 3
+    if single:
+        frames, bgs = frames[None], [bgs]
+    bg_arr = np.asarray([[b.r, b.g, b.b, b.a] for b in bgs],
+                        np.float32) / 255.0  # (F, 4) straight
+    if not bg_arr[:, 3].any():
+        return frames[0] if single else frames
+    a = frames[..., 3:4].astype(np.float32) / 255.0
+    ba = bg_arr[:, None, None, 3:4]
+    bg_pm = bg_arr[:, None, None, :3] * ba
     res_a = a + ba * (1.0 - a)
-    res_pm = (frame[..., :3].astype(np.float32) * a
-              + bg_rgb * ba * (1.0 - a))
-    out = np.empty_like(frame)
-    out[..., :3] = np.clip(
-        np.round(res_pm / np.maximum(res_a, 1e-6)), 0, 255
-    ).astype(np.uint8)
-    out[..., 3] = np.clip(np.round(255.0 * res_a[..., 0]),
-                          0, 255).astype(np.uint8)
-    return out
+    # Reconstructed premul (0..1): straight u8 * alpha — lossy only where
+    # the u8 round already was.
+    res_pm = (frames[..., :3].astype(np.float32) / 255.0 * a
+              + bg_pm * (1.0 - a))
+    out = np.asarray(premul_to_straight_u8(
+        np.concatenate([res_pm, res_a], axis=-1)))
+    return out[0] if single else out
 
 
 def _device_affine(matrix):
@@ -241,9 +252,8 @@ class TpuRenderer:
         def apply_backgrounds(frames):
             if all(s.background_color.a == 0 for s in stages):
                 return frames
-            return np.stack([
-                _composite_background(frames[i], s.background_color)
-                for i, s in enumerate(stages)])
+            return _composite_background(
+                frames, [s.background_color for s in stages])
 
         plan = self._transform_animation_plan(stages)
         if plan is not None:
@@ -436,25 +446,21 @@ class TpuRenderer:
         s_inv = Affine.scaling(TWIPS_PER_PX, TWIPS_PER_PX)
         leaves = []
 
-        def walk(obj, chain, ct):
-            m = getattr(obj, "matrix", None)
-            if m is not None:
-                chain = chain.then(Affine.from_swf_matrix(m))
-            ct = _compose_color_transform(
-                ct, getattr(obj, "color_transform", None))
+        def walk(obj, chain, ct) -> bool:
+            if obj.matrix is not None:
+                chain = chain.then(Affine.from_swf_matrix(obj.matrix))
+            ct = _compose_color_transform(ct, obj.color_transform)
             if isinstance(obj, display.Container):
-                for child in obj.children:
-                    if walk(child, chain, ct) is None:
-                        return None
-                return leaves
+                return all(walk(child, chain, ct)
+                           for child in obj.children)
             if isinstance(obj, (display.ShapeInstance,
                                 display.MorphShapeInstance)):
                 leaves.append((obj, s.then(chain).then(s_inv), ct))
-                return leaves
-            return None
+                return True
+            return False  # unsupported node type
 
         for child in stage.children:
-            if walk(child, Affine.identity(), None) is None:
+            if not walk(child, Affine.identity(), None):
                 return None
         return leaves
 

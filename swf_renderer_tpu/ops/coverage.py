@@ -107,6 +107,28 @@ def apply_fill_rule(acc, fill_rule: int):
     raise ValueError(f"unknown fill rule {fill_rule}")
 
 
+def normalize_fill_rule(fill_rule, layers: int):
+    """One rule for every layer (int) or one PER LAYER (sequence — SWF
+    mixes even-odd and DefineShape4 nonzero shapes in one scene).
+    Returns the int form when uniform so jit caches collapse to one
+    entry; rule arguments are static everywhere, so tuples are valid
+    static-argname values."""
+    if isinstance(fill_rule, (tuple, list)):
+        fill_rule = tuple(fill_rule)
+        if len(fill_rule) != layers:
+            raise ValueError(f"fill_rule tuple has {len(fill_rule)} "
+                             f"entries for {layers} layers")
+        if len(set(fill_rule)) == 1:
+            return fill_rule[0]
+    return fill_rule
+
+
+def layer_rules(fill_rule, layers: int):
+    """Normalized fill rule -> length-``layers`` per-layer rule tuple."""
+    return (fill_rule if isinstance(fill_rule, tuple)
+            else (fill_rule,) * layers)
+
+
 # ---------------------------------------------------------------------------
 # Pure-XLA reference implementation (also the CPU fallback)
 # ---------------------------------------------------------------------------

@@ -64,7 +64,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .coverage import FILL_RULE_NONZERO, _on_tpu
+from .coverage import FILL_RULE_NONZERO, _on_tpu, layer_rules
 
 STRIP_H = 8
 LANE = 128
@@ -276,8 +276,18 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
                                 pltpu.roll(incl, shift, axis=0), 0.0)
         shift *= 2
     winding = x + (incl - totals)
-    covs_all = fill_rule_cov(winding, fill_rule)
-    covs = [covs_all[lyr * plane_rows:(lyr + 1) * plane_rows]
+    rules = layer_rules(fill_rule, layers)
+    if len(set(rules)) == 1:
+        covs_all = fill_rule_cov(winding, rules[0])
+        covs = [covs_all[lyr * plane_rows:(lyr + 1) * plane_rows]
+                for lyr in range(layers)]
+    else:
+        # PER-LAYER fill rules (SWF mixes even-odd and DefineShape4
+        # nonzero-winding shapes in one scene): the rule is static per
+        # layer, so slicing the stacked winding per layer costs nothing
+        # extra beyond the second rule's elementwise ops.
+        covs = [fill_rule_cov(
+            winding[lyr * plane_rows:(lyr + 1) * plane_rows], rules[lyr])
             for lyr in range(layers)]
     return composite_quantize_pack(covs, read_color, layers=layers,
                                    chain=chain, bg=bg, emit=emit)

@@ -39,7 +39,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .coverage import FILL_RULE_NONZERO, _h01, _on_tpu
+from .coverage import (
+    FILL_RULE_NONZERO, _h01, _on_tpu, layer_rules, normalize_fill_rule,
+)
 from .flatblock import composite_quantize_pack, fill_rule_cov
 
 LANE = 128
@@ -102,6 +104,7 @@ def _morph_kernel(ratios_ref, cs_ref, ce_ref, tabs_ref, tabe_ref,
     hlane = jax.lax.broadcasted_iota(
         jnp.int32, (1, hp), 1).astype(jnp.float32)
 
+    rules = layer_rules(fill_rule, layers)
     covs = []
     for lyr in range(layers):
         x0 = (1.0 - t) * tabs_ref[lyr, 0] + t * tabe_ref[lyr, 0]  # (1, EP)
@@ -149,7 +152,7 @@ def _morph_kernel(ratios_ref, cs_ref, ce_ref, tabs_ref, tabe_ref,
             for part in (hi, mid, lo):
                 acc = acc + jnp.dot(part, onehot,
                                     preferred_element_type=jnp.float32)
-        covs.append(fill_rule_cov(acc, fill_rule))
+        covs.append(fill_rule_cov(acc, rules[lyr]))
 
     def read_color(lyr, ch):
         return (1.0 - t) * cs_ref[lyr, ch] + t * ce_ref[lyr, ch]
@@ -181,6 +184,7 @@ def render_morph_sweep(
         interpret = not _on_tpu()
     r = ratios.shape[0]
     layers = tab_s.shape[0]
+    fill_rule = normalize_fill_rule(fill_rule, layers)
     wp = -(-width // 8) * 8
     hp = -(-height // LANE) * LANE
     kernel = functools.partial(

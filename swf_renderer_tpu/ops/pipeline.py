@@ -24,6 +24,7 @@ from .coverage import (
     coverage_banded,
     coverage_pallas,
     coverage_xla,
+    normalize_fill_rule,
     _on_tpu,
 )
 
@@ -389,6 +390,10 @@ def _render_styled_multipass(edge_tables, paints, height, width, colors,
         sub_tables = [per[lo:hi] for per in edge_tables]
         sub_paints = list(paints[lo:hi])
         sub_colors = colors[:, lo:hi]
+        sub_rule = (fill_rule[lo:hi] if isinstance(fill_rule, tuple)
+                    else fill_rule)
+        if isinstance(sub_rule, tuple) and len(set(sub_rule)) == 1:
+            sub_rule = sub_rule[0]
         last = gi == len(layer_groups) - 1
         kpaints, fields, _ = kernel_paints_for(sub_paints, height, width,
                                                spp=spp)
@@ -399,7 +404,7 @@ def _render_styled_multipass(edge_tables, paints, height, width, colors,
             jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
             jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
             jnp.asarray(sub_colors), fields, frames, len(sub_paints),
-            ns, nc, kpaints, group=group, fill_rule=fill_rule,
+            ns, nc, kpaints, group=group, fill_rule=sub_rule,
             interpret=interpret, spp=spp, chain=True, bg=bg,
             emit="u32" if last else "premul")
         bg = out
@@ -466,6 +471,9 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
     frames = len(edge_tables)
     layers = len(edge_tables[0])
     assert layers == len(paints)
+    # fill_rule: one rule for every layer (int) or one PER LAYER (tuple —
+    # SWF mixes even-odd and DefineShape4 nonzero shapes in one scene).
+    fill_rule = normalize_fill_rule(fill_rule, layers)
     stride, nc_geo, ns_geo = plane_geometry(height, width)
     if stride > MAX_CHUNKS * LANE:
         return render_styled_layered(edge_tables, paints, height, width,

@@ -261,12 +261,20 @@ def coverage_scanline_points(
         delta.reshape(-1), idx, num_segments=p * sh * stride
     ).reshape(p, sh, stride)
     winding = jnp.cumsum(plane, axis=2)[:, :, :sw]
-    if fill_rule == FILL_RULE_NONZERO:
-        inside = (jnp.abs(winding) >= 0.5).astype(jnp.float32)
+
+    def _inside(w, rule):
+        if rule == FILL_RULE_NONZERO:
+            return (jnp.abs(w) >= 0.5).astype(jnp.float32)
+        return (jnp.mod(jnp.abs(jnp.round(w)), 2.0) == 1.0).astype(
+            jnp.float32)
+
+    if isinstance(fill_rule, tuple) and len(set(fill_rule)) > 1:
+        # One rule PER PLANE (mixed even-odd / nonzero draw lists).
+        inside = jnp.stack([_inside(winding[i], fill_rule[i])
+                            for i in range(p)])
     else:
-        inside = (
-            jnp.mod(jnp.abs(jnp.round(winding)), 2.0) == 1.0
-        ).astype(jnp.float32)
+        inside = _inside(winding, fill_rule[0]
+                         if isinstance(fill_rule, tuple) else fill_rule)
     return inside.reshape(p, height, ss, width, ss).mean(axis=(2, 4))
 
 
@@ -296,6 +304,12 @@ def coverage_scanline(
     cover_plane = cover_plane.reshape(p, height, stride)
     acc = area_plane + jnp.cumsum(cover_plane, axis=2)
     acc = acc[:, :, :width]
+    if isinstance(fill_rule, tuple):
+        # One rule PER PLANE (mixed even-odd / nonzero draw lists).
+        if len(set(fill_rule)) == 1:
+            return apply_fill_rule(acc, fill_rule[0])
+        return jnp.stack([apply_fill_rule(acc[i], fill_rule[i])
+                          for i in range(p)])
     return apply_fill_rule(acc, fill_rule)
 
 

@@ -37,7 +37,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .coverage import FILL_RULE_NONZERO, _h01, _on_tpu
+from .coverage import (
+    FILL_RULE_NONZERO, _h01, _on_tpu, layer_rules, normalize_fill_rule,
+)
 from .flatblock import composite_quantize_pack, fill_rule_cov
 
 LANE = 128
@@ -310,7 +312,8 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                             part, onehot,
                             preferred_element_type=jnp.float32)
 
-    covs = [fill_rule_cov(acc_ref[lyr], fill_rule)
+    rules = layer_rules(fill_rule, layers)
+    covs = [fill_rule_cov(acc_ref[lyr], rules[lyr])
             for lyr in range(layers)]
 
     def read_color(lyr, ch):
@@ -362,6 +365,7 @@ def render_affine_sweep(
         interpret = not _on_tpu()
     fcount = matrices.shape[0]
     layers = tab.shape[0]
+    fill_rule = normalize_fill_rule(fill_rule, layers)
     hp = -(-height // LANE) * LANE
     wblock = _wblock_for(width, hp)
     wp = -(-(-(-width // 8) * 8) // wblock) * wblock
@@ -421,6 +425,7 @@ def render_morph_affine_sweep(
         interpret = not _on_tpu()
     fcount = matrices.shape[0]
     layers = tab_s.shape[0]
+    fill_rule = normalize_fill_rule(fill_rule, layers)
     hp = -(-height // LANE) * LANE
     wblock = _wblock_for(width, hp)
     wp = -(-(-(-width // 8) * 8) // wblock) * wblock

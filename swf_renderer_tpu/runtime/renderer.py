@@ -48,7 +48,7 @@ from ..models import ast, display
 from ..models.geometry import split_edges_y
 from ..ops import composite as composite_ops
 from ..ops import style as style_ops
-from ..ops.coverage import FILL_RULE_NONZERO, coverage
+from ..ops.coverage import FILL_RULE_NONZERO, coverage, normalize_fill_rule
 from .bitmap_service import BitmapService
 from .scene import Draw, SceneCompiler
 
@@ -284,9 +284,6 @@ class TpuRenderer:
                    else self._flatblock_refusal(per_frame_draws[0]))
         if not uniform:
             refusal = "non-uniform layer structure across frames"
-        elif per_frame_draws[0] and refusal is None and len(
-                {d.fill_rule for d in per_frame_draws[0]}) != 1:
-            refusal = "mixed fill rules"
         if per_frame_draws[0] and refusal is None:
             from ..ops.pipeline import render_batch_styled
 
@@ -299,7 +296,7 @@ class TpuRenderer:
             out = render_batch_styled(
                 [[d.edges for d in draws] for draws in per_frame_draws],
                 paints, self.height, self.width, colors=colors,
-                fill_rule=per_frame_draws[0][0].fill_rule,
+                fill_rule=tuple(d.fill_rule for d in per_frame_draws[0]),
                 cache=self._packed_cache)
             path = "batched-styled"
         else:
@@ -399,9 +396,11 @@ class TpuRenderer:
                 return None  # styled paints are device-space fields
             child_draws.append(draws)
         all_draws = [d for draws in child_draws for d in draws]
-        rules = {d.fill_rule for d in all_draws}
-        if len(rules) != 1:
-            return None
+        # Kernel layer order = all_draws order; mixed scenes pass one
+        # rule per layer (uniform tuples collapse to the shared int form
+        # so they hit the same compiled sweep).
+        sweep_rule = normalize_fill_rule(
+            tuple(d.fill_rule for d in all_draws), len(all_draws))
 
         def run():
             from ..ops.morph import morph_frames_to_u8
@@ -425,7 +424,7 @@ class TpuRenderer:
             out = render_affine_sweep(
                 jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
                 jnp.asarray(colors), self.height, self.width,
-                fill_rule=next(iter(rules)))
+                fill_rule=sweep_rule)
             return morph_frames_to_u8(np.asarray(out), self.height,
                                       self.width)
 
@@ -535,7 +534,7 @@ class TpuRenderer:
 
         devs, s_aff, compiler = self._sweep_prelude(leaves_per_stage)
         child_pairs = []
-        rules = set()
+        pair_rules = []  # one rule per pair, in kernel layer order
         for ci, (c, _dev, ct) in enumerate(first_leaves):
             if ratio_varies[ci]:
                 compiled = compiler._compiled_morph_shape(c.definition)
@@ -555,7 +554,7 @@ class TpuRenderer:
                 ]
                 # Morph fills compile with the default nonzero rule
                 # (scene._emit_fill).
-                rules.add(FILL_RULE_NONZERO)
+                pair_rules.extend([FILL_RULE_NONZERO] * len(pairs))
             else:
                 start = len(compiler.draws)
                 if isinstance(c, display.MorphShapeInstance):
@@ -570,12 +569,10 @@ class TpuRenderer:
                     return None
                 pairs = [(d.edges, d.edges, d.paint.color, d.paint.color)
                          for d in draws]
-                rules.update(d.fill_rule for d in draws)
+                pair_rules.extend(d.fill_rule for d in draws)
             child_pairs.append(pairs)
         all_pairs = [p for pairs in child_pairs for p in pairs]
-        if len(rules) != 1:
-            return None
-        fill_rule = next(iter(rules))
+        fill_rule = normalize_fill_rule(tuple(pair_rules), len(all_pairs))
 
         def run():
             from ..ops.morph import morph_frames_to_u8
@@ -637,7 +634,7 @@ class TpuRenderer:
         return self._flatblock_refusal(draws) is None
 
     def _execute_flatblock(self, draws: List[Draw],
-                           fill_rule: int) -> np.ndarray:
+                           fill_rule) -> np.ndarray:
         from ..ops.pipeline import render_batch_styled
 
         out = render_batch_styled(
@@ -653,18 +650,23 @@ class TpuRenderer:
             return np.zeros((h, w, 4), dtype=np.uint8)
 
         fill_rules = sorted({d.fill_rule for d in draws})
+        # One rule for the whole list (the common case) or one per draw
+        # (SWF mixes even-odd and DefineShape4 nonzero shapes); every
+        # coverage path accepts either form.
+        rule = (fill_rules[0] if len(fill_rules) == 1
+                else tuple(d.fill_rule for d in draws))
         refusal = self._flatblock_refusal(draws)
-        if len(fill_rules) == 1 and refusal is None:
+        if refusal is None:
             self._exec_path = "flatblock"
-            return self._execute_flatblock(draws, fill_rules[0])
-        if refusal is not None and self.backend == "auto":
+            return self._execute_flatblock(draws, rule)
+        if self.backend == "auto":
             logger.debug("flat-block path unavailable: %s", refusal)
-        if self.quality == "flash-pointaa" and len(fill_rules) == 1:
+        if self.quality == "flash-pointaa":
             self._exec_path = "pointaa"
-            coverages = self._coverage_points(draws, fill_rules[0])
-        elif self._use_scanline() and len(fill_rules) == 1:
+            coverages = self._coverage_points(draws, rule)
+        elif self._use_scanline():
             self._exec_path = "scanline"
-            coverages = self._coverage_scanline(draws, fill_rules[0])
+            coverages = self._coverage_scanline(draws, rule)
         else:
             self._exec_path = "direct"
             coverages = self._coverage_direct(draws)
@@ -835,15 +837,14 @@ def render_shape_animation(
             raise NotImplementedError(
                 "render_shape_animation supports solid fills/strokes; "
                 "render styled stages frame-by-frame via render_batch")
-    fill_rules = {d.fill_rule for d in draws}
-    if len(fill_rules) != 1:
-        raise NotImplementedError("mixed fill rules in one animation")
+    rule = normalize_fill_rule(tuple(d.fill_rule for d in draws),
+                               len(draws))
 
     tab, subxy, colors = affine_pieces(
         [d.edges for d in draws], [d.paint.color for d in draws], mats)
     out = render_affine_sweep(
         jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
-        jnp.asarray(colors), height, width, fill_rule=fill_rules.pop())
+        jnp.asarray(colors), height, width, fill_rule=rule)
     return morph_frames_to_u8(np.asarray(out), height, width)
 
 

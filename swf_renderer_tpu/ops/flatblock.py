@@ -888,7 +888,17 @@ def _grad_rgba(paint: "KernelPaint", strip, plane_rows: int = LANE,
     a, b, c, d, e, f = paint.inv_matrix
     sx = a * px + c * py + e
     sy = b * px + d * py + f
+    return _grad_eval(paint, sx, sy)
 
+
+def _grad_eval(paint: "KernelPaint", sx, sy):
+    """Gradient-SPACE coordinates -> 4 straight-RGBA channel arrays.
+
+    The tail of _grad_rgba, split out so callers with DYNAMIC gradient
+    matrices (the transform sweep composes the paint's inverse matrix
+    with each frame's inverse affine and reads the 6 scalars from SMEM)
+    share the exact same ramp/spread/stop math as the baked-matrix
+    flat-block path."""
     if paint.kind == KPAINT_LINEAR:
         t = (sx + _GRAD_RADIUS) / (2.0 * _GRAD_RADIUS)
     else:

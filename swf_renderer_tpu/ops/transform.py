@@ -40,7 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .coverage import (
     FILL_RULE_NONZERO, _h01, _on_tpu, layer_rules, normalize_fill_rule,
 )
-from .flatblock import composite_quantize_pack, fill_rule_cov
+from .flatblock import (
+    KPAINT_COLOR, KPAINT_FOCAL, KPAINT_LINEAR, KernelPaint,
+    composite_quantize_pack, fill_rule_cov, _grad_eval,
+)
 
 LANE = 128
 
@@ -170,13 +173,61 @@ def morph_affine_pieces(pairs, matrices, e_multiple: int = 128):
     return tab_s, subxy_s, tab_e, subxy_e, colors_s, colors_e
 
 
+def sweep_paints(paints, matrices):
+    """Per-layer style Paints + per-frame device affines ->
+    (KernelPaint tuple, (F, L, 6) grad_mats or None) for
+    render_affine_sweep.
+
+    Solid layers read per-layer/per-frame colors as before; sRGB
+    LINEAR/FOCAL gradient layers evaluate in-kernel with a per-frame
+    composed matrix: gradient coord of device point p in frame f is
+    ``paint.inv_matrix(M_f^{-1}(p))`` (the paint was compiled at the
+    base transform; the frame affine moves the geometry, and SWF
+    gradients move WITH the shape).  Raises ValueError for paints the
+    sweep can't evaluate (bitmaps, linear-RGB gradients — those need
+    prebaked field planes; render per frame via the flat-block path) and
+    for singular frame matrices."""
+    from ..models.geometry import Affine
+    from . import style as style_ops
+
+    per_layer = _per_layer_mats(matrices, len(paints))
+    f_count = per_layer[0].shape[0]
+    kps = []
+    gm = np.zeros((f_count, len(paints), 6), np.float32)
+    any_grad = False
+    for li, p in enumerate(paints):
+        if p.kind == style_ops.PAINT_SOLID:
+            kps.append(KernelPaint.color())
+            continue
+        if (p.kind not in (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
+                or p.color_space == "linear-rgb"):
+            raise ValueError(
+                "sweep paints must be solid or sRGB linear/focal "
+                f"gradients, got kind {p.kind}/{p.color_space}")
+        any_grad = True
+        kind = (KPAINT_LINEAR if p.kind == style_ops.PAINT_LINEAR
+                else KPAINT_FOCAL)
+        kps.append(KernelPaint.gradient(
+            kind, (), p.stop_ratios, p.stop_colors,
+            focal=p.focal_point, spread=p.spread))
+        inv = Affine(*p.inv_matrix)
+        for f in range(f_count):
+            frame_inv = Affine(*per_layer[li][f]).inverse()
+            gm[f, li] = inv.then(frame_inv).as_tuple()
+    return tuple(kps), (gm if any_grad else None)
+
+
 def _xform_kernel(mats_ref, colors_ref, *rest,
                   layers: int, wblock: int, hp: int, fill_rule: int,
                   e_chunk: int, per_layer: bool, skip_empty: bool = True,
-                  per_frame_colors: bool = False, morph: bool = False):
+                  per_frame_colors: bool = False, morph: bool = False,
+                  paints=None):
+    gm_ref = None
     if morph:
         (ratios_ref, colors_e_ref, tab_ref, subxy_ref, tab2_ref,
          subxy2_ref, out_ref, acc_ref) = rest
+    elif paints is not None:
+        gm_ref, tab_ref, subxy_ref, out_ref, acc_ref = rest
     else:
         tab_ref, subxy_ref, out_ref, acc_ref = rest
     i = pl.program_id(0)
@@ -316,10 +367,28 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
     covs = [fill_rule_cov(acc_ref[lyr], rules[lyr])
             for lyr in range(layers)]
 
+    grad_cache = {}
+
+    def grad_plane(lyr):
+        """In-kernel gradient field for this (frame, column block): the
+        per-frame composed matrix (paint inverse ∘ frame inverse) comes
+        from SMEM; stops/focal/spread are baked via KernelPaint — the
+        ramp math is _grad_eval, shared with the flat-block kernel."""
+        if lyr not in grad_cache:
+            ga, gb, gc, gd, ge, gf = (gm_ref[i, lyr, k] for k in range(6))
+            pxc = px + 0.5     # (WP, 1) pixel-center x for this block
+            pyc = hlane + 0.5  # (1, HP) pixel-center y
+            sx = ga * pxc + gc * pyc + ge
+            sy = gb * pxc + gd * pyc + gf
+            grad_cache[lyr] = _grad_eval(paints[lyr], sx, sy)
+        return grad_cache[lyr]
+
     def read_color(lyr, ch):
         if morph:
             return ((1.0 - t_r) * colors_ref[lyr, ch]
                     + t_r * colors_e_ref[lyr, ch])
+        if paints is not None and paints[lyr].kind != KPAINT_COLOR:
+            return grad_plane(lyr)[ch]
         if per_frame_colors:
             return colors_ref[i, lyr, ch]
         return colors_ref[lyr, ch]
@@ -339,7 +408,7 @@ def _wblock_for(width: int, hp: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
-    "skip_empty"))
+    "skip_empty", "paints"))
 def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
@@ -351,6 +420,8 @@ def render_affine_sweep(
     interpret: bool = None,
     e_chunk: int = 512,
     skip_empty: bool = True,
+    paints=None,              # tuple of KernelPaint (COLOR/LINEAR/FOCAL)
+    grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
 ) -> jax.Array:
     """Rasterize one shape set under every frame's affine fully on device.
 
@@ -360,12 +431,28 @@ def render_affine_sweep(
     placement, composite, quantize.  ``skip_empty``: piece chunks whose
     x-transitions don't cross the column block take a cheap broadcast
     path (see _xform_kernel); set False for the always-heavy ablation
-    kernel."""
+    kernel.
+
+    ``paints``: optional per-layer KernelPaint tuple — LINEAR/FOCAL
+    gradient layers evaluate IN-KERNEL, so gradient-filled shapes
+    animate with the same O(1) host work as solids (the reference
+    replays gradient fills under a new matrix for free,
+    canvas-renderer.ts:179-184, 292-335).  ``grad_mats`` (F, L, 6) then
+    carries each frame's composed device->gradient affine (paint
+    inverse ∘ frame inverse; rows for non-gradient layers are
+    ignored)."""
     if interpret is None:
         interpret = not _on_tpu()
     fcount = matrices.shape[0]
     layers = tab.shape[0]
     fill_rule = normalize_fill_rule(fill_rule, layers)
+    if paints is not None and all(p.kind == KPAINT_COLOR for p in paints):
+        paints = None  # pure-solid tuples share the classic compilation
+    if paints is not None:
+        if len(paints) != layers:
+            raise ValueError(f"{len(paints)} paints for {layers} layers")
+        if grad_mats is None or grad_mats.shape != (fcount, layers, 6):
+            raise ValueError("gradient paints need (F, L, 6) grad_mats")
     hp = -(-height // LANE) * LANE
     wblock = _wblock_for(width, hp)
     wp = -(-(-(-width // 8) * 8) // wblock) * wblock
@@ -377,24 +464,32 @@ def render_affine_sweep(
         _xform_kernel, layers=layers, wblock=wblock, hp=hp,
         fill_rule=fill_rule, e_chunk=e_chunk,
         per_layer=matrices.ndim == 3, skip_empty=skip_empty,
-        per_frame_colors=colors.ndim == 3)
+        per_frame_colors=colors.ndim == 3, paints=paints)
+    args = [matrices, colors]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    if paints is not None:
+        args.append(grad_mats)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    args += [tab, subxy]
+    in_specs += [
+        pl.BlockSpec(tab.shape, lambda i, wb: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(subxy.shape, lambda i, wb: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     return pl.pallas_call(
         kernel,
         grid=(fcount, wp // wblock),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(tab.shape, lambda i, wb: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(subxy.shape, lambda i, wb: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((layers, wblock, hp), jnp.float32)],
         interpret=interpret,
-    )(matrices, colors, tab, subxy)
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -386,15 +386,19 @@ def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
 
 
 def render_affine_sweep_dp(mesh: Mesh, matrices, parts, height: int,
-                           width: int, interpret: bool = None):
+                           width: int, interpret: bool = None,
+                           paints=None, grad_mats=None):
     """Frame-sharded on-device TRANSFORM sweep: the frame/matrix axis of
     ops.transform.render_affine_sweep is embarrassingly parallel — each
     chip renders its slice of the animation with the piece tables
     replicated (KBs) and zero collectives (the morph sweep's transform
     twin).
 
-    ``parts``: affine_pieces output (tab, subxy, colors).  Returns
-    (F, WP, HP) packed u32 (transposed frames; ops.morph.morph_frames_to_u8)."""
+    ``parts``: affine_pieces output (tab, subxy, colors).
+    ``paints``/``grad_mats``: optional styled-sweep inputs
+    (ops.transform.sweep_paints); grad_mats' frame axis shards with the
+    matrices.  Returns (F, WP, HP) packed u32 (transposed frames;
+    ops.morph.morph_frames_to_u8)."""
     from ..ops.transform import render_affine_sweep
 
     axes = tuple(mesh.shape.keys())
@@ -403,17 +407,26 @@ def render_affine_sweep_dp(mesh: Mesh, matrices, parts, height: int,
     if len(matrices) % n_shards:
         raise ValueError(
             f"frames ({len(matrices)}) must divide over {n_shards}")
+    has_grads = grad_mats is not None
 
     def shard_fn(mm, *ps):
+        gm = ps[-1] if has_grads else None
+        ps = ps[:-1] if has_grads else ps
         return render_affine_sweep(mm, *ps, height, width,
-                                   interpret=interpret)
+                                   interpret=interpret, paints=paints,
+                                   grad_mats=gm)
 
+    args = [jnp.asarray(matrices), *map(jnp.asarray, parts)]
+    in_specs = (P(axes),) + (P(None),) * len(parts)
+    if has_grads:
+        args.append(jnp.asarray(np.asarray(grad_mats, np.float32)))
+        in_specs = in_specs + (P(axes),)
     out = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axes),) + (P(None),) * len(parts),
+        in_specs=in_specs,
         out_specs=P(axes),
         check_vma=False,
-    )(jnp.asarray(matrices), *map(jnp.asarray, parts))
+    )(*args)
     return out
 
 

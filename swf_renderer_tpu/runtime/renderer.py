@@ -380,9 +380,19 @@ class TpuRenderer:
 
         devs, s_aff, compiler = self._sweep_prelude(leaves_per_stage)
         # Compile each leaf ONCE with no color transform; per-frame cts
-        # fold into per-frame kernel colors below (solid paints only).
+        # fold into per-frame kernel colors below (solid layers) or into
+        # static gradient stops (constant-ct gradient layers).
+        gradient_kinds = (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
+
+        def sweepable(p):
+            # Bitmaps and linear-RGB gradients need prebaked field
+            # planes; everything else evaluates in the sweep kernel.
+            return (p.kind == style_ops.PAINT_SOLID
+                    or (p.kind in gradient_kinds
+                        and p.color_space != "linear-rgb"))
+
         child_draws = []
-        for c, _dev, _ct in first_leaves:
+        for ci, (c, _dev, ct0) in enumerate(first_leaves):
             start = len(compiler.draws)
             if isinstance(c, display.MorphShapeInstance):
                 compiler._draw_morph_shape(c.definition, c.ratio, s_aff,
@@ -390,10 +400,28 @@ class TpuRenderer:
             else:
                 compiler._draw_shape(c.definition, s_aff, None)
             draws = compiler.draws[start:]
-            if not draws:
+            if not draws or any(not sweepable(d.paint) for d in draws):
                 return None
-            if any(d.paint.kind != style_ops.PAINT_SOLID for d in draws):
-                return None  # styled paints are device-space fields
+            if any(d.paint.kind in gradient_kinds for d in draws):
+                # Gradient stops are static per layer, so the child's ct
+                # must be constant across frames; folding it into the
+                # stop colors then matches compiling WITH the ct exactly
+                # (scene._paint_for_fill clamps per stop).
+                if any(leaves[ci][2] != ct0
+                       for leaves in leaves_per_stage):
+                    return None
+                if ct0 is not None:
+                    from .scene import _apply_color_transform
+
+                    draws = [
+                        d if d.paint.kind not in gradient_kinds else
+                        dataclasses.replace(d, paint=dataclasses.replace(
+                            d.paint, stop_colors=np.asarray(
+                                [_apply_color_transform(tuple(sc), ct0)
+                                 for sc in d.paint.stop_colors],
+                                np.float32)))
+                        for d in draws
+                    ]
             child_draws.append(draws)
         all_draws = [d for draws in child_draws for d in draws]
         # Kernel layer order = all_draws order; mixed scenes pass one
@@ -401,6 +429,17 @@ class TpuRenderer:
         # so they hit the same compiled sweep).
         sweep_rule = normalize_fill_rule(
             tuple(d.fill_rule for d in all_draws), len(all_draws))
+        mats = np.asarray(
+            [[m for ci, row_m in enumerate(row)
+              for m in [row_m] * len(child_draws[ci])]
+             for row in devs], np.float32)  # (F, L, 6)
+        from ..ops.transform import sweep_paints
+
+        try:
+            kpaints, grad_mats = sweep_paints(
+                [d.paint for d in all_draws], mats)
+        except ValueError:
+            return None  # a gradient layer under a singular frame matrix
 
         def run():
             from ..ops.morph import morph_frames_to_u8
@@ -409,22 +448,24 @@ class TpuRenderer:
             )
             from .scene import _apply_color_transform
 
-            mats = np.asarray(
-                [[m for ci, row_m in enumerate(row)
-                  for m in [row_m] * len(child_draws[ci])]
-                 for row in devs], np.float32)  # (F, L, 6)
             colors = np.asarray(
-                [[_apply_color_transform(d.paint.color, ct)
+                [[(_apply_color_transform(d.paint.color, ct)
+                   if d.paint.kind == style_ops.PAINT_SOLID
+                   else (0.0, 0.0, 0.0, 0.0))
                   for ci, (_c, _dev, ct) in enumerate(leaves)
                   for d in child_draws[ci]]
                  for leaves in leaves_per_stage], np.float32)  # (F, L, 4)
+            piece_colors = [
+                d.paint.color if d.paint.kind == style_ops.PAINT_SOLID
+                else (0.0, 0.0, 0.0, 0.0) for d in all_draws]
             tab, subxy, _ = affine_pieces(
-                [d.edges for d in all_draws],
-                [d.paint.color for d in all_draws], mats)
+                [d.edges for d in all_draws], piece_colors, mats)
             out = render_affine_sweep(
                 jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
                 jnp.asarray(colors), self.height, self.width,
-                fill_rule=sweep_rule)
+                fill_rule=sweep_rule, paints=kpaints,
+                grad_mats=(None if grad_mats is None
+                           else jnp.asarray(grad_mats)))
             return morph_frames_to_u8(np.asarray(out), self.height,
                                       self.width)
 
@@ -801,12 +842,16 @@ def render_shape_animation(
     (the morph ratio sweep's transform twin, ops/transform.py).
 
     ``matrices``: sequence of ast.Matrix (SWF twips transforms) or an
-    (F, 6) array of device-space affines.  Solid fills/strokes only (the
-    sweep kernel reads constant per-layer colors); other paints raise.
+    (F, 6) array of device-space affines.  Solid fills/strokes and sRGB
+    linear/focal gradient fills (evaluated in-kernel under each frame's
+    composed matrix); bitmap and linear-RGB-interpolated paints raise —
+    render those frame-by-frame via render_batch.
     Returns (F, H, W, 4) uint8."""
     from ..models.geometry import Affine, TWIPS_PER_PX
     from ..ops.morph import morph_frames_to_u8
-    from ..ops.transform import affine_pieces, render_affine_sweep
+    from ..ops.transform import (
+        affine_pieces, render_affine_sweep, sweep_paints,
+    )
 
     s = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
     if len(matrices) and isinstance(matrices[0], ast.Matrix):
@@ -832,19 +877,26 @@ def render_shape_animation(
     draws = compiler.draws
     if not draws:
         return np.zeros((len(mats), height, width, 4), np.uint8)
-    for d in draws:
-        if d.paint.kind != style_ops.PAINT_SOLID:
-            raise NotImplementedError(
-                "render_shape_animation supports solid fills/strokes; "
-                "render styled stages frame-by-frame via render_batch")
+    try:
+        kpaints, grad_mats = sweep_paints([d.paint for d in draws], mats)
+    except ValueError as exc:
+        raise NotImplementedError(
+            "render_shape_animation supports solid fills/strokes and "
+            "sRGB linear/focal gradient fills; render other styled "
+            f"stages frame-by-frame via render_batch ({exc})") from exc
     rule = normalize_fill_rule(tuple(d.fill_rule for d in draws),
                                len(draws))
 
+    piece_colors = [
+        d.paint.color if d.paint.kind == style_ops.PAINT_SOLID
+        else (0.0, 0.0, 0.0, 0.0) for d in draws]
     tab, subxy, colors = affine_pieces(
-        [d.edges for d in draws], [d.paint.color for d in draws], mats)
+        [d.edges for d in draws], piece_colors, mats)
     out = render_affine_sweep(
         jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
-        jnp.asarray(colors), height, width, fill_rule=rule)
+        jnp.asarray(colors), height, width, fill_rule=rule,
+        paints=kpaints,
+        grad_mats=None if grad_mats is None else jnp.asarray(grad_mats))
     return morph_frames_to_u8(np.asarray(out), height, width)
 
 

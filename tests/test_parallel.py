@@ -394,6 +394,46 @@ def test_affine_sweep_dp_matches_single_device():
     np.testing.assert_array_equal(got, want)
 
 
+def test_styled_affine_sweep_dp_matches_single_device():
+    """Gradient-styled transform sweep sharded over the mesh (grad_mats'
+    frame axis shards with the matrices): exact vs single device."""
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, render_affine_sweep, sweep_paints,
+    )
+    from swf_renderer_tpu.parallel.mesh import render_affine_sweep_dp
+
+    rng = np.random.default_rng(61)
+    h = w = 40
+    pts = rng.uniform(5, 35, (6, 2)).astype(np.float32)
+    closed = np.concatenate([pts, pts[:1]])
+    tables = [np.concatenate([closed[:-1], closed[1:]], axis=1)]
+    paints = [style_ops.Paint(
+        kind=style_ops.PAINT_LINEAR,
+        inv_matrix=(900.0, 40.0, -40.0, 900.0, -16384.0, -17000.0),
+        stop_ratios=np.array([0.0, 0.5, 1.0], np.float32),
+        stop_colors=np.array([[1, 0, 0, 1], [0, 1, 0, 0.7], [0, 0, 1, 1]],
+                             np.float32))]
+    mats = []
+    for i in range(8):
+        th = 2 * np.pi * i / 8
+        a, b = np.cos(th), np.sin(th)
+        mats.append((a, b, -b, a, 20 - a * 20 + b * 20,
+                     20 - b * 20 - a * 20))
+    mats = np.asarray(mats, np.float32)
+    parts = affine_pieces(tables, [(0, 0, 0, 0)], mats)
+    kpaints, grad_mats = sweep_paints(paints, mats)
+
+    want = np.asarray(render_affine_sweep(
+        jnp.asarray(mats), *(jnp.asarray(x) for x in parts), h, w,
+        paints=kpaints, grad_mats=jnp.asarray(grad_mats)))
+
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=2)
+    got = np.asarray(render_affine_sweep_dp(
+        mesh, mats, parts, h, w, paints=kpaints, grad_mats=grad_mats))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_morph_affine_sweep_dp_matches_single_device():
     """Combined morph+transform sweep sharded over the mesh: exact vs the
     single-device kernel."""

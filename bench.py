@@ -163,18 +163,20 @@ def bench_morph16() -> None:
 
 
 def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
-               label: str = "anim_rotation_512x512x60_sustained") -> None:
+               label: str = "anim_rotation_512x512x60_sustained",
+               gradient: bool = False) -> None:
     """VERDICT r3 config: transform ANIMATION — one shape set, 60 frames
     of per-frame rotation, rasterized fully on device (ops/transform.py).
     Host cost is O(edges), independent of the frame count: the piece
     tables upload once and every frame's affine applies in-kernel (the
     reference's matrix-at-draw-time replay, canvas-renderer.ts:179-184,
-    batched)."""
+    batched).  ``gradient``: layer 1 gets an in-kernel linear-gradient
+    paint (styled sweep; per-frame composed matrices from SMEM)."""
     import jax
     import jax.numpy as jnp
 
     from swf_renderer_tpu.ops.transform import (
-        affine_pieces, render_affine_sweep,
+        affine_pieces, render_affine_sweep, sweep_paints,
     )
     rng = np.random.default_rng(9)
     tables, colors = [], []
@@ -201,6 +203,20 @@ def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
                      cy - b * cx - a * cy))
     mats = np.asarray(mats, np.float32)
 
+    kpaints = grad_mats = None
+    if gradient:
+        from swf_renderer_tpu.ops import style as style_ops
+
+        paints = [style_ops.solid_paint(tuple(c)) for c in colors]
+        paints[1] = style_ops.Paint(
+            kind=style_ops.PAINT_LINEAR,
+            inv_matrix=(2.0 * 16384.0 / w, 0.0, 0.0, 2.0 * 16384.0 / w,
+                        -16384.0, -16384.0 * h / w),
+            stop_ratios=np.array([0.0, 0.5, 1.0], np.float32),
+            stop_colors=np.array([[1, 0.2, 0, 1], [0, 1, 0.5, 0.8],
+                                  [0.2, 0, 1, 1]], np.float32))
+        kpaints, grad_mats = sweep_paints(paints, mats)
+
     t0 = time.perf_counter()
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     lower_s = time.perf_counter() - t0
@@ -216,21 +232,36 @@ def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
     # OOM at 60x512^2; single calls with k1-k0 frames of extra work
     # cancel the ~26 ms dispatch floor just as well, since frames are the
     # batch axis and host cost is frame-count-independent).
-    def timed(mm_np):
+    def timed(mm_np, gm_np):
         mm = jnp.asarray(mm_np)
+        gm = None if gm_np is None else jnp.asarray(gm_np)
         ts = []
         for i in range(4):
             varied = mm + np.float32(i) * 1e-12
             t0 = time.perf_counter()
-            out = render_affine_sweep(varied, *fargs, h, w)
+            out = render_affine_sweep(varied, *fargs, h, w,
+                                      paints=kpaints, grad_mats=gm)
             int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
             ts.append(time.perf_counter() - t0)
         return min(ts[1:])  # [0] may include compile
 
-    k0 = frames // 4
-    t_k0 = timed(mats[:k0])
-    t_k1 = timed(mats)
-    dt_frame = (t_k1 - t_k0) / (frames - k0)
+    # The per-frame time is small enough (70 us at 512^2) that a
+    # sub-frame-count delta sits below tunnel jitter (+-5 ms between
+    # adjacent timed regions, which once produced NEGATIVE fits); tile
+    # the matrix track so the k1-k0 signal is tens of ms, capped by
+    # ~1 GB of packed-u32 output.
+    budget = max(2, int(1.0e9 // (w * h * 4)))
+    mult = max(2, min(8, budget // frames))
+
+    def tile(arr):
+        if arr is None:
+            return None
+        return np.concatenate([arr + np.float32(k) * 1e-9
+                               for k in range(mult)])
+
+    t_k0 = timed(mats, grad_mats)
+    t_k1 = timed(tile(mats), tile(grad_mats))
+    dt_frame = (t_k1 - t_k0) / (frames * (mult - 1))
     print(json.dumps({"note": "anim per-frame device time",
                       "ms": round(dt_frame * 1e3, 3)}), file=sys.stderr)
     print(json.dumps({
@@ -486,6 +517,10 @@ def main() -> None:
             return bench_anim(
                 h=1088, w=1920, frames=60,
                 label="anim_rotation_1080px60_sustained")
+        if cfg == "animgrad":
+            return bench_anim(
+                label="anim_gradient_512x512x60_sustained",
+                gradient=True)
         if cfg in ("textured", "gradients"):
             return bench_style(cfg)
         if cfg == "flat256":

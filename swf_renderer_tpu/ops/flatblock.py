@@ -891,14 +891,16 @@ def _grad_rgba(paint: "KernelPaint", strip, plane_rows: int = LANE,
     return _grad_eval(paint, sx, sy)
 
 
-def _grad_eval(paint: "KernelPaint", sx, sy):
+def _grad_eval(paint: "KernelPaint", sx, sy, stop_colors=None):
     """Gradient-SPACE coordinates -> 4 straight-RGBA channel arrays.
 
     The tail of _grad_rgba, split out so callers with DYNAMIC gradient
     matrices (the transform sweep composes the paint's inverse matrix
     with each frame's inverse affine and reads the 6 scalars from SMEM)
     share the exact same ramp/spread/stop math as the baked-matrix
-    flat-block path."""
+    flat-block path.  ``stop_colors``: optional per-stop [K][4] scalar
+    overrides (traced SMEM reads — per-frame color-transform fades);
+    stop RATIOS stay static."""
     if paint.kind == KPAINT_LINEAR:
         t = (sx + _GRAD_RADIUS) / (2.0 * _GRAD_RADIUS)
     else:
@@ -918,14 +920,21 @@ def _grad_eval(paint: "KernelPaint", sx, sy):
     # Piecewise-linear ramp as clamped-segment accumulation (identical to
     # jnp.interp on sorted stops, style._interp_stops).
     ratios = paint.stop_ratios
-    colors = np.asarray(paint.stop_colors, np.float32).reshape(-1, 4)
+    if stop_colors is None:
+        colors = np.asarray(paint.stop_colors, np.float32).reshape(-1, 4)
+
+        def stop(k, ch):
+            return colors[k, ch]
+    else:
+        def stop(k, ch):
+            return stop_colors[k][ch]
     out = []
     for ch in range(4):
-        acc = jnp.full_like(t, colors[0, ch])
+        acc = jnp.zeros_like(t) + stop(0, ch)
         for k in range(len(ratios) - 1):
             dr_k = max(ratios[k + 1] - ratios[k], 1e-6)
             w = jnp.clip((t - ratios[k]) / dr_k, 0.0, 1.0)
-            acc = acc + (colors[k + 1, ch] - colors[k, ch]) * w
+            acc = acc + (stop(k + 1, ch) - stop(k, ch)) * w
         out.append(acc)
     return out
 

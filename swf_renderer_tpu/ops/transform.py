@@ -221,13 +221,16 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                   layers: int, wblock: int, hp: int, fill_rule: int,
                   e_chunk: int, per_layer: bool, skip_empty: bool = True,
                   per_frame_colors: bool = False, morph: bool = False,
-                  paints=None):
-    gm_ref = None
+                  paints=None, dyn_stops: bool = False):
+    gm_ref = sc_ref = None
     if morph:
         (ratios_ref, colors_e_ref, tab_ref, subxy_ref, tab2_ref,
          subxy2_ref, out_ref, acc_ref) = rest
     elif paints is not None:
-        gm_ref, tab_ref, subxy_ref, out_ref, acc_ref = rest
+        if dyn_stops:
+            gm_ref, sc_ref, tab_ref, subxy_ref, out_ref, acc_ref = rest
+        else:
+            gm_ref, tab_ref, subxy_ref, out_ref, acc_ref = rest
     else:
         tab_ref, subxy_ref, out_ref, acc_ref = rest
     i = pl.program_id(0)
@@ -375,12 +378,22 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
         from SMEM; stops/focal/spread are baked via KernelPaint — the
         ramp math is _grad_eval, shared with the flat-block kernel."""
         if lyr not in grad_cache:
-            ga, gb, gc, gd, ge, gf = (gm_ref[i, lyr, k] for k in range(6))
+            # gm_ref is a (1, L, 6) SMEM window of this frame's matrices
+            # (windowed so a long timeline's track never outgrows SMEM).
+            ga, gb, gc, gd, ge, gf = (gm_ref[0, lyr, k] for k in range(6))
             pxc = px + 0.5     # (WP, 1) pixel-center x for this block
             pyc = hlane + 0.5  # (1, HP) pixel-center y
             sx = ga * pxc + gc * pyc + ge
             sy = gb * pxc + gd * pyc + gf
-            grad_cache[lyr] = _grad_eval(paints[lyr], sx, sy)
+            sc = None
+            if sc_ref is not None:
+                # This frame's (1, L, K, 4) SMEM stop-color window:
+                # per-frame color-transform FADES fold into per-frame
+                # stops (exactly compile-with-ct semantics per frame).
+                sc = [[sc_ref[0, lyr, k, ch] for ch in range(4)]
+                      for k in range(len(paints[lyr].stop_ratios))]
+            grad_cache[lyr] = _grad_eval(paints[lyr], sx, sy,
+                                         stop_colors=sc)
         return grad_cache[lyr]
 
     def read_color(lyr, ch):
@@ -422,6 +435,7 @@ def render_affine_sweep(
     skip_empty: bool = True,
     paints=None,              # tuple of KernelPaint (COLOR/LINEAR/FOCAL)
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
+    stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
 ) -> jax.Array:
     """Rasterize one shape set under every frame's affine fully on device.
 
@@ -440,7 +454,10 @@ def render_affine_sweep(
     canvas-renderer.ts:179-184, 292-335).  ``grad_mats`` (F, L, 6) then
     carries each frame's composed device->gradient affine (paint
     inverse ∘ frame inverse; rows for non-gradient layers are
-    ignored)."""
+    ignored).  ``stop_colors`` (F, L, K, 4) optionally overrides every
+    gradient layer's stop COLORS per frame (color-transform fades);
+    ratios stay static, rows beyond a layer's stop count and rows for
+    non-gradient layers are ignored."""
     if interpret is None:
         interpret = not _on_tpu()
     fcount = matrices.shape[0]
@@ -453,6 +470,15 @@ def render_affine_sweep(
             raise ValueError(f"{len(paints)} paints for {layers} layers")
         if grad_mats is None or grad_mats.shape != (fcount, layers, 6):
             raise ValueError("gradient paints need (F, L, 6) grad_mats")
+    if stop_colors is not None:
+        if paints is None:
+            raise ValueError("stop_colors requires gradient paints")
+        if (stop_colors.ndim != 4
+                or stop_colors.shape[:2] != (fcount, layers)
+                or stop_colors.shape[3] != 4):
+            raise ValueError(
+                f"stop_colors must be (F, L, K, 4), got "
+                f"{stop_colors.shape}")
     hp = -(-height // LANE) * LANE
     wblock = _wblock_for(width, hp)
     wp = -(-(-(-width // 8) * 8) // wblock) * wblock
@@ -464,7 +490,8 @@ def render_affine_sweep(
         _xform_kernel, layers=layers, wblock=wblock, hp=hp,
         fill_rule=fill_rule, e_chunk=e_chunk,
         per_layer=matrices.ndim == 3, skip_empty=skip_empty,
-        per_frame_colors=colors.ndim == 3, paints=paints)
+        per_frame_colors=colors.ndim == 3, paints=paints,
+        dyn_stops=stop_colors is not None)
     args = [matrices, colors]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -472,7 +499,15 @@ def render_affine_sweep(
     ]
     if paints is not None:
         args.append(grad_mats)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        in_specs.append(pl.BlockSpec((1, layers, 6),
+                                     lambda i, wb: (i, 0, 0),
+                                     memory_space=pltpu.SMEM))
+        if stop_colors is not None:
+            nk = stop_colors.shape[2]
+            args.append(stop_colors)
+            in_specs.append(pl.BlockSpec((1, layers, nk, 4),
+                                         lambda i, wb: (i, 0, 0, 0),
+                                         memory_space=pltpu.SMEM))
     args += [tab, subxy]
     in_specs += [
         pl.BlockSpec(tab.shape, lambda i, wb: (0, 0, 0, 0),

@@ -391,7 +391,10 @@ class TpuRenderer:
                     or (p.kind in gradient_kinds
                         and p.color_space != "linear-rgb"))
 
+        from .scene import _apply_color_transform
+
         child_draws = []
+        dyn_children = set()  # children whose gradient stops fade
         for ci, (c, _dev, ct0) in enumerate(first_leaves):
             start = len(compiler.draws)
             if isinstance(c, display.MorphShapeInstance):
@@ -403,16 +406,16 @@ class TpuRenderer:
             if not draws or any(not sweepable(d.paint) for d in draws):
                 return None
             if any(d.paint.kind in gradient_kinds for d in draws):
-                # Gradient stops are static per layer, so the child's ct
-                # must be constant across frames; folding it into the
-                # stop colors then matches compiling WITH the ct exactly
-                # (scene._paint_for_fill clamps per stop).
                 if any(leaves[ci][2] != ct0
                        for leaves in leaves_per_stage):
-                    return None
-                if ct0 is not None:
-                    from .scene import _apply_color_transform
-
+                    # Per-frame cts fold into per-frame STOP COLORS
+                    # (SMEM input) — a moving, fading gradient still
+                    # rides the sweep.
+                    dyn_children.add(ci)
+                elif ct0 is not None:
+                    # Constant ct: fold into static stop colors — this
+                    # matches compiling WITH the ct exactly
+                    # (scene._paint_for_fill clamps per stop).
                     draws = [
                         d if d.paint.kind not in gradient_kinds else
                         dataclasses.replace(d, paint=dataclasses.replace(
@@ -441,6 +444,30 @@ class TpuRenderer:
         except ValueError:
             return None  # a gradient layer under a singular frame matrix
 
+        stop_colors = None
+        if dyn_children:
+            # Dynamic stop colors override EVERY gradient layer, so
+            # constant-ct gradient layers replicate their static stops.
+            k_max = max(len(d.paint.stop_ratios) for d in all_draws
+                        if d.paint.kind in gradient_kinds)
+            stop_colors = np.zeros(
+                (len(stages), len(all_draws), k_max, 4), np.float32)
+            li = 0
+            for ci, draws in enumerate(child_draws):
+                for d in draws:
+                    if d.paint.kind in gradient_kinds:
+                        nk = len(d.paint.stop_ratios)
+                        if ci in dyn_children:
+                            for f, leaves in enumerate(leaves_per_stage):
+                                stop_colors[f, li, :nk] = [
+                                    _apply_color_transform(
+                                        tuple(sc), leaves[ci][2])
+                                    for sc in d.paint.stop_colors]
+                        else:
+                            stop_colors[:, li, :nk] = np.asarray(
+                                d.paint.stop_colors, np.float32)
+                    li += 1
+
         def run():
             from ..ops.morph import morph_frames_to_u8
             from ..ops.transform import (
@@ -465,7 +492,9 @@ class TpuRenderer:
                 jnp.asarray(colors), self.height, self.width,
                 fill_rule=sweep_rule, paints=kpaints,
                 grad_mats=(None if grad_mats is None
-                           else jnp.asarray(grad_mats)))
+                           else jnp.asarray(grad_mats)),
+                stop_colors=(None if stop_colors is None
+                             else jnp.asarray(stop_colors)))
             return morph_frames_to_u8(np.asarray(out), self.height,
                                       self.width)
 

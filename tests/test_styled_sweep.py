@@ -239,6 +239,151 @@ def test_render_batch_routes_gradient_animation():
         assert diff.max() <= 2, (i, diff.max())
 
 
+def test_gradient_sweep_dynamic_stop_colors():
+    """Per-frame stop-color overrides (the SMEM (F, L, K, 4) input that
+    carries color-transform fades) match the oracle with per-frame
+    substituted paints; ratios and matrices stay as in the static test."""
+    height, width = 96, 120
+    tables, paints = _scene()
+    colors = [p.color if p.kind == style_ops.PAINT_SOLID else (0, 0, 0, 0)
+              for p in paints]
+    mats = _rotation_mats(5, 60.0, 48.0)
+
+    k_max = max(len(p.stop_ratios) for p in paints
+                if p.kind != style_ops.PAINT_SOLID)
+    rng = np.random.default_rng(5)
+    stop_colors = np.zeros((len(mats), len(paints), k_max, 4), np.float32)
+    frame_paints = []
+    for f in range(len(mats)):
+        fade = 1.0 - 0.2 * f
+        fp = []
+        for li, p in enumerate(paints):
+            if p.kind == style_ops.PAINT_SOLID:
+                fp.append(p)
+                continue
+            sc = np.clip(p.stop_colors * fade
+                         + rng.uniform(0, 0.05, p.stop_colors.shape),
+                         0.0, 1.0).astype(np.float32)
+            stop_colors[f, li, :len(p.stop_ratios)] = sc
+            fp.append(dataclasses.replace(p, stop_colors=sc))
+        frame_paints.append(fp)
+
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    kpaints, grad_mats = sweep_paints(paints, mats)
+    out = render_affine_sweep(
+        jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+        jnp.asarray(colarr), height, width,
+        paints=kpaints, grad_mats=jnp.asarray(grad_mats),
+        stop_colors=jnp.asarray(stop_colors))
+    got = morph_frames_to_u8(np.asarray(out), height, width)
+
+    for i in range(len(mats)):
+        want = _oracle_frame(tables, frame_paints[i], mats[i],
+                             height, width)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())
+        assert (diff > 1).mean() < 2e-3
+
+
+def test_dynamic_stops_shape_validation():
+    height, width = 32, 32
+    tables, paints = _scene()
+    colors = [(0, 0, 0, 0)] * len(paints)
+    mats = _rotation_mats(3, 16.0, 16.0)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    kpaints, grad_mats = sweep_paints(paints, mats)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stop_colors"):
+        render_affine_sweep(
+            jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr), height, width,
+            paints=kpaints, grad_mats=jnp.asarray(grad_mats),
+            stop_colors=jnp.zeros((2, len(paints), 3, 4), jnp.float32))
+    with _pytest.raises(ValueError, match="requires gradient paints"):
+        render_affine_sweep(
+            jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr), height, width,
+            stop_colors=jnp.zeros((3, len(paints), 3, 4), jnp.float32))
+
+
+def test_render_batch_routes_fading_gradient_animation():
+    """A gradient-filled shape moving AND fading (per-frame color
+    transforms) rides the transform sweep: the cts fold into per-frame
+    stop colors on device, matching per-frame renders (which compile the
+    ct into the stops via scene._paint_for_fill)."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    size = 500
+    grad_matrix = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(size / 32768.0),
+        scale_y=Sfixed16P16.from_value(size / 32768.0),
+        rotate_skew0=Sfixed16P16.from_value(0.0),
+        rotate_skew1=Sfixed16P16.from_value(0.0),
+        translate_x=size // 2, translate_y=size // 2,
+    )
+    gradient = ast.Gradient(
+        spread=ast.GradientSpread.PAD,
+        color_space=ast.ColorSpace.S_RGB,
+        colors=[
+            ast.GradientStop(ratio=0,
+                             color=ast.StraightSRgba8(255, 40, 20, 255)),
+            ast.GradientStop(ratio=255,
+                             color=ast.StraightSRgba8(20, 40, 255, 200)),
+        ],
+    )
+    tag = ast.DefineShape(
+        id=1,
+        bounds=ast.Rect(x_min=0, x_max=size, y_min=0, y_max=size),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=[ast.LinearGradientFill(matrix=grad_matrix,
+                                             gradient=gradient)],
+                line=[],
+            ),
+            records=[
+                ast.StyleChangeRecord(
+                    right_fill=1, move_to=ast.Vector2D(x=0, y=0)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=size, y=0)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=0, y=size)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=-size, y=-size)),
+            ],
+        ),
+    )
+    w = h = 40
+    stages = []
+    for i in range(4):
+        th = 2 * np.pi * i / 12
+        a, b = np.cos(th), np.sin(th)
+        cx = cy = 400.0
+        m = ast.Matrix(
+            scale_x=Sfixed16P16.from_value(a),
+            scale_y=Sfixed16P16.from_value(a),
+            rotate_skew0=Sfixed16P16.from_value(b),
+            rotate_skew1=Sfixed16P16.from_value(-b),
+            translate_x=int(round(cx - a * cx + b * cy)),
+            translate_y=int(round(cy - b * cx - a * cy)),
+        )
+        stages.append(display.Stage(
+            width=w, height=h,
+            children=[display.ShapeInstance(
+                definition=tag, matrix=m,
+                color_transform=display.ColorTransform(
+                    mult=(1.0, 1.0 - 0.2 * i, 1.0, 1.0 - 0.25 * i),
+                    add=(0.05 * i, 0.0, 0.0, 0.0)))]))
+
+    r = TpuRenderer(w, h)
+    got = r.render_batch(stages)
+    assert r.last_stats.path == "transform-sweep"
+    assert got.shape == (4, h, w, 4)
+
+    for i, stage in enumerate(stages):
+        want = TpuRenderer(w, h).render(stage)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())
+
+
 def test_all_solid_paints_share_classic_path():
     """A pure-solid KernelPaint tuple collapses to paints=None, so the
     styled entry reuses the classic compiled kernel bit-for-bit."""

@@ -162,22 +162,10 @@ def bench_morph16() -> None:
     }))
 
 
-def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
-               label: str = "anim_rotation_512x512x60_sustained",
-               gradient: bool = False) -> None:
-    """VERDICT r3 config: transform ANIMATION — one shape set, 60 frames
-    of per-frame rotation, rasterized fully on device (ops/transform.py).
-    Host cost is O(edges), independent of the frame count: the piece
-    tables upload once and every frame's affine applies in-kernel (the
-    reference's matrix-at-draw-time replay, canvas-renderer.ts:179-184,
-    batched).  ``gradient``: layer 1 gets an in-kernel linear-gradient
-    paint (styled sweep; per-frame composed matrices from SMEM)."""
-    import jax
-    import jax.numpy as jnp
-
-    from swf_renderer_tpu.ops.transform import (
-        affine_pieces, render_affine_sweep, sweep_paints,
-    )
+def anim_scene(h: int, w: int, frames: int):
+    """The anim-config scene: 3 layers x 12 random blobs (local-space
+    edge tables) + a full-turn rotation track about the frame center.
+    Shared with tools/exp_* ablations so they measure the bench scene."""
     rng = np.random.default_rng(9)
     tables, colors = [], []
     for lyr in range(3):
@@ -201,7 +189,26 @@ def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
         cx, cy = w / 2.0, h / 2.0
         mats.append((a, b, -b, a, cx - a * cx + b * cy,
                      cy - b * cx - a * cy))
-    mats = np.asarray(mats, np.float32)
+    return tables, colors, np.asarray(mats, np.float32)
+
+
+def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
+               label: str = "anim_rotation_512x512x60_sustained",
+               gradient: bool = False) -> None:
+    """VERDICT r3 config: transform ANIMATION — one shape set, 60 frames
+    of per-frame rotation, rasterized fully on device (ops/transform.py).
+    Host cost is O(edges), independent of the frame count: the piece
+    tables upload once and every frame's affine applies in-kernel (the
+    reference's matrix-at-draw-time replay, canvas-renderer.ts:179-184,
+    batched).  ``gradient``: layer 1 gets an in-kernel linear-gradient
+    paint (styled sweep; per-frame composed matrices from SMEM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, render_affine_sweep, sweep_paints,
+    )
+    tables, colors, mats = anim_scene(h, w, frames)
 
     kpaints = grad_mats = None
     if gradient:

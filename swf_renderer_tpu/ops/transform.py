@@ -409,6 +409,249 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
     out_ref[0] = composite_quantize_pack(covs, read_color, layers=layers)
 
 
+def _xform_kernel_rows(mats_ref, colors_ref, *rest,
+                       layers: int, wchunk: int, wp: int, fill_rule: int,
+                       e_chunk: int, per_layer: bool,
+                       skip_empty: bool = True, x_split: bool = True,
+                       per_frame_colors: bool = False, morph: bool = False,
+                       paints=None, dyn_stops: bool = False):
+    """ROW-GRID sweep kernel: grid = (frame, 128-lane row block).
+
+    The column-grid kernel (_xform_kernel) pays a fixed VMEM-traffic
+    toll per (column block, piece chunk, layer): six read-modify-writes
+    of the full (wblock, hp) accumulator plus an (EC, hp) row one-hot
+    build/read — on BOTH the heavy and the cheap path.  Measured at
+    1080p that traffic (~2 GB/frame) IS the 1.2 ms/frame, and finer
+    granularity only adds more fixed-cost pairs (tools/exp_sweepcost.py:
+    wblock 64 is 1.5x WORSE).  Tiling ROWS instead makes everything
+    row-local and small:
+
+    * the accumulator holds one 128-lane row block across the FULL
+      width — matmul outputs and RMWs shrink from (wblock, hp) to
+      (wchunk, 128);
+    * the row one-hot is (EC, 128), built ONCE per (chunk, row) and
+      reused by every width chunk;
+    * coverage contributions are row-local, so a piece chunk whose rows
+      miss this block is skipped ENTIRELY (no cheap path needed for
+      row misses — unlike column blocks, where left-of-block pieces
+      still owe their completed dy ramp);
+    * inside a live chunk, the x-transition crossing test from the
+      column kernel still applies per width chunk, and the no-crossing
+      (1, EC) @ (EC, 128) broadcast results accumulate into a TINY
+      (n_wchunks, 128) side plane folded into the accumulator once at
+      resolve — the cheap path does no full-size RMW at all.
+
+    Same math, same inputs/outputs as _xform_kernel (frames come out
+    transposed (WP, HP) packed u32)."""
+    gm_ref = sc_ref = None
+    if morph:
+        (ratios_ref, colors_e_ref, tab_ref, subxy_ref, tab2_ref,
+         subxy2_ref, out_ref, acc_ref, cheap_ref) = rest
+    elif paints is not None:
+        if dyn_stops:
+            (gm_ref, sc_ref, tab_ref, subxy_ref, out_ref, acc_ref,
+             cheap_ref) = rest
+        else:
+            (gm_ref, tab_ref, subxy_ref, out_ref, acc_ref,
+             cheap_ref) = rest
+    else:
+        tab_ref, subxy_ref, out_ref, acc_ref, cheap_ref = rest
+    i = pl.program_id(0)
+    hb = pl.program_id(1)
+    t_r = None if not morph else ratios_ref[i]
+
+    def mat(lyr):
+        if per_layer:
+            return tuple(mats_ref[i, lyr, k] for k in range(6))
+        return tuple(mats_ref[i, k] for k in range(6))
+
+    hb0 = (hb * LANE).astype(jnp.float32)
+    hlane = hb0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANE), 1).astype(jnp.float32)
+    n_wc = wp // wchunk
+    ep = tab_ref.shape[-1]
+
+    def split3(v):
+        """Exact f32 = hi + mid + lo bf16 split (3x8 mantissa bits)."""
+        hi = v.astype(jnp.bfloat16)
+        hi32 = hi.astype(jnp.float32)
+        mid = (v - hi32).astype(jnp.bfloat16)
+        mid32 = mid.astype(jnp.float32)
+        lo = (v - hi32 - mid32).astype(jnp.bfloat16)
+        return hi, mid, lo
+
+    for lyr in range(layers):
+        a, b, c, d, e, f = mat(lyr)
+        acc_ref[lyr] = jnp.zeros((wp, LANE), jnp.float32)
+        cheap_ref[lyr] = jnp.zeros((n_wc, LANE), jnp.float32)
+        for e0 in range(0, ep, e_chunk):
+            sl = slice(e0, min(e0 + e_chunk, ep))
+
+            def tabv(ch):
+                v = tab_ref[lyr, ch, :, sl]  # (1, EC) local coords
+                if morph:  # ratio lerp BEFORE the frame transform
+                    v = (1.0 - t_r) * v + t_r * tab2_ref[lyr, ch, :, sl]
+                return v
+
+            def subv(ch):
+                v = subxy_ref[lyr, ch, sl, :]  # (EC, 1)
+                if morph:
+                    v = (1.0 - t_r) * v + t_r * subxy2_ref[lyr, ch, sl, :]
+                return v
+
+            x0l, y0l, x1l, y1l = tabv(0), tabv(1), tabv(2), tabv(3)
+            x0 = a * x0l + c * y0l + e
+            y0 = b * x0l + d * y0l + f
+            x1 = a * x1l + c * y1l + e
+            y1 = b * x1l + d * y1l + f
+            y0s = b * subv(0) + d * subv(1) + f  # (EC, 1)
+            y1s = b * subv(2) + d * subv(3) + f
+            rowbase = jnp.floor(jnp.minimum(y0, y1))        # (1, EC)
+            rowbase_sub = jnp.floor(jnp.minimum(y0s, y1s))  # (EC, 1)
+
+            # Contributions are row-local (the one-hot places rows
+            # k in {0, 1} above rowbase): a chunk none of whose piece
+            # rows intersect this 128-lane block does NOTHING here.
+            rows_in = jnp.logical_and(
+                jnp.logical_and(rowbase + 1.0 >= hb0,
+                                rowbase <= hb0 + (LANE - 1.0)),
+                y0 != y1)
+
+            def chunk_body():
+                pxmn = jnp.minimum(x0, x1)
+                pxmx = jnp.maximum(x0, x1)
+                # Per-row (1, EC) terms + the (EC, 128) one-hot, hoisted
+                # out of the width loop (block-invariant).
+                row_data = []
+                for k in (0, 1):
+                    py = rowbase + k
+                    sy0, sy1 = y0 - py, y1 - py
+                    cy0 = jnp.clip(sy0, 0.0, 1.0)
+                    cy1 = jnp.clip(sy1, 0.0, 1.0)
+                    dy = cy1 - cy0
+                    onehot = (rowbase_sub + k == hlane).astype(jnp.bfloat16)
+                    row_data.append((dy, onehot, sy0, sy1, cy0, cy1))
+
+                for wc in range(n_wc):
+                    wc0 = float(wc * wchunk)
+                    px = (wc * wchunk + jax.lax.broadcasted_iota(
+                        jnp.int32, (wchunk, 1), 0)).astype(jnp.float32)
+                    left = pxmx <= wc0
+                    crossing = jnp.logical_and(
+                        jnp.logical_not(left), pxmn - 1.0 < wc0 + wchunk)
+                    any_cross = jnp.any(crossing)
+                    wsl = slice(wc * wchunk, (wc + 1) * wchunk)
+
+                    def heavy():
+                        for dy, onehot, sy0, sy1, cy0, cy1 in row_data:
+                            dyd = sy1 - sy0
+                            safe = jnp.where(jnp.abs(dyd) < 1e-9, 1.0, dyd)
+                            t0 = (cy0 - sy0) / safe
+                            t1 = (cy1 - sy0) / safe
+                            xa = x0 + t0 * (x1 - x0)
+                            xb = x0 + t1 * (x1 - x0)
+                            xmn = jnp.minimum(xa, xb)
+                            xmx = jnp.maximum(xa, xb)
+                            span = xmx - xmn
+                            safe_span = jnp.where(span < 1e-9, 1.0, span)
+                            rel_mn = xmn - px  # (wchunk, EC)
+                            rel_mx = xmx - px
+                            mean = jnp.where(
+                                span < 1e-9,
+                                jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
+                                (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
+                            ramp = dy * (1.0 - mean)  # (wchunk, EC)
+                            for part in split3(ramp):
+                                acc_ref[lyr, wsl] = acc_ref[lyr, wsl] + \
+                                    jnp.dot(part, onehot,
+                                            preferred_element_type=jnp.float32)
+
+                    def cheap():
+                        # Left pieces' ramps are complete (= dy, a
+                        # px-independent row value): tiny (1, EC) @
+                        # (EC, 128) products into the side plane; no
+                        # full-size accumulator RMW.
+                        lmask = left.astype(jnp.float32)
+                        for dy, onehot, *_ in row_data:
+                            for part in split3(dy * lmask):
+                                cheap_ref[lyr, wc:wc + 1] = \
+                                    cheap_ref[lyr, wc:wc + 1] + jnp.dot(
+                                        part, onehot,
+                                        preferred_element_type=jnp.float32)
+
+                    if not skip_empty or not x_split:
+                        heavy()
+                    else:
+                        pl.when(any_cross)(heavy)
+                        pl.when(jnp.logical_not(any_cross))(cheap)
+
+            if skip_empty:
+                pl.when(jnp.any(rows_in))(chunk_body)
+            else:
+                chunk_body()
+
+        # Fold the cheap side plane into the accumulator: one RMW per
+        # width chunk instead of six per (chunk, width chunk).
+        if skip_empty:
+            for wc in range(n_wc):
+                wsl = slice(wc * wchunk, (wc + 1) * wchunk)
+                acc_ref[lyr, wsl] = (acc_ref[lyr, wsl]
+                                     + cheap_ref[lyr, wc:wc + 1])
+
+    rules = layer_rules(fill_rule, layers)
+    covs = [fill_rule_cov(acc_ref[lyr], rules[lyr])
+            for lyr in range(layers)]
+
+    grad_cache = {}
+    px_full = jax.lax.broadcasted_iota(
+        jnp.int32, (wp, 1), 0).astype(jnp.float32)
+
+    def grad_plane(lyr):
+        """In-kernel gradient field for this (frame, row block) — same
+        SMEM matrix/stop windows as the column kernel."""
+        if lyr not in grad_cache:
+            ga, gb, gc, gd, ge, gf = (gm_ref[0, lyr, k] for k in range(6))
+            pxc = px_full + 0.5   # (WP, 1) pixel-center x
+            pyc = hlane + 0.5     # (1, 128) pixel-center y in this block
+            sx = ga * pxc + gc * pyc + ge
+            sy = gb * pxc + gd * pyc + gf
+            sc = None
+            if sc_ref is not None:
+                sc = [[sc_ref[0, lyr, k, ch] for ch in range(4)]
+                      for k in range(len(paints[lyr].stop_ratios))]
+            grad_cache[lyr] = _grad_eval(paints[lyr], sx, sy,
+                                         stop_colors=sc)
+        return grad_cache[lyr]
+
+    def read_color(lyr, ch):
+        if morph:
+            return ((1.0 - t_r) * colors_ref[lyr, ch]
+                    + t_r * colors_e_ref[lyr, ch])
+        if paints is not None and paints[lyr].kind != KPAINT_COLOR:
+            return grad_plane(lyr)[ch]
+        if per_frame_colors:
+            return colors_ref[i, lyr, ch]
+        return colors_ref[lyr, ch]
+
+    out_ref[0] = composite_quantize_pack(covs, read_color, layers=layers)
+
+
+def _row_grid_fits(layers: int, wp: int, wchunk: int) -> bool:
+    """Row-grid scratch = (layers, wp, 128) f32 acc + the tiny cheap
+    plane; keep it comfortably under the 16 MB scoped-VMEM budget
+    (temporaries + piece tables + output block share it)."""
+    acc = layers * wp * LANE * 4
+    return acc <= 10 * 2**20
+
+
+# The row-grid kernel measured SLOWER than the column grid at 1080p
+# (2.25-2.52 vs 1.38 ms/frame across every (e_chunk, wchunk) tried —
+# tools/exp_sweepcost.py, PERF.md round 3); granularity-insensitive, so
+# a fixed per-(H-block, chunk) cost dominates.  Kept as an ablation
+# variant (row_grid=True) until a variant beats the column grid.
+_ROW_GRID_DEFAULT = False
+
+
 def _wblock_for(width: int, hp: int) -> int:
     """Column-block sublane count: 256 fits comfortably for short lane
     extents; tall frames (hp > 640) drop to 128 so the layer accumulators
@@ -421,7 +664,7 @@ def _wblock_for(width: int, hp: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
-    "skip_empty", "paints"))
+    "skip_empty", "paints", "wblock", "row_grid", "wchunk", "x_split"))
 def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
@@ -433,6 +676,10 @@ def render_affine_sweep(
     interpret: bool = None,
     e_chunk: int = 512,
     skip_empty: bool = True,
+    wblock: int = None,       # column-block override (ablation knob)
+    row_grid: bool = None,    # None = auto: row kernel when scratch fits
+    wchunk: int = 256,        # row-kernel width-chunk (ablation knob)
+    x_split: bool = True,     # row-kernel x-crossing skip (ablation knob)
     paints=None,              # tuple of KernelPaint (COLOR/LINEAR/FOCAL)
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
     stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
@@ -480,18 +727,42 @@ def render_affine_sweep(
                 f"stop_colors must be (F, L, K, 4), got "
                 f"{stop_colors.shape}")
     hp = -(-height // LANE) * LANE
-    wblock = _wblock_for(width, hp)
-    wp = -(-(-(-width // 8) * 8) // wblock) * wblock
-    # The skip pays off only when there are enough column blocks for
-    # transition-free (block, chunk) pairs to exist; at <= 2 blocks the
-    # pl.when overhead measured as a net loss (512^2: 0.186 -> 0.202 ms).
-    skip_empty = skip_empty and wp // wblock >= 4
-    kernel = functools.partial(
-        _xform_kernel, layers=layers, wblock=wblock, hp=hp,
-        fill_rule=fill_rule, e_chunk=e_chunk,
-        per_layer=matrices.ndim == 3, skip_empty=skip_empty,
-        per_frame_colors=colors.ndim == 3, paints=paints,
-        dyn_stops=stop_colors is not None)
+    wp8 = -(-width // 8) * 8
+    if row_grid is None:
+        row_grid = _ROW_GRID_DEFAULT and _row_grid_fits(
+            layers, -(-wp8 // wchunk) * wchunk, wchunk)
+    if row_grid:
+        wp = -(-wp8 // wchunk) * wchunk
+        kernel = functools.partial(
+            _xform_kernel_rows, layers=layers, wchunk=wchunk, wp=wp,
+            fill_rule=fill_rule, e_chunk=e_chunk,
+            per_layer=matrices.ndim == 3, skip_empty=skip_empty,
+            x_split=x_split,
+            per_frame_colors=colors.ndim == 3, paints=paints,
+            dyn_stops=stop_colors is not None)
+        grid = (fcount, hp // LANE)
+        out_specs = pl.BlockSpec((1, wp, LANE), lambda i, hb: (i, 0, hb),
+                                 memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((layers, wp, LANE), jnp.float32),
+                   pltpu.VMEM((layers, wp // wchunk, LANE), jnp.float32)]
+    else:
+        wblock = wblock or _wblock_for(width, hp)
+        wp = -(-wp8 // wblock) * wblock
+        # The skip pays off only when there are enough column blocks for
+        # transition-free (block, chunk) pairs to exist; at <= 2 blocks
+        # the pl.when overhead measured as a net loss (512^2: 0.186 ->
+        # 0.202 ms).
+        skip_empty = skip_empty and wp // wblock >= 4
+        kernel = functools.partial(
+            _xform_kernel, layers=layers, wblock=wblock, hp=hp,
+            fill_rule=fill_rule, e_chunk=e_chunk,
+            per_layer=matrices.ndim == 3, skip_empty=skip_empty,
+            per_frame_colors=colors.ndim == 3, paints=paints,
+            dyn_stops=stop_colors is not None)
+        grid = (fcount, wp // wblock)
+        out_specs = pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
+                                 memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((layers, wblock, hp), jnp.float32)]
     args = [matrices, colors]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -517,19 +788,18 @@ def render_affine_sweep(
     ]
     return pl.pallas_call(
         kernel,
-        grid=(fcount, wp // wblock),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((layers, wblock, hp), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
-    "skip_empty"))
+    "skip_empty", "row_grid", "wchunk"))
 def render_morph_affine_sweep(
     matrices: jax.Array,  # (F, 6) f32 device affines
     ratios: jax.Array,    # (F,) f32 in [0, 1]
@@ -545,6 +815,8 @@ def render_morph_affine_sweep(
     interpret: bool = None,
     e_chunk: int = 512,
     skip_empty: bool = True,
+    row_grid: bool = None,
+    wchunk: int = 256,
 ) -> jax.Array:
     """Combined MORPH + TRANSFORM sweep: per frame, lerp the local piece
     tables by the frame's ratio, apply the frame's affine, rasterize —
@@ -557,18 +829,39 @@ def render_morph_affine_sweep(
     layers = tab_s.shape[0]
     fill_rule = normalize_fill_rule(fill_rule, layers)
     hp = -(-height // LANE) * LANE
-    wblock = _wblock_for(width, hp)
-    wp = -(-(-(-width // 8) * 8) // wblock) * wblock
-    skip_empty = skip_empty and wp // wblock >= 4
-    kernel = functools.partial(
-        _xform_kernel, layers=layers, wblock=wblock, hp=hp,
-        fill_rule=fill_rule, e_chunk=e_chunk,
-        per_layer=matrices.ndim == 3,
-        skip_empty=skip_empty, morph=True)
+    wp8 = -(-width // 8) * 8
+    if row_grid is None:
+        row_grid = _ROW_GRID_DEFAULT and _row_grid_fits(
+            layers, -(-wp8 // wchunk) * wchunk, wchunk)
+    if row_grid:
+        wp = -(-wp8 // wchunk) * wchunk
+        kernel = functools.partial(
+            _xform_kernel_rows, layers=layers, wchunk=wchunk, wp=wp,
+            fill_rule=fill_rule, e_chunk=e_chunk,
+            per_layer=matrices.ndim == 3,
+            skip_empty=skip_empty, morph=True)
+        grid = (fcount, hp // LANE)
+        out_specs = pl.BlockSpec((1, wp, LANE), lambda i, hb: (i, 0, hb),
+                                 memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((layers, wp, LANE), jnp.float32),
+                   pltpu.VMEM((layers, wp // wchunk, LANE), jnp.float32)]
+    else:
+        wblock = _wblock_for(width, hp)
+        wp = -(-wp8 // wblock) * wblock
+        skip_empty = skip_empty and wp // wblock >= 4
+        kernel = functools.partial(
+            _xform_kernel, layers=layers, wblock=wblock, hp=hp,
+            fill_rule=fill_rule, e_chunk=e_chunk,
+            per_layer=matrices.ndim == 3,
+            skip_empty=skip_empty, morph=True)
+        grid = (fcount, wp // wblock)
+        out_specs = pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
+                                 memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((layers, wblock, hp), jnp.float32)]
     full = lambda i, wb: (0, 0, 0, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,
-        grid=(fcount, wp // wblock),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # matrices
             pl.BlockSpec(memory_space=pltpu.SMEM),  # colors_s
@@ -579,10 +872,9 @@ def render_morph_affine_sweep(
             pl.BlockSpec(tab_e.shape, full, memory_space=pltpu.VMEM),
             pl.BlockSpec(subxy_e.shape, full, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((layers, wblock, hp), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(matrices, colors_s, ratios, colors_e, tab_s, subxy_s, tab_e,
       subxy_e)

@@ -295,6 +295,58 @@ def test_skip_empty_blocks_match_heavy_kernel():
     assert fast[:, :, 300:, 3].max() == 0
 
 
+def test_row_grid_matches_column_grid():
+    """The row-grid kernel (H-block accumulator, per-chunk row skip +
+    x-crossing skip with the tiny cheap side plane) agrees with the
+    column-grid kernel across rotations, within one u8 quantum (f32
+    accumulation order differs between the two nestings)."""
+    height, width = 300, 520  # multiple 128-lane row blocks, odd sizes
+    tables = [_star_edges(180.0, 150.0, 140.0, 60.0, points=9),
+              _star_edges(350.0, 120.0, 90.0, 35.0, points=5)]
+    colors = [(0.8, 0.3, 0.2, 0.9), (0.1, 0.6, 0.9, 0.7)]
+    mats = _rotation_mats(5, 260.0, 150.0)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+    outs = {}
+    for rg in (True, False):
+        out = render_affine_sweep(*args, height, width, row_grid=rg)
+        outs[rg] = morph_frames_to_u8(np.asarray(out), height, width)
+    diff = np.abs(outs[True].astype(np.int32) - outs[False].astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    # and vs the host oracle: this scene's acute 9-point star vertices
+    # produce a handful of row-association flips (f32 kernel vs f64-ish
+    # numpy oracle pick adjacent rows for boundary-exact pieces), so the
+    # gate is outlier-tolerant, like the fuzz suites.
+    for i in range(len(mats)):
+        want = _oracle_frame(tables, colors, mats[i], height, width)
+        d = np.abs(outs[True][i].astype(np.int32) - want.astype(np.int32))
+        assert (d > 2).mean() < 1e-4, (i, (d > 2).mean())
+        assert (d > 1).mean() < 2e-3, (i, (d > 1).mean())
+
+
+def test_row_grid_skip_matches_heavy():
+    """Row-grid skip paths (row-miss chunk skip, x-crossing cheap plane)
+    are within one u8 quantum of the always-heavy kernel."""
+    height, width = 280, 600
+    tables = [_star_edges(150.0, 140.0, 120.0, 50.0)]
+    colors = [(0.2, 0.9, 0.4, 1.0)]
+    mats = _rotation_mats(4, 300.0, 140.0)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    fast = np.asarray(render_affine_sweep(
+        *args, height, width, row_grid=True, skip_empty=True))
+    slow = np.asarray(render_affine_sweep(
+        *args, height, width, row_grid=True, skip_empty=False))
+    from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+    f = morph_frames_to_u8(fast, height, width)
+    s = morph_frames_to_u8(slow, height, width)
+    diff = np.abs(f.astype(np.int32) - s.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+
 def test_render_batch_routes_fading_moving_animation(reference_tests):
     """Per-frame COLOR TRANSFORMS fold into per-frame sweep colors: a
     moving + fading animation rides the transform sweep and matches

@@ -1,0 +1,95 @@
+"""Ablation: transform-sweep (e_chunk, wblock) granularity on the anim
+scenes.
+
+The sweep's heavy (WP, EC) ramp work runs per (column block, piece
+chunk) pair that any piece's x-transition crosses; the transition-free
+skip (PERF.md round 3) replaces non-crossing pairs with three tiny
+broadcast matmuls.  Finer chunks/blocks raise the skippable fraction
+(pieces are path-ordered, hence spatially coherent) but shrink each MXU
+matmul (WP, EC) @ (EC, HP).  This measures the trade on the REAL bench
+scenes (bench.anim_scene) at 1080p and 512^2.
+
+Timing: tiled two-point fit over the frame axis (same methodology as
+bench.bench_anim — a sub-track delta sits below the ~5 ms tunnel
+jitter; a wrapping fori_loop stack-allocates the output in scoped VMEM).
+
+Usage: python tools/exp_sweepcost.py [--config anim1080|anim512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from bench import _enable_compile_cache, anim_scene  # noqa: E402
+from swf_renderer_tpu.ops.transform import (  # noqa: E402
+    affine_pieces, render_affine_sweep,
+)
+
+
+def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
+            row_grid=False, wchunk=256, x_split=True):
+    tables, colors, mats = anim_scene(h, w, frames)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
+
+    budget = max(2, int(1.0e9 // (w * h * 4)))
+    mult = max(2, min(8, budget // frames))
+
+    def timed(mm_np):
+        mm = jnp.asarray(mm_np)
+        ts = []
+        for i in range(4):
+            varied = mm + np.float32(i) * 1e-12
+            t0 = time.perf_counter()
+            out = render_affine_sweep(
+                varied, *fargs, h, w, e_chunk=e_chunk, wblock=wblock,
+                skip_empty=skip_empty, row_grid=row_grid, wchunk=wchunk,
+                x_split=x_split)
+            int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts[1:])
+
+    tiled = np.concatenate([mats + np.float32(k) * 1e-9
+                            for k in range(mult)])
+    t_k0 = timed(mats)
+    t_k1 = timed(tiled)
+    return (t_k1 - t_k0) / (frames * (mult - 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="anim1080",
+                    choices=["anim1080", "anim512"])
+    args = ap.parse_args()
+    _enable_compile_cache()
+    h, w = (1088, 1920) if args.config == "anim1080" else (512, 512)
+    frames = 60
+
+    # (label, kwargs) — diagnose where the row-grid kernel's fixed cost
+    # lives: branch overhead (x_split off), skip effectiveness (skip
+    # off), vs the column-grid baselines.
+    grid = [
+        ("v1-skip", dict(row_grid=False)),
+        ("v1-heavy", dict(row_grid=False, skip_empty=False)),
+        ("v2-skip", dict(row_grid=True)),
+        ("v2-rowgate-only", dict(row_grid=True, x_split=False)),
+        ("v2-heavy", dict(row_grid=True, skip_empty=False)),
+    ]
+    for label, kw in grid:
+        dt = measure(h, w, frames, 512, None, **kw)
+        print(json.dumps({
+            "config": args.config, "variant": label,
+            "ms_per_frame": round(dt * 1e3, 4),
+            "gpx_s": round(w * h / dt / 1e9, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

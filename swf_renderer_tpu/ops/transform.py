@@ -173,6 +173,24 @@ def morph_affine_pieces(pairs, matrices, e_multiple: int = 128):
     return tab_s, subxy_s, tab_e, subxy_e, colors_s, colors_e
 
 
+def layer_piece_counts(tab) -> tuple:
+    """Per-layer REAL piece counts from a padded (P, 4, 1, EP) table
+    (host numpy): index of the last piece with any nonzero coordinate,
+    +1.  Trailing degenerate pieces count as padding — they transform to
+    points (dy' = 0) and contribute nothing, like the padding itself.
+    Pass as ``layer_counts`` to the sweep entries so layers far below
+    the padded EP skip their all-padding chunks (EP is the MAX over
+    layers: one big draw otherwise makes every small draw pay its
+    chunk count)."""
+    t = np.asarray(tab)
+    nz = np.any(t != 0.0, axis=(1, 2))  # (P, EP)
+    counts = []
+    for lyr in range(t.shape[0]):
+        idx = np.nonzero(nz[lyr])[0]
+        counts.append(int(idx[-1]) + 1 if idx.size else 0)
+    return tuple(counts)
+
+
 def sweep_paints(paints, matrices):
     """Per-layer style Paints + per-frame device affines ->
     (KernelPaint tuple, (F, L, 6) grad_mats or None) for
@@ -221,18 +239,21 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                   layers: int, wblock: int, hp: int, fill_rule: int,
                   e_chunk: int, per_layer: bool, skip_empty: bool = True,
                   per_frame_colors: bool = False, morph: bool = False,
-                  paints=None, dyn_stops: bool = False):
+                  paints=None, dyn_stops: bool = False,
+                  layer_counts=None, prefix_cheap: bool = False):
     gm_ref = sc_ref = None
     if morph:
         (ratios_ref, colors_e_ref, tab_ref, subxy_ref, tab2_ref,
-         subxy2_ref, out_ref, acc_ref) = rest
+         subxy2_ref, out_ref, acc_ref, cheap_ref) = rest
     elif paints is not None:
         if dyn_stops:
-            gm_ref, sc_ref, tab_ref, subxy_ref, out_ref, acc_ref = rest
+            (gm_ref, sc_ref, tab_ref, subxy_ref, out_ref, acc_ref,
+             cheap_ref) = rest
         else:
-            gm_ref, tab_ref, subxy_ref, out_ref, acc_ref = rest
+            (gm_ref, tab_ref, subxy_ref, out_ref, acc_ref,
+             cheap_ref) = rest
     else:
-        tab_ref, subxy_ref, out_ref, acc_ref = rest
+        tab_ref, subxy_ref, out_ref, acc_ref, cheap_ref = rest
     i = pl.program_id(0)
     wb = pl.program_id(1)
     t_r = None if not morph else ratios_ref[i]
@@ -261,37 +282,99 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
         lo = (v - hi32 - mid32).astype(jnp.bfloat16)
         return hi, mid, lo
 
+    def chunk_vals(lyr, sl, abcdef):
+        """Transformed piece coordinates for one (layer, piece chunk):
+        lane-layout endpoints, sublane-layout row bases."""
+        a, b, c, d, e, f = abcdef
+
+        def tabv(ch):
+            v = tab_ref[lyr, ch, :, sl]  # (1, EC) local coords
+            if morph:  # ratio lerp BEFORE the frame transform
+                v = (1.0 - t_r) * v + t_r * tab2_ref[lyr, ch, :, sl]
+            return v
+
+        def subv(ch):
+            v = subxy_ref[lyr, ch, sl, :]  # (EC, 1)
+            if morph:
+                v = (1.0 - t_r) * v + t_r * subxy2_ref[lyr, ch, sl, :]
+            return v
+
+        x0l, y0l, x1l, y1l = tabv(0), tabv(1), tabv(2), tabv(3)
+        x0 = a * x0l + c * y0l + e
+        y0 = b * x0l + d * y0l + f
+        x1 = a * x1l + c * y1l + e
+        y1 = b * x1l + d * y1l + f
+        # Sublane copies of the transformed ys (for the row one-hot).
+        y0s = b * subv(0) + d * subv(1) + f  # (EC, 1)
+        y1s = b * subv(2) + d * subv(3) + f
+        rowbase = jnp.floor(jnp.minimum(y0, y1))        # (1, EC)
+        rowbase_sub = jnp.floor(jnp.minimum(y0s, y1s))  # (EC, 1)
+        return x0, y0, x1, y1, rowbase, rowbase_sub
+
+    def make_row_terms(vals):
+        x0, y0, x1, y1, rowbase, rowbase_sub = vals
+
+        def row_terms(k):
+            py = rowbase + k
+            sy0, sy1 = y0 - py, y1 - py
+            cy0 = jnp.clip(sy0, 0.0, 1.0)
+            cy1 = jnp.clip(sy1, 0.0, 1.0)
+            dy = cy1 - cy0
+            onehot = (rowbase_sub + k == hlane).astype(jnp.bfloat16)
+            return dy, onehot, sy0, sy1, cy0, cy1
+        return row_terms
+
+    def chunk_slices(lyr):
+        ep_l = ep if layer_counts is None else min(
+            ep, -(-layer_counts[lyr] // e_chunk) * e_chunk)
+        return [slice(e0, min(e0 + e_chunk, ep))
+                for e0 in range(0, ep_l, e_chunk)]
+
+    nbp = cheap_ref.shape[1]
+
+    if prefix_cheap:
+        # Once per FRAME (first column block of the sequential grid):
+        # every block's completed-ramp total, for all chunks, in ONE
+        # (NBP, EC) @ (EC, HP) product per (chunk, row) — W[b, j] = 1
+        # iff piece j sits fully left of block b, weighted by dy.  The
+        # per-block cheap path (and its per-block one-hot builds, 15x
+        # per frame at 1080p) disappears; the heavy path masks left
+        # pieces out so nothing double-counts.
+        @pl.when(wb == 0)
+        def _prefix():
+            block_los = (jax.lax.broadcasted_iota(
+                jnp.int32, (nbp, 1), 0) * wblock).astype(jnp.float32)
+            for lyr in range(layers):
+                abcdef = mat(lyr)
+                cheap_ref[lyr] = jnp.zeros((nbp, hp), jnp.float32)
+                for sl in chunk_slices(lyr):
+                    vals = chunk_vals(lyr, sl, abcdef)
+                    x0, _, x1 = vals[0], vals[1], vals[2]
+                    pxmx = jnp.maximum(x0, x1)   # (1, EC)
+                    w_blk = (pxmx <= block_los).astype(jnp.float32)
+                    row_terms = make_row_terms(vals)
+                    for k in (0, 1):
+                        dy, onehot, *_ = row_terms(k)
+                        parts = jnp.concatenate(
+                            split3(dy * w_blk), axis=0)  # (3*NBP, EC)
+                        prod = jnp.dot(parts, onehot,
+                                       preferred_element_type=jnp.float32)
+                        cheap_ref[lyr] = cheap_ref[lyr] + (
+                            prod[0:nbp] + prod[nbp:2 * nbp]
+                            + prod[2 * nbp:3 * nbp])
+
     for lyr in range(layers):
-        a, b, c, d, e, f = mat(lyr)
+        abcdef = mat(lyr)
         acc_ref[lyr] = jnp.zeros((wp, hp), jnp.float32)
+        if not prefix_cheap:
+            cheap_ref[lyr] = jnp.zeros((nbp, hp), jnp.float32)
         # Pieces stream through in e_chunk slices: the (WP, EC) ramp
         # temporaries, not the piece count, bound scoped VMEM (a 512^2
         # frame with 3.5K pieces at full width blew the 16 MB limit).
-        for e0 in range(0, ep, e_chunk):
-            sl = slice(e0, min(e0 + e_chunk, ep))
-
-            def tabv(ch):
-                v = tab_ref[lyr, ch, :, sl]  # (1, EC) local coords
-                if morph:  # ratio lerp BEFORE the frame transform
-                    v = (1.0 - t_r) * v + t_r * tab2_ref[lyr, ch, :, sl]
-                return v
-
-            def subv(ch):
-                v = subxy_ref[lyr, ch, sl, :]  # (EC, 1)
-                if morph:
-                    v = (1.0 - t_r) * v + t_r * subxy2_ref[lyr, ch, sl, :]
-                return v
-
-            x0l, y0l, x1l, y1l = tabv(0), tabv(1), tabv(2), tabv(3)
-            x0 = a * x0l + c * y0l + e
-            y0 = b * x0l + d * y0l + f
-            x1 = a * x1l + c * y1l + e
-            y1 = b * x1l + d * y1l + f
-            # Sublane copies of the transformed ys (for the row one-hot).
-            y0s = b * subv(0) + d * subv(1) + f  # (EC, 1)
-            y1s = b * subv(2) + d * subv(3) + f
-            rowbase = jnp.floor(jnp.minimum(y0, y1))        # (1, EC)
-            rowbase_sub = jnp.floor(jnp.minimum(y0s, y1s))  # (EC, 1)
+        for sl in chunk_slices(lyr):
+            vals = chunk_vals(lyr, sl, abcdef)
+            x0, y0, x1, y1, rowbase, rowbase_sub = vals
+            row_terms = make_row_terms(vals)
 
             # Block/chunk classification on PIECE x-extents: a piece
             # whose whole extent sits left of this column block
@@ -309,15 +392,7 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
             crossing = jnp.logical_and(jnp.logical_not(left),
                                        pxmn - 1.0 < block_hi)
             any_cross = jnp.any(crossing)
-
-            def row_terms(k):
-                py = rowbase + k
-                sy0, sy1 = y0 - py, y1 - py
-                cy0 = jnp.clip(sy0, 0.0, 1.0)
-                cy1 = jnp.clip(sy1, 0.0, 1.0)
-                dy = cy1 - cy0
-                onehot = (rowbase_sub + k == hlane).astype(jnp.bfloat16)
-                return dy, onehot, sy0, sy1, cy0, cy1
+            lmask = left.astype(jnp.float32)
 
             def heavy(k):
                 dy, onehot, sy0, sy1, cy0, cy1 = row_terms(k)
@@ -338,6 +413,10 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                     jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
                     (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
                 ramp = dy * (1.0 - mean)  # (WP, EC) exact f32
+                if prefix_cheap:
+                    # Left pieces already live in the per-frame prefix
+                    # plane; mask them so nothing double-counts.
+                    ramp = ramp * (1.0 - lmask)
                 for part in split3(ramp):
                     acc_ref[lyr] = acc_ref[lyr] + jnp.dot(
                         part, onehot, preferred_element_type=jnp.float32)
@@ -345,6 +424,13 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
             if not skip_empty:
                 for k in (0, 1):
                     heavy(k)
+                continue
+
+            if prefix_cheap:
+                @pl.when(any_cross)
+                def _full():
+                    for k in (0, 1):
+                        heavy(k)
                 continue
 
             @pl.when(any_cross)
@@ -355,19 +441,37 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
             @pl.when(jnp.logical_not(any_cross))
             def _bcast():
                 # No transition crosses this block: left pieces add dy
-                # (a px-independent row value), right pieces add 0 —
-                # three tiny (1, EC) @ (EC, HP) products replace the six
-                # (WP, EC) ones and all the ramp VPU work.
-                lmask = left.astype(jnp.float32)
-                for k in (0, 1):
+                # (a px-independent ROW value), right pieces add 0.  The
+                # three bf16 parts stack into ONE (3, EC) @ (EC, HP)
+                # product per row, accumulated into the TINY (8, hp)
+                # side plane — no (wblock, hp) RMW and one one-hot read
+                # per row instead of three (the cheap path's full-size
+                # accumulator traffic was the dominant sweep cost:
+                # PERF.md round-3 sweep study).
+                for ki, k in enumerate((0, 1)):
                     dy, onehot, *_ = row_terms(k)
-                    for part in split3(dy * lmask):
-                        acc_ref[lyr] = acc_ref[lyr] + jnp.dot(
-                            part, onehot,
-                            preferred_element_type=jnp.float32)
+                    parts = jnp.concatenate(split3(dy * lmask), axis=0)
+                    sl3 = slice(3 * ki, 3 * ki + 3)
+                    cheap_ref[lyr, sl3] = cheap_ref[lyr, sl3] + jnp.dot(
+                        parts, onehot,
+                        preferred_element_type=jnp.float32)
 
     rules = layer_rules(fill_rule, layers)
-    covs = [fill_rule_cov(acc_ref[lyr], rules[lyr])
+    # Winding = block accumulator + the cheap plane's row totals (a
+    # (1, hp) broadcast folded as an expression, no extra RMW).  In
+    # prefix mode the plane holds one row PER BLOCK; select this
+    # block's row by masked sum (no dynamic sublane slicing).
+    if prefix_cheap:
+        row_sel = (jax.lax.broadcasted_iota(
+            jnp.int32, (nbp, 1), 0) == wb).astype(jnp.float32)
+
+        def cheap_rows(lyr):
+            return jnp.sum(cheap_ref[lyr] * row_sel, axis=0,
+                           keepdims=True)
+    else:
+        def cheap_rows(lyr):
+            return jnp.sum(cheap_ref[lyr], axis=0, keepdims=True)
+    covs = [fill_rule_cov(acc_ref[lyr] + cheap_rows(lyr), rules[lyr])
             for lyr in range(layers)]
 
     grad_cache = {}
@@ -414,7 +518,8 @@ def _xform_kernel_rows(mats_ref, colors_ref, *rest,
                        e_chunk: int, per_layer: bool,
                        skip_empty: bool = True, x_split: bool = True,
                        per_frame_colors: bool = False, morph: bool = False,
-                       paints=None, dyn_stops: bool = False):
+                       paints=None, dyn_stops: bool = False,
+                       layer_counts=None):
     """ROW-GRID sweep kernel: grid = (frame, 128-lane row block).
 
     The column-grid kernel (_xform_kernel) pays a fixed VMEM-traffic
@@ -484,7 +589,9 @@ def _xform_kernel_rows(mats_ref, colors_ref, *rest,
         a, b, c, d, e, f = mat(lyr)
         acc_ref[lyr] = jnp.zeros((wp, LANE), jnp.float32)
         cheap_ref[lyr] = jnp.zeros((n_wc, LANE), jnp.float32)
-        for e0 in range(0, ep, e_chunk):
+        ep_l = ep if layer_counts is None else min(
+            ep, -(-layer_counts[lyr] // e_chunk) * e_chunk)
+        for e0 in range(0, ep_l, e_chunk):
             sl = slice(e0, min(e0 + e_chunk, ep))
 
             def tabv(ch):
@@ -664,7 +771,8 @@ def _wblock_for(width: int, hp: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
-    "skip_empty", "paints", "wblock", "row_grid", "wchunk", "x_split"))
+    "skip_empty", "paints", "wblock", "row_grid", "wchunk", "x_split",
+    "layer_counts", "prefix_cheap"))
 def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
@@ -680,6 +788,8 @@ def render_affine_sweep(
     row_grid: bool = None,    # None = auto: row kernel when scratch fits
     wchunk: int = 256,        # row-kernel width-chunk (ablation knob)
     x_split: bool = True,     # row-kernel x-crossing skip (ablation knob)
+    layer_counts: tuple = None,  # per-layer REAL piece counts (static)
+    prefix_cheap: bool = None,   # None = on whenever the skip is active
     paints=None,              # tuple of KernelPaint (COLOR/LINEAR/FOCAL)
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
     stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
@@ -717,6 +827,9 @@ def render_affine_sweep(
             raise ValueError(f"{len(paints)} paints for {layers} layers")
         if grad_mats is None or grad_mats.shape != (fcount, layers, 6):
             raise ValueError("gradient paints need (F, L, 6) grad_mats")
+    if layer_counts is not None and len(layer_counts) != layers:
+        raise ValueError(
+            f"{len(layer_counts)} layer_counts for {layers} layers")
     if stop_colors is not None:
         if paints is None:
             raise ValueError("stop_colors requires gradient paints")
@@ -737,7 +850,7 @@ def render_affine_sweep(
             _xform_kernel_rows, layers=layers, wchunk=wchunk, wp=wp,
             fill_rule=fill_rule, e_chunk=e_chunk,
             per_layer=matrices.ndim == 3, skip_empty=skip_empty,
-            x_split=x_split,
+            x_split=x_split, layer_counts=layer_counts,
             per_frame_colors=colors.ndim == 3, paints=paints,
             dyn_stops=stop_colors is not None)
         grid = (fcount, hp // LANE)
@@ -753,16 +866,23 @@ def render_affine_sweep(
         # the pl.when overhead measured as a net loss (512^2: 0.186 ->
         # 0.202 ms).
         skip_empty = skip_empty and wp // wblock >= 4
+        if prefix_cheap is None:
+            prefix_cheap = skip_empty
+        prefix_cheap = prefix_cheap and skip_empty
+        nbp = (max(8, -(-(wp // wblock) // 8) * 8) if prefix_cheap
+               else 8)
         kernel = functools.partial(
             _xform_kernel, layers=layers, wblock=wblock, hp=hp,
             fill_rule=fill_rule, e_chunk=e_chunk,
             per_layer=matrices.ndim == 3, skip_empty=skip_empty,
+            layer_counts=layer_counts, prefix_cheap=prefix_cheap,
             per_frame_colors=colors.ndim == 3, paints=paints,
             dyn_stops=stop_colors is not None)
         grid = (fcount, wp // wblock)
         out_specs = pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
                                  memory_space=pltpu.VMEM)
-        scratch = [pltpu.VMEM((layers, wblock, hp), jnp.float32)]
+        scratch = [pltpu.VMEM((layers, wblock, hp), jnp.float32),
+                   pltpu.VMEM((layers, nbp, hp), jnp.float32)]
     args = [matrices, colors]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -799,7 +919,8 @@ def render_affine_sweep(
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
-    "skip_empty", "row_grid", "wchunk"))
+    "skip_empty", "row_grid", "wchunk", "layer_counts",
+    "prefix_cheap"))
 def render_morph_affine_sweep(
     matrices: jax.Array,  # (F, 6) f32 device affines
     ratios: jax.Array,    # (F,) f32 in [0, 1]
@@ -817,6 +938,8 @@ def render_morph_affine_sweep(
     skip_empty: bool = True,
     row_grid: bool = None,
     wchunk: int = 256,
+    layer_counts: tuple = None,
+    prefix_cheap: bool = None,
 ) -> jax.Array:
     """Combined MORPH + TRANSFORM sweep: per frame, lerp the local piece
     tables by the frame's ratio, apply the frame's affine, rasterize —
@@ -838,7 +961,7 @@ def render_morph_affine_sweep(
         kernel = functools.partial(
             _xform_kernel_rows, layers=layers, wchunk=wchunk, wp=wp,
             fill_rule=fill_rule, e_chunk=e_chunk,
-            per_layer=matrices.ndim == 3,
+            per_layer=matrices.ndim == 3, layer_counts=layer_counts,
             skip_empty=skip_empty, morph=True)
         grid = (fcount, hp // LANE)
         out_specs = pl.BlockSpec((1, wp, LANE), lambda i, hb: (i, 0, hb),
@@ -849,15 +972,22 @@ def render_morph_affine_sweep(
         wblock = _wblock_for(width, hp)
         wp = -(-wp8 // wblock) * wblock
         skip_empty = skip_empty and wp // wblock >= 4
+        if prefix_cheap is None:
+            prefix_cheap = skip_empty
+        prefix_cheap = prefix_cheap and skip_empty
+        nbp = (max(8, -(-(wp // wblock) // 8) * 8) if prefix_cheap
+               else 8)
         kernel = functools.partial(
             _xform_kernel, layers=layers, wblock=wblock, hp=hp,
             fill_rule=fill_rule, e_chunk=e_chunk,
-            per_layer=matrices.ndim == 3,
-            skip_empty=skip_empty, morph=True)
+            per_layer=matrices.ndim == 3, layer_counts=layer_counts,
+            skip_empty=skip_empty, morph=True,
+            prefix_cheap=prefix_cheap)
         grid = (fcount, wp // wblock)
         out_specs = pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
                                  memory_space=pltpu.VMEM)
-        scratch = [pltpu.VMEM((layers, wblock, hp), jnp.float32)]
+        scratch = [pltpu.VMEM((layers, wblock, hp), jnp.float32),
+                   pltpu.VMEM((layers, nbp, hp), jnp.float32)]
     full = lambda i, wb: (0, 0, 0, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,

@@ -485,12 +485,15 @@ class TpuRenderer:
             piece_colors = [
                 d.paint.color if d.paint.kind == style_ops.PAINT_SOLID
                 else (0.0, 0.0, 0.0, 0.0) for d in all_draws]
+            from ..ops.transform import layer_piece_counts
+
             tab, subxy, _ = affine_pieces(
                 [d.edges for d in all_draws], piece_colors, mats)
             out = render_affine_sweep(
                 jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
                 jnp.asarray(colors), self.height, self.width,
                 fill_rule=sweep_rule, paints=kpaints,
+                layer_counts=layer_piece_counts(tab),
                 grad_mats=(None if grad_mats is None
                            else jnp.asarray(grad_mats)),
                 stop_colors=(None if stop_colors is None
@@ -654,11 +657,19 @@ class TpuRenderer:
                 [[m for ci, row_m in enumerate(row)
                   for m in [row_m] * len(child_pairs[ci])]
                  for row in devs], np.float32)  # (F, L, 6)
+            from ..ops.transform import layer_piece_counts
+
             parts = morph_affine_pieces(all_pairs, mats)
             out = render_morph_affine_sweep(
                 jnp.asarray(mats), jnp.asarray(ratios),
                 *(jnp.asarray(x) for x in parts),
-                self.height, self.width, fill_rule=fill_rule)
+                self.height, self.width, fill_rule=fill_rule,
+                # a piece may be degenerate at one ratio endpoint only:
+                # count whichever table keeps it real
+                layer_counts=tuple(
+                    max(a, b) for a, b in zip(
+                        layer_piece_counts(parts[0]),
+                        layer_piece_counts(parts[2]))))
             return morph_frames_to_u8(np.asarray(out), self.height,
                                       self.width)
 
@@ -919,12 +930,14 @@ def render_shape_animation(
     piece_colors = [
         d.paint.color if d.paint.kind == style_ops.PAINT_SOLID
         else (0.0, 0.0, 0.0, 0.0) for d in draws]
+    from ..ops.transform import layer_piece_counts
+
     tab, subxy, colors = affine_pieces(
         [d.edges for d in draws], piece_colors, mats)
     out = render_affine_sweep(
         jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
         jnp.asarray(colors), height, width, fill_rule=rule,
-        paints=kpaints,
+        paints=kpaints, layer_counts=layer_piece_counts(tab),
         grad_mats=None if grad_mats is None else jnp.asarray(grad_mats))
     return morph_frames_to_u8(np.asarray(out), height, width)
 

@@ -347,6 +347,58 @@ def test_row_grid_skip_matches_heavy():
     assert diff.max() <= 1, diff.max()
 
 
+def test_prefix_cheap_matches_per_block_paths():
+    """The per-frame prefix plane (all blocks' completed-ramp totals in
+    one weighted matmul at wb==0, heavy path masking left pieces) must
+    agree with the per-block cheap path and the always-heavy kernel.
+    wblock=64 forces >= 4 blocks so the skip machinery is live."""
+    height, width = 120, 360
+    tables = [_star_edges(80.0, 60.0, 50.0, 22.0),
+              _star_edges(260.0, 70.0, 45.0, 18.0, points=5)]
+    colors = [(0.9, 0.3, 0.1, 0.85), (0.2, 0.5, 0.9, 0.8)]
+    mats = _rotation_mats(5, 180.0, 60.0)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+    outs = {}
+    for label, kw in [
+            ("prefix", dict(prefix_cheap=True)),
+            ("sideplane", dict(prefix_cheap=False)),
+            ("heavy", dict(skip_empty=False))]:
+        out = render_affine_sweep(*args, height, width, wblock=64, **kw)
+        outs[label] = morph_frames_to_u8(np.asarray(out), height, width)
+    for label in ("sideplane", "heavy"):
+        diff = np.abs(outs["prefix"].astype(np.int32)
+                      - outs[label].astype(np.int32))
+        assert diff.max() <= 1, (label, diff.max())
+
+
+def test_layer_counts_trim_is_exact():
+    """Static per-layer piece counts skip all-padding chunks (EP is the
+    max over layers, so a skewed draw list otherwise pays the big
+    layer's chunk count everywhere); trimming must not change output."""
+    from swf_renderer_tpu.ops.transform import layer_piece_counts
+
+    height, width = 96, 130
+    # Layer 0 huge (forces a large EP), layer 1 tiny.
+    tables = [_star_edges(60.0, 48.0, 42.0, 18.0, points=11),
+              np.array([[90.0, 10.0, 110.0, 15.0],
+                        [110.0, 15.0, 95.0, 30.0],
+                        [95.0, 30.0, 90.0, 10.0]], np.float32)]
+    colors = [(0.9, 0.2, 0.1, 0.9), (0.1, 0.9, 0.3, 0.8)]
+    mats = _rotation_mats(4, 60.0, 48.0, scale=1.7)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    counts = layer_piece_counts(tab)
+    assert counts[1] < counts[0]  # genuinely skewed
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    base = np.asarray(render_affine_sweep(*args, height, width))
+    trim = np.asarray(render_affine_sweep(*args, height, width,
+                                          layer_counts=counts))
+    np.testing.assert_array_equal(base, trim)
+
+
 def test_render_batch_routes_fading_moving_animation(reference_tests):
     """Per-frame COLOR TRANSFORMS fold into per-frame sweep colors: a
     moving + fading animation rides the transform sweep and matches

@@ -35,7 +35,8 @@ from swf_renderer_tpu.ops.transform import (  # noqa: E402
 
 
 def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
-            row_grid=False, wchunk=256, x_split=True):
+            row_grid=False, wchunk=256, x_split=True,
+            prefix_cheap=None):
     tables, colors, mats = anim_scene(h, w, frames)
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
@@ -52,7 +53,7 @@ def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
             out = render_affine_sweep(
                 varied, *fargs, h, w, e_chunk=e_chunk, wblock=wblock,
                 skip_empty=skip_empty, row_grid=row_grid, wchunk=wchunk,
-                x_split=x_split)
+                x_split=x_split, prefix_cheap=prefix_cheap)
             int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
             ts.append(time.perf_counter() - t0)
         return min(ts[1:])
@@ -76,15 +77,21 @@ def main():
     # (label, kwargs) — diagnose where the row-grid kernel's fixed cost
     # lives: branch overhead (x_split off), skip effectiveness (skip
     # off), vs the column-grid baselines.
+    # Grid-step-overhead hypothesis: ~1.2 ms/frame at 1080p is
+    # insensitive to ALL piece-work structure -> suspect per-step fixed
+    # cost (900 steps/frame at wblock 128).  wblock 256 halves steps
+    # (e_chunk 256 keeps ramp temporaries inside scoped VMEM).
     grid = [
-        ("v1-skip", dict(row_grid=False)),
-        ("v1-heavy", dict(row_grid=False, skip_empty=False)),
-        ("v2-skip", dict(row_grid=True)),
-        ("v2-rowgate-only", dict(row_grid=True, x_split=False)),
-        ("v2-heavy", dict(row_grid=True, skip_empty=False)),
+        ("prefix-ec256", dict(e_chunk=256)),
+        ("prefix-wb256-ec256", dict(wblock=256, e_chunk=256)),
+        ("prefix-wb384-ec128", dict(wblock=384, e_chunk=128)),
+        ("sideplane-wb256-ec256", dict(wblock=256, e_chunk=256,
+                                       prefix_cheap=False)),
     ]
     for label, kw in grid:
-        dt = measure(h, w, frames, 512, None, **kw)
+        e_chunk = kw.pop("e_chunk", 512)
+        wblock = kw.pop("wblock", None)
+        dt = measure(h, w, frames, e_chunk, wblock, **kw)
         print(json.dumps({
             "config": args.config, "variant": label,
             "ms_per_frame": round(dt * 1e3, 4),

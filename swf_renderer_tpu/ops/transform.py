@@ -240,7 +240,8 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                   e_chunk: int, per_layer: bool, skip_empty: bool = True,
                   per_frame_colors: bool = False, morph: bool = False,
                   paints=None, dyn_stops: bool = False,
-                  layer_counts=None, prefix_cheap: bool = False):
+                  layer_counts=None, prefix_cheap: bool = False,
+                  bps: int = 1):
     gm_ref = sc_ref = None
     if morph:
         (ratios_ref, colors_e_ref, tab_ref, subxy_ref, tab2_ref,
@@ -267,8 +268,8 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
     # is analyzed (a full-width 512^2 frame with 3.5K pieces blew the
     # 16 MB scoped-vmem limit).
     wp = wblock
-    px = (wb * wblock + jax.lax.broadcasted_iota(
-        jnp.int32, (wp, 1), 0)).astype(jnp.float32)
+    px_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (wp, 1), 0).astype(jnp.float32)
     hlane = jax.lax.broadcasted_iota(
         jnp.int32, (1, hp), 1).astype(jnp.float32)
     ep = tab_ref.shape[-1]
@@ -363,154 +364,166 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                             prod[0:nbp] + prod[nbp:2 * nbp]
                             + prod[2 * nbp:3 * nbp])
 
-    for lyr in range(layers):
-        abcdef = mat(lyr)
-        acc_ref[lyr] = jnp.zeros((wp, hp), jnp.float32)
-        if not prefix_cheap:
-            cheap_ref[lyr] = jnp.zeros((nbp, hp), jnp.float32)
-        # Pieces stream through in e_chunk slices: the (WP, EC) ramp
-        # temporaries, not the piece count, bound scoped VMEM (a 512^2
-        # frame with 3.5K pieces at full width blew the 16 MB limit).
-        for sl in chunk_slices(lyr):
-            vals = chunk_vals(lyr, sl, abcdef)
-            x0, y0, x1, y1, rowbase, rowbase_sub = vals
-            row_terms = make_row_terms(vals)
+    def do_block(wbe, osl):
+        """One column block's full pass: accumulate, resolve, pack into
+        out_ref[0, osl].  ``wbe`` is the GLOBAL block index (grid step *
+        blocks-per-step + local offset) — multiple blocks per grid step
+        amortize the per-step fixed overhead (PERF.md sweep study)."""
+        px = wbe * wblock + px_iota
+        for lyr in range(layers):
+            abcdef = mat(lyr)
+            acc_ref[lyr] = jnp.zeros((wp, hp), jnp.float32)
+            if not prefix_cheap:
+                cheap_ref[lyr] = jnp.zeros((nbp, hp), jnp.float32)
+            # Pieces stream through in e_chunk slices: the (WP, EC) ramp
+            # temporaries, not the piece count, bound scoped VMEM (a 512^2
+            # frame with 3.5K pieces at full width blew the 16 MB limit).
+            for sl in chunk_slices(lyr):
+                vals = chunk_vals(lyr, sl, abcdef)
+                x0, y0, x1, y1, rowbase, rowbase_sub = vals
+                row_terms = make_row_terms(vals)
 
-            # Block/chunk classification on PIECE x-extents: a piece
-            # whose whole extent sits left of this column block
-            # contributes EXACTLY dy to every column (its coverage ramp
-            # has completed), one fully right contributes exactly 0, and
-            # only pieces whose transition [xmn-1, xmx] crosses the block
-            # need the per-column ramp.  Pieces are path-ordered (hence
-            # spatially coherent), so many (block, chunk) pairs have no
-            # crossing piece and skip the heavy (WP, EC) work entirely.
-            pxmn = jnp.minimum(x0, x1)
-            pxmx = jnp.maximum(x0, x1)
-            block_lo = (wb * wblock).astype(jnp.float32)
-            block_hi = block_lo + wblock
-            left = pxmx <= block_lo
-            crossing = jnp.logical_and(jnp.logical_not(left),
-                                       pxmn - 1.0 < block_hi)
-            any_cross = jnp.any(crossing)
-            lmask = left.astype(jnp.float32)
+                # Block/chunk classification on PIECE x-extents: a piece
+                # whose whole extent sits left of this column block
+                # contributes EXACTLY dy to every column (its coverage ramp
+                # has completed), one fully right contributes exactly 0, and
+                # only pieces whose transition [xmn-1, xmx] crosses the block
+                # need the per-column ramp.  Pieces are path-ordered (hence
+                # spatially coherent), so many (block, chunk) pairs have no
+                # crossing piece and skip the heavy (WP, EC) work entirely.
+                pxmn = jnp.minimum(x0, x1)
+                pxmx = jnp.maximum(x0, x1)
+                block_lo = (wbe * wblock).astype(jnp.float32)
+                block_hi = block_lo + wblock
+                left = pxmx <= block_lo
+                crossing = jnp.logical_and(jnp.logical_not(left),
+                                           pxmn - 1.0 < block_hi)
+                any_cross = jnp.any(crossing)
+                lmask = left.astype(jnp.float32)
 
-            def heavy(k):
-                dy, onehot, sy0, sy1, cy0, cy1 = row_terms(k)
-                dyd = sy1 - sy0
-                safe = jnp.where(jnp.abs(dyd) < 1e-9, 1.0, dyd)
-                t0 = (cy0 - sy0) / safe
-                t1 = (cy1 - sy0) / safe
-                xa = x0 + t0 * (x1 - x0)
-                xb = x0 + t1 * (x1 - x0)
-                xmn = jnp.minimum(xa, xb)
-                xmx = jnp.maximum(xa, xb)
-                span = xmx - xmn
-                safe_span = jnp.where(span < 1e-9, 1.0, span)
-                rel_mn = xmn - px  # (WP, EC)
-                rel_mx = xmx - px
-                mean = jnp.where(
-                    span < 1e-9,
-                    jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
-                    (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
-                ramp = dy * (1.0 - mean)  # (WP, EC) exact f32
+                def heavy(k):
+                    dy, onehot, sy0, sy1, cy0, cy1 = row_terms(k)
+                    dyd = sy1 - sy0
+                    safe = jnp.where(jnp.abs(dyd) < 1e-9, 1.0, dyd)
+                    t0 = (cy0 - sy0) / safe
+                    t1 = (cy1 - sy0) / safe
+                    xa = x0 + t0 * (x1 - x0)
+                    xb = x0 + t1 * (x1 - x0)
+                    xmn = jnp.minimum(xa, xb)
+                    xmx = jnp.maximum(xa, xb)
+                    span = xmx - xmn
+                    safe_span = jnp.where(span < 1e-9, 1.0, span)
+                    rel_mn = xmn - px  # (WP, EC)
+                    rel_mx = xmx - px
+                    mean = jnp.where(
+                        span < 1e-9,
+                        jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
+                        (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
+                    ramp = dy * (1.0 - mean)  # (WP, EC) exact f32
+                    if prefix_cheap:
+                        # Left pieces already live in the per-frame prefix
+                        # plane; mask them so nothing double-counts.
+                        ramp = ramp * (1.0 - lmask)
+                    for part in split3(ramp):
+                        acc_ref[lyr] = acc_ref[lyr] + jnp.dot(
+                            part, onehot, preferred_element_type=jnp.float32)
+
+                if not skip_empty:
+                    for k in (0, 1):
+                        heavy(k)
+                    continue
+
                 if prefix_cheap:
-                    # Left pieces already live in the per-frame prefix
-                    # plane; mask them so nothing double-counts.
-                    ramp = ramp * (1.0 - lmask)
-                for part in split3(ramp):
-                    acc_ref[lyr] = acc_ref[lyr] + jnp.dot(
-                        part, onehot, preferred_element_type=jnp.float32)
+                    @pl.when(any_cross)
+                    def _full():
+                        for k in (0, 1):
+                            heavy(k)
+                    continue
 
-            if not skip_empty:
-                for k in (0, 1):
-                    heavy(k)
-                continue
-
-            if prefix_cheap:
                 @pl.when(any_cross)
                 def _full():
                     for k in (0, 1):
                         heavy(k)
-                continue
 
-            @pl.when(any_cross)
-            def _full():
-                for k in (0, 1):
-                    heavy(k)
+                @pl.when(jnp.logical_not(any_cross))
+                def _bcast():
+                    # No transition crosses this block: left pieces add dy
+                    # (a px-independent ROW value), right pieces add 0.  The
+                    # three bf16 parts stack into ONE (3, EC) @ (EC, HP)
+                    # product per row, accumulated into the TINY (8, hp)
+                    # side plane — no (wblock, hp) RMW and one one-hot read
+                    # per row instead of three (the cheap path's full-size
+                    # accumulator traffic was the dominant sweep cost:
+                    # PERF.md round-3 sweep study).
+                    for ki, k in enumerate((0, 1)):
+                        dy, onehot, *_ = row_terms(k)
+                        parts = jnp.concatenate(split3(dy * lmask), axis=0)
+                        sl3 = slice(3 * ki, 3 * ki + 3)
+                        cheap_ref[lyr, sl3] = cheap_ref[lyr, sl3] + jnp.dot(
+                            parts, onehot,
+                            preferred_element_type=jnp.float32)
 
-            @pl.when(jnp.logical_not(any_cross))
-            def _bcast():
-                # No transition crosses this block: left pieces add dy
-                # (a px-independent ROW value), right pieces add 0.  The
-                # three bf16 parts stack into ONE (3, EC) @ (EC, HP)
-                # product per row, accumulated into the TINY (8, hp)
-                # side plane — no (wblock, hp) RMW and one one-hot read
-                # per row instead of three (the cheap path's full-size
-                # accumulator traffic was the dominant sweep cost:
-                # PERF.md round-3 sweep study).
-                for ki, k in enumerate((0, 1)):
-                    dy, onehot, *_ = row_terms(k)
-                    parts = jnp.concatenate(split3(dy * lmask), axis=0)
-                    sl3 = slice(3 * ki, 3 * ki + 3)
-                    cheap_ref[lyr, sl3] = cheap_ref[lyr, sl3] + jnp.dot(
-                        parts, onehot,
-                        preferred_element_type=jnp.float32)
+        rules = layer_rules(fill_rule, layers)
+        # Winding = block accumulator + the cheap plane's row totals (a
+        # (1, hp) broadcast folded as an expression, no extra RMW).  In
+        # prefix mode the plane holds one row PER BLOCK; select this
+        # block's row by masked sum (no dynamic sublane slicing).
+        if prefix_cheap:
+            row_sel = (jax.lax.broadcasted_iota(
+                jnp.int32, (nbp, 1), 0) == wbe).astype(jnp.float32)
 
-    rules = layer_rules(fill_rule, layers)
-    # Winding = block accumulator + the cheap plane's row totals (a
-    # (1, hp) broadcast folded as an expression, no extra RMW).  In
-    # prefix mode the plane holds one row PER BLOCK; select this
-    # block's row by masked sum (no dynamic sublane slicing).
-    if prefix_cheap:
-        row_sel = (jax.lax.broadcasted_iota(
-            jnp.int32, (nbp, 1), 0) == wb).astype(jnp.float32)
+            def cheap_rows(lyr):
+                return jnp.sum(cheap_ref[lyr] * row_sel, axis=0,
+                               keepdims=True)
+        else:
+            def cheap_rows(lyr):
+                return jnp.sum(cheap_ref[lyr], axis=0, keepdims=True)
+        covs = [fill_rule_cov(acc_ref[lyr] + cheap_rows(lyr), rules[lyr])
+                for lyr in range(layers)]
 
-        def cheap_rows(lyr):
-            return jnp.sum(cheap_ref[lyr] * row_sel, axis=0,
-                           keepdims=True)
-    else:
-        def cheap_rows(lyr):
-            return jnp.sum(cheap_ref[lyr], axis=0, keepdims=True)
-    covs = [fill_rule_cov(acc_ref[lyr] + cheap_rows(lyr), rules[lyr])
-            for lyr in range(layers)]
+        grad_cache = {}
 
-    grad_cache = {}
+        def grad_plane(lyr):
+            """In-kernel gradient field for this (frame, column block): the
+            per-frame composed matrix (paint inverse ∘ frame inverse) comes
+            from SMEM; stops/focal/spread are baked via KernelPaint — the
+            ramp math is _grad_eval, shared with the flat-block kernel."""
+            if lyr not in grad_cache:
+                # gm_ref is a (1, L, 6) SMEM window of this frame's matrices
+                # (windowed so a long timeline's track never outgrows SMEM).
+                ga, gb, gc, gd, ge, gf = (gm_ref[0, lyr, k] for k in range(6))
+                pxc = px + 0.5     # (WP, 1) pixel-center x for this block
+                pyc = hlane + 0.5  # (1, HP) pixel-center y
+                sx = ga * pxc + gc * pyc + ge
+                sy = gb * pxc + gd * pyc + gf
+                sc = None
+                if sc_ref is not None:
+                    # This frame's (1, L, K, 4) SMEM stop-color window:
+                    # per-frame color-transform FADES fold into per-frame
+                    # stops (exactly compile-with-ct semantics per frame).
+                    sc = [[sc_ref[0, lyr, k, ch] for ch in range(4)]
+                          for k in range(len(paints[lyr].stop_ratios))]
+                grad_cache[lyr] = _grad_eval(paints[lyr], sx, sy,
+                                             stop_colors=sc)
+            return grad_cache[lyr]
 
-    def grad_plane(lyr):
-        """In-kernel gradient field for this (frame, column block): the
-        per-frame composed matrix (paint inverse ∘ frame inverse) comes
-        from SMEM; stops/focal/spread are baked via KernelPaint — the
-        ramp math is _grad_eval, shared with the flat-block kernel."""
-        if lyr not in grad_cache:
-            # gm_ref is a (1, L, 6) SMEM window of this frame's matrices
-            # (windowed so a long timeline's track never outgrows SMEM).
-            ga, gb, gc, gd, ge, gf = (gm_ref[0, lyr, k] for k in range(6))
-            pxc = px + 0.5     # (WP, 1) pixel-center x for this block
-            pyc = hlane + 0.5  # (1, HP) pixel-center y
-            sx = ga * pxc + gc * pyc + ge
-            sy = gb * pxc + gd * pyc + gf
-            sc = None
-            if sc_ref is not None:
-                # This frame's (1, L, K, 4) SMEM stop-color window:
-                # per-frame color-transform FADES fold into per-frame
-                # stops (exactly compile-with-ct semantics per frame).
-                sc = [[sc_ref[0, lyr, k, ch] for ch in range(4)]
-                      for k in range(len(paints[lyr].stop_ratios))]
-            grad_cache[lyr] = _grad_eval(paints[lyr], sx, sy,
-                                         stop_colors=sc)
-        return grad_cache[lyr]
+        def read_color(lyr, ch):
+            if morph:
+                return ((1.0 - t_r) * colors_ref[lyr, ch]
+                        + t_r * colors_e_ref[lyr, ch])
+            if paints is not None and paints[lyr].kind != KPAINT_COLOR:
+                return grad_plane(lyr)[ch]
+            if per_frame_colors:
+                return colors_ref[i, lyr, ch]
+            return colors_ref[lyr, ch]
 
-    def read_color(lyr, ch):
-        if morph:
-            return ((1.0 - t_r) * colors_ref[lyr, ch]
-                    + t_r * colors_e_ref[lyr, ch])
-        if paints is not None and paints[lyr].kind != KPAINT_COLOR:
-            return grad_plane(lyr)[ch]
-        if per_frame_colors:
-            return colors_ref[i, lyr, ch]
-        return colors_ref[lyr, ch]
 
-    out_ref[0] = composite_quantize_pack(covs, read_color, layers=layers)
+        out_ref[0, osl] = composite_quantize_pack(
+            covs, read_color, layers=layers)
+
+    for b_i in range(bps):
+        do_block(wb * bps + b_i,
+                 slice(b_i * wblock, (b_i + 1) * wblock))
 
 
 def _xform_kernel_rows(mats_ref, colors_ref, *rest,
@@ -759,6 +772,18 @@ def _row_grid_fits(layers: int, wp: int, wchunk: int) -> bool:
 _ROW_GRID_DEFAULT = False
 
 
+def _auto_bps(layers: int, hp: int, e_chunk: int,
+              n_blocks: int) -> int:
+    """Column blocks per grid step: 3 amortizes the per-step fixed
+    overhead (1080p anim: 1.23 -> 1.07 ms/frame, PERF.md) but grows the
+    unrolled kernel and the out-block VMEM footprint — bps 4 at 1080p x
+    3 layers blew the 16 MB scoped-VMEM limit by 1 MB.  Only raise bps
+    inside the measured-safe envelope; everything else stays at 1."""
+    if layers <= 4 and hp <= 1280 and e_chunk <= 256 and n_blocks >= 4:
+        return 3
+    return 1
+
+
 def _wblock_for(width: int, hp: int) -> int:
     """Column-block sublane count: 256 fits comfortably for short lane
     extents; tall frames (hp > 640) drop to 128 so the layer accumulators
@@ -772,7 +797,7 @@ def _wblock_for(width: int, hp: int) -> int:
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
     "skip_empty", "paints", "wblock", "row_grid", "wchunk", "x_split",
-    "layer_counts", "prefix_cheap"))
+    "layer_counts", "prefix_cheap", "blocks_per_step"))
 def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
@@ -782,7 +807,7 @@ def render_affine_sweep(
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
-    e_chunk: int = 512,
+    e_chunk: int = 256,
     skip_empty: bool = True,
     wblock: int = None,       # column-block override (ablation knob)
     row_grid: bool = None,    # None = auto: row kernel when scratch fits
@@ -790,6 +815,7 @@ def render_affine_sweep(
     x_split: bool = True,     # row-kernel x-crossing skip (ablation knob)
     layer_counts: tuple = None,  # per-layer REAL piece counts (static)
     prefix_cheap: bool = None,   # None = on whenever the skip is active
+    blocks_per_step: int = None,  # None = auto (measured-safe bps)
     paints=None,              # tuple of KernelPaint (COLOR/LINEAR/FOCAL)
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
     stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
@@ -860,7 +886,9 @@ def render_affine_sweep(
                    pltpu.VMEM((layers, wp // wchunk, LANE), jnp.float32)]
     else:
         wblock = wblock or _wblock_for(width, hp)
-        wp = -(-wp8 // wblock) * wblock
+        bps = blocks_per_step or _auto_bps(
+            layers, hp, e_chunk, -(-wp8 // wblock))
+        wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
         # The skip pays off only when there are enough column blocks for
         # transition-free (block, chunk) pairs to exist; at <= 2 blocks
         # the pl.when overhead measured as a net loss (512^2: 0.186 ->
@@ -876,10 +904,12 @@ def render_affine_sweep(
             fill_rule=fill_rule, e_chunk=e_chunk,
             per_layer=matrices.ndim == 3, skip_empty=skip_empty,
             layer_counts=layer_counts, prefix_cheap=prefix_cheap,
+            bps=bps,
             per_frame_colors=colors.ndim == 3, paints=paints,
             dyn_stops=stop_colors is not None)
-        grid = (fcount, wp // wblock)
-        out_specs = pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
+        grid = (fcount, wp // (wblock * bps))
+        out_specs = pl.BlockSpec((1, wblock * bps, hp),
+                                 lambda i, wb: (i, wb, 0),
                                  memory_space=pltpu.VMEM)
         scratch = [pltpu.VMEM((layers, wblock, hp), jnp.float32),
                    pltpu.VMEM((layers, nbp, hp), jnp.float32)]
@@ -920,7 +950,7 @@ def render_affine_sweep(
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
     "skip_empty", "row_grid", "wchunk", "layer_counts",
-    "prefix_cheap"))
+    "prefix_cheap", "blocks_per_step"))
 def render_morph_affine_sweep(
     matrices: jax.Array,  # (F, 6) f32 device affines
     ratios: jax.Array,    # (F,) f32 in [0, 1]
@@ -934,12 +964,13 @@ def render_morph_affine_sweep(
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
-    e_chunk: int = 512,
+    e_chunk: int = 256,
     skip_empty: bool = True,
     row_grid: bool = None,
     wchunk: int = 256,
     layer_counts: tuple = None,
     prefix_cheap: bool = None,
+    blocks_per_step: int = None,
 ) -> jax.Array:
     """Combined MORPH + TRANSFORM sweep: per frame, lerp the local piece
     tables by the frame's ratio, apply the frame's affine, rasterize —
@@ -970,7 +1001,9 @@ def render_morph_affine_sweep(
                    pltpu.VMEM((layers, wp // wchunk, LANE), jnp.float32)]
     else:
         wblock = _wblock_for(width, hp)
-        wp = -(-wp8 // wblock) * wblock
+        bps = blocks_per_step or _auto_bps(
+            layers, hp, e_chunk, -(-wp8 // wblock))
+        wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
         skip_empty = skip_empty and wp // wblock >= 4
         if prefix_cheap is None:
             prefix_cheap = skip_empty
@@ -982,9 +1015,10 @@ def render_morph_affine_sweep(
             fill_rule=fill_rule, e_chunk=e_chunk,
             per_layer=matrices.ndim == 3, layer_counts=layer_counts,
             skip_empty=skip_empty, morph=True,
-            prefix_cheap=prefix_cheap)
-        grid = (fcount, wp // wblock)
-        out_specs = pl.BlockSpec((1, wblock, hp), lambda i, wb: (i, wb, 0),
+            prefix_cheap=prefix_cheap, bps=bps)
+        grid = (fcount, wp // (wblock * bps))
+        out_specs = pl.BlockSpec((1, wblock * bps, hp),
+                                 lambda i, wb: (i, wb, 0),
                                  memory_space=pltpu.VMEM)
         scratch = [pltpu.VMEM((layers, wblock, hp), jnp.float32),
                    pltpu.VMEM((layers, nbp, hp), jnp.float32)]

@@ -374,6 +374,28 @@ def test_prefix_cheap_matches_per_block_paths():
         assert diff.max() <= 1, (label, diff.max())
 
 
+def test_blocks_per_step_is_exact():
+    """Processing several column blocks per grid step (amortizing the
+    per-step fixed overhead) is pure regrouping — per-block math is
+    untouched, so cropped output is bit-identical."""
+    height, width = 100, 600
+    tables = [_star_edges(150.0, 50.0, 45.0, 20.0),
+              _star_edges(420.0, 55.0, 40.0, 18.0, points=5)]
+    colors = [(0.9, 0.3, 0.1, 0.85), (0.2, 0.5, 0.9, 0.8)]
+    mats = _rotation_mats(3, 300.0, 50.0)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+    outs = {}
+    for bps in (1, 2, 3):
+        out = render_affine_sweep(*args, height, width, wblock=64,
+                                  blocks_per_step=bps)
+        outs[bps] = morph_frames_to_u8(np.asarray(out), height, width)
+    np.testing.assert_array_equal(outs[1], outs[2])
+    np.testing.assert_array_equal(outs[1], outs[3])
+
+
 def test_layer_counts_trim_is_exact():
     """Static per-layer piece counts skip all-padding chunks (EP is the
     max over layers, so a skewed draw list otherwise pays the big

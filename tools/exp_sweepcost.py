@@ -36,7 +36,7 @@ from swf_renderer_tpu.ops.transform import (  # noqa: E402
 
 def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
             row_grid=False, wchunk=256, x_split=True,
-            prefix_cheap=None):
+            prefix_cheap=None, blocks_per_step=1):
     tables, colors, mats = anim_scene(h, w, frames)
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
@@ -53,7 +53,8 @@ def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
             out = render_affine_sweep(
                 varied, *fargs, h, w, e_chunk=e_chunk, wblock=wblock,
                 skip_empty=skip_empty, row_grid=row_grid, wchunk=wchunk,
-                x_split=x_split, prefix_cheap=prefix_cheap)
+                x_split=x_split, prefix_cheap=prefix_cheap,
+                blocks_per_step=blocks_per_step)
             int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
             ts.append(time.perf_counter() - t0)
         return min(ts[1:])
@@ -81,12 +82,14 @@ def main():
     # insensitive to ALL piece-work structure -> suspect per-step fixed
     # cost (900 steps/frame at wblock 128).  wblock 256 halves steps
     # (e_chunk 256 keeps ramp temporaries inside scoped VMEM).
+    # Grid-step fixed-overhead test via blocks-per-step (wblock stays
+    # 128, so block-sized resolve temporaries don't grow the scoped-VMEM
+    # footprint the way wblock=256 did — that blew the 16 MB limit).
+    # bps4 + ec256 blew scoped VMEM by 0.96 MB; try slimmer chunks.
     grid = [
-        ("prefix-ec256", dict(e_chunk=256)),
-        ("prefix-wb256-ec256", dict(wblock=256, e_chunk=256)),
-        ("prefix-wb384-ec128", dict(wblock=384, e_chunk=128)),
-        ("sideplane-wb256-ec256", dict(wblock=256, e_chunk=256,
-                                       prefix_cheap=False)),
+        ("prefix-ec256-bps3", dict(e_chunk=256, blocks_per_step=3)),
+        ("prefix-ec128-bps2", dict(e_chunk=128, blocks_per_step=2)),
+        ("prefix-ec128-bps4", dict(e_chunk=128, blocks_per_step=4)),
     ]
     for label, kw in grid:
         e_chunk = kw.pop("e_chunk", 512)

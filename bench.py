@@ -192,6 +192,33 @@ def anim_scene(h: int, w: int, frames: int):
     return tables, colors, np.asarray(mats, np.float32)
 
 
+def tiled_frame_fit(timed, tracks, frames: int,
+                    px_per_frame: int) -> float:
+    """Sustained per-frame seconds via a tiled two-point fit over the
+    FRAME axis.  ``tracks``: tuple of np arrays with frames on axis 0
+    (None entries pass through untiled); ``timed(tracks)`` -> seconds
+    for one full call (it should run warm repetitions and force a
+    checksum).  The track is tiled with tiny perturbations so the
+    k1-k0 signal is tens of ms — a sub-frame-count delta sits below the
+    ~5 ms tunnel jitter (which once produced NEGATIVE fits) — capped by
+    ~1 GB of packed-u32 output.  A wrapping fori_loop is NOT an option:
+    XLA stack-allocates the sweep's whole output in scoped VMEM.
+    Shared with tools/exp_sweepcost.py so ablations measure with the
+    bench methodology."""
+    budget = max(2, int(1.0e9 // (px_per_frame * 4)))
+    mult = max(2, min(8, budget // frames))
+
+    def tile(arr):
+        if arr is None:
+            return None
+        return np.concatenate([arr + np.float32(k) * 1e-9
+                               for k in range(mult)])
+
+    t_k0 = timed(tracks)
+    t_k1 = timed(tuple(tile(a) for a in tracks))
+    return (t_k1 - t_k0) / (frames * (mult - 1))
+
+
 def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
                label: str = "anim_rotation_512x512x60_sustained",
                gradient: bool = False) -> None:
@@ -201,7 +228,9 @@ def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
     tables upload once and every frame's affine applies in-kernel (the
     reference's matrix-at-draw-time replay, canvas-renderer.ts:179-184,
     batched).  ``gradient``: layer 1 gets an in-kernel linear-gradient
-    paint (styled sweep; per-frame composed matrices from SMEM)."""
+    paint whose stop colors FADE per frame (styled sweep; per-frame
+    composed matrices AND per-frame stop colors from SMEM — the dynamic
+    color-transform path, not the static-stop one)."""
     import jax
     import jax.numpy as jnp
 
@@ -210,19 +239,26 @@ def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
     )
     tables, colors, mats = anim_scene(h, w, frames)
 
-    kpaints = grad_mats = None
+    kpaints = grad_mats = stop_colors = None
     if gradient:
         from swf_renderer_tpu.ops import style as style_ops
 
+        base_stops = np.array([[1, 0.2, 0, 1], [0, 1, 0.5, 0.8],
+                               [0.2, 0, 1, 1]], np.float32)
         paints = [style_ops.solid_paint(tuple(c)) for c in colors]
         paints[1] = style_ops.Paint(
             kind=style_ops.PAINT_LINEAR,
             inv_matrix=(2.0 * 16384.0 / w, 0.0, 0.0, 2.0 * 16384.0 / w,
                         -16384.0, -16384.0 * h / w),
             stop_ratios=np.array([0.0, 0.5, 1.0], np.float32),
-            stop_colors=np.array([[1, 0.2, 0, 1], [0, 1, 0.5, 0.8],
-                                  [0.2, 0, 1, 1]], np.float32))
+            stop_colors=base_stops)
         kpaints, grad_mats = sweep_paints(paints, mats)
+        # Per-frame stop-color FADES (the dynamic ct path): alpha ramps
+        # 1.0 -> 0.4 over the animation, exercising the SMEM stop
+        # window every frame.
+        stop_colors = np.zeros((frames, len(paints), 3, 4), np.float32)
+        fade = np.linspace(1.0, 0.4, frames, dtype=np.float32)
+        stop_colors[:, 1] = base_stops[None] * fade[:, None, None]
 
     t0 = time.perf_counter()
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
@@ -234,41 +270,25 @@ def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
 
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
 
-    # Sustained two-point fit over the FRAME COUNT (a wrapping fori_loop
-    # makes XLA stack-allocate the sweep's whole output in scoped VMEM —
-    # OOM at 60x512^2; single calls with k1-k0 frames of extra work
-    # cancel the ~26 ms dispatch floor just as well, since frames are the
-    # batch axis and host cost is frame-count-independent).
-    def timed(mm_np, gm_np):
+    # Sustained two-point fit over the FRAME COUNT (tiled_frame_fit).
+    def timed(tracks):
+        mm_np, gm_np, sc_np = tracks
         mm = jnp.asarray(mm_np)
         gm = None if gm_np is None else jnp.asarray(gm_np)
+        sc = None if sc_np is None else jnp.asarray(sc_np)
         ts = []
         for i in range(4):
             varied = mm + np.float32(i) * 1e-12
             t0 = time.perf_counter()
             out = render_affine_sweep(varied, *fargs, h, w,
-                                      paints=kpaints, grad_mats=gm)
+                                      paints=kpaints, grad_mats=gm,
+                                      stop_colors=sc)
             int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
             ts.append(time.perf_counter() - t0)
         return min(ts[1:])  # [0] may include compile
 
-    # The per-frame time is small enough (70 us at 512^2) that a
-    # sub-frame-count delta sits below tunnel jitter (+-5 ms between
-    # adjacent timed regions, which once produced NEGATIVE fits); tile
-    # the matrix track so the k1-k0 signal is tens of ms, capped by
-    # ~1 GB of packed-u32 output.
-    budget = max(2, int(1.0e9 // (w * h * 4)))
-    mult = max(2, min(8, budget // frames))
-
-    def tile(arr):
-        if arr is None:
-            return None
-        return np.concatenate([arr + np.float32(k) * 1e-9
-                               for k in range(mult)])
-
-    t_k0 = timed(mats, grad_mats)
-    t_k1 = timed(tile(mats), tile(grad_mats))
-    dt_frame = (t_k1 - t_k0) / (frames * (mult - 1))
+    dt_frame = tiled_frame_fit(timed, (mats, grad_mats, stop_colors),
+                               frames, w * h)
     print(json.dumps({"note": "anim per-frame device time",
                       "ms": round(dt_frame * 1e3, 3)}), file=sys.stderr)
     print(json.dumps({

@@ -173,21 +173,27 @@ def morph_affine_pieces(pairs, matrices, e_multiple: int = 128):
     return tab_s, subxy_s, tab_e, subxy_e, colors_s, colors_e
 
 
-def layer_piece_counts(tab) -> tuple:
+def layer_piece_counts(tab, multiple: int = 256) -> tuple:
     """Per-layer REAL piece counts from a padded (P, 4, 1, EP) table
     (host numpy): index of the last piece with any nonzero coordinate,
-    +1.  Trailing degenerate pieces count as padding — they transform to
-    points (dy' = 0) and contribute nothing, like the padding itself.
-    Pass as ``layer_counts`` to the sweep entries so layers far below
-    the padded EP skip their all-padding chunks (EP is the MAX over
-    layers: one big draw otherwise makes every small draw pay its
-    chunk count)."""
+    +1, rounded UP to ``multiple``.  Trailing degenerate pieces count as
+    padding — they transform to points (dy' = 0) and contribute nothing,
+    like the padding itself.  Pass as ``layer_counts`` to the sweep
+    entries so layers far below the padded EP skip their all-padding
+    chunks (EP is the MAX over layers: one big draw otherwise makes
+    every small draw pay its chunk count).
+
+    The rounding keeps the static jit key coarse: the kernel only
+    depends on counts rounded to e_chunk anyway, and raw counts would
+    force a fresh 1-10 min remote compile for every scene whose exact
+    piece total differs."""
     t = np.asarray(tab)
     nz = np.any(t != 0.0, axis=(1, 2))  # (P, EP)
     counts = []
     for lyr in range(t.shape[0]):
         idx = np.nonzero(nz[lyr])[0]
-        counts.append(int(idx[-1]) + 1 if idx.size else 0)
+        n = int(idx[-1]) + 1 if idx.size else 0
+        counts.append(-(-n // multiple) * multiple)
     return tuple(counts)
 
 
@@ -759,7 +765,10 @@ def _xform_kernel_rows(mats_ref, colors_ref, *rest,
 def _row_grid_fits(layers: int, wp: int, wchunk: int) -> bool:
     """Row-grid scratch = (layers, wp, 128) f32 acc + the tiny cheap
     plane; keep it comfortably under the 16 MB scoped-VMEM budget
-    (temporaries + piece tables + output block share it)."""
+    (temporaries + piece tables + output block share it).  Only reached
+    if _ROW_GRID_DEFAULT flips True — it guards the future default, not
+    today's explicit row_grid=True ablation calls."""
+    del wchunk  # sized by acc, not chunking
     acc = layers * wp * LANE * 4
     return acc <= 10 * 2**20
 
@@ -778,9 +787,14 @@ def _auto_bps(layers: int, hp: int, e_chunk: int,
     overhead (1080p anim: 1.23 -> 1.07 ms/frame, PERF.md) but grows the
     unrolled kernel and the out-block VMEM footprint — bps 4 at 1080p x
     3 layers blew the 16 MB scoped-VMEM limit by 1 MB.  Only raise bps
-    inside the measured-safe envelope; everything else stays at 1."""
+    inside the measured-safe envelope, and only when it divides the
+    block count — wp pads to wblock*bps multiples, so a non-dividing
+    bps rasterizes whole garbage blocks (5 blocks at bps 3 -> 6 blocks,
+    +20% device time)."""
     if layers <= 4 and hp <= 1280 and e_chunk <= 256 and n_blocks >= 4:
-        return 3
+        for b in (3, 2):
+            if n_blocks % b == 0:
+                return b
     return 1
 
 
@@ -865,6 +879,13 @@ def render_affine_sweep(
             raise ValueError(
                 f"stop_colors must be (F, L, K, 4), got "
                 f"{stop_colors.shape}")
+        k_need = max((len(p.stop_ratios) for p in paints
+                      if p.kind != KPAINT_COLOR), default=0)
+        if stop_colors.shape[2] < k_need:
+            raise ValueError(
+                f"stop_colors K={stop_colors.shape[2]} < the largest "
+                f"gradient stop count {k_need} (kernel would read past "
+                f"the SMEM window)")
     hp = -(-height // LANE) * LANE
     wp8 = -(-width // 8) * 8
     if row_grid is None:

@@ -374,6 +374,43 @@ def test_prefix_cheap_matches_per_block_paths():
         assert diff.max() <= 1, (label, diff.max())
 
 
+def test_morph_sweep_wide_frame_prefix_paths():
+    """render_morph_affine_sweep on a frame WIDE enough to activate the
+    skip/prefix/bps machinery (>= 4 column blocks): the prefix plane
+    interacts with the per-frame ratio lerp there, which the hb29-sized
+    morph tests never reach.  Gate: within one u8 quantum of the
+    always-heavy kernel."""
+    from swf_renderer_tpu.ops.transform import (
+        morph_affine_pieces, render_morph_affine_sweep,
+    )
+    height, width = 100, 1200  # wblock 256 -> 5 blocks, skip live
+
+    def star(cx, cy, r_out, r_in, points=7):
+        return _star_edges(cx, cy, r_out, r_in, points)
+
+    pairs = [
+        (star(200.0, 50.0, 45.0, 20.0), star(900.0, 55.0, 40.0, 25.0),
+         (0.9, 0.2, 0.1, 0.9), (0.1, 0.2, 0.9, 0.7)),
+        (star(600.0, 45.0, 40.0, 18.0, points=5),
+         star(400.0, 60.0, 30.0, 12.0, points=5),
+         (0.2, 0.8, 0.3, 0.8), (0.8, 0.8, 0.1, 1.0)),
+    ]
+    mats = _rotation_mats(4, 600.0, 50.0)
+    ratios = np.linspace(0.0, 1.0, 4).astype(np.float32)
+    parts = morph_affine_pieces(pairs, mats)
+    args = (jnp.asarray(mats), jnp.asarray(ratios),
+            *(jnp.asarray(x) for x in parts))
+    from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+    fast = morph_frames_to_u8(np.asarray(render_morph_affine_sweep(
+        *args, height, width)), height, width)
+    slow = morph_frames_to_u8(np.asarray(render_morph_affine_sweep(
+        *args, height, width, skip_empty=False)), height, width)
+    diff = np.abs(fast.astype(np.int32) - slow.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    # Shapes genuinely render (max paint alpha is 0.9 -> ~230)
+    assert fast[..., 3].max() > 200
+
+
 def test_blocks_per_step_is_exact():
     """Processing several column blocks per grid step (amortizing the
     per-step fixed overhead) is pure regrouping — per-block math is

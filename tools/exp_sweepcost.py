@@ -28,7 +28,9 @@ sys.path.insert(0, ".")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from bench import _enable_compile_cache, anim_scene  # noqa: E402
+from bench import (  # noqa: E402
+    _enable_compile_cache, anim_scene, tiled_frame_fit,
+)
 from swf_renderer_tpu.ops.transform import (  # noqa: E402
     affine_pieces, render_affine_sweep,
 )
@@ -41,11 +43,8 @@ def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
 
-    budget = max(2, int(1.0e9 // (w * h * 4)))
-    mult = max(2, min(8, budget // frames))
-
-    def timed(mm_np):
-        mm = jnp.asarray(mm_np)
+    def timed(tracks):
+        mm = jnp.asarray(tracks[0])
         ts = []
         for i in range(4):
             varied = mm + np.float32(i) * 1e-12
@@ -59,11 +58,7 @@ def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
             ts.append(time.perf_counter() - t0)
         return min(ts[1:])
 
-    tiled = np.concatenate([mats + np.float32(k) * 1e-9
-                            for k in range(mult)])
-    t_k0 = timed(mats)
-    t_k1 = timed(tiled)
-    return (t_k1 - t_k0) / (frames * (mult - 1))
+    return tiled_frame_fit(timed, (mats,), frames, w * h)
 
 
 def main():

@@ -197,6 +197,152 @@ def layer_piece_counts(tab, multiple: int = 256) -> tuple:
     return tuple(counts)
 
 
+def plan_compact_sweep(matrices, tab, height, width, e_chunk: int = 256,
+                       wblock: int = None, blocks_per_step: int = None):
+    """Host-side plan for the COMPACTED sweep: conservative per-layer
+    capacities for crossing pieces per (frame, column block).
+
+    The classic sweep kernel pays a fixed cost per (column block, piece
+    chunk, layer) — chunk transform, crossing reduction, branch sync —
+    for EVERY chunk, even ones the block never touches (PERF.md round-3
+    decomposition: ~0.7 of 1.07 ms/frame at 1080p).  The compact path
+    gathers, per (frame, block), only the pieces whose x-transition
+    crosses that block (the device pre-pass in ``_compact_pre``), so a
+    block visits ~piece_count/n_blocks pieces instead of all of them.
+
+    This function computes the STATIC jit metadata: per-layer maxima
+    (over frames and blocks) of the crossing count, in f64 with an
+    epsilon wide enough that the device's exact-f32 mask can never
+    exceed the capacity, rounded up to ``e_chunk`` (coarse jit keys).
+    Returns ``None`` when compaction cannot pay (single column block).
+    Pass the dict's entries straight to :func:`render_affine_sweep`."""
+    t = np.asarray(tab, np.float64)  # (L, 4, 1, EP)
+    layers = t.shape[0]
+    per_layer = _per_layer_mats(matrices, layers)
+    hp = -(-height // LANE) * LANE
+    wp8 = -(-width // 8) * 8
+    wblock = wblock or _wblock_for(width, hp)
+    bps = blocks_per_step or _auto_bps(
+        layers, hp, e_chunk, -(-wp8 // wblock))
+    wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
+    nb = wp // wblock
+    if nb < 2:
+        return None
+    lo = (np.arange(nb, dtype=np.float64) * wblock)[:, None, None]
+    s_pads = []
+    for lyr in range(layers):
+        lm = per_layer[lyr]  # (F, 6) f64
+        x0l, y0l, x1l, y1l = t[lyr, :, 0]  # (EP,)
+        a, b, c, d, e, f = (lm[:, k:k + 1] for k in range(6))
+        x0 = a * x0l + c * y0l + e  # (F, EP)
+        y0 = b * x0l + d * y0l + f
+        x1 = a * x1l + c * y1l + e
+        y1 = b * x1l + d * y1l + f
+        pxmn = np.minimum(x0, x1)
+        pxmx = np.maximum(x0, x1)
+        # f32-vs-f64 transform divergence is ~|x| * 2^-22 worst case
+        # across the 4-op chain; 1e-2 + 1e-5|x| is orders wider.
+        eps = 1e-2 + 1e-5 * np.maximum(np.abs(pxmn), np.abs(pxmx))
+        live = y0 != y1  # f64-equal => f32-equal, so never undercounts
+        crossing = (live[None] & (pxmx[None] + eps[None] > lo)
+                    & (pxmn[None] - 1.0 - eps[None] < lo + wblock))
+        n = int(crossing.sum(axis=-1).max()) if crossing.size else 0
+        s_pads.append(-(-n // e_chunk) * e_chunk if n else 0)
+    if not any(s_pads):
+        return None
+    return {"compact_counts": tuple(s_pads), "wblock": wblock,
+            "blocks_per_step": bps}
+
+
+def _split3_stack(v):
+    """Exact f32 = hi + mid + lo bf16 split (XLA-side twin of the
+    kernel's split3; 3x8 mantissa bits)."""
+    hi = v.astype(jnp.bfloat16)
+    hi32 = hi.astype(jnp.float32)
+    mid = (v - hi32).astype(jnp.bfloat16)
+    mid32 = mid.astype(jnp.float32)
+    lo = (v - hi32 - mid32).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _compact_pre(matrices, tab, *, s_max: int, wblock: int, nb: int,
+                 nbp: int, hp: int):
+    """Device pre-pass for the compacted sweep (regular XLA, scanned
+    over frames): per (frame, column block, layer), gather the pieces
+    whose x-transition crosses the block into a dense table, and build
+    the per-frame prefix plane (completed-ramp row totals of pieces
+    fully LEFT of each block — the in-kernel wb==0 prefix pass, hoisted
+    out of the kernel entirely).
+
+    The gather is an exact one-hot MXU matmul: coordinates split into
+    3 bf16 parts (each exactly representable), the one-hot has at most
+    one nonzero per output slot, so the f32-accumulated products
+    reconstruct the f32 coordinates bit-exactly.  Unfilled slots stay
+    all-zero: a (0, 0, 0, 0) piece has dy = 0 and pxmx = 0 <= every
+    block_lo, so it is never 'crossing' in the kernel's skip test and
+    contributes nothing to coverage.
+
+    Returns (ctab (F, NB, L, 4, 1, S), csub (F, NB, L, 4, S, 1),
+    prefix (F, L, NBP, HP))."""
+    layers, _, _, ep = tab.shape
+    fcount = matrices.shape[0]
+    m3 = (matrices if matrices.ndim == 3
+          else jnp.broadcast_to(matrices[:, None, :], (fcount, layers, 6)))
+    x0l = tab[:, 0, 0]  # (L, EP)
+    y0l = tab[:, 1, 0]
+    x1l = tab[:, 2, 0]
+    y1l = tab[:, 3, 0]
+    lo = jnp.arange(nb, dtype=jnp.float32) * float(wblock)  # (B,)
+    srange = jnp.arange(s_max, dtype=jnp.int32)
+    hrow = jnp.arange(hp, dtype=jnp.float32)
+
+    def frame(_, mf):  # mf: (L, 6) this frame's matrices
+        a, b, c, d, e, f = (mf[:, k:k + 1] for k in range(6))  # (L, 1)
+        x0 = a * x0l + c * y0l + e  # (L, EP) f32 device px
+        y0 = b * x0l + d * y0l + f
+        x1 = a * x1l + c * y1l + e
+        y1 = b * x1l + d * y1l + f
+        pxmn = jnp.minimum(x0, x1)
+        pxmx = jnp.maximum(x0, x1)
+        live = y0 != y1
+        left = pxmx[:, None, :] <= lo[None, :, None]  # (L, B, EP)
+        crossing = (live[:, None, :] & jnp.logical_not(left)
+                    & (pxmn[:, None, :] - 1.0
+                       < lo[None, :, None] + wblock))
+        pos = jnp.cumsum(crossing.astype(jnp.int32), axis=-1) - 1
+        pos = jnp.where(crossing, pos, -1)  # (L, B, EP)
+        vals = jnp.stack([x0, y0, x1, y1], axis=-1)  # (L, EP, 4)
+        parts = jnp.concatenate(_split3_stack(vals), axis=-1)  # (L,EP,12)
+        comp = jnp.zeros((layers, nb, s_max, 12), jnp.float32)
+        for e0 in range(0, ep, 512):  # slab the one-hot's VMEM/HBM
+            oh = (pos[..., e0:e0 + 512, None] == srange).astype(
+                jnp.bfloat16)  # (L, B, EC, S)
+            comp = comp + jnp.einsum(
+                "lbes,lep->lbsp", oh, parts[:, e0:e0 + 512],
+                preferred_element_type=jnp.float32)
+        c4 = comp[..., 0:4] + comp[..., 4:8] + comp[..., 8:12]
+
+        rowbase = jnp.floor(jnp.minimum(y0, y1))  # (L, EP)
+        pref = jnp.zeros((layers, nbp, hp), jnp.float32)
+        for k in (0, 1):
+            py = rowbase + k
+            cy0 = jnp.clip(y0 - py, 0.0, 1.0)
+            cy1 = jnp.clip(y1 - py, 0.0, 1.0)
+            dy = cy1 - cy0  # (L, EP)
+            w = dy[:, None, :] * left.astype(jnp.float32)  # (L, B, EP)
+            ohr = (py[:, :, None] == hrow).astype(jnp.bfloat16)
+            for part in _split3_stack(w):
+                pref = pref.at[:, :nb].add(jnp.einsum(
+                    "lbe,ley->lby", part, ohr,
+                    preferred_element_type=jnp.float32))
+        return None, (c4, pref)
+
+    _, (c4, pref) = jax.lax.scan(frame, None, m3)
+    # c4: (F, L, B, S, 4) -> block-major kernel layouts.
+    cm = c4.transpose(0, 2, 1, 4, 3)  # (F, B, L, 4, S)
+    return cm[:, :, :, :, None, :], cm[..., None], pref
+
+
 def sweep_paints(paints, matrices):
     """Per-layer style Paints + per-frame device affines ->
     (KernelPaint tuple, (F, L, 6) grad_mats or None) for
@@ -247,9 +393,23 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                   per_frame_colors: bool = False, morph: bool = False,
                   paints=None, dyn_stops: bool = False,
                   layer_counts=None, prefix_cheap: bool = False,
-                  bps: int = 1):
-    gm_ref = sc_ref = None
-    if morph:
+                  bps: int = 1, compact: bool = False):
+    gm_ref = sc_ref = prefix_ref = cheap_ref = None
+    if compact:
+        # Compacted mode (_compact_pre): tab/subxy hold THIS (frame,
+        # grid step)'s crossing pieces already in device px; the prefix
+        # plane is precomputed per frame — no in-kernel transform, no
+        # wb==0 prefix pass, no cheap-plane scratch.
+        if paints is not None:
+            if dyn_stops:
+                (gm_ref, sc_ref, tab_ref, subxy_ref, prefix_ref,
+                 out_ref, acc_ref) = rest
+            else:
+                (gm_ref, tab_ref, subxy_ref, prefix_ref, out_ref,
+                 acc_ref) = rest
+        else:
+            tab_ref, subxy_ref, prefix_ref, out_ref, acc_ref = rest
+    elif morph:
         (ratios_ref, colors_e_ref, tab_ref, subxy_ref, tab2_ref,
          subxy2_ref, out_ref, acc_ref, cheap_ref) = rest
     elif paints is not None:
@@ -331,13 +491,26 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
             return dy, onehot, sy0, sy1, cy0, cy1
         return row_terms
 
+    def chunk_vals_compact(b_i, lyr, sl):
+        """Compacted-mode twin of chunk_vals: pieces are already in
+        device px (gathered per (frame, block) by _compact_pre)."""
+        x0 = tab_ref[0, 0, b_i, lyr, 0, :, sl]  # (1, EC)
+        y0 = tab_ref[0, 0, b_i, lyr, 1, :, sl]
+        x1 = tab_ref[0, 0, b_i, lyr, 2, :, sl]
+        y1 = tab_ref[0, 0, b_i, lyr, 3, :, sl]
+        y0s = subxy_ref[0, 0, b_i, lyr, 1, sl, :]  # (EC, 1)
+        y1s = subxy_ref[0, 0, b_i, lyr, 3, sl, :]
+        rowbase = jnp.floor(jnp.minimum(y0, y1))
+        rowbase_sub = jnp.floor(jnp.minimum(y0s, y1s))
+        return x0, y0, x1, y1, rowbase, rowbase_sub
+
     def chunk_slices(lyr):
         ep_l = ep if layer_counts is None else min(
             ep, -(-layer_counts[lyr] // e_chunk) * e_chunk)
         return [slice(e0, min(e0 + e_chunk, ep))
                 for e0 in range(0, ep_l, e_chunk)]
 
-    nbp = cheap_ref.shape[1]
+    nbp = prefix_ref.shape[2] if compact else cheap_ref.shape[1]
 
     if prefix_cheap:
         # Once per FRAME (first column block of the sequential grid):
@@ -370,22 +543,24 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                             prod[0:nbp] + prod[nbp:2 * nbp]
                             + prod[2 * nbp:3 * nbp])
 
-    def do_block(wbe, osl):
+    def do_block(wbe, b_i, osl):
         """One column block's full pass: accumulate, resolve, pack into
         out_ref[0, osl].  ``wbe`` is the GLOBAL block index (grid step *
         blocks-per-step + local offset) — multiple blocks per grid step
-        amortize the per-step fixed overhead (PERF.md sweep study)."""
+        amortize the per-step fixed overhead (PERF.md sweep study);
+        ``b_i`` is the local offset (indexes the compacted tables)."""
         px = wbe * wblock + px_iota
         for lyr in range(layers):
-            abcdef = mat(lyr)
+            abcdef = None if compact else mat(lyr)
             acc_ref[lyr] = jnp.zeros((wp, hp), jnp.float32)
-            if not prefix_cheap:
+            if not (prefix_cheap or compact):
                 cheap_ref[lyr] = jnp.zeros((nbp, hp), jnp.float32)
             # Pieces stream through in e_chunk slices: the (WP, EC) ramp
             # temporaries, not the piece count, bound scoped VMEM (a 512^2
             # frame with 3.5K pieces at full width blew the 16 MB limit).
             for sl in chunk_slices(lyr):
-                vals = chunk_vals(lyr, sl, abcdef)
+                vals = (chunk_vals_compact(b_i, lyr, sl) if compact
+                        else chunk_vals(lyr, sl, abcdef))
                 x0, y0, x1, y1, rowbase, rowbase_sub = vals
                 row_terms = make_row_terms(vals)
 
@@ -426,9 +601,11 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                         jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
                         (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
                     ramp = dy * (1.0 - mean)  # (WP, EC) exact f32
-                    if prefix_cheap:
+                    if prefix_cheap and not compact:
                         # Left pieces already live in the per-frame prefix
                         # plane; mask them so nothing double-counts.
+                        # (Compacted tables contain no left pieces at all:
+                        # _compact_pre's crossing mask excludes them.)
                         ramp = ramp * (1.0 - lmask)
                     for part in split3(ramp):
                         acc_ref[lyr] = acc_ref[lyr] + jnp.dot(
@@ -439,7 +616,9 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                         heavy(k)
                     continue
 
-                if prefix_cheap:
+                if prefix_cheap or compact:
+                    # Compact mode: trailing all-padding chunks (zero
+                    # pieces are never 'crossing') skip the ramp work.
                     @pl.when(any_cross)
                     def _full():
                         for k in (0, 1):
@@ -472,9 +651,16 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
         rules = layer_rules(fill_rule, layers)
         # Winding = block accumulator + the cheap plane's row totals (a
         # (1, hp) broadcast folded as an expression, no extra RMW).  In
-        # prefix mode the plane holds one row PER BLOCK; select this
-        # block's row by masked sum (no dynamic sublane slicing).
-        if prefix_cheap:
+        # prefix/compact mode the plane holds one row PER BLOCK; select
+        # this block's row by masked sum (no dynamic sublane slicing).
+        if compact:
+            row_sel = (jax.lax.broadcasted_iota(
+                jnp.int32, (nbp, 1), 0) == wbe).astype(jnp.float32)
+
+            def cheap_rows(lyr):
+                return jnp.sum(prefix_ref[0, lyr] * row_sel, axis=0,
+                               keepdims=True)
+        elif prefix_cheap:
             row_sel = (jax.lax.broadcasted_iota(
                 jnp.int32, (nbp, 1), 0) == wbe).astype(jnp.float32)
 
@@ -528,7 +714,7 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
             covs, read_color, layers=layers)
 
     for b_i in range(bps):
-        do_block(wb * bps + b_i,
+        do_block(wb * bps + b_i, b_i,
                  slice(b_i * wblock, (b_i + 1) * wblock))
 
 
@@ -811,7 +997,8 @@ def _wblock_for(width: int, hp: int) -> int:
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
     "skip_empty", "paints", "wblock", "row_grid", "wchunk", "x_split",
-    "layer_counts", "prefix_cheap", "blocks_per_step"))
+    "layer_counts", "prefix_cheap", "blocks_per_step",
+    "compact_counts"))
 def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
@@ -830,6 +1017,7 @@ def render_affine_sweep(
     layer_counts: tuple = None,  # per-layer REAL piece counts (static)
     prefix_cheap: bool = None,   # None = on whenever the skip is active
     blocks_per_step: int = None,  # None = auto (measured-safe bps)
+    compact_counts: tuple = None,  # plan_compact_sweep capacities
     paints=None,              # tuple of KernelPaint (COLOR/LINEAR/FOCAL)
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
     stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
@@ -888,6 +1076,76 @@ def render_affine_sweep(
                 f"the SMEM window)")
     hp = -(-height // LANE) * LANE
     wp8 = -(-width // 8) * 8
+    if compact_counts is not None:
+        if len(compact_counts) != layers:
+            raise ValueError(
+                f"{len(compact_counts)} compact_counts for {layers} "
+                "layers")
+        # COMPACTED path (plan_compact_sweep + _compact_pre): the
+        # pre-pass gathers each (frame, block)'s crossing pieces and the
+        # per-frame prefix plane in regular XLA; the kernel then visits
+        # ~pieces/n_blocks per block instead of every chunk — the
+        # per-(block, chunk, layer) fixed cost was the dominant sweep
+        # term (PERF.md round-3 decomposition).
+        wblock = wblock or _wblock_for(width, hp)
+        bps = blocks_per_step or _auto_bps(
+            layers, hp, e_chunk, -(-wp8 // wblock))
+        wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
+        nb = wp // wblock
+        nbp = max(8, -(-nb // 8) * 8)
+        s_max = max(e_chunk, max(compact_counts))
+        ctab, csub, prefix = _compact_pre(
+            matrices, tab, s_max=s_max, wblock=wblock, nb=nb, nbp=nbp,
+            hp=hp)
+        ctab = ctab.reshape(fcount, nb // bps, bps, layers, 4, 1, s_max)
+        csub = csub.reshape(fcount, nb // bps, bps, layers, 4, s_max, 1)
+        kernel = functools.partial(
+            _xform_kernel, layers=layers, wblock=wblock, hp=hp,
+            fill_rule=fill_rule, e_chunk=e_chunk,
+            per_layer=matrices.ndim == 3, skip_empty=skip_empty,
+            layer_counts=compact_counts, compact=True, bps=bps,
+            per_frame_colors=colors.ndim == 3, paints=paints,
+            dyn_stops=stop_colors is not None)
+        args = [matrices, colors]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        if paints is not None:
+            args.append(grad_mats)
+            in_specs.append(pl.BlockSpec((1, layers, 6),
+                                         lambda i, wb: (i, 0, 0),
+                                         memory_space=pltpu.SMEM))
+            if stop_colors is not None:
+                nk = stop_colors.shape[2]
+                args.append(stop_colors)
+                in_specs.append(pl.BlockSpec((1, layers, nk, 4),
+                                             lambda i, wb: (i, 0, 0, 0),
+                                             memory_space=pltpu.SMEM))
+        args += [ctab, csub, prefix]
+        in_specs += [
+            pl.BlockSpec((1, 1, bps, layers, 4, 1, s_max),
+                         lambda i, wb: (i, wb, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bps, layers, 4, s_max, 1),
+                         lambda i, wb: (i, wb, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, layers, nbp, hp),
+                         lambda i, wb: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(fcount, nb // bps),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, wblock * bps, hp),
+                                   lambda i, wb: (i, wb, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((layers, wblock, hp),
+                                       jnp.float32)],
+            interpret=interpret,
+        )(*args)
     if row_grid is None:
         row_grid = _ROW_GRID_DEFAULT and _row_grid_fits(
             layers, -(-wp8 // wchunk) * wchunk, wchunk)

@@ -717,3 +717,112 @@ def test_render_batch_routes_animated_container_hierarchy(
         want = TpuRenderer(w, h).render(stage)
         diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 2, (i, diff.max())
+
+
+def test_compact_sweep_matches_heavy():
+    """The compacted sweep (plan_compact_sweep + _compact_pre gather +
+    compact kernel) is within one u8 quantum of the always-heavy
+    kernel, and the host capacity plan covers the device's exact mask
+    (any dropped piece would show as a big diff)."""
+    from swf_renderer_tpu.ops.transform import plan_compact_sweep
+    height, width = 100, 1200  # 5 column blocks, bps 1
+    tables = [_star_edges(200.0, 50.0, 45.0, 20.0),
+              _star_edges(900.0, 55.0, 40.0, 18.0, points=5),
+              _star_edges(600.0, 45.0, 38.0, 15.0, points=9)]
+    colors = [(0.9, 0.2, 0.1, 0.9), (0.2, 0.8, 0.3, 0.8),
+              (0.1, 0.3, 0.9, 1.0)]
+    mats = _rotation_mats(5, 600.0, 50.0)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    plan = plan_compact_sweep(mats, tab, height, width)
+    assert plan is not None
+    assert all(c % 256 == 0 for c in plan["compact_counts"])
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+    fast = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, height, width, **plan)), height, width)
+    slow = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, height, width, skip_empty=False)), height, width)
+    diff = np.abs(fast.astype(np.int32) - slow.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert fast[..., 3].max() > 200  # shapes genuinely render
+
+
+def test_compact_sweep_blocks_per_step():
+    """Compact mode with blocks-per-step > 1: the local block offset
+    b_i must index the compacted tables correctly (a swap would paint
+    blocks with each other's pieces)."""
+    from swf_renderer_tpu.ops.transform import plan_compact_sweep
+    height, width = 90, 1536  # 6 blocks of 256 -> bps 3
+    tables = [_star_edges(300.0, 45.0, 40.0, 16.0),
+              _star_edges(1200.0, 50.0, 42.0, 20.0, points=5)]
+    colors = [(0.8, 0.3, 0.2, 1.0), (0.2, 0.4, 0.9, 0.7)]
+    mats = _rotation_mats(4, 768.0, 45.0)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    plan = plan_compact_sweep(mats, tab, height, width)
+    assert plan is not None and plan["blocks_per_step"] == 3
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+    fast = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, height, width, **plan)), height, width)
+    slow = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, height, width, skip_empty=False)), height, width)
+    diff = np.abs(fast.astype(np.int32) - slow.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_compact_sweep_gradients_and_per_layer_mats():
+    """Compact mode composes with in-kernel gradient paints, per-frame
+    stop colors, and per-layer matrix tracks."""
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.transform import (
+        plan_compact_sweep, sweep_paints,
+    )
+    height, width = 100, 1200
+    tables = [_star_edges(200.0, 50.0, 45.0, 20.0),
+              _star_edges(900.0, 55.0, 40.0, 18.0, points=5)]
+    frames = 4
+    base = _rotation_mats(frames, 600.0, 50.0)
+    still = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32),
+                    (frames, 1))
+    mats = np.stack([base, still], axis=1)  # (F, L, 6) per-layer
+    paints = [style_ops.solid_paint((0.9, 0.2, 0.1, 1.0)),
+              style_ops.Paint(
+                  kind=style_ops.PAINT_LINEAR,
+                  inv_matrix=(2.0 * 16384.0 / width, 0.0, 0.0,
+                              2.0 * 16384.0 / width, -16384.0,
+                              -16384.0 * height / width),
+                  stop_ratios=np.array([0.0, 1.0], np.float32),
+                  stop_colors=np.array([[1, 0, 0, 1], [0, 0, 1, 1]],
+                                       np.float32))]
+    colors = [(0.9, 0.2, 0.1, 1.0), (0, 0, 0, 0)]
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    kpaints, grad_mats = sweep_paints(paints, mats)
+    stop_colors = np.zeros((frames, 2, 2, 4), np.float32)
+    stop_colors[:, 1] = np.array([[1, 0, 0, 1], [0, 0, 1, 1]],
+                                 np.float32)
+    stop_colors[:, 1, :, 3] *= np.linspace(1.0, 0.5, frames)[:, None]
+    plan = plan_compact_sweep(mats, tab, height, width)
+    assert plan is not None
+    kw = dict(paints=kpaints, grad_mats=jnp.asarray(grad_mats),
+              stop_colors=jnp.asarray(stop_colors))
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+    fast = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, height, width, **plan, **kw)), height, width)
+    slow = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, height, width, skip_empty=False, **kw)), height, width)
+    diff = np.abs(fast.astype(np.int32) - slow.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert fast[..., 3].max() > 200
+
+
+def test_plan_compact_declines_single_block():
+    """One column block means nothing to compact: plan returns None."""
+    from swf_renderer_tpu.ops.transform import plan_compact_sweep
+    tables = [_star_edges(60.0, 48.0, 40.0, 18.0)]
+    mats = _rotation_mats(3, 60.0, 48.0)
+    tab, _, _ = affine_pieces(tables, [(1, 0, 0, 1)], mats)
+    assert plan_compact_sweep(mats, tab, 96, 128) is None

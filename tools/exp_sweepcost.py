@@ -32,16 +32,29 @@ from bench import (  # noqa: E402
     _enable_compile_cache, anim_scene, tiled_frame_fit,
 )
 from swf_renderer_tpu.ops.transform import (  # noqa: E402
-    affine_pieces, render_affine_sweep,
+    affine_pieces, plan_compact_sweep, render_affine_sweep,
 )
 
 
 def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
             row_grid=False, wchunk=256, x_split=True,
-            prefix_cheap=None, blocks_per_step=1):
+            prefix_cheap=None, blocks_per_step=1, compact=False):
     tables, colors, mats = anim_scene(h, w, frames)
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
+    ckw = {}
+    if compact:
+        plan = plan_compact_sweep(
+            mats, tab, h, w, e_chunk=e_chunk, wblock=wblock,
+            blocks_per_step=(blocks_per_step
+                             if blocks_per_step != 1 else None))
+        if plan is None:
+            return float("nan")
+        print(json.dumps({"note": "compact plan", **{
+            k: v for k, v in plan.items()}}), file=sys.stderr)
+        ckw = plan
+        wblock = None
+        blocks_per_step = None
 
     def timed(tracks):
         mm = jnp.asarray(tracks[0])
@@ -50,10 +63,11 @@ def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
             varied = mm + np.float32(i) * 1e-12
             t0 = time.perf_counter()
             out = render_affine_sweep(
-                varied, *fargs, h, w, e_chunk=e_chunk, wblock=wblock,
+                varied, *fargs, h, w, e_chunk=e_chunk,
                 skip_empty=skip_empty, row_grid=row_grid, wchunk=wchunk,
                 x_split=x_split, prefix_cheap=prefix_cheap,
-                blocks_per_step=blocks_per_step)
+                **(ckw or dict(wblock=wblock,
+                               blocks_per_step=blocks_per_step)))
             int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
             ts.append(time.perf_counter() - t0)
         return min(ts[1:])
@@ -81,10 +95,13 @@ def main():
     # 128, so block-sized resolve temporaries don't grow the scoped-VMEM
     # footprint the way wblock=256 did — that blew the 16 MB limit).
     # bps4 + ec256 blew scoped VMEM by 0.96 MB; try slimmer chunks.
+    # Compacted-sweep A/B: per-(frame, block) piece gather (the
+    # per-(block, chunk, layer) fixed cost was ~0.7 of 1.07 ms/frame —
+    # PERF.md decomposition; compaction shrinks the pair count ~B-fold).
     grid = [
-        ("prefix-ec256-bps3", dict(e_chunk=256, blocks_per_step=3)),
-        ("prefix-ec128-bps2", dict(e_chunk=128, blocks_per_step=2)),
-        ("prefix-ec128-bps4", dict(e_chunk=128, blocks_per_step=4)),
+        ("production-auto", dict(e_chunk=256, blocks_per_step=None)),
+        ("compact-ec256", dict(e_chunk=256, compact=True)),
+        ("compact-ec128", dict(e_chunk=128, compact=True)),
     ]
     for label, kw in grid:
         e_chunk = kw.pop("e_chunk", 512)

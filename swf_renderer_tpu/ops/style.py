@@ -301,6 +301,69 @@ def _unpremul(field_pm):
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+def paint_field_traced(paint: Paint, inv6, height: int, width: int,
+                       stop_colors=None) -> jnp.ndarray:
+    """``paint_field`` with a TRACED device->paint matrix.
+
+    The per-frame twin used by the transform sweep's field baking
+    (ops.transform.bake_sweep_fields): ``inv6`` is a (6,) traced array
+    (the paint inverse composed with each frame's inverse), so one jit
+    of this function vmaps over a whole animation's frames.  Bitmap
+    paints always take the general supersampled gather path — the
+    axis-aligned separable fast path needs concrete b/c to specialize,
+    and an animating matrix is not concrete — which is exactly the path
+    ``paint_field`` takes for any rotated frame, so per-frame renders
+    and sweep-baked fields agree bit-for-bit on non-axis-aligned
+    animations.  ``stop_colors``: optional (K, 4) traced override of a
+    gradient's stop colors (per-frame color-transform fades)."""
+    a, b, c, d, e, f = (inv6[k] for k in range(6))
+    if paint.kind == PAINT_SOLID:
+        color = jnp.asarray(paint.color, dtype=jnp.float32)
+        return jnp.broadcast_to(color, (height, width, 4))
+
+    if paint.kind in (PAINT_LINEAR, PAINT_FOCAL):
+        py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+        px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+        sx = a * px + c * py + e
+        sy = b * px + d * py + f
+        if paint.kind == PAINT_LINEAR:
+            t = (sx + GRAD_RADIUS) / (2.0 * GRAD_RADIUS)
+        else:
+            t = _focal_gradient_t(sx, sy, paint.focal_point)
+        t = _apply_spread(t, paint.spread)
+        if stop_colors is None:
+            return _gradient_rgba(paint, t)
+        ratios = jnp.asarray(paint.stop_ratios, jnp.float32)
+        colors = jnp.asarray(stop_colors, jnp.float32)
+        if paint.color_space == "linear-rgb":
+            colors = jnp.concatenate(
+                [_srgb_to_linear(colors[:, :3]), colors[:, 3:]], axis=1)
+            out = _interp_stops(t, ratios, colors)
+            return jnp.concatenate(
+                [_linear_to_srgb(out[..., :3]), out[..., 3:]], axis=-1)
+        return _interp_stops(t, ratios, colors)
+
+    if paint.kind == PAINT_BITMAP:
+        img = jnp.asarray(paint.image).astype(jnp.float32) / 255.0
+        img = img.at[..., :3].multiply(img[..., 3:4])  # premul filtering
+        n = max(1, int(paint.supersample))
+        sample = _bilinear_sample if paint.smoothed else _nearest_sample
+        py = jnp.arange(height, dtype=jnp.float32)[:, None]
+        px = jnp.arange(width, dtype=jnp.float32)[None, :]
+        acc = jnp.zeros((height, width, 4), jnp.float32)
+        for ky in range(n):
+            for kx in range(n):
+                ox = (kx + 0.5) / n
+                oy = (ky + 0.5) / n
+                ssx = a * (px + ox) + c * (py + oy) + e
+                ssy = b * (px + ox) + d * (py + oy) + f
+                acc = acc + sample(img, ssx, ssy, paint.repeating,
+                                   paint.edge_mode)
+        return _unpremul(acc / (n * n))
+
+    raise ValueError(f"unknown paint kind {paint.kind}")
+
+
 def _box_weights(n_out: int, n_img: int, scale: float, offset: float,
                  repeating: bool, edge_mode: str = "flash") -> jnp.ndarray:
     """(n_out, n_img) EXACT box-filter weights along one axis: output pixel

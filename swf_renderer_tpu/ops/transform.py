@@ -29,6 +29,7 @@ ops.morph.morph_frames_to_u8.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -41,7 +42,7 @@ from .coverage import (
     FILL_RULE_NONZERO, _h01, _on_tpu, layer_rules, normalize_fill_rule,
 )
 from .flatblock import (
-    KPAINT_COLOR, KPAINT_FOCAL, KPAINT_LINEAR, KernelPaint,
+    KPAINT_COLOR, KPAINT_FIELD, KPAINT_FOCAL, KPAINT_LINEAR, KernelPaint,
     composite_quantize_pack, fill_rule_cov, _grad_eval,
 )
 
@@ -343,7 +344,7 @@ def _compact_pre(matrices, tab, *, s_max: int, wblock: int, nb: int,
     return cm[:, :, :, :, None, :], cm[..., None], pref
 
 
-def sweep_paints(paints, matrices):
+def sweep_paints(paints, matrices, allow_fields: bool = False):
     """Per-layer style Paints + per-frame device affines ->
     (KernelPaint tuple, (F, L, 6) grad_mats or None) for
     render_affine_sweep.
@@ -353,10 +354,19 @@ def sweep_paints(paints, matrices):
     composed matrix: gradient coord of device point p in frame f is
     ``paint.inv_matrix(M_f^{-1}(p))`` (the paint was compiled at the
     base transform; the frame affine moves the geometry, and SWF
-    gradients move WITH the shape).  Raises ValueError for paints the
-    sweep can't evaluate (bitmaps, linear-RGB gradients — those need
-    prebaked field planes; render per frame via the flat-block path) and
-    for singular frame matrices."""
+    gradients move WITH the shape).
+
+    ``allow_fields=False`` (the classic contract): raises ValueError for
+    paints the kernel can't evaluate in-line (bitmaps, linear-RGB
+    gradients) and for singular frame matrices.
+
+    ``allow_fields=True``: those layers instead become
+    ``KernelPaint.field(slot)`` entries and the return gains a third
+    element — a list of ``SweepFieldSpec(layer, paint, invs)`` with the
+    per-frame composed device->paint inverses (F, 6) — to feed
+    ``bake_sweep_fields`` (the sweep analog of the flat-block kernel's
+    prefetched field planes: the reference replays pattern fills under a
+    new matrix at draw time, canvas-renderer.ts:179-184, 295-315)."""
     from ..models.geometry import Affine
     from . import style as style_ops
 
@@ -365,26 +375,82 @@ def sweep_paints(paints, matrices):
     kps = []
     gm = np.zeros((f_count, len(paints), 6), np.float32)
     any_grad = False
+    field_specs = []
+
+    def composed_invs(p, li):
+        inv = Affine(*p.inv_matrix)
+        out = np.zeros((f_count, 6), np.float32)
+        for f in range(f_count):
+            frame_inv = Affine(*per_layer[li][f]).inverse()
+            out[f] = inv.then(frame_inv).as_tuple()
+        return out
+
     for li, p in enumerate(paints):
         if p.kind == style_ops.PAINT_SOLID:
             kps.append(KernelPaint.color())
             continue
         if (p.kind not in (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
                 or p.color_space == "linear-rgb"):
-            raise ValueError(
-                "sweep paints must be solid or sRGB linear/focal "
-                f"gradients, got kind {p.kind}/{p.color_space}")
+            if not allow_fields:
+                raise ValueError(
+                    "sweep paints must be solid or sRGB linear/focal "
+                    f"gradients, got kind {p.kind}/{p.color_space}")
+            kps.append(KernelPaint.field(len(field_specs)))
+            field_specs.append(
+                SweepFieldSpec(li, p, composed_invs(p, li)))
+            continue
         any_grad = True
         kind = (KPAINT_LINEAR if p.kind == style_ops.PAINT_LINEAR
                 else KPAINT_FOCAL)
         kps.append(KernelPaint.gradient(
             kind, (), p.stop_ratios, p.stop_colors,
             focal=p.focal_point, spread=p.spread))
-        inv = Affine(*p.inv_matrix)
-        for f in range(f_count):
-            frame_inv = Affine(*per_layer[li][f]).inverse()
-            gm[f, li] = inv.then(frame_inv).as_tuple()
+        gm[:, li] = composed_invs(p, li)
+    if allow_fields:
+        return tuple(kps), (gm if any_grad else None), field_specs
     return tuple(kps), (gm if any_grad else None)
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepFieldSpec:
+    """One sweep layer whose paint bakes to per-frame field planes."""
+
+    layer: int
+    paint: object        # ops.style.Paint (bitmap or linear-RGB gradient)
+    invs: np.ndarray     # (F, 6) composed device->paint inverses
+
+
+def bake_sweep_fields(field_specs, height: int, width: int,
+                      stop_tracks=None) -> jnp.ndarray:
+    """SweepFieldSpecs -> (NF, F, H, W, 4) f32 straight-RGBA field planes.
+
+    One jit per spec, vmapped over the frame axis of the composed
+    inverse matrices: the SAME sampling math as the per-frame styled
+    path (style.paint_field_traced), so a sweep with baked fields
+    matches frame-by-frame renders wherever paint_field itself takes the
+    traced (gather) path — i.e. every non-axis-aligned frame.  Host work
+    stays O(1) in frame count; the bake is regular fused XLA on device.
+
+    ``stop_tracks``: optional [NF] list of (F, K, 4) per-frame stop-color
+    overrides (linear-RGB gradient fades); None entries keep static
+    stops."""
+    from . import style as style_ops
+
+    outs = []
+    for si, spec in enumerate(field_specs):
+        track = None if stop_tracks is None else stop_tracks[si]
+
+        def bake_one(inv6, sc=None, _p=spec.paint):
+            return style_ops.paint_field_traced(
+                _p, inv6, height, width, stop_colors=sc)
+
+        invs = jnp.asarray(spec.invs, jnp.float32)
+        if track is None:
+            outs.append(jax.jit(jax.vmap(bake_one))(invs))
+        else:
+            outs.append(jax.jit(jax.vmap(bake_one))(
+                invs, jnp.asarray(track, jnp.float32)))
+    return jnp.stack(outs, axis=0)
 
 
 def _xform_kernel(mats_ref, colors_ref, *rest,
@@ -395,6 +461,7 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                   layer_counts=None, prefix_cheap: bool = False,
                   bps: int = 1, compact: bool = False):
     gm_ref = sc_ref = prefix_ref = cheap_ref = None
+    field_refs = ()  # per-(frame, block) baked paint planes, last inputs
     if compact:
         # Compacted mode (_compact_pre): tab/subxy hold THIS (frame,
         # grid step)'s crossing pieces already in device px; the prefix
@@ -403,21 +470,22 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
         if paints is not None:
             if dyn_stops:
                 (gm_ref, sc_ref, tab_ref, subxy_ref, prefix_ref,
-                 out_ref, acc_ref) = rest
+                 *field_refs, out_ref, acc_ref) = rest
             else:
-                (gm_ref, tab_ref, subxy_ref, prefix_ref, out_ref,
-                 acc_ref) = rest
+                (gm_ref, tab_ref, subxy_ref, prefix_ref, *field_refs,
+                 out_ref, acc_ref) = rest
         else:
-            tab_ref, subxy_ref, prefix_ref, out_ref, acc_ref = rest
+            (tab_ref, subxy_ref, prefix_ref, *field_refs, out_ref,
+             acc_ref) = rest
     elif morph:
         (ratios_ref, colors_e_ref, tab_ref, subxy_ref, tab2_ref,
          subxy2_ref, out_ref, acc_ref, cheap_ref) = rest
     elif paints is not None:
         if dyn_stops:
-            (gm_ref, sc_ref, tab_ref, subxy_ref, out_ref, acc_ref,
-             cheap_ref) = rest
+            (gm_ref, sc_ref, tab_ref, subxy_ref, *field_refs, out_ref,
+             acc_ref, cheap_ref) = rest
         else:
-            (gm_ref, tab_ref, subxy_ref, out_ref, acc_ref,
+            (gm_ref, tab_ref, subxy_ref, *field_refs, out_ref, acc_ref,
              cheap_ref) = rest
     else:
         tab_ref, subxy_ref, out_ref, acc_ref, cheap_ref = rest
@@ -703,6 +771,10 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
             if morph:
                 return ((1.0 - t_r) * colors_ref[lyr, ch]
                         + t_r * colors_e_ref[lyr, ch])
+            if paints is not None and paints[lyr].kind == KPAINT_FIELD:
+                # Baked per-(frame, block) plane (bitmap / linear-RGB
+                # gradient layers): streamed straight-RGBA, (wblock, hp).
+                return field_refs[paints[lyr].slot][0, 0, b_i, ch]
             if paints is not None and paints[lyr].kind != KPAINT_COLOR:
                 return grad_plane(lyr)[ch]
             if per_frame_colors:
@@ -1018,9 +1090,10 @@ def render_affine_sweep(
     prefix_cheap: bool = None,   # None = on whenever the skip is active
     blocks_per_step: int = None,  # None = auto (measured-safe bps)
     compact_counts: tuple = None,  # plan_compact_sweep capacities
-    paints=None,              # tuple of KernelPaint (COLOR/LINEAR/FOCAL)
+    paints=None,         # tuple of KernelPaint (COLOR/LINEAR/FOCAL/FIELD)
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
     stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
+    fields: jax.Array = None,  # (NF, F, H, W, 4) f32 baked paint planes
 ) -> jax.Array:
     """Rasterize one shape set under every frame's affine fully on device.
 
@@ -1042,7 +1115,12 @@ def render_affine_sweep(
     ignored).  ``stop_colors`` (F, L, K, 4) optionally overrides every
     gradient layer's stop COLORS per frame (color-transform fades);
     ratios stay static, rows beyond a layer's stop count and rows for
-    non-gradient layers are ignored."""
+    non-gradient layers are ignored.
+
+    ``fields`` (NF, F, H, W, 4) carries baked straight-RGBA planes for
+    ``KernelPaint.field(slot)`` layers (bitmap fills and linear-RGB
+    gradients under per-frame matrices — bake_sweep_fields); each grid
+    step streams only its own (frame, column block) window."""
     if interpret is None:
         interpret = not _on_tpu()
     fcount = matrices.shape[0]
@@ -1050,11 +1128,29 @@ def render_affine_sweep(
     fill_rule = normalize_fill_rule(fill_rule, layers)
     if paints is not None and all(p.kind == KPAINT_COLOR for p in paints):
         paints = None  # pure-solid tuples share the classic compilation
+    n_fields = 0
     if paints is not None:
         if len(paints) != layers:
             raise ValueError(f"{len(paints)} paints for {layers} layers")
-        if grad_mats is None or grad_mats.shape != (fcount, layers, 6):
+        n_fields = 1 + max((p.slot for p in paints
+                            if p.kind == KPAINT_FIELD), default=-1)
+        if n_fields:
+            if fields is None or fields.shape != (
+                    n_fields, fcount, height, width, 4):
+                raise ValueError(
+                    f"field paints need ({n_fields}, {fcount}, {height},"
+                    f" {width}, 4) fields, got "
+                    f"{None if fields is None else fields.shape}")
+        elif fields is not None:
+            raise ValueError("fields passed without any FIELD paint")
+        any_grad = any(p.kind in (KPAINT_LINEAR, KPAINT_FOCAL)
+                       for p in paints)
+        if any_grad and (grad_mats is None
+                         or grad_mats.shape != (fcount, layers, 6)):
             raise ValueError("gradient paints need (F, L, 6) grad_mats")
+        if grad_mats is None:
+            # Field-only styled tuples still take the gm_ref input slot.
+            grad_mats = jnp.zeros((fcount, layers, 6), jnp.float32)
     if layer_counts is not None and len(layer_counts) != layers:
         raise ValueError(
             f"{len(layer_counts)} layer_counts for {layers} layers")
@@ -1076,6 +1172,24 @@ def render_affine_sweep(
                 f"the SMEM window)")
     hp = -(-height // LANE) * LANE
     wp8 = -(-width // 8) * 8
+
+    def field_blocks(bps, wblock, wp):
+        """(NF, F, H, W, 4) fields -> per-slot (F, NBG, bps, 4, wblock,
+        hp) block-major arrays + BlockSpecs streaming one (frame, grid
+        step) window each (the sweep twin of the flat-block kernel's
+        chunk-major field planes)."""
+        nbg = wp // (wblock * bps)
+        fp = jnp.pad(fields.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, hp - height),
+                      (0, wp - width), (0, 0)))
+        fb = fp.transpose(0, 1, 4, 3, 2)  # (NF, F, 4, wp, hp)
+        fb = fb.reshape(n_fields, fcount, 4, nbg, bps, wblock, hp)
+        fb = fb.transpose(0, 1, 3, 4, 2, 5, 6)
+        spec = pl.BlockSpec((1, 1, bps, 4, wblock, hp),
+                            lambda i, wb: (i, wb, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return [fb[s] for s in range(n_fields)], [spec] * n_fields
+
     if compact_counts is not None:
         if len(compact_counts) != layers:
             raise ValueError(
@@ -1088,8 +1202,10 @@ def render_affine_sweep(
         # per-(block, chunk, layer) fixed cost was the dominant sweep
         # term (PERF.md round-3 decomposition).
         wblock = wblock or _wblock_for(width, hp)
-        bps = blocks_per_step or _auto_bps(
-            layers, hp, e_chunk, -(-wp8 // wblock))
+        # Field planes add bps*(4, wblock, hp) f32 of VMEM per slot and
+        # step; hold bps at 1 unless explicitly overridden.
+        bps = blocks_per_step or (1 if n_fields else _auto_bps(
+            layers, hp, e_chunk, -(-wp8 // wblock)))
         wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
         nb = wp // wblock
         nbp = max(8, -(-nb // 8) * 8)
@@ -1134,6 +1250,10 @@ def render_affine_sweep(
                          lambda i, wb: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+        if n_fields:
+            fargs, fspecs = field_blocks(bps, wblock, wp)
+            args += fargs
+            in_specs += fspecs
         return pl.pallas_call(
             kernel,
             grid=(fcount, nb // bps),
@@ -1149,6 +1269,9 @@ def render_affine_sweep(
     if row_grid is None:
         row_grid = _ROW_GRID_DEFAULT and _row_grid_fits(
             layers, -(-wp8 // wchunk) * wchunk, wchunk)
+    if n_fields and row_grid:
+        raise ValueError("field paints need the column-grid sweep "
+                         "kernel (row_grid=False)")
     if row_grid:
         wp = -(-wp8 // wchunk) * wchunk
         kernel = functools.partial(
@@ -1165,8 +1288,8 @@ def render_affine_sweep(
                    pltpu.VMEM((layers, wp // wchunk, LANE), jnp.float32)]
     else:
         wblock = wblock or _wblock_for(width, hp)
-        bps = blocks_per_step or _auto_bps(
-            layers, hp, e_chunk, -(-wp8 // wblock))
+        bps = blocks_per_step or (1 if n_fields else _auto_bps(
+            layers, hp, e_chunk, -(-wp8 // wblock)))
         wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
         # The skip pays off only when there are enough column blocks for
         # transition-free (block, chunk) pairs to exist; at <= 2 blocks
@@ -1215,6 +1338,10 @@ def render_affine_sweep(
         pl.BlockSpec(subxy.shape, lambda i, wb: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if n_fields:
+        fargs, fspecs = field_blocks(bps, wblock, wp)
+        args += fargs
+        in_specs += fspecs
     return pl.pallas_call(
         kernel,
         grid=grid,

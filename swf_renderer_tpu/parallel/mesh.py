@@ -387,7 +387,7 @@ def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
 
 def render_affine_sweep_dp(mesh: Mesh, matrices, parts, height: int,
                            width: int, interpret: bool = None,
-                           paints=None, grad_mats=None):
+                           paints=None, grad_mats=None, fields=None):
     """Frame-sharded on-device TRANSFORM sweep: the frame/matrix axis of
     ops.transform.render_affine_sweep is embarrassingly parallel — each
     chip renders its slice of the animation with the piece tables
@@ -397,7 +397,11 @@ def render_affine_sweep_dp(mesh: Mesh, matrices, parts, height: int,
     ``parts``: affine_pieces output (tab, subxy, colors).
     ``paints``/``grad_mats``: optional styled-sweep inputs
     (ops.transform.sweep_paints); grad_mats' frame axis shards with the
-    matrices.  Returns (F, WP, HP) packed u32 (transposed frames;
+    matrices.  ``fields`` (NF, F, H, W, 4) baked paint planes
+    (ops.transform.bake_sweep_fields — bitmap / linear-RGB layers):
+    per-frame data, so its frame axis (axis 1) shards with the matrices
+    too — each chip holds only its own frames' planes.  Returns
+    (F, WP, HP) packed u32 (transposed frames;
     ops.morph.morph_frames_to_u8)."""
     from ..ops.transform import render_affine_sweep
 
@@ -408,19 +412,25 @@ def render_affine_sweep_dp(mesh: Mesh, matrices, parts, height: int,
         raise ValueError(
             f"frames ({len(matrices)}) must divide over {n_shards}")
     has_grads = grad_mats is not None
+    has_fields = fields is not None
 
     def shard_fn(mm, *ps):
+        ff = ps[-1] if has_fields else None
+        ps = ps[:-1] if has_fields else ps
         gm = ps[-1] if has_grads else None
         ps = ps[:-1] if has_grads else ps
         return render_affine_sweep(mm, *ps, height, width,
                                    interpret=interpret, paints=paints,
-                                   grad_mats=gm)
+                                   grad_mats=gm, fields=ff)
 
     args = [jnp.asarray(matrices), *map(jnp.asarray, parts)]
     in_specs = (P(axes),) + (P(None),) * len(parts)
     if has_grads:
         args.append(jnp.asarray(np.asarray(grad_mats, np.float32)))
         in_specs = in_specs + (P(axes),)
+    if has_fields:
+        args.append(jnp.asarray(fields))
+        in_specs = in_specs + (P(None, axes),)
     out = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=in_specs,

@@ -385,11 +385,15 @@ class TpuRenderer:
         gradient_kinds = (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
 
         def sweepable(p):
-            # Bitmaps and linear-RGB gradients need prebaked field
-            # planes; everything else evaluates in the sweep kernel.
-            return (p.kind == style_ops.PAINT_SOLID
-                    or (p.kind in gradient_kinds
-                        and p.color_space != "linear-rgb"))
+            # Solids and sRGB linear/focal gradients evaluate in the
+            # sweep kernel; bitmap fills and linear-RGB gradients bake
+            # per-frame field planes on device (still O(1) host work —
+            # the reference replays pattern fills under the new matrix
+            # at draw time, canvas-renderer.ts:179-184, 295-315).
+            return p.kind in (style_ops.PAINT_SOLID,
+                              style_ops.PAINT_LINEAR,
+                              style_ops.PAINT_FOCAL,
+                              style_ops.PAINT_BITMAP)
 
         from .scene import _apply_color_transform
 
@@ -436,15 +440,17 @@ class TpuRenderer:
             [[m for ci, row_m in enumerate(row)
               for m in [row_m] * len(child_draws[ci])]
              for row in devs], np.float32)  # (F, L, 6)
+        from ..ops.flatblock import KPAINT_FIELD, KPAINT_FOCAL, KPAINT_LINEAR
         from ..ops.transform import sweep_paints
 
         try:
-            kpaints, grad_mats = sweep_paints(
-                [d.paint for d in all_draws], mats)
+            kpaints, grad_mats, field_specs = sweep_paints(
+                [d.paint for d in all_draws], mats, allow_fields=True)
         except ValueError:
-            return None  # a gradient layer under a singular frame matrix
+            return None  # a layer under a singular frame matrix
 
         stop_colors = None
+        dyn_layers = set()
         if dyn_children:
             # Dynamic stop colors override EVERY gradient layer, so
             # constant-ct gradient layers replicate their static stops.
@@ -458,6 +464,7 @@ class TpuRenderer:
                     if d.paint.kind in gradient_kinds:
                         nk = len(d.paint.stop_ratios)
                         if ci in dyn_children:
+                            dyn_layers.add(li)
                             for f, leaves in enumerate(leaves_per_stage):
                                 stop_colors[f, li, :nk] = [
                                     _apply_color_transform(
@@ -468,10 +475,27 @@ class TpuRenderer:
                                 d.paint.stop_colors, np.float32)
                     li += 1
 
+        # Per-frame fades split by evaluation site: in-kernel gradient
+        # layers read SMEM stop windows; field-baked (linear-RGB)
+        # gradient layers fold the fade into their baked planes.
+        stop_tracks = None
+        if field_specs and stop_colors is not None:
+            stop_tracks = [
+                (stop_colors[:, spec.layer, :len(spec.paint.stop_ratios)]
+                 if spec.layer in dyn_layers else None)
+                for spec in field_specs
+            ]
+            if all(t is None for t in stop_tracks):
+                stop_tracks = None
+        if stop_colors is not None and not any(
+                kpaints[li].kind in (KPAINT_LINEAR, KPAINT_FOCAL)
+                for li in dyn_layers):
+            stop_colors = None  # no in-kernel layer consumes the window
+
         def run():
             from ..ops.morph import morph_frames_to_u8
             from ..ops.transform import (
-                affine_pieces, render_affine_sweep,
+                affine_pieces, bake_sweep_fields, render_affine_sweep,
             )
             from .scene import _apply_color_transform
 
@@ -489,6 +513,10 @@ class TpuRenderer:
 
             tab, subxy, _ = affine_pieces(
                 [d.edges for d in all_draws], piece_colors, mats)
+            fields = (bake_sweep_fields(field_specs, self.height,
+                                        self.width,
+                                        stop_tracks=stop_tracks)
+                      if field_specs else None)
             out = render_affine_sweep(
                 jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
                 jnp.asarray(colors), self.height, self.width,
@@ -497,7 +525,8 @@ class TpuRenderer:
                 grad_mats=(None if grad_mats is None
                            else jnp.asarray(grad_mats)),
                 stop_colors=(None if stop_colors is None
-                             else jnp.asarray(stop_colors)))
+                             else jnp.asarray(stop_colors)),
+                fields=fields)
             return morph_frames_to_u8(np.asarray(out), self.height,
                                       self.width)
 
@@ -870,6 +899,7 @@ def render_shape_animation(
     width: int,
     height: int,
     quality: str = "canvas",
+    bitmaps: Optional[List[ast.DefineBitmap]] = None,
 ) -> np.ndarray:
     """Animate ONE shape under per-frame matrices, fully on device.
 
@@ -883,14 +913,16 @@ def render_shape_animation(
 
     ``matrices``: sequence of ast.Matrix (SWF twips transforms) or an
     (F, 6) array of device-space affines.  Solid fills/strokes and sRGB
-    linear/focal gradient fills (evaluated in-kernel under each frame's
-    composed matrix); bitmap and linear-RGB-interpolated paints raise —
-    render those frame-by-frame via render_batch.
+    linear/focal gradient fills evaluate in-kernel under each frame's
+    composed matrix; bitmap fills (register their DefineBitmap tags via
+    ``bitmaps``) and linear-RGB gradients bake per-frame field planes on
+    device (ops.transform.bake_sweep_fields) — still O(edges) host work.
     Returns (F, H, W, 4) uint8."""
     from ..models.geometry import Affine, TWIPS_PER_PX
     from ..ops.morph import morph_frames_to_u8
     from ..ops.transform import (
-        affine_pieces, render_affine_sweep, sweep_paints,
+        affine_pieces, bake_sweep_fields, render_affine_sweep,
+        sweep_paints,
     )
 
     s = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
@@ -905,8 +937,11 @@ def render_shape_animation(
             max(Affine(*m).norm2() for m in np.asarray(mats, float)))
 
     flash_like = quality.startswith("flash")
+    service = BitmapService()
+    for bmp in bitmaps or []:
+        service.add_bitmap(bmp)
     compiler = SceneCompiler(
-        BitmapService(), {}, {},
+        service, {}, {},
         # Flatten in LOCAL space at a tolerance that holds after the most
         # magnifying frame transform.
         curve_tolerance=0.1 / max(1.0, smax),
@@ -918,12 +953,12 @@ def render_shape_animation(
     if not draws:
         return np.zeros((len(mats), height, width, 4), np.uint8)
     try:
-        kpaints, grad_mats = sweep_paints([d.paint for d in draws], mats)
+        kpaints, grad_mats, field_specs = sweep_paints(
+            [d.paint for d in draws], mats, allow_fields=True)
     except ValueError as exc:
         raise NotImplementedError(
-            "render_shape_animation supports solid fills/strokes and "
-            "sRGB linear/focal gradient fills; render other styled "
-            f"stages frame-by-frame via render_batch ({exc})") from exc
+            "render_shape_animation needs invertible frame matrices; "
+            f"render degenerate frames via render_batch ({exc})") from exc
     rule = normalize_fill_rule(tuple(d.fill_rule for d in draws),
                                len(draws))
 
@@ -934,11 +969,14 @@ def render_shape_animation(
 
     tab, subxy, colors = affine_pieces(
         [d.edges for d in draws], piece_colors, mats)
+    fields = (bake_sweep_fields(field_specs, height, width)
+              if field_specs else None)
     out = render_affine_sweep(
         jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
         jnp.asarray(colors), height, width, fill_rule=rule,
         paints=kpaints, layer_counts=layer_piece_counts(tab),
-        grad_mats=None if grad_mats is None else jnp.asarray(grad_mats))
+        grad_mats=None if grad_mats is None else jnp.asarray(grad_mats),
+        fields=fields)
     return morph_frames_to_u8(np.asarray(out), height, width)
 
 

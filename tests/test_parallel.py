@@ -465,3 +465,47 @@ def test_morph_affine_sweep_dp_matches_single_device():
     got = np.asarray(render_morph_affine_sweep_dp(
         mesh, mats, ratios, parts, 32, 32))
     np.testing.assert_array_equal(got, want)
+
+
+def test_field_affine_sweep_dp_matches_single_device():
+    """Bitmap-paint transform sweep sharded over the mesh: the baked
+    field planes' FRAME axis (axis 1) shards with the matrices — each
+    device holds only its own frames' planes — exact vs single device."""
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, bake_sweep_fields, render_affine_sweep,
+        sweep_paints,
+    )
+    from swf_renderer_tpu.parallel.mesh import render_affine_sweep_dp
+
+    rng = np.random.default_rng(67)
+    h = w = 40
+    pts = rng.uniform(5, 35, (6, 2)).astype(np.float32)
+    closed = np.concatenate([pts, pts[:1]])
+    tables = [np.concatenate([closed[:-1], closed[1:]], axis=1)]
+    img = rng.integers(0, 256, (8, 8, 4)).astype(np.uint8)
+    paints = [style_ops.Paint(
+        kind=style_ops.PAINT_BITMAP,
+        inv_matrix=(0.25, 0.02, -0.02, 0.25, 1.0, 0.5),
+        image=img, repeating=True, smoothed=True, supersample=2)]
+    mats = []
+    for i in range(8):
+        th = 2 * np.pi * i / 8
+        a, b = np.cos(th), np.sin(th)
+        mats.append((a, b, -b, a, 20 - a * 20 + b * 20,
+                     20 - b * 20 - a * 20))
+    mats = np.asarray(mats, np.float32)
+    parts = affine_pieces(tables, [(0, 0, 0, 0)], mats)
+    kpaints, grad_mats, specs = sweep_paints(paints, mats,
+                                             allow_fields=True)
+    assert grad_mats is None and len(specs) == 1
+    fields = bake_sweep_fields(specs, h, w)
+
+    want = np.asarray(render_affine_sweep(
+        jnp.asarray(mats), *(jnp.asarray(x) for x in parts), h, w,
+        paints=kpaints, fields=fields))
+
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=2)
+    got = np.asarray(render_affine_sweep_dp(
+        mesh, mats, parts, h, w, paints=kpaints, fields=fields))
+    np.testing.assert_array_equal(got, want)

@@ -826,3 +826,211 @@ def test_plan_compact_declines_single_block():
     mats = _rotation_mats(3, 60.0, 48.0)
     tab, _, _ = affine_pieces(tables, [(1, 0, 0, 1)], mats)
     assert plan_compact_sweep(mats, tab, 96, 128) is None
+
+
+def test_paint_field_traced_matches_paint_field():
+    """paint_field_traced (the sweep's per-frame field bake) must equal
+    paint_field for matrices where paint_field itself takes the traced
+    (gather) path — any non-axis-aligned frame — and for gradients.
+
+    Bitmap comparisons run EAGERLY on both sides: under jit, XLA's FMA
+    contraction can floor a texel coordinate across a boundary at a
+    handful of pixels (measured max 0.108 at 0.2% of pixels on a random
+    13x11 checker) — that jitter applies equally to the per-frame styled
+    path and the sweep bake (both jitted in production), and the
+    end-to-end render_batch tests below gate the jitted pipeline at
+    <=2/255."""
+    import jax
+
+    from swf_renderer_tpu.ops import style as style_ops
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 13, 4)).astype(np.uint8)
+    inv = (0.41, 0.13, -0.2, 0.37, 1.5, -2.0)  # rotated: gather path
+    for repeating, smoothed in ((False, True), (True, False)):
+        p = style_ops.Paint(
+            kind=style_ops.PAINT_BITMAP, image=img, inv_matrix=inv,
+            repeating=repeating, smoothed=smoothed, supersample=2)
+        a = np.asarray(style_ops.paint_field(p, 24, 40))
+        b = np.asarray(style_ops.paint_field_traced(
+            p, jnp.asarray(inv, jnp.float32), 24, 40))
+        np.testing.assert_array_equal(a, b)
+
+    stops_r = np.asarray([0.0, 0.6, 1.0], np.float32)
+    stops_c = np.asarray([[1, 0, 0, 1], [0, 1, 0, 0.5], [0, 0, 1, 1]],
+                         np.float32)
+    ginv = (1.0 / 60.0 * 32768.0, 0.002, -0.003,
+            1.0 / 60.0 * 32768.0, -16384.0, 10.0)
+    for kind, cs in ((style_ops.PAINT_LINEAR, "linear-rgb"),
+                     (style_ops.PAINT_FOCAL, "s-rgb")):
+        p = style_ops.Paint(
+            kind=kind, inv_matrix=ginv, stop_ratios=stops_r,
+            stop_colors=stops_c, focal_point=0.3,
+            spread=style_ops.SPREAD_REFLECT, color_space=cs)
+        a = np.asarray(style_ops.paint_field(p, 24, 40))
+        b = np.asarray(jax.jit(
+            lambda m: style_ops.paint_field_traced(p, m, 24, 40)
+        )(jnp.asarray(ginv, jnp.float32)))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        # Per-frame stop-color override == replacing the stops.
+        sc2 = stops_c.copy()
+        sc2[:, 3] *= 0.5
+        p2 = style_ops.Paint(
+            kind=kind, inv_matrix=ginv, stop_ratios=stops_r,
+            stop_colors=sc2, focal_point=0.3,
+            spread=style_ops.SPREAD_REFLECT, color_space=cs)
+        c = np.asarray(style_ops.paint_field(p2, 24, 40))
+        d = np.asarray(jax.jit(
+            lambda m, s: style_ops.paint_field_traced(
+                p, m, 24, 40, stop_colors=s)
+        )(jnp.asarray(ginv, jnp.float32), jnp.asarray(sc2)))
+        np.testing.assert_allclose(c, d, atol=1e-6)
+
+
+def _bitmap_rect_stage_frames(frames, w, h, repeating=False,
+                              linear_rgb_overlay=False):
+    """A rotating bitmap-filled rectangle (upscaled texels so the
+    axis-aligned frame-0 oracle takes the bilinear path the bake
+    reproduces exactly), optionally stacked with a linear-RGB gradient
+    rect layer."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    def mat(scale, tx=0, ty=0):
+        return ast.Matrix(
+            scale_x=Sfixed16P16.from_value(scale),
+            scale_y=Sfixed16P16.from_value(scale),
+            rotate_skew0=Sfixed16P16.from_value(0),
+            rotate_skew1=Sfixed16P16.from_value(0),
+            translate_x=tx, translate_y=ty)
+
+    fills = [ast.BitmapFill(bitmap_id=9, matrix=mat(120.0),
+                            repeating=repeating, smoothed=True)]
+    if linear_rgb_overlay:
+        fills.append(ast.LinearGradientFill(
+            matrix=mat(0.05),
+            gradient=ast.Gradient(
+                spread=ast.GradientSpread.PAD,
+                color_space=ast.ColorSpace.LINEAR_RGB,
+                colors=(
+                    ast.GradientStop(
+                        ratio=0, color=ast.StraightSRgba8(255, 0, 0, 200)),
+                    ast.GradientStop(
+                        ratio=255,
+                        color=ast.StraightSRgba8(0, 0, 255, 120)),
+                ))))
+    size = 1400
+    records = [
+        ast.StyleChangeRecord(move_to=ast.Vector2D(120, 120), left_fill=1),
+        ast.EdgeRecord(delta=ast.Vector2D(size, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(0, size)),
+        ast.EdgeRecord(delta=ast.Vector2D(-size, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(0, -size)),
+    ]
+    if linear_rgb_overlay:
+        records += [
+            ast.StyleChangeRecord(
+                move_to=ast.Vector2D(400, 400), left_fill=2),
+            ast.EdgeRecord(delta=ast.Vector2D(700, 0)),
+            ast.EdgeRecord(delta=ast.Vector2D(0, 700)),
+            ast.EdgeRecord(delta=ast.Vector2D(-700, 0)),
+            ast.EdgeRecord(delta=ast.Vector2D(0, -700)),
+        ]
+    tag = ast.DefineShape(
+        id=1,
+        bounds=ast.Rect(x_min=0, x_max=size + 200, y_min=0,
+                        y_max=size + 200),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(fill=tuple(fills), line=()),
+            records=tuple(records)))
+
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16 as S
+
+    stages = []
+    for i in range(frames):
+        th = 2 * np.pi * i / (3 * frames)
+        a, b = np.cos(th), np.sin(th)
+        cx = cy = float((size + 200) // 2)  # twips pivot
+        m = ast.Matrix(
+            scale_x=S.from_value(a), scale_y=S.from_value(a),
+            rotate_skew0=S.from_value(b), rotate_skew1=S.from_value(-b),
+            translate_x=int(round(cx - a * cx + b * cy)),
+            translate_y=int(round(cy - b * cx - a * cy)))
+        stages.append(display.Stage(
+            width=w, height=h,
+            children=[display.ShapeInstance(definition=tag, matrix=m)]))
+    return tag, stages
+
+
+def _checker_bitmap(n=12):
+    img = np.zeros((n, n, 4), np.uint8)
+    img[::2, ::2] = (230, 40, 30, 255)
+    img[1::2, 1::2] = (20, 200, 90, 255)
+    img[img[..., 3] == 0] = (30, 60, 220, 160)
+    return img
+
+
+def test_render_batch_routes_bitmap_fill_animation():
+    """A moving-matrix animation over a BITMAP-filled shape rides the
+    on-device transform sweep via per-frame baked field planes
+    (bake_sweep_fields) and matches per-frame renders — the pattern-fill
+    analog of the reference's matrix-at-draw-time replay
+    (canvas-renderer.ts:179-184, 295-315)."""
+    from swf_renderer_tpu.runtime.bitmap_service import Bitmap
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    w = h = 88
+    img = _checker_bitmap()
+    tag, stages = _bitmap_rect_stage_frames(4, w, h)
+
+    def mk():
+        r = TpuRenderer(w, h)
+        r.bitmap_service._bitmaps[9] = Bitmap(
+            width=img.shape[1], height=img.shape[0], rgba=img)
+        return r
+
+    r = mk()
+    got = r.render_batch(stages)
+    assert r.last_stats.path == "transform-sweep"
+    for i, stage in enumerate(stages):
+        want = mk().render(stage)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())
+
+
+def test_render_batch_routes_linear_rgb_gradient_animation():
+    """linear-RGB gradients (field-baked — the in-kernel ramp is sRGB
+    only) animate on the sweep, including a per-frame color-transform
+    fade folded into the baked planes."""
+    import dataclasses
+
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.runtime.bitmap_service import Bitmap
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    w = h = 88
+    img = _checker_bitmap()
+    tag, stages = _bitmap_rect_stage_frames(4, w, h,
+                                            linear_rgb_overlay=True)
+    # Fade the child per frame: the linear-RGB layer's fade must fold
+    # into its baked field planes (stop_tracks).
+    faded = []
+    for i, s in enumerate(stages):
+        ct = display.ColorTransform(
+            mult=(1.0, 1.0, 1.0, 1.0 - 0.12 * i), add=(0, 0, 0, 0))
+        child = dataclasses.replace(s.children[0], color_transform=ct)
+        faded.append(dataclasses.replace(s, children=[child]))
+
+    def mk():
+        r = TpuRenderer(w, h)
+        r.bitmap_service._bitmaps[9] = Bitmap(
+            width=img.shape[1], height=img.shape[0], rgba=img)
+        return r
+
+    r = mk()
+    got = r.render_batch(faded)
+    assert r.last_stats.path == "transform-sweep"
+    for i, stage in enumerate(faded):
+        want = mk().render(stage)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (i, diff.max())

@@ -299,6 +299,69 @@ def bench_anim(h: int = 512, w: int = 512, frames: int = 60,
     }))
 
 
+def bench_animtex(h: int = 512, w: int = 512, frames: int = 60) -> None:
+    """Transform animation with a BITMAP-filled layer: the sweep kernel
+    reads per-(frame, column block) field planes baked on device
+    (ops.transform.bake_sweep_fields — the pattern analog of the
+    reference's matrix-at-draw-time replay, canvas-renderer.ts:295-315).
+    The timed path includes the per-frame bake (it IS per-frame device
+    work), so the metric is the true sustained cost of an animating
+    textured scene; host work stays O(edges) + O(frames) 2x2 matrix
+    inversions."""
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, bake_sweep_fields, render_affine_sweep,
+        sweep_paints,
+    )
+
+    tables, colors, mats = anim_scene(h, w, frames)
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (64, 64, 4)).astype(np.uint8)
+    paints = [style_ops.solid_paint(tuple(c)) for c in colors]
+    paints[1] = style_ops.Paint(
+        kind=style_ops.PAINT_BITMAP,
+        inv_matrix=(96.0 / w, 0.0, 0.0, 96.0 / w, 0.0, 0.0),
+        image=img, repeating=True, smoothed=True, supersample=2)
+
+    t0 = time.perf_counter()
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    lower_s = time.perf_counter() - t0
+    print(json.dumps({
+        "note": "animtex host piece split (frame-count-independent)",
+        "seconds": round(lower_s, 4),
+        "pieces": int(tab.shape[-1]), "frames": frames}), file=sys.stderr)
+    fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
+
+    def timed(tracks):
+        (mm_np,) = tracks
+        ts = []
+        for i in range(4):
+            varied_np = mm_np + np.float32(i) * 1e-12
+            t0 = time.perf_counter()
+            kp, gm, specs = sweep_paints(paints, varied_np,
+                                         allow_fields=True)
+            fields = bake_sweep_fields(specs, h, w)
+            out = render_affine_sweep(
+                jnp.asarray(varied_np), *fargs, h, w, paints=kp,
+                grad_mats=None if gm is None else jnp.asarray(gm),
+                fields=fields)
+            int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts[1:])  # [0] may include compile
+
+    dt_frame = tiled_frame_fit(timed, (mats,), frames, w * h)
+    print(json.dumps({"note": "animtex per-frame device time",
+                      "ms": round(dt_frame * 1e3, 3)}), file=sys.stderr)
+    print(json.dumps({
+        "metric": f"anim_bitmap_{h}x{w}x{frames}_sustained",
+        "value": round(h * w / dt_frame / 1e6, 2),
+        "unit": "Mpx/s",
+        "vs_baseline": None,
+    }))
+
+
 def bench_style(kind: str) -> None:
     """BASELINE configs rendered END-TO-END: real multi-shape geometry is
     lowered, packed, and rasterized through the styled fused flat-block
@@ -548,6 +611,8 @@ def main() -> None:
             return bench_anim(
                 label="anim_gradient_512x512x60_sustained",
                 gradient=True)
+        if cfg == "animtex":
+            return bench_animtex()
         if cfg in ("textured", "gradients"):
             return bench_style(cfg)
         if cfg == "flat256":

@@ -421,15 +421,22 @@ class SweepFieldSpec:
 
 
 def bake_sweep_fields(field_specs, height: int, width: int,
-                      stop_tracks=None) -> jnp.ndarray:
+                      stop_tracks=None,
+                      frame_chunk: int = 8) -> jnp.ndarray:
     """SweepFieldSpecs -> (NF, F, H, W, 4) f32 straight-RGBA field planes.
 
-    One jit per spec, vmapped over the frame axis of the composed
+    One jit per spec, mapped over the frame axis of the composed
     inverse matrices: the SAME sampling math as the per-frame styled
     path (style.paint_field_traced), so a sweep with baked fields
     matches frame-by-frame renders wherever paint_field itself takes the
     traced (gather) path — i.e. every non-axis-aligned frame.  Host work
     stays O(1) in frame count; the bake is regular fused XLA on device.
+
+    ``frame_chunk``: the frame axis maps in chunks of this size
+    (lax.map batch_size) rather than one flat vmap — XLA pads a
+    bitmap-gather's flattened (N, 4) intermediate to 128 lanes, so an
+    unchunked 480-frame 512^2 bake tried to allocate 60 GB of HBM
+    (measured; 8-frame chunks bound it at ~1 GB).
 
     ``stop_tracks``: optional [NF] list of (F, K, 4) per-frame stop-color
     overrides (linear-RGB gradient fades); None entries keep static
@@ -440,16 +447,19 @@ def bake_sweep_fields(field_specs, height: int, width: int,
     for si, spec in enumerate(field_specs):
         track = None if stop_tracks is None else stop_tracks[si]
 
-        def bake_one(inv6, sc=None, _p=spec.paint):
+        def bake_one(args, _p=spec.paint, _tracked=track is not None):
+            inv6, sc = args if _tracked else (args, None)
             return style_ops.paint_field_traced(
                 _p, inv6, height, width, stop_colors=sc)
 
+        mapped = functools.partial(jax.lax.map, bake_one,
+                                   batch_size=frame_chunk)
         invs = jnp.asarray(spec.invs, jnp.float32)
         if track is None:
-            outs.append(jax.jit(jax.vmap(bake_one))(invs))
+            outs.append(jax.jit(mapped)(invs))
         else:
-            outs.append(jax.jit(jax.vmap(bake_one))(
-                invs, jnp.asarray(track, jnp.float32)))
+            outs.append(jax.jit(mapped)(
+                (invs, jnp.asarray(track, jnp.float32))))
     return jnp.stack(outs, axis=0)
 
 

@@ -970,6 +970,21 @@ def _checker_bitmap(n=12):
     return img
 
 
+def _premul_diff(a, b):
+    """Max PREMULTIPLIED channel diff between two straight-u8 frames.
+
+    Straight-space diffs amplify one premul quantum by 255/alpha at
+    nearly-transparent pixels (the canvas-mode pattern fade-out), so
+    bitmap tests gate where the oracles actually store their bytes —
+    exactly the ratchet's premul metric (QUALITY.md)."""
+    af, bf = a.astype(np.float64), b.astype(np.float64)
+    apm = np.concatenate([af[..., :3] * af[..., 3:4] / 255.0,
+                          af[..., 3:4]], -1)
+    bpm = np.concatenate([bf[..., :3] * bf[..., 3:4] / 255.0,
+                          bf[..., 3:4]], -1)
+    return np.abs(apm - bpm).max()
+
+
 def test_render_batch_routes_bitmap_fill_animation():
     """A moving-matrix animation over a BITMAP-filled shape rides the
     on-device transform sweep via per-frame baked field planes
@@ -994,8 +1009,7 @@ def test_render_batch_routes_bitmap_fill_animation():
     assert r.last_stats.path == "transform-sweep"
     for i, stage in enumerate(stages):
         want = mk().render(stage)
-        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
-        assert diff.max() <= 2, (i, diff.max())
+        assert _premul_diff(got[i], want) <= 2, i
 
 
 def test_render_batch_routes_linear_rgb_gradient_animation():
@@ -1032,5 +1046,4 @@ def test_render_batch_routes_linear_rgb_gradient_animation():
     assert r.last_stats.path == "transform-sweep"
     for i, stage in enumerate(faded):
         want = mk().render(stage)
-        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
-        assert diff.max() <= 2, (i, diff.max())
+        assert _premul_diff(got[i], want) <= 2, i

@@ -276,6 +276,21 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
             return _unpremul(jnp.einsum("hxc,yh->yxc", tmp, wy,
                                         precision=jax.lax.Precision.HIGHEST))
 
+        th, tw = int(paint.image.shape[0]), int(paint.image.shape[1])
+        from .texfield import MAX_KERNEL_TEXELS, bitmap_field_planes
+
+        if th * tw <= MAX_KERNEL_TEXELS:
+            # Non-axis-aligned sampling: the gather path costs 16
+            # fetches/px at supersample 2 (measured 49.8 ms/frame at
+            # 512^2 on TPU); the MXU contraction kernel is ~26x faster
+            # and agrees to ~1e-6 (PERF.md, tests/test_texfield.py).
+            return bitmap_field_planes(
+                paint.image,
+                np.asarray([paint.inv_matrix], np.float32),
+                height, width, supersample=n,
+                repeating=paint.repeating, smoothed=paint.smoothed,
+                edge_mode=paint.edge_mode)[0]
+
         sample = _bilinear_sample if paint.smoothed else _nearest_sample
         py = jnp.arange(height, dtype=jnp.float32)[:, None]
         px = jnp.arange(width, dtype=jnp.float32)[None, :]

@@ -17,9 +17,10 @@ for row one-hots:
 
 with ``wx_k``/``wy_k`` the bilinear (or nearest) tap weights of
 subsample k — built as VPU comparisons against a texel iota, never
-gathered.  Contracting tx on the MXU ((4*Th, Tw) @ (Tw, 128) per
-128-pixel lane row) and ty with a fixed channel-selection matmul keeps
-every intermediate in VMEM.  Weight construction handles the exact
+gathered.  Contracting tx on the MXU ((4*Th, Tw) @ (Tw, xblk*128)
+lane-merged pixels) and ty with exact f32 VPU sublane reductions per
+channel quarter keeps every intermediate in VMEM.  Weight construction
+handles the exact
 fetch semantics of ``style._fetch``: repeat (wrap), flash (clamp — for
 bilinear, clamping the COORDINATE is identical to clamping both taps),
 and canvas (transparent outside).  Filtering runs on premultiplied
@@ -84,7 +85,7 @@ def _axis_weights(coord, t_iota, n_tex: int, repeating: bool,
     return w
 
 
-def _texfield_kernel(invs_ref, img_ref, sel_ref, out_ref, *,
+def _texfield_kernel(invs_ref, img_ref, out_ref, *,
                      xblk: int, th: int, tw: int, th_pad: int,
                      tw_pad: int, supersample: int, repeating: bool,
                      smoothed: bool, edge_mode: str, hp: int):
@@ -123,13 +124,23 @@ def _texfield_kernel(invs_ref, img_ref, sel_ref, out_ref, *,
                            smoothed)          # (TWp, XL)
         wy4 = _axis_weights(sy, ty4, th, repeating, edge_mode,
                             smoothed)         # (4*THp, XL)
-        # Contract tx on the MXU: (4*THp, TWp) @ (TWp, XL).
+        # Contract tx on the MXU: (4*THp, TWp) @ (TWp, XL).  HIGHEST
+        # precision: Mosaic's DEFAULT feeds bf16-rounded operands to the
+        # MXU — measured 0.007 (±1.8/255) error vs the gather oracle,
+        # eating the whole ≤2/255 budget (HIGH is unsupported in
+        # Mosaic; PERF.md has the cost table).
         b4 = jnp.dot(img_ref[...], wx,
-                     preferred_element_type=jnp.float32)
-        # Contract ty per channel with the fixed selection matrix
-        # sel[c, t] = (t // THp == c): (8, 4*THp) @ (4*THp, XL).
-        return acc + jnp.dot(sel_ref[...], wy4 * b4,
-                             preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        # Contract ty per channel as exact f32 VPU sublane reductions
+        # over each THp quarter — the earlier (8, 4*THp) @ (4*THp, XL)
+        # selection matmul was 2x dot1's padded MAC count AND needed
+        # HIGHEST itself (measured in PERF.md).
+        r = wy4 * b4
+        rows = [jnp.sum(r[c * th_pad:(c + 1) * th_pad], axis=0,
+                        keepdims=True) for c in range(4)]
+        return acc + jnp.concatenate(
+            rows + [jnp.zeros((4, xl), jnp.float32)], axis=0)
 
     acc = jax.lax.fori_loop(
         0, n * n, sub, jnp.zeros((8, xl), jnp.float32))
@@ -164,11 +175,6 @@ def bitmap_field_planes(img, invs, height: int, width: int,
     imgf = jnp.pad(imgf, ((0, th_pad - th), (0, tw_pad - tw), (0, 0)))
     # (THp, TWp, 4) -> channel-stacked (4*THp, TWp).
     img4 = imgf.transpose(2, 0, 1).reshape(4 * th_pad, tw_pad)
-    # Channel-selection matrix, 8 sublanes (out rows 4..7 unused).
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (8, 4 * th_pad), 0)
-           == jax.lax.broadcasted_iota(
-               jnp.int32, (8, 4 * th_pad), 1) // th_pad
-           ).astype(jnp.float32)
 
     kernel = functools.partial(
         _texfield_kernel, xblk=xblk, th=th, tw=tw, th_pad=th_pad,
@@ -183,8 +189,6 @@ def bitmap_field_planes(img, invs, height: int, width: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((4 * th_pad, tw_pad), lambda f, xb, yb: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 4 * th_pad), lambda f, xb, yb: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, 8, xblk * LANE),
                                lambda f, xb, yb: (f, xb, yb, 0, 0),
@@ -192,7 +196,7 @@ def bitmap_field_planes(img, invs, height: int, width: int,
         out_shape=jax.ShapeDtypeStruct(
             (fcount, xb_n, yb_n, 8, xblk * LANE), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(invs, jnp.float32), img4, sel)
+    )(jnp.asarray(invs, jnp.float32), img4)
 
     # (F, XB, YB, 8, xblk*LANE): lane l of (f, xb, yb) is pixel
     # (x = xb*xblk + l // LANE, y = yb*LANE + l % LANE), channels on

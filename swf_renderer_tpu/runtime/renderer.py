@@ -900,6 +900,7 @@ def render_shape_animation(
     height: int,
     quality: str = "canvas",
     bitmaps: Optional[List[ast.DefineBitmap]] = None,
+    bitmap_service: Optional[BitmapService] = None,
 ) -> np.ndarray:
     """Animate ONE shape under per-frame matrices, fully on device.
 
@@ -915,8 +916,9 @@ def render_shape_animation(
     (F, 6) array of device-space affines.  Solid fills/strokes and sRGB
     linear/focal gradient fills evaluate in-kernel under each frame's
     composed matrix; bitmap fills (register their DefineBitmap tags via
-    ``bitmaps``) and linear-RGB gradients bake per-frame field planes on
-    device (ops.transform.bake_sweep_fields) — still O(edges) host work.
+    ``bitmaps``, or pass an existing ``bitmap_service``) and linear-RGB
+    gradients bake per-frame field planes on device
+    (ops.transform.bake_sweep_fields) — still O(edges) host work.
     Returns (F, H, W, 4) uint8."""
     from ..models.geometry import Affine, TWIPS_PER_PX
     from ..ops.morph import morph_frames_to_u8
@@ -937,7 +939,7 @@ def render_shape_animation(
             max(Affine(*m).norm2() for m in np.asarray(mats, float)))
 
     flash_like = quality.startswith("flash")
-    service = BitmapService()
+    service = bitmap_service if bitmap_service is not None else BitmapService()
     for bmp in bitmaps or []:
         service.add_bitmap(bmp)
     compiler = SceneCompiler(

@@ -128,6 +128,12 @@ class RendererService:
     def add_bitmap(self, handle: int, tag: ast.DefineBitmap) -> None:
         self._get(handle).add_bitmap(tag)
 
+    def bitmap_service(self, handle: int):
+        """The handle's bitmap registry (runtime.bitmap_service) — lets
+        one-shot helpers like render_shape_animation reuse bitmaps
+        registered on a server handle."""
+        return self._get(handle).bitmap_service
+
     def render(self, handle: int, stage: display.Stage) -> np.ndarray:
         return self._get(handle).render(stage)
 

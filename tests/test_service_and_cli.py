@@ -168,6 +168,21 @@ def test_frame_server_over_http(reference_tests):
         assert spin.shape[2] == 4 and spin[..., 3].max() > 0
         assert blob2.count(b"P7\n") == 3
 
+        # Bitmap-filled shapes animate too: the rotation sweep resolves
+        # fills against the handle's registered bitmaps and bakes
+        # per-frame field planes (hb4's shape references bitmap id 3 —
+        # the bitmap corpus DefineBitmap).
+        bmp = (reference_tests / "bitmap"
+               / "homestuck-beta-3.ast.json").read_text()
+        assert post(f"/renderer/{handle}/bitmap", bmp.encode())["ok"]
+        tex = (reference_tests / "textured-shapes" / "homestuck-beta-4"
+               / "ast.json").read_text()
+        blob3 = post(f"/renderer/{handle}/animate?frames=2", tex.encode(),
+                     raw=True)
+        texspin = pam_to_rgba(blob3)
+        assert texspin.shape[2] == 4 and texspin[..., 3].max() > 0
+        assert blob3.count(b"P7\n") == 2
+
         req = urllib.request.Request(f"{base}/renderer/{handle}",
                                      method="DELETE")
         assert json.loads(urllib.request.urlopen(req).read())["ok"]

@@ -176,7 +176,7 @@ class Handler(BaseHTTPRequestHandler):
 
         tag = parse_tag(self._body().decode())
         if isinstance(tag, ast.DefineShape):
-            return self._animate_rotation(tag, params)
+            return self._animate_rotation(tag, params, service, handle)
         if not isinstance(tag, ast.DefineMorphShape):
             raise ValueError("animate requires a DefineMorphShape or"
                              " DefineShape")
@@ -221,10 +221,12 @@ class Handler(BaseHTTPRequestHandler):
         return self._bytes(buf.getvalue(),
                            "application/x-portable-arbitrarymap")
 
-    def _animate_rotation(self, tag, params):
+    def _animate_rotation(self, tag, params, service=None, handle=None):
         """Transform-animation loop: one full rotation of the shape about
         the stage center, rasterized fully on device
-        (runtime.renderer.render_shape_animation)."""
+        (runtime.renderer.render_shape_animation).  Bitmap fills resolve
+        against the handle's registered bitmaps (POST /renderer/<h>/bitmap)
+        and animate via per-frame field planes."""
         from swf_renderer_tpu.models.geometry import Affine, TWIPS_PER_PX
         from swf_renderer_tpu.runtime.renderer import render_shape_animation
 
@@ -248,7 +250,9 @@ class Handler(BaseHTTPRequestHandler):
             dev = s.then(rot.then(b_aff)).then(s_inv)
             mats.append(dev.as_tuple())
         frames = render_shape_animation(
-            tag, np.asarray(mats, np.float32), stage.width, stage.height)
+            tag, np.asarray(mats, np.float32), stage.width, stage.height,
+            bitmap_service=(service.bitmap_service(handle)
+                            if service is not None else None))
         buf = io.BytesIO()
         for frame in frames:
             buf.write(rgba_to_pam(frame))

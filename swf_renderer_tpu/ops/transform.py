@@ -63,7 +63,9 @@ def _per_layer_mats(matrices, n_layers: int):
                      f" got {mats.shape}")
 
 
-def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
+def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128,
+                  split_margin: float = 1.0, min_splits=None,
+                  return_splits: bool = False):
     """Split LOCAL-space edge tables into pieces row-bounded under every
     frame matrix.
 
@@ -73,7 +75,14 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
     x' = a x + c y + e,  y' = b x + d y + f — or (F, L, 6) PER-LAYER
     affines (each layer animates under its own matrix track).
 
-    Returns (tab, subxy, colors_arr):
+    ``split_margin`` scales the per-edge |dy'| bound before the ceil
+    (headroom so future matrices up to margin-times as magnifying still
+    validate against the cached table — the single-frame interactive
+    path); ``min_splits``: optional [layers] of (E,) int floors (monotone
+    cache growth); ``return_splits``: also return the per-edge split
+    counts.
+
+    Returns (tab, subxy, colors_arr[, splits]):
       tab    (P, 4, 1, EP) f32 — x0, y0, x1, y1 local coords, lane layout
       subxy  (P, 4, EP, 1) f32 — same channels in sublane layout (the row
                                   one-hot needs transformed y per sublane)
@@ -83,14 +92,19 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
     per_layer = _per_layer_mats(matrices, len(edge_tables))
 
     split = []
-    for edges, color, lm in zip(edge_tables, colors, per_layer):
+    splits_out = []
+    for li, (edges, color, lm) in enumerate(
+            zip(edge_tables, colors, per_layer)):
         b = lm[:, 1][:, None]
         d = lm[:, 3][:, None]
         e = np.asarray(edges, np.float64)
         dx = (e[:, 2] - e[:, 0])[None, :]
         dy = (e[:, 3] - e[:, 1])[None, :]
         dyp = np.abs(b * dx + d * dy).max(axis=0)  # worst |dy'| per edge
-        n = np.maximum(1, np.ceil(dyp)).astype(int)
+        n = np.maximum(1, np.ceil(dyp * split_margin)).astype(int)
+        if min_splits is not None and min_splits[li] is not None:
+            n = np.maximum(n, np.asarray(min_splits[li], int))
+        splits_out.append(n)
         ps = []
         for row, k in zip(e, n):
             t = np.linspace(0.0, 1.0, k + 1)
@@ -111,6 +125,8 @@ def affine_pieces(edge_tables, colors, matrices, e_multiple: int = 128):
         tab[i, :, 0, :k] = ps.T.astype(np.float32)
         subxy[i, :, :k, 0] = ps.T.astype(np.float32)
         colors_arr[i] = color
+    if return_splits:
+        return tab, subxy, colors_arr, splits_out
     return tab, subxy, colors_arr
 
 

@@ -193,6 +193,13 @@ class TpuRenderer:
         self.frame: Optional[np.ndarray] = None
         self.last_stats = RenderStats()
         self._exec_path = ""
+        # Single-frame interactive sweep: after two consecutive render()
+        # calls over the SAME definitions with moved matrices, further
+        # novel-matrix frames ride an F=1 on-device transform sweep with
+        # cached local-space pieces — O(edges) validation instead of the
+        # full host lowering chain (see _render_frame_sweep).
+        self._frame_sweep_state = None      # (key, _FrameSweepState|None)
+        self._frame_sweep_candidate = None  # (key, mats_row)
 
     # -- reference API ------------------------------------------------------
 
@@ -201,6 +208,9 @@ class TpuRenderer:
 
     def render(self, stage: display.Stage) -> np.ndarray:
         t0 = time.perf_counter()
+        fast = self._render_frame_sweep(stage, t0)
+        if fast is not None:
+            return fast
         flash_like = self.quality.startswith("flash")
         compiler = SceneCompiler(
             self.bitmap_service, self._shape_cache, self._morph_cache,
@@ -594,6 +604,278 @@ class TpuRenderer:
             draws_cache=self._draws_cache,
         )
         return devs, s_aff, compiler
+
+    # -- single-frame interactive sweep ---------------------------------
+
+    def _frame_sweep_gates(self, stage) -> bool:
+        return not (
+            self.backend in ("scanline", "direct") or self.validate
+            or self.quality == "flash-pointaa"
+            or stage.exact_width is not None
+            or stage.width != self.width or stage.height != self.height)
+
+    def _render_frame_sweep(self, stage, t0):
+        """Interactive novel-matrix render(): once two consecutive calls
+        draw the SAME definitions under moved matrices, further frames
+        rasterize through an F=1 on-device transform sweep with cached
+        local-space pieces — per-frame host work drops to an O(edges)
+        split-validity check (the reference's cached-decode replay with
+        matrix-at-draw-time, canvas-renderer.ts:96-112, 179-184; here
+        the per-frame cost is one kernel launch).  Returns the frame or
+        None (normal path).  Cached pieces carry 1.5x split/tolerance
+        headroom, so zooming within it revalidates without re-splitting;
+        beyond it the state rebuilds monotonically."""
+        if not self._frame_sweep_gates(stage):
+            return None
+        leaves = self._stage_leaves(stage)
+        if not leaves:
+            return None
+        key = tuple(
+            (id(c.definition),
+             float(c.ratio) if isinstance(c, display.MorphShapeInstance)
+             else None)
+            for c, _dev, _ct in leaves)
+        mats_row = tuple(dev.as_tuple() for _c, dev, _ct in leaves)
+        state = self._frame_sweep_state
+        if state is not None and state[0] == key:
+            if state[1] is None:
+                return None  # known-unsweepable definitions
+            return self._run_frame_sweep(state[1], stage, leaves, t0)
+        cand = self._frame_sweep_candidate
+        if cand is not None and cand[0] == key and cand[1] != mats_row:
+            built = self._build_frame_sweep_state(key, leaves)
+            self._frame_sweep_state = (key, built)
+            if built is not None:
+                return self._run_frame_sweep(built, stage, leaves, t0)
+            return None
+        # Pin the definitions so the id()-based key can't alias a new
+        # object after garbage collection.
+        self._frame_sweep_candidate = (
+            key, mats_row, [c.definition for c, _d, _ct in leaves])
+        return None
+
+    def _build_frame_sweep_state(self, key, leaves, smax_hint=None):
+        """Compile the leaves ONCE in local space and split their edge
+        tables into a matrix-validated piece cache (margin 1.5)."""
+        from ..models.geometry import Affine, TWIPS_PER_PX
+        from ..ops.transform import affine_pieces, layer_piece_counts
+
+        gradient_kinds = (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
+        smax = max(1.0, max(dev.norm2() for _c, dev, _ct in leaves))
+        smax = max(smax, smax_hint or 0.0) * 1.5
+        flash_like = self.quality.startswith("flash")
+        s_aff = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
+        compiler = SceneCompiler(
+            self.bitmap_service, self._shape_cache, self._morph_cache,
+            curve_tolerance=0.1 / smax,
+            curve_pow2=flash_like,
+            honor_swf_caps=flash_like,
+            honor_fill_winding=self.honor_fill_winding,
+            draws_cache=self._draws_cache,
+        )
+        child_counts = []
+        try:
+            for c, _dev, _ct in leaves:
+                start = len(compiler.draws)
+                if isinstance(c, display.MorphShapeInstance):
+                    compiler._draw_morph_shape(c.definition, c.ratio,
+                                               s_aff, None)
+                else:
+                    compiler._draw_shape(c.definition, s_aff, None)
+                child_counts.append(len(compiler.draws) - start)
+        except (KeyError, NotImplementedError):
+            return None  # missing bitmap / unsupported fill
+        draws = compiler.draws
+        sweep_kinds = gradient_kinds + (style_ops.PAINT_SOLID,
+                                        style_ops.PAINT_BITMAP)
+        if not draws or any(d.paint.kind not in sweep_kinds
+                            for d in draws):
+            return None
+        mats0 = self._frame_sweep_mats(leaves, child_counts)
+        from ..ops.transform import sweep_paints
+
+        try:
+            sweep_paints([d.paint for d in draws], mats0,
+                         allow_fields=True)
+        except ValueError:
+            return None  # singular frame matrix
+        piece_colors = [
+            d.paint.color if d.paint.kind == style_ops.PAINT_SOLID
+            else (0.0, 0.0, 0.0, 0.0) for d in draws]
+        tab, subxy, _colors, splits = affine_pieces(
+            [d.edges for d in draws], piece_colors, mats0,
+            split_margin=1.5, return_splits=True)
+        edge_vecs = []
+        for d in draws:
+            e = np.asarray(d.edges, np.float64)
+            edge_vecs.append((e[:, 2] - e[:, 0], e[:, 3] - e[:, 1]))
+        k_max = max((len(d.paint.stop_ratios) for d in draws
+                     if d.paint.kind in gradient_kinds), default=0)
+        return {
+            "key": key,
+            "smax": smax,
+            "defs": [c.definition for c, _d, _ct in leaves],  # pin ids
+            "draws": draws,
+            "child_counts": child_counts,
+            "rule": normalize_fill_rule(
+                tuple(d.fill_rule for d in draws), len(draws)),
+            "tab": jnp.asarray(tab),
+            "subxy": jnp.asarray(subxy),
+            "layer_counts": layer_piece_counts(tab),
+            "splits": splits,
+            "edge_vecs": edge_vecs,
+            "k_max": k_max,
+        }
+
+    @staticmethod
+    def _frame_sweep_mats(leaves, child_counts):
+        """(1, L, 6) per-layer device affines (children replicated over
+        their draw counts)."""
+        return np.asarray(
+            [[m for ci, (_c, dev, _ct) in enumerate(leaves)
+              for m in [dev.as_tuple()] * child_counts[ci]]],
+            np.float32)
+
+    def _run_frame_sweep(self, state, stage, leaves, t0):
+        from ..ops.flatblock import KPAINT_FOCAL, KPAINT_LINEAR
+        from ..ops.morph import morph_frames_to_u8
+        from ..ops.transform import (
+            affine_pieces, bake_sweep_fields, layer_piece_counts,
+            render_affine_sweep, sweep_paints,
+        )
+        from .scene import _apply_color_transform
+
+        gradient_kinds = (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
+        smax_now = max(dev.norm2() for _c, dev, _ct in leaves)
+        if smax_now > state["smax"]:
+            # Zoomed past the compiled flatten tolerance: rebuild with
+            # the new bound (monotone — margin keeps this rare).
+            state = self._build_frame_sweep_state(
+                state["key"], leaves, smax_hint=smax_now)
+            self._frame_sweep_state = (self._frame_sweep_state[0], state)
+            if state is None:
+                return None
+        draws = state["draws"]
+        mats = self._frame_sweep_mats(leaves, state["child_counts"])
+        # Per-edge split validity: piece |dy'| stays <= 1 iff each edge's
+        # |b dx + d dy| stays within its stored split count.
+        for li, (dx, dy) in enumerate(state["edge_vecs"]):
+            b, d = float(mats[0, li, 1]), float(mats[0, li, 3])
+            if dx.size and (np.abs(b * dx + d * dy)
+                            > state["splits"][li] + 1e-9).any():
+                # Escalate the margin toward the full-rotation bound
+                # (|dy'| <= hypot(b, d) * hypot(dx, dy) for ANY rotation
+                # at this scale), so a continuous spin re-splits at most
+                # a couple of times before the table covers the whole
+                # turn — each re-split costs a piece-table upload and
+                # can change the kernel's jit key.
+                margin = state["margin"] = min(
+                    state.get("margin", 1.5) * 2.0, 1e9)
+                mins = []
+                for lj, (dxj, dyj) in enumerate(state["edge_vecs"]):
+                    bj = float(mats[0, lj, 1])
+                    dj = float(mats[0, lj, 3])
+                    dyp = np.abs(bj * dxj + dj * dyj)
+                    rot_bound = (np.hypot(bj, dj) * np.hypot(dxj, dyj)
+                                 * 1.05)
+                    tgt = np.maximum(
+                        np.ceil(np.minimum(dyp * margin, rot_bound)),
+                        1.0).astype(int)
+                    mins.append(np.maximum(tgt, state["splits"][lj]))
+                piece_colors = [
+                    dd.paint.color
+                    if dd.paint.kind == style_ops.PAINT_SOLID
+                    else (0.0, 0.0, 0.0, 0.0) for dd in draws]
+                tab, subxy, _c2, splits = affine_pieces(
+                    [dd.edges for dd in draws], piece_colors, mats,
+                    min_splits=mins, return_splits=True)
+                state["tab"] = jnp.asarray(tab)
+                state["subxy"] = jnp.asarray(subxy)
+                state["splits"] = splits
+                state["layer_counts"] = layer_piece_counts(tab)
+                break
+        try:
+            kpaints, grad_mats, field_specs = sweep_paints(
+                [d.paint for d in draws], mats, allow_fields=True)
+        except ValueError:
+            return None  # singular matrix this frame: normal path
+        # Per-layer color transforms ride dynamic inputs (one compile
+        # for the whole interactive session): solids via (1, L, 4)
+        # colors, in-kernel gradients via the (1, L, K, 4) SMEM stop
+        # window, linear-RGB field layers via the bake's stop track;
+        # bitmap fills ignore cts (scene._paint_for_fill parity).
+        colors = np.zeros((1, len(draws), 4), np.float32)
+        stop_colors = (np.zeros((1, len(draws), state["k_max"], 4),
+                                np.float32) if state["k_max"] else None)
+        li = 0
+        for ci, (_c, _dev, ct) in enumerate(leaves):
+            for _ in range(state["child_counts"][ci]):
+                d = draws[li]
+                if d.paint.kind == style_ops.PAINT_SOLID:
+                    colors[0, li] = _apply_color_transform(
+                        d.paint.color, ct)
+                elif d.paint.kind in gradient_kinds:
+                    nk = len(d.paint.stop_ratios)
+                    stop_colors[0, li, :nk] = (
+                        [_apply_color_transform(tuple(sc), ct)
+                         for sc in d.paint.stop_colors] if ct is not None
+                        else np.asarray(d.paint.stop_colors, np.float32))
+                li += 1
+        stop_tracks = None
+        if field_specs:
+            ct_by_layer = {}
+            li = 0
+            for ci, (_c, _dev, ct) in enumerate(leaves):
+                for _ in range(state["child_counts"][ci]):
+                    ct_by_layer[li] = ct
+                    li += 1
+            stop_tracks = []
+            for spec in field_specs:
+                ct = ct_by_layer.get(spec.layer)
+                if (spec.paint.kind in gradient_kinds
+                        and ct is not None):
+                    stop_tracks.append(np.asarray(
+                        [[_apply_color_transform(tuple(sc), ct)
+                          for sc in spec.paint.stop_colors]], np.float32))
+                else:
+                    stop_tracks.append(None)
+            if all(t is None for t in stop_tracks):
+                stop_tracks = None
+        # In-kernel gradient layers need the stop window only when one
+        # exists; a field-only paint set must not pass it.
+        if stop_colors is not None and not any(
+                kp.kind in (KPAINT_LINEAR, KPAINT_FOCAL)
+                for kp in kpaints):
+            stop_colors = None
+        fields = (bake_sweep_fields(field_specs, self.height, self.width,
+                                    stop_tracks=stop_tracks)
+                  if field_specs else None)
+        out = render_affine_sweep(
+            jnp.asarray(mats), state["tab"], state["subxy"],
+            jnp.asarray(colors), self.height, self.width,
+            fill_rule=state["rule"], paints=kpaints,
+            layer_counts=state["layer_counts"],
+            grad_mats=(None if grad_mats is None
+                       else jnp.asarray(grad_mats)),
+            stop_colors=(None if stop_colors is None
+                         else jnp.asarray(stop_colors)),
+            fields=fields,
+            # One frame = a handful of grid steps, so blocks-per-step
+            # amortizes nothing; bps=1 keeps the margin-split piece
+            # tables + out block inside scoped VMEM at 1080p (bps=3
+            # measured 16.2 MB > the 16 MB limit).
+            blocks_per_step=1)
+        frame = morph_frames_to_u8(np.asarray(out), self.height,
+                                   self.width)[0]
+        self.frame = _composite_background(frame, stage.background_color)
+        self.last_stats = RenderStats(
+            draws=len(draws),
+            edges=sum(d.edges.shape[0] for d in draws),
+            width=self.width, height=self.height,
+            seconds=time.perf_counter() - t0,
+            path="transform-sweep-1f",
+        )
+        return self.frame
 
     def _morph_transform_plan(self, stages, leaves_per_stage,
                               ratio_varies):

@@ -153,12 +153,14 @@ def test_render_shape_animation_matches_per_frame_render(reference_tests):
     got = render_shape_animation(tag, mats, w, h)
     assert got.shape == (4, h, w, 4)
 
-    r = TpuRenderer(w, h)
     for i, m in enumerate(mats):
+        # Fresh renderer per frame: a reused one would upgrade to the
+        # single-frame sweep itself (transform-sweep-1f) and stop being
+        # an independent oracle.
         stage = display.Stage(
             width=w, height=h,
             children=[display.ShapeInstance(definition=tag, matrix=m)])
-        want = r.render(stage)
+        want = TpuRenderer(w, h).render(stage)
         diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 2, (i, diff.max())
         assert (diff > 1).mean() < 1e-3
@@ -846,15 +848,18 @@ def test_paint_field_traced_matches_paint_field():
 
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, (11, 13, 4)).astype(np.uint8)
-    inv = (0.41, 0.13, -0.2, 0.37, 1.5, -2.0)  # rotated: gather path
+    inv = (0.41, 0.13, -0.2, 0.37, 1.5, -2.0)  # rotated: non-separable
     for repeating, smoothed in ((False, True), (True, False)):
         p = style_ops.Paint(
             kind=style_ops.PAINT_BITMAP, image=img, inv_matrix=inv,
             repeating=repeating, smoothed=smoothed, supersample=2)
+        # paint_field routes rotated small-texture bitmaps through the
+        # MXU texfield kernel; paint_field_traced stays on the gather
+        # path — identical weights, different summation order (~1e-6).
         a = np.asarray(style_ops.paint_field(p, 24, 40))
         b = np.asarray(style_ops.paint_field_traced(
             p, jnp.asarray(inv, jnp.float32), 24, 40))
-        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(a, b, atol=5e-6)
 
     stops_r = np.asarray([0.0, 0.6, 1.0], np.float32)
     stops_c = np.asarray([[1, 0, 0, 1], [0, 1, 0, 0.5], [0, 0, 1, 1]],
@@ -1047,3 +1052,116 @@ def test_render_batch_routes_linear_rgb_gradient_animation():
     for i, stage in enumerate(faded):
         want = mk().render(stage)
         assert _premul_diff(got[i], want) <= 2, i
+
+
+def _rot_stage(tag, size_tw, w, h, th, scale=1.0, ct=None):
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16 as S
+
+    a, b = scale * np.cos(th), scale * np.sin(th)
+    cx = cy = float(size_tw // 2)
+    m = ast.Matrix(
+        scale_x=S.from_value(a), scale_y=S.from_value(a),
+        rotate_skew0=S.from_value(b), rotate_skew1=S.from_value(-b),
+        translate_x=int(round(cx - a * cx + b * cy)),
+        translate_y=int(round(cy - b * cx - a * cy)))
+    child = display.ShapeInstance(definition=tag, matrix=m,
+                                  color_transform=ct)
+    return display.Stage(width=w, height=h, children=[child])
+
+
+def test_single_frame_sweep_interactive_loop():
+    """Repeated render() calls over the same definitions with moving
+    matrices upgrade to the F=1 on-device sweep (frame 0 normal path,
+    frames 1+ 'transform-sweep-1f') and match fresh per-frame renders."""
+    from swf_renderer_tpu.runtime.bitmap_service import Bitmap
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    w = h = 88
+    img = _checker_bitmap()
+    tag, stages = _bitmap_rect_stage_frames(5, w, h,
+                                            linear_rgb_overlay=True)
+
+    def mk():
+        r = TpuRenderer(w, h)
+        r.bitmap_service._bitmaps[9] = Bitmap(
+            width=img.shape[1], height=img.shape[0], rgba=img)
+        return r
+
+    r = mk()
+    frames, paths = [], []
+    for s in stages:
+        frames.append(r.render(s).copy())
+        paths.append(r.last_stats.path)
+    assert paths[0] != "transform-sweep-1f"
+    assert paths[1:] == ["transform-sweep-1f"] * 4
+    for i, s in enumerate(stages):
+        want = mk().render(s)
+        assert _premul_diff(frames[i], want) <= 2, i
+
+
+def test_single_frame_sweep_zoom_rebuilds_and_matches():
+    """Zooming past the cached 1.5x split/tolerance headroom rebuilds
+    the piece cache monotonically; results keep matching fresh
+    renders."""
+    from swf_renderer_tpu.models import ast
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    size = 700
+    tag = ast.DefineShape(
+        id=1, bounds=ast.Rect(0, size, 0, size),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=[ast.SolidFill(
+                    color=ast.StraightSRgba8(200, 40, 90, 255))],
+                line=[]),
+            records=[
+                ast.StyleChangeRecord(
+                    right_fill=1, move_to=ast.Vector2D(x=60, y=80)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=500, y=40)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=-180, y=430)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=-320, y=-470)),
+            ]))
+    w = h = 64
+    r = TpuRenderer(w, h)
+    scales = [1.0, 1.1, 1.3, 2.4, 3.1]  # 2.4 exceeds 1.5 * 1.1-ish
+    for i, sc in enumerate(scales):
+        th = 0.15 * i
+        got = r.render(_rot_stage(tag, size, w, h, th, scale=sc))
+        want = TpuRenderer(w, h).render(
+            _rot_stage(tag, size, w, h, th, scale=sc))
+        assert _premul_diff(got, want) <= 2, (i, sc)
+    assert r.last_stats.path == "transform-sweep-1f"
+
+
+def test_single_frame_sweep_ct_fade():
+    """Per-frame color transforms in the interactive loop fold into the
+    dynamic inputs (no recompile; values match fresh renders)."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    size = 700
+    tag = ast.DefineShape(
+        id=1, bounds=ast.Rect(0, size, 0, size),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=[ast.SolidFill(
+                    color=ast.StraightSRgba8(30, 160, 220, 255))],
+                line=[]),
+            records=[
+                ast.StyleChangeRecord(
+                    right_fill=1, move_to=ast.Vector2D(x=100, y=100)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=450, y=0)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=0, y=450)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=-450, y=-450)),
+            ]))
+    w = h = 64
+    r = TpuRenderer(w, h)
+    for i in range(4):
+        ct = display.ColorTransform(
+            mult=(1.0, 1.0, 1.0, 1.0 - 0.2 * i), add=(0, 0, 0, 0))
+        stage = _rot_stage(tag, size, w, h, 0.2 * i, ct=ct)
+        got = r.render(stage)
+        want = TpuRenderer(w, h).render(stage)
+        assert _premul_diff(got, want) <= 2, i
+    assert r.last_stats.path == "transform-sweep-1f"

@@ -501,9 +501,19 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                   per_frame_colors: bool = False, morph: bool = False,
                   paints=None, dyn_stops: bool = False,
                   layer_counts=None, prefix_cheap: bool = False,
-                  bps: int = 1, compact: bool = False):
+                  bps: int = 1, compact: bool = False,
+                  prefilter: bool = False):
     gm_ref = sc_ref = prefix_ref = cheap_ref = None
     field_refs = ()  # per-(frame, block) baked paint planes, last inputs
+    bounds_ref = None
+    if prefilter:
+        # Per-(frame, layer, chunk) transformed x-extent bounds (SMEM,
+        # precomputed in XLA): two scalar compares decide whether a
+        # (block, chunk) pair can contain ANY crossing piece — the
+        # in-kernel chunk transform + per-piece crossing reduction that
+        # used to run for EVERY pair was the sweep's dominant fixed cost
+        # (~0.7 of 1.07 ms/frame at 1080p, PERF.md decomposition).
+        bounds_ref, *rest = rest
     if compact:
         # Compacted mode (_compact_pre): tab/subxy hold THIS (frame,
         # grid step)'s crossing pieces already in device px; the prefix
@@ -665,34 +675,19 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
             acc_ref[lyr] = jnp.zeros((wp, hp), jnp.float32)
             if not (prefix_cheap or compact):
                 cheap_ref[lyr] = jnp.zeros((nbp, hp), jnp.float32)
-            # Pieces stream through in e_chunk slices: the (WP, EC) ramp
-            # temporaries, not the piece count, bound scoped VMEM (a 512^2
-            # frame with 3.5K pieces at full width blew the 16 MB limit).
-            for sl in chunk_slices(lyr):
-                vals = (chunk_vals_compact(b_i, lyr, sl) if compact
-                        else chunk_vals(lyr, sl, abcdef))
+            block_lo = (wbe * wblock).astype(jnp.float32)
+            block_hi = block_lo + wblock
+
+            def ramp_accum(lyr, vals, lmask):
+                """Exact per-piece coverage ramps into acc_ref[lyr]: a
+                fully-left piece yields dy (_h01 saturates to mean 0),
+                a fully-right piece yields 0 (mean 1); ``lmask`` masks
+                left pieces out in prefix mode (the per-frame prefix
+                plane already holds them).  Compacted tables contain no
+                left pieces at all (lmask None)."""
                 x0, y0, x1, y1, rowbase, rowbase_sub = vals
                 row_terms = make_row_terms(vals)
-
-                # Block/chunk classification on PIECE x-extents: a piece
-                # whose whole extent sits left of this column block
-                # contributes EXACTLY dy to every column (its coverage ramp
-                # has completed), one fully right contributes exactly 0, and
-                # only pieces whose transition [xmn-1, xmx] crosses the block
-                # need the per-column ramp.  Pieces are path-ordered (hence
-                # spatially coherent), so many (block, chunk) pairs have no
-                # crossing piece and skip the heavy (WP, EC) work entirely.
-                pxmn = jnp.minimum(x0, x1)
-                pxmx = jnp.maximum(x0, x1)
-                block_lo = (wbe * wblock).astype(jnp.float32)
-                block_hi = block_lo + wblock
-                left = pxmx <= block_lo
-                crossing = jnp.logical_and(jnp.logical_not(left),
-                                           pxmn - 1.0 < block_hi)
-                any_cross = jnp.any(crossing)
-                lmask = left.astype(jnp.float32)
-
-                def heavy(k):
+                for k in (0, 1):
                     dy, onehot, sy0, sy1, cy0, cy1 = row_terms(k)
                     dyd = sy1 - sy0
                     safe = jnp.where(jnp.abs(dyd) < 1e-9, 1.0, dyd)
@@ -711,37 +706,75 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                         jnp.clip(0.5 * (rel_mn + rel_mx), 0.0, 1.0),
                         (_h01(rel_mx) - _h01(rel_mn)) / safe_span)
                     ramp = dy * (1.0 - mean)  # (WP, EC) exact f32
-                    if prefix_cheap and not compact:
-                        # Left pieces already live in the per-frame prefix
-                        # plane; mask them so nothing double-counts.
-                        # (Compacted tables contain no left pieces at all:
-                        # _compact_pre's crossing mask excludes them.)
+                    if lmask is not None:
                         ramp = ramp * (1.0 - lmask)
                     for part in split3(ramp):
                         acc_ref[lyr] = acc_ref[lyr] + jnp.dot(
-                            part, onehot, preferred_element_type=jnp.float32)
+                            part, onehot,
+                            preferred_element_type=jnp.float32)
+
+            # Pieces stream through in e_chunk slices: the (WP, EC) ramp
+            # temporaries, not the piece count, bound scoped VMEM (a 512^2
+            # frame with 3.5K pieces at full width blew the 16 MB limit).
+            for ci, sl in enumerate(chunk_slices(lyr)):
+                if bounds_ref is not None and skip_empty and prefix_cheap:
+                    # SMEM prefilter: two scalar compares on the chunk's
+                    # precomputed transformed x-extent replace the full
+                    # in-kernel chunk transform + per-piece crossing
+                    # reduction for non-crossing pairs (left pieces live
+                    # in the prefix plane, right pieces contribute 0).
+                    possible = jnp.logical_and(
+                        bounds_ref[0, lyr, ci, 1] > block_lo,
+                        bounds_ref[0, lyr, ci, 0] - 1.0 < block_hi)
+
+                    @pl.when(possible)
+                    def _full(lyr=lyr, sl=sl, abcdef=abcdef):
+                        vals = chunk_vals(lyr, sl, abcdef)
+                        pxmx = jnp.maximum(vals[0], vals[2])
+                        lmask = (pxmx <= block_lo).astype(jnp.float32)
+                        ramp_accum(lyr, vals, lmask)
+                    continue
+
+                vals = (chunk_vals_compact(b_i, lyr, sl) if compact
+                        else chunk_vals(lyr, sl, abcdef))
+                x0, x1 = vals[0], vals[2]
+
+                # Block/chunk classification on PIECE x-extents: a piece
+                # whose whole extent sits left of this column block
+                # contributes EXACTLY dy to every column (its coverage ramp
+                # has completed), one fully right contributes exactly 0, and
+                # only pieces whose transition [xmn-1, xmx] crosses the block
+                # need the per-column ramp.  Pieces are path-ordered (hence
+                # spatially coherent), so many (block, chunk) pairs have no
+                # crossing piece and skip the heavy (WP, EC) work entirely.
+                pxmn = jnp.minimum(x0, x1)
+                pxmx = jnp.maximum(x0, x1)
+                left = pxmx <= block_lo
+                crossing = jnp.logical_and(jnp.logical_not(left),
+                                           pxmn - 1.0 < block_hi)
+                any_cross = jnp.any(crossing)
+                lmask = left.astype(jnp.float32)
+                pmask = (lmask if (prefix_cheap and not compact)
+                         else None)
 
                 if not skip_empty:
-                    for k in (0, 1):
-                        heavy(k)
+                    ramp_accum(lyr, vals, pmask)
                     continue
 
                 if prefix_cheap or compact:
                     # Compact mode: trailing all-padding chunks (zero
                     # pieces are never 'crossing') skip the ramp work.
                     @pl.when(any_cross)
-                    def _full():
-                        for k in (0, 1):
-                            heavy(k)
+                    def _full(lyr=lyr, vals=vals, pmask=pmask):
+                        ramp_accum(lyr, vals, pmask)
                     continue
 
                 @pl.when(any_cross)
-                def _full():
-                    for k in (0, 1):
-                        heavy(k)
+                def _full(lyr=lyr, vals=vals):
+                    ramp_accum(lyr, vals, None)
 
                 @pl.when(jnp.logical_not(any_cross))
-                def _bcast():
+                def _bcast(lyr=lyr, vals=vals, lmask=lmask):
                     # No transition crosses this block: left pieces add dy
                     # (a px-independent ROW value), right pieces add 0.  The
                     # three bf16 parts stack into ONE (3, EC) @ (EC, HP)
@@ -750,6 +783,7 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                     # per row instead of three (the cheap path's full-size
                     # accumulator traffic was the dominant sweep cost:
                     # PERF.md round-3 sweep study).
+                    row_terms = make_row_terms(vals)
                     for ki, k in enumerate((0, 1)):
                         dy, onehot, *_ = row_terms(k)
                         parts = jnp.concatenate(split3(dy * lmask), axis=0)
@@ -1112,7 +1146,7 @@ def _wblock_for(width: int, hp: int) -> int:
     "height", "width", "fill_rule", "interpret", "e_chunk",
     "skip_empty", "paints", "wblock", "row_grid", "wchunk", "x_split",
     "layer_counts", "prefix_cheap", "blocks_per_step",
-    "compact_counts"))
+    "compact_counts", "prefilter"))
 def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
@@ -1132,6 +1166,7 @@ def render_affine_sweep(
     prefix_cheap: bool = None,   # None = on whenever the skip is active
     blocks_per_step: int = None,  # None = auto (measured-safe bps)
     compact_counts: tuple = None,  # plan_compact_sweep capacities
+    prefilter: bool = None,   # None = auto (on with the prefix skip)
     paints=None,         # tuple of KernelPaint (COLOR/LINEAR/FOCAL/FIELD)
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
     stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
@@ -1315,6 +1350,8 @@ def render_affine_sweep(
         raise ValueError("field paints need the column-grid sweep "
                          "kernel (row_grid=False)")
     if row_grid:
+        prefilter = False
+    if row_grid:
         wp = -(-wp8 // wchunk) * wchunk
         kernel = functools.partial(
             _xform_kernel_rows, layers=layers, wchunk=wchunk, wp=wp,
@@ -1341,6 +1378,15 @@ def render_affine_sweep(
         if prefix_cheap is None:
             prefix_cheap = skip_empty
         prefix_cheap = prefix_cheap and skip_empty
+        if prefilter is None:
+            # Measured NEGATIVE at 1080p (1.10 -> 1.14 ms/frame,
+            # within-epoch A/B): the per-(block, chunk) fixed cost is
+            # the branch/loop scalar overhead itself, which the SMEM
+            # bounds test does not remove — moving the chunk transform
+            # inside the branch saves nothing.  Kept as an ablation
+            # variant (PERF.md round-3 prefilter study).
+            prefilter = False
+        prefilter = prefilter and skip_empty and prefix_cheap
         nbp = (max(8, -(-(wp // wblock) // 8) * 8) if prefix_cheap
                else 8)
         kernel = functools.partial(
@@ -1348,7 +1394,7 @@ def render_affine_sweep(
             fill_rule=fill_rule, e_chunk=e_chunk,
             per_layer=matrices.ndim == 3, skip_empty=skip_empty,
             layer_counts=layer_counts, prefix_cheap=prefix_cheap,
-            bps=bps,
+            bps=bps, prefilter=prefilter,
             per_frame_colors=colors.ndim == 3, paints=paints,
             dyn_stops=stop_colors is not None)
         grid = (fcount, wp // (wblock * bps))
@@ -1362,6 +1408,38 @@ def render_affine_sweep(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
+    if not row_grid and prefilter:
+        # Per-(frame, layer, chunk) transformed x-extent bounds, SMEM.
+        # The ±0.5 px slack absorbs XLA-vs-Mosaic float scheduling
+        # differences (FMA contraction) so a bounds miss can never drop
+        # a piece the kernel's own transform would classify as crossing.
+        ml = (matrices if matrices.ndim == 3
+              else jnp.broadcast_to(matrices[:, None, :],
+                                    (fcount, layers, 6)))
+        av = ml[..., 0:1]
+        cv = ml[..., 2:3]
+        ev = ml[..., 4:5]
+        x0l, y0l = tab[:, 0, 0, :], tab[:, 1, 0, :]   # (L, EP)
+        x1l, y1l = tab[:, 2, 0, :], tab[:, 3, 0, :]
+        x0p = av * x0l + cv * y0l + ev                # (F, L, EP)
+        x1p = av * x1l + cv * y1l + ev
+        pmn = jnp.minimum(x0p, x1p)
+        pmx = jnp.maximum(x0p, x1p)
+        ep = tab.shape[-1]
+        nc = -(-ep // e_chunk)
+        pad = nc * e_chunk - ep
+        pmn = jnp.pad(pmn, ((0, 0), (0, 0), (0, pad)),
+                      constant_values=np.inf)
+        pmx = jnp.pad(pmx, ((0, 0), (0, 0), (0, pad)),
+                      constant_values=-np.inf)
+        bounds = jnp.stack(
+            [pmn.reshape(fcount, layers, nc, e_chunk).min(-1) - 0.5,
+             pmx.reshape(fcount, layers, nc, e_chunk).max(-1) + 0.5],
+            axis=-1)
+        args.append(bounds)
+        in_specs.append(pl.BlockSpec((1, layers, nc, 2),
+                                     lambda i, wb: (i, 0, 0, 0),
+                                     memory_space=pltpu.SMEM))
     if paints is not None:
         args.append(grad_mats)
         in_specs.append(pl.BlockSpec((1, layers, 6),

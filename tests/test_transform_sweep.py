@@ -1165,3 +1165,24 @@ def test_single_frame_sweep_ct_fade():
         want = TpuRenderer(w, h).render(stage)
         assert _premul_diff(got, want) <= 2, i
     assert r.last_stats.path == "transform-sweep-1f"
+
+
+def test_prefilter_variant_matches_default():
+    """The SMEM chunk-bounds prefilter (ablation knob, measured negative
+    at 1080p — PERF.md) must stay bit-compatible with the default path
+    within one u8 quantum."""
+    height, width = 96, 520  # >= 4 column blocks so the skip is active
+    tables = [_star_edges(60.0, 48.0, 40.0, 18.0),
+              _star_edges(255.0, 50.0, 22.0, 9.0, points=5)]
+    colors = [(0.9, 0.2, 0.1, 0.9), (0.1, 0.4, 0.95, 0.8)]
+    mats = _rotation_mats(5, 60.0, 48.0)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    base = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, height, width)), height, width)
+    pf = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, height, width, prefilter=True)), height, width)
+    diff = np.abs(base.astype(np.int32) - pf.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert base[..., 3].max() > 200

@@ -38,7 +38,8 @@ from swf_renderer_tpu.ops.transform import (  # noqa: E402
 
 def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
             row_grid=False, wchunk=256, x_split=True,
-            prefix_cheap=None, blocks_per_step=1, compact=False):
+            prefix_cheap=None, blocks_per_step=1, compact=False,
+            prefilter=None):
     tables, colors, mats = anim_scene(h, w, frames)
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
@@ -66,6 +67,7 @@ def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
                 varied, *fargs, h, w, e_chunk=e_chunk,
                 skip_empty=skip_empty, row_grid=row_grid, wchunk=wchunk,
                 x_split=x_split, prefix_cheap=prefix_cheap,
+                prefilter=prefilter,
                 **(ckw or dict(wblock=wblock,
                                blocks_per_step=blocks_per_step)))
             int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
@@ -99,9 +101,10 @@ def main():
     # per-(block, chunk, layer) fixed cost was ~0.7 of 1.07 ms/frame —
     # PERF.md decomposition; compaction shrinks the pair count ~B-fold).
     grid = [
-        ("production-auto", dict(e_chunk=256, blocks_per_step=None)),
-        ("compact-ec256", dict(e_chunk=256, compact=True)),
-        ("compact-ec128", dict(e_chunk=128, compact=True)),
+        ("production-auto (prefilter)", dict(e_chunk=256,
+                                             blocks_per_step=None)),
+        ("no-prefilter", dict(e_chunk=256, blocks_per_step=None,
+                              prefilter=False)),
     ]
     for label, kw in grid:
         e_chunk = kw.pop("e_chunk", 512)

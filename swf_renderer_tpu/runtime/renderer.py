@@ -661,8 +661,12 @@ class TpuRenderer:
         from ..ops.transform import affine_pieces, layer_piece_counts
 
         gradient_kinds = (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
+        # Compile flatten tolerance at the CURRENT scale exactly like
+        # _sweep_prelude (so rotation/translation loops flatten curves
+        # identically to per-frame renders); a zoom-past rebuild brings
+        # a 1.5x-escalated hint so rebuilds stay rare.
         smax = max(1.0, max(dev.norm2() for _c, dev, _ct in leaves))
-        smax = max(smax, smax_hint or 0.0) * 1.5
+        smax = max(smax, (smax_hint or 0.0) * 1.5)
         flash_like = self.quality.startswith("flash")
         s_aff = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
         compiler = SceneCompiler(

@@ -334,3 +334,55 @@ def test_random_deep_multipass_scene(seed):
         composite_draws(jnp.asarray(covs), jnp.stack(fields))))
     diff = np.abs(got[0].astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_interactive_single_frame_loop(seed):
+    """Fuzz the interactive F=1 sweep upgrade: random shapes under a
+    random matrix walk (rotation + anisotropic zoom + shear) through ONE
+    renderer must match fresh per-frame renders — exercising the piece
+    cache's split revalidation, margin escalation, and the
+    flatten-tolerance rebuild."""
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16 as S
+
+    rng = np.random.default_rng(7000 + seed)
+    tag = _random_shape(rng, shape_id=1)
+    w = h = 72
+    r = TpuRenderer(w, h)
+    saw_upgrade = False
+    for i in range(5):
+        th = float(rng.uniform(0, 2 * np.pi))
+        sc = float(rng.uniform(0.5, 2.5))
+        shear = float(rng.uniform(-0.3, 0.3))
+        a, b = sc * np.cos(th), sc * np.sin(th)
+        cx = cy = 1000.0
+        m = ast.Matrix(
+            scale_x=S.from_value(a),
+            scale_y=S.from_value(a * (1.0 + shear)),
+            rotate_skew0=S.from_value(b),
+            rotate_skew1=S.from_value(-b + shear),
+            translate_x=int(round(cx - a * cx + b * cy)),
+            translate_y=int(round(cy - b * cx - a * cy)))
+        stage = display.Stage(width=w, height=h, children=[
+            display.ShapeInstance(definition=tag, matrix=m)])
+        got = r.render(stage)
+        saw_upgrade |= r.last_stats.path == "transform-sweep-1f"
+        want = TpuRenderer(w, h).render(stage)
+        gf = got.astype(np.float64)
+        wf = want.astype(np.float64)
+        gpm = np.concatenate([gf[..., :3] * gf[..., 3:4] / 255.0,
+                              gf[..., 3:4]], -1)
+        wpm = np.concatenate([wf[..., :3] * wf[..., 3:4] / 255.0,
+                              wf[..., 3:4]], -1)
+        d = np.abs(gpm - wpm)
+        # Zoom-past rebuilds escalate the cached flatten tolerance 1.5x
+        # (headroom against rebuild churn), so curve AA on those frames
+        # flattens FINER than the per-frame oracle — a handful of
+        # curve-edge pixels may differ by a few quanta (measured max 6
+        # at 0.014% of pixels); rotation/translation frames match the
+        # oracle exactly.
+        assert d.max() <= 32, (seed, i, d.max())
+        assert (d > 2).mean() < 5e-3, (seed, i)
+    assert saw_upgrade, seed  # fills-only shapes must take the F=1 path

@@ -200,6 +200,13 @@ class TpuRenderer:
         # full host lowering chain (see _render_frame_sweep).
         self._frame_sweep_state = None      # (key, _FrameSweepState|None)
         self._frame_sweep_candidate = None  # (key, mats_row)
+        # One renderer is a stateful object (caches, stats, the sweep
+        # state above); serialize renders so the ThreadingHTTPServer
+        # embedding can't interleave two renders on one handle
+        # (different handles stay fully concurrent).
+        import threading
+
+        self._render_lock = threading.RLock()
 
     # -- reference API ------------------------------------------------------
 
@@ -207,6 +214,10 @@ class TpuRenderer:
         self.bitmap_service.add_bitmap(tag)
 
     def render(self, stage: display.Stage) -> np.ndarray:
+        with self._render_lock:
+            return self._render_locked(stage)
+
+    def _render_locked(self, stage: display.Stage) -> np.ndarray:
         t0 = time.perf_counter()
         fast = self._render_frame_sweep(stage, t0)
         if fast is not None:
@@ -243,6 +254,10 @@ class TpuRenderer:
         return self.frame
 
     def render_batch(self, stages) -> np.ndarray:
+        with self._render_lock:
+            return self._render_batch_locked(stages)
+
+    def _render_batch_locked(self, stages) -> np.ndarray:
         """Render a SEQUENCE of stages as one fused device batch.
 
         The multi-frame front-end the reference lacks (it draws one stage

@@ -385,6 +385,66 @@ def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
     return out
 
 
+def render_affine_sweep_tile_sharded(mesh: Mesh, matrices, parts,
+                                     height: int, width: int,
+                                     interpret: bool = None,
+                                     paints=None, grad_mats=None,
+                                     fields=None):
+    """One LARGE animated frame set sharded by COLUMN SPANS across the
+    whole mesh (the transform sweep's width-sharding twin of
+    render_frame_tile_sharded): the piece tables are replicated (KBs),
+    each device rasterizes its own column span for EVERY frame, and no
+    collectives run.  Geometry is position-independent, so the shard
+    shift folds into the affines: device x' = x - x0 subtracts x0 from
+    each matrix's translate; composed gradient affines see global
+    x = local + x0, so ga*x0 / gb*x0 fold into their translates; field
+    planes are device-space and simply shard their width axis.
+
+    Returns (F, W, HP) packed u32 (width exactly trimmed; transposed
+    frames — ops.morph.morph_frames_to_u8)."""
+    from ..ops.transform import render_affine_sweep
+
+    n = mesh.devices.size
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("x",))
+    if width % n:
+        raise ValueError(
+            f"width ({width}) must divide across {n} devices")
+    ws = width // n
+    matrices = np.asarray(matrices, np.float32)
+    has_grads = grad_mats is not None
+    has_fields = fields is not None
+
+    def shard_fn(mm, *ps):
+        ff = ps[-1] if has_fields else None
+        ps = ps[:-1] if has_fields else ps
+        gm = ps[-1] if has_grads else None
+        ps = ps[:-1] if has_grads else ps
+        x0 = (jax.lax.axis_index("x") * ws).astype(jnp.float32)
+        mm = mm.at[..., 4].add(-x0)
+        if gm is not None:
+            gm = gm.at[..., 4].add(gm[..., 0] * x0)
+            gm = gm.at[..., 5].add(gm[..., 1] * x0)
+        out = render_affine_sweep(mm, *ps, height, ws,
+                                  interpret=interpret, paints=paints,
+                                  grad_mats=gm, fields=ff)
+        return out[:, :ws]  # trim kernel padding so spans concat clean
+
+    args = [jnp.asarray(matrices), *map(jnp.asarray, parts)]
+    in_specs = [P()] + [P()] * len(parts)
+    if has_grads:
+        args.append(jnp.asarray(np.asarray(grad_mats, np.float32)))
+        in_specs.append(P())
+    if has_fields:
+        args.append(jnp.asarray(fields))
+        in_specs.append(P(None, None, None, "x", None))
+    return jax.shard_map(
+        shard_fn, mesh=flat_mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(None, "x", None),
+        check_vma=False,
+    )(*args)
+
+
 def render_affine_sweep_dp(mesh: Mesh, matrices, parts, height: int,
                            width: int, interpret: bool = None,
                            paints=None, grad_mats=None, fields=None):

@@ -509,3 +509,70 @@ def test_field_affine_sweep_dp_matches_single_device():
     got = np.asarray(render_affine_sweep_dp(
         mesh, mats, parts, h, w, paints=kpaints, fields=fields))
     np.testing.assert_array_equal(got, want)
+
+
+def test_tile_sharded_affine_sweep_matches_single_device():
+    """Width-sharded transform sweep: each device rasterizes its column
+    span for every frame (shard shift folded into the affines; gradient
+    matrices and field planes adjusted per span) — within one u8
+    quantum of the single-device sweep (the translate subtraction
+    re-rounds coordinates in f32)."""
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, bake_sweep_fields, render_affine_sweep,
+        sweep_paints,
+    )
+    from swf_renderer_tpu.parallel.mesh import (
+        render_affine_sweep_tile_sharded,
+    )
+
+    rng = np.random.default_rng(71)
+    h, w = 48, 512  # 64 columns per device on the 8-device mesh
+    tables, paints = [], []
+    for li in range(3):
+        pts = rng.uniform((10, 5), (500, 43), (6, 2)).astype(np.float32)
+        closed = np.concatenate([pts, pts[:1]])
+        tables.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+    img = rng.integers(0, 256, (8, 8, 4)).astype(np.uint8)
+    paints = [
+        style_ops.solid_paint((0.8, 0.3, 0.2, 0.9)),
+        style_ops.Paint(
+            kind=style_ops.PAINT_LINEAR,
+            inv_matrix=(120.0, 10.0, -10.0, 120.0, -16384.0, -2000.0),
+            stop_ratios=np.array([0.0, 1.0], np.float32),
+            stop_colors=np.array([[1, 0, 0, 1], [0, 0, 1, 1]],
+                                 np.float32)),
+        style_ops.Paint(
+            kind=style_ops.PAINT_BITMAP,
+            inv_matrix=(0.1, 0.02, -0.02, 0.1, 0.0, 0.0),
+            image=img, repeating=True, smoothed=True, supersample=2),
+    ]
+    mats = []
+    for i in range(4):
+        th = 2 * np.pi * i / 16
+        a, b = np.cos(th), np.sin(th)
+        cx, cy = 250.0, 24.0
+        mats.append((a, b, -b, a, cx - a * cx + b * cy,
+                     cy - b * cx - a * cy))
+    mats = np.asarray(mats, np.float32)
+    parts = affine_pieces(tables, [(0, 0, 0, 0)] * 3, mats)
+    kpaints, grad_mats, specs = sweep_paints(paints, mats,
+                                             allow_fields=True)
+    fields = bake_sweep_fields(specs, h, w)
+
+    want = np.asarray(render_affine_sweep(
+        jnp.asarray(mats), *(jnp.asarray(x) for x in parts), h, w,
+        paints=kpaints, grad_mats=jnp.asarray(grad_mats),
+        fields=fields))[:, :w]
+
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=2)
+    got = np.asarray(render_affine_sweep_tile_sharded(
+        mesh, mats, parts, h, w, paints=kpaints, grad_mats=grad_mats,
+        fields=fields))
+    assert got.shape == want.shape
+    # Packed u32 -> u8 channels before differencing.
+    gu = got.view(np.uint8).reshape(*got.shape, 4)
+    wu = want.view(np.uint8).reshape(*want.shape, 4)
+    diff = np.abs(gu.astype(np.int32) - wu.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert gu[..., 3].max() > 100  # content actually rendered

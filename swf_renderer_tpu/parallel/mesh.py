@@ -385,6 +385,75 @@ def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
     return out
 
 
+def render_morph_sweep_tile_sharded(mesh: Mesh, ratios, parts,
+                                    height: int, width: int,
+                                    interpret: bool = None):
+    """One wide morph ratio sweep sharded by COLUMN SPANS: pieces are
+    device-space, so each shard shifts the x channels of the piece
+    tables by its span origin and rasterizes its columns for every
+    ratio — zero collectives.  Returns (R, W, HP) packed u32."""
+    from ..ops.morph import render_morph_sweep
+
+    n = mesh.devices.size
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("x",))
+    if width % n:
+        raise ValueError(
+            f"width ({width}) must divide across {n} devices")
+    ws = width // n
+
+    def shard_fn(rr, tab_s, tab_e, suby_s, suby_e, cs, ce):
+        x0 = (jax.lax.axis_index("x") * ws).astype(jnp.float32)
+        # Only the lane-layout tables carry x (channels 0/2); the
+        # sublane tables hold y alone.  Padding pieces shift to
+        # (-x0, 0, -x0, 0): still degenerate (dy = 0), no contribution.
+        tab_s = tab_s.at[:, 0].add(-x0).at[:, 2].add(-x0)
+        tab_e = tab_e.at[:, 0].add(-x0).at[:, 2].add(-x0)
+        out = render_morph_sweep(rr, tab_s, tab_e, suby_s, suby_e, cs,
+                                 ce, height, ws, interpret=interpret)
+        return out[:, :ws]
+
+    return jax.shard_map(
+        shard_fn, mesh=flat_mesh,
+        in_specs=(P(),) + (P(),) * len(parts),
+        out_specs=P(None, "x", None),
+        check_vma=False,
+    )(jnp.asarray(np.asarray(ratios, np.float32)),
+      *map(jnp.asarray, parts))
+
+
+def render_morph_affine_sweep_tile_sharded(mesh: Mesh, matrices, ratios,
+                                           parts, height: int,
+                                           width: int,
+                                           interpret: bool = None):
+    """Combined morph + transform sweep sharded by COLUMN SPANS: pieces
+    are LOCAL-space, so the span shift folds into the frame matrices
+    (like render_affine_sweep_tile_sharded).  Returns (F, W, HP)."""
+    from ..ops.transform import render_morph_affine_sweep
+
+    n = mesh.devices.size
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("x",))
+    if width % n:
+        raise ValueError(
+            f"width ({width}) must divide across {n} devices")
+    ws = width // n
+
+    def shard_fn(mm, rr, *ps):
+        x0 = (jax.lax.axis_index("x") * ws).astype(jnp.float32)
+        mm = mm.at[..., 4].add(-x0)
+        out = render_morph_affine_sweep(mm, rr, *ps, height, ws,
+                                        interpret=interpret)
+        return out[:, :ws]
+
+    return jax.shard_map(
+        shard_fn, mesh=flat_mesh,
+        in_specs=(P(), P()) + (P(),) * len(parts),
+        out_specs=P(None, "x", None),
+        check_vma=False,
+    )(jnp.asarray(np.asarray(matrices, np.float32)),
+      jnp.asarray(np.asarray(ratios, np.float32)),
+      *map(jnp.asarray, parts))
+
+
 def render_affine_sweep_tile_sharded(mesh: Mesh, matrices, parts,
                                      height: int, width: int,
                                      interpret: bool = None,

@@ -576,3 +576,70 @@ def test_tile_sharded_affine_sweep_matches_single_device():
     diff = np.abs(gu.astype(np.int32) - wu.astype(np.int32))
     assert diff.max() <= 1, diff.max()
     assert gu[..., 3].max() > 100  # content actually rendered
+
+
+def test_tile_sharded_morph_sweeps_match_single_device():
+    """Width-sharded morph sweep (device-space piece shift) and combined
+    morph+transform sweep (matrix-fold shift): within one u8 quantum of
+    single device on the virtual mesh."""
+    from swf_renderer_tpu.ops.morph import morph_pieces, render_morph_sweep
+    from swf_renderer_tpu.ops.transform import (
+        morph_affine_pieces, render_morph_affine_sweep,
+    )
+    from swf_renderer_tpu.parallel.mesh import (
+        render_morph_affine_sweep_tile_sharded,
+        render_morph_sweep_tile_sharded,
+    )
+
+    rng = np.random.default_rng(73)
+    h, w = 40, 256
+    es = rng.uniform((5, 5), (250, 35), (5, 2)).astype(np.float32)
+    closed_s = np.concatenate([es, es[:1]])
+    tbl_s = np.concatenate([closed_s[:-1], closed_s[1:]], axis=1)
+    tbl_e = tbl_s + rng.uniform(-6, 6, tbl_s.shape).astype(np.float32)
+    pairs = [(tbl_s, tbl_e, (1, 0, 0, 1), (0, 0.4, 1, 1))]
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=2)
+
+    def u8(pk):
+        a = np.ascontiguousarray(np.asarray(pk))
+        return a.view(np.uint8).reshape(*a.shape, 4)
+
+    def pm_diff(a, b):
+        """Premultiplied diff: the shard shift re-rounds coordinates in
+        f32, which can move one coverage quantum; straight-RGBA
+        differencing amplifies that by 255/alpha at low-alpha AA edge
+        pixels (measured 17 at alpha 12)."""
+        af, bf = a.astype(np.float64), b.astype(np.float64)
+        apm = af[..., :3] * af[..., 3:4] / 255.0
+        bpm = bf[..., :3] * bf[..., 3:4] / 255.0
+        return max(np.abs(apm - bpm).max(),
+                   np.abs(af[..., 3] - bf[..., 3]).max())
+
+    # Plain morph ratio sweep (device-space pieces).
+    parts = morph_pieces(pairs)
+    ratios = np.linspace(0, 1, 6, dtype=np.float32)
+    want = np.asarray(render_morph_sweep(
+        jnp.asarray(ratios), *(jnp.asarray(x) for x in parts),
+        h, w))[:, :w]
+    got = np.asarray(render_morph_sweep_tile_sharded(
+        mesh, ratios, parts, h, w))
+    assert pm_diff(u8(got), u8(want)) <= 2
+    assert u8(got)[..., 3].max() > 100
+
+    # Combined morph + transform sweep (local pieces + matrix fold).
+    mats = []
+    for i in range(6):
+        th = 2 * np.pi * i / 24
+        a, b = np.cos(th), np.sin(th)
+        cx, cy = 128.0, 20.0
+        mats.append((a, b, -b, a, cx - a * cx + b * cy,
+                     cy - b * cx - a * cy))
+    mats = np.asarray(mats, np.float32)
+    mparts = morph_affine_pieces(pairs, mats)
+    want2 = np.asarray(render_morph_affine_sweep(
+        jnp.asarray(mats), jnp.asarray(ratios),
+        *(jnp.asarray(x) for x in mparts), h, w))[:, :w]
+    got2 = np.asarray(render_morph_affine_sweep_tile_sharded(
+        mesh, mats, ratios, mparts, h, w))
+    assert pm_diff(u8(got2), u8(want2)) <= 2
+    assert u8(got2)[..., 3].max() > 100

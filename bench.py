@@ -426,6 +426,10 @@ def bench_interactive(h: int = 1088, w: int = 1920,
         paths.append(r.last_stats.path)
     warm_up = [t for t, p in zip(warm, paths)
                if p == "transform-sweep-1f"]
+    if not warm_up:
+        raise RuntimeError(
+            f"no frame upgraded to the interactive sweep (paths: "
+            f"{sorted(set(paths))}) — the fast-path gates regressed")
     warm_ms = float(np.median(warm_up)) * 1e3
     print(json.dumps({
         "note": "interactive loop paths",

@@ -83,16 +83,6 @@ def solid_paint(rgba) -> Paint:
     return Paint(kind=PAINT_SOLID, color=tuple(float(c) for c in rgba))
 
 
-def _paint_coords(inv_matrix, height: int, width: int):
-    """Map device pixel centers through inv_matrix -> paint-space coords."""
-    a, b, c, d, e, f = inv_matrix
-    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
-    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
-    sx = a * px + c * py + e
-    sy = b * px + d * py + f
-    return sx, sy
-
-
 def _apply_spread(t, spread: int):
     if spread == SPREAD_PAD:
         return jnp.clip(t, 0.0, 1.0)
@@ -227,18 +217,13 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
         color = jnp.asarray(paint.color, dtype=jnp.float32)
         return jnp.broadcast_to(color, (height, width, 4))
 
-    sx, sy = _paint_coords(paint.inv_matrix, height, width)
-
-    if paint.kind == PAINT_LINEAR:
-        # SWF gradient square: x in [-16384, 16384] twips.
-        t = (sx + GRAD_RADIUS) / (2.0 * GRAD_RADIUS)
-        t = _apply_spread(t, paint.spread)
-        return _gradient_rgba(paint, t)
-
-    if paint.kind == PAINT_FOCAL:
-        t = _focal_gradient_t(sx, sy, paint.focal_point)
-        t = _apply_spread(t, paint.spread)
-        return _gradient_rgba(paint, t)
+    if paint.kind in (PAINT_LINEAR, PAINT_FOCAL):
+        # One implementation: the traced twin with a concrete matrix
+        # (identical math — python-float scalars weak-type to f32 like
+        # the f32 array elements it indexes).
+        return paint_field_traced(
+            paint, np.asarray(paint.inv_matrix, np.float32), height,
+            width)
 
     if paint.kind == PAINT_BITMAP:
         img = jnp.asarray(paint.image).astype(jnp.float32) / 255.0
@@ -291,19 +276,11 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
                 repeating=paint.repeating, smoothed=paint.smoothed,
                 edge_mode=paint.edge_mode)[0]
 
-        sample = _bilinear_sample if paint.smoothed else _nearest_sample
-        py = jnp.arange(height, dtype=jnp.float32)[:, None]
-        px = jnp.arange(width, dtype=jnp.float32)[None, :]
-        acc = jnp.zeros((height, width, 4), jnp.float32)
-        for ky in range(n):
-            for kx in range(n):
-                ox = (kx + 0.5) / n
-                oy = (ky + 0.5) / n
-                ssx = a * (px + ox) + c * (py + oy) + e
-                ssy = b * (px + ox) + d * (py + oy) + f
-                acc = acc + sample(img, ssx, ssy, paint.repeating,
-                                   paint.edge_mode)
-        return _unpremul(acc / (n * n))
+        # Large textures (beyond the MXU kernel's texel budget): one
+        # implementation of the supersampled gather — the traced twin.
+        return paint_field_traced(
+            paint, np.asarray(paint.inv_matrix, np.float32), height,
+            width)
 
     raise ValueError(f"unknown paint kind {paint.kind}")
 

@@ -55,7 +55,7 @@ def _axis_weights(coord, t_iota, n_tex: int, repeating: bool,
     """(T, LANE) tap weights for one axis of one subsample.
 
     ``coord``: (1, LANE) sample coordinate in texel units (the raw
-    ``sx`` of style._paint_coords — texel centers at integer + 0.5);
+    ``sx`` of style.paint_field_traced — texel centers at integer + 0.5);
     ``t_iota``: (T, 1) texel indices (sublane layout, padded rows have
     index >= n_tex).
     """

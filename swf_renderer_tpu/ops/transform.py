@@ -479,20 +479,42 @@ def bake_sweep_fields(field_specs, height: int, width: int,
                 repeating=p.repeating, smoothed=p.smoothed,
                 edge_mode=p.edge_mode))
             continue
-
-        def bake_one(args, _p=p, _tracked=track is not None):
-            inv6, sc = args if _tracked else (args, None)
-            return style_ops.paint_field_traced(
-                _p, inv6, height, width, stop_colors=sc)
-
-        mapped = functools.partial(jax.lax.map, bake_one,
-                                   batch_size=frame_chunk)
+        fn = _bake_fn(p, height, width, track is not None, frame_chunk)
         if track is None:
-            outs.append(jax.jit(mapped)(invs))
+            outs.append(fn(invs))
         else:
-            outs.append(jax.jit(mapped)(
-                (invs, jnp.asarray(track, jnp.float32))))
+            outs.append(fn((invs, jnp.asarray(track, jnp.float32))))
     return jnp.stack(outs, axis=0)
+
+
+# jax.jit caches on FUNCTION IDENTITY: constructing a fresh closure per
+# bake call would retrace (and remote-compile) every frame of an
+# interactive loop with gradient/large-bitmap layers.  Memoize the
+# jitted map per (paint identity, geometry, tracked, chunk); entries
+# retain the paint so an id() can't alias a collected object.
+_BAKE_JIT_CACHE: dict = {}
+
+
+def _bake_fn(paint, height: int, width: int, tracked: bool,
+             frame_chunk: int):
+    from . import style as style_ops
+
+    key = (id(paint), height, width, tracked, frame_chunk)
+    hit = _BAKE_JIT_CACHE.get(key)
+    if hit is not None and hit[0] is paint:
+        return hit[1]
+
+    def bake_one(args, _p=paint, _tracked=tracked):
+        inv6, sc = args if _tracked else (args, None)
+        return style_ops.paint_field_traced(
+            _p, inv6, height, width, stop_colors=sc)
+
+    fn = jax.jit(functools.partial(jax.lax.map, bake_one,
+                                   batch_size=frame_chunk))
+    if len(_BAKE_JIT_CACHE) > 64:
+        _BAKE_JIT_CACHE.clear()
+    _BAKE_JIT_CACHE[key] = (paint, fn)
+    return fn
 
 
 def _xform_kernel(mats_ref, colors_ref, *rest,
@@ -1166,7 +1188,7 @@ def render_affine_sweep(
     prefix_cheap: bool = None,   # None = on whenever the skip is active
     blocks_per_step: int = None,  # None = auto (measured-safe bps)
     compact_counts: tuple = None,  # plan_compact_sweep capacities
-    prefilter: bool = None,   # None = auto (on with the prefix skip)
+    prefilter: bool = None,   # None = OFF (measured negative; ablation)
     paints=None,         # tuple of KernelPaint (COLOR/LINEAR/FOCAL/FIELD)
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
     stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
@@ -1218,8 +1240,6 @@ def render_affine_sweep(
                     f"field paints need ({n_fields}, {fcount}, {height},"
                     f" {width}, 4) fields, got "
                     f"{None if fields is None else fields.shape}")
-        elif fields is not None:
-            raise ValueError("fields passed without any FIELD paint")
         any_grad = any(p.kind in (KPAINT_LINEAR, KPAINT_FOCAL)
                        for p in paints)
         if any_grad and (grad_mats is None
@@ -1231,6 +1251,11 @@ def render_affine_sweep(
     if layer_counts is not None and len(layer_counts) != layers:
         raise ValueError(
             f"{len(layer_counts)} layer_counts for {layers} layers")
+    if fields is not None and n_fields == 0:
+        # Checked OUTSIDE the paints block: an all-solid tuple collapses
+        # paints to None above, which must not silently drop a stale
+        # fields array the caller thought was consumed.
+        raise ValueError("fields passed without any FIELD paint")
     if stop_colors is not None:
         if paints is None:
             raise ValueError("stop_colors requires gradient paints")

@@ -659,7 +659,11 @@ class TpuRenderer:
         cand = self._frame_sweep_candidate
         if cand is not None and cand[0] == key and cand[1] != mats_row:
             built = self._build_frame_sweep_state(key, leaves)
-            self._frame_sweep_state = (key, built)
+            # Pin the definitions in the state tuple EVEN when the build
+            # fails (None): the id()-based key must never alias a new
+            # object after the originals are collected.
+            self._frame_sweep_state = (
+                key, built, [c.definition for c, _d, _ct in leaves])
             if built is not None:
                 return self._run_frame_sweep(built, stage, leaves, t0)
             return None
@@ -709,6 +713,15 @@ class TpuRenderer:
                                         style_ops.PAINT_BITMAP)
         if not draws or any(d.paint.kind not in sweep_kinds
                             for d in draws):
+            return None
+        # The sweep kernel keeps one (wblock, hp) f32 accumulator per
+        # LAYER in scoped VMEM; deep stacks that the flat-block path
+        # chains in passes would blow the 16 MB limit here — stay on
+        # the normal path (wblock is 128 above 640 rows, 256 below:
+        # ops.transform._wblock_for).
+        hp = -(-self.height // 128) * 128
+        wblock = 256 if hp <= 640 else 128
+        if len(draws) > 16 or len(draws) * wblock * hp * 4 > 8 * 2**20:
             return None
         mats0 = self._frame_sweep_mats(leaves, child_counts)
         from ..ops.transform import sweep_paints
@@ -771,7 +784,9 @@ class TpuRenderer:
             # the new bound (monotone — margin keeps this rare).
             state = self._build_frame_sweep_state(
                 state["key"], leaves, smax_hint=smax_now)
-            self._frame_sweep_state = (self._frame_sweep_state[0], state)
+            self._frame_sweep_state = (
+                self._frame_sweep_state[0], state,
+                [c.definition for c, _d, _ct in leaves])
             if state is None:
                 return None
         draws = state["draws"]

@@ -1186,3 +1186,67 @@ def test_prefilter_variant_matches_default():
     diff = np.abs(base.astype(np.int32) - pf.astype(np.int32))
     assert diff.max() <= 1, diff.max()
     assert base[..., 3].max() > 200
+
+
+def test_fields_without_field_paint_raises():
+    """A stale fields array with an all-solid paint tuple must raise —
+    even though all-solid tuples collapse paints to None internally."""
+    tables = [_star_edges(30.0, 30.0, 15.0, 7.0)]
+    mats = _rotation_mats(2, 30.0, 30.0)
+    tab, subxy, colarr = affine_pieces(tables, [(1, 0, 0, 1)], mats)
+    from swf_renderer_tpu.ops.flatblock import KernelPaint
+
+    stale = jnp.zeros((1, 2, 64, 64, 4), jnp.float32)
+    with pytest.raises(ValueError, match="without any FIELD paint"):
+        render_affine_sweep(
+            jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr), 64, 64,
+            paints=(KernelPaint.color(),), fields=stale)
+
+
+def test_deep_stage_loop_stays_on_normal_path():
+    """A 20-layer animated stage must NOT upgrade to the F=1 sweep (its
+    per-layer VMEM accumulators would exceed the scoped limit the
+    flat-block multipass path is built to avoid) — and keeps rendering
+    correctly through the normal path."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16 as S
+
+    rng = np.random.default_rng(31)
+    size = 900
+    fills = [ast.SolidFill(color=ast.StraightSRgba8(
+        *(rng.integers(30, 255, 3)), 255)) for _ in range(20)]
+    records = []
+    for li in range(20):
+        x = 40 * li
+        records += [
+            ast.StyleChangeRecord(left_fill=li + 1,
+                                  move_to=ast.Vector2D(x=x, y=0)),
+            ast.EdgeRecord(delta=ast.Vector2D(x=120, y=0)),
+            ast.EdgeRecord(delta=ast.Vector2D(x=0, y=size)),
+            ast.EdgeRecord(delta=ast.Vector2D(x=-120, y=0)),
+            ast.EdgeRecord(delta=ast.Vector2D(x=0, y=-size)),
+        ]
+    tag = ast.DefineShape(
+        id=1, bounds=ast.Rect(0, size, 0, size),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(fill=tuple(fills), line=()),
+            records=tuple(records)))
+    w = h = 48
+    r = TpuRenderer(w, h)
+    for i in range(3):
+        th = 0.2 * i
+        a, b = np.cos(th), np.sin(th)
+        cx = cy = float(size // 2)
+        m = ast.Matrix(
+            scale_x=S.from_value(a), scale_y=S.from_value(a),
+            rotate_skew0=S.from_value(b), rotate_skew1=S.from_value(-b),
+            translate_x=int(round(cx - a * cx + b * cy)),
+            translate_y=int(round(cy - b * cx - a * cy)))
+        stage = display.Stage(width=w, height=h, children=[
+            display.ShapeInstance(definition=tag, matrix=m)])
+        got = r.render(stage)
+        assert r.last_stats.path != "transform-sweep-1f"
+        want = TpuRenderer(w, h).render(stage)
+        np.testing.assert_array_equal(got, want)

@@ -101,10 +101,12 @@ def main():
     # per-(block, chunk, layer) fixed cost was ~0.7 of 1.07 ms/frame —
     # PERF.md decomposition; compaction shrinks the pair count ~B-fold).
     grid = [
-        ("production-auto (prefilter)", dict(e_chunk=256,
-                                             blocks_per_step=None)),
-        ("no-prefilter", dict(e_chunk=256, blocks_per_step=None,
-                              prefilter=False)),
+        # prefilter=None resolves to OFF (the measured-negative
+        # default); the A/B arm must force it ON explicitly.
+        ("prefilter-on", dict(e_chunk=256, blocks_per_step=None,
+                              prefilter=True)),
+        ("production (no prefilter)", dict(e_chunk=256,
+                                           blocks_per_step=None)),
     ]
     for label, kw in grid:
         e_chunk = kw.pop("e_chunk", 512)

@@ -1,0 +1,152 @@
+"""On-chip production-branch pinning (run manually; needs the TPU).
+
+CI runs every Pallas kernel in interpret mode (the CPU-pinned
+conftest), which CANNOT see Mosaic-only divergences: the round-3
+lessons were the focal-gradient root sign, the scalar-loop coverage
+``xb`` parameter, and texfield's DEFAULT-precision bf16 MXU rounding
+(0.007 field error, invisible in interpret mode — PERF.md).  This tool
+is the committed version of those ad-hoc checks: it compares each
+PRODUCTION kernel branch against its oracle ON THE CHIP and prints one
+JSON line per check.
+
+Usage (takes a few minutes warm, longer on cold compiles):
+    python tools/tpu_pin.py
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+FAILED = []
+
+
+def report(name, max_diff, budget):
+    ok = max_diff <= budget
+    print(json.dumps({"check": name, "max_diff": float(max_diff),
+                      "budget": budget, "ok": bool(ok)}), flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def pin_texfield():
+    """texfield MXU kernel (interpret=False) vs the jitted gather
+    oracle, all fetch modes.  Budget 5e-6: identical weights, HIGHEST
+    precision dots (DEFAULT precision measured 0.007)."""
+    import jax
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.texfield import bitmap_field_planes
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (11, 13, 4)).astype(np.uint8)
+    invs = []
+    for t in np.linspace(0.0, 1.1, 3):
+        a, b = 0.2 * np.cos(t), 0.2 * np.sin(t)
+        invs.append((a, b, -b, a, -1.0 + t, 2.0 - t))
+    invs = np.asarray(invs, np.float32)
+    for repeating, smoothed, em, n in (
+            (True, True, "flash", 2), (False, True, "flash", 2),
+            (False, True, "canvas", 4), (True, False, "flash", 1),
+            (False, False, "canvas", 2)):
+        p = style_ops.Paint(
+            kind=style_ops.PAINT_BITMAP, image=img,
+            inv_matrix=tuple(invs[0]), repeating=repeating,
+            smoothed=smoothed, edge_mode=em, supersample=n)
+        want = np.stack([
+            np.asarray(jax.jit(
+                lambda iv, _p=p: style_ops.paint_field_traced(
+                    _p, iv, 30, 44))(jnp.asarray(iv)))
+            for iv in invs])
+        got = np.asarray(bitmap_field_planes(
+            img, invs, 30, 44, supersample=n, repeating=repeating,
+            smoothed=smoothed, edge_mode=em, interpret=False))
+        report(f"texfield:{repeating}:{smoothed}:{em}:ss{n}",
+               np.abs(want - got).max(), 5e-6)
+
+
+def pin_sweep_skip_paths():
+    """Production sweep (skip + prefix plane + auto bps) vs the
+    always-heavy kernel on chip, premultiplied u8 budget 1."""
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.morph import morph_frames_to_u8
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, render_affine_sweep,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 96, 640
+    pts = rng.uniform((10, 8), (620, 88), (9, 2)).astype(np.float32)
+    closed = np.concatenate([pts, pts[:1]])
+    tables = [np.concatenate([closed[:-1], closed[1:]], axis=1)]
+    mats = []
+    for i in range(5):
+        th = 2 * np.pi * i / 16
+        a, b = np.cos(th), np.sin(th)
+        mats.append((a, b, -b, a, 320 - a * 320 + b * 48,
+                     48 - b * 320 - a * 48))
+    mats = np.asarray(mats, np.float32)
+    parts = affine_pieces(tables, [(0.9, 0.4, 0.1, 1.0)], mats)
+    args = (jnp.asarray(mats), *(jnp.asarray(x) for x in parts))
+    fast = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, h, w, interpret=False)), h, w)
+    slow = morph_frames_to_u8(np.asarray(render_affine_sweep(
+        *args, h, w, skip_empty=False, interpret=False)), h, w)
+    ff, sf = fast.astype(np.float64), slow.astype(np.float64)
+    fpm = ff[..., :3] * ff[..., 3:4] / 255.0
+    spm = sf[..., :3] * sf[..., 3:4] / 255.0
+    d = max(np.abs(fpm - spm).max(),
+            np.abs(ff[..., 3] - sf[..., 3]).max())
+    report("sweep:skip-vs-heavy", d, 1.0)
+
+
+def pin_flatblock_vs_direct():
+    """Flagship fused flat-block vs the direct XLA composite path on
+    chip (independent coverage formulations; both run as real TPU
+    programs), premul budget 2."""
+    import jax.numpy as jnp
+
+    from bench import build_scene_edges
+    from swf_renderer_tpu.models.geometry import split_edges_y
+    from swf_renderer_tpu.ops.pipeline import (
+        render_batch_flatblock, render_solid_batch,
+    )
+
+    tables, colors = build_scene_edges(2, 2, 96, 160, shapes_per_layer=4)
+    a = np.asarray(render_batch_flatblock(tables, colors, 96, 160))
+    e_max = max(max(t.shape[0] for t in ft) for ft in tables)
+    split = [[split_edges_y(t) for t in ft] for ft in tables]
+    e_max = max(max(t.shape[0] for t in ft) for ft in split)
+    et = np.zeros((2, 2, 4, e_max), np.float32)
+    for i, ft in enumerate(split):
+        for j, t in enumerate(ft):
+            et[i, j, :, :t.shape[0]] = t.T
+    b = np.asarray(render_solid_batch(
+        jnp.asarray(et), jnp.asarray(colors), 96, 160,
+        use_pallas=False))
+    af, bf = a.astype(np.float64), b.astype(np.float64)
+    apm = af[..., :3] * af[..., 3:4] / 255.0
+    bpm = bf[..., :3] * bf[..., 3:4] / 255.0
+    d = max(np.abs(apm - bpm).max(), np.abs(af[..., 3] - bf[..., 3]).max())
+    report("flatblock-vs-direct", d, 2.0)
+
+
+def main():
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+    pin_texfield()
+    pin_sweep_skip_paths()
+    pin_flatblock_vs_direct()
+    if FAILED:
+        print(json.dumps({"FAILED": FAILED}), flush=True)
+        sys.exit(1)
+    print(json.dumps({"all_ok": True}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

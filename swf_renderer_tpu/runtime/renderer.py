@@ -779,7 +779,10 @@ class TpuRenderer:
 
         gradient_kinds = (style_ops.PAINT_LINEAR, style_ops.PAINT_FOCAL)
         smax_now = max(dev.norm2() for _c, dev, _ct in leaves)
-        if smax_now > state["smax"]:
+        # 0.1% slack: Sfixed16P16-quantized rotations jitter norm2 by
+        # float epsilons frame to frame — without it frame 2 of a plain
+        # spin triggered a full (compile + split) state rebuild.
+        if smax_now > state["smax"] * 1.001:
             # Zoomed past the compiled flatten tolerance: rebuild with
             # the new bound (monotone — margin keeps this rare).
             state = self._build_frame_sweep_state(
@@ -797,24 +800,21 @@ class TpuRenderer:
             b, d = float(mats[0, li, 1]), float(mats[0, li, 3])
             if dx.size and (np.abs(b * dx + d * dy)
                             > state["splits"][li] + 1e-9).any():
-                # Escalate the margin toward the full-rotation bound
+                # Jump straight to the full-rotation bound
                 # (|dy'| <= hypot(b, d) * hypot(dx, dy) for ANY rotation
-                # at this scale), so a continuous spin re-splits at most
-                # a couple of times before the table covers the whole
-                # turn — each re-split costs a piece-table upload and
-                # can change the kernel's jit key.
-                margin = state["margin"] = min(
-                    state.get("margin", 1.5) * 2.0, 1e9)
+                # at this scale): a continuous spin then re-splits
+                # exactly ONCE — a gradual margin ladder re-split (and
+                # changed the kernel's jit key, a 30-60 s remote
+                # recompile) several times per turn before converging to
+                # the same table size (measured: EP 3584 -> 4224 either
+                # way).
                 mins = []
                 for lj, (dxj, dyj) in enumerate(state["edge_vecs"]):
                     bj = float(mats[0, lj, 1])
                     dj = float(mats[0, lj, 3])
-                    dyp = np.abs(bj * dxj + dj * dyj)
                     rot_bound = (np.hypot(bj, dj) * np.hypot(dxj, dyj)
                                  * 1.05)
-                    tgt = np.maximum(
-                        np.ceil(np.minimum(dyp * margin, rot_bound)),
-                        1.0).astype(int)
+                    tgt = np.maximum(np.ceil(rot_bound), 1.0).astype(int)
                     mins.append(np.maximum(tgt, state["splits"][lj]))
                 piece_colors = [
                     dd.paint.color

@@ -246,15 +246,10 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
             # upscaled axes keep supersampled bilinear.  supersample=1
             # explicitly requests RAW bilinear (the documented contract),
             # so the box substitution only applies when supersampling.
-            def axis_weights(n_out, n_img, scale, off):
-                if abs(scale) >= 1.0 and n > 1:
-                    return _box_weights(n_out, n_img, scale, off,
-                                        paint.repeating, paint.edge_mode)
-                return _resample_weights(n_out, n_img, scale, off, n,
-                                         paint.repeating, paint.edge_mode)
-
-            wx = axis_weights(width, img.shape[1], a, e)   # (W_out, W_img)
-            wy = axis_weights(height, img.shape[0], d, f)  # (H_out, H_img)
+            wx = _separable_axis_weights(
+                paint, width, img.shape[1], a, e)   # (W_out, W_img)
+            wy = _separable_axis_weights(
+                paint, height, img.shape[0], d, f)  # (H_out, H_img)
             # (H_img, W_img, 4) -> (H_out, W_out, 4)
             tmp = jnp.einsum("hwc,xw->hxc", img, wx,
                              precision=jax.lax.Precision.HIGHEST)
@@ -388,34 +383,89 @@ def _box_weights(n_out: int, n_img: int, scale: float, offset: float,
             w[:, 0:1] += np.clip(np.minimum(hi, 0.0) - lo, 0.0, None)
             w[:, -1:] += np.clip(hi - np.maximum(lo, float(n_img)), 0.0,
                                  None)
-    return jnp.asarray(w / length, jnp.float32)
+    return np.asarray(w / length, np.float32)
 
 
 def _resample_weights(n_out: int, n_img: int, scale: float, offset: float,
                       supersample: int, repeating: bool,
-                      edge_mode: str = "flash") -> jnp.ndarray:
+                      edge_mode: str = "flash") -> np.ndarray:
     """(n_out, n_img) weights: output pixel i = sum_j w[i, j] * img[j]
     under box-supersampled bilinear sampling along one axis
     (coords = scale * (i + (k+0.5)/n) + offset, texel centers at +0.5),
     with SWF wrap (repeat) or clamp-to-edge semantics — exactly the
-    weights the gather path (_bilinear_sample/_fetch) applies."""
-    out_ids = jnp.arange(n_out, dtype=jnp.float32)[:, None]
-    img_ids = jnp.arange(n_img, dtype=jnp.float32)[None, :]
-    w = jnp.zeros((n_out, n_img), jnp.float32)
+    weights the gather path (_bilinear_sample/_fetch) applies.  Computed
+    host-side in f32 (mirrors the former jnp trace math bit-for-bit:
+    concrete python scalars weak-typed to f32 either way)."""
+    out_ids = np.arange(n_out, dtype=np.float32)[:, None]
+    img_ids = np.arange(n_img, dtype=np.float32)[None, :]
+    w = np.zeros((n_out, n_img), np.float32)
+    f32 = np.float32
     for k in range(supersample):
-        coord = scale * (out_ids + (k + 0.5) / supersample) + offset - 0.5
-        x0 = jnp.floor(coord)
+        coord = (f32(scale) * (out_ids + f32((k + 0.5) / supersample))
+                 + f32(offset) - f32(0.5))
+        x0 = np.floor(coord)
         t = coord - x0
         if repeating:
-            i0 = jnp.mod(x0, n_img)
-            i1 = jnp.mod(x0 + 1.0, n_img)
+            i0 = np.mod(x0, f32(n_img))
+            i1 = np.mod(x0 + f32(1.0), f32(n_img))
         elif edge_mode == "canvas":
             # Out-of-range taps contribute nothing (transparent outside):
             # leave the raw indices so the one-hot match fails.
-            i0, i1 = x0, x0 + 1.0
+            i0, i1 = x0, x0 + f32(1.0)
         else:
-            i0 = jnp.clip(x0, 0.0, n_img - 1.0)
-            i1 = jnp.clip(x0 + 1.0, 0.0, n_img - 1.0)
-        w = w + jnp.where(img_ids == i0, 1.0 - t, 0.0)
-        w = w + jnp.where(img_ids == i1, t, 0.0)
-    return w / supersample
+            i0 = np.clip(x0, f32(0.0), f32(n_img - 1.0))
+            i1 = np.clip(x0 + f32(1.0), f32(0.0), f32(n_img - 1.0))
+        w = w + np.where(img_ids == i0, f32(1.0) - t, f32(0.0))
+        w = w + np.where(img_ids == i1, t, f32(0.0))
+    return (w / f32(supersample)).astype(np.float32)
+
+
+def _separable_axis_weights(paint: "Paint", n_out: int, n_img: int,
+                            scale: float, offset: float) -> np.ndarray:
+    """One axis of the separable (axis-aligned, smoothed) resampling:
+    the EXACT box filter on downscaled axes when supersampling (pixman
+    GOOD / player semantics), folded supersampled bilinear otherwise —
+    the single definition shared by the per-frame path (paint_field) and
+    the sweep bake (ops.transform.bake_sweep_fields), so both produce
+    identical fields for axis-aligned frames."""
+    n = max(1, int(paint.supersample))
+    if abs(scale) >= 1.0 and n > 1:
+        return _box_weights(n_out, n_img, scale, offset,
+                            paint.repeating, paint.edge_mode)
+    return _resample_weights(n_out, n_img, scale, offset, n,
+                             paint.repeating, paint.edge_mode)
+
+
+def separable_frames_mask(paint: "Paint", invs) -> np.ndarray:
+    """(F,) bool: which composed device->paint inverses paint_field
+    would route through the separable axis-aligned path.  The sweep
+    bake must send exactly these frames through the same weights —
+    baking them with supersampled bilinear instead silently diverges
+    from per-frame renders whenever an axis is DOWNSCALED (the per-frame
+    path then uses the exact box filter)."""
+    invs = np.asarray(invs, np.float32).reshape(-1, 6)
+    if paint.kind != PAINT_BITMAP or not paint.smoothed:
+        return np.zeros(invs.shape[0], bool)
+    return (invs[:, 1] == 0.0) & (invs[:, 2] == 0.0)
+
+
+def separable_field_stack(paint: "Paint", invs, height: int,
+                          width: int) -> jnp.ndarray:
+    """(F, H, W, 4) straight-RGBA fields for axis-aligned frames via the
+    separable path — per-frame weight matrices built host-side
+    (identical to paint_field's), contracted as two batched einsums."""
+    invs = np.asarray(invs, np.float32).reshape(-1, 6)
+    img = jnp.asarray(paint.image).astype(jnp.float32) / 255.0
+    img = img.at[..., :3].multiply(img[..., 3:4])  # premul filtering
+    wx = np.stack([
+        _separable_axis_weights(paint, width, img.shape[1], float(a),
+                                float(e))
+        for a, _b, _c, _d, e, _f in invs])   # (F, W_out, W_img)
+    wy = np.stack([
+        _separable_axis_weights(paint, height, img.shape[0], float(d),
+                                float(f))
+        for _a, _b, _c, d, _e, f in invs])   # (F, H_out, H_img)
+    tmp = jnp.einsum("hwc,fxw->fhxc", img, jnp.asarray(wx),
+                     precision=jax.lax.Precision.HIGHEST)
+    return _unpremul(jnp.einsum("fhxc,fyh->fyxc", tmp, jnp.asarray(wy),
+                                precision=jax.lax.Precision.HIGHEST))

@@ -49,6 +49,34 @@ LANE = 128
 # work loses to the gather path (the corpus textures are ~100x128).
 MAX_KERNEL_TEXELS = 256 * 256
 
+# Scoped-VMEM budget for the kernel's live intermediates.  The hard
+# limit is 16 MB; leave headroom for Mosaic's own buffers and the
+# double-buffered output block.
+_VMEM_BUDGET = 10 * 2**20
+
+
+def _kernel_vmem_bytes(th_pad: int, tw_pad: int, xblk: int) -> int:
+    """Estimated live f32 bytes inside one _texfield_kernel step: the
+    resident channel-stacked texture + per-subsample wx, wy4, b4, r
+    (= wy4*b4) + the 8-sublane accumulator/output block."""
+    xl = xblk * LANE
+    img4 = 4 * th_pad * tw_pad * 4
+    wx = tw_pad * xl * 4
+    tall = 3 * (4 * th_pad * xl * 4)  # wy4, b4, r
+    acc = 2 * 8 * xl * 4
+    return img4 + wx + tall + acc
+
+
+def _auto_xblk(th_pad: int, tw_pad: int) -> int:
+    """Largest xblk in {8,4,2,1} whose intermediates fit the VMEM
+    budget: at the 256x256 texel cap, xblk=8 would hold ~14 MB live
+    (wy4/b4/r are (1024, 1024) each) and fail to compile on the chip —
+    the footprint, not a fixed constant, must pick the block width."""
+    for xblk in (8, 4, 2, 1):
+        if _kernel_vmem_bytes(th_pad, tw_pad, xblk) <= _VMEM_BUDGET:
+            return xblk
+    return 1
+
 
 def _axis_weights(coord, t_iota, n_tex: int, repeating: bool,
                   edge_mode: str, smoothed: bool):
@@ -154,7 +182,7 @@ def bitmap_field_planes(img, invs, height: int, width: int,
                         supersample: int = 4, repeating: bool = False,
                         smoothed: bool = True, edge_mode: str = "flash",
                         interpret: bool = None,
-                        xblk: int = 8) -> jnp.ndarray:
+                        xblk: int | None = None) -> jnp.ndarray:
     """(Th, Tw, 4) u8 texture + (F, 6) device->texel inverses ->
     (F, H, W, 4) f32 straight-RGBA field planes, gather-free.
 
@@ -166,6 +194,8 @@ def bitmap_field_planes(img, invs, height: int, width: int,
     th, tw = int(img.shape[0]), int(img.shape[1])
     th_pad = max(8, -(-th // 8) * 8)
     tw_pad = max(8, -(-tw // 8) * 8)
+    if xblk is None:
+        xblk = _auto_xblk(th_pad, tw_pad)
     fcount = invs.shape[0]
     wp = -(-width // xblk) * xblk
     hp = -(-height // LANE) * LANE

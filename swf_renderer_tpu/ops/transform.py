@@ -29,8 +29,10 @@ ops.morph.morph_frames_to_u8.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -469,16 +471,50 @@ def bake_sweep_fields(field_specs, height: int, width: int,
     for si, spec in enumerate(field_specs):
         track = None if stop_tracks is None else stop_tracks[si]
         p = spec.paint
-        invs = jnp.asarray(spec.invs, jnp.float32)
-        if (p.kind == style_ops.PAINT_BITMAP
-                and p.image.shape[0] * p.image.shape[1]
-                <= MAX_KERNEL_TEXELS):
-            outs.append(bitmap_field_planes(
-                p.image, invs, height, width,
-                supersample=max(1, int(p.supersample)),
-                repeating=p.repeating, smoothed=p.smoothed,
-                edge_mode=p.edge_mode))
-            continue
+        invs_np = np.asarray(spec.invs, np.float32)
+        invs = jnp.asarray(invs_np)
+        if p.kind == style_ops.PAINT_BITMAP:
+            # Axis-aligned frames MUST bake through the same separable
+            # weights the per-frame path uses (paint_field routes
+            # axis-aligned smoothed fills through the exact box filter
+            # on downscaled axes — pixman GOOD / player semantics); the
+            # supersampled-bilinear kernel/gather bake silently diverges
+            # there.  Non-axis-aligned frames keep the kernel/gather
+            # path, which IS what paint_field does for rotated matrices.
+            sep = style_ops.separable_frames_mask(p, invs_np)
+            if sep.all():
+                outs.append(style_ops.separable_field_stack(
+                    p, invs_np, height, width))
+                continue
+            small = (p.image.shape[0] * p.image.shape[1]
+                     <= MAX_KERNEL_TEXELS)
+            if not sep.any():
+                if small:
+                    outs.append(bitmap_field_planes(
+                        p.image, invs, height, width,
+                        supersample=max(1, int(p.supersample)),
+                        repeating=p.repeating, smoothed=p.smoothed,
+                        edge_mode=p.edge_mode))
+                    continue
+            else:
+                # Mixed track (e.g. a rotation sweeping through 0):
+                # bake each subset with its matching path and
+                # re-interleave along the frame axis.
+                idx = np.where(sep)[0]
+                rest = np.where(~sep)[0]
+                sub_sep = style_ops.separable_field_stack(
+                    p, invs_np[idx], height, width)
+                sub_rest = bake_sweep_fields(
+                    [SweepFieldSpec(spec.layer, p, invs_np[rest])],
+                    height, width,
+                    stop_tracks=None if track is None
+                    else [np.asarray(track)[rest]],
+                    frame_chunk=frame_chunk)[0]
+                out = jnp.zeros(
+                    (invs_np.shape[0], height, width, 4), jnp.float32)
+                out = out.at[jnp.asarray(idx)].set(sub_sep)
+                outs.append(out.at[jnp.asarray(rest)].set(sub_rest))
+                continue
         fn = _bake_fn(p, height, width, track is not None, frame_chunk)
         if track is None:
             outs.append(fn(invs))
@@ -491,8 +527,14 @@ def bake_sweep_fields(field_specs, height: int, width: int,
 # bake call would retrace (and remote-compile) every frame of an
 # interactive loop with gradient/large-bitmap layers.  Memoize the
 # jitted map per (paint identity, geometry, tracked, chunk); entries
-# retain the paint so an id() can't alias a collected object.
-_BAKE_JIT_CACHE: dict = {}
+# retain the paint so an id() can't alias a collected object.  LRU
+# eviction (not clear-all: dropping a HOT entry costs a 30-60 s remote
+# recompile mid-session) bounds how many Paint objects — including full
+# bitmap images — a long-lived frame server pins; guarded by a lock
+# since renders on different service handles run concurrently.
+_BAKE_JIT_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_BAKE_JIT_CACHE_MAX = 64
+_BAKE_JIT_LOCK = threading.Lock()
 
 
 def _bake_fn(paint, height: int, width: int, tracked: bool,
@@ -500,9 +542,11 @@ def _bake_fn(paint, height: int, width: int, tracked: bool,
     from . import style as style_ops
 
     key = (id(paint), height, width, tracked, frame_chunk)
-    hit = _BAKE_JIT_CACHE.get(key)
-    if hit is not None and hit[0] is paint:
-        return hit[1]
+    with _BAKE_JIT_LOCK:
+        hit = _BAKE_JIT_CACHE.get(key)
+        if hit is not None and hit[0] is paint:
+            _BAKE_JIT_CACHE.move_to_end(key)
+            return hit[1]
 
     def bake_one(args, _p=paint, _tracked=tracked):
         inv6, sc = args if _tracked else (args, None)
@@ -511,9 +555,11 @@ def _bake_fn(paint, height: int, width: int, tracked: bool,
 
     fn = jax.jit(functools.partial(jax.lax.map, bake_one,
                                    batch_size=frame_chunk))
-    if len(_BAKE_JIT_CACHE) > 64:
-        _BAKE_JIT_CACHE.clear()
-    _BAKE_JIT_CACHE[key] = (paint, fn)
+    with _BAKE_JIT_LOCK:
+        _BAKE_JIT_CACHE[key] = (paint, fn)
+        _BAKE_JIT_CACHE.move_to_end(key)
+        while len(_BAKE_JIT_CACHE) > _BAKE_JIT_CACHE_MAX:
+            _BAKE_JIT_CACHE.popitem(last=False)
     return fn
 
 

@@ -112,3 +112,111 @@ def test_bake_sweep_fields_routes_bitmaps_through_kernel():
                 spec.paint, jnp.asarray(iv), 20, 24))
             for iv in spec.invs]))
     np.testing.assert_allclose(got, np.stack(want), atol=2e-6)
+
+def test_sweep_bake_minified_axis_aligned_matches_per_frame():
+    """Axis-aligned DOWNSCALED frames must bake through the same
+    separable box-filter weights the per-frame path (paint_field)
+    uses — the supersampled-bilinear kernel/gather bake silently
+    diverges there (pixman GOOD / player semantics)."""
+    import dataclasses
+
+    from swf_renderer_tpu.ops.transform import (
+        bake_sweep_fields, sweep_paints,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 20, 4)).astype(np.uint8)
+    # |inv scale| >= 1 on both axes: minified bitmap.
+    bp = style_ops.Paint(
+        kind=style_ops.PAINT_BITMAP, image=img,
+        inv_matrix=(1.7, 0.0, 0.0, 2.3, 0.25, -0.5),
+        repeating=False, smoothed=True, supersample=4)
+    # Translation-only frame motion keeps the composed inverse
+    # axis-aligned every frame.
+    mats = np.stack([
+        np.array([1.0, 0.0, 0.0, 1.0, 0.4 * i, -0.3 * i], np.float32)
+        for i in range(5)])
+    kps, gm, specs = sweep_paints([bp], mats, allow_fields=True)
+    got = np.asarray(bake_sweep_fields(specs, 18, 22))[0]
+
+    for fi, iv in enumerate(np.asarray(specs[0].invs)):
+        per_frame = np.asarray(style_ops.paint_field(
+            dataclasses.replace(bp, inv_matrix=tuple(float(v)
+                                                     for v in iv)),
+            18, 22))
+        np.testing.assert_allclose(got[fi], per_frame, atol=2e-6)
+
+    # Sanity: the old supersampled-bilinear bake really IS different
+    # here (otherwise this test gates nothing).
+    bilinear = np.stack([
+        np.asarray(style_ops.paint_field_traced(
+            specs[0].paint, jnp.asarray(iv), 18, 22))
+        for iv in specs[0].invs])
+    assert np.abs(bilinear - got).max() > 1e-3
+
+
+def test_sweep_bake_mixed_rotation_through_zero():
+    """A rotation sweeping THROUGH 0: axis-aligned frames take the
+    separable path, rotated frames keep the kernel/gather path, and
+    every frame matches what the per-frame renderer would produce."""
+    import dataclasses
+
+    from swf_renderer_tpu.ops.transform import (
+        bake_sweep_fields, sweep_paints,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (12, 10, 4)).astype(np.uint8)
+    bp = style_ops.Paint(
+        kind=style_ops.PAINT_BITMAP, image=img,
+        inv_matrix=(1.5, 0.0, 0.0, 1.5, 0.0, 0.0),
+        repeating=True, smoothed=True, supersample=2)
+    thetas = [-0.4, -0.2, 0.0, 0.3, 0.6]
+    mats = np.stack([
+        np.array([np.cos(t), np.sin(t), -np.sin(t), np.cos(t),
+                  0.2, -0.1], np.float32) for t in thetas])
+    kps, gm, specs = sweep_paints([bp], mats, allow_fields=True)
+    sep = style_ops.separable_frames_mask(bp, np.asarray(specs[0].invs))
+    assert sep.any() and not sep.all()  # genuinely mixed track
+
+    got = np.asarray(bake_sweep_fields(specs, 16, 14))[0]
+    for fi, iv in enumerate(np.asarray(specs[0].invs)):
+        per_frame = np.asarray(style_ops.paint_field(
+            dataclasses.replace(bp, inv_matrix=tuple(float(v)
+                                                     for v in iv)),
+            16, 14))
+        np.testing.assert_allclose(got[fi], per_frame, atol=5e-6,
+                                   err_msg=f"frame {fi}")
+
+
+def test_texfield_auto_xblk_respects_vmem_budget():
+    """At the 256x256 texel cap, xblk=8 would hold ~14 MB of live f32
+    intermediates — the block width must shrink to fit the scoped-VMEM
+    budget, and the kernel must still match the gather oracle at a
+    larger-than-tiny texture."""
+    from swf_renderer_tpu.ops.texfield import (
+        _auto_xblk, _kernel_vmem_bytes, _VMEM_BUDGET,
+    )
+
+    assert _kernel_vmem_bytes(256, 256, 8) > _VMEM_BUDGET
+    xblk = _auto_xblk(256, 256)
+    assert xblk < 8
+    assert _kernel_vmem_bytes(256, 256, xblk) <= _VMEM_BUDGET
+    # Tiny textures keep the wide block.
+    assert _auto_xblk(16, 16) == 8
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (72, 64, 4)).astype(np.uint8)
+    invs = _invs(2, scale=1.3)
+    p = style_ops.Paint(
+        kind=style_ops.PAINT_BITMAP, image=img,
+        inv_matrix=tuple(invs[0]), repeating=False,
+        smoothed=True, edge_mode="flash", supersample=2)
+    want = np.stack([
+        np.asarray(style_ops.paint_field_traced(p, jnp.asarray(iv),
+                                                20, 28))
+        for iv in invs])
+    got = np.asarray(bitmap_field_planes(
+        img, invs, 20, 28, supersample=2, repeating=False,
+        smoothed=True, edge_mode="flash"))
+    np.testing.assert_allclose(got, want, atol=5e-6)

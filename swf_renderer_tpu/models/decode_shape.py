@@ -101,6 +101,7 @@ def decode_line_style(style: ast.LineStyle) -> ir.LineStyle:
         start_cap=style.start_cap,
         end_cap=style.end_cap,
         join=style.join.get("type", "round"),
+        miter_limit=float(style.join.get("limit", 3.0)),
     )
 
 

@@ -241,14 +241,19 @@ def _outer_join_points(p, a, b, h: float, join: str, miter_limit: float,
         return list(_arc_points(p, h, a0, a0 + sweep, tolerance))
     if join == "miter":
         va, vb = a - p, b - p
-        # cos of the angle between offset normals = segment direction dot.
+        # The miter tip is the intersection of the two offset LINES
+        # (parallel to the segments at distance h): along the normal
+        # bisector at distance h / cos(phi/2), phi = angle between the
+        # offset normals va, vb (equivalently h / sin(theta/2), theta =
+        # interior segment angle).  The Canvas2D miter-limit gate is
+        # miterLength / lineWidth = 1 / sin(theta/2) <= limit.
         dot = float(np.dot(va, vb)) / max(h * h, 1e-12)
-        sin_half = math.sqrt(max(0.0, (1.0 - dot) / 2.0))
-        if sin_half > 1e-9 and 1.0 / sin_half <= miter_limit:
+        cos_half = math.sqrt(max(0.0, (1.0 + dot) / 2.0))
+        if cos_half > 1e-9 and 1.0 / cos_half <= miter_limit:
             bis = va + vb
             norm = np.hypot(*bis)
             if norm > 1e-12:
-                tip = p + bis / norm * (h / sin_half)
+                tip = p + bis / norm * (h / cos_half)
                 return [a, tip, b]
         return [a, b]  # miter-limit fallback: bevel
     return [a, b]  # bevel

@@ -184,6 +184,8 @@ class LineStyle:
     start_cap: str = "round"
     end_cap: str = "round"
     join: str = "round"
+    # SWF miterLimitFactor (LINESTYLE2); the format default is 3.
+    miter_limit: float = 3.0
 
     def to_golden(self) -> dict:
         return {"width": self.width, "fill": self.fill.to_golden()}

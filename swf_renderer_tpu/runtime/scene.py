@@ -15,7 +15,9 @@ Canvas2D semantics preserved:
   Canvas2D quirk by assigning ``ctx.lineWidth`` directly
   (canvas-renderer.ts:255, 342),
 * static strokes use Canvas defaults (butt cap, miter join, limit 10);
-  morph strokes use round/round (canvas-renderer.ts:263-264),
+  morph strokes use round/round (canvas-renderer.ts:263-264).  Under
+  honor_swf_caps (quality='flash'), v1-default round/round styles take
+  the MEASURED player model butt/miter(3) instead (PERF.md round 4),
 * morph paths lerp every coordinate, color and width by the ratio
   (canvas-renderer.ts:207-266).
 """
@@ -338,8 +340,22 @@ class SceneCompiler:
                     cap = {"none": "butt"}.get(path.line.start_cap,
                                                path.line.start_cap)
                     join = path.line.join
+                    ml = float(getattr(path.line, "miter_limit", 3.0))
+                    if cap == "round" and join == "round":
+                        # MEASURED player model (round-4 forensics,
+                        # PERF.md): the v1 LINESTYLE nominal defaults in
+                        # the ast are round/round, but the Flash golden's
+                        # stroke junctions match BUTT caps + MITER joins
+                        # (limit 3) exactly — sharp joins show the miter
+                        # spike (hb1 (169,0) reaches past the stage edge),
+                        # subpath ends show no cap footprint (hb1
+                        # (419,12)/(420,13) lighten to the capless value).
+                        # hb1 pm-max 130 -> 52 under this model.  Styles
+                        # that DECLARE other caps/joins (LINESTYLE2) are
+                        # honored as written.
+                        cap, join, ml = "butt", "miter", 3.0
                 else:
-                    cap, join = "butt", "miter"  # Canvas2D defaults
+                    cap, join, ml = "butt", "miter", 10.0  # Canvas2D
                 self._emit_stroke(
                     path.commands,
                     float(path.line.width),
@@ -348,6 +364,7 @@ class SceneCompiler:
                     ct,
                     cap=cap,
                     join=join,
+                    miter_limit=ml,
                 )
 
     def _draw_morph_shape(self, tag: ast.DefineMorphShape, ratio: float,
@@ -398,7 +415,8 @@ class SceneCompiler:
 
     def _emit_stroke(self, commands, width: float, fill: ir.FillStyle,
                      ctm: Affine, ct: Optional[display.ColorTransform],
-                     cap: str, join: str) -> None:
+                     cap: str, join: str,
+                     miter_limit: float = 10.0) -> None:
         if not isinstance(fill, ir.SolidFill):
             raise NotImplementedError(f"NotImplementedLineStyle: {fill!r}")
         # Stroke geometry is computed in user (twip) space — Canvas2D stroke
@@ -422,6 +440,7 @@ class SceneCompiler:
         for pts in subpaths:
             polys.extend(
                 stroke_subpath(pts, effective_width, cap=cap, join=join,
+                               miter_limit=miter_limit,
                                tolerance=local_tol)
             )
         polys = [ctm.apply(poly) for poly in polys]

@@ -167,3 +167,65 @@ def test_deoverlap_identity_on_disjoint_geometry():
     a = coverage_numpy(edges, 20, 20)
     b = coverage_numpy(out, 20, 20)
     assert np.allclose(a, b, atol=1e-6)
+
+
+def test_miter_tip_is_offset_line_intersection():
+    """The miter tip must lie on BOTH offset lines (x . n = h) — i.e.
+    at distance h / cos(phi/2) from the vertex, phi = angle between the
+    offset normals.  The round-1 implementation used h / sin(phi/2),
+    which coincides ONLY at 90° turns (every prior test's geometry);
+    at sharp turns it produced a spike far too short and at gentle
+    turns it beveled valid miters (hb1 forensics, PERF.md round 4)."""
+    from swf_renderer_tpu.models.geometry import _outer_join_points
+
+    p = np.zeros(2)
+    for phi_deg in (30.0, 60.0, 120.0, 150.0):
+        phi = math.radians(phi_deg)
+        a = np.array([math.cos(math.pi / 2 + phi / 2),
+                      math.sin(math.pi / 2 + phi / 2)])
+        b = np.array([math.cos(math.pi / 2 - phi / 2),
+                      math.sin(math.pi / 2 - phi / 2)])
+        ratio = 1.0 / math.cos(phi / 2)
+        out = _outer_join_points(p, a, b, 1.0, "miter", 10.0, 0.01)
+        assert len(out) == 3, f"phi={phi_deg}: expected a miter tip"
+        tip = out[1]
+        np.testing.assert_allclose(tip, [0.0, ratio], atol=1e-9)
+        for n in (a, b):
+            assert float(np.dot(tip, n)) == pytest.approx(1.0, abs=1e-9)
+        # A limit just under the ratio degrades to a bevel.
+        out2 = _outer_join_points(p, a, b, 1.0, "miter", ratio * 0.999,
+                                  0.01)
+        assert len(out2) == 2
+
+
+def test_stroke_sharp_miter_area():
+    """End-to-end: a 2h-wide V at interior angle 2*atan(1/2) gets a
+    miter of analytic area; the buggy tip formula loses ~40% of the
+    join area here."""
+    pts = np.array([[5.0, 25.0], [25.0, 15.0], [5.0, 5.0]])
+    h = 2.0
+    d = 20.0 / math.sqrt(500.0)  # cos of half the interior angle... see below
+    # interior angle theta between the legs: legs (+-20, -+10);
+    # cos(theta) = (400 - 100) / 500 = 0.6 -> theta = 53.13 deg.
+    theta = math.acos(0.6)
+    leg = math.sqrt(500.0)
+    # Union area of the two leg quads: 2 * leg * 2h - overlap kite.
+    # Overlap kite of two 2h slabs crossing at angle theta, both ending
+    # at the vertex: the quarter at the vertex = h^2 / tan(theta/2) ...
+    # measure the bevel variant and assert the miter ADDS the exact
+    # miter-over-bevel triangle: area = h^2 * (1/sin + ... ) —
+    # difference form is robust: miter kite h^2/tan(theta/2)*... use:
+    # miter area over bevel = h^2 * (cos(theta/2) / sin(theta/2)
+    #                               - sin(theta/2)*... )
+    polys_b = stroke_subpath(pts, 2 * h, cap="butt", join="bevel")
+    cov_b = coverage_numpy(polygons_to_edges(polys_b), 32, 36)
+    polys_m = stroke_subpath(pts, 2 * h, cap="butt", join="miter",
+                             miter_limit=10.0)
+    cov_m = coverage_numpy(polygons_to_edges(polys_m), 32, 36)
+    # bevel chord: corners at p +- h*n; chord length 2h sin(phi/2),
+    # tip height above chord: h/cos(phi/2) - h cos(phi/2).
+    phi = math.pi - theta
+    chord = 2 * h * math.sin(phi / 2)
+    height = h / math.cos(phi / 2) - h * math.cos(phi / 2)
+    assert (cov_m.sum() - cov_b.sum()) == pytest.approx(
+        0.5 * chord * height, abs=0.05)

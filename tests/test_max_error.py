@@ -37,12 +37,15 @@ from swf_renderer_tpu.utils.png import read_png
 SHAPE_BUDGETS = {
     "flat-shapes/triangle": (255, 0.0065, "flash", 13, 0.005),
     "flat-shapes/squares": (2, 0.0, "flash", 1, 0.0),   # MEETS <=2/255
-    # Outline stroking + union de-overlap: interior stroke-overlap pixels
-    # now match the golden exactly (PERF.md round-2 stroke study); the max
-    # sits at 3 stage-border pixels where the player's value matches the
-    # old conflation artifact instead of the true union (the TS/Cairo
-    # oracle takes the union).  >=40-diff pixel count dropped 16 -> 3.
-    "flat-shapes/homestuck-beta-1": (130, 0.0125, "flash", 130, 0.0125),
+    # Round 4: the player's stroke model is BUTT caps + MITER joins (the
+    # nominal v1 "round" defaults in the ast are not what the player
+    # draws) and the round-1 miter tip distance was wrong (h/sin(phi/2)
+    # instead of h/cos(phi/2), phi = normal angle — identical only at 90°
+    # turns).  Fixing both: pm-max 130 -> 52, the old six junction seam
+    # pixels now match.  Remaining 52 = TWO pixels at the bottom-border
+    # T-junction (645,308/309) where the golden exceeds every tested
+    # cap/join/conflation combination (PERF.md round-4 study).
+    "flat-shapes/homestuck-beta-1": (52, 0.0121, "flash", 52, 0.0121),
     # Exact box-filter pattern downscaling (pixman GOOD / player area
     # averaging) + no-repeat edge fade: MEETS the <=2/255 north star at
     # BOTH qualities (gated at 'flash', the stricter player target).

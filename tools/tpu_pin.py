@@ -10,7 +10,11 @@ PRODUCTION kernel branch against its oracle ON THE CHIP and prints one
 JSON line per check.
 
 Usage (takes a few minutes warm, longer on cold compiles):
-    python tools/tpu_pin.py
+    python tools/tpu_pin.py [--out PIN_rNN.json]
+
+``--out`` also writes the per-check records as one JSON document (the
+per-round committed artifact, VERDICT r3 #6 — so Mosaic-precision
+regressions can't land silently between manual runs).
 """
 
 import json
@@ -21,12 +25,15 @@ sys.path.insert(0, ".")
 import numpy as np  # noqa: E402
 
 FAILED = []
+RECORDS = []
 
 
 def report(name, max_diff, budget):
     ok = max_diff <= budget
-    print(json.dumps({"check": name, "max_diff": float(max_diff),
-                      "budget": budget, "ok": bool(ok)}), flush=True)
+    rec = {"check": name, "max_diff": float(max_diff),
+           "budget": budget, "ok": bool(ok)}
+    RECORDS.append(rec)
+    print(json.dumps(rec), flush=True)
     if not ok:
         FAILED.append(name)
 
@@ -139,9 +146,21 @@ def main():
     from bench import _enable_compile_cache
 
     _enable_compile_cache()
+    out = None
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
     pin_texfield()
     pin_sweep_skip_paths()
     pin_flatblock_vs_direct()
+    import jax
+
+    doc = {"platform": jax.devices()[0].platform,
+           "checks": RECORDS, "failed": FAILED,
+           "all_ok": not FAILED}
+    if out:
+        with open(out, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
     if FAILED:
         print(json.dumps({"FAILED": FAILED}), flush=True)
         sys.exit(1)

@@ -83,22 +83,29 @@ def plane_geometry(height: int, width: int):
     return stride, n_chunks, n_strips
 
 
-def plane_rows_for(n_chunks: int) -> int:
-    """Sublane count of the chunk-major strip plane (power of two >= 128)."""
+def plane_rows_for(n_chunks: int, spp: int = 1) -> int:
+    """Sublane count of the chunk-major strip plane (power of two >= 128,
+    sized for ``spp`` packed strips)."""
     rows = 128
-    while rows < n_chunks * STRIP_H:
+    while rows < spp * n_chunks * STRIP_H:
         rows *= 2
     return rows
 
 
 def strips_per_plane(n_chunks: int, n_strips: int) -> int:
-    """How many 8-row strips pack into one (128, 128) plane.
+    """How many 8-row strips pack into one chunk-major plane.
 
     Narrow frames waste most of the plane's 128 sublanes (a 256-px-wide
     frame uses 24); packing several strips per plane divides the fused
-    kernel's grid-step count accordingly.  Wide frames (plane_rows > 128)
-    stay at 1."""
-    per = LANE // (n_chunks * STRIP_H)
+    kernel's grid-step count accordingly.  Wide frames with 64 < nc8 <=
+    128 (1088..2047 px) pack TWO strips into a 256-row plane — the 4K
+    config already runs 240-row planes and beats 1080p per pixel, and
+    the round-4 A/B measured the win directly (PERF.md).  Wider frames
+    (plane already > 128 rows per strip) stay at 1."""
+    nc8 = n_chunks * STRIP_H
+    per = LANE // nc8
+    if per == 1 and 2 * nc8 <= 256:
+        per = 2
     return max(1, min(per, n_strips))
 
 
@@ -770,7 +777,7 @@ def render_fused_blocksn(
     ng = urc.shape[0]
     ns1 = n_strips + 1
     stride = n_chunks * LANE
-    plane_rows = plane_rows_for(n_chunks)
+    plane_rows = plane_rows_for(n_chunks, spp)
     nsp = 2 + group + 1  # sidx, flags, lay_g..., colors
 
     def out_index(i, *refs):
@@ -1079,7 +1086,7 @@ def render_fused_styled(
     ng = urc.shape[0]
     ns1 = n_strips + 1
     stride = n_chunks * LANE
-    plane_rows = plane_rows_for(n_chunks)
+    plane_rows = plane_rows_for(n_chunks, spp)
     n_fields = len(fields)
     nsp = 2 + group + 1  # sidx, flags, lay_g..., colors
 
@@ -1166,7 +1173,7 @@ def field_to_chunkmajor(field, n_strips: int, n_chunks: int, spp: int = 1):
     x = fp.reshape(n_strips, spp, STRIP_H, n_chunks, LANE, 4)
     x = jnp.transpose(x, (0, 5, 1, 3, 2, 4))  # (NS, 4, spp, chunks, 8, 128)
     x = x.reshape(n_strips, 4, spp * n_chunks * STRIP_H, LANE)
-    pad_rows = plane_rows_for(n_chunks) - spp * n_chunks * STRIP_H
+    pad_rows = plane_rows_for(n_chunks, spp) - spp * n_chunks * STRIP_H
     if pad_rows:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
     # Sentinel strip NS (garbage bucket) reads as zeros.

@@ -257,19 +257,23 @@ def paint_field(paint: Paint, height: int, width: int) -> jnp.ndarray:
                                         precision=jax.lax.Precision.HIGHEST))
 
         th, tw = int(paint.image.shape[0]), int(paint.image.shape[1])
-        from .texfield import MAX_KERNEL_TEXELS, bitmap_field_planes
+        from .texfield import (
+            MAX_KERNEL_TEXELS, auto_ywin, bitmap_field_planes,
+        )
 
         if th * tw <= MAX_KERNEL_TEXELS:
             # Non-axis-aligned sampling: the gather path costs 16
             # fetches/px at supersample 2 (measured 49.8 ms/frame at
             # 512^2 on TPU); the MXU contraction kernel is ~26x faster
-            # and agrees to ~1e-6 (PERF.md, tests/test_texfield.py).
+            # and agrees to ~1e-4 (PERF.md, tests/test_texfield.py).
+            invs_np = np.asarray([paint.inv_matrix], np.float32)
             return bitmap_field_planes(
-                paint.image,
-                np.asarray([paint.inv_matrix], np.float32),
+                paint.image, invs_np,
                 height, width, supersample=n,
                 repeating=paint.repeating, smoothed=paint.smoothed,
-                edge_mode=paint.edge_mode)[0]
+                edge_mode=paint.edge_mode,
+                ywin=auto_ywin(invs_np, th,
+                               repeating=paint.repeating))[0]
 
         # Large textures (beyond the MXU kernel's texel budget): one
         # implementation of the supersampled gather — the traced twin.

@@ -17,18 +17,35 @@ for row one-hots:
 
 with ``wx_k``/``wy_k`` the bilinear (or nearest) tap weights of
 subsample k — built as VPU comparisons against a texel iota, never
-gathered.  Contracting tx on the MXU ((4*Th, Tw) @ (Tw, xblk*128)
+gathered.  Contracting tx on the MXU ((4*Wt, Tw) @ (Tw, xblk*128)
 lane-merged pixels) and ty with exact f32 VPU sublane reductions per
 channel quarter keeps every intermediate in VMEM.  Weight construction
-handles the exact
-fetch semantics of ``style._fetch``: repeat (wrap), flash (clamp — for
-bilinear, clamping the COORDINATE is identical to clamping both taps),
-and canvas (transparent outside).  Filtering runs on premultiplied
-values like ``paint_field`` (un-premultiplied by the wrapper).
+handles the exact fetch semantics of ``style._fetch``: repeat (wrap),
+flash (clamp — for bilinear, clamping the COORDINATE is identical to
+clamping both taps), and canvas (transparent outside).  Filtering runs
+on premultiplied values like ``paint_field`` (un-premultiplied by the
+wrapper).
+
+Two round-4 throughput levers (the dense dot was 2.1 of animtex's
+2.57 ms/frame bake, PERF.md):
+
+* **split3 dot** (default): the f32 contraction runs as THREE bf16
+  passes — img_hi@w_hi + img_hi@w_mid + img_lo@w_hi — instead of
+  Mosaic's 6-pass ``Precision.HIGHEST`` (HIGH is unsupported in
+  Mosaic; DEFAULT's single pass measured 0.007 error, PERF.md).  The
+  dropped terms are bounded by ~6e-5 on [0, 1] fields — 30x under the
+  u8 half-quantum, 100x tighter than the DEFAULT-precision bug the pin
+  tool exists to catch.  ``dot_mode="highest"`` keeps the exact path.
+* **y-window**: per (frame, block) the sample rows span only
+  |gb|*xblk + |gd|*128 texels; the kernel dynamic-slices an 8-aligned
+  row window of static width from the resident texture instead of
+  contracting all rows.  ``auto_ywin`` picks the width from the
+  concrete frame matrices; wrap mode reads a wrap-extended copy.
 
 Weights are mathematically identical to the gather path's; summation
-order differs, so results agree to float rounding (~1e-6), far below a
-u8 quantum — tests pin the kernel against ``paint_field_traced``.
+order and the split3 truncation differ, so results agree to ~1e-4
+(split3) / ~1e-6 (highest) — tests and tools/tpu_pin.py pin both
+against ``paint_field_traced``.
 """
 
 from __future__ import annotations
@@ -55,37 +72,74 @@ MAX_KERNEL_TEXELS = 256 * 256
 _VMEM_BUDGET = 10 * 2**20
 
 
-def _kernel_vmem_bytes(th_pad: int, tw_pad: int, xblk: int) -> int:
+def _kernel_vmem_bytes(th_pad: int, tw_pad: int, xblk: int,
+                       ywin: int | None = None,
+                       split3: bool = True) -> int:
     """Estimated live f32 bytes inside one _texfield_kernel step: the
-    resident channel-stacked texture + per-subsample wx, wy4, b4, r
-    (= wy4*b4) + the 8-sublane accumulator/output block."""
+    resident texture + per-subsample wx, wy4, b4, r (= wy4*b4) + the
+    output block.  ``ywin`` rows (or all th_pad) feed the tall
+    temporaries; split3 keeps the texture as two bf16 copies."""
     xl = xblk * LANE
-    img4 = 4 * th_pad * tw_pad * 4
-    wx = tw_pad * xl * 4
-    tall = 3 * (4 * th_pad * xl * 4)  # wy4, b4, r
+    wt = ywin if ywin else th_pad
+    img4 = 4 * th_pad * tw_pad * (2 * 2 if split3 else 4)
+    wx = tw_pad * xl * (4 + (2 * 2 if split3 else 0))
+    tall = (4 * wt + 2 * wt + 2 * wt) * xl * 4  # b4 + wy1 + temps
     acc = 2 * 8 * xl * 4
     return img4 + wx + tall + acc
 
 
-def _auto_xblk(th_pad: int, tw_pad: int) -> int:
+def _auto_xblk(th_pad: int, tw_pad: int, ywin: int | None = None,
+               split3: bool = True) -> int:
     """Largest xblk in {8,4,2,1} whose intermediates fit the VMEM
     budget: at the 256x256 texel cap, xblk=8 would hold ~14 MB live
     (wy4/b4/r are (1024, 1024) each) and fail to compile on the chip —
     the footprint, not a fixed constant, must pick the block width."""
-    for xblk in (8, 4, 2, 1):
-        if _kernel_vmem_bytes(th_pad, tw_pad, xblk) <= _VMEM_BUDGET:
+    # Wider blocks amortize per-grid-step overhead (the dominant cost
+    # once the split3 dot shrank the MXU work — PERF.md round 4); the
+    # row window keeps the tall temporaries small enough for 16, which
+    # measured best on chip (0.648 ms/frame vs 1.068 @ 8, 0.868 @ 32 on
+    # the animtex shape).
+    for xblk in (16, 8, 4, 2, 1):
+        if _kernel_vmem_bytes(th_pad, tw_pad, xblk, ywin,
+                              split3) <= _VMEM_BUDGET:
             return xblk
     return 1
 
 
+def auto_ywin(invs, th: int, xblk: int = 8,
+              repeating: bool = True) -> int | None:
+    """Static row-window width for the given CONCRETE device->texel
+    inverses, or None when windowing can't help.
+
+    The sample rows of one (xblk, LANE) pixel block span at most
+    |gb|*(xblk+1) + |gd|*(LANE+1) texels (+1 covers the subsample
+    offsets); bilinear adds 2 taps, the in-kernel 8-alignment of the
+    window start adds up to 7.  Repeat mode must not alias (two window
+    rows mapping to one texel double-counts), so it requires
+    width < th."""
+    invs = np.asarray(invs, np.float32).reshape(-1, 6)
+    span = float(np.max(np.abs(invs[:, 1]) * (xblk + 1)
+                        + np.abs(invs[:, 3]) * (LANE + 1)))
+    # Margins: 2 bilinear taps + 2 floor/margin + 7 (o8 alignment), and
+    # repeat mode adds 7 more (re-alignment after the mod).
+    wt = int(-(-(span + (20.0 if repeating else 13.0)) // 8) * 8)
+    th_pad = max(8, -(-th // 8) * 8)
+    if wt >= th_pad or wt >= th:
+        return None
+    return wt
+
+
 def _axis_weights(coord, t_iota, n_tex: int, repeating: bool,
-                  edge_mode: str, smoothed: bool):
+                  edge_mode: str, smoothed: bool,
+                  mask_pad: bool = True):
     """(T, LANE) tap weights for one axis of one subsample.
 
     ``coord``: (1, LANE) sample coordinate in texel units (the raw
     ``sx`` of style.paint_field_traced — texel centers at integer + 0.5);
-    ``t_iota``: (T, 1) texel indices (sublane layout, padded rows have
-    index >= n_tex).
+    ``t_iota``: (T, 1) texel indices (sublane layout; absolute indices
+    when row-windowed).  ``mask_pad``: mask texel indices >= n_tex in
+    repeat mode (padded rows alias under mod) — window mode passes
+    False, its rows are all real wrap-extended texels.
     """
     n = np.float32(n_tex)
     if smoothed:
@@ -107,16 +161,18 @@ def _axis_weights(coord, t_iota, n_tex: int, repeating: bool,
             w = (fx == t_iota).astype(jnp.float32)
         else:
             w = (jnp.clip(fx, 0.0, n - 1.0) == t_iota).astype(jnp.float32)
-    if repeating:
+    if repeating and mask_pad:
         # Padded texel rows alias under mod: mask them explicitly.
         w = w * (t_iota < n).astype(jnp.float32)
     return w
 
 
-def _texfield_kernel(invs_ref, img_ref, out_ref, *,
-                     xblk: int, th: int, tw: int, th_pad: int,
-                     tw_pad: int, supersample: int, repeating: bool,
-                     smoothed: bool, edge_mode: str, hp: int):
+def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
+                     tw: int, th_pad: int, tw_pad: int, supersample: int,
+                     repeating: bool, smoothed: bool, edge_mode: str,
+                     split3: bool, ywin: int | None, th_ext: int):
+    out_ref = img_refs_and_out[-1]
+    img_refs = img_refs_and_out[:-1]
     f = pl.program_id(0)
     xb = pl.program_id(1)
     yb = pl.program_id(2)
@@ -126,21 +182,67 @@ def _texfield_kernel(invs_ref, img_ref, out_ref, *,
 
     # All xblk x-values share one lane axis: lane l is pixel
     # (x = xb*xblk + l // LANE, y = yb*LANE + l % LANE) — one
-    # (4*THp, TWp) @ (TWp, xblk*LANE) contraction per subsample instead
-    # of xblk small ones (8x fewer MXU dispatches; measured 3.09 ->
-    # see PERF.md).
+    # (4*Wt, TWp) @ (TWp, xblk*LANE) contraction per subsample instead
+    # of xblk small ones (8x fewer MXU dispatches; PERF.md).
     xl = xblk * LANE
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, xl), 1)
     ylf = (yb * LANE + jnp.mod(lane, LANE)).astype(jnp.float32)
     xlf = (xb * xblk + jnp.floor_divide(lane, LANE)).astype(jnp.float32)
     tx_iota = jax.lax.broadcasted_iota(
         jnp.int32, (tw_pad, 1), 0).astype(jnp.float32)
-    # ty indices repeated per channel: sublane t of the stacked image is
-    # texel row t % th_pad of channel t // th_pad.
-    ty4 = jnp.mod(jax.lax.broadcasted_iota(
-        jnp.int32, (4 * th_pad, 1), 0), th_pad).astype(jnp.float32)
 
-    del hp
+    if ywin is None:
+        wt = th_pad
+        win_rows = None
+        t_start = jnp.int32(0)
+        mask_pad = True
+    else:
+        wt = ywin
+        mask_pad = False
+        # Row window: the block's sy range from the matrix scalars
+        # (interval arithmetic over the block corners + subsample
+        # offsets in [0, 1]), floored to the first bilinear tap, 8-
+        # aligned down, clamped per fetch mode.
+        x0f = (xb * xblk).astype(jnp.float32)
+        y0f = (yb * LANE).astype(jnp.float32)
+        sy_lo = (gf + jnp.minimum(gb * x0f, gb * (x0f + xblk + 1))
+                 + jnp.minimum(gd * y0f, gd * (y0f + LANE + 1)))
+        o = jnp.floor(sy_lo - 0.5).astype(jnp.int32) - 1
+        o8 = (o // 8) * 8
+        if repeating:
+            # Wrap-extended texture rows [0, th + wt): slice start in
+            # [0, th), re-aligned to 8 after the mod (th need not be a
+            # multiple of 8; weights are mod-periodic in the absolute
+            # tap index, so any aligned start covering the span works —
+            # auto_ywin budgets the extra alignment slack).
+            t_start = (jnp.mod(o8, th) // 8) * 8
+        else:
+            # Clamp/canvas taps live in [0, th): a window clamped into
+            # [0, th_pad - wt] always contains them (wt covers the
+            # span + margins; out-of-range taps weigh 0).
+            t_start = jnp.clip(o8, 0, th_pad - wt)
+        win_rows = wt
+
+    del th_ext
+
+    def load_rows(ref):
+        if win_rows is None:
+            v = ref[...]
+            if v.ndim == 3:  # (4, THe, TWp) channel-major, full rows
+                v = v.reshape(4 * wt, tw_pad)
+            return v
+        parts = [ref[c, pl.dslice(t_start, wt), :] for c in range(4)]
+        return jnp.concatenate(parts, axis=0)
+
+    if split3:
+        img_hi = load_rows(img_refs[0])
+        img_lo = load_rows(img_refs[1])
+    else:
+        img4 = load_rows(img_refs[0])
+
+    ty1 = (t_start.astype(jnp.float32)
+           + jax.lax.broadcasted_iota(
+               jnp.int32, (wt, 1), 0).astype(jnp.float32))
 
     def sub(k, acc):
         kf = k.astype(jnp.float32)
@@ -150,92 +252,153 @@ def _texfield_kernel(invs_ref, img_ref, out_ref, *,
         sy = gb * (xlf + ox) + gd * (ylf + oy) + gf
         wx = _axis_weights(sx, tx_iota, tw, repeating, edge_mode,
                            smoothed)          # (TWp, XL)
-        wy4 = _axis_weights(sy, ty4, th, repeating, edge_mode,
-                            smoothed)         # (4*THp, XL)
-        # Contract tx on the MXU: (4*THp, TWp) @ (TWp, XL).  HIGHEST
-        # precision: Mosaic's DEFAULT feeds bf16-rounded operands to the
-        # MXU — measured 0.007 (±1.8/255) error vs the gather oracle,
-        # eating the whole ≤2/255 budget (HIGH is unsupported in
-        # Mosaic; PERF.md has the cost table).
-        b4 = jnp.dot(img_ref[...], wx,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+        # One (Wt, XL) row-weight build shared by all four channel
+        # quarters (the weights are channel-independent; building the
+        # channel-stacked (4*Wt, XL) copy cost 4x the VPU comparisons —
+        # the dominant kernel cost once the dot shrank, PERF.md r4).
+        wy1 = _axis_weights(sy, ty1, th, repeating, edge_mode,
+                            smoothed, mask_pad=mask_pad)  # (Wt, XL)
+        if split3:
+            # Three bf16 passes: img_hi@w_hi + img_hi@w_mid + img_lo@w_hi.
+            # Dropped terms (img_hi@w_lo, img_lo@w_mid, ...) bound the
+            # error at ~6e-5 on [0,1] premul fields — far below the u8
+            # half-quantum; tools/tpu_pin.py tracks the actual max.
+            wxh = wx.astype(jnp.bfloat16)
+            wxm = (wx - wxh.astype(jnp.float32)).astype(jnp.bfloat16)
+            b4 = (jnp.dot(img_hi, wxh,
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(img_hi, wxm,
+                            preferred_element_type=jnp.float32)
+                  + jnp.dot(img_lo, wxh,
+                            preferred_element_type=jnp.float32))
+        else:
+            # Exact path: HIGHEST precision (Mosaic's DEFAULT feeds
+            # bf16-rounded operands to the MXU — measured 0.007
+            # (±1.8/255) error vs the gather oracle; HIGH is unsupported
+            # in Mosaic; PERF.md has the cost table).
+            b4 = jnp.dot(img4, wx,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         # Contract ty per channel as exact f32 VPU sublane reductions
-        # over each THp quarter — the earlier (8, 4*THp) @ (4*THp, XL)
-        # selection matmul was 2x dot1's padded MAC count AND needed
-        # HIGHEST itself (measured in PERF.md).
-        r = wy4 * b4
-        rows = [jnp.sum(r[c * th_pad:(c + 1) * th_pad], axis=0,
+        # over each Wt quarter — a (8, 4*Wt) @ (4*Wt, XL) selection
+        # matmul was 2x dot1's padded MAC count AND needed HIGHEST
+        # itself (measured in PERF.md).
+        rows = [jnp.sum(wy1 * b4[c * wt:(c + 1) * wt], axis=0,
                         keepdims=True) for c in range(4)]
-        return acc + jnp.concatenate(
-            rows + [jnp.zeros((4, xl), jnp.float32)], axis=0)
+        return acc + jnp.concatenate(rows, axis=0)
 
-    acc = jax.lax.fori_loop(
-        0, n * n, sub, jnp.zeros((8, xl), jnp.float32))
-    out_ref[0, 0, 0] = acc * inv_n2
+    # Unrolled subsample loop (n*n <= 16 in practice): no fori_loop
+    # sequencing between iterations, so Mosaic can overlap one
+    # subsample's VPU weight build with another's MXU contraction.
+    if n * n <= 16:
+        acc = jnp.zeros((4, xl), jnp.float32)
+        for k in range(n * n):
+            acc = sub(jnp.int32(k), acc)
+    else:
+        acc = jax.lax.fori_loop(
+            0, n * n, sub, jnp.zeros((4, xl), jnp.float32))
+    pm = acc * inv_n2
+    # Un-premultiply in-kernel (paint_field's straight-RGBA contract) and
+    # write the block in its final (4, x, y) layout — the old 8-sublane
+    # half-zero block cost an XLA slice + divide + two reshapes over the
+    # full (F, H, W, 4) planes per frame (PERF.md round 4).
+    alpha = pm[3:4]
+    safe = jnp.maximum(alpha, np.float32(1e-6))
+    rgb = jnp.where(alpha > 1e-6, pm[:3] / safe, 0.0)
+    out_ref[0, 0, 0] = jnp.concatenate(
+        [rgb, alpha], axis=0).reshape(4, xblk, LANE)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "supersample", "repeating", "smoothed",
-    "edge_mode", "interpret", "xblk"))
+    "edge_mode", "interpret", "xblk", "dot_mode", "ywin"))
 def bitmap_field_planes(img, invs, height: int, width: int,
                         supersample: int = 4, repeating: bool = False,
                         smoothed: bool = True, edge_mode: str = "flash",
                         interpret: bool = None,
-                        xblk: int | None = None) -> jnp.ndarray:
+                        xblk: int | None = None,
+                        dot_mode: str = "split3",
+                        ywin: int | None = None) -> jnp.ndarray:
     """(Th, Tw, 4) u8 texture + (F, 6) device->texel inverses ->
     (F, H, W, 4) f32 straight-RGBA field planes, gather-free.
 
     Drop-in twin of vmapping ``style.paint_field_traced`` over frames
     for PAINT_BITMAP (same sampling semantics, see module docstring) at
-    MXU rather than gather throughput."""
+    MXU rather than gather throughput.  ``dot_mode="split3"`` (default)
+    runs the contraction as three bf16 passes (~6e-5 field error, 2x
+    the exact "highest" path's throughput); ``ywin`` (static, from
+    :func:`auto_ywin`) contracts only a dynamic row window."""
     if interpret is None:
         interpret = not _on_tpu()
+    split3 = dot_mode == "split3"
+    if dot_mode not in ("split3", "highest"):
+        raise ValueError(f"unknown dot_mode {dot_mode!r}")
     th, tw = int(img.shape[0]), int(img.shape[1])
     th_pad = max(8, -(-th // 8) * 8)
     tw_pad = max(8, -(-tw // 8) * 8)
+    if ywin is not None and (ywin % 8 or ywin >= th_pad
+                             or (repeating and ywin >= th)):
+        ywin = None
     if xblk is None:
-        xblk = _auto_xblk(th_pad, tw_pad)
+        xblk = _auto_xblk(th_pad, tw_pad, ywin, split3)
     fcount = invs.shape[0]
     wp = -(-width // xblk) * xblk
     hp = -(-height // LANE) * LANE
 
     imgf = jnp.asarray(img).astype(jnp.float32) / 255.0
     imgf = imgf.at[..., :3].multiply(imgf[..., 3:4])  # premul filtering
-    imgf = jnp.pad(imgf, ((0, th_pad - th), (0, tw_pad - tw), (0, 0)))
-    # (THp, TWp, 4) -> channel-stacked (4*THp, TWp).
-    img4 = imgf.transpose(2, 0, 1).reshape(4 * th_pad, tw_pad)
+    if ywin is not None and repeating:
+        # Wrap-extend rows so any [o, o + ywin) window of absolute taps
+        # reads real texels: row j = img[j % th] for j < th + ywin.
+        reps = -(-(th + ywin) // th)
+        imgf = jnp.tile(imgf, (reps, 1, 1))[:th + ywin]
+        th_ext = max(8, -(-(th + ywin) // 8) * 8)
+    else:
+        th_ext = th_pad
+    imgf = jnp.pad(imgf, ((0, th_ext - imgf.shape[0]),
+                          (0, tw_pad - tw), (0, 0)))
+    # (THe, TWp, 4) -> channel-major (4, THe, TWp): the kernel row-
+    # windows each channel with one leading-dim dynamic slice.
+    img4 = imgf.transpose(2, 0, 1)
+    if split3:
+        img_hi = img4.astype(jnp.bfloat16)
+        img_lo = (img4 - img_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        img_in = (img_hi, img_lo)
+    else:
+        img_in = (img4.reshape(4 * th_ext, tw_pad)
+                  if ywin is None else img4,)
+    if not split3 and ywin is None:
+        # Legacy exact layout: channel-stacked 2-D resident texture.
+        img_specs = [pl.BlockSpec((4 * th_ext, tw_pad),
+                                  lambda f, xb, yb: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        img_specs = [pl.BlockSpec((4, th_ext, tw_pad),
+                                  lambda f, xb, yb: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for _ in img_in]
 
     kernel = functools.partial(
         _texfield_kernel, xblk=xblk, th=th, tw=tw, th_pad=th_pad,
         tw_pad=tw_pad, supersample=int(supersample),
         repeating=bool(repeating), smoothed=bool(smoothed),
-        edge_mode=str(edge_mode), hp=hp)
+        edge_mode=str(edge_mode), split3=split3, ywin=ywin,
+        th_ext=th_ext)
     xb_n, yb_n = wp // xblk, hp // LANE
     out = pl.pallas_call(
         kernel,
         grid=(fcount, xb_n, yb_n),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((4 * th_pad, tw_pad), lambda f, xb, yb: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 1, 8, xblk * LANE),
-                               lambda f, xb, yb: (f, xb, yb, 0, 0),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + img_specs,
+        out_specs=pl.BlockSpec((1, 1, 1, 4, xblk, LANE),
+                               lambda f, xb, yb: (f, xb, yb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (fcount, xb_n, yb_n, 8, xblk * LANE), jnp.float32),
+            (fcount, xb_n, yb_n, 4, xblk, LANE), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(invs, jnp.float32), img4)
+    )(jnp.asarray(invs, jnp.float32), *img_in)
 
-    # (F, XB, YB, 8, xblk*LANE): lane l of (f, xb, yb) is pixel
-    # (x = xb*xblk + l // LANE, y = yb*LANE + l % LANE), channels on
-    # sublanes 0..3 -> (F, 4, WP, HP) -> (F, H, W, 4) straight RGBA.
-    out = out[:, :, :, :4, :].reshape(
-        fcount, xb_n, yb_n, 4, xblk, LANE)
+    # (F, XB, YB, 4, xblk, LANE): block (xb, yb) covers pixels
+    # (x = xb*xblk + i, y = yb*LANE + j), channels leading, already
+    # straight RGBA -> (F, 4, WP, HP) -> (F, H, W, 4).
     out = out.transpose(0, 3, 1, 4, 2, 5).reshape(fcount, 4, wp, hp)
-    pm = out[:, :, :width, :height].transpose(0, 3, 2, 1)
-    alpha = pm[..., 3:4]
-    safe = jnp.maximum(alpha, 1e-6)
-    rgb = jnp.where(alpha > 1e-6, pm[..., :3] / safe, 0.0)
-    return jnp.concatenate([rgb, alpha], axis=-1)
+    return out[:, :, :width, :height].transpose(0, 3, 2, 1)

@@ -490,11 +490,14 @@ def bake_sweep_fields(field_specs, height: int, width: int,
                      <= MAX_KERNEL_TEXELS)
             if not sep.any():
                 if small:
+                    from .texfield import auto_ywin
                     outs.append(bitmap_field_planes(
                         p.image, invs, height, width,
                         supersample=max(1, int(p.supersample)),
                         repeating=p.repeating, smoothed=p.smoothed,
-                        edge_mode=p.edge_mode))
+                        edge_mode=p.edge_mode,
+                        ywin=auto_ywin(invs_np, p.image.shape[0],
+                                       repeating=p.repeating)))
                     continue
             else:
                 # Mixed track (e.g. a rotation sweeping through 0):

@@ -583,3 +583,47 @@ def test_parallel_pack_and_split_bit_identical():
                                 max_workers=4)
         for x, y in zip(a, b):
             assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_wide_two_strip_planes_match_single():
+    """Wide frames (64 < nc8 <= 128, e.g. 1080p's 120) pack TWO strips
+    into a 256-row plane (round 4): output is bit-identical to the
+    one-strip layout."""
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops.flatblock import (
+        render_fused_blocksn, strips_per_plane,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    frames, layers, height, width = 2, 2, 56, 1100
+    update_lists, colors = random_scene(frames, layers, height, width,
+                                        seed=31)
+    _, nc, ns = plane_geometry(height, width)
+    spp = strips_per_plane(nc, ns)
+    assert spp == 2  # 1100 px -> 9 chunks -> nc8 = 72 -> two strips
+
+    g1 = pack_grouped_native(update_lists, height, width, group=4,
+                             group_pad_multiple=4, spp=1)
+    base = np.asarray(render_fused_blocksn(
+        *(jnp.asarray(x) for x in g1[:6]), jnp.asarray(colors),
+        frames, layers, g1[6], g1[7], group=4))
+    want = frames_u32_to_u8(
+        base[:, :g1[6]].reshape(frames, g1[6] * 8, nc * LANE),
+        height, width)
+
+    gs = pack_grouped_native(update_lists, height, width, group=4,
+                             group_pad_multiple=4, spp=spp)
+    nsb = gs[6]
+    assert nsb == -(-ns // spp)
+    out = np.asarray(render_fused_blocksn(
+        *(jnp.asarray(x) for x in gs[:6]), jnp.asarray(colors),
+        frames, layers, nsb, gs[7], group=4, spp=spp))
+    got = frames_u32_to_u8(
+        out[:, :nsb].reshape(frames, nsb * spp * 8, nc * LANE),
+        height, width)
+    np.testing.assert_array_equal(got, want)

@@ -1,9 +1,11 @@
 """MXU bitmap-field kernel (ops/texfield.py) vs the gather oracle
 (style.paint_field_traced): same sampling semantics, gather-free.
 
-Weights are built identically; only summation order differs, so the
-kernel must agree to float rounding (~1e-6) across every fetch mode —
-repeat/clamp/canvas x bilinear/nearest x supersample counts."""
+Weights are built identically; the default split3 dot truncates bf16
+cross terms (~6e-5 bound, PERF.md round 4) and summation order
+differs, so the kernel must agree to ~2e-4 (dot_mode='highest': ~5e-6)
+across every fetch mode — repeat/clamp/canvas x bilinear/nearest x
+supersample counts, windowed and full-row."""
 
 import numpy as np
 import pytest
@@ -50,7 +52,7 @@ def test_texfield_matches_gather_oracle(repeating, smoothed, edge_mode,
         img, invs, 30, 44, supersample=supersample, repeating=repeating,
         smoothed=smoothed, edge_mode=edge_mode))
     assert got.shape == want.shape
-    np.testing.assert_allclose(got, want, atol=5e-6)
+    np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 def test_texfield_extreme_zoom_and_offsets():
@@ -74,7 +76,7 @@ def test_texfield_extreme_zoom_and_offsets():
         got = np.asarray(bitmap_field_planes(
             img, invs, 16, 24, supersample=2, repeating=repeating,
             smoothed=True, edge_mode="flash"))
-        np.testing.assert_allclose(got, want, atol=5e-6)
+        np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 def test_bake_sweep_fields_routes_bitmaps_through_kernel():
@@ -111,7 +113,7 @@ def test_bake_sweep_fields_routes_bitmaps_through_kernel():
             np.asarray(style_ops.paint_field_traced(
                 spec.paint, jnp.asarray(iv), 20, 24))
             for iv in spec.invs]))
-    np.testing.assert_allclose(got, np.stack(want), atol=2e-6)
+    np.testing.assert_allclose(got, np.stack(want), atol=2e-4)
 
 def test_sweep_bake_minified_axis_aligned_matches_per_frame():
     """Axis-aligned DOWNSCALED frames must bake through the same
@@ -185,7 +187,9 @@ def test_sweep_bake_mixed_rotation_through_zero():
             dataclasses.replace(bp, inv_matrix=tuple(float(v)
                                                      for v in iv)),
             16, 14))
-        np.testing.assert_allclose(got[fi], per_frame, atol=5e-6,
+        # Rotated frames bake through the split3 kernel on both
+        # sides, but with different auto row windows -> ~1e-4.
+        np.testing.assert_allclose(got[fi], per_frame, atol=2e-4,
                                    err_msg=f"frame {fi}")
 
 
@@ -202,8 +206,8 @@ def test_texfield_auto_xblk_respects_vmem_budget():
     xblk = _auto_xblk(256, 256)
     assert xblk < 8
     assert _kernel_vmem_bytes(256, 256, xblk) <= _VMEM_BUDGET
-    # Tiny textures keep the wide block.
-    assert _auto_xblk(16, 16) == 8
+    # Tiny textures keep a wide block.
+    assert _auto_xblk(16, 16) >= 8
 
     rng = np.random.default_rng(17)
     img = rng.integers(0, 256, (72, 64, 4)).astype(np.uint8)
@@ -219,4 +223,64 @@ def test_texfield_auto_xblk_respects_vmem_budget():
     got = np.asarray(bitmap_field_planes(
         img, invs, 20, 28, supersample=2, repeating=False,
         smoothed=True, edge_mode="flash"))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_texfield_highest_mode_is_float_exact():
+    """dot_mode='highest' keeps the exact 6-pass contraction: ~1e-6 vs
+    the gather oracle (the split3 default trades ~6e-5 for 2x MXU
+    throughput — separate budgets, both pinned)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (11, 13, 4)).astype(np.uint8)
+    invs = _invs(3)
+    p = style_ops.Paint(
+        kind=style_ops.PAINT_BITMAP, image=img,
+        inv_matrix=tuple(invs[0]), repeating=True,
+        smoothed=True, edge_mode="flash", supersample=2)
+    want = np.stack([
+        np.asarray(style_ops.paint_field_traced(p, jnp.asarray(iv),
+                                                30, 44))
+        for iv in invs])
+    got = np.asarray(bitmap_field_planes(
+        img, invs, 30, 44, supersample=2, repeating=True,
+        smoothed=True, edge_mode="flash", dot_mode="highest"))
     np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+@pytest.mark.parametrize("repeating", [False, True])
+def test_texfield_row_window_matches_full(repeating):
+    """auto_ywin row-windowed contraction == the full-row kernel (the
+    skipped rows all carry zero weight; only the windowed reduction
+    tree differs) and == the gather oracle, for a tall texture where
+    the window is a real subset."""
+    from swf_renderer_tpu.ops.texfield import auto_ywin
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (120, 16, 4)).astype(np.uint8)
+    # Small |gb|, |gd| so one (8, 128)-pixel block's rows span few
+    # texels; large translations exercise wrap/clamp starts.
+    invs = np.asarray([
+        (0.11, 0.05, -0.05, 0.11, -3.0, 250.7),
+        (0.09, -0.04, 0.04, 0.09, 40.0, -80.3),
+        (0.12, 0.0, 0.02, 0.10, 0.0, 119.0),
+    ], np.float32)
+    ywin = auto_ywin(invs, img.shape[0])
+    assert ywin is not None and ywin < 120
+    kw = dict(supersample=2, repeating=repeating, smoothed=True,
+              edge_mode="flash")
+    p = style_ops.Paint(
+        kind=style_ops.PAINT_BITMAP, image=img,
+        inv_matrix=tuple(invs[0]), **{k: v for k, v in kw.items()
+                                      if k != "supersample"},
+        supersample=2)
+    want = np.stack([
+        np.asarray(style_ops.paint_field_traced(p, jnp.asarray(iv),
+                                                40, 24))
+        for iv in invs])
+    full = np.asarray(bitmap_field_planes(img, invs, 40, 24, ywin=None,
+                                          **kw))
+    win = np.asarray(bitmap_field_planes(img, invs, 40, 24, ywin=ywin,
+                                         **kw))
+    np.testing.assert_allclose(full, want, atol=2e-4)
+    np.testing.assert_allclose(win, want, atol=2e-4)
+    np.testing.assert_allclose(win, full, atol=5e-5)

@@ -40,13 +40,17 @@ def report(name, max_diff, budget):
 
 def pin_texfield():
     """texfield MXU kernel (interpret=False) vs the jitted gather
-    oracle, all fetch modes.  Budget 5e-6: identical weights, HIGHEST
-    precision dots (DEFAULT precision measured 0.007)."""
+    oracle, all fetch modes.  Budgets: split3 (PRODUCTION default,
+    3-pass bf16 dot, round 4) 2e-4; dot_mode='highest' 5e-6 (identical
+    weights, 6-pass dots — DEFAULT precision measured 0.007); the row
+    window must match the full-row kernel to reduction rounding."""
     import jax
     import jax.numpy as jnp
 
     from swf_renderer_tpu.ops import style as style_ops
-    from swf_renderer_tpu.ops.texfield import bitmap_field_planes
+    from swf_renderer_tpu.ops.texfield import (
+        auto_ywin, bitmap_field_planes,
+    )
 
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (11, 13, 4)).astype(np.uint8)
@@ -72,7 +76,39 @@ def pin_texfield():
             img, invs, 30, 44, supersample=n, repeating=repeating,
             smoothed=smoothed, edge_mode=em, interpret=False))
         report(f"texfield:{repeating}:{smoothed}:{em}:ss{n}",
-               np.abs(want - got).max(), 5e-6)
+               np.abs(want - got).max(), 2e-4)
+    # Exact path (ablation/debug mode) stays float-exact.
+    p = style_ops.Paint(
+        kind=style_ops.PAINT_BITMAP, image=img,
+        inv_matrix=tuple(invs[0]), repeating=True, smoothed=True,
+        edge_mode="flash", supersample=2)
+    want = np.stack([
+        np.asarray(jax.jit(
+            lambda iv, _p=p: style_ops.paint_field_traced(
+                _p, iv, 30, 44))(jnp.asarray(iv)))
+        for iv in invs])
+    got = np.asarray(bitmap_field_planes(
+        img, invs, 30, 44, supersample=2, repeating=True,
+        smoothed=True, edge_mode="flash", interpret=False,
+        dot_mode="highest"))
+    report("texfield:highest", np.abs(want - got).max(), 5e-6)
+    # Row-windowed vs full-row production kernel on a tall texture.
+    img_t = rng.integers(0, 256, (120, 16, 4)).astype(np.uint8)
+    invs_t = np.asarray([
+        (0.11, 0.05, -0.05, 0.11, -3.0, 250.7),
+        (0.09, -0.04, 0.04, 0.09, 40.0, -80.3)], np.float32)
+    yw = auto_ywin(invs_t, 120)
+    for repeating in (False, True):
+        full = np.asarray(bitmap_field_planes(
+            img_t, invs_t, 40, 24, supersample=2, repeating=repeating,
+            smoothed=True, edge_mode="flash", interpret=False,
+            ywin=None))
+        win = np.asarray(bitmap_field_planes(
+            img_t, invs_t, 40, 24, supersample=2, repeating=repeating,
+            smoothed=True, edge_mode="flash", interpret=False,
+            ywin=yw))
+        report(f"texfield:ywin:{repeating}",
+               np.abs(full - win).max(), 5e-5)
 
 
 def pin_sweep_skip_paths():

@@ -573,10 +573,20 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                   paints=None, dyn_stops: bool = False,
                   layer_counts=None, prefix_cheap: bool = False,
                   bps: int = 1, compact: bool = False,
-                  prefilter: bool = False):
+                  prefilter: bool = False, chunk_list: bool = False):
     gm_ref = sc_ref = prefix_ref = cheap_ref = None
     field_refs = ()  # per-(frame, block) baked paint planes, last inputs
     bounds_ref = None
+    counts_ref = idx_ref = None
+    if chunk_list:
+        # Per-(frame, layer, block) SMEM lists of the chunks whose
+        # transformed x-transition can cross that block (precomputed in
+        # XLA from the same ±0.5-slack bounds as the prefilter).  The
+        # heavy path fori_loops over the ~2-3 listed chunks instead of
+        # branch-testing every chunk — the per-(block, chunk, layer)
+        # pl.when sequencing WAS the sweep's dominant fixed cost
+        # (PERF.md round-3 decomposition + round-4 fix).
+        counts_ref, idx_ref, *rest = rest
     if prefilter:
         # Per-(frame, layer, chunk) transformed x-extent bounds (SMEM,
         # precomputed in XLA): two scalar compares decide whether a
@@ -783,6 +793,26 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                         acc_ref[lyr] = acc_ref[lyr] + jnp.dot(
                             part, onehot,
                             preferred_element_type=jnp.float32)
+
+            if chunk_list:
+                # Dynamic walk of ONLY the chunks listed as possibly
+                # crossing this block (ascending chunk order — the same
+                # accumulation order as the static loop; skipped chunks
+                # contributed exact zeros there).  One fori_loop replaces
+                # n_chunks pl.when sites per (block, layer).
+                def body(j, carry, lyr=lyr, abcdef=abcdef,
+                         block_lo=block_lo):
+                    c = idx_ref[0, lyr, wbe, j]
+                    sl = pl.dslice(c * e_chunk, e_chunk)
+                    vals = chunk_vals(lyr, sl, abcdef)
+                    pxmx = jnp.maximum(vals[0], vals[2])
+                    lmask = (pxmx <= block_lo).astype(jnp.float32)
+                    ramp_accum(lyr, vals,
+                               lmask if prefix_cheap else None)
+                    return carry
+
+                jax.lax.fori_loop(0, counts_ref[0, lyr, wbe], body, 0)
+                continue
 
             # Pieces stream through in e_chunk slices: the (WP, EC) ramp
             # temporaries, not the piece count, bound scoped VMEM (a 512^2
@@ -1217,7 +1247,7 @@ def _wblock_for(width: int, hp: int) -> int:
     "height", "width", "fill_rule", "interpret", "e_chunk",
     "skip_empty", "paints", "wblock", "row_grid", "wchunk", "x_split",
     "layer_counts", "prefix_cheap", "blocks_per_step",
-    "compact_counts", "prefilter"))
+    "compact_counts", "prefilter", "chunk_list"))
 def render_affine_sweep(
     matrices: jax.Array,  # (F, 6) or (F, L, 6) f32 device affines
     tab: jax.Array,       # (P, 4, 1, EP) f32 local pieces
@@ -1238,6 +1268,7 @@ def render_affine_sweep(
     blocks_per_step: int = None,  # None = auto (measured-safe bps)
     compact_counts: tuple = None,  # plan_compact_sweep capacities
     prefilter: bool = None,   # None = OFF (measured negative; ablation)
+    chunk_list: bool = None,  # None = ON with the prefix-plane skip
     paints=None,         # tuple of KernelPaint (COLOR/LINEAR/FOCAL/FIELD)
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
     stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
@@ -1461,6 +1492,23 @@ def render_affine_sweep(
             # variant (PERF.md round-3 prefilter study).
             prefilter = False
         prefilter = prefilter and skip_empty and prefix_cheap
+        if chunk_list is None:
+            chunk_list = True
+        # The dynamic chunk walk needs the prefix plane (skipped chunks'
+        # left pieces live there) and supersedes the prefilter.
+        chunk_list = chunk_list and skip_empty and prefix_cheap
+        if chunk_list:
+            prefilter = False
+            ep0 = tab.shape[-1]
+            pad = (-ep0) % e_chunk
+            if pad:
+                # Static chunk slices tolerate a short last chunk; the
+                # dynamic pl.dslice walk needs full-width chunks.  Zero
+                # pieces transform to degenerate points (dy = 0): exact
+                # zero contributions.
+                tab = jnp.pad(tab, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                subxy = jnp.pad(subxy,
+                                ((0, 0), (0, 0), (0, pad), (0, 0)))
         nbp = (max(8, -(-(wp // wblock) // 8) * 8) if prefix_cheap
                else 8)
         kernel = functools.partial(
@@ -1468,7 +1516,7 @@ def render_affine_sweep(
             fill_rule=fill_rule, e_chunk=e_chunk,
             per_layer=matrices.ndim == 3, skip_empty=skip_empty,
             layer_counts=layer_counts, prefix_cheap=prefix_cheap,
-            bps=bps, prefilter=prefilter,
+            bps=bps, prefilter=prefilter, chunk_list=chunk_list,
             per_frame_colors=colors.ndim == 3, paints=paints,
             dyn_stops=stop_colors is not None)
         grid = (fcount, wp // (wblock * bps))
@@ -1482,7 +1530,7 @@ def render_affine_sweep(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    if not row_grid and prefilter:
+    if not row_grid and (prefilter or chunk_list):
         # Per-(frame, layer, chunk) transformed x-extent bounds, SMEM.
         # The ±0.5 px slack absorbs XLA-vs-Mosaic float scheduling
         # differences (FMA contraction) so a bounds miss can never drop
@@ -1493,6 +1541,9 @@ def render_affine_sweep(
         av = ml[..., 0:1]
         cv = ml[..., 2:3]
         ev = ml[..., 4:5]
+        # (chunk_list's zero padding transforms to the point (e, f) —
+        # it may add one spurious "crossing" chunk on the block holding
+        # x = e, whose dy = 0 pieces contribute exact zeros.)
         x0l, y0l = tab[:, 0, 0, :], tab[:, 1, 0, :]   # (L, EP)
         x1l, y1l = tab[:, 2, 0, :], tab[:, 3, 0, :]
         x0p = av * x0l + cv * y0l + ev                # (F, L, EP)
@@ -1510,10 +1561,31 @@ def render_affine_sweep(
             [pmn.reshape(fcount, layers, nc, e_chunk).min(-1) - 0.5,
              pmx.reshape(fcount, layers, nc, e_chunk).max(-1) + 0.5],
             axis=-1)
-        args.append(bounds)
-        in_specs.append(pl.BlockSpec((1, layers, nc, 2),
-                                     lambda i, wb: (i, 0, 0, 0),
-                                     memory_space=pltpu.SMEM))
+        if chunk_list:
+            nb = wp // wblock
+            block_los = jnp.arange(nb, dtype=jnp.float32) * wblock
+            lo = bounds[..., 0:1]              # (F, L, NC, 1)
+            hi = bounds[..., 1:2]
+            cross = jnp.logical_and(
+                hi > block_los, lo - 1.0 < block_los + wblock)
+            cross = cross.transpose(0, 1, 3, 2)  # (F, L, NB, NC)
+            counts = cross.sum(-1).astype(jnp.int32)
+            c_iota = jnp.arange(nc, dtype=jnp.int32)
+            sort_key = jnp.where(cross, c_iota, nc + c_iota)
+            idx = jnp.argsort(sort_key, axis=-1).astype(jnp.int32)
+            args += [counts, idx]
+            in_specs += [
+                pl.BlockSpec((1, layers, nb), lambda i, wb: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, layers, nb, nc),
+                             lambda i, wb: (i, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ]
+        else:
+            args.append(bounds)
+            in_specs.append(pl.BlockSpec((1, layers, nc, 2),
+                                         lambda i, wb: (i, 0, 0, 0),
+                                         memory_space=pltpu.SMEM))
     if paints is not None:
         args.append(grad_mats)
         in_specs.append(pl.BlockSpec((1, layers, 6),

@@ -641,3 +641,119 @@ def render_styled_dp(mesh: Mesh, gsi, gfl, gla, grc, gcm, gvv, colors,
       *map(jnp.asarray, fields))
     stride = n_chunks * LANE
     return out.reshape(frames, n_strips + 1, spp * 8, stride)
+
+
+def _premul_planes_to_frames(planes, height: int, width: int,
+                             n_chunks: int):
+    """(F, NS+1, 4, plane_rows, 128) premul planes -> (F, H, W, 4)
+    premul f32 (spp=1 chunk-major layout: plane row = chunk*8 + y%8)."""
+    from ..ops.flatblock import LANE
+
+    nc8 = n_chunks * 8
+    x = planes[:, :-1, :, :nc8, :]
+    f, ns = x.shape[0], x.shape[1]
+    x = x.reshape(f, ns, 4, n_chunks, 8, LANE)
+    x = x.transpose(0, 1, 4, 3, 5, 2)
+    x = x.reshape(f, ns * 8, n_chunks * LANE, 4)
+    return x[:, :height, :width]
+
+
+def render_deep_passes_sharded(mesh: Mesh, edge_tables, colors,
+                               height: int, width: int,
+                               fill_rule: int = 0,
+                               interpret: bool = None, group: int = 6,
+                               axis: str = "dp"):
+    """Deep draw lists with the PASS axis sharded over the mesh
+    (SURVEY §2.4's last unexplored axis; VERDICT r3 #5).
+
+    The single-device path renders > 16-layer scenes as sequential
+    passes, each seeding the chain composite from the previous pass's
+    premul planes (a left fold).  ``over`` on premul planes is
+    ASSOCIATIVE, so each device here renders ONE consecutive layer
+    group over TRANSPARENT, and the planes fold across the mesh axis —
+    top pass g applied as ``P_g + acc * (1 - alpha_g)``.  The fold
+    applies each pass's keep product ONCE instead of layer-by-layer, so
+    the result matches the serial chain within float rounding (<= one
+    premul-u8 quantum — same documented seam as the tile-sharded
+    sweeps; tests pin it).
+
+    ``edge_tables``: [frames][layers] device-space edge tables;
+    ``colors``: (F, L, 4) straight RGBA (solid layers).  Layers pad up
+    to a multiple of the mesh axis with empty transparent layers.
+    Returns (F, H, W, 4) u8."""
+    from ..native.bindings import pack_grouped_native
+    from ..ops.composite import premul_to_straight_u8
+    from ..ops.flatblock import KernelPaint, plane_geometry
+    from ..ops.flatblock import render_fused_styled
+    from ..ops.pipeline import lower_update_lists
+
+    g_n = mesh.shape[axis]
+    frames = len(edge_tables)
+    layers = len(edge_tables[0])
+    lp = -(-layers // g_n)
+    colors = np.asarray(colors, np.float32)
+    if colors.shape != (frames, layers, 4):
+        raise ValueError(f"colors must be (F={frames}, L={layers}, 4)")
+    pad_l = g_n * lp - layers
+    if pad_l:
+        empty = np.zeros((0, 4), np.float32)
+        edge_tables = [per + [empty] * pad_l for per in edge_tables]
+        colors = np.concatenate(
+            [colors, np.zeros((frames, pad_l, 4), np.float32)], axis=1)
+    _, nc, ns = plane_geometry(height, width)
+
+    packs = []
+    for g in range(g_n):
+        sub = [per[g * lp:(g + 1) * lp] for per in edge_tables]
+        ul = lower_update_lists(sub, height, width)
+        packs.append(pack_grouped_native(ul, height, width, group=group,
+                                         spp=1))
+    ng = max(p[0].shape[0] for p in packs)
+
+    def pad_pack(p):
+        gsi, gfl, gla, grc, gcm, gvv, ns_p, nc_p = p
+        assert (ns_p, nc_p) == (ns, nc)
+        n0 = gsi.shape[0]
+        if n0 == ng:
+            return gsi, gfl, gla, grc, gcm, gvv
+        # Padding groups zero+emit the sentinel strip (garbage bucket).
+        k = ng - n0
+        gsi = np.concatenate([gsi, np.full(k, ns, np.int32)])
+        gfl = np.concatenate([gfl, np.full(k, 3, np.int32)])
+        gla = np.concatenate([gla, np.zeros((k,) + gla.shape[1:],
+                                            gla.dtype)])
+        grc = np.concatenate([grc, np.zeros((k,) + grc.shape[1:],
+                                            grc.dtype)])
+        gcm = np.concatenate([gcm, np.zeros((k,) + gcm.shape[1:],
+                                            gcm.dtype)])
+        gvv = np.concatenate([gvv, np.zeros((k,) + gvv.shape[1:],
+                                            gvv.dtype)])
+        return gsi, gfl, gla, grc, gcm, gvv
+
+    padded = [pad_pack(p) for p in packs]
+    stacked = [np.stack([p[i] for p in padded]) for i in range(6)]
+    col_g = np.stack([colors[:, g * lp:(g + 1) * lp] for g in range(g_n)])
+    kpaints = tuple(KernelPaint.color() for _ in range(lp))
+
+    def shard_fn(si, fl, la, rc, cm, uv, col):
+        out = render_fused_styled(
+            si[0], fl[0], la[0], rc[0], cm[0], uv[0], col[0], (),
+            frames, lp, ns, nc, kpaints, group=group,
+            fill_rule=fill_rule, interpret=interpret, spp=1,
+            chain=True, bg=None, emit="premul")
+        return out[None]
+
+    spec = P(axis)
+    planes = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(spec,) * 7, out_specs=spec,
+        check_vma=False,
+    )(*map(jnp.asarray, stacked), jnp.asarray(col_g))
+
+    # Associative premul-over fold across the pass axis (bottom pass
+    # first); XLA gathers the sharded axis for the tiny fold.
+    acc = planes[0]
+    for g in range(1, g_n):
+        top = planes[g]
+        acc = top + acc * (1.0 - top[:, :, 3:4])
+    pm = _premul_planes_to_frames(acc, height, width, nc)
+    return np.asarray(premul_to_straight_u8(pm))

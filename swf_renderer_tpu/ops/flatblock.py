@@ -97,15 +97,16 @@ def strips_per_plane(n_chunks: int, n_strips: int) -> int:
 
     Narrow frames waste most of the plane's 128 sublanes (a 256-px-wide
     frame uses 24); packing several strips per plane divides the fused
-    kernel's grid-step count accordingly.  Wide frames with 64 < nc8 <=
-    128 (1088..2047 px) pack TWO strips into a 256-row plane — the 4K
-    config already runs 240-row planes and beats 1080p per pixel, and
-    the round-4 A/B measured the win directly (PERF.md).  Wider frames
-    (plane already > 128 rows per strip) stay at 1."""
+    kernel's grid-step count accordingly.  Round 4: frames with
+    nc8 >= 32 (>= ~384 px wide) pack up to DOUBLE that into a 256-row
+    plane — measured +15% on the gradients config (3 -> 6 strips) and
+    +1% at 1080p (1 -> 2); narrower frames measured neutral (flat256
+    5 -> 10) and keep the 128-row packing.  The 4K config already runs
+    240-row single-strip planes."""
     nc8 = n_chunks * STRIP_H
-    per = LANE // nc8
-    if per == 1 and 2 * nc8 <= 256:
-        per = 2
+    per = max(1, LANE // nc8)
+    if nc8 >= 32 and 2 * nc8 <= 256:
+        per = min(256 // nc8, 2 * per)
     return max(1, min(per, n_strips))
 
 

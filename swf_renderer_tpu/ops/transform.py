@@ -1622,7 +1622,7 @@ def render_affine_sweep(
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
     "skip_empty", "row_grid", "wchunk", "layer_counts",
-    "prefix_cheap", "blocks_per_step"))
+    "prefix_cheap", "blocks_per_step", "chunk_list"))
 def render_morph_affine_sweep(
     matrices: jax.Array,  # (F, 6) f32 device affines
     ratios: jax.Array,    # (F,) f32 in [0, 1]
@@ -1643,6 +1643,7 @@ def render_morph_affine_sweep(
     layer_counts: tuple = None,
     prefix_cheap: bool = None,
     blocks_per_step: int = None,
+    chunk_list: bool = None,  # None = ON with the prefix-plane skip
 ) -> jax.Array:
     """Combined MORPH + TRANSFORM sweep: per frame, lerp the local piece
     tables by the frame's ratio, apply the frame's affine, rasterize —
@@ -1682,12 +1683,24 @@ def render_morph_affine_sweep(
         prefix_cheap = prefix_cheap and skip_empty
         nbp = (max(8, -(-(wp // wblock) // 8) * 8) if prefix_cheap
                else 8)
+        if chunk_list is None:
+            chunk_list = True
+        chunk_list = chunk_list and skip_empty and prefix_cheap
+        if chunk_list:
+            pad = (-tab_s.shape[-1]) % e_chunk
+            if pad:
+                tab_s = jnp.pad(tab_s, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                tab_e = jnp.pad(tab_e, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                subxy_s = jnp.pad(subxy_s,
+                                  ((0, 0), (0, 0), (0, pad), (0, 0)))
+                subxy_e = jnp.pad(subxy_e,
+                                  ((0, 0), (0, 0), (0, pad), (0, 0)))
         kernel = functools.partial(
             _xform_kernel, layers=layers, wblock=wblock, hp=hp,
             fill_rule=fill_rule, e_chunk=e_chunk,
             per_layer=matrices.ndim == 3, layer_counts=layer_counts,
             skip_empty=skip_empty, morph=True,
-            prefix_cheap=prefix_cheap, bps=bps)
+            prefix_cheap=prefix_cheap, bps=bps, chunk_list=chunk_list)
         grid = (fcount, wp // (wblock * bps))
         out_specs = pl.BlockSpec((1, wblock * bps, hp),
                                  lambda i, wb: (i, wb, 0),
@@ -1695,12 +1708,56 @@ def render_morph_affine_sweep(
         scratch = [pltpu.VMEM((layers, wblock, hp), jnp.float32),
                    pltpu.VMEM((layers, nbp, hp), jnp.float32)]
     full = lambda i, wb: (0, 0, 0, 0)  # noqa: E731
+    cl_args, cl_specs = [], []
+    if not row_grid and chunk_list:
+        # Conservative per-(frame, layer, chunk) x-extent bounds over
+        # BOTH morph endpoint tables: the lerped piece's transformed x
+        # is the lerp of the transformed endpoints, so min/max over the
+        # endpoints bound every ratio in [0, 1].
+        ml = (matrices if matrices.ndim == 3
+              else jnp.broadcast_to(matrices[:, None, :],
+                                    (fcount, layers, 6)))
+        av, cv, ev = ml[..., 0:1], ml[..., 2:3], ml[..., 4:5]
+
+        def tab_minmax(tb):
+            x0 = av * tb[:, 0, 0, :] + cv * tb[:, 1, 0, :] + ev
+            x1 = av * tb[:, 2, 0, :] + cv * tb[:, 3, 0, :] + ev
+            return jnp.minimum(x0, x1), jnp.maximum(x0, x1)
+
+        mn_s, mx_s = tab_minmax(tab_s)
+        mn_e, mx_e = tab_minmax(tab_e)
+        pmn = jnp.minimum(mn_s, mn_e)
+        pmx = jnp.maximum(mx_s, mx_e)
+        ep = tab_s.shape[-1]
+        nc = ep // e_chunk
+        lo = (pmn.reshape(fcount, layers, nc, e_chunk).min(-1)
+              - 0.5)[..., None]
+        hi = (pmx.reshape(fcount, layers, nc, e_chunk).max(-1)
+              + 0.5)[..., None]
+        nb = wp // wblock
+        block_los = jnp.arange(nb, dtype=jnp.float32) * wblock
+        cross = jnp.logical_and(
+            hi > block_los, lo - 1.0 < block_los + wblock)
+        cross = cross.transpose(0, 1, 3, 2)
+        counts = cross.sum(-1).astype(jnp.int32)
+        c_iota = jnp.arange(nc, dtype=jnp.int32)
+        sort_key = jnp.where(cross, c_iota, nc + c_iota)
+        idx = jnp.argsort(sort_key, axis=-1).astype(jnp.int32)
+        cl_args = [counts, idx]
+        cl_specs = [
+            pl.BlockSpec((1, layers, nb), lambda i, wb: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, layers, nb, nc),
+                         lambda i, wb: (i, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # matrices
             pl.BlockSpec(memory_space=pltpu.SMEM),  # colors_s
+        ] + cl_specs + [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ratios
             pl.BlockSpec(memory_space=pltpu.SMEM),  # colors_e
             pl.BlockSpec(tab_s.shape, full, memory_space=pltpu.VMEM),
@@ -1712,5 +1769,5 @@ def render_morph_affine_sweep(
         out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(matrices, colors_s, ratios, colors_e, tab_s, subxy_s, tab_e,
-      subxy_e)
+    )(matrices, colors_s, *cl_args, ratios, colors_e, tab_s, subxy_s,
+      tab_e, subxy_e)

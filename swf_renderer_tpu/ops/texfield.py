@@ -37,10 +37,12 @@ Two round-4 throughput levers (the dense dot was 2.1 of animtex's
   u8 half-quantum, 100x tighter than the DEFAULT-precision bug the pin
   tool exists to catch.  ``dot_mode="highest"`` keeps the exact path.
 * **y-window**: per (frame, block) the sample rows span only
-  |gb|*xblk + |gd|*128 texels; the kernel dynamic-slices an 8-aligned
+  |gb|*xblk + |gd|*128 texels; the kernel dynamic-slices a 16-aligned
   row window of static width from the resident texture instead of
-  contracting all rows.  ``auto_ywin`` picks the width from the
-  concrete frame matrices; wrap mode reads a wrap-extended copy.
+  contracting all rows (16: Mosaic's divisibility prover rejects bf16
+  dynamic sublane slices it cannot prove tile-aligned — on-chip-only
+  constraint).  ``auto_ywin`` picks the width from the concrete frame
+  matrices; wrap mode reads a wrap-extended copy.
 
 Weights are mathematically identical to the gather path's; summation
 order and the split3 truncation differ, so results agree to ~1e-4
@@ -113,16 +115,20 @@ def auto_ywin(invs, th: int, xblk: int = 8,
 
     The sample rows of one (xblk, LANE) pixel block span at most
     |gb|*(xblk+1) + |gd|*(LANE+1) texels (+1 covers the subsample
-    offsets); bilinear adds 2 taps, the in-kernel 8-alignment of the
-    window start adds up to 7.  Repeat mode must not alias (two window
+    offsets); bilinear adds 2 taps, the in-kernel 16-alignment of the
+    window start adds up to 15.  Repeat mode must not alias (two window
     rows mapping to one texel double-counts), so it requires
     width < th."""
     invs = np.asarray(invs, np.float32).reshape(-1, 6)
     span = float(np.max(np.abs(invs[:, 1]) * (xblk + 1)
                         + np.abs(invs[:, 3]) * (LANE + 1)))
-    # Margins: 2 bilinear taps + 2 floor/margin + 7 (o8 alignment), and
-    # repeat mode adds 7 more (re-alignment after the mod).
-    wt = int(-(-(span + (20.0 if repeating else 13.0)) // 8) * 8)
+    # Margins: 2 bilinear taps + 2 floor/margin + 15 (window-start
+    # alignment), and repeat mode adds 15 more (re-alignment after the
+    # mod).  Starts and widths align to 16: the bf16 split3 texture
+    # tiles 16 sublanes per tile, and Mosaic rejects dynamic sublane
+    # slices it cannot prove 16-aligned (caught ON CHIP by
+    # tools/tpu_pin.py — interpret mode has no such constraint).
+    wt = int(-(-(span + (36.0 if repeating else 21.0)) // 16) * 16)
     th_pad = max(8, -(-th // 8) * 8)
     if wt >= th_pad or wt >= th:
         return None
@@ -201,29 +207,33 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
         mask_pad = False
         # Row window: the block's sy range from the matrix scalars
         # (interval arithmetic over the block corners + subsample
-        # offsets in [0, 1]), floored to the first bilinear tap, 8-
+        # offsets in [0, 1]), floored to the first bilinear tap, 16-
         # aligned down, clamped per fetch mode.
         x0f = (xb * xblk).astype(jnp.float32)
         y0f = (yb * LANE).astype(jnp.float32)
         sy_lo = (gf + jnp.minimum(gb * x0f, gb * (x0f + xblk + 1))
                  + jnp.minimum(gd * y0f, gd * (y0f + LANE + 1)))
         o = jnp.floor(sy_lo - 0.5).astype(jnp.int32) - 1
-        o8 = (o // 8) * 8
+        # 16-aligned starts, with the `* 16` as the OUTERMOST op:
+        # Mosaic's divisibility prover rejects dynamic sublane slices
+        # it cannot statically prove aligned, and it does not see
+        # through clip/mod wrappers (caught ON CHIP by tools/tpu_pin.py
+        # — interpret mode has no such constraint).  bf16 textures tile
+        # 16 sublanes per tile; auto_ywin budgets the slack.
         if repeating:
             # Wrap-extended texture rows [0, th + wt): slice start in
-            # [0, th), re-aligned to 8 after the mod (th need not be a
-            # multiple of 8; weights are mod-periodic in the absolute
-            # tap index, so any aligned start covering the span works —
-            # auto_ywin budgets the extra alignment slack).
-            t_start = (jnp.mod(o8, th) // 8) * 8
+            # [0, th), re-aligned after the mod (th need not be a
+            # multiple of 16; weights are mod-periodic in the absolute
+            # tap index, so any aligned start covering the span works).
+            t16 = jnp.mod(o // 16 * 16, th) // 16
         else:
             # Clamp/canvas taps live in [0, th): a window clamped into
-            # [0, th_pad - wt] always contains them (wt covers the
-            # span + margins; out-of-range taps weigh 0).
-            t_start = jnp.clip(o8, 0, th_pad - wt)
+            # [0, th_ext - wt] always contains them (wt covers the
+            # span + margins; out-of-range taps weigh 0; th_ext and wt
+            # are both 16-multiples so the bound stays aligned).
+            t16 = jnp.clip(o // 16, 0, (th_ext - wt) // 16)
+        t_start = t16 * 16
         win_rows = wt
-
-    del th_ext
 
     def load_rows(ref):
         if win_rows is None:
@@ -261,10 +271,20 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
         if split3:
             # Three bf16 passes: img_hi@w_hi + img_hi@w_mid + img_lo@w_hi.
             # Dropped terms (img_hi@w_lo, img_lo@w_mid, ...) bound the
-            # error at ~6e-5 on [0,1] premul fields — far below the u8
+            # error at ~1e-4 on [0,1] premul fields — below the u8
             # half-quantum; tools/tpu_pin.py tracks the actual max.
-            wxh = wx.astype(jnp.bfloat16)
-            wxm = (wx - wxh.astype(jnp.float32)).astype(jnp.bfloat16)
+            # The hi part is split by MANTISSA MASKING, not an
+            # f32->bf16->f32 convert round-trip: on chip the compiler
+            # (excess-precision folding) elides the round-trip, turning
+            # the wxm correction into exact zero — a one-bf16-quantum
+            # 0.0049 field error invisible in interpret mode (caught by
+            # tools/tpu_pin.py, PERF.md round 4).  The masked hi has the
+            # top 7 mantissa bits only, so its bf16 cast is exact.
+            wxh_f = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(wx, jnp.uint32)
+                & np.uint32(0xFFFF0000), jnp.float32)
+            wxh = wxh_f.astype(jnp.bfloat16)
+            wxm = (wx - wxh_f).astype(jnp.bfloat16)
             b4 = (jnp.dot(img_hi, wxh,
                           preferred_element_type=jnp.float32)
                   + jnp.dot(img_hi, wxm,
@@ -336,7 +356,7 @@ def bitmap_field_planes(img, invs, height: int, width: int,
     th, tw = int(img.shape[0]), int(img.shape[1])
     th_pad = max(8, -(-th // 8) * 8)
     tw_pad = max(8, -(-tw // 8) * 8)
-    if ywin is not None and (ywin % 8 or ywin >= th_pad
+    if ywin is not None and (ywin % 16 or ywin >= th_pad
                              or (repeating and ywin >= th)):
         ywin = None
     if xblk is None:
@@ -352,7 +372,11 @@ def bitmap_field_planes(img, invs, height: int, width: int,
         # reads real texels: row j = img[j % th] for j < th + ywin.
         reps = -(-(th + ywin) // th)
         imgf = jnp.tile(imgf, (reps, 1, 1))[:th + ywin]
-        th_ext = max(8, -(-(th + ywin) // 8) * 8)
+        th_ext = -(-(th + ywin) // 16) * 16
+    elif ywin is not None:
+        # Clamp/canvas window: rows padded to a 16-multiple >= ywin so
+        # the aligned window clamp (th_ext - ywin) stays in range.
+        th_ext = max(ywin, -(-th // 16) * 16)
     else:
         th_ext = th_pad
     imgf = jnp.pad(imgf, ((0, th_ext - imgf.shape[0]),
@@ -361,8 +385,15 @@ def bitmap_field_planes(img, invs, height: int, width: int,
     # windows each channel with one leading-dim dynamic slice.
     img4 = imgf.transpose(2, 0, 1)
     if split3:
-        img_hi = img4.astype(jnp.bfloat16)
-        img_lo = (img4 - img_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # Mantissa-masked split (NOT a bf16 convert round-trip, which
+        # the TPU compiler's excess-precision folding elides to
+        # identity, zeroing img_lo — same bug as the in-kernel wx
+        # split; tools/tpu_pin.py pins it).
+        img_hi_f = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(img4, jnp.uint32)
+            & np.uint32(0xFFFF0000), jnp.float32)
+        img_hi = img_hi_f.astype(jnp.bfloat16)
+        img_lo = (img4 - img_hi_f).astype(jnp.bfloat16)
         img_in = (img_hi, img_lo)
     else:
         img_in = (img4.reshape(4 * th_ext, tw_pad)

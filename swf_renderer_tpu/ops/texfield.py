@@ -85,6 +85,11 @@ def _kernel_vmem_bytes(th_pad: int, tw_pad: int, xblk: int,
     wt = ywin if ywin else th_pad
     img4 = 4 * th_pad * tw_pad * (2 * 2 if split3 else 4)
     wx = tw_pad * xl * (4 + (2 * 2 if split3 else 0))
+    if split3 and 2 * tw_pad <= 128:
+        # K-stacked 2-dot extras: [img_hi | img_lo] + the [wxm; wxh]
+        # per-subsample concat.
+        img4 += 4 * wt * 2 * tw_pad * 2
+        wx += 2 * tw_pad * xl * 2
     tall = (4 * wt + 2 * wt + 2 * wt) * xl * 4  # b4 + wy1 + temps
     acc = 2 * 8 * xl * 4
     return img4 + wx + tall + acc
@@ -108,7 +113,7 @@ def _auto_xblk(th_pad: int, tw_pad: int, ywin: int | None = None,
     return 1
 
 
-def auto_ywin(invs, th: int, xblk: int = 8,
+def auto_ywin(invs, th: int, xblk: int = 16,
               repeating: bool = True) -> int | None:
     """Static row-window width for the given CONCRETE device->texel
     inverses, or None when windowing can't help.
@@ -116,19 +121,24 @@ def auto_ywin(invs, th: int, xblk: int = 8,
     The sample rows of one (xblk, LANE) pixel block span at most
     |gb|*(xblk+1) + |gd|*(LANE+1) texels (+1 covers the subsample
     offsets); bilinear adds 2 taps, the in-kernel 16-alignment of the
-    window start adds up to 15.  Repeat mode must not alias (two window
-    rows mapping to one texel double-counts), so it requires
-    width < th."""
+    window start adds up to 15.  ``xblk`` must be an upper bound on the
+    kernel's actual block width (default 16 = the widest block
+    ``_auto_xblk`` ever picks — a window sized for a wider block only
+    over-covers).  Repeat mode must not alias (two window rows mapping
+    to one texel double-counts), so it requires width < th."""
     invs = np.asarray(invs, np.float32).reshape(-1, 6)
     span = float(np.max(np.abs(invs[:, 1]) * (xblk + 1)
                         + np.abs(invs[:, 3]) * (LANE + 1)))
     # Margins: 2 bilinear taps + 2 floor/margin + 15 (window-start
-    # alignment), and repeat mode adds 15 more (re-alignment after the
-    # mod).  Starts and widths align to 16: the bf16 split3 texture
-    # tiles 16 sublanes per tile, and Mosaic rejects dynamic sublane
-    # slices it cannot prove 16-aligned (caught ON CHIP by
-    # tools/tpu_pin.py — interpret mode has no such constraint).
-    wt = int(-(-(span + (36.0 if repeating else 21.0)) // 16) * 16)
+    # alignment).  Repeat mode mods the start into [0, th) BEFORE the
+    # alignment floor, so it pays the 15 only once (round 4: the old
+    # align-then-mod order charged 15 more, which disabled the window
+    # for 64-row textures entirely).  Starts and widths align to 16:
+    # the bf16 split3 texture tiles 16 sublanes per tile, and Mosaic
+    # rejects dynamic sublane slices it cannot prove 16-aligned (caught
+    # ON CHIP by tools/tpu_pin.py — interpret mode has no such
+    # constraint).
+    wt = int(-(-(span + 21.0) // 16) * 16)
     th_pad = max(8, -(-th // 8) * 8)
     if wt >= th_pad or wt >= th:
         return None
@@ -176,7 +186,8 @@ def _axis_weights(coord, t_iota, n_tex: int, repeating: bool,
 def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
                      tw: int, th_pad: int, tw_pad: int, supersample: int,
                      repeating: bool, smoothed: bool, edge_mode: str,
-                     split3: bool, ywin: int | None, th_ext: int):
+                     split3: bool, ywin: int | None, th_ext: int,
+                     kstack: bool):
     out_ref = img_refs_and_out[-1]
     img_refs = img_refs_and_out[:-1]
     f = pl.program_id(0)
@@ -221,11 +232,12 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
         # — interpret mode has no such constraint).  bf16 textures tile
         # 16 sublanes per tile; auto_ywin budgets the slack.
         if repeating:
-            # Wrap-extended texture rows [0, th + wt): slice start in
-            # [0, th), re-aligned after the mod (th need not be a
-            # multiple of 16; weights are mod-periodic in the absolute
-            # tap index, so any aligned start covering the span works).
-            t16 = jnp.mod(o // 16 * 16, th) // 16
+            # Wrap-extended texture rows [0, th + wt): mod the start
+            # into [0, th) FIRST, then align down (mod-then-align pays
+            # the <=15-row alignment slack once; weights are
+            # mod-periodic in the absolute tap index, so the shifted
+            # window covers the same taps).
+            t16 = jnp.mod(o, th) // 16
         else:
             # Clamp/canvas taps live in [0, th): a window clamped into
             # [0, th_ext - wt] always contains them (wt covers the
@@ -247,6 +259,16 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
     if split3:
         img_hi = load_rows(img_refs[0])
         img_lo = load_rows(img_refs[1])
+        # K-stack: when the texture is at most half an MXU K tile wide
+        # (tw_pad <= 64), the two split3 correction dots ride in ONE
+        # K=2*tw_pad dot — [img_hi | img_lo] @ [wxm; wxh] — whose
+        # second half occupies the K-tile padding the narrow texture
+        # wastes anyway: 3 MXU dispatches become 2 at identical padded
+        # MAC count (PERF.md round 4).  Same products, so the precision
+        # story is unchanged (the two corrections accumulate inside the
+        # MXU's f32 accumulator instead of a VPU add).
+        if kstack:
+            img_cat = jnp.concatenate([img_hi, img_lo], axis=1)
     else:
         img4 = load_rows(img_refs[0])
 
@@ -285,12 +307,19 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
                 & np.uint32(0xFFFF0000), jnp.float32)
             wxh = wxh_f.astype(jnp.bfloat16)
             wxm = (wx - wxh_f).astype(jnp.bfloat16)
-            b4 = (jnp.dot(img_hi, wxh,
-                          preferred_element_type=jnp.float32)
-                  + jnp.dot(img_hi, wxm,
-                            preferred_element_type=jnp.float32)
-                  + jnp.dot(img_lo, wxh,
-                            preferred_element_type=jnp.float32))
+            if kstack:
+                b4 = (jnp.dot(img_hi, wxh,
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(img_cat,
+                                jnp.concatenate([wxm, wxh], axis=0),
+                                preferred_element_type=jnp.float32))
+            else:
+                b4 = (jnp.dot(img_hi, wxh,
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(img_hi, wxm,
+                                preferred_element_type=jnp.float32)
+                      + jnp.dot(img_lo, wxh,
+                                preferred_element_type=jnp.float32))
         else:
             # Exact path: HIGHEST precision (Mosaic's DEFAULT feeds
             # bf16-rounded operands to the MXU — measured 0.007
@@ -331,14 +360,15 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "supersample", "repeating", "smoothed",
-    "edge_mode", "interpret", "xblk", "dot_mode", "ywin"))
+    "edge_mode", "interpret", "xblk", "dot_mode", "ywin", "kstack"))
 def bitmap_field_planes(img, invs, height: int, width: int,
                         supersample: int = 4, repeating: bool = False,
                         smoothed: bool = True, edge_mode: str = "flash",
                         interpret: bool = None,
                         xblk: int | None = None,
                         dot_mode: str = "split3",
-                        ywin: int | None = None) -> jnp.ndarray:
+                        ywin: int | None = None,
+                        kstack: bool | None = None) -> jnp.ndarray:
     """(Th, Tw, 4) u8 texture + (F, 6) device->texel inverses ->
     (F, H, W, 4) f32 straight-RGBA field planes, gather-free.
 
@@ -356,6 +386,9 @@ def bitmap_field_planes(img, invs, height: int, width: int,
     th, tw = int(img.shape[0]), int(img.shape[1])
     th_pad = max(8, -(-th // 8) * 8)
     tw_pad = max(8, -(-tw // 8) * 8)
+    if kstack is None:
+        kstack = split3 and 2 * tw_pad <= 128
+    kstack = bool(kstack and split3 and 2 * tw_pad <= 128)
     if ywin is not None and (ywin % 16 or ywin >= th_pad
                              or (repeating and ywin >= th)):
         ywin = None
@@ -414,7 +447,7 @@ def bitmap_field_planes(img, invs, height: int, width: int,
         tw_pad=tw_pad, supersample=int(supersample),
         repeating=bool(repeating), smoothed=bool(smoothed),
         edge_mode=str(edge_mode), split3=split3, ywin=ywin,
-        th_ext=th_ext)
+        th_ext=th_ext, kstack=kstack)
     xb_n, yb_n = wp // xblk, hp // LANE
     out = pl.pallas_call(
         kernel,

@@ -249,13 +249,17 @@ def test_bitmap_separable_matches_gather_path():
             kind=style_ops.PAINT_BITMAP, image=img,
             inv_matrix=(scale, 0.0, 0.0, scale * 0.7, off, -off),
             repeating=repeating, smoothed=True, supersample=4)
-        # Force the gather path with an epsilon shear.
-        slow = style_ops.Paint(
-            kind=style_ops.PAINT_BITMAP, image=img,
-            inv_matrix=(scale, 1e-30, 0.0, scale * 0.7, off, -off),
-            repeating=repeating, smoothed=True, supersample=4)
+        # The reference is the TRACED supersampled gather (paint_field
+        # itself routes small non-axis-aligned textures through the
+        # split3 MXU kernel, whose ~1e-4 budget would mask a separable
+        # regression).
+        import jax
+        import jax.numpy as jnp
+
+        b = np.asarray(jax.jit(
+            lambda iv: style_ops.paint_field_traced(fast, iv, 24, 40)
+        )(jnp.asarray(fast.inv_matrix, jnp.float32)))
         a = np.asarray(style_ops.paint_field(fast, 24, 40))
-        b = np.asarray(style_ops.paint_field(slow, 24, 40))
         np.testing.assert_allclose(a, b, atol=2e-6)
 
 

@@ -134,10 +134,16 @@ def pack_blocks_native(update_lists, height: int, width: int,
             f"flat-block pipeline supports width < {MAX_CHUNKS * LANE}"
             f" (got padded stride {stride})")
 
+    from ..ops.flatblock import _drop_overflow_cols
+
     parts = []
     for i in range(f):
         for j in range(l):
             rows, cols, vals = update_lists[i][j]
+            if stride <= width:
+                rows, cols, vals = _drop_overflow_cols(
+                    np.asarray(rows), np.asarray(cols), np.asarray(vals),
+                    stride)
             rows = np.ascontiguousarray(rows, np.int32)
             cols = np.ascontiguousarray(cols, np.int32)
             vals = np.ascontiguousarray(vals, np.float32)
@@ -231,6 +237,13 @@ def pack_grouped_native(update_lists, height: int, width: int,
 
     def frame_inputs(f):
         per = update_lists[f]
+        if stride <= width:
+            from ..ops.flatblock import _drop_overflow_cols
+
+            per = [_drop_overflow_cols(np.asarray(p[0]), np.asarray(p[1]),
+                                       np.asarray(p[2]), stride)
+                   for p in per]
+            counts[f] = [len(p[0]) for p in per]
         rows = np.ascontiguousarray(
             np.concatenate([np.asarray(p[0], np.int32) for p in per]))
         cols = np.ascontiguousarray(

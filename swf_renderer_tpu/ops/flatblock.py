@@ -77,10 +77,37 @@ MAX_CHUNKS = 64
 
 
 def plane_geometry(height: int, width: int):
-    stride = ((width + 1 + LANE - 1) // LANE) * LANE
-    n_chunks = stride // LANE
+    """Chunk-major plane geometry for a frame.
+
+    Cell deltas land at cols 0..width, so the natural stride rounds
+    width+1 up to the lane count.  But a col-``width`` update only
+    changes the winding prefix at lanes >= width — all cropped from the
+    output — so when width is an exact LANE multiple the packers can
+    DROP those cols and save a whole 128-lane chunk.  Round-4 A/B
+    (tools/exp_stride.py): the shrink pays ONLY when it packs more
+    strips per plane (flat256 3 -> 2 chunks, spp 5 -> 8: +29%;
+    gradients 5 -> 4, spp 6 -> 8: +74%) and HURTS when spp is unchanged
+    (1080p 16 -> 15 chunks, spp 2 either way: -14%) — so the stride
+    shrinks exactly when strips_per_plane strictly improves.
+    """
     n_strips = -(-height // STRIP_H)
-    return stride, n_chunks, n_strips
+    nc_full = max(1, (width + 1 + LANE - 1) // LANE)
+    nc_min = max(1, (width + LANE - 1) // LANE)
+    n_chunks = nc_full
+    if nc_min < nc_full and (strips_per_plane(nc_min, n_strips)
+                             > strips_per_plane(nc_full, n_strips)):
+        n_chunks = nc_min
+    return n_chunks * LANE, n_chunks, n_strips
+
+
+def _drop_overflow_cols(rows, cols, vals, stride: int):
+    """Filter updates at cols >= stride (pure right-of-frame winding
+    cancellations — see plane_geometry).  Cell splitters emit cols up to
+    ``width``, so this only triggers when width is a multiple of LANE."""
+    if len(cols) == 0:
+        return rows, cols, vals
+    m = cols < stride
+    return (rows, cols, vals) if m.all() else (rows[m], cols[m], vals[m])
 
 
 def plane_rows_for(n_chunks: int, spp: int = 1) -> int:
@@ -137,6 +164,9 @@ def pack_flat_blocks(update_lists, height: int, width: int,
     for i in range(f):
         for j in range(l):
             rows, cols, vals = update_lists[i][j]
+            if stride <= width:
+                rows, cols, vals = _drop_overflow_cols(
+                    rows, cols, vals, stride)
             strip = rows // STRIP_H if len(rows) else rows
             # Updates arrive row-major sorted => strip-grouped already.
             bounds = np.searchsorted(strip, np.arange(n_strips + 1))

@@ -101,8 +101,11 @@ class PackedSceneCache:
         # never alias each other's entries.
         # v3: per-table digests (content-equivalent to v2's inline bytes but
         # different key values — old persistent entries just go cold).
+        # v4: plane stride rounds width (not width+1) to LANE when that
+        # packs more strips per plane; packers drop col >= stride updates
+        # — packed layouts changed for 128-multiple widths.
         h = hashlib.sha256(
-            f"v3:{height}x{width}g{group}s{spp}:{variant}".encode())
+            f"v4:{height}x{width}g{group}s{spp}:{variant}".encode())
         for per_frame in edge_tables:
             h.update(b"|")
             for t in per_frame:

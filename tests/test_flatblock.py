@@ -57,7 +57,8 @@ def scatter_oracle(update_lists, height, width):
     for i in range(f):
         for j in range(l):
             rows, cols, vals = update_lists[i][j]
-            np.add.at(planes[i, j], (rows, cols), vals)
+            m = cols < stride  # production packers drop right-of-frame
+            np.add.at(planes[i, j], (rows[m], cols[m]), vals[m])
     return planes
 
 
@@ -627,3 +628,76 @@ def test_wide_two_strip_planes_match_single():
         out[:, :nsb].reshape(frames, nsb * spp * 8, nc * LANE),
         height, width)
     np.testing.assert_array_equal(got, want)
+
+
+def test_lane_multiple_width_drops_overflow_cols():
+    """Widths that are exact LANE multiples shrink the plane by one whole
+    chunk (round 4: stride rounds width, not width+1): col == width
+    updates are pure right-of-frame cancellations and the packers drop
+    them.  Pin (a) the geometry, (b) exactness vs the scanline-scatter
+    pipeline on full-bleed geometry that emits col-width updates, and
+    (c) native packer == python oracle after the drop."""
+    import jax.numpy as jnp
+
+    from swf_renderer_tpu.ops.pipeline import (
+        lower_update_lists, render_batch_flatblock,
+    )
+
+    height, width = 256, 256
+    stride, nc, ns = plane_geometry(height, width)
+    assert (stride, nc) == (256, 2)
+    # The shrink is spp-gated: at 1080p it buys nothing (spp 2 either
+    # way) and measured -14%, so the old width+1 rounding is kept there.
+    assert plane_geometry(1080, 1920)[1] == 16
+    assert plane_geometry(40, 256)[1] == 3  # spp capped by 5 strips
+
+    frames, layers = 2, 2
+    tables = []
+    rng = np.random.default_rng(5)
+    for _ in range(frames):
+        per = []
+        for lyr in range(layers):
+            tris = []
+            for _ in range(3):
+                p = rng.uniform([-20, -20], [width + 20, height + 20],
+                                (3, 2)).astype(np.float32)
+                tris += [[*p[0], *p[1]], [*p[1], *p[2]], [*p[2], *p[0]]]
+            if lyr == 0:  # full-bleed rect: right edge exactly at x=width
+                tris += [[0, 0, width, 0], [width, 0, width, height],
+                         [width, height, 0, height], [0, height, 0, 0]]
+            per.append(np.array(tris, np.float32))
+        tables.append(per)
+    colors = rng.uniform(0.1, 1.0, (frames, layers, 4)).astype(np.float32)
+
+    update_lists = lower_update_lists(tables, height, width)
+    assert max(int(np.max(u[1])) for pf in update_lists for u in pf
+               if len(u[1])) == width  # the col == width updates exist
+
+    got = render_batch_flatblock(tables, colors, height, width)
+    rows, cols, vals = pack_updates(
+        [u for pf in update_lists for u in pf])
+    want = np.asarray(render_scanline_updates(
+        jnp.asarray(rows.reshape(frames, layers, -1)),
+        jnp.asarray(cols.reshape(frames, layers, -1)),
+        jnp.asarray(vals.reshape(frames, layers, -1)),
+        jnp.asarray(colors), height, width))
+    np.testing.assert_array_equal(got, want)
+
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops.flatblock import (
+        group_blocks_fused, sort_blocks_fused,
+    )
+
+    if native_available():
+        g = pack_grouped_native(update_lists, height, width, group=4,
+                                group_pad_multiple=4)
+        sidx, keep, urc, ucm, uval, ns2, nc2 = pack_flat_blocks(
+            update_lists, height, width, block_pad_multiple=1)
+        blocks = sort_blocks_fused(sidx, keep, urc, ucm, uval, layers, ns2,
+                                   block_pad_multiple=1)
+        py = group_blocks_fused(*blocks, layers, ns2, group=4,
+                                group_pad_multiple=4)
+        for a, b in zip(g[:6], py):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -178,6 +178,43 @@ def pin_flatblock_vs_direct():
     report("flatblock-vs-direct", d, 2.0)
 
 
+def pin_flatblock_stride_shrink():
+    """Round 4: LANE-multiple widths shrink the plane by one chunk and
+    the packers drop col==width updates (ops/flatblock.plane_geometry).
+    Pin the shrunken-geometry fused kernel (256x256: 2 chunks, spp 8)
+    against the direct XLA composite ON THE CHIP with full-bleed
+    geometry that actually emits the dropped updates."""
+    import jax.numpy as jnp
+
+    from bench import build_scene_edges
+    from swf_renderer_tpu.models.geometry import split_edges_y
+    from swf_renderer_tpu.ops.flatblock import plane_geometry
+    from swf_renderer_tpu.ops.pipeline import (
+        render_batch_flatblock, render_solid_batch,
+    )
+
+    h = w = 256
+    assert plane_geometry(h, w)[1] == 2  # the shrink is live
+    tables, colors = build_scene_edges(2, 2, h, w, shapes_per_layer=4)
+    bleed = np.array([[0, 0, w, 0], [w, 0, w, h],
+                      [w, h, 0, h], [0, h, 0, 0]], np.float32)
+    tables = [[np.concatenate([t, bleed]) for t in ft] for ft in tables]
+    a = np.asarray(render_batch_flatblock(tables, colors, h, w))
+    split = [[split_edges_y(t) for t in ft] for ft in tables]
+    e_max = max(max(t.shape[0] for t in ft) for ft in split)
+    et = np.zeros((2, 2, 4, e_max), np.float32)
+    for i, ft in enumerate(split):
+        for j, t in enumerate(ft):
+            et[i, j, :, :t.shape[0]] = t.T
+    b = np.asarray(render_solid_batch(
+        jnp.asarray(et), jnp.asarray(colors), h, w, use_pallas=False))
+    af, bf = a.astype(np.float64), b.astype(np.float64)
+    apm = af[..., :3] * af[..., 3:4] / 255.0
+    bpm = bf[..., :3] * bf[..., 3:4] / 255.0
+    d = max(np.abs(apm - bpm).max(), np.abs(af[..., 3] - bf[..., 3]).max())
+    report("flatblock-stride-shrink", d, 2.0)
+
+
 def main():
     from bench import _enable_compile_cache
 
@@ -188,6 +225,7 @@ def main():
     pin_texfield()
     pin_sweep_skip_paths()
     pin_flatblock_vs_direct()
+    pin_flatblock_stride_shrink()
     import jax
 
     doc = {"platform": jax.devices()[0].platform,

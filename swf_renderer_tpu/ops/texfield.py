@@ -187,15 +187,27 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
                      tw: int, th_pad: int, tw_pad: int, supersample: int,
                      repeating: bool, smoothed: bool, edge_mode: str,
                      split3: bool, ywin: int | None, th_ext: int,
-                     kstack: bool):
+                     kstack: bool, fpb: int):
     out_ref = img_refs_and_out[-1]
     img_refs = img_refs_and_out[:-1]
-    f = pl.program_id(0)
+    fg = pl.program_id(0)
     xb = pl.program_id(1)
     yb = pl.program_id(2)
-    ga, gb, gc, gd, ge, gf = (invs_ref[f, k] for k in range(6))
     n = supersample
     inv_n2 = np.float32(1.0 / (n * n))
+    for fi in range(fpb):
+        _texfield_frame(
+            invs_ref, img_refs, out_ref, fg * fpb + fi, fi, xb, yb,
+            xblk=xblk, th=th, tw=tw, th_pad=th_pad, tw_pad=tw_pad, n=n,
+            inv_n2=inv_n2, repeating=repeating, smoothed=smoothed,
+            edge_mode=edge_mode, split3=split3, ywin=ywin, th_ext=th_ext,
+            kstack=kstack)
+
+
+def _texfield_frame(invs_ref, img_refs, out_ref, f, fi, xb, yb, *,
+                    xblk, th, tw, th_pad, tw_pad, n, inv_n2, repeating,
+                    smoothed, edge_mode, split3, ywin, th_ext, kstack):
+    ga, gb, gc, gd, ge, gf = (invs_ref[f, k] for k in range(6))
 
     # All xblk x-values share one lane axis: lane l is pixel
     # (x = xb*xblk + l // LANE, y = yb*LANE + l % LANE) — one
@@ -272,9 +284,18 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
     else:
         img4 = load_rows(img_refs[0])
 
-    ty1 = (t_start.astype(jnp.float32)
-           + jax.lax.broadcasted_iota(
-               jnp.int32, (wt, 1), 0).astype(jnp.float32))
+    rel_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (wt, 1), 0).astype(jnp.float32)
+    ty1 = t_start.astype(jnp.float32) + rel_iota
+    # Window + repeat + bilinear: the margin guarantee (auto_ywin) puts
+    # every sample's mod-offset m = mod(xc - t_start, th) in [1, wt-1]
+    # with both taps in-window, so the two-term mod-space weights
+    # collapse to ONE absolute-space term against the RELATIVE row iota
+    # — one (1, XL) mod instead of a (Wt, XL) mod + second wrap max
+    # (the wrap term is how the upper tap gets its weight in mod space;
+    # here row floor(m)+1 is in-window by construction).  Identical
+    # weight VALUES, pinned at 0.0 vs the full-row kernel on chip.
+    wy_rel = ywin is not None and repeating and smoothed
 
     def sub(k, acc):
         kf = k.astype(jnp.float32)
@@ -288,8 +309,13 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
         # quarters (the weights are channel-independent; building the
         # channel-stacked (4*Wt, XL) copy cost 4x the VPU comparisons —
         # the dominant kernel cost once the dot shrank, PERF.md r4).
-        wy1 = _axis_weights(sy, ty1, th, repeating, edge_mode,
-                            smoothed, mask_pad=mask_pad)  # (Wt, XL)
+        if wy_rel:
+            m = jnp.mod(sy - 0.5 - t_start.astype(jnp.float32),
+                        np.float32(th))                   # (1, XL)
+            wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(m - rel_iota))
+        else:
+            wy1 = _axis_weights(sy, ty1, th, repeating, edge_mode,
+                                smoothed, mask_pad=mask_pad)  # (Wt, XL)
         if split3:
             # Three bf16 passes: img_hi@w_hi + img_hi@w_mid + img_lo@w_hi.
             # Dropped terms (img_hi@w_lo, img_lo@w_mid, ...) bound the
@@ -354,13 +380,14 @@ def _texfield_kernel(invs_ref, *img_refs_and_out, xblk: int, th: int,
     alpha = pm[3:4]
     safe = jnp.maximum(alpha, np.float32(1e-6))
     rgb = jnp.where(alpha > 1e-6, pm[:3] / safe, 0.0)
-    out_ref[0, 0, 0] = jnp.concatenate(
+    out_ref[fi, 0, 0] = jnp.concatenate(
         [rgb, alpha], axis=0).reshape(4, xblk, LANE)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "supersample", "repeating", "smoothed",
-    "edge_mode", "interpret", "xblk", "dot_mode", "ywin", "kstack"))
+    "edge_mode", "interpret", "xblk", "dot_mode", "ywin", "kstack",
+    "frames_per_step"))
 def bitmap_field_planes(img, invs, height: int, width: int,
                         supersample: int = 4, repeating: bool = False,
                         smoothed: bool = True, edge_mode: str = "flash",
@@ -368,7 +395,8 @@ def bitmap_field_planes(img, invs, height: int, width: int,
                         xblk: int | None = None,
                         dot_mode: str = "split3",
                         ywin: int | None = None,
-                        kstack: bool | None = None) -> jnp.ndarray:
+                        kstack: bool | None = None,
+                        frames_per_step: int | None = None) -> jnp.ndarray:
     """(Th, Tw, 4) u8 texture + (F, 6) device->texel inverses ->
     (F, H, W, 4) f32 straight-RGBA field planes, gather-free.
 
@@ -442,18 +470,32 @@ def bitmap_field_planes(img, invs, height: int, width: int,
                                   memory_space=pltpu.VMEM)
                      for _ in img_in]
 
+    # Several frames per grid step amortize the per-step fixed cost
+    # (sequencing + output DMA setup) that dominates once the dot and
+    # the weight builds shrank; the tall temporaries are reused across
+    # the in-step frame loop, only the output block grows.
+    # ABBA-measured on the animtex shape: fpb6 0.66 / fpb4 0.73 /
+    # fpb2 0.75 / fpb1 0.84 ms per frame; 12 regresses (output-block
+    # VMEM + scheduling).  Largest divisor of the frame count <= 6.
+    if frames_per_step is None:
+        frames_per_step = next(
+            (fb for fb in (6, 4, 3, 2) if fcount % fb == 0), 1)
+    fpb = max(1, int(frames_per_step))
+    while fcount % fpb:
+        fpb -= 1
+
     kernel = functools.partial(
         _texfield_kernel, xblk=xblk, th=th, tw=tw, th_pad=th_pad,
         tw_pad=tw_pad, supersample=int(supersample),
         repeating=bool(repeating), smoothed=bool(smoothed),
         edge_mode=str(edge_mode), split3=split3, ywin=ywin,
-        th_ext=th_ext, kstack=kstack)
+        th_ext=th_ext, kstack=kstack, fpb=fpb)
     xb_n, yb_n = wp // xblk, hp // LANE
     out = pl.pallas_call(
         kernel,
-        grid=(fcount, xb_n, yb_n),
+        grid=(fcount // fpb, xb_n, yb_n),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + img_specs,
-        out_specs=pl.BlockSpec((1, 1, 1, 4, xblk, LANE),
+        out_specs=pl.BlockSpec((fpb, 1, 1, 4, xblk, LANE),
                                lambda f, xb, yb: (f, xb, yb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(

@@ -284,3 +284,29 @@ def test_texfield_row_window_matches_full(repeating):
     np.testing.assert_allclose(full, want, atol=2e-4)
     np.testing.assert_allclose(win, want, atol=2e-4)
     np.testing.assert_allclose(win, full, atol=5e-5)
+
+
+def test_texfield_frames_per_step_invariant():
+    """frames_per_step is pure batching (several frames share one grid
+    step): outputs must be BIT-identical across fpb values in both the
+    windowed-repeat mode (the relative-iota wy build) and the full-row
+    clamp mode."""
+    from swf_renderer_tpu.ops.texfield import auto_ywin, bitmap_field_planes
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (64, 24, 4)).astype(np.uint8)
+    ths = np.linspace(0.0, 1.2, 6)
+    invs = np.stack([
+        [0.2 * np.cos(t), 0.2 * np.sin(t), -0.2 * np.sin(t),
+         0.2 * np.cos(t), 3.0, -7.0] for t in ths]).astype(np.float32)
+    yw = auto_ywin(invs, img.shape[0], repeating=True)
+    assert yw is not None
+    for kw in (
+        dict(repeating=True, smoothed=True, edge_mode="flash", ywin=yw),
+        dict(repeating=False, smoothed=False, edge_mode="canvas"),
+    ):
+        outs = [np.asarray(bitmap_field_planes(
+            img, invs, 40, 30, supersample=2, frames_per_step=f, **kw))
+            for f in (1, 2, 6)]
+        np.testing.assert_array_equal(outs[0], outs[1])
+        np.testing.assert_array_equal(outs[0], outs[2])

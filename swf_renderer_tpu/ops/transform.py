@@ -1227,7 +1227,12 @@ def _auto_bps(layers: int, hp: int, e_chunk: int,
     bps rasterizes whole garbage blocks (5 blocks at bps 3 -> 6 blocks,
     +20% device time)."""
     if layers <= 4 and hp <= 1280 and e_chunk <= 256 and n_blocks >= 4:
-        for b in (3, 2):
+        # bps 4 only for short frames: at 1080p x 3 layers it blew the
+        # 16 MB scoped-VMEM limit; at 512^2 (wblock 64, 8 blocks) the
+        # round-4 interleaved A/B measured 64/bps4 ~10% ahead of
+        # 128/bps2 and ~35% ahead of the old single 256-block step.
+        cands = (4, 3, 2) if hp <= 640 else (3, 2)
+        for b in cands:
             if n_blocks % b == 0:
                 return b
     return 1
@@ -1238,9 +1243,17 @@ def _wblock_for(width: int, hp: int) -> int:
     extents; tall frames (hp > 640) drop to 128 so the layer accumulators
     + ramp temporaries stay inside the 16 MB scoped-VMEM budget (1080p
     with 3 layers measured 16.75 MB at wblock=256).  Finer blocks also
-    sharpen the transition-free skip."""
+    sharpen the transition-free skip — mid-width frames halve the block
+    down to 64 until there are >= 8 column blocks (512^2 was ONE
+    256-wide block pair with the skip dead; the round-4 interleaved A/B
+    measured wblock 64 + bps 4 at ~0.65x the old per-frame cost, and
+    the skip/prefix accounting stays within the kernel's documented
+    <=1 u8 rounding envelope vs the heavy path)."""
     wp = -(-width // 8) * 8
-    return min(wp, 256 if hp <= 640 else 128)
+    wb = min(wp, 256 if hp <= 640 else 128)
+    while wb > 64 and wp // wb < 8:
+        wb //= 2
+    return wb
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -755,14 +755,16 @@ def test_compact_sweep_blocks_per_step():
     b_i must index the compacted tables correctly (a swap would paint
     blocks with each other's pieces)."""
     from swf_renderer_tpu.ops.transform import plan_compact_sweep
-    height, width = 90, 1536  # 6 blocks of 256 -> bps 3
+    height, width = 90, 1536  # 12 blocks of 128 -> bps 4 (round-4 policy)
     tables = [_star_edges(300.0, 45.0, 40.0, 16.0),
               _star_edges(1200.0, 50.0, 42.0, 20.0, points=5)]
     colors = [(0.8, 0.3, 0.2, 1.0), (0.2, 0.4, 0.9, 0.7)]
     mats = _rotation_mats(4, 768.0, 45.0)
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     plan = plan_compact_sweep(mats, tab, height, width)
-    assert plan is not None and plan["blocks_per_step"] == 3
+    # The b_i indexing property under test needs bps > 1; the exact
+    # (wblock, bps) pair follows the production policy.
+    assert plan is not None and plan["blocks_per_step"] > 1
     args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
             jnp.asarray(colarr))
     from swf_renderer_tpu.ops.morph import morph_frames_to_u8
@@ -822,12 +824,14 @@ def test_compact_sweep_gradients_and_per_layer_mats():
 
 
 def test_plan_compact_declines_single_block():
-    """One column block means nothing to compact: plan returns None."""
+    """One column block means nothing to compact: plan returns None.
+    (64 px is one wblock-64 column block under the round-4 mid-width
+    policy; 128 px would now be two.)"""
     from swf_renderer_tpu.ops.transform import plan_compact_sweep
-    tables = [_star_edges(60.0, 48.0, 40.0, 18.0)]
-    mats = _rotation_mats(3, 60.0, 48.0)
+    tables = [_star_edges(30.0, 48.0, 20.0, 9.0)]
+    mats = _rotation_mats(3, 30.0, 48.0)
     tab, _, _ = affine_pieces(tables, [(1, 0, 0, 1)], mats)
-    assert plan_compact_sweep(mats, tab, 96, 128) is None
+    assert plan_compact_sweep(mats, tab, 96, 64) is None
 
 
 def test_paint_field_traced_matches_paint_field():

@@ -95,12 +95,26 @@ def morph_pieces(pairs, e_multiple: int = 128):
     return tab_s, tab_e, suby_s, suby_e, colors_s, colors_e
 
 
-def _morph_kernel(ratios_ref, cs_ref, ce_ref, tabs_ref, tabe_ref,
-                  sys_ref, sye_ref, out_ref, *, layers: int, wp: int,
-                  hp: int, fill_rule: int):
+def _morph_kernel(ratios_ref, cs_ref, ce_ref, *rest, layers: int,
+                  wp: int, hp: int, fill_rule: int,
+                  x_shift: bool = False):
+    xs_ref = None
+    if x_shift:
+        # Tile-sharding x-origin (SMEM scalar): pieces lerp in GLOBAL
+        # device coordinates (bit-identical chain to the single-device
+        # kernel) and the shard origin shifts the PIXEL GRID instead of
+        # the geometry — integer grid + integer origin add exactly in
+        # f32, so sharded columns are BIT-identical to the
+        # single-device kernel's (the old host-side piece shift
+        # perturbed the lerp rounding by a full quantum).
+        xs_ref, *rest = rest
+    tabs_ref, tabe_ref, sys_ref, sye_ref, out_ref = rest
     i = pl.program_id(0)
     t = ratios_ref[i]
+    xs = xs_ref[0] if x_shift else None
     px = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0).astype(jnp.float32)
+    if xs is not None:
+        px = px + xs  # global pixel grid (exact integer f32 add)
     hlane = jax.lax.broadcasted_iota(
         jnp.int32, (1, hp), 1).astype(jnp.float32)
 
@@ -174,6 +188,7 @@ def render_morph_sweep(
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
+    x_shift: jax.Array = None,  # (1,) f32 tile-shard x-origin
 ) -> jax.Array:
     """Rasterize a morph shape at every ratio fully on device.
 
@@ -187,8 +202,14 @@ def render_morph_sweep(
     fill_rule = normalize_fill_rule(fill_rule, layers)
     wp = -(-width // 8) * 8
     hp = -(-height // LANE) * LANE
+    if x_shift is not None:
+        x_shift = jnp.asarray(x_shift, jnp.float32).reshape(1)
     kernel = functools.partial(
-        _morph_kernel, layers=layers, wp=wp, hp=hp, fill_rule=fill_rule)
+        _morph_kernel, layers=layers, wp=wp, hp=hp, fill_rule=fill_rule,
+        x_shift=x_shift is not None)
+    xs_args = [] if x_shift is None else [x_shift]
+    xs_specs = ([] if x_shift is None
+                else [pl.BlockSpec(memory_space=pltpu.SMEM)])
     return pl.pallas_call(
         kernel,
         grid=(r,),
@@ -196,6 +217,7 @@ def render_morph_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + xs_specs + [
             pl.BlockSpec(tab_s.shape, lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tab_e.shape, lambda i: (0, 0, 0, 0),
@@ -209,7 +231,8 @@ def render_morph_sweep(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, wp, hp), jnp.uint32),
         interpret=interpret,
-    )(ratios, colors_s, colors_e, tab_s, tab_e, suby_s, suby_e)
+    )(ratios, colors_s, colors_e, *xs_args, tab_s, tab_e, suby_s,
+      suby_e)
 
 
 def morph_frames_to_u8(frames_u32: np.ndarray, height: int,

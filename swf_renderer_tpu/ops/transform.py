@@ -573,11 +573,27 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                   paints=None, dyn_stops: bool = False,
                   layer_counts=None, prefix_cheap: bool = False,
                   bps: int = 1, compact: bool = False,
-                  prefilter: bool = False, chunk_list: bool = False):
+                  prefilter: bool = False, chunk_list: bool = False,
+                  x_shift: bool = False):
     gm_ref = sc_ref = prefix_ref = cheap_ref = None
     field_refs = ()  # per-(frame, block) baked paint planes, last inputs
     bounds_ref = None
     counts_ref = idx_ref = None
+    xs_ref = None
+    if x_shift:
+        # Tile-sharding x-origin (SMEM scalar): the kernel rasterizes in
+        # GLOBAL device coordinates — matrices stay unfolded and the
+        # shard origin shifts the PIXEL GRID (px, block bounds) instead
+        # of the geometry.  Integer grid + integer origin add exactly in
+        # f32, so every subtraction, compare, and partial-sum grouping
+        # is BIT-identical to the single-device kernel whenever the
+        # shard layout mirrors the full-width one (_tile_shard_layout);
+        # only the output slot is local.  (The old translate-fold
+        # perturbed the FMA rounding by a full u8 quantum; shifting the
+        # GEOMETRY post-transform still left ulp-level regrouping from
+        # rounded far-coordinate subtractions — shifting the GRID leaves
+        # nothing.)
+        xs_ref, *rest = rest
     if chunk_list:
         # Per-(frame, layer, block) SMEM lists of the chunks whose
         # transformed x-transition can cross that block (precomputed in
@@ -625,6 +641,7 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
     i = pl.program_id(0)
     wb = pl.program_id(1)
     t_r = None if not morph else ratios_ref[i]
+    xs = xs_ref[0] if x_shift else None
 
     def mat(lyr):
         if per_layer:
@@ -725,6 +742,8 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
         def _prefix():
             block_los = (jax.lax.broadcasted_iota(
                 jnp.int32, (nbp, 1), 0) * wblock).astype(jnp.float32)
+            if xs is not None:
+                block_los = block_los + xs  # global pixel grid
             for lyr in range(layers):
                 abcdef = mat(lyr)
                 cheap_ref[lyr] = jnp.zeros((nbp, hp), jnp.float32)
@@ -751,12 +770,16 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
         amortize the per-step fixed overhead (PERF.md sweep study);
         ``b_i`` is the local offset (indexes the compacted tables)."""
         px = wbe * wblock + px_iota
+        if xs is not None:
+            px = px + xs  # global pixel grid (exact integer f32 add)
         for lyr in range(layers):
             abcdef = None if compact else mat(lyr)
             acc_ref[lyr] = jnp.zeros((wp, hp), jnp.float32)
             if not (prefix_cheap or compact):
                 cheap_ref[lyr] = jnp.zeros((nbp, hp), jnp.float32)
             block_lo = (wbe * wblock).astype(jnp.float32)
+            if xs is not None:
+                block_lo = block_lo + xs
             block_hi = block_lo + wblock
 
             def ramp_accum(lyr, vals, lmask):
@@ -929,6 +952,8 @@ def _xform_kernel(mats_ref, colors_ref, *rest,
                 # gm_ref is a (1, L, 6) SMEM window of this frame's matrices
                 # (windowed so a long timeline's track never outgrows SMEM).
                 ga, gb, gc, gd, ge, gf = (gm_ref[0, lyr, k] for k in range(6))
+                # px is already the GLOBAL pixel grid under tile-sharding
+                # (x_shift), matching the global gradient matrices.
                 pxc = px + 0.5     # (WP, 1) pixel-center x for this block
                 pyc = hlane + 0.5  # (1, HP) pixel-center y
                 sx = ga * pxc + gc * pyc + ge
@@ -1251,7 +1276,7 @@ def _wblock_for(width: int, hp: int) -> int:
     <=1 u8 rounding envelope vs the heavy path)."""
     wp = -(-width // 8) * 8
     wb = min(wp, 256 if hp <= 640 else 128)
-    while wb > 64 and wp // wb < 8:
+    while wb > 64 and wp // wb < 8 and (wb // 2) % 8 == 0:
         wb //= 2
     return wb
 
@@ -1286,6 +1311,7 @@ def render_affine_sweep(
     grad_mats: jax.Array = None,  # (F, L, 6) f32 composed gradient affines
     stop_colors: jax.Array = None,  # (F, L, K, 4) f32 per-frame stops
     fields: jax.Array = None,  # (NF, F, H, W, 4) f32 baked paint planes
+    x_shift: jax.Array = None,  # (1,) f32 tile-shard x-origin (see kernel)
 ) -> jax.Array:
     """Rasterize one shape set under every frame's affine fully on device.
 
@@ -1367,6 +1393,14 @@ def render_affine_sweep(
                 f"the SMEM window)")
     hp = -(-height // LANE) * LANE
     wp8 = -(-width // 8) * 8
+    if x_shift is not None:
+        # Tile-sharding x-origin: only the column-grid non-compact
+        # kernel carries the post-transform subtract (see _xform_kernel).
+        if compact_counts is not None or row_grid:
+            raise ValueError(
+                "x_shift needs the column-grid non-compact sweep kernel")
+        row_grid = False
+        x_shift = jnp.asarray(x_shift, jnp.float32).reshape(1)
 
     def field_blocks(bps, wblock, wp):
         """(NF, F, H, W, 4) fields -> per-slot (F, NBG, bps, 4, wblock,
@@ -1491,8 +1525,12 @@ def render_affine_sweep(
         # The skip pays off only when there are enough column blocks for
         # transition-free (block, chunk) pairs to exist; at <= 2 blocks
         # the pl.when overhead measured as a net loss (512^2: 0.186 ->
-        # 0.202 ms).
-        skip_empty = skip_empty and wp // wblock >= 4
+        # 0.202 ms).  Under x_shift (tile shards) the caller's flag is
+        # honored as-is: the shard must mirror the FULL-width layout's
+        # prefix/heavy partition for bit-exact span concatenation, even
+        # when its own block count is below the perf gate.
+        if x_shift is None:
+            skip_empty = skip_empty and wp // wblock >= 4
         if prefix_cheap is None:
             prefix_cheap = skip_empty
         prefix_cheap = prefix_cheap and skip_empty
@@ -1531,7 +1569,8 @@ def render_affine_sweep(
             layer_counts=layer_counts, prefix_cheap=prefix_cheap,
             bps=bps, prefilter=prefilter, chunk_list=chunk_list,
             per_frame_colors=colors.ndim == 3, paints=paints,
-            dyn_stops=stop_colors is not None)
+            dyn_stops=stop_colors is not None,
+            x_shift=x_shift is not None)
         grid = (fcount, wp // (wblock * bps))
         out_specs = pl.BlockSpec((1, wblock * bps, hp),
                                  lambda i, wb: (i, wb, 0),
@@ -1543,6 +1582,9 @@ def render_affine_sweep(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
+    if x_shift is not None:
+        args.append(x_shift)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     if not row_grid and (prefilter or chunk_list):
         # Per-(frame, layer, chunk) transformed x-extent bounds, SMEM.
         # The ±0.5 px slack absorbs XLA-vs-Mosaic float scheduling
@@ -1577,6 +1619,8 @@ def render_affine_sweep(
         if chunk_list:
             nb = wp // wblock
             block_los = jnp.arange(nb, dtype=jnp.float32) * wblock
+            if x_shift is not None:
+                block_los = block_los + x_shift[0]  # global pixel grid
             lo = bounds[..., 0:1]              # (F, L, NC, 1)
             hi = bounds[..., 1:2]
             cross = jnp.logical_and(
@@ -1635,7 +1679,7 @@ def render_affine_sweep(
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "fill_rule", "interpret", "e_chunk",
     "skip_empty", "row_grid", "wchunk", "layer_counts",
-    "prefix_cheap", "blocks_per_step", "chunk_list"))
+    "prefix_cheap", "blocks_per_step", "chunk_list", "wblock"))
 def render_morph_affine_sweep(
     matrices: jax.Array,  # (F, 6) f32 device affines
     ratios: jax.Array,    # (F,) f32 in [0, 1]
@@ -1657,6 +1701,8 @@ def render_morph_affine_sweep(
     prefix_cheap: bool = None,
     blocks_per_step: int = None,
     chunk_list: bool = None,  # None = ON with the prefix-plane skip
+    x_shift: jax.Array = None,  # (1,) f32 tile-shard x-origin
+    wblock: int = None,       # column-block override (tile shards)
 ) -> jax.Array:
     """Combined MORPH + TRANSFORM sweep: per frame, lerp the local piece
     tables by the frame's ratio, apply the frame's affine, rasterize —
@@ -1670,6 +1716,12 @@ def render_morph_affine_sweep(
     fill_rule = normalize_fill_rule(fill_rule, layers)
     hp = -(-height // LANE) * LANE
     wp8 = -(-width // 8) * 8
+    if x_shift is not None:
+        if row_grid:
+            raise ValueError(
+                "x_shift needs the column-grid sweep kernel")
+        row_grid = False
+        x_shift = jnp.asarray(x_shift, jnp.float32).reshape(1)
     if row_grid is None:
         row_grid = _ROW_GRID_DEFAULT and _row_grid_fits(
             layers, -(-wp8 // wchunk) * wchunk, wchunk)
@@ -1686,11 +1738,12 @@ def render_morph_affine_sweep(
         scratch = [pltpu.VMEM((layers, wp, LANE), jnp.float32),
                    pltpu.VMEM((layers, wp // wchunk, LANE), jnp.float32)]
     else:
-        wblock = _wblock_for(width, hp)
+        wblock = wblock or _wblock_for(width, hp)
         bps = blocks_per_step or _auto_bps(
             layers, hp, e_chunk, -(-wp8 // wblock))
         wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
-        skip_empty = skip_empty and wp // wblock >= 4
+        if x_shift is None:  # see render_affine_sweep: shards mirror
+            skip_empty = skip_empty and wp // wblock >= 4
         if prefix_cheap is None:
             prefix_cheap = skip_empty
         prefix_cheap = prefix_cheap and skip_empty
@@ -1713,7 +1766,8 @@ def render_morph_affine_sweep(
             fill_rule=fill_rule, e_chunk=e_chunk,
             per_layer=matrices.ndim == 3, layer_counts=layer_counts,
             skip_empty=skip_empty, morph=True,
-            prefix_cheap=prefix_cheap, bps=bps, chunk_list=chunk_list)
+            prefix_cheap=prefix_cheap, bps=bps, chunk_list=chunk_list,
+            x_shift=x_shift is not None)
         grid = (fcount, wp // (wblock * bps))
         out_specs = pl.BlockSpec((1, wblock * bps, hp),
                                  lambda i, wb: (i, wb, 0),
@@ -1749,6 +1803,8 @@ def render_morph_affine_sweep(
               + 0.5)[..., None]
         nb = wp // wblock
         block_los = jnp.arange(nb, dtype=jnp.float32) * wblock
+        if x_shift is not None:
+            block_los = block_los + x_shift[0]  # global pixel grid
         cross = jnp.logical_and(
             hi > block_los, lo - 1.0 < block_los + wblock)
         cross = cross.transpose(0, 1, 3, 2)
@@ -1764,13 +1820,16 @@ def render_morph_affine_sweep(
                          lambda i, wb: (i, 0, 0, 0),
                          memory_space=pltpu.SMEM),
         ]
+    xs_args = [] if x_shift is None else [x_shift]
+    xs_specs = ([] if x_shift is None
+                else [pl.BlockSpec(memory_space=pltpu.SMEM)])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # matrices
             pl.BlockSpec(memory_space=pltpu.SMEM),  # colors_s
-        ] + cl_specs + [
+        ] + xs_specs + cl_specs + [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ratios
             pl.BlockSpec(memory_space=pltpu.SMEM),  # colors_e
             pl.BlockSpec(tab_s.shape, full, memory_space=pltpu.VMEM),
@@ -1782,5 +1841,5 @@ def render_morph_affine_sweep(
         out_shape=jax.ShapeDtypeStruct((fcount, wp, hp), jnp.uint32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(matrices, colors_s, *cl_args, ratios, colors_e, tab_s, subxy_s,
-      tab_e, subxy_e)
+    )(matrices, colors_s, *xs_args, *cl_args, ratios, colors_e, tab_s,
+      subxy_s, tab_e, subxy_e)

@@ -385,13 +385,34 @@ def render_morph_sweep_dp(mesh: Mesh, ratios, parts, height: int,
     return out
 
 
+def _tile_shard_layout(height: int, width: int, ws: int) -> dict:
+    """Mirror the FULL-width sweep layout inside each column shard so
+    the kernel's prefix/heavy partition — and hence its f32 accumulation
+    grouping — matches the single-device kernel: with the x_shift
+    post-transform origin subtract this makes span concatenation
+    bit-exact (tests).  Empty when the shard span doesn't align to the
+    full-width column block (output then matches within one quantum —
+    ulp-level regrouping only)."""
+    from ..ops.transform import LANE, _wblock_for
+
+    hp = -(-height // LANE) * LANE
+    wp8 = -(-width // 8) * 8
+    wb = _wblock_for(width, hp)
+    if ws % wb:
+        return {}
+    return {"wblock": wb, "skip_empty": -(-wp8 // wb) >= 4}
+
+
 def render_morph_sweep_tile_sharded(mesh: Mesh, ratios, parts,
                                     height: int, width: int,
                                     interpret: bool = None):
-    """One wide morph ratio sweep sharded by COLUMN SPANS: pieces are
-    device-space, so each shard shifts the x channels of the piece
-    tables by its span origin and rasterizes its columns for every
-    ratio — zero collectives.  Returns (R, W, HP) packed u32."""
+    """One wide morph ratio sweep sharded by COLUMN SPANS: the piece
+    tables stay GLOBAL device-space and each shard passes its span
+    origin as the kernel's ``x_shift`` scalar (subtracted AFTER the
+    ratio lerp), so every shard's columns are BIT-identical to the
+    single-device kernel's — zero collectives (round 4; the old
+    host-side piece shift perturbed the lerp rounding by one quantum).
+    Returns (R, W, HP) packed u32."""
     from ..ops.morph import render_morph_sweep
 
     n = mesh.devices.size
@@ -403,13 +424,9 @@ def render_morph_sweep_tile_sharded(mesh: Mesh, ratios, parts,
 
     def shard_fn(rr, tab_s, tab_e, suby_s, suby_e, cs, ce):
         x0 = (jax.lax.axis_index("x") * ws).astype(jnp.float32)
-        # Only the lane-layout tables carry x (channels 0/2); the
-        # sublane tables hold y alone.  Padding pieces shift to
-        # (-x0, 0, -x0, 0): still degenerate (dy = 0), no contribution.
-        tab_s = tab_s.at[:, 0].add(-x0).at[:, 2].add(-x0)
-        tab_e = tab_e.at[:, 0].add(-x0).at[:, 2].add(-x0)
         out = render_morph_sweep(rr, tab_s, tab_e, suby_s, suby_e, cs,
-                                 ce, height, ws, interpret=interpret)
+                                 ce, height, ws, interpret=interpret,
+                                 x_shift=x0.reshape(1))
         return out[:, :ws]
 
     return jax.shard_map(
@@ -425,9 +442,11 @@ def render_morph_affine_sweep_tile_sharded(mesh: Mesh, matrices, ratios,
                                            parts, height: int,
                                            width: int,
                                            interpret: bool = None):
-    """Combined morph + transform sweep sharded by COLUMN SPANS: pieces
-    are LOCAL-space, so the span shift folds into the frame matrices
-    (like render_affine_sweep_tile_sharded).  Returns (F, W, HP)."""
+    """Combined morph + transform sweep sharded by COLUMN SPANS: the
+    frame matrices stay GLOBAL and the shard origin rides the kernel's
+    ``x_shift`` scalar (subtracted AFTER the lerp + transform), so
+    every shard's columns are BIT-identical to the single-device
+    kernel's (round 4).  Returns (F, W, HP)."""
     from ..ops.transform import render_morph_affine_sweep
 
     n = mesh.devices.size
@@ -437,11 +456,13 @@ def render_morph_affine_sweep_tile_sharded(mesh: Mesh, matrices, ratios,
             f"width ({width}) must divide across {n} devices")
     ws = width // n
 
+    layout = _tile_shard_layout(height, width, ws)
+
     def shard_fn(mm, rr, *ps):
         x0 = (jax.lax.axis_index("x") * ws).astype(jnp.float32)
-        mm = mm.at[..., 4].add(-x0)
         out = render_morph_affine_sweep(mm, rr, *ps, height, ws,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        x_shift=x0.reshape(1), **layout)
         return out[:, :ws]
 
     return jax.shard_map(
@@ -463,11 +484,12 @@ def render_affine_sweep_tile_sharded(mesh: Mesh, matrices, parts,
     whole mesh (the transform sweep's width-sharding twin of
     render_frame_tile_sharded): the piece tables are replicated (KBs),
     each device rasterizes its own column span for EVERY frame, and no
-    collectives run.  Geometry is position-independent, so the shard
-    shift folds into the affines: device x' = x - x0 subtracts x0 from
-    each matrix's translate; composed gradient affines see global
-    x = local + x0, so ga*x0 / gb*x0 fold into their translates; field
-    planes are device-space and simply shard their width axis.
+    collectives run.  The shard origin rides the kernel's ``x_shift``
+    scalar — matrices and gradient affines stay GLOBAL and the kernel
+    subtracts the origin AFTER its transform, so every shard's columns
+    are BIT-identical to the single-device kernel's (round 4; the old
+    translate-fold perturbed the FMA rounding by one u8 quantum).
+    Field planes are device-space and simply shard their width axis.
 
     Returns (F, W, HP) packed u32 (width exactly trimmed; transposed
     frames — ops.morph.morph_frames_to_u8)."""
@@ -483,19 +505,18 @@ def render_affine_sweep_tile_sharded(mesh: Mesh, matrices, parts,
     has_grads = grad_mats is not None
     has_fields = fields is not None
 
+    layout = _tile_shard_layout(height, width, ws)
+
     def shard_fn(mm, *ps):
         ff = ps[-1] if has_fields else None
         ps = ps[:-1] if has_fields else ps
         gm = ps[-1] if has_grads else None
         ps = ps[:-1] if has_grads else ps
         x0 = (jax.lax.axis_index("x") * ws).astype(jnp.float32)
-        mm = mm.at[..., 4].add(-x0)
-        if gm is not None:
-            gm = gm.at[..., 4].add(gm[..., 0] * x0)
-            gm = gm.at[..., 5].add(gm[..., 1] * x0)
         out = render_affine_sweep(mm, *ps, height, ws,
                                   interpret=interpret, paints=paints,
-                                  grad_mats=gm, fields=ff)
+                                  grad_mats=gm, fields=ff,
+                                  x_shift=x0.reshape(1), **layout)
         return out[:, :ws]  # trim kernel padding so spans concat clean
 
     args = [jnp.asarray(matrices), *map(jnp.asarray, parts)]

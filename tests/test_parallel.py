@@ -513,10 +513,11 @@ def test_field_affine_sweep_dp_matches_single_device():
 
 def test_tile_sharded_affine_sweep_matches_single_device():
     """Width-sharded transform sweep: each device rasterizes its column
-    span for every frame (shard shift folded into the affines; gradient
-    matrices and field planes adjusted per span) — within one u8
-    quantum of the single-device sweep (the translate subtraction
-    re-rounds coordinates in f32)."""
+    span for every frame.  Round 4: the shard origin rides the kernel's
+    x_shift scalar (subtracted AFTER the transform) instead of folding
+    into the translates, so the sharded output matches the
+    single-device sweep EXACTLY on this corpus (the fold's re-rounding
+    used to cost one u8 quantum)."""
     from swf_renderer_tpu.ops import style as style_ops
     from swf_renderer_tpu.ops.transform import (
         affine_pieces, bake_sweep_fields, render_affine_sweep,
@@ -570,18 +571,17 @@ def test_tile_sharded_affine_sweep_matches_single_device():
         mesh, mats, parts, h, w, paints=kpaints, grad_mats=grad_mats,
         fields=fields))
     assert got.shape == want.shape
-    # Packed u32 -> u8 channels before differencing.
+    np.testing.assert_array_equal(got, want)
     gu = got.view(np.uint8).reshape(*got.shape, 4)
-    wu = want.view(np.uint8).reshape(*want.shape, 4)
-    diff = np.abs(gu.astype(np.int32) - wu.astype(np.int32))
-    assert diff.max() <= 1, diff.max()
     assert gu[..., 3].max() > 100  # content actually rendered
 
 
 def test_tile_sharded_morph_sweeps_match_single_device():
-    """Width-sharded morph sweep (device-space piece shift) and combined
-    morph+transform sweep (matrix-fold shift): within one u8 quantum of
-    single device on the virtual mesh."""
+    """Width-sharded morph sweep and combined morph+transform sweep:
+    round 4 moved both to the kernels' x_shift scalar (subtracted AFTER
+    the ratio lerp / the transform), so sharded outputs match single
+    device EXACTLY on this corpus (the old piece/matrix-fold shifts
+    re-rounded by one quantum)."""
     from swf_renderer_tpu.ops.morph import morph_pieces, render_morph_sweep
     from swf_renderer_tpu.ops.transform import (
         morph_affine_pieces, render_morph_affine_sweep,
@@ -592,7 +592,11 @@ def test_tile_sharded_morph_sweeps_match_single_device():
     )
 
     rng = np.random.default_rng(73)
-    h, w = 40, 256
+    # 512 wide: 64-col shards align to the full-width 64-px column
+    # block, so _tile_shard_layout mirrors the partition and the
+    # combined sweep concatenates bit-exactly (32-col shards of a
+    # 256-px frame cannot align and fall back to quantum-level).
+    h, w = 40, 512
     es = rng.uniform((5, 5), (250, 35), (5, 2)).astype(np.float32)
     closed_s = np.concatenate([es, es[:1]])
     tbl_s = np.concatenate([closed_s[:-1], closed_s[1:]], axis=1)
@@ -604,18 +608,7 @@ def test_tile_sharded_morph_sweeps_match_single_device():
         a = np.ascontiguousarray(np.asarray(pk))
         return a.view(np.uint8).reshape(*a.shape, 4)
 
-    def pm_diff(a, b):
-        """Premultiplied diff: the shard shift re-rounds coordinates in
-        f32, which can move one coverage quantum; straight-RGBA
-        differencing amplifies that by 255/alpha at low-alpha AA edge
-        pixels (measured 17 at alpha 12)."""
-        af, bf = a.astype(np.float64), b.astype(np.float64)
-        apm = af[..., :3] * af[..., 3:4] / 255.0
-        bpm = bf[..., :3] * bf[..., 3:4] / 255.0
-        return max(np.abs(apm - bpm).max(),
-                   np.abs(af[..., 3] - bf[..., 3]).max())
-
-    # Plain morph ratio sweep (device-space pieces).
+    # Plain morph ratio sweep (device-space pieces, x_shift scalar).
     parts = morph_pieces(pairs)
     ratios = np.linspace(0, 1, 6, dtype=np.float32)
     want = np.asarray(render_morph_sweep(
@@ -623,7 +616,7 @@ def test_tile_sharded_morph_sweeps_match_single_device():
         h, w))[:, :w]
     got = np.asarray(render_morph_sweep_tile_sharded(
         mesh, ratios, parts, h, w))
-    assert pm_diff(u8(got), u8(want)) <= 2
+    np.testing.assert_array_equal(got, want)
     assert u8(got)[..., 3].max() > 100
 
     # Combined morph + transform sweep (local pieces + matrix fold).
@@ -641,7 +634,7 @@ def test_tile_sharded_morph_sweeps_match_single_device():
         *(jnp.asarray(x) for x in mparts), h, w))[:, :w]
     got2 = np.asarray(render_morph_affine_sweep_tile_sharded(
         mesh, mats, ratios, mparts, h, w))
-    assert pm_diff(u8(got2), u8(want2)) <= 2
+    np.testing.assert_array_equal(got2, want2)
     assert u8(got2)[..., 3].max() > 100
 
 

@@ -178,6 +178,53 @@ def pin_flatblock_vs_direct():
     report("flatblock-vs-direct", d, 2.0)
 
 
+def pin_sweep_x_shift():
+    """Round 4: tile-sharded sweeps pass the shard origin as the
+    kernel's x_shift scalar and rasterize on the GLOBAL pixel grid —
+    sharded columns must be BIT-identical to the single-device kernel's
+    (budget 0).  Run the shard emulation ON CHIP: the SMEM scalar rides
+    grid/index arithmetic Mosaic compiles differently from interpret."""
+    import jax.numpy as jnp
+
+    from bench import anim_scene
+    from swf_renderer_tpu.ops.morph import morph_pieces, render_morph_sweep
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, render_affine_sweep,
+    )
+    from swf_renderer_tpu.parallel.mesh import _tile_shard_layout
+
+    h = w = 512
+    tables, colors, mats = anim_scene(h, w, 6)
+    tab, subxy, colarr = affine_pieces(tables, colors, mats)
+    args = (jnp.asarray(mats), jnp.asarray(tab), jnp.asarray(subxy),
+            jnp.asarray(colarr))
+    want = np.asarray(render_affine_sweep(*args, h, w))[:, :w]
+    ws = w // 8
+    layout = _tile_shard_layout(h, w, ws)
+    assert layout, "512/8 shards must align to the full-width block"
+    diffs = []
+    for s in (2, 5):
+        got = np.asarray(render_affine_sweep(
+            *args, h, ws, x_shift=jnp.asarray([float(s * ws)]),
+            **layout))[:, :ws]
+        diffs.append(int((got != want[:, s * ws:(s + 1) * ws]).sum()))
+    report("sweep:x-shift-affine", max(diffs), 0.0)
+
+    rng = np.random.default_rng(73)
+    es = rng.uniform((5, 5), (500, 400), (5, 2)).astype(np.float32)
+    closed = np.concatenate([es, es[:1]])
+    tbl_s = np.concatenate([closed[:-1], closed[1:]], axis=1)
+    tbl_e = tbl_s + rng.uniform(-9, 9, tbl_s.shape).astype(np.float32)
+    parts = morph_pieces([(tbl_s, tbl_e, (1, 0, 0, 1), (0, 0.4, 1, 1))])
+    ratios = jnp.asarray(np.linspace(0, 1, 5, dtype=np.float32))
+    margs = tuple(jnp.asarray(x) for x in parts)
+    wantm = np.asarray(render_morph_sweep(ratios, *margs, h, w))[:, :w]
+    gotm = np.asarray(render_morph_sweep(
+        ratios, *margs, h, ws, x_shift=jnp.asarray([float(3 * ws)])))
+    report("sweep:x-shift-morph",
+           int((gotm[:, :ws] != wantm[:, 3 * ws:4 * ws]).sum()), 0.0)
+
+
 def pin_flatblock_stride_shrink():
     """Round 4: LANE-multiple widths shrink the plane by one chunk and
     the packers drop col==width updates (ops/flatblock.plane_geometry).
@@ -224,6 +271,7 @@ def main():
         out = sys.argv[sys.argv.index("--out") + 1]
     pin_texfield()
     pin_sweep_skip_paths()
+    pin_sweep_x_shift()
     pin_flatblock_vs_direct()
     pin_flatblock_stride_shrink()
     import jax

@@ -676,3 +676,51 @@ def test_deep_passes_sharded_matches_multipass():
     assert diff.max() <= 1, f"max diff {diff.max()}"
     # The passes really were sharded: 40 layers over 8 devices = 5 each.
     assert mesh.shape["dp"] == 8
+
+
+@pytest.mark.parametrize("seed", [3, 17, 45])
+def test_tile_sharded_affine_sweep_exactness_fuzz(seed):
+    """Randomized scenes through the x_shift tile sharding: with the
+    full-width layout mirrored and aligned shard spans, the sharded
+    output must be EXACTLY the single-device kernel's columns — the
+    global-pixel-grid design makes this an invariant, not luck (the
+    round-4 double-shift chunk-list bug was caught by exactly this
+    assertion)."""
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, render_affine_sweep,
+    )
+    from swf_renderer_tpu.parallel.mesh import (
+        _tile_shard_layout, render_affine_sweep_tile_sharded,
+    )
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(24, 72))
+    w = int(rng.choice([512, 1024]))
+    layers = int(rng.integers(1, 4))
+    tables, colors = [], []
+    for _ in range(layers):
+        pts = rng.uniform((2, 2), (w - 2.0, h - 2.0),
+                          (int(rng.integers(4, 9)), 2)).astype(np.float32)
+        closed = np.concatenate([pts, pts[:1]])
+        tables.append(np.concatenate([closed[:-1], closed[1:]], axis=1))
+        colors.append(tuple(rng.uniform(0.1, 1.0, 4)))
+    f = int(rng.integers(2, 6))
+    mats = []
+    for i in range(f):
+        th = rng.uniform(0, 2 * np.pi)
+        s = rng.uniform(0.6, 1.4)
+        a, b = s * np.cos(th), s * np.sin(th)
+        cx, cy = w / 2.0, h / 2.0
+        mats.append((a, b, -b, a, cx - a * cx + b * cy,
+                     cy - b * cx - a * cy))
+    mats = np.asarray(mats, np.float32)
+    parts = affine_pieces(tables, colors, mats)
+    ws = w // 8
+    assert _tile_shard_layout(h, w, ws), "fuzz widths must align"
+    want = np.asarray(render_affine_sweep(
+        jnp.asarray(mats), *(jnp.asarray(x) for x in parts),
+        h, w))[:, :w]
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=2)
+    got = np.asarray(render_affine_sweep_tile_sharded(
+        mesh, mats, parts, h, w))
+    np.testing.assert_array_equal(got, want)

@@ -724,3 +724,44 @@ def test_tile_sharded_affine_sweep_exactness_fuzz(seed):
     got = np.asarray(render_affine_sweep_tile_sharded(
         mesh, mats, parts, h, w))
     np.testing.assert_array_equal(got, want)
+
+
+def test_tile_sharded_affine_sweep_unaligned_fallback():
+    """When shard spans don't align to the full-width column block
+    (1920/8 = 240 vs wblock 128), _tile_shard_layout returns no
+    overrides and the shard keeps its own layout: the x_shift global
+    grid still holds every coordinate bit-identical, so the only
+    residual is prefix/heavy partial-sum regrouping — within one
+    premul-u8 quantum of single device."""
+    from swf_renderer_tpu.ops.transform import (
+        affine_pieces, render_affine_sweep,
+    )
+    from swf_renderer_tpu.parallel.mesh import (
+        _tile_shard_layout, render_affine_sweep_tile_sharded,
+    )
+
+    rng = np.random.default_rng(19)
+    h, w = 24, 1920
+    assert not _tile_shard_layout(h, w, w // 8)
+    pts = rng.uniform((4, 2), (1900.0, 22.0), (7, 2)).astype(np.float32)
+    closed = np.concatenate([pts, pts[:1]])
+    tables = [np.concatenate([closed[:-1], closed[1:]], axis=1)]
+    mats = []
+    for i in range(3):
+        th = 2 * np.pi * i / 12
+        a, b = np.cos(th), np.sin(th)
+        cx, cy = 960.0, 12.0
+        mats.append((a, b, -b, a, cx - a * cx + b * cy,
+                     cy - b * cx - a * cy))
+    mats = np.asarray(mats, np.float32)
+    parts = affine_pieces(tables, [(0.9, 0.2, 0.1, 0.8)], mats)
+    want = np.asarray(render_affine_sweep(
+        jnp.asarray(mats), *(jnp.asarray(x) for x in parts),
+        h, w))[:, :w]
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=2)
+    got = np.asarray(render_affine_sweep_tile_sharded(
+        mesh, mats, parts, h, w))
+    gu = got.view(np.uint8).reshape(*got.shape, 4).astype(np.int32)
+    wu = want.view(np.uint8).reshape(*want.shape, 4).astype(np.int32)
+    assert np.abs(gu - wu).max() <= 1
+    assert gu[..., 3].max() > 100

@@ -406,11 +406,47 @@ def deoverlap_edges(edges: np.ndarray, max_edges: int = 20000) -> np.ndarray:
             s = s_num / denom
         hit = (np.abs(denom) > eps) & (t > eps) & (t < 1 - eps) \
             & (s > eps) & (s < 1 - eps)
+        # COLLINEAR overlapping edges (a path retracing itself emits
+        # stroke offsets on exactly the same line) never satisfy the
+        # |denom| > eps transversal test, so overlapping same-line edges
+        # would keep whole and the union boundary would be emitted twice
+        # (double winding = non-watertight output).  Split them at each
+        # other's endpoint projections so coincident geometry becomes
+        # exactly-coincident fragments, collapsed to net multiplicity
+        # below.
+        db_len = np.hypot(db[:, 0], db[:, 1])
+        d_len = np.hypot(d[:, 0], d[:, 1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            colin = (np.abs(denom) <= 1e-7 * db_len[:, None] * d_len[None])\
+                & (np.abs(s_num) <= 1e-7 * db_len[:, None] * d_len[None]) \
+                & (db_len[:, None] > 1e-12) & (d_len[None] > 1e-12)
+            dot0 = (rel[:, :, 0] * db[:, None, 0]
+                    + rel[:, :, 1] * db[:, None, 1]) \
+                / (db_len ** 2)[:, None]
+            ddot = (db[:, None, 0] * d[None, :, 0]
+                    + db[:, None, 1] * d[None, :, 1]) \
+                / (db_len ** 2)[:, None]
         for bi in range(hi - lo):
             i = lo + bi
-            ts = np.sort(t[bi][hit[bi]])
-            cuts = np.concatenate([[0.0], ts, [1.0]])
-            pts = p0[i] + cuts[:, None] * d[i]
+            ts = t[bi][hit[bi]]
+            cut_t = [ts]
+            cut_p = [p0[i] + ts[:, None] * d[i]]
+            cm = colin[bi]
+            if cm.any():
+                # Use the partner's endpoint COORDINATES as the cut
+                # point (not p0 + t*d): both coincident parents then
+                # fragment at bitwise-identical points, so the net-
+                # multiplicity collapse below can match them exactly.
+                ends = np.concatenate([p0[cm], p1[cm]])
+                tp = np.concatenate([dot0[bi][cm],
+                                     dot0[bi][cm] + ddot[bi][cm]])
+                keep = (tp > eps) & (tp < 1 - eps)
+                cut_t.append(tp[keep])
+                cut_p.append(ends[keep])
+            tt = np.concatenate(cut_t)
+            pp = np.concatenate(cut_p)
+            order = np.argsort(tt)
+            pts = np.concatenate([p0[i][None], pp[order], p1[i][None]])
             seg = np.concatenate([pts[:-1], pts[1:]], axis=1)
             frags.append(seg)
     f = np.concatenate(frags, axis=0)
@@ -450,6 +486,35 @@ def deoverlap_edges(edges: np.ndarray, max_edges: int = 20000) -> np.ndarray:
     flip = (wl[on_boundary] == 0)  # interior must sit on the LEFT
     out = f.copy()
     out[flip] = f[flip][:, [2, 3, 0, 1]]
+    # Collapse coincident fragments to their NET orientation: an exact
+    # retrace's coincident parent edges each emit a copy of the same
+    # boundary piece, but the union's winding crosses that line exactly
+    # once — doubled copies leak half-plane winding into the output.
+    # No-op (and order-preserving) when there are no coincident pieces.
+    if len(out) > 1:
+        a, b = out[:, :2], out[:, 2:]
+        swap = (a[:, 1] > b[:, 1]) | ((a[:, 1] == b[:, 1])
+                                      & (a[:, 0] > b[:, 0]))
+        und = np.concatenate([np.where(swap[:, None], b, a),
+                              np.where(swap[:, None], a, b)], axis=1)
+        sgn = np.where(swap, -1, 1)
+        # Coincident pieces from different parents can differ by an f32
+        # ulp (the retraced offsets were CONSTRUCTED from different
+        # points), so group with a tolerance: near-duplicates sit
+        # adjacent in lexsorted undirected order.
+        order = np.lexsort(und.T[::-1])
+        u = und[order]
+        close = np.all(np.abs(u[1:] - u[:-1]) <= 1e-5, axis=1)
+        if close.any():
+            gid = np.concatenate([[0], np.cumsum(~close)])
+            keep_rows = []
+            for g in range(int(gid[-1]) + 1):
+                rows = order[gid == g]
+                net = int(sgn[rows].sum())
+                if net != 0:
+                    want = 1 if net > 0 else -1
+                    keep_rows.append(rows[sgn[rows] == want][0])
+            out = out[np.sort(np.asarray(keep_rows, np.int64))]
     return out.astype(np.float32)
 
 

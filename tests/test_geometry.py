@@ -229,3 +229,78 @@ def test_stroke_sharp_miter_area():
     height = h / math.cos(phi / 2) - h * math.cos(phi / 2)
     assert (cov_m.sum() - cov_b.sum()) == pytest.approx(
         0.5 * chord * height, abs=0.05)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_stroke_round_round_matches_distance_field_fuzz(seed):
+    """Round/round stroking is EXACTLY the Minkowski sum of the path
+    with a radius-h disk, so de-overlapped stroke coverage must match
+    the supersampled indicator of dist(p, path) <= h — an oracle
+    independent of the outline construction (offset sides, arc
+    caps/joins, inner-join folds, closed-ring winding, and the
+    deoverlap union).  Randomized polylines include short segments,
+    an EXACT collinear retrace (seed 5 — the case that exposed the
+    coincident-fragment doubling bug in deoverlap_edges), and closed
+    rings."""
+    from swf_renderer_tpu.models.geometry import deoverlap_edges
+
+    rng = np.random.default_rng(seed)
+    H = W = 48
+    ss = 8
+    n = int(rng.integers(2, 7))
+    pts = rng.uniform(8.0, 40.0, size=(n, 2))
+    if seed == 3 and n >= 3:
+        pts[1] = pts[0] + [0.4, 0.1]  # segment shorter than the width
+    if seed == 5 and n >= 3:
+        pts[2] = pts[0] + (pts[1] - pts[0]) * 0.1  # exact retrace fold
+    if seed == 6:
+        pts = np.vstack([pts, pts[:1]])  # closed ring
+    width = float(rng.uniform(2.0, 7.0))
+    h = width / 2.0
+
+    polys = stroke_subpath(pts, width, cap="round", join="round",
+                           tolerance=1e-4)
+    cov = coverage_numpy(deoverlap_edges(polygons_to_edges(polys)), H, W)
+
+    centers_x = (np.arange(W * ss) + 0.5) / ss
+    centers_y = (np.arange(H * ss) + 0.5) / ss
+    px, py = np.meshgrid(centers_x, centers_y)
+    d2 = np.full(px.shape, np.inf)
+    for a, b in zip(pts[:-1], pts[1:]):
+        ab = b - a
+        l2 = float(ab @ ab)
+        t = ((px - a[0]) * ab[0] + (py - a[1]) * ab[1]) / max(l2, 1e-12)
+        t = np.clip(t, 0.0, 1.0)
+        d2 = np.minimum(d2, (px - (a[0] + t * ab[0])) ** 2
+                        + (py - (a[1] + t * ab[1])) ** 2)
+    ind = (d2 <= h * h).reshape(H, ss, W, ss).mean(axis=(1, 3))
+
+    err = np.abs(cov - ind)
+    # Boundary pixels carry ~1/(2*ss) supersampling quantization plus
+    # the inscribed-arc polygonization; interiors must be exact.
+    assert err.max() < 0.1, f"max {err.max():.3f} at seed {seed}"
+    assert err.mean() < 0.002, f"mean {err.mean():.5f} at seed {seed}"
+
+
+def test_deoverlap_exact_retrace_watertight():
+    """A stroke path that retraces itself along the SAME line used to
+    emit the shared boundary twice from its coincident parent edges —
+    the doubled fragments leaked half-plane winding (hundreds of px^2
+    of spurious fill).  The collinear split + net-multiplicity collapse
+    keeps the output watertight: total area must match the two-capsule
+    union, and far-field pixels must be empty."""
+    pts = np.array([[10.0, 10.0], [30.0, 20.0], [14.0, 12.0],
+                    [26.0, 30.0]])
+    # middle leg retraces exactly along the first leg's line
+    polys = stroke_subpath(pts, 3.0, cap="round", join="round",
+                           tolerance=1e-3)
+    edges = polygons_to_edges(polys)
+    from swf_renderer_tpu.models.geometry import deoverlap_edges
+
+    cov = coverage_numpy(deoverlap_edges(edges), 40, 40)
+    raw = coverage_numpy(edges, 40, 40)
+    # union area <= raw conflated area, and not wildly different
+    assert cov.sum() <= raw.sum() + 0.5
+    assert cov.sum() > 0.8 * raw.sum()
+    # far field (right border strip) stays empty
+    assert cov[:, 38:].sum() == pytest.approx(0.0, abs=1e-6)

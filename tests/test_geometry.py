@@ -304,3 +304,87 @@ def test_deoverlap_exact_retrace_watertight():
     assert cov.sum() > 0.8 * raw.sum()
     # far field (right border strip) stays empty
     assert cov[:, 38:].sum() == pytest.approx(0.0, abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_stroke_caps_joins_match_piece_union_fuzz(seed):
+    """Butt/square caps with miter/bevel joins: the stroked region is
+    the union of per-segment rectangles (+ square cap extensions) and
+    the per-vertex outer join piece — a miter quad [p, a, tip, b] when
+    miterLength/lineWidth = 1/sin(theta/2) <= limit, else the bevel
+    triangle [p, a, b].  The oracle below rebuilds those convex pieces
+    from the Canvas2D spec independently of _outer_join_points and
+    compares supersampled union membership against the de-overlapped
+    outline coverage — across random angles, widths, and miter limits
+    (incl. limit-crossing sharp turns)."""
+    from swf_renderer_tpu.models.geometry import deoverlap_edges
+
+    rng = np.random.default_rng(100 + seed)
+    H = W = 48
+    ss = 8
+    n = int(rng.integers(2, 6))
+    pts = rng.uniform(10.0, 38.0, size=(n, 2))
+    width = float(rng.uniform(2.0, 6.0))
+    h = width / 2.0
+    cap = ("butt", "square")[seed % 2]
+    join = ("miter", "bevel")[(seed // 2) % 2]
+    ml = float(rng.uniform(1.2, 6.0))
+
+    polys = stroke_subpath(pts, width, cap=cap, join=join, miter_limit=ml)
+    cov = coverage_numpy(deoverlap_edges(polygons_to_edges(polys)), H, W)
+
+    centers = (np.arange(H * ss) + 0.5) / ss
+    px, py = np.meshgrid(centers[: W * ss], centers)
+    inside = np.zeros(px.shape, bool)
+
+    def in_convex(poly):
+        m = np.ones(px.shape, bool)
+        k = len(poly)
+        for i in range(k):
+            ax, ay = poly[i]
+            bx, by = poly[(i + 1) % k]
+            m &= (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0
+        return m
+
+    segs = [(pts[i], pts[i + 1]) for i in range(n - 1)
+            if np.hypot(*(pts[i + 1] - pts[i])) > 1e-9]
+    ext = h if cap == "square" else 0.0
+    for k, (a, b) in enumerate(segs):
+        d = (b - a) / np.hypot(*(b - a))
+        nr = np.array([-d[1], d[0]])
+        e0 = ext if k == 0 else 0.0
+        e1 = ext if k == len(segs) - 1 else 0.0
+        quad = [a - d * e0 + nr * h, b + d * e1 + nr * h,
+                b + d * e1 - nr * h, a - d * e0 - nr * h]
+        # orient CCW-independent: test both windings
+        m = in_convex(quad) | in_convex(quad[::-1])
+        inside |= m
+    for k in range(1, len(segs)):
+        p = segs[k][0]
+        d1 = segs[k - 1][1] - segs[k - 1][0]
+        d2 = segs[k][1] - segs[k][0]
+        d1 = d1 / np.hypot(*d1)
+        d2 = d2 / np.hypot(*d2)
+        turn = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(turn) < 1e-12:
+            continue
+        sgn = -1.0 if turn > 0 else 1.0  # outer side normal sign
+        n1 = np.array([-d1[1], d1[0]]) * sgn
+        n2 = np.array([-d2[1], d2[0]]) * sgn
+        a = p + n1 * h
+        b = p + n2 * h
+        cos_half = math.sqrt(max(0.0, (1.0 + float(n1 @ n2)) / 2.0))
+        if join == "miter" and cos_half > 1e-9 \
+                and 1.0 / cos_half <= ml:
+            bis = (n1 + n2)
+            bis = bis / np.hypot(*bis)
+            tip = p + bis * (h / cos_half)
+            poly = [p, a, tip, b]
+        else:
+            poly = [p, a, b]
+        inside |= in_convex(poly) | in_convex(poly[::-1])
+
+    ind = inside.reshape(H, ss, W, ss).mean(axis=(1, 3))
+    err = np.abs(cov - ind)
+    assert err.max() < 0.1, f"max {err.max():.3f} seed {seed} {cap}/{join}"
+    assert err.mean() < 0.002, f"mean {err.mean():.5f} seed {seed}"

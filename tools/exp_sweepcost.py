@@ -39,7 +39,7 @@ from swf_renderer_tpu.ops.transform import (  # noqa: E402
 def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
             row_grid=False, wchunk=256, x_split=True,
             prefix_cheap=None, blocks_per_step=1, compact=False,
-            prefilter=None):
+            prefilter=None, chunk_list=None):
     tables, colors, mats = anim_scene(h, w, frames)
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
@@ -67,7 +67,7 @@ def measure(h, w, frames, e_chunk, wblock, skip_empty=True,
                 varied, *fargs, h, w, e_chunk=e_chunk,
                 skip_empty=skip_empty, row_grid=row_grid, wchunk=wchunk,
                 x_split=x_split, prefix_cheap=prefix_cheap,
-                prefilter=prefilter,
+                prefilter=prefilter, chunk_list=chunk_list,
                 **(ckw or dict(wblock=wblock,
                                blocks_per_step=blocks_per_step)))
             int(jnp.sum(out[:, ::64, ::64].astype(jnp.uint32)))
@@ -81,6 +81,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="anim1080",
                     choices=["anim1080", "anim512"])
+    ap.add_argument("--pin", action="store_true",
+                    help="cross-round policy pin: static chunk loop "
+                         "(round-3 behavior) vs production chunk-index "
+                         "lists, same e_chunk/bps — used by perf_pin.py")
     args = ap.parse_args()
     _enable_compile_cache()
     h, w = (1088, 1920) if args.config == "anim1080" else (512, 512)
@@ -108,6 +112,12 @@ def main():
         ("production (no prefilter)", dict(e_chunk=256,
                                            blocks_per_step=None)),
     ]
+    if args.pin:
+        grid = [
+            ("r3-static-loop", dict(e_chunk=256, blocks_per_step=None,
+                                    chunk_list=False)),
+            ("production", dict(e_chunk=256, blocks_per_step=None)),
+        ]
     for label, kw in grid:
         e_chunk = kw.pop("e_chunk", 512)
         wblock = kw.pop("wblock", None)

@@ -1,0 +1,144 @@
+"""Cross-round performance pin: within-epoch A/B of this round's policy
+defaults against the previous round's behavior (VERDICT r3 weak #7).
+
+Chip-shared epochs swing +-10-15%, so absolute bench numbers cannot
+detect cross-round regressions smaller than the noise.  This tool runs
+the committed policy-ablation harnesses — each measures the CURRENT
+production policy and its PRIOR-round equivalent inside one epoch — and
+records the ratios as a per-round artifact (PERFPIN_r{N}.json).  A
+ratio << 1 means this round's policy change regressed that config on
+today's epoch regardless of what the absolute bench number says.
+
+Pinned policies (each the headline lever of its config this round):
+
+  flat256 / gradients / headline  plane-stride shrink (exp_stride)
+  anim 512^2                      wblock 64 / bps 4 vs 256/1 (exp_sweepblocks)
+  anim1080                        chunk-index lists vs static loop
+                                  (exp_sweepcost --pin)
+
+Run (real TPU, strictly serial — never overlap TPU jobs):
+  python tools/perf_pin.py --out PERFPIN_r04.json [--fast]
+`--fast` runs only the headline stride pin.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import subprocess
+import sys
+import time
+
+PY = sys.executable
+
+
+def _run(cmd):
+    """Run a harness, stream its output, return parsed JSON lines."""
+    print(f"[perf_pin] $ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    rows = []
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+        print(f"  {line}", flush=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-2000:])
+        raise RuntimeError(f"{cmd} failed rc={proc.returncode}")
+    print(f"[perf_pin] done in {time.time() - t0:.0f}s", flush=True)
+    return rows
+
+
+def pin_stride(configs):
+    """exp_stride emits per-variant gpx_s rows + a speedup row."""
+    rows = _run([PY, "tools/exp_stride.py", *configs])
+    out = {}
+    gpx = {}
+    for r in rows:
+        if "variant" in r:
+            gpx.setdefault(r["config"], {})[r["variant"]] = r["gpx_s"]
+        elif "speedup" in r:
+            out[f"stride:{r['config']}"] = {
+                "prior_gpx_s": gpx[r["config"]]["old"],
+                "current_gpx_s": gpx[r["config"]]["new"],
+                "ratio_current_over_prior": r["speedup"],
+            }
+    return out
+
+
+def pin_sweepblocks():
+    """exp_sweepblocks emits interleaved-round ms rows per layout."""
+    rows = _run([PY, "tools/exp_sweepblocks.py"])
+    per = {}
+    for r in rows:
+        if "round" in r:
+            for k, v in r.items():
+                if k != "round":
+                    per.setdefault(k, []).append(v)
+    if not per:
+        return {}
+    med = {k: statistics.median(v) for k, v in per.items()}
+    prior, cur = med.get("256/1"), med.get("64/4")
+    return {"sweep-blocks:anim512": {
+        "prior_ms": prior, "current_ms": cur,
+        "ratio_current_over_prior": round(prior / cur, 3)
+        if prior and cur else None,
+        "medians_ms": med,
+    }}
+
+
+def pin_chunk_list():
+    rows = _run([PY, "tools/exp_sweepcost.py", "--config", "anim1080",
+                 "--pin"])
+    ms = {r["variant"]: r["ms_per_frame"] for r in rows if "variant" in r}
+    prior, cur = ms.get("r3-static-loop"), ms.get("production")
+    if prior is None or cur is None:
+        return {}
+    return {"chunk-list:anim1080": {
+        "prior_ms_per_frame": prior, "current_ms_per_frame": cur,
+        "ratio_current_over_prior": round(prior / cur, 3),
+    }}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write the pin artifact JSON here")
+    ap.add_argument("--fast", action="store_true",
+                    help="headline stride pin only")
+    args = ap.parse_args()
+
+    results = {}
+    if args.fast:
+        results.update(pin_stride(["headline"]))
+    else:
+        results.update(pin_stride(["flat256", "gradients", "headline"]))
+        results.update(pin_sweepblocks())
+        results.update(pin_chunk_list())
+
+    regressions = [k for k, v in results.items()
+                   if (v.get("ratio_current_over_prior") or 1.0) < 0.95]
+    artifact = {
+        "tool": "tools/perf_pin.py",
+        "note": "within-epoch A/B: current policy vs previous-round "
+                "policy; ratio < 1 = this round's policy is slower on "
+                "this epoch",
+        "results": results,
+        "regressions": regressions,
+    }
+    print(json.dumps(artifact, indent=2), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+            f.write("\n")
+        print(f"[perf_pin] wrote {args.out}", flush=True)
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -388,3 +388,63 @@ def test_stroke_caps_joins_match_piece_union_fuzz(seed):
     err = np.abs(cov - ind)
     assert err.max() < 0.1, f"max {err.max():.3f} seed {seed} {cap}/{join}"
     assert err.mean() < 0.002, f"mean {err.mean():.5f} seed {seed}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_clip_edges_rect_matches_winding_oracle_fuzz(seed):
+    """Exact-stage clipping (the Flash fractional stage bounds,
+    scene.py) vs a supersampled point-winding oracle: coverage of the
+    clipped soup must equal the indicator of (nonzero winding) AND
+    (inside the clip rect), for random self-intersecting polygons
+    spanning far outside the stage.  split_edges_y must leave the
+    clipped coverage bit-unchanged (interior splits preserve the
+    integral)."""
+    from swf_renderer_tpu.models.geometry import (
+        clip_edges_rect, split_edges_y,
+    )
+
+    rng = np.random.default_rng(200 + seed)
+    H = W = 32
+    ss = 8
+    xmax = W - (0.3 if seed % 2 else 0.0)
+    ymax = H - (0.7 if seed % 3 else 0.0)
+    polys = []
+    for _ in range(int(rng.integers(1, 4))):
+        k = int(rng.integers(3, 9))
+        polys.append(rng.uniform(-15.0, 47.0, size=(k, 2)))
+    edges = polygons_to_edges(polys)
+
+    clipped = clip_edges_rect(edges, xmax, ymax)
+    cov = coverage_numpy(clipped, H, W)
+    cov2 = coverage_numpy(split_edges_y(clipped, 7.0), H, W)
+    np.testing.assert_allclose(cov2, cov, atol=1e-4)
+
+    centers = (np.arange(H * ss) + 0.5) / ss
+    px, py = np.meshgrid(centers[: W * ss], centers)
+    e = edges.astype(np.float64)
+    x0, y0, x1, y1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    dy = y1 - y0
+    wind = np.zeros(px.shape, np.int64)
+    for j in range(len(e)):
+        if dy[j] == 0.0:
+            continue
+        t = (py - y0[j]) / dy[j]
+        xc = x0[j] + t * (x1[j] - x0[j])
+        if dy[j] > 0:
+            wind += ((py >= y0[j]) & (py < y1[j]) & (xc > px))
+        else:
+            wind -= ((py >= y1[j]) & (py < y0[j]) & (xc > px))
+    # The engine INTEGRATES winding across the pixel before the fill
+    # rule clamps (min(|w|, 1) nonzero — the documented conflation
+    # model), so the oracle averages the signed winding, then clamps.
+    # The clip rect is weighted EXACTLY per subsample cell (the clip
+    # line is axis-aligned; only polygon edges stay ss-quantized).
+    wx = np.clip((xmax - (px - 0.5 / ss)) * ss, 0.0, 1.0)
+    wy = np.clip((ymax - (py - 0.5 / ss)) * ss, 0.0, 1.0)
+    wmask = wind * wx * wy
+    ind = np.clip(np.abs(wmask.reshape(H, ss, W, ss).mean(axis=(1, 3))),
+                  0.0, 1.0)
+
+    err = np.abs(cov - ind)
+    assert err.max() < 0.1, f"max {err.max():.3f} seed {seed}"
+    assert err.mean() < 0.002, f"mean {err.mean():.5f} seed {seed}"

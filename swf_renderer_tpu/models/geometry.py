@@ -315,6 +315,20 @@ def stroke_subpath(
         cross = u0[0] * u1[1] - u0[1] * u1[0]
         if abs(cross) < 1e-12 and float(np.dot(u0, u1)) > 0:
             out.append(b)  # collinear: offsets coincide
+        elif abs(cross) < 1e-12:
+            # EXACT 180-degree reversal: neither side is the outer turn
+            # (cross == 0), but a round join must still emit the
+            # half-disk beyond the vertex (Canvas joins are the
+            # Minkowski disk at the vertex; miter/bevel degenerate to
+            # nothing here).  Emit the half-arc through the forward
+            # "nose" p + h*u0 on the sign=+1 pass; the other side
+            # routes through the vertex as an inner join.
+            if join == "round" and sign > 0:
+                a0 = math.atan2(a[1] - p[1], a[0] - p[0])
+                out.extend(_arc_points(p, h, a0, a0 - sign * math.pi,
+                                       tolerance))
+            else:
+                out.extend([a, p, b])
         elif sign * cross < 0:  # this side is the turn's OUTER side
             out.extend(_outer_join_points(p, a, b, h, join, miter_limit,
                                           tolerance))
@@ -515,6 +529,26 @@ def deoverlap_edges(edges: np.ndarray, max_edges: int = 20000) -> np.ndarray:
                     want = 1 if net > 0 else -1
                     keep_rows.append(rows[sgn[rows] == want][0])
             out = out[np.sort(np.asarray(keep_rows, np.int64))]
+    # SAFETY NET: the left/right winding probes misclassify when two
+    # DISTINCT boundary lines sit closer than the probe offset (a
+    # nearly-but-not-exactly retraced stroke) — one mis-kept or
+    # mis-oriented fragment leaks half-plane winding into the output.
+    # The union boundary of any region is a set of closed loops, so
+    # every vertex must have balanced in/out degree (tolerance-grouped);
+    # if not, fall back to the ORIGINAL soup: the engine's documented
+    # integrate-then-clamp conflation is localized seam over-count,
+    # never a leak.
+    if len(out):
+        pts_all = np.concatenate([out[:, :2], out[:, 2:]])
+        deg = np.concatenate([np.ones(len(out)), -np.ones(len(out))])
+        order = np.lexsort(pts_all.T[::-1])
+        sp = pts_all[order]
+        close = np.all(np.abs(sp[1:] - sp[:-1]) <= 1e-4, axis=1)
+        gid = np.concatenate([[0], np.cumsum(~close)])
+        net = np.zeros(int(gid[-1]) + 1)
+        np.add.at(net, gid, deg[order])
+        if np.any(net != 0):
+            return np.asarray(edges, np.float32)
     return out.astype(np.float32)
 
 

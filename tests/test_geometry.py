@@ -448,3 +448,42 @@ def test_clip_edges_rect_matches_winding_oracle_fuzz(seed):
     err = np.abs(cov - ind)
     assert err.max() < 0.1, f"max {err.max():.3f} seed {seed}"
     assert err.mean() < 0.002, f"mean {err.mean():.5f} seed {seed}"
+
+
+def test_stroke_retrace_separation_sweep_never_leaks():
+    """Sweep a nearly-retraced stroke from exact collinearity through
+    1e-1 px of separation.  Exact (and f32-coincident) retraces must
+    match the disk distance field tightly (the 180-degree round join
+    emits the forward half-disk; coincident boundaries collapse to net
+    multiplicity); the probe-ambiguous band (separation below the
+    winding-probe offset) falls back to the raw conflated soup via the
+    watertightness check — localized seam over-count is allowed, but
+    winding must NEVER leak into the far field."""
+    from swf_renderer_tpu.models.geometry import deoverlap_edges
+
+    H = W = 48
+    ss = 8
+    h = 1.5
+    for perp in (0.0, 1e-7, 1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 0.1):
+        pts = np.array([[10.0, 10.0], [30.0, 20.0],
+                        [14.0, 12.0 + perp], [26.0, 30.0]])
+        polys = stroke_subpath(pts, 2 * h, cap="round", join="round",
+                               tolerance=1e-4)
+        cov = coverage_numpy(deoverlap_edges(polygons_to_edges(polys)),
+                             H, W)
+        centers = (np.arange(H * ss) + 0.5) / ss
+        px, py = np.meshgrid(centers[: W * ss], centers)
+        d2 = np.full(px.shape, np.inf)
+        for a, b in zip(pts[:-1], pts[1:]):
+            ab = b - a
+            l2 = float(ab @ ab)
+            t = np.clip(((px - a[0]) * ab[0] + (py - a[1]) * ab[1])
+                        / max(l2, 1e-12), 0.0, 1.0)
+            d2 = np.minimum(d2, (px - (a[0] + t * ab[0])) ** 2
+                            + (py - (a[1] + t * ab[1])) ** 2)
+        ind = (d2 <= h * h).reshape(H, ss, W, ss).mean(axis=(1, 3))
+        err = np.abs(cov - ind)
+        assert err.mean() < 0.01, (perp, err.mean())
+        assert cov[:, 40:].sum() == 0.0, (perp, "far-field leak")
+        if perp in (0.0, 1e-7, 1e-2, 0.1):  # outside the bail band
+            assert err.max() < 0.1, (perp, err.max())

@@ -273,3 +273,113 @@ def test_stage_background_color_composites():
         background_color=ast_mod.StraightSRgba8(0, 0, 255, 255))] * 2
     batch = r.render_batch(stages)
     assert tuple(batch[0, 15, 15]) == (0, 0, 255, 255)
+
+
+def _random_poly_tag(rng, shape_id):
+    k = int(rng.integers(3, 7))
+    pts = rng.integers(100, 1900, size=(k, 2))
+    records = [ast.StyleChangeRecord(
+        move_to=ast.Vector2D(int(pts[0, 0]), int(pts[0, 1])), left_fill=1)]
+    for i in list(range(1, k)) + [0]:
+        d = pts[i] - pts[i - 1]
+        records.append(ast.EdgeRecord(delta=ast.Vector2D(int(d[0]),
+                                                         int(d[1]))))
+    color = tuple(int(c) for c in rng.integers(40, 256, size=4))
+    return ast.DefineShape(
+        id=shape_id,
+        bounds=ast.Rect(0, 2000, 0, 2000),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(color=ast.StraightSRgba8(*color)),),
+                line=(),
+            ),
+            records=tuple(records),
+        ),
+    )
+
+
+def _random_tree(rng, depth=0):
+    """Random display subtree: containers with random fixed-point
+    matrices and color transforms over solid-fill polygon leaves."""
+    def rand_matrix():
+        return ast.Matrix(
+            scale_x=Sfixed16P16.from_value(float(rng.uniform(0.4, 1.5))),
+            scale_y=Sfixed16P16.from_value(float(rng.uniform(0.4, 1.5))),
+            rotate_skew0=Sfixed16P16.from_value(float(rng.uniform(-0.4, 0.4))),
+            rotate_skew1=Sfixed16P16.from_value(float(rng.uniform(-0.4, 0.4))),
+            translate_x=int(rng.integers(-200, 800)),
+            translate_y=int(rng.integers(-200, 800)),
+        )
+
+    def rand_ct():
+        if rng.uniform() < 0.5:
+            return None
+        return display.ColorTransform(
+            mult=tuple(float(m) for m in rng.uniform(0.3, 1.0, 4)),
+            add=tuple(float(a) for a in rng.uniform(-0.1, 0.1, 4)),
+        )
+
+    if depth >= 2 or rng.uniform() < 0.45:
+        return display.ShapeInstance(
+            definition=_random_poly_tag(rng, int(rng.integers(1, 1 << 16))),
+            matrix=rand_matrix(), color_transform=rand_ct())
+    kids = tuple(_random_tree(rng, depth + 1)
+                 for _ in range(int(rng.integers(1, 4))))
+    return display.Container(children=kids, matrix=rand_matrix(),
+                             color_transform=rand_ct())
+
+
+def test_random_display_tree_cross_backend_and_compositing():
+    """Random nested trees (matrices, color transforms, painter's
+    order): the scanline and direct backends are independent coverage
+    algorithms and must agree to the u8 quantum; the full render must
+    match numpy premultiplied alpha-over compositing of each leaf
+    rendered ALONE through its preserved container chain (sibling
+    independence + painter's order)."""
+    for seed in range(4):
+        rng = np.random.default_rng(300 + seed)
+        roots = tuple(_random_tree(rng) for _ in range(int(rng.integers(2, 4))))
+        stage = display.Stage(width=100, height=100, children=roots)
+
+        full = TpuRenderer(100, 100, backend="scanline").render(stage)
+        direct = TpuRenderer(100, 100, backend="direct").render(stage)
+        assert np.abs(full.astype(np.int32)
+                      - direct.astype(np.int32)).max() <= 1
+
+        # Single-leaf stages preserving each leaf's container chain, in
+        # painter's order.
+        def leaf_chains(obj, chain):
+            if isinstance(obj, display.Container):
+                for c in obj.children:
+                    yield from leaf_chains(c, chain + [obj])
+            else:
+                yield chain, obj
+
+        leaves = [lc for root in roots for lc in leaf_chains(root, [])]
+        acc = np.zeros((100, 100, 4), np.float64)  # premul
+        for chain, leaf in leaves:
+            wrapped = leaf
+            for cont in reversed(chain):
+                wrapped = dataclasses.replace(cont, children=(wrapped,))
+            frame = TpuRenderer(100, 100, backend="scanline").render(
+                display.Stage(width=100, height=100, children=(wrapped,)))
+            f = frame.astype(np.float64) / 255.0
+            pm = np.concatenate([f[..., :3] * f[..., 3:4], f[..., 3:4]], -1)
+            acc = pm + acc * (1.0 - pm[..., 3:4])
+        # premul -> straight u8 (round premul bytes first, like the
+        # production quantizer)
+        pm_u8 = np.rint(acc * 255.0)
+        alpha = pm_u8[..., 3:4]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rgb = np.where(alpha > 0, pm_u8[..., :3] / alpha * 255.0, 0.0)
+        want = np.concatenate([np.rint(rgb), alpha], -1)
+        got = full.astype(np.float64)
+        # per-leaf u8 quantization stacks across layers
+        n = len(leaves)
+        diff = np.abs(got - want)
+        assert diff[..., 3].max() <= 1 + n, (seed, diff[..., 3].max())
+        # straight-alpha rgb amplifies premul quanta at low alpha; gate
+        # rgb only where the result is reasonably opaque
+        opaque = got[..., 3] > 64
+        assert (diff[..., :3] * opaque[..., None]).max() <= 3 + 2 * n, (
+            seed, (diff[..., :3] * opaque[..., None]).max())

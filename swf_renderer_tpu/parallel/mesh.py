@@ -771,10 +771,15 @@ def render_deep_passes_sharded(mesh: Mesh, edge_tables, colors,
     )(*map(jnp.asarray, stacked), jnp.asarray(col_g))
 
     # Associative premul-over fold across the pass axis (bottom pass
-    # first); XLA gathers the sharded axis for the tiny fold.
+    # first).  Fold on the HOST: eager jnp binary ops on the sharded
+    # shard_map output intermittently SIGABRT deep in XLA:CPU under
+    # full-suite pressure (multi-device relayout of a committed array);
+    # numpy f32 elementwise math is IEEE-identical op-for-op, so the
+    # fold result is bit-equal to the eager device fold.
+    planes = np.asarray(planes)
     acc = planes[0]
     for g in range(1, g_n):
         top = planes[g]
-        acc = top + acc * (1.0 - top[:, :, 3:4])
+        acc = top + acc * (np.float32(1.0) - top[:, :, 3:4])
     pm = _premul_planes_to_frames(acc, height, width, nc)
     return np.asarray(premul_to_straight_u8(pm))

@@ -69,6 +69,13 @@ from .coverage import FILL_RULE_NONZERO, _on_tpu, layer_rules
 STRIP_H = 8
 LANE = 128
 BLK = 128           # updates per placement block
+# Fold value parts into the (BLK, LANE) step matrix instead of the
+# (plane_rows, BLK) one-hot (see _place_delta).  FALSIFIED — never
+# enable on chip: measured -21% on the headline AND the on-chip branch
+# MISCOMPILES (byte_dmax 221 vs the interpret-mode bit-identity; the
+# excess-precision-folding family — PERF.md round 4).  Kept as the
+# committed record with tools/exp_vfold.py.
+_VFOLD_DEFAULT = False
 # Chunk-major plane sublane budget: n_chunks*8 sublanes, power-of-2 padded.
 # 16 chunks (width <= 2047) fit the base 128-sublane plane; wider frames
 # (up to 64 chunks / width 8191, e.g. 4K) grow the plane to 256/512
@@ -211,7 +218,7 @@ def pack_flat_blocks(update_lists, height: int, width: int,
 
 
 def _place_delta(rc, cm, v, lane, sub, *, step: bool = True,
-                 passes: int = 3):
+                 passes: int = 3, vfold: bool = False):
     """One placement block's exact f32 (128, 128) plane delta.
 
     rc/v are (1, BLK) lane vectors, cm is (BLK, 1) sublane.  step=False:
@@ -224,7 +231,32 @@ def _place_delta(rc, cm, v, lane, sub, *, step: bool = True,
     val = hi + mid + lo exactly (3x8 mantissa bits >= f32's 24), each part
     bf16-exact, so three DEFAULT MXU passes give the exact f32 placement;
     passes=2 carries ~16 bits (winding error <= ~1e-4 — flips alpha-epsilon
-    pixels; not the default)."""
+    pixels; not the default).
+
+    ``vfold``: v arrives SUBLANE-oriented (BLK, 1) like cm, and each value
+    part scales the (BLK, LANE) step matrix instead of the
+    (plane_rows, BLK) one-hot.  Every (r, k, c) product is the identical
+    bf16 pair ([sub_r==rc_k] in {0,1} times part_k*[cm_k<=c]), summed by
+    the MXU in the same k order, so the delta is BIT-IDENTICAL — but on
+    plane_rows > BLK planes (spp >= 2) the per-pass elementwise mul+cast
+    shrinks from (plane_rows, BLK) to (BLK, LANE)."""
+    if vfold:
+        onehot = (sub == rc).astype(jnp.bfloat16)  # (plane_rows, BLK)
+        wf = (cm <= lane) if step else (cm == lane)
+        wf = wf.astype(jnp.float32)                # (BLK, LANE)
+        hi = v.astype(jnp.bfloat16)                # (BLK, 1)
+        hi32 = hi.astype(jnp.float32)
+        mid = (v - hi32).astype(jnp.bfloat16)
+        parts = [hi, mid]
+        if passes >= 3:
+            mid32 = mid.astype(jnp.float32)
+            parts.append((v - hi32 - mid32).astype(jnp.bfloat16))
+        delta = jnp.zeros((sub.shape[0], LANE), jnp.float32)
+        for part in parts:
+            w = (wf * part.astype(jnp.float32)).astype(jnp.bfloat16)
+            delta = delta + jnp.dot(onehot, w,
+                                    preferred_element_type=jnp.float32)
+        return delta
     if step:
         w = (cm <= lane).astype(jnp.bfloat16)
     else:
@@ -718,11 +750,13 @@ def sort_blocks_fused(sidx, keep, urc, ucm, uval, layers: int,
 
 def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
                    n_chunks: int, fill_rule: int, group: int,
-                   plane_rows: int = LANE, blk: int = BLK, spp: int = 1):
+                   plane_rows: int = LANE, blk: int = BLK, spp: int = 1,
+                   vfold: bool = False):
     """Generalized fused kernel: ``group`` placement blocks per grid step
     (all one (f, s) supergroup).  rest = (lay_0..lay_{group-1}, colors,
     urc, ucm, uval, out, acc); the block arrays hold the group's blocks
-    side by side: urc/uval (1, 1, group*BLK), ucm (1, group*BLK, 1)."""
+    side by side: urc/uval (1, 1, group*BLK), ucm (1, group*BLK, 1)
+    (``vfold``: uval rides sublane-oriented (1, group*BLK, 1))."""
     lay_refs = rest[:group]
     colors_ref = rest[group]
     urc_ref, ucm_ref, uval_ref, out_ref, acc_ref = rest[group + 1:]
@@ -744,10 +778,13 @@ def _fusedn_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
     for g in range(group):
         @pl.when(jnp.logical_or(run_all, g < nblk))
         def _place(g=g):
+            if vfold:
+                v = uval_ref[0, g * blk:(g + 1) * blk, :]
+            else:
+                v = uval_ref[0, :, g * blk:(g + 1) * blk]
             delta = _place_delta(urc_ref[0, :, g * blk:(g + 1) * blk],
                                  ucm_ref[0, g * blk:(g + 1) * blk, :],
-                                 uval_ref[0, :, g * blk:(g + 1) * blk],
-                                 lane, sub)
+                                 v, lane, sub, vfold=vfold)
             layer = lay_refs[g][i]
             acc_ref[layer] = acc_ref[layer] + delta
 
@@ -778,7 +815,7 @@ def _resolve_acc_to_u32(acc_ref, colors_ref, out_ref, packed,
 
 @functools.partial(jax.jit, static_argnames=(
     "frames", "layers", "n_strips", "n_chunks", "group", "fill_rule",
-    "interpret", "blk", "spp"))
+    "interpret", "blk", "spp", "vfold"))
 def render_fused_blocksn(
     sidx: jax.Array,    # (NG,) i32 packed target
     flags: jax.Array,   # (NG,) i32 bit0 zero, bit1 resolve
@@ -796,6 +833,7 @@ def render_fused_blocksn(
     interpret: bool = None,
     blk: int = BLK,
     spp: int = 1,
+    vfold: bool = None,  # None = _VFOLD_DEFAULT
 ) -> jax.Array:
     """Group-per-step fused render -> (F, NSB+1, spp*8, stride) uint32.
 
@@ -805,10 +843,15 @@ def render_fused_blocksn(
     (ceil(strips/spp)) and each output row-block carries spp strips."""
     if interpret is None:
         interpret = not _on_tpu()
+    if vfold is None:
+        vfold = _VFOLD_DEFAULT
     ng = urc.shape[0]
     ns1 = n_strips + 1
     stride = n_chunks * LANE
     plane_rows = plane_rows_for(n_chunks, spp)
+    if vfold:
+        # Same bytes, sublane orientation (see render_fused_styled).
+        uval = uval.reshape(ng, uval.shape[2], 1)
     nsp = 2 + group + 1  # sidx, flags, lay_g..., colors
 
     def out_index(i, *refs):
@@ -826,7 +869,8 @@ def render_fused_blocksn(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, group * blk, 1), in_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, group * blk), in_index,
+            pl.BlockSpec((1, group * blk, 1) if vfold
+                         else (1, 1, group * blk), in_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -839,7 +883,7 @@ def render_fused_blocksn(
     kernel = functools.partial(
         _fusedn_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
         fill_rule=fill_rule, group=group, plane_rows=plane_rows, blk=blk,
-        spp=spp)
+        spp=spp, vfold=vfold)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1007,7 +1051,8 @@ def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
                          n_chunks: int, fill_rule: int, group: int,
                          paints, n_fields: int, plane_rows: int = LANE,
                          spp: int = 1, chain: bool = False,
-                         has_bg: bool = False, emit: str = "u32"):
+                         has_bg: bool = False, emit: str = "u32",
+                         vfold: bool = False):
     """_fusedn_kernel generalized to styled per-layer paints.
 
     ``has_bg``: a premul background plane input follows the fields
@@ -1035,10 +1080,13 @@ def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
     for g in range(group):
         @pl.when(jnp.logical_or(run_all, g < nblk))
         def _place(g=g):
+            if vfold:
+                v = uval_ref[0, g * BLK:(g + 1) * BLK, :]
+            else:
+                v = uval_ref[0, :, g * BLK:(g + 1) * BLK]
             delta = _place_delta(urc_ref[0, :, g * BLK:(g + 1) * BLK],
                                  ucm_ref[0, g * BLK:(g + 1) * BLK, :],
-                                 uval_ref[0, :, g * BLK:(g + 1) * BLK],
-                                 lane, sub)
+                                 v, lane, sub, vfold=vfold)
             layer = lay_refs[g][i]
             acc_ref[layer] = acc_ref[layer] + delta
 
@@ -1072,7 +1120,7 @@ def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "frames", "layers", "n_strips", "n_chunks", "group", "paints",
-    "fill_rule", "interpret", "spp", "chain", "emit"))
+    "fill_rule", "interpret", "spp", "chain", "emit", "vfold"))
 def render_fused_styled(
     sidx: jax.Array,    # (NG,) i32 packed target
     flags: jax.Array,   # (NG,) i32 bit0 zero, bit1 resolve
@@ -1094,6 +1142,7 @@ def render_fused_styled(
     chain: bool = False,
     bg: jax.Array = None,  # (F, NS+1, 4, plane_rows, 128) premul planes
     emit: str = "u32",
+    vfold: bool = None,  # None = _VFOLD_DEFAULT
 ) -> jax.Array:
     """Styled group-per-step fused render -> (F, NS+1, spp*8, stride)
     uint32.
@@ -1112,12 +1161,18 @@ def render_fused_styled(
     bit-exactly one big chain composite (left fold)."""
     if interpret is None:
         interpret = not _on_tpu()
+    if vfold is None:
+        vfold = _VFOLD_DEFAULT
     if bg is not None and not chain:
         raise ValueError("bg requires chain=True")
     ng = urc.shape[0]
     ns1 = n_strips + 1
     stride = n_chunks * LANE
     plane_rows = plane_rows_for(n_chunks, spp)
+    if vfold:
+        # Same bytes, sublane orientation: (NG, 1, G*BLK) and
+        # (NG, G*BLK, 1) are identical row-major layouts.
+        uval = uval.reshape(ng, uval.shape[2], 1)
     n_fields = len(fields)
     nsp = 2 + group + 1  # sidx, flags, lay_g..., colors
 
@@ -1158,7 +1213,8 @@ def render_fused_styled(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, group * BLK, 1), in_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, group * BLK), in_index,
+            pl.BlockSpec((1, group * BLK, 1) if vfold
+                         else (1, 1, group * BLK), in_index,
                          memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((1, 4, plane_rows, LANE), field_index,
@@ -1176,7 +1232,7 @@ def render_fused_styled(
         _fused_styled_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
         fill_rule=fill_rule, group=group, paints=paints, n_fields=n_fields,
         plane_rows=plane_rows, spp=spp, chain=chain,
-        has_bg=bg is not None, emit=emit)
+        has_bg=bg is not None, emit=emit, vfold=vfold)
     args = [sidx, flags, *(lays[g] for g in range(group)), colors,
             urc, ucm, uval, *fields]
     if bg is not None:

@@ -341,3 +341,63 @@ def test_multipass_matches_layered_oracle():
         composite_draws(jnp.asarray(covs), jnp.stack(fields))))
     diff = np.abs(got[0].astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.parametrize("use_spp", [False, True])
+def test_vfold_placement_bit_identical(use_spp):
+    """vfold placement (value parts scale the (BLK, LANE) step matrix,
+    uval read sublane-oriented) is BIT-identical to the one-hot-side
+    production kernel: every MXU product is the same bf16 pair in the
+    same k order (_place_delta docstring), so the raw packed-u32 output
+    must match exactly — on single-strip AND multi-strip (spp > 1)
+    planes, where the fold actually shrinks the per-pass elementwise
+    work (plane_rows > BLK).
+
+    This identity holds in interpret mode (this test, CPU) but NOT on
+    the chip: Mosaic miscompiles the vfold branch (byte_dmax 221 —
+    excess-precision folding family, PERF.md round 4), which with the
+    -21% timing is why vfold is permanently off in production."""
+    from swf_renderer_tpu.native.bindings import (
+        native_available, pack_grouped_native,
+    )
+    from swf_renderer_tpu.ops.flatblock import strips_per_plane
+    from swf_renderer_tpu.ops.pipeline import (
+        kernel_paints_for, lower_update_lists,
+    )
+
+    if not native_available():
+        pytest.skip("native packer required")
+    rng = np.random.default_rng(29)
+    height, width = 64, 250
+    frames = 2
+    stops_r = np.array([0.0, 1.0], np.float32)
+    stops_c = np.array([[1, 0, 0, 1], [0, 0, 1, 0.5]], np.float32)
+    paints = [
+        style_ops.solid_paint((0.9, 0.4, 0.1, 0.7)),
+        style_ops.Paint(kind=style_ops.PAINT_LINEAR,
+                        inv_matrix=(130.0, 10.0, -5.0, 130.0,
+                                    -8000.0, -8000.0),
+                        stop_ratios=stops_r, stop_colors=stops_c),
+    ]
+    layers = len(paints)
+    edge_tables = [[_polygon_edges(rng, height, width) for _ in paints]
+                   for _ in range(frames)]
+    colors = np.zeros((frames, layers, 4), np.float32)
+    colors[:, 0] = paints[0].color
+    update_lists = lower_update_lists(edge_tables, height, width,
+                                      drop_zeros=True)
+    _, nc_geo, ns_geo = plane_geometry(height, width)
+    spp = strips_per_plane(nc_geo, ns_geo) if use_spp else 1
+    kp, fields, _ = kernel_paints_for(paints, height, width, spp=spp)
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = pack_grouped_native(
+        update_lists, height, width, group=4, spp=spp)
+    outs = {}
+    for vf in (False, True):
+        outs[vf] = np.asarray(render_fused_styled(
+            jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+            jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+            jnp.asarray(colors), fields, frames, layers, ns, nc, kp,
+            group=4, spp=spp, vfold=vf))
+    np.testing.assert_array_equal(outs[False], outs[True])
+    if use_spp:
+        assert spp > 1

@@ -18,6 +18,15 @@ Scope: solid, gradient (linear/radial) and bitmap fills; solid line styles
 (DefineShape3 LINESTYLE), and DefineShape4 (tag 83) with LINESTYLE2 —
 caps, joins and miter limits round-trip, which DefineShape3 cannot
 express.  Enough to emit every static shape in the corpus.
+
+Morph shapes: DefineMorphShape (tag 46) and DefineMorphShape2 (tag 84,
+MORPHLINESTYLE2 caps/joins + stroke-scaling flags).  The merged
+start/end AST records (swf-tree morph schema, the form
+decode_morph_shape consumes) split into the wire format's StartEdges /
+EndEdges streams on emit and re-pair on parse: every edge pairs 1:1
+across the streams, and every start style-change that moves the pen
+pairs with an end style-change carrying only the end move
+(the swf-emitter convention the reference's build.js relies on).
 """
 
 from __future__ import annotations
@@ -33,6 +42,8 @@ TAG_END = 0
 TAG_SHOW_FRAME = 1
 TAG_DEFINE_SHAPE3 = 32
 TAG_DEFINE_SHAPE4 = 83
+TAG_DEFINE_MORPH_SHAPE = 46
+TAG_DEFINE_MORPH_SHAPE2 = 84
 TAG_SET_BACKGROUND = 9
 TAG_PLACE_OBJECT2 = 26
 
@@ -284,6 +295,60 @@ def _parse_styles(data: bytes, pos: int,
 # ---------------------------------------------------------------------------
 
 
+def _write_edge(w: BitWriter, delta: ast.Vector2D,
+                control_delta) -> None:
+    """One edge record's bits (after the is-edge flag)."""
+    w.write_ub(1, 1)  # edge
+    if control_delta is None:
+        w.write_ub(1, 1)  # straight
+        dx, dy = delta.x, delta.y
+        nbits = max(2, sbits_for(dx, dy))
+        w.write_ub(nbits - 2, 4)
+        if dx != 0 and dy != 0:
+            w.write_ub(1, 1)  # general line
+            w.write_sb(dx, nbits)
+            w.write_sb(dy, nbits)
+        else:
+            w.write_ub(0, 1)
+            vertical = dx == 0
+            w.write_ub(1 if vertical else 0, 1)
+            w.write_sb(dy if vertical else dx, nbits)
+    else:
+        w.write_ub(0, 1)  # curved
+        cx, cy = control_delta.x, control_delta.y
+        ax = delta.x - cx
+        ay = delta.y - cy
+        nbits = max(2, sbits_for(cx, cy, ax, ay))
+        w.write_ub(nbits - 2, 4)
+        w.write_sb(cx, nbits)
+        w.write_sb(cy, nbits)
+        w.write_sb(ax, nbits)
+        w.write_sb(ay, nbits)
+
+
+def _read_edge(r: BitReader) -> ast.EdgeRecord:
+    """One edge record's bits (after the is-edge flag)."""
+    straight = r.read_ub(1)
+    nbits = r.read_ub(4) + 2
+    if straight:
+        if r.read_ub(1):  # general
+            dx = r.read_sb(nbits)
+            dy = r.read_sb(nbits)
+        elif r.read_ub(1):  # vertical
+            dx, dy = 0, r.read_sb(nbits)
+        else:
+            dx, dy = r.read_sb(nbits), 0
+        return ast.EdgeRecord(delta=ast.Vector2D(dx, dy))
+    cx = r.read_sb(nbits)
+    cy = r.read_sb(nbits)
+    ax = r.read_sb(nbits)
+    ay = r.read_sb(nbits)
+    return ast.EdgeRecord(
+        delta=ast.Vector2D(cx + ax, cy + ay),
+        control_delta=ast.Vector2D(cx, cy),
+    )
+
+
 def _emit_shape_records(body: ast.ShapeBody, line2: bool = False) -> bytes:
     out = bytearray(_emit_styles(body.initial_styles, line2))
     styles = body.initial_styles
@@ -330,32 +395,7 @@ def _emit_shape_records(body: ast.ShapeBody, line2: bool = False) -> bytes:
                 w.write_ub(fill_bits, 4)
                 w.write_ub(line_bits, 4)
         elif isinstance(record, ast.EdgeRecord):
-            w.write_ub(1, 1)  # edge
-            if record.control_delta is None:
-                w.write_ub(1, 1)  # straight
-                dx, dy = record.delta.x, record.delta.y
-                nbits = max(2, sbits_for(dx, dy))
-                w.write_ub(nbits - 2, 4)
-                if dx != 0 and dy != 0:
-                    w.write_ub(1, 1)  # general line
-                    w.write_sb(dx, nbits)
-                    w.write_sb(dy, nbits)
-                else:
-                    w.write_ub(0, 1)
-                    vertical = dx == 0
-                    w.write_ub(1 if vertical else 0, 1)
-                    w.write_sb(dy if vertical else dx, nbits)
-            else:
-                w.write_ub(0, 1)  # curved
-                cx, cy = record.control_delta.x, record.control_delta.y
-                ax = record.delta.x - cx
-                ay = record.delta.y - cy
-                nbits = max(2, sbits_for(cx, cy, ax, ay))
-                w.write_ub(nbits - 2, 4)
-                w.write_sb(cx, nbits)
-                w.write_sb(cy, nbits)
-                w.write_sb(ax, nbits)
-                w.write_sb(ay, nbits)
+            _write_edge(w, record.delta, record.control_delta)
         else:
             raise ValueError(f"unknown record {record!r}")
 
@@ -405,26 +445,7 @@ def _parse_shape_records(data: bytes, pos: int,
                 line_style=line, new_styles=new_styles,
             ))
         else:
-            straight = r.read_ub(1)
-            nbits = r.read_ub(4) + 2
-            if straight:
-                if r.read_ub(1):  # general
-                    dx = r.read_sb(nbits)
-                    dy = r.read_sb(nbits)
-                elif r.read_ub(1):  # vertical
-                    dx, dy = 0, r.read_sb(nbits)
-                else:
-                    dx, dy = r.read_sb(nbits), 0
-                records.append(ast.EdgeRecord(delta=ast.Vector2D(dx, dy)))
-            else:
-                cx = r.read_sb(nbits)
-                cy = r.read_sb(nbits)
-                ax = r.read_sb(nbits)
-                ay = r.read_sb(nbits)
-                records.append(ast.EdgeRecord(
-                    delta=ast.Vector2D(cx + ax, cy + ay),
-                    control_delta=ast.Vector2D(cx, cy),
-                ))
+            records.append(_read_edge(r))
     r.align()
     return ast.ShapeBody(initial_styles=initial_styles,
                          records=tuple(records)), r.byte_pos
@@ -548,16 +569,395 @@ def parse_define_shape4_tag(body: bytes) -> ast.DefineShape:
                            has_fill_winding=bool((flags >> 2) & 1))
 
 
+# ---------------------------------------------------------------------------
+# Morph shapes (DefineMorphShape / DefineMorphShape2)
+# ---------------------------------------------------------------------------
+
+
+def _emit_morph_fill_style(fill: ast.MorphFillStyle) -> bytes:
+    if isinstance(fill, ast.MorphSolidFill):
+        out = bytearray((0x00,))
+        _write_rgba(out, fill.color)
+        _write_rgba(out, fill.morph_color)
+        return bytes(out)
+    # Solid-only, matching the decoder (and the reference's
+    # decode-swf-morph-shape.ts:94-106, which throws for the rest).
+    raise ValueError(f"cannot emit morph fill style {fill!r}")
+
+
+def _parse_morph_fill_style(data: bytes, pos: int
+                            ) -> Tuple[ast.MorphFillStyle, int]:
+    kind = data[pos]
+    pos += 1
+    if kind == 0x00:
+        color, pos = _read_rgba(data, pos)
+        morph_color, pos = _read_rgba(data, pos)
+        return ast.MorphSolidFill(color=color, morph_color=morph_color), pos
+    raise ValueError(f"unsupported morph fill style kind 0x{kind:02x}")
+
+
+def _default_morph_line(width: int, morph_width: int,
+                        fill: ast.MorphFillStyle) -> ast.MorphLineStyle:
+    return ast.MorphLineStyle(
+        width=width, morph_width=morph_width,
+        start_cap="round", end_cap="round", join={"type": "round"},
+        no_h_scale=False, no_v_scale=False, no_close=False,
+        pixel_hinting=False, fill=fill,
+    )
+
+
+def _emit_morph_line_style(l: ast.MorphLineStyle, line2: bool) -> bytes:
+    if not isinstance(l.fill, ast.MorphSolidFill):
+        raise ValueError("morph line styles are solid-only")
+    out = bytearray(struct.pack("<HH", l.width, l.morph_width))
+    if not line2:
+        # MORPHLINESTYLE (tag 46): widths + colors only.  Caps/joins are
+        # not expressible — like DefineShape3's LINESTYLE, non-default
+        # values are dropped and parse back as the round defaults.
+        _write_rgba(out, l.fill.color)
+        _write_rgba(out, l.fill.morph_color)
+        return bytes(out)
+    join = l.join.get("type", "round") if isinstance(l.join, dict) \
+        else str(l.join)
+    b = 0
+    b |= _CAP_TO_BITS[l.start_cap] << 6
+    b |= _JOIN_TO_BITS[join] << 4
+    # HasFillFlag = 0 (solid colors), NoHScale, NoVScale, PixelHinting
+    b |= (1 if l.no_h_scale else 0) << 2
+    b |= (1 if l.no_v_scale else 0) << 1
+    b |= 1 if l.pixel_hinting else 0
+    out.append(b)
+    b2 = 0  # 5 reserved bits
+    b2 |= (1 if l.no_close else 0) << 2
+    b2 |= _CAP_TO_BITS[l.end_cap]
+    out.append(b2)
+    if join == "miter":
+        limit = float(l.join.get("limit", 3.0)) \
+            if isinstance(l.join, dict) else 3.0
+        out.extend(struct.pack("<H", int(round(limit * 256)) & 0xFFFF))
+    _write_rgba(out, l.fill.color)
+    _write_rgba(out, l.fill.morph_color)
+    return bytes(out)
+
+
+def _parse_morph_line_style(data: bytes, pos: int, line2: bool
+                            ) -> Tuple[ast.MorphLineStyle, int]:
+    width, morph_width = struct.unpack_from("<HH", data, pos)
+    pos += 4
+    if not line2:
+        color, pos = _read_rgba(data, pos)
+        morph_color, pos = _read_rgba(data, pos)
+        return _default_morph_line(
+            width, morph_width,
+            ast.MorphSolidFill(color=color, morph_color=morph_color)), pos
+    b = data[pos]
+    pos += 1
+    start_cap = _BITS_TO_CAP[(b >> 6) & 3]
+    join_bits = (b >> 4) & 3
+    has_fill = bool((b >> 3) & 1)
+    no_h = bool((b >> 2) & 1)
+    no_v = bool((b >> 1) & 1)
+    hinting = bool(b & 1)
+    b2 = data[pos]
+    pos += 1
+    no_close = bool((b2 >> 2) & 1)
+    end_cap = _BITS_TO_CAP[b2 & 3]
+    join: dict = {"type": _BITS_TO_JOIN[join_bits]}
+    if join_bits == 2:
+        (ml,) = struct.unpack_from("<H", data, pos)
+        pos += 2
+        join["limit"] = ml / 256.0
+    if has_fill:
+        raise ValueError("MORPHLINESTYLE2 fill styles not supported")
+    color, pos = _read_rgba(data, pos)
+    morph_color, pos = _read_rgba(data, pos)
+    return ast.MorphLineStyle(
+        width=width, morph_width=morph_width,
+        start_cap=start_cap, end_cap=end_cap, join=join,
+        no_h_scale=no_h, no_v_scale=no_v, no_close=no_close,
+        pixel_hinting=hinting,
+        fill=ast.MorphSolidFill(color=color, morph_color=morph_color),
+    ), pos
+
+
+def _emit_morph_styles(styles: ast.MorphShapeStyles, line2: bool) -> bytes:
+    out = bytearray()
+    fills = list(styles.fill)
+    if len(fills) >= 0xFF:
+        out.append(0xFF)
+        out.extend(struct.pack("<H", len(fills)))
+    else:
+        out.append(len(fills))
+    for f in fills:
+        out.extend(_emit_morph_fill_style(f))
+    lines = list(styles.line)
+    if len(lines) >= 0xFF:
+        out.append(0xFF)
+        out.extend(struct.pack("<H", len(lines)))
+    else:
+        out.append(len(lines))
+    for l in lines:
+        out.extend(_emit_morph_line_style(l, line2))
+    return bytes(out)
+
+
+def _parse_morph_styles(data: bytes, pos: int, line2: bool
+                        ) -> Tuple[ast.MorphShapeStyles, int]:
+    count = data[pos]
+    pos += 1
+    if count == 0xFF:
+        (count,) = struct.unpack_from("<H", data, pos)
+        pos += 2
+    fills = []
+    for _ in range(count):
+        fill, pos = _parse_morph_fill_style(data, pos)
+        fills.append(fill)
+    count = data[pos]
+    pos += 1
+    if count == 0xFF:
+        (count,) = struct.unpack_from("<H", data, pos)
+        pos += 2
+    lines = []
+    for _ in range(count):
+        line, pos = _parse_morph_line_style(data, pos, line2)
+        lines.append(line)
+    return ast.MorphShapeStyles(fill=tuple(fills), line=tuple(lines)), pos
+
+
+def _split_morph_records(records) -> Tuple[list, list]:
+    """Merged AST records -> (start stream, end stream) static records.
+
+    Edges pair 1:1; a style-change that moves the pen emits an
+    end-stream style-change holding only the end move (morph streams
+    cannot carry new-styles — the spec reserves the flag)."""
+    start: list = []
+    end: list = []
+    for rec in records:
+        if isinstance(rec, ast.MorphStyleChangeRecord):
+            if rec.new_styles is not None:
+                raise ValueError(
+                    "morph shapes cannot carry new-styles records")
+            if (rec.move_to is None) != (rec.morph_move_to is None):
+                raise ValueError(
+                    "morph style-change needs both moves or neither")
+            if (rec.move_to is None and rec.left_fill is None
+                    and rec.right_fill is None and rec.line_style is None):
+                raise ValueError(
+                    "empty morph style-change would encode as end-of-shape")
+            start.append(ast.StyleChangeRecord(
+                move_to=rec.move_to, left_fill=rec.left_fill,
+                right_fill=rec.right_fill, line_style=rec.line_style))
+            if rec.morph_move_to is not None:
+                end.append(ast.StyleChangeRecord(move_to=rec.morph_move_to))
+        elif isinstance(rec, ast.MorphEdgeRecord):
+            start.append(ast.EdgeRecord(
+                delta=rec.delta, control_delta=rec.control_delta))
+            end.append(ast.EdgeRecord(
+                delta=rec.morph_delta,
+                control_delta=rec.morph_control_delta))
+        else:
+            raise ValueError(f"unknown morph record {rec!r}")
+    return start, end
+
+
+def _merge_morph_records(start, end) -> Tuple[ast.MorphShapeRecord, ...]:
+    """Re-pair StartEdges/EndEdges streams into merged AST records."""
+    out: List[ast.MorphShapeRecord] = []
+    ei = iter(end)
+    for rec in start:
+        if isinstance(rec, ast.StyleChangeRecord):
+            morph_move = None
+            if rec.move_to is not None:
+                try:
+                    e = next(ei)
+                except StopIteration:
+                    raise ValueError("end stream ended before its move")
+                if not isinstance(e, ast.StyleChangeRecord) \
+                        or e.move_to is None:
+                    raise ValueError(
+                        "start move must pair with an end move")
+                morph_move = e.move_to
+            out.append(ast.MorphStyleChangeRecord(
+                move_to=rec.move_to, morph_move_to=morph_move,
+                left_fill=rec.left_fill, right_fill=rec.right_fill,
+                line_style=rec.line_style))
+        else:
+            try:
+                e = next(ei)
+            except StopIteration:
+                raise ValueError("end stream has fewer edges than start")
+            if not isinstance(e, ast.EdgeRecord):
+                raise ValueError("start edge must pair with an end edge")
+            out.append(ast.MorphEdgeRecord(
+                delta=rec.delta, morph_delta=e.delta,
+                control_delta=rec.control_delta,
+                morph_control_delta=e.control_delta))
+    if next(ei, None) is not None:
+        raise ValueError("end stream has more records than start")
+    return tuple(out)
+
+
+def _emit_record_stream(records, fill_bits: int, line_bits: int) -> bytes:
+    """A SHAPE record stream (nibble style bits + records, no
+    new-styles) — the StartEdges/EndEdges payload."""
+    w = BitWriter()
+    w.write_ub(fill_bits, 4)
+    w.write_ub(line_bits, 4)
+    for record in records:
+        if isinstance(record, ast.StyleChangeRecord):
+            w.write_ub(0, 1)  # non-edge
+            w.write_ub(0, 1)  # never new styles in morph streams
+            w.write_ub(1 if record.line_style is not None else 0, 1)
+            w.write_ub(1 if record.right_fill is not None else 0, 1)
+            w.write_ub(1 if record.left_fill is not None else 0, 1)
+            w.write_ub(1 if record.move_to is not None else 0, 1)
+            if record.move_to is not None:
+                nbits = sbits_for(record.move_to.x, record.move_to.y)
+                w.write_ub(nbits, 5)
+                w.write_sb(record.move_to.x, nbits)
+                w.write_sb(record.move_to.y, nbits)
+            if record.left_fill is not None:
+                w.write_ub(record.left_fill, fill_bits)
+            if record.right_fill is not None:
+                w.write_ub(record.right_fill, fill_bits)
+            if record.line_style is not None:
+                w.write_ub(record.line_style, line_bits)
+        else:
+            _write_edge(w, record.delta, record.control_delta)
+    w.write_ub(0, 6)  # end record
+    w.align()
+    return w.bytes()
+
+
+def _parse_record_stream(data: bytes, pos: int) -> Tuple[list, int]:
+    records: list = []
+    r = BitReader(data, pos)
+    fill_bits = r.read_ub(4)
+    line_bits = r.read_ub(4)
+    while True:
+        is_edge = r.read_ub(1)
+        if not is_edge:
+            flags = r.read_ub(5)
+            if flags == 0:
+                break  # end record
+            if flags & 0b10000:
+                raise ValueError(
+                    "morph record streams cannot carry new styles")
+            has_line = bool(flags & 0b01000)
+            has_f1 = bool(flags & 0b00100)
+            has_f0 = bool(flags & 0b00010)
+            has_move = bool(flags & 0b00001)
+            move_to = left = right = line = None
+            if has_move:
+                nbits = r.read_ub(5)
+                move_to = ast.Vector2D(r.read_sb(nbits), r.read_sb(nbits))
+            if has_f0:
+                left = r.read_ub(fill_bits)
+            if has_f1:
+                right = r.read_ub(fill_bits)
+            if has_line:
+                line = r.read_ub(line_bits)
+            records.append(ast.StyleChangeRecord(
+                move_to=move_to, left_fill=left, right_fill=right,
+                line_style=line))
+        else:
+            records.append(_read_edge(r))
+    r.align()
+    return records, r.byte_pos
+
+
+def emit_define_morph_shape(tag: ast.DefineMorphShape,
+                            shape2: bool = False) -> bytes:
+    """DefineMorphShape (tag 46) or DefineMorphShape2 (tag 84) bytes.
+
+    ``shape2`` preserves line caps/joins/miter (MORPHLINESTYLE2) and
+    the stroke-scaling flags, which tag 46 cannot express."""
+    body = bytearray(struct.pack("<H", tag.id))
+    w = BitWriter()
+    _write_rect(w, tag.bounds)
+    _write_rect(w, tag.morph_bounds)
+    if shape2:
+        # Edge bounds: reuse the shape bounds (like emit_define_shape4).
+        _write_rect(w, tag.bounds)
+        _write_rect(w, tag.morph_bounds)
+    body.extend(w.bytes())
+    if shape2:
+        body.append((1 if tag.has_non_scaling_strokes else 0) << 1
+                    | (1 if tag.has_scaling_strokes else 0))
+    styles = tag.shape.initial_styles
+    style_bytes = _emit_morph_styles(styles, line2=shape2)
+    start, end = _split_morph_records(tag.shape.records)
+    fill_bits = ubits_for(len(styles.fill))
+    line_bits = ubits_for(len(styles.line))
+    start_bytes = _emit_record_stream(start, fill_bits, line_bits)
+    end_bytes = _emit_record_stream(end, 0, 0)
+    # Offset: from just after this u32 to the start of EndEdges.
+    body.extend(struct.pack("<I", len(style_bytes) + len(start_bytes)))
+    body.extend(style_bytes)
+    body.extend(start_bytes)
+    body.extend(end_bytes)
+    return _tag(TAG_DEFINE_MORPH_SHAPE2 if shape2
+                else TAG_DEFINE_MORPH_SHAPE, bytes(body))
+
+
+def _parse_morph_body(body: bytes, pos: int, shape2: bool,
+                      ) -> ast.MorphShapeBody:
+    (offset,) = struct.unpack_from("<I", body, pos)
+    pos += 4
+    end_pos = pos + offset
+    styles, pos = _parse_morph_styles(body, pos, line2=shape2)
+    start, pos = _parse_record_stream(body, pos)
+    if pos > end_pos:
+        raise ValueError("StartEdges overran the EndEdges offset")
+    end, _ = _parse_record_stream(body, end_pos)
+    return ast.MorphShapeBody(
+        initial_styles=styles,
+        records=_merge_morph_records(start, end))
+
+
+def parse_define_morph_shape_tag(body: bytes) -> ast.DefineMorphShape:
+    (shape_id,) = struct.unpack_from("<H", body, 0)
+    r = BitReader(body, 2)
+    bounds = _read_rect(r)
+    morph_bounds = _read_rect(r)
+    return ast.DefineMorphShape(
+        id=shape_id, bounds=bounds, morph_bounds=morph_bounds,
+        shape=_parse_morph_body(body, r.byte_pos, shape2=False))
+
+
+def parse_define_morph_shape2_tag(body: bytes) -> ast.DefineMorphShape:
+    (shape_id,) = struct.unpack_from("<H", body, 0)
+    r = BitReader(body, 2)
+    bounds = _read_rect(r)
+    morph_bounds = _read_rect(r)
+    _read_rect(r)  # start edge bounds (emit mirrors shape bounds)
+    _read_rect(r)  # end edge bounds
+    flags = body[r.byte_pos]
+    return ast.DefineMorphShape(
+        id=shape_id, bounds=bounds, morph_bounds=morph_bounds,
+        has_non_scaling_strokes=bool((flags >> 1) & 1),
+        has_scaling_strokes=bool(flags & 1),
+        shape=_parse_morph_body(body, r.byte_pos + 1, shape2=True))
+
+
 def emit_movie(shapes: List[ast.DefineShape],
                background: ast.StraightSRgba8 = ast.StraightSRgba8(
                    255, 255, 255, 255),
                frame_rate: float = 24.0,
-               shape4: bool = False) -> bytes:
+               shape4: bool = False,
+               morphs: List[Tuple[ast.DefineMorphShape, float]] = (),
+               morph2: bool = False) -> bytes:
     """Assemble an uncompressed .swf placing each shape on one frame
     (the reference build.js analog).  ``shape4`` emits DefineShape4 tags
-    (LINESTYLE2: caps/joins/miter preserved)."""
+    (LINESTYLE2: caps/joins/miter preserved).  ``morphs`` is a list of
+    (DefineMorphShape, ratio in [0, 1]) placed after the static shapes
+    with PlaceObject2's HasRatio flag (how the reference's morph goldens
+    were captured at 0/32768/65536); ``morph2`` emits tag 84."""
     x_max = max((s.bounds.x_max for s in shapes), default=11000)
     y_max = max((s.bounds.y_max for s in shapes), default=8000)
+    for m, _ in morphs:
+        x_max = max(x_max, m.bounds.x_max, m.morph_bounds.x_max)
+        y_max = max(y_max, m.bounds.y_max, m.morph_bounds.y_max)
     w = BitWriter()
     _write_rect(w, ast.Rect(0, x_max, 0, y_max))
 
@@ -570,6 +970,15 @@ def emit_movie(shapes: List[ast.DefineShape],
         # PlaceObject2: flags (has character), depth, character id.
         tags.extend(_tag(TAG_PLACE_OBJECT2,
                          struct.pack("<BHH", 0x02, depth, shape.id)))
+    for i, (morph, ratio) in enumerate(morphs):
+        tags.extend(emit_define_morph_shape(morph, shape2=morph2))
+        # flags: has character | has ratio; ratio is u16 of 1<<16
+        # clamped to 65535 (the golden filename convention truncates
+        # ratio 1.0 the same way).
+        ratio_u16 = min(65535, max(0, int(round(float(ratio) * 65536))))
+        tags.extend(_tag(TAG_PLACE_OBJECT2,
+                         struct.pack("<BHHH", 0x12, len(shapes) + 1 + i,
+                                     morph.id, ratio_u16)))
     tags.extend(_tag(TAG_SHOW_FRAME, b""))
     tags.extend(_tag(TAG_END, b""))
 
@@ -578,8 +987,8 @@ def emit_movie(shapes: List[ast.DefineShape],
         + struct.pack("<HH", int(frame_rate * 256), 1)
         + bytes(tags)
     )
-    # DefineShape4 (tag 83) requires SWF file format version >= 8.
-    header = b"FWS" + bytes([8 if shape4 else 6])
+    # DefineShape4 (83) / DefineMorphShape2 (84) need SWF version >= 8.
+    header = b"FWS" + bytes([8 if (shape4 or morph2) else 6])
     total = len(header) + 4 + len(header_body)
     return header + struct.pack("<I", total) + header_body
 
@@ -610,3 +1019,38 @@ def parse_movie_shapes(data: bytes) -> List[ast.DefineShape]:
         if code == TAG_END:
             break
     return shapes
+
+
+def parse_movie_morph_shapes(
+        data: bytes) -> List[Tuple[ast.DefineMorphShape, float]]:
+    """Extract every DefineMorphShape/DefineMorphShape2 from an
+    uncompressed movie, paired with its placed ratio (PlaceObject2
+    HasRatio; 0.0 if the movie never places it)."""
+    if data[:3] != b"FWS":
+        raise ValueError("only uncompressed (FWS) movies supported")
+    r = BitReader(data, 8)
+    _read_rect(r)
+    pos = r.byte_pos + 4  # frame rate + count
+    morphs: List[ast.DefineMorphShape] = []
+    ratios = {}
+    while pos < len(data):
+        (head,) = struct.unpack_from("<H", data, pos)
+        pos += 2
+        code = head >> 6
+        length = head & 0x3F
+        if length == 0x3F:
+            (length,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+        body = data[pos : pos + length]
+        pos += length
+        if code == TAG_DEFINE_MORPH_SHAPE:
+            morphs.append(parse_define_morph_shape_tag(body))
+        if code == TAG_DEFINE_MORPH_SHAPE2:
+            morphs.append(parse_define_morph_shape2_tag(body))
+        if code == TAG_PLACE_OBJECT2 and len(body) >= 7 \
+                and body[0] == 0x12:
+            _, char_id, ratio = struct.unpack_from("<HHH", body, 1)
+            ratios[char_id] = ratio / 65536.0
+        if code == TAG_END:
+            break
+    return [(m, ratios.get(m.id, 0.0)) for m in morphs]

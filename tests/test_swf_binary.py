@@ -156,3 +156,198 @@ def test_movie_with_shape4_tags(reference_tests):
     for a, b in zip(tags, back):
         assert swf_binary.emit_define_shape4(a) == \
             swf_binary.emit_define_shape4(b)
+
+
+# ---------------------------------------------------------------------------
+# Morph shapes (DefineMorphShape / DefineMorphShape2)
+# ---------------------------------------------------------------------------
+
+
+def _strip_head(blob: bytes, expect_code: int) -> bytes:
+    head = int.from_bytes(blob[:2], "little")
+    assert head >> 6 == expect_code
+    return blob[2 + (4 if (head & 0x3F) == 0x3F else 0):]
+
+
+def test_morph_roundtrip_golden_corpus(reference_tests):
+    """hb29 emits to DefineMorphShape bytes, parses back to an EQUAL
+    AST, and the re-decoded golden JSON stays byte-identical to
+    shape.ts.json (the same gate as test_decode_morph_shape_golden)."""
+    from swf_renderer_tpu.models.ast_io import parse_define_morph_shape
+    from swf_renderer_tpu.models.decode_morph_shape import decode_morph_shape
+
+    case = reference_tests / "flat-morph-shapes" / "homestuck-beta-29"
+    tag = parse_define_morph_shape((case / "ast.json").read_text())
+    for shape2 in (False, True):
+        blob = swf_binary.emit_define_morph_shape(tag, shape2=shape2)
+        body = _strip_head(
+            blob, swf_binary.TAG_DEFINE_MORPH_SHAPE2 if shape2
+            else swf_binary.TAG_DEFINE_MORPH_SHAPE)
+        parsed = (swf_binary.parse_define_morph_shape2_tag(body) if shape2
+                  else swf_binary.parse_define_morph_shape_tag(body))
+        assert parsed == tag, f"morph AST round-trip (shape2={shape2})"
+        want = (case / "shape.ts.json").read_text()
+        got = jsjson.stringify(decode_morph_shape(parsed).to_golden()) + "\n"
+        assert got == want
+
+
+def test_morph_shape2_preserves_flags_and_joins():
+    """Tag 84 keeps MORPHLINESTYLE2 caps/joins/miter and the
+    stroke-scaling flags; tag 46 drops them to the round defaults
+    (like DefineShape3's LINESTYLE)."""
+    styles = ast.MorphShapeStyles(
+        fill=(ast.MorphSolidFill(
+            color=ast.StraightSRgba8(10, 20, 30, 255),
+            morph_color=ast.StraightSRgba8(40, 50, 60, 128)),),
+        line=(ast.MorphLineStyle(
+            width=40, morph_width=120, start_cap="square", end_cap="none",
+            join={"type": "miter", "limit": 2.5}, no_h_scale=True,
+            no_v_scale=False, no_close=True, pixel_hinting=True,
+            fill=ast.MorphSolidFill(
+                color=ast.StraightSRgba8(1, 2, 3, 200),
+                morph_color=ast.StraightSRgba8(4, 5, 6, 100))),),
+    )
+    records = (
+        ast.MorphStyleChangeRecord(
+            move_to=ast.Vector2D(0, 0), morph_move_to=ast.Vector2D(5, -5),
+            left_fill=1, line_style=1),
+        ast.MorphEdgeRecord(delta=ast.Vector2D(200, 0),
+                            morph_delta=ast.Vector2D(100, 40)),
+        ast.MorphEdgeRecord(
+            delta=ast.Vector2D(0, 200), morph_delta=ast.Vector2D(-60, 160),
+            control_delta=ast.Vector2D(30, 90),
+            morph_control_delta=None),  # curved start, straight end
+        ast.MorphEdgeRecord(
+            delta=ast.Vector2D(-200, -200),
+            morph_delta=ast.Vector2D(-40, -200),
+            control_delta=None,
+            morph_control_delta=ast.Vector2D(-150, -20)),
+    )
+    tag = ast.DefineMorphShape(
+        id=9, bounds=ast.Rect(0, 220, 0, 220),
+        morph_bounds=ast.Rect(-10, 210, -10, 210),
+        has_non_scaling_strokes=True, has_scaling_strokes=False,
+        shape=ast.MorphShapeBody(initial_styles=styles, records=records))
+
+    blob2 = swf_binary.emit_define_morph_shape(tag, shape2=True)
+    parsed2 = swf_binary.parse_define_morph_shape2_tag(
+        _strip_head(blob2, swf_binary.TAG_DEFINE_MORPH_SHAPE2))
+    assert parsed2 == tag
+
+    blob1 = swf_binary.emit_define_morph_shape(tag, shape2=False)
+    parsed1 = swf_binary.parse_define_morph_shape_tag(
+        _strip_head(blob1, swf_binary.TAG_DEFINE_MORPH_SHAPE))
+    line = parsed1.shape.initial_styles.line[0]
+    assert (line.start_cap, line.end_cap) == ("round", "round")
+    assert line.join == {"type": "round"}
+    assert line.width == 40 and line.morph_width == 120
+    assert parsed1.has_non_scaling_strokes is False  # tag 46 can't carry it
+    assert parsed1.shape.records == tag.shape.records
+
+
+def _random_morph(rng) -> ast.DefineMorphShape:
+    n_fills = int(rng.integers(1, 4))
+    n_lines = int(rng.integers(0, 3))
+
+    def color():
+        return ast.StraightSRgba8(*(int(v) for v in rng.integers(0, 256, 4)))
+
+    styles = ast.MorphShapeStyles(
+        fill=tuple(ast.MorphSolidFill(color=color(), morph_color=color())
+                   for _ in range(n_fills)),
+        line=tuple(_random_morph_line(rng, color) for _ in range(n_lines)),
+    )
+    records = []
+    for _ in range(int(rng.integers(1, 4))):  # subpaths
+        records.append(ast.MorphStyleChangeRecord(
+            move_to=ast.Vector2D(*(int(v)
+                                   for v in rng.integers(-3000, 3000, 2))),
+            morph_move_to=ast.Vector2D(
+                *(int(v) for v in rng.integers(-3000, 3000, 2))),
+            left_fill=int(rng.integers(0, n_fills + 1)),
+            right_fill=int(rng.integers(0, n_fills + 1)),
+            line_style=(int(rng.integers(1, n_lines + 1))
+                        if n_lines and rng.random() < 0.5 else None)))
+        for _ in range(int(rng.integers(1, 6))):  # edges
+            def ctrl():
+                if rng.random() < 0.5:
+                    return None
+                return ast.Vector2D(*(int(v)
+                                      for v in rng.integers(-900, 900, 2)))
+            records.append(ast.MorphEdgeRecord(
+                delta=ast.Vector2D(*(int(v)
+                                     for v in rng.integers(-900, 900, 2))),
+                morph_delta=ast.Vector2D(
+                    *(int(v) for v in rng.integers(-900, 900, 2))),
+                control_delta=ctrl(), morph_control_delta=ctrl()))
+    return ast.DefineMorphShape(
+        id=int(rng.integers(1, 1000)),
+        bounds=ast.Rect(-4000, 4000, -4000, 4000),
+        morph_bounds=ast.Rect(-4000, 4000, -4000, 4000),
+        shape=ast.MorphShapeBody(initial_styles=styles,
+                                 records=tuple(records)))
+
+
+def _random_morph_line(rng, color):
+    caps = ("round", "none", "square")
+    joins = ({"type": "round"}, {"type": "bevel"},
+             {"type": "miter", "limit": float(int(rng.integers(1, 16)))
+              / 4.0 + 1.0})
+    return ast.MorphLineStyle(
+        width=int(rng.integers(0, 400)),
+        morph_width=int(rng.integers(0, 400)),
+        start_cap=caps[int(rng.integers(0, 3))],
+        end_cap=caps[int(rng.integers(0, 3))],
+        join=joins[int(rng.integers(0, 3))],
+        no_h_scale=bool(rng.integers(0, 2)),
+        no_v_scale=bool(rng.integers(0, 2)),
+        no_close=bool(rng.integers(0, 2)),
+        pixel_hinting=bool(rng.integers(0, 2)),
+        fill=ast.MorphSolidFill(color=color(), morph_color=color()))
+
+
+def test_morph_fuzz_roundtrip():
+    """Random morph shapes survive emit -> parse bit-exactly (tag 84;
+    tag 46 modulo the caps/joins it cannot carry) and the parsed AST
+    decodes without error."""
+    import numpy as np
+
+    from swf_renderer_tpu.models.decode_morph_shape import decode_morph_shape
+
+    rng = np.random.default_rng(4629)
+    for _ in range(40):
+        tag = _random_morph(rng)
+        blob = swf_binary.emit_define_morph_shape(tag, shape2=True)
+        parsed = swf_binary.parse_define_morph_shape2_tag(
+            _strip_head(blob, swf_binary.TAG_DEFINE_MORPH_SHAPE2))
+        assert parsed == tag
+        decode_morph_shape(parsed)
+
+        blob1 = swf_binary.emit_define_morph_shape(tag, shape2=False)
+        parsed1 = swf_binary.parse_define_morph_shape_tag(
+            _strip_head(blob1, swf_binary.TAG_DEFINE_MORPH_SHAPE))
+        assert parsed1.shape.records == tag.shape.records
+        assert [
+            (l.width, l.morph_width, l.fill)
+            for l in parsed1.shape.initial_styles.line
+        ] == [(l.width, l.morph_width, l.fill)
+              for l in tag.shape.initial_styles.line]
+
+
+def test_movie_with_morph_ratios(reference_tests):
+    """Movies place morphs with PlaceObject2 ratios (the capture-server
+    convention for the {0,32768,65536}.png goldens)."""
+    from swf_renderer_tpu.models.ast_io import parse_define_morph_shape
+
+    case = reference_tests / "flat-morph-shapes" / "homestuck-beta-29"
+    tag = parse_define_morph_shape((case / "ast.json").read_text())
+    movie = swf_binary.emit_movie([], morphs=[(tag, 0.5)], morph2=True)
+    back = swf_binary.parse_movie_morph_shapes(movie)
+    assert len(back) == 1
+    parsed, ratio = back[0]
+    assert parsed == tag
+    assert abs(ratio - 0.5) < 1e-4
+    # ratio 1.0 clamps to the u16 max (the 65536-filename convention).
+    movie1 = swf_binary.emit_movie([], morphs=[(tag, 1.0)])
+    (_, r1), = swf_binary.parse_movie_morph_shapes(movie1)
+    assert abs(r1 - 1.0) < 2e-5

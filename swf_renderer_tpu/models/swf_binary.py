@@ -44,6 +44,7 @@ TAG_DEFINE_SHAPE3 = 32
 TAG_DEFINE_SHAPE4 = 83
 TAG_DEFINE_MORPH_SHAPE = 46
 TAG_DEFINE_MORPH_SHAPE2 = 84
+TAG_DEFINE_BITS_LOSSLESS = 20
 TAG_SET_BACKGROUND = 9
 TAG_PLACE_OBJECT2 = 26
 
@@ -570,6 +571,45 @@ def parse_define_shape4_tag(body: bytes) -> ast.DefineShape:
 
 
 # ---------------------------------------------------------------------------
+# Bitmaps (DefineBitsLossless)
+# ---------------------------------------------------------------------------
+
+
+def emit_define_bits_lossless(tag: ast.DefineBitmap) -> bytes:
+    """DefineBitsLossless (tag 20) bytes.
+
+    The ``image/x-swf-bmp`` payload the AST carries IS the tag body
+    minus the character id — formatId u8, width u16LE, height u16LE,
+    colorTableSize u8, zlib(palette + padded indices) — exactly the
+    header decode-x-swf-bmp.ts:9-41 parses, so emission is id + data
+    after validating the header against the AST's declared geometry."""
+    if tag.media_type != "image/x-swf-bmp":
+        raise ValueError(
+            f"cannot emit media type {tag.media_type!r} (x-swf-bmp only)")
+    if len(tag.data) < 6 or tag.data[0] != 3:
+        raise ValueError("x-swf-bmp payload must start with formatId 3")
+    width, height = struct.unpack_from("<HH", tag.data, 1)
+    if (width, height) != (tag.width, tag.height):
+        raise ValueError(
+            f"payload geometry {width}x{height} != declared "
+            f"{tag.width}x{tag.height}")
+    return _tag(TAG_DEFINE_BITS_LOSSLESS,
+                struct.pack("<H", tag.id) + tag.data)
+
+
+def parse_define_bits_lossless_tag(body: bytes) -> ast.DefineBitmap:
+    (bitmap_id,) = struct.unpack_from("<H", body, 0)
+    data = body[2:]
+    if len(data) < 6 or data[0] != 3:
+        raise ValueError(
+            "only 8-bit colormapped (format 3) DefineBitsLossless "
+            "is supported")
+    width, height = struct.unpack_from("<HH", data, 1)
+    return ast.DefineBitmap(id=bitmap_id, width=width, height=height,
+                            media_type="image/x-swf-bmp", data=data)
+
+
+# ---------------------------------------------------------------------------
 # Morph shapes (DefineMorphShape / DefineMorphShape2)
 # ---------------------------------------------------------------------------
 
@@ -946,13 +986,16 @@ def emit_movie(shapes: List[ast.DefineShape],
                frame_rate: float = 24.0,
                shape4: bool = False,
                morphs: List[Tuple[ast.DefineMorphShape, float]] = (),
-               morph2: bool = False) -> bytes:
+               morph2: bool = False,
+               bitmaps: List[ast.DefineBitmap] = ()) -> bytes:
     """Assemble an uncompressed .swf placing each shape on one frame
     (the reference build.js analog).  ``shape4`` emits DefineShape4 tags
     (LINESTYLE2: caps/joins/miter preserved).  ``morphs`` is a list of
     (DefineMorphShape, ratio in [0, 1]) placed after the static shapes
     with PlaceObject2's HasRatio flag (how the reference's morph goldens
-    were captured at 0/32768/65536); ``morph2`` emits tag 84."""
+    were captured at 0/32768/65536); ``morph2`` emits tag 84.
+    ``bitmaps`` emit as DefineBitsLossless before the shapes so bitmap
+    fills can resolve them by character id."""
     x_max = max((s.bounds.x_max for s in shapes), default=11000)
     y_max = max((s.bounds.y_max for s in shapes), default=8000)
     for m, _ in morphs:
@@ -964,6 +1007,8 @@ def emit_movie(shapes: List[ast.DefineShape],
     tags = bytearray()
     tags.extend(_tag(TAG_SET_BACKGROUND,
                      bytes((background.r, background.g, background.b))))
+    for bitmap in bitmaps:
+        tags.extend(emit_define_bits_lossless(bitmap))
     for depth, shape in enumerate(shapes, start=1):
         tags.extend(emit_define_shape4(shape) if shape4
                     else emit_define_shape(shape))
@@ -993,15 +1038,14 @@ def emit_movie(shapes: List[ast.DefineShape],
     return header + struct.pack("<I", total) + header_body
 
 
-def parse_movie_shapes(data: bytes) -> List[ast.DefineShape]:
-    """Extract every DefineShape3/DefineShape4 from an uncompressed
-    movie."""
+def _iter_tags(data: bytes):
+    """(code, body) for each RECORDHEADER tag of an uncompressed
+    movie, up to and including TAG_END."""
     if data[:3] != b"FWS":
         raise ValueError("only uncompressed (FWS) movies supported")
     r = BitReader(data, 8)
     _read_rect(r)
     pos = r.byte_pos + 4  # frame rate + count
-    shapes = []
     while pos < len(data):
         (head,) = struct.unpack_from("<H", data, pos)
         pos += 2
@@ -1010,14 +1054,21 @@ def parse_movie_shapes(data: bytes) -> List[ast.DefineShape]:
         if length == 0x3F:
             (length,) = struct.unpack_from("<I", data, pos)
             pos += 4
-        body = data[pos : pos + length]
+        yield code, data[pos : pos + length]
         pos += length
+        if code == TAG_END:
+            break
+
+
+def parse_movie_shapes(data: bytes) -> List[ast.DefineShape]:
+    """Extract every DefineShape3/DefineShape4 from an uncompressed
+    movie."""
+    shapes = []
+    for code, body in _iter_tags(data):
         if code == TAG_DEFINE_SHAPE3:
             shapes.append(parse_define_shape_tag(body))
         if code == TAG_DEFINE_SHAPE4:
             shapes.append(parse_define_shape4_tag(body))
-        if code == TAG_END:
-            break
     return shapes
 
 
@@ -1026,23 +1077,9 @@ def parse_movie_morph_shapes(
     """Extract every DefineMorphShape/DefineMorphShape2 from an
     uncompressed movie, paired with its placed ratio (PlaceObject2
     HasRatio; 0.0 if the movie never places it)."""
-    if data[:3] != b"FWS":
-        raise ValueError("only uncompressed (FWS) movies supported")
-    r = BitReader(data, 8)
-    _read_rect(r)
-    pos = r.byte_pos + 4  # frame rate + count
     morphs: List[ast.DefineMorphShape] = []
     ratios = {}
-    while pos < len(data):
-        (head,) = struct.unpack_from("<H", data, pos)
-        pos += 2
-        code = head >> 6
-        length = head & 0x3F
-        if length == 0x3F:
-            (length,) = struct.unpack_from("<I", data, pos)
-            pos += 4
-        body = data[pos : pos + length]
-        pos += length
+    for code, body in _iter_tags(data):
         if code == TAG_DEFINE_MORPH_SHAPE:
             morphs.append(parse_define_morph_shape_tag(body))
         if code == TAG_DEFINE_MORPH_SHAPE2:
@@ -1051,6 +1088,11 @@ def parse_movie_morph_shapes(
                 and body[0] == 0x12:
             _, char_id, ratio = struct.unpack_from("<HHH", body, 1)
             ratios[char_id] = ratio / 65536.0
-        if code == TAG_END:
-            break
     return [(m, ratios.get(m.id, 0.0)) for m in morphs]
+
+
+def parse_movie_bitmaps(data: bytes) -> List[ast.DefineBitmap]:
+    """Extract every DefineBitsLossless from an uncompressed movie."""
+    return [parse_define_bits_lossless_tag(body)
+            for code, body in _iter_tags(data)
+            if code == TAG_DEFINE_BITS_LOSSLESS]

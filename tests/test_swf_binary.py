@@ -351,3 +351,57 @@ def test_movie_with_morph_ratios(reference_tests):
     movie1 = swf_binary.emit_movie([], morphs=[(tag, 1.0)])
     (_, r1), = swf_binary.parse_movie_morph_shapes(movie1)
     assert abs(r1 - 1.0) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# Bitmaps (DefineBitsLossless)
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_tag_roundtrip_golden(reference_tests):
+    """The hb3 bitmap emits to DefineBitsLossless (its x-swf-bmp payload
+    IS the tag body minus the id), parses back to an equal AST, and the
+    re-decoded pixels stay byte-equal to the PAM golden."""
+    from swf_renderer_tpu.models.ast_io import parse_define_bitmap
+    from swf_renderer_tpu.runtime.bitmap_service import decode_x_swf_bmp
+    from swf_renderer_tpu.utils.pam import rgba_to_pam
+
+    sample_dir = reference_tests / "bitmap"
+    tag = parse_define_bitmap(
+        (sample_dir / "homestuck-beta-3.ast.json").read_text())
+    blob = swf_binary.emit_define_bits_lossless(tag)
+    parsed = swf_binary.parse_define_bits_lossless_tag(
+        _strip_head(blob, swf_binary.TAG_DEFINE_BITS_LOSSLESS))
+    assert parsed == tag
+    want = (sample_dir / "homestuck-beta-3.pam").read_bytes()
+    assert rgba_to_pam(decode_x_swf_bmp(parsed.data)) == want
+
+
+def test_bitmap_tag_rejects_foreign_payloads():
+    bad = ast.DefineBitmap(id=1, width=2, height=2, media_type="image/png",
+                           data=b"\x89PNG")
+    with pytest.raises(ValueError):
+        swf_binary.emit_define_bits_lossless(bad)
+    mismatched = ast.DefineBitmap(
+        id=1, width=9, height=9, media_type="image/x-swf-bmp",
+        data=b"\x03" + (2).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + b"\x00")
+    with pytest.raises(ValueError):
+        swf_binary.emit_define_bits_lossless(mismatched)
+
+
+def test_textured_movie_assembly(reference_tests):
+    """The full textured sample assembles into ONE movie: bitmap +
+    shape, both extractable — the builder can now reproduce every
+    corpus sample's movie (reference build.js parity)."""
+    from swf_renderer_tpu.models.ast_io import parse_define_bitmap
+
+    bitmap = parse_define_bitmap(
+        (reference_tests / "bitmap" / "homestuck-beta-3.ast.json")
+        .read_text())
+    shape = _load(reference_tests / "textured-shapes" / "homestuck-beta-4")
+    movie = swf_binary.emit_movie([shape], bitmaps=[bitmap])
+    assert swf_binary.parse_movie_bitmaps(movie) == [bitmap]
+    (back,) = swf_binary.parse_movie_shapes(movie)
+    assert swf_binary.emit_define_shape(back) == \
+        swf_binary.emit_define_shape(shape)

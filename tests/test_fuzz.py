@@ -386,3 +386,76 @@ def test_random_interactive_single_frame_loop(seed):
         assert d.max() <= 32, (seed, i, d.max())
         assert (d > 2).mean() < 5e-3, (seed, i)
     assert saw_upgrade, seed  # fills-only shapes must take the F=1 path
+
+
+def _morph_static_twin(tag: ast.DefineMorphShape, end: bool
+                       ) -> ast.DefineShape:
+    """The static DefineShape a fill-only morph degenerates to at
+    ratio 0 (start) or 1 (end) — every coordinate/color is the chosen
+    side of the pair."""
+    fills = tuple(
+        ast.SolidFill(color=(f.morph_color if end else f.color))
+        for f in tag.shape.initial_styles.fill)
+    records = []
+    for rec in tag.shape.records:
+        if isinstance(rec, ast.MorphStyleChangeRecord):
+            records.append(ast.StyleChangeRecord(
+                move_to=(rec.morph_move_to if end else rec.move_to),
+                left_fill=rec.left_fill, right_fill=rec.right_fill,
+                line_style=rec.line_style))
+        else:
+            records.append(ast.EdgeRecord(
+                delta=(rec.morph_delta if end else rec.delta),
+                control_delta=(rec.morph_control_delta if end
+                               else rec.control_delta)))
+    return ast.DefineShape(
+        id=tag.id,
+        bounds=(tag.morph_bounds if end else tag.bounds),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(fill=fills, line=()),
+            records=tuple(records)))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_morph_endpoints_match_static_twin(seed):
+    """A fill-only morph rendered at ratio 0 / 1 equals the static
+    render of its start / end slice: the two DECODERS (morph pairing +
+    start-keyed stitching vs static stitching) and the two RENDER paths
+    (command lerp vs direct) must agree at the endpoints, where the
+    f64 lerp is exact.  Controls are matched (both sides curved or
+    both straight) so the slice is expressible as integer-twip static
+    records."""
+    from swf_renderer_tpu.runtime.renderer import render_morph_shape
+
+    rng = np.random.default_rng(46_000 + seed)
+    tag = _random_morph_shape(rng, shape_id=seed + 1)
+    # Match curvature: give every one-sided curved edge its other
+    # control explicitly (the midpoint-default quirk yields half-twip
+    # controls no integer static AST can express).
+    records = []
+    for rec in tag.shape.records:
+        if isinstance(rec, ast.MorphEdgeRecord) \
+                and (rec.control_delta is None) \
+                != (rec.morph_control_delta is None):
+            records.append(ast.MorphEdgeRecord(
+                delta=rec.delta, morph_delta=rec.morph_delta,
+                control_delta=rec.control_delta or ast.Vector2D(
+                    *map(int, rng.integers(-400, 400, 2))),
+                morph_control_delta=rec.morph_control_delta
+                or ast.Vector2D(*map(int, rng.integers(-400, 400, 2)))))
+        else:
+            records.append(rec)
+    tag = ast.DefineMorphShape(
+        id=tag.id, bounds=tag.bounds, morph_bounds=tag.bounds,
+        shape=ast.MorphShapeBody(
+            initial_styles=tag.shape.initial_styles,
+            records=tuple(records)))
+
+    for ratio, end in ((0.0, False), (1.0, True)):
+        twin = _morph_static_twin(tag, end)
+        got = render_morph_shape(tag, ratio, quality="flash",
+                                 validate=True)
+        want = render_shape(twin, quality="flash", validate=True)
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert diff.max() == 0, (
+            f"seed {seed} ratio {ratio}: max diff {diff.max()}")

@@ -42,6 +42,27 @@ def main(argv=None) -> int:
     from .utils.pam import rgba_to_pam
     from .utils.png import write_png
 
+    if args.ast.endswith(".swf"):
+        # A whole movie file: define tags + first-frame placements.
+        from .runtime.movie import render_movie
+
+        t0 = time.perf_counter()
+        frame = render_movie(args.ast)
+        dt = time.perf_counter() - t0
+        out = pathlib.Path(args.output or (args.ast + ".png"))
+        if out.suffix == ".pam":
+            out.write_bytes(rgba_to_pam(frame))
+        else:
+            write_png(out, frame)
+        if args.stats:
+            h, w = frame.shape[:2]
+            print(json.dumps({
+                "width": w, "height": h, "seconds": round(dt, 4),
+                "mpx_per_s": round(w * h / dt / 1e6, 3),
+            }), file=sys.stderr)
+        print(out)
+        return 0
+
     tag = load_tag(args.ast)
     t0 = time.perf_counter()
 

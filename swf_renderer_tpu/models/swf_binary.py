@@ -31,8 +31,9 @@ pairs with an end style-change carrying only the end move
 
 from __future__ import annotations
 
+import dataclasses
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from ..utils.bits import BitReader, BitWriter, sbits_for, ubits_for
 from ..utils.fixed import Sfixed16P16
@@ -450,6 +451,114 @@ def _parse_shape_records(data: bytes, pos: int,
     r.align()
     return ast.ShapeBody(initial_styles=initial_styles,
                          records=tuple(records)), r.byte_pos
+
+
+# ---------------------------------------------------------------------------
+# Placements (PlaceObject2)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Placement:
+    """One PlaceObject2 (new-character form): what the display list shows.
+
+    ``ratio`` is the morph ratio in [0, 1] (u16/65536 on the wire);
+    ``color_transform`` is (mult4, add4) floats on [0, 1] straight
+    colors (CXFORMWITHALPHA fixed 8.8 mults / 0..255 adds)."""
+
+    depth: int
+    character_id: int
+    matrix: ast.Matrix = None
+    color_transform: Tuple[Tuple[float, ...], Tuple[float, ...]] = None
+    ratio: float = None
+
+
+def _write_cxform_alpha(w: BitWriter, mult, add) -> None:
+    """CXFORMWITHALPHA: fixed-8.8 mult terms, integer 0..255 add terms
+    (both RGBA), shared signed bit width."""
+    w.align()
+    mi = [int(round(float(m) * 256.0)) for m in mult]
+    ai = [int(round(float(a) * 255.0)) for a in add]
+    has_mult = mi != [256, 256, 256, 256]
+    has_add = ai != [0, 0, 0, 0]
+    w.write_ub(1 if has_add else 0, 1)
+    w.write_ub(1 if has_mult else 0, 1)
+    terms = (mi if has_mult else []) + (ai if has_add else [])
+    nbits = sbits_for(*terms) if terms else 1
+    w.write_ub(nbits, 4)
+    if has_mult:
+        for v in mi:
+            w.write_sb(v, nbits)
+    if has_add:
+        for v in ai:
+            w.write_sb(v, nbits)
+    w.align()
+
+
+def _read_cxform_alpha(r: BitReader):
+    r.align()
+    has_add = r.read_ub(1)
+    has_mult = r.read_ub(1)
+    nbits = r.read_ub(4)
+    mult = (1.0, 1.0, 1.0, 1.0)
+    add = (0.0, 0.0, 0.0, 0.0)
+    if has_mult:
+        mult = tuple(r.read_sb(nbits) / 256.0 for _ in range(4))
+    if has_add:
+        add = tuple(r.read_sb(nbits) / 255.0 for _ in range(4))
+    r.align()
+    return mult, add
+
+
+def _emit_place_object2(p: Placement) -> bytes:
+    flags = 0x02  # has character
+    if p.matrix is not None:
+        flags |= 0x04
+    if p.color_transform is not None:
+        flags |= 0x08
+    if p.ratio is not None:
+        flags |= 0x10
+    body = bytearray(struct.pack("<BHH", flags, p.depth, p.character_id))
+    if p.matrix is not None or p.color_transform is not None:
+        w = BitWriter()
+        if p.matrix is not None:
+            _write_matrix(w, p.matrix)
+        if p.color_transform is not None:
+            _write_cxform_alpha(w, *p.color_transform)
+        body.extend(w.bytes())
+    if p.ratio is not None:
+        # u16 of ratio * 65536, clamped (the 65536-filename convention
+        # truncates ratio 1.0 the same way).
+        ratio_u16 = min(65535, max(0, int(round(float(p.ratio) * 65536))))
+        body.extend(struct.pack("<H", ratio_u16))
+    return _tag(TAG_PLACE_OBJECT2, bytes(body))
+
+
+def _parse_place_object2(body: bytes) -> Placement:
+    flags = body[0]
+    if flags & (0x80 | 0x40 | 0x20 | 0x01):
+        raise ValueError(
+            f"unsupported PlaceObject2 flags 0x{flags:02x} "
+            "(clip actions/depth, name, move)")
+    if not flags & 0x02:
+        raise ValueError("PlaceObject2 without a character id")
+    depth, char_id = struct.unpack_from("<HH", body, 1)
+    pos = 5
+    matrix = None
+    ct = None
+    if flags & (0x04 | 0x08):
+        r = BitReader(body, pos)
+        if flags & 0x04:
+            matrix = _read_matrix(r)
+        if flags & 0x08:
+            ct = _read_cxform_alpha(r)
+        pos = r.byte_pos
+    ratio = None
+    if flags & 0x10:
+        (ratio_u16,) = struct.unpack_from("<H", body, pos)
+        ratio = ratio_u16 / 65536.0
+    return Placement(depth=depth, character_id=char_id, matrix=matrix,
+                     color_transform=ct, ratio=ratio)
 
 
 # ---------------------------------------------------------------------------
@@ -987,7 +1096,11 @@ def emit_movie(shapes: List[ast.DefineShape],
                shape4: bool = False,
                morphs: List[Tuple[ast.DefineMorphShape, float]] = (),
                morph2: bool = False,
-               bitmaps: List[ast.DefineBitmap] = ()) -> bytes:
+               bitmaps: List[ast.DefineBitmap] = (),
+               shape_matrices: Optional[List[ast.Matrix]] = None,
+               morph_matrices: Optional[List[ast.Matrix]] = None,
+               stage_rect: Optional[ast.Rect] = None,
+               shape_color_transforms: Optional[List] = None) -> bytes:
     """Assemble an uncompressed .swf placing each shape on one frame
     (the reference build.js analog).  ``shape4`` emits DefineShape4 tags
     (LINESTYLE2: caps/joins/miter preserved).  ``morphs`` is a list of
@@ -995,14 +1108,20 @@ def emit_movie(shapes: List[ast.DefineShape],
     with PlaceObject2's HasRatio flag (how the reference's morph goldens
     were captured at 0/32768/65536); ``morph2`` emits tag 84.
     ``bitmaps`` emit as DefineBitsLossless before the shapes so bitmap
-    fills can resolve them by character id."""
+    fills can resolve them by character id.  ``shape_matrices`` /
+    ``morph_matrices`` carry optional per-placement matrices (the
+    reference harness translates each shape by -bounds.min); None
+    entries place at identity.  ``stage_rect`` overrides the frame
+    RECT (twips) the header advertises.  ``shape_color_transforms``
+    carries optional (mult4, add4) CXFORMWITHALPHA tuples per shape."""
     x_max = max((s.bounds.x_max for s in shapes), default=11000)
     y_max = max((s.bounds.y_max for s in shapes), default=8000)
     for m, _ in morphs:
         x_max = max(x_max, m.bounds.x_max, m.morph_bounds.x_max)
         y_max = max(y_max, m.bounds.y_max, m.morph_bounds.y_max)
     w = BitWriter()
-    _write_rect(w, ast.Rect(0, x_max, 0, y_max))
+    _write_rect(w, stage_rect if stage_rect is not None
+                else ast.Rect(0, x_max, 0, y_max))
 
     tags = bytearray()
     tags.extend(_tag(TAG_SET_BACKGROUND,
@@ -1012,18 +1131,20 @@ def emit_movie(shapes: List[ast.DefineShape],
     for depth, shape in enumerate(shapes, start=1):
         tags.extend(emit_define_shape4(shape) if shape4
                     else emit_define_shape(shape))
-        # PlaceObject2: flags (has character), depth, character id.
-        tags.extend(_tag(TAG_PLACE_OBJECT2,
-                         struct.pack("<BHH", 0x02, depth, shape.id)))
+        tags.extend(_emit_place_object2(Placement(
+            depth=depth, character_id=shape.id,
+            matrix=(shape_matrices[depth - 1]
+                    if shape_matrices is not None else None),
+            color_transform=(shape_color_transforms[depth - 1]
+                             if shape_color_transforms is not None
+                             else None))))
     for i, (morph, ratio) in enumerate(morphs):
         tags.extend(emit_define_morph_shape(morph, shape2=morph2))
-        # flags: has character | has ratio; ratio is u16 of 1<<16
-        # clamped to 65535 (the golden filename convention truncates
-        # ratio 1.0 the same way).
-        ratio_u16 = min(65535, max(0, int(round(float(ratio) * 65536))))
-        tags.extend(_tag(TAG_PLACE_OBJECT2,
-                         struct.pack("<BHHH", 0x12, len(shapes) + 1 + i,
-                                     morph.id, ratio_u16)))
+        tags.extend(_emit_place_object2(Placement(
+            depth=len(shapes) + 1 + i, character_id=morph.id,
+            matrix=(morph_matrices[i]
+                    if morph_matrices is not None else None),
+            ratio=float(ratio))))
     tags.extend(_tag(TAG_SHOW_FRAME, b""))
     tags.extend(_tag(TAG_END, b""))
 
@@ -1084,10 +1205,10 @@ def parse_movie_morph_shapes(
             morphs.append(parse_define_morph_shape_tag(body))
         if code == TAG_DEFINE_MORPH_SHAPE2:
             morphs.append(parse_define_morph_shape2_tag(body))
-        if code == TAG_PLACE_OBJECT2 and len(body) >= 7 \
-                and body[0] == 0x12:
-            _, char_id, ratio = struct.unpack_from("<HHH", body, 1)
-            ratios[char_id] = ratio / 65536.0
+        if code == TAG_PLACE_OBJECT2:
+            p = _parse_place_object2(body)
+            if p.ratio is not None:
+                ratios[p.character_id] = p.ratio
     return [(m, ratios.get(m.id, 0.0)) for m in morphs]
 
 
@@ -1096,3 +1217,58 @@ def parse_movie_bitmaps(data: bytes) -> List[ast.DefineBitmap]:
     return [parse_define_bits_lossless_tag(body)
             for code, body in _iter_tags(data)
             if code == TAG_DEFINE_BITS_LOSSLESS]
+
+
+@dataclasses.dataclass(frozen=True)
+class Movie:
+    """Everything a one-frame movie declares: the header frame RECT
+    (twips), background color, define tags by character id, and the
+    first frame's placements in tag order."""
+
+    frame_rect: ast.Rect
+    frame_rate: float
+    background: ast.StraightSRgba8
+    shapes: dict            # id -> ast.DefineShape
+    morph_shapes: dict      # id -> ast.DefineMorphShape
+    bitmaps: dict           # id -> ast.DefineBitmap
+    placements: Tuple[Placement, ...]
+
+
+def parse_movie(data: bytes) -> Movie:
+    """Full first-frame movie parse: define tags + placements +
+    background — everything load_movie_stage needs to rebuild the
+    display list."""
+    if data[:3] != b"FWS":
+        raise ValueError("only uncompressed (FWS) movies supported")
+    r = BitReader(data, 8)
+    frame_rect = _read_rect(r)
+    (rate_fixed, _count) = struct.unpack_from("<HH", data, r.byte_pos)
+    background = ast.StraightSRgba8(255, 255, 255, 255)
+    shapes, morphs, bitmaps = {}, {}, {}
+    placements: List[Placement] = []
+    for code, body in _iter_tags(data):
+        if code == TAG_SET_BACKGROUND:
+            background = ast.StraightSRgba8(body[0], body[1], body[2], 255)
+        elif code == TAG_DEFINE_SHAPE3:
+            tag = parse_define_shape_tag(body)
+            shapes[tag.id] = tag
+        elif code == TAG_DEFINE_SHAPE4:
+            tag = parse_define_shape4_tag(body)
+            shapes[tag.id] = tag
+        elif code == TAG_DEFINE_MORPH_SHAPE:
+            tag = parse_define_morph_shape_tag(body)
+            morphs[tag.id] = tag
+        elif code == TAG_DEFINE_MORPH_SHAPE2:
+            tag = parse_define_morph_shape2_tag(body)
+            morphs[tag.id] = tag
+        elif code == TAG_DEFINE_BITS_LOSSLESS:
+            tag = parse_define_bits_lossless_tag(body)
+            bitmaps[tag.id] = tag
+        elif code == TAG_PLACE_OBJECT2:
+            placements.append(_parse_place_object2(body))
+        elif code == TAG_SHOW_FRAME:
+            break  # first frame only
+    return Movie(frame_rect=frame_rect, frame_rate=rate_fixed / 256.0,
+                 background=background, shapes=shapes,
+                 morph_shapes=morphs, bitmaps=bitmaps,
+                 placements=tuple(placements))

@@ -1,0 +1,95 @@
+"""Movie loading: an uncompressed ``.swf`` -> display-list Stage -> pixels.
+
+The reverse of ``models.swf_binary.emit_movie`` and a capability the
+reference never had — its entry points deserialize ``ast.json`` tags only
+(reference ts/src/main/main.ts:1-10 is an unimplemented stub;
+rs/bin/src/main.rs:16-19 reads one DefineShape from JSON).  Here a real
+Flash movie file round-trips: the define tags become definitions, the
+first frame's PlaceObject2 records become display objects (matrix, morph
+ratio, color transform), SetBackgroundColor becomes the stage clear color,
+and the header frame RECT fixes the raster size the way the player does
+(``ceil(twips / 20)``, exact fractional extent kept for stage clipping).
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+from typing import List, Tuple, Union
+
+import numpy as np
+
+from ..models import ast, display
+from ..models.swf_binary import Movie, parse_movie
+
+MovieSource = Union[bytes, str, pathlib.Path]
+
+
+def _movie_bytes(src: MovieSource) -> bytes:
+    if isinstance(src, bytes):
+        return src
+    return pathlib.Path(src).read_bytes()
+
+
+def _placement_child(p, movie: Movie) -> display.DisplayObject:
+    ct = None
+    if p.color_transform is not None:
+        ct = display.ColorTransform(mult=tuple(p.color_transform[0]),
+                                    add=tuple(p.color_transform[1]))
+    if p.character_id in movie.shapes:
+        return display.ShapeInstance(
+            definition=movie.shapes[p.character_id], matrix=p.matrix,
+            color_transform=ct)
+    if p.character_id in movie.morph_shapes:
+        return display.MorphShapeInstance(
+            definition=movie.morph_shapes[p.character_id],
+            ratio=float(p.ratio or 0.0), matrix=p.matrix,
+            color_transform=ct)
+    raise KeyError(
+        f"PlaceObject2 references undefined character {p.character_id}")
+
+
+def load_movie_stage(src: MovieSource
+                     ) -> Tuple[display.Stage, List[ast.DefineBitmap]]:
+    """Parse a movie into (Stage, bitmaps to register).
+
+    Placements stack in depth order (the SWF display list is keyed by
+    depth; painter's order = ascending depth).  A nonzero frame-RECT
+    origin shifts the children like the player's stage origin."""
+    movie = parse_movie(_movie_bytes(src))
+    rect = movie.frame_rect
+    span_x = rect.x_max - rect.x_min
+    span_y = rect.y_max - rect.y_min
+    children = tuple(
+        _placement_child(p, movie)
+        for p in sorted(movie.placements, key=lambda p: p.depth))
+    if rect.x_min or rect.y_min:
+        from ..utils.fixed import Sfixed16P16
+
+        shift = ast.Matrix(
+            scale_x=Sfixed16P16.from_value(1),
+            scale_y=Sfixed16P16.from_value(1),
+            rotate_skew0=Sfixed16P16.from_value(0),
+            rotate_skew1=Sfixed16P16.from_value(0),
+            translate_x=-rect.x_min, translate_y=-rect.y_min)
+        children = (display.Container(children=children, matrix=shift),)
+    stage = display.Stage(
+        width=math.ceil(span_x / 20),
+        height=math.ceil(span_y / 20),
+        background_color=movie.background,
+        children=children,
+        exact_width=span_x / 20,
+        exact_height=span_y / 20,
+    )
+    return stage, list(movie.bitmaps.values())
+
+
+def render_movie(src: MovieSource, **renderer_kwargs) -> np.ndarray:
+    """Load a movie and rasterize its first frame."""
+    from .renderer import TpuRenderer
+
+    stage, bitmaps = load_movie_stage(src)
+    renderer = TpuRenderer(stage.width, stage.height, **renderer_kwargs)
+    for bmp in bitmaps:
+        renderer.add_bitmap(bmp)
+    return renderer.render(stage)

@@ -1,0 +1,170 @@
+"""Movie loader tests: .swf files round-trip to bit-identical renders.
+
+``runtime.movie`` reverses ``swf_binary.emit_movie``: a corpus sample
+assembled into a movie (define tags + PlaceObject2 matrix/ratio/color
+transform + SetBackgroundColor + frame RECT) must rasterize exactly like
+a hand-built Stage of the same content — placements, depth order, morph
+ratios, bitmaps, and color transforms all survive the wire format.
+"""
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.models import ast, display, swf_binary
+from swf_renderer_tpu.models.ast_io import (
+    parse_define_bitmap,
+    parse_define_morph_shape,
+    parse_define_shape,
+)
+from swf_renderer_tpu.runtime.movie import load_movie_stage, render_movie
+from swf_renderer_tpu.runtime.renderer import TpuRenderer
+from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+WHITE = ast.StraightSRgba8(255, 255, 255, 255)
+
+
+def _translate(tx: int, ty: int) -> ast.Matrix:
+    return ast.Matrix(
+        scale_x=Sfixed16P16.from_value(1),
+        scale_y=Sfixed16P16.from_value(1),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=tx, translate_y=ty)
+
+
+def _load_shape(reference_tests: Path, case: str) -> ast.DefineShape:
+    return parse_define_shape(
+        json.loads((reference_tests / case / "ast.json").read_text()))
+
+
+def _render_stage(stage: display.Stage, bitmaps=()) -> np.ndarray:
+    r = TpuRenderer(stage.width, stage.height)
+    for b in bitmaps:
+        r.add_bitmap(b)
+    return r.render(stage)
+
+
+def _span_rect(b: ast.Rect) -> ast.Rect:
+    return ast.Rect(0, b.x_max - b.x_min, 0, b.y_max - b.y_min)
+
+
+def _stage_like(tag_bounds: ast.Rect, children) -> display.Stage:
+    span_x = tag_bounds.x_max - tag_bounds.x_min
+    span_y = tag_bounds.y_max - tag_bounds.y_min
+    return display.Stage(
+        width=math.ceil(span_x / 20), height=math.ceil(span_y / 20),
+        background_color=WHITE, children=tuple(children),
+        exact_width=span_x / 20, exact_height=span_y / 20)
+
+
+@pytest.mark.parametrize("case", [
+    "flat-shapes/triangle", "flat-shapes/squares",
+    "flat-shapes/homestuck-beta-1",
+])
+def test_movie_render_matches_direct_stage(reference_tests, case):
+    tag = _load_shape(reference_tests, case)
+    m = _translate(-tag.bounds.x_min, -tag.bounds.y_min)
+    movie = swf_binary.emit_movie(
+        [tag], shape_matrices=[m], stage_rect=_span_rect(tag.bounds))
+    got = render_movie(movie)
+    want = _render_stage(_stage_like(
+        tag.bounds, [display.ShapeInstance(definition=tag, matrix=m)]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_movie_render_morph_ratio(reference_tests):
+    tag = parse_define_morph_shape(
+        (reference_tests / "flat-morph-shapes" / "homestuck-beta-29"
+         / "ast.json").read_text())
+    x_min = min(tag.bounds.x_min, tag.morph_bounds.x_min)
+    x_max = max(tag.bounds.x_max, tag.morph_bounds.x_max)
+    y_min = min(tag.bounds.y_min, tag.morph_bounds.y_min)
+    y_max = max(tag.bounds.y_max, tag.morph_bounds.y_max)
+    m = _translate(-x_min, -y_min)
+    rect = ast.Rect(0, x_max - x_min, 0, y_max - y_min)
+    movie = swf_binary.emit_movie(
+        [], morphs=[(tag, 0.5)], morph_matrices=[m], stage_rect=rect)
+    got = render_movie(movie)
+    want = _render_stage(_stage_like(
+        ast.Rect(x_min, x_max, y_min, y_max),
+        [display.MorphShapeInstance(definition=tag, ratio=0.5, matrix=m)]))
+    np.testing.assert_array_equal(got, want)
+    # The placed ratio survives quantization to within one u16 step.
+    stage, _ = load_movie_stage(movie)
+    assert abs(stage.children[0].ratio - 0.5) < 1e-4
+
+
+def test_movie_render_textured_bitmap(reference_tests):
+    bitmap = parse_define_bitmap(
+        (reference_tests / "bitmap" / "homestuck-beta-3.ast.json")
+        .read_text())
+    tag = _load_shape(reference_tests, "textured-shapes/homestuck-beta-4")
+    m = _translate(-tag.bounds.x_min, -tag.bounds.y_min)
+    movie = swf_binary.emit_movie(
+        [tag], bitmaps=[bitmap], shape_matrices=[m],
+        stage_rect=_span_rect(tag.bounds))
+    got = render_movie(movie)
+    want = _render_stage(
+        _stage_like(tag.bounds,
+                    [display.ShapeInstance(definition=tag, matrix=m)]),
+        bitmaps=[bitmap])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_movie_color_transform(reference_tests):
+    """CXFORMWITHALPHA survives the wire (exactly-representable fixed
+    8.8 mults / integer adds) and renders like the display-list
+    ColorTransform it maps to."""
+    tag = _load_shape(reference_tests, "flat-shapes/triangle")
+    m = _translate(-tag.bounds.x_min, -tag.bounds.y_min)
+    ct = ((0.5, 1.0, 0.25, 1.0), (64 / 255.0, 0.0, 0.0, 0.0))
+    movie = swf_binary.emit_movie(
+        [tag], shape_matrices=[m], stage_rect=_span_rect(tag.bounds),
+        shape_color_transforms=[ct])
+    stage, _ = load_movie_stage(movie)
+    child = stage.children[0]
+    assert child.color_transform == display.ColorTransform(
+        mult=ct[0], add=ct[1])
+    got = render_movie(movie)
+    want = _render_stage(_stage_like(tag.bounds, [
+        display.ShapeInstance(
+            definition=tag, matrix=m,
+            color_transform=display.ColorTransform(mult=ct[0],
+                                                   add=ct[1]))]))
+    np.testing.assert_array_equal(got, want)
+    plain = render_movie(swf_binary.emit_movie(
+        [tag], shape_matrices=[m], stage_rect=_span_rect(tag.bounds)))
+    assert np.any(got != plain), "color transform changed nothing"
+
+
+def test_movie_nonzero_origin_rect(reference_tests):
+    """A frame RECT with a nonzero origin shifts the stage like the
+    player's origin: content placed at the rect min renders at (0, 0)."""
+    tag = _load_shape(reference_tests, "flat-shapes/triangle")
+    base = _translate(-tag.bounds.x_min, -tag.bounds.y_min)
+    off = _translate(base.translate_x + 400, base.translate_y + 800)
+    span = _span_rect(tag.bounds)
+    rect = ast.Rect(400, span.x_max + 400, 800, span.y_max + 800)
+    movie = swf_binary.emit_movie(
+        [tag], shape_matrices=[off], stage_rect=rect)
+    got = render_movie(movie)
+    want = _render_stage(_stage_like(
+        tag.bounds, [display.ShapeInstance(definition=tag, matrix=base)]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_movie_undefined_character_raises():
+    movie = swf_binary.emit_movie(
+        [], morphs=[], stage_rect=ast.Rect(0, 200, 0, 200))
+    # Splice in a dangling placement.
+    place = swf_binary._emit_place_object2(
+        swf_binary.Placement(depth=1, character_id=99))
+    end = movie.rindex(b"\x40\x00")  # ShowFrame header is before END
+    patched = movie[:end] + place + movie[end:]
+    patched = patched[:4] + len(patched).to_bytes(4, "little") + patched[8:]
+    with pytest.raises(KeyError):
+        load_movie_stage(patched)

@@ -48,6 +48,7 @@ TAG_DEFINE_MORPH_SHAPE2 = 84
 TAG_DEFINE_BITS_LOSSLESS = 20
 TAG_SET_BACKGROUND = 9
 TAG_PLACE_OBJECT2 = 26
+TAG_REMOVE_OBJECT2 = 28
 
 _SPREAD_TO_BITS = {
     ast.GradientSpread.PAD: 0,
@@ -460,17 +461,28 @@ def _parse_shape_records(data: bytes, pos: int,
 
 @dataclasses.dataclass(frozen=True)
 class Placement:
-    """One PlaceObject2 (new-character form): what the display list shows.
+    """One PlaceObject2: what the display list shows at a depth.
 
     ``ratio`` is the morph ratio in [0, 1] (u16/65536 on the wire);
     ``color_transform`` is (mult4, add4) floats on [0, 1] straight
-    colors (CXFORMWITHALPHA fixed 8.8 mults / 0..255 adds)."""
+    colors (CXFORMWITHALPHA fixed 8.8 mults / 0..255 adds).
+    ``move``: the PlaceFlagMove form — modify (or, with a character id,
+    replace) whatever occupies the depth; fields left None RETAIN the
+    previous occupant's values (player semantics)."""
 
     depth: int
-    character_id: int
+    character_id: Optional[int] = None
     matrix: ast.Matrix = None
     color_transform: Tuple[Tuple[float, ...], Tuple[float, ...]] = None
     ratio: float = None
+    move: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RemoveObject:
+    """RemoveObject2: clear a depth from the display list."""
+
+    depth: int
 
 
 def _write_cxform_alpha(w: BitWriter, mult, add) -> None:
@@ -511,14 +523,22 @@ def _read_cxform_alpha(r: BitReader):
 
 
 def _emit_place_object2(p: Placement) -> bytes:
-    flags = 0x02  # has character
+    flags = 0
+    if p.move:
+        flags |= 0x01
+    if p.character_id is not None:
+        flags |= 0x02
+    elif not p.move:
+        raise ValueError("new placements need a character id")
     if p.matrix is not None:
         flags |= 0x04
     if p.color_transform is not None:
         flags |= 0x08
     if p.ratio is not None:
         flags |= 0x10
-    body = bytearray(struct.pack("<BHH", flags, p.depth, p.character_id))
+    body = bytearray(struct.pack("<BH", flags, p.depth))
+    if p.character_id is not None:
+        body.extend(struct.pack("<H", p.character_id))
     if p.matrix is not None or p.color_transform is not None:
         w = BitWriter()
         if p.matrix is not None:
@@ -536,14 +556,19 @@ def _emit_place_object2(p: Placement) -> bytes:
 
 def _parse_place_object2(body: bytes) -> Placement:
     flags = body[0]
-    if flags & (0x80 | 0x40 | 0x20 | 0x01):
+    if flags & (0x80 | 0x40 | 0x20):
         raise ValueError(
             f"unsupported PlaceObject2 flags 0x{flags:02x} "
-            "(clip actions/depth, name, move)")
-    if not flags & 0x02:
+            "(clip actions/depth, name)")
+    move = bool(flags & 0x01)
+    if not (flags & 0x02) and not move:
         raise ValueError("PlaceObject2 without a character id")
-    depth, char_id = struct.unpack_from("<HH", body, 1)
-    pos = 5
+    (depth,) = struct.unpack_from("<H", body, 1)
+    pos = 3
+    char_id = None
+    if flags & 0x02:
+        (char_id,) = struct.unpack_from("<H", body, pos)
+        pos += 2
     matrix = None
     ct = None
     if flags & (0x04 | 0x08):
@@ -558,7 +583,7 @@ def _parse_place_object2(body: bytes) -> Placement:
         (ratio_u16,) = struct.unpack_from("<H", body, pos)
         ratio = ratio_u16 / 65536.0
     return Placement(depth=depth, character_id=char_id, matrix=matrix,
-                     color_transform=ct, ratio=ratio)
+                     color_transform=ct, ratio=ratio, move=move)
 
 
 # ---------------------------------------------------------------------------
@@ -1119,38 +1144,80 @@ def emit_movie(shapes: List[ast.DefineShape],
     for m, _ in morphs:
         x_max = max(x_max, m.bounds.x_max, m.morph_bounds.x_max)
         y_max = max(y_max, m.bounds.y_max, m.morph_bounds.y_max)
+    placements: List[Placement] = []
+    for depth, shape in enumerate(shapes, start=1):
+        placements.append(Placement(
+            depth=depth, character_id=shape.id,
+            matrix=(shape_matrices[depth - 1]
+                    if shape_matrices is not None else None),
+            color_transform=(shape_color_transforms[depth - 1]
+                             if shape_color_transforms is not None
+                             else None)))
+    for i, (morph, ratio) in enumerate(morphs):
+        placements.append(Placement(
+            depth=len(shapes) + 1 + i, character_id=morph.id,
+            matrix=(morph_matrices[i]
+                    if morph_matrices is not None else None),
+            ratio=float(ratio)))
+    return emit_movie_timeline(
+        [placements], shapes=shapes, morphs=[m for m, _ in morphs],
+        bitmaps=bitmaps, background=background, frame_rate=frame_rate,
+        shape4=shape4, morph2=morph2,
+        stage_rect=(stage_rect if stage_rect is not None
+                    else ast.Rect(0, x_max, 0, y_max)))
+
+
+def emit_movie_timeline(
+        frames: List[List],
+        shapes: List[ast.DefineShape] = (),
+        morphs: List[ast.DefineMorphShape] = (),
+        bitmaps: List[ast.DefineBitmap] = (),
+        background: ast.StraightSRgba8 = ast.StraightSRgba8(
+            255, 255, 255, 255),
+        frame_rate: float = 24.0,
+        shape4: bool = False,
+        morph2: bool = False,
+        stage_rect: Optional[ast.Rect] = None) -> bytes:
+    """A multi-frame movie: define tags up front, then per frame a list
+    of Placement / RemoveObject display-list operations followed by
+    ShowFrame.  Placement.move carries the PlaceFlagMove form (modify
+    or replace the depth's occupant) — the wire-level analog of the
+    renderer's timeline tracks (render_batch consumes the loaded
+    stages; moving-matrix animations auto-route to the on-device
+    sweep)."""
+    if stage_rect is None:
+        x_max = max((s.bounds.x_max for s in shapes), default=11000)
+        y_max = max((s.bounds.y_max for s in shapes), default=8000)
+        for m in morphs:
+            x_max = max(x_max, m.bounds.x_max, m.morph_bounds.x_max)
+            y_max = max(y_max, m.bounds.y_max, m.morph_bounds.y_max)
+        stage_rect = ast.Rect(0, x_max, 0, y_max)
     w = BitWriter()
-    _write_rect(w, stage_rect if stage_rect is not None
-                else ast.Rect(0, x_max, 0, y_max))
+    _write_rect(w, stage_rect)
 
     tags = bytearray()
     tags.extend(_tag(TAG_SET_BACKGROUND,
                      bytes((background.r, background.g, background.b))))
     for bitmap in bitmaps:
         tags.extend(emit_define_bits_lossless(bitmap))
-    for depth, shape in enumerate(shapes, start=1):
+    for shape in shapes:
         tags.extend(emit_define_shape4(shape) if shape4
                     else emit_define_shape(shape))
-        tags.extend(_emit_place_object2(Placement(
-            depth=depth, character_id=shape.id,
-            matrix=(shape_matrices[depth - 1]
-                    if shape_matrices is not None else None),
-            color_transform=(shape_color_transforms[depth - 1]
-                             if shape_color_transforms is not None
-                             else None))))
-    for i, (morph, ratio) in enumerate(morphs):
+    for morph in morphs:
         tags.extend(emit_define_morph_shape(morph, shape2=morph2))
-        tags.extend(_emit_place_object2(Placement(
-            depth=len(shapes) + 1 + i, character_id=morph.id,
-            matrix=(morph_matrices[i]
-                    if morph_matrices is not None else None),
-            ratio=float(ratio))))
-    tags.extend(_tag(TAG_SHOW_FRAME, b""))
+    for ops in frames:
+        for op in ops:
+            if isinstance(op, RemoveObject):
+                tags.extend(_tag(TAG_REMOVE_OBJECT2,
+                                 struct.pack("<H", op.depth)))
+            else:
+                tags.extend(_emit_place_object2(op))
+        tags.extend(_tag(TAG_SHOW_FRAME, b""))
     tags.extend(_tag(TAG_END, b""))
 
     header_body = (
         w.bytes()
-        + struct.pack("<HH", int(frame_rate * 256), 1)
+        + struct.pack("<HH", int(frame_rate * 256), len(frames))
         + bytes(tags)
     )
     # DefineShape4 (83) / DefineMorphShape2 (84) need SWF version >= 8.
@@ -1221,9 +1288,10 @@ def parse_movie_bitmaps(data: bytes) -> List[ast.DefineBitmap]:
 
 @dataclasses.dataclass(frozen=True)
 class Movie:
-    """Everything a one-frame movie declares: the header frame RECT
-    (twips), background color, define tags by character id, and the
-    first frame's placements in tag order."""
+    """Everything a movie declares: the header frame RECT (twips),
+    background color, define tags by character id, and the display
+    list's per-ShowFrame snapshots (depth-ordered, fully resolved —
+    PlaceFlagMove modifications and RemoveObject2 already applied)."""
 
     frame_rect: ast.Rect
     frame_rate: float
@@ -1231,13 +1299,22 @@ class Movie:
     shapes: dict            # id -> ast.DefineShape
     morph_shapes: dict      # id -> ast.DefineMorphShape
     bitmaps: dict           # id -> ast.DefineBitmap
-    placements: Tuple[Placement, ...]
+    frames: Tuple[Tuple[Placement, ...], ...]
+
+    @property
+    def placements(self) -> Tuple[Placement, ...]:
+        """The first frame's display list."""
+        return self.frames[0] if self.frames else ()
 
 
 def parse_movie(data: bytes) -> Movie:
-    """Full first-frame movie parse: define tags + placements +
-    background — everything load_movie_stage needs to rebuild the
-    display list."""
+    """Full movie parse: define tags + the display-list timeline.
+
+    PlaceObject2 semantics per frame: a new-character placement
+    occupies its depth; a PlaceFlagMove placement modifies (or, with a
+    character id, replaces) the occupant, retaining any attribute left
+    unspecified; RemoveObject2 clears the depth.  Each ShowFrame
+    snapshots the resolved, depth-sorted display list."""
     if data[:3] != b"FWS":
         raise ValueError("only uncompressed (FWS) movies supported")
     r = BitReader(data, 8)
@@ -1245,7 +1322,8 @@ def parse_movie(data: bytes) -> Movie:
     (rate_fixed, _count) = struct.unpack_from("<HH", data, r.byte_pos)
     background = ast.StraightSRgba8(255, 255, 255, 255)
     shapes, morphs, bitmaps = {}, {}, {}
-    placements: List[Placement] = []
+    state: dict = {}  # depth -> resolved Placement
+    frames: List[Tuple[Placement, ...]] = []
     for code, body in _iter_tags(data):
         if code == TAG_SET_BACKGROUND:
             background = ast.StraightSRgba8(body[0], body[1], body[2], 255)
@@ -1265,10 +1343,36 @@ def parse_movie(data: bytes) -> Movie:
             tag = parse_define_bits_lossless_tag(body)
             bitmaps[tag.id] = tag
         elif code == TAG_PLACE_OBJECT2:
-            placements.append(_parse_place_object2(body))
+            p = _parse_place_object2(body)
+            if p.move:
+                prev = state.get(p.depth)
+                if prev is None:
+                    raise ValueError(
+                        f"PlaceFlagMove at empty depth {p.depth}")
+                state[p.depth] = Placement(
+                    depth=p.depth,
+                    character_id=(p.character_id
+                                  if p.character_id is not None
+                                  else prev.character_id),
+                    matrix=(p.matrix if p.matrix is not None
+                            else prev.matrix),
+                    color_transform=(p.color_transform
+                                     if p.color_transform is not None
+                                     else prev.color_transform),
+                    ratio=(p.ratio if p.ratio is not None
+                           else prev.ratio))
+            else:
+                if state.get(p.depth) is not None:
+                    raise ValueError(
+                        f"new placement at occupied depth {p.depth}")
+                state[p.depth] = p
+        elif code == TAG_REMOVE_OBJECT2:
+            (depth,) = struct.unpack_from("<H", body, 0)
+            state.pop(depth, None)
         elif code == TAG_SHOW_FRAME:
-            break  # first frame only
+            frames.append(tuple(
+                state[d] for d in sorted(state)))
     return Movie(frame_rect=frame_rect, frame_rate=rate_fixed / 256.0,
                  background=background, shapes=shapes,
                  morph_shapes=morphs, bitmaps=bitmaps,
-                 placements=tuple(placements))
+                 frames=tuple(frames))

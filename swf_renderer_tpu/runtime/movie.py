@@ -20,7 +20,7 @@ from typing import List, Tuple, Union
 import numpy as np
 
 from ..models import ast, display
-from ..models.swf_binary import Movie, parse_movie
+from ..models.swf_binary import Movie, parse_movie  # noqa: F401
 
 MovieSource = Union[bytes, str, pathlib.Path]
 
@@ -49,20 +49,11 @@ def _placement_child(p, movie: Movie) -> display.DisplayObject:
         f"PlaceObject2 references undefined character {p.character_id}")
 
 
-def load_movie_stage(src: MovieSource
-                     ) -> Tuple[display.Stage, List[ast.DefineBitmap]]:
-    """Parse a movie into (Stage, bitmaps to register).
-
-    Placements stack in depth order (the SWF display list is keyed by
-    depth; painter's order = ascending depth).  A nonzero frame-RECT
-    origin shifts the children like the player's stage origin."""
-    movie = parse_movie(_movie_bytes(src))
+def _frame_stage(movie: Movie, placements) -> display.Stage:
     rect = movie.frame_rect
     span_x = rect.x_max - rect.x_min
     span_y = rect.y_max - rect.y_min
-    children = tuple(
-        _placement_child(p, movie)
-        for p in sorted(movie.placements, key=lambda p: p.depth))
+    children = tuple(_placement_child(p, movie) for p in placements)
     if rect.x_min or rect.y_min:
         from ..utils.fixed import Sfixed16P16
 
@@ -73,7 +64,7 @@ def load_movie_stage(src: MovieSource
             rotate_skew1=Sfixed16P16.from_value(0),
             translate_x=-rect.x_min, translate_y=-rect.y_min)
         children = (display.Container(children=children, matrix=shift),)
-    stage = display.Stage(
+    return display.Stage(
         width=math.ceil(span_x / 20),
         height=math.ceil(span_y / 20),
         background_color=movie.background,
@@ -81,7 +72,28 @@ def load_movie_stage(src: MovieSource
         exact_width=span_x / 20,
         exact_height=span_y / 20,
     )
-    return stage, list(movie.bitmaps.values())
+
+
+def load_movie_stage(src: MovieSource
+                     ) -> Tuple[display.Stage, List[ast.DefineBitmap]]:
+    """Parse a movie into (first-frame Stage, bitmaps to register).
+
+    Placements stack in depth order (the SWF display list is keyed by
+    depth; painter's order = ascending depth).  A nonzero frame-RECT
+    origin shifts the children like the player's stage origin."""
+    movie = parse_movie(_movie_bytes(src))
+    return _frame_stage(movie, movie.placements), list(
+        movie.bitmaps.values())
+
+
+def load_movie_timeline(
+        src: MovieSource
+) -> Tuple[List[display.Stage], List[ast.DefineBitmap]]:
+    """Parse a movie into one Stage per ShowFrame (resolved timeline:
+    PlaceFlagMove modifications and RemoveObject2 applied)."""
+    movie = parse_movie(_movie_bytes(src))
+    return [_frame_stage(movie, f) for f in movie.frames], list(
+        movie.bitmaps.values())
 
 
 def render_movie(src: MovieSource, **renderer_kwargs) -> np.ndarray:
@@ -93,3 +105,24 @@ def render_movie(src: MovieSource, **renderer_kwargs) -> np.ndarray:
     for bmp in bitmaps:
         renderer.add_bitmap(bmp)
     return renderer.render(stage)
+
+
+def render_movie_timeline(src: MovieSource,
+                          **renderer_kwargs) -> np.ndarray:
+    """Rasterize every frame of a movie as ONE device batch.
+
+    The stages feed ``TpuRenderer.render_batch``, so a timeline whose
+    frames move matrices (the PlaceFlagMove form) auto-routes to the
+    on-device transform sweep — a real .swf animation plays through
+    the same kernels as the framework's native timeline tracks.
+    Returns (frames, H, W, 4) uint8."""
+    from .renderer import TpuRenderer
+
+    stages, bitmaps = load_movie_timeline(src)
+    if not stages:
+        raise ValueError("movie has no frames")
+    renderer = TpuRenderer(stages[0].width, stages[0].height,
+                           **renderer_kwargs)
+    for bmp in bitmaps:
+        renderer.add_bitmap(bmp)
+    return renderer.render_batch(stages)

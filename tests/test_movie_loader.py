@@ -168,3 +168,119 @@ def test_movie_undefined_character_raises():
     patched = patched[:4] + len(patched).to_bytes(4, "little") + patched[8:]
     with pytest.raises(KeyError):
         load_movie_stage(patched)
+
+
+# ---------------------------------------------------------------------------
+# Timelines (multi-frame movies)
+# ---------------------------------------------------------------------------
+
+
+def test_movie_timeline_move_and_remove(reference_tests):
+    """A three-frame movie: place, move (retaining unspecified
+    attributes), remove.  Snapshots resolve correctly and the batched
+    render equals rendering the same hand-built stages."""
+    tag = _load_shape(reference_tests, "flat-shapes/triangle")
+    base = _translate(-tag.bounds.x_min, -tag.bounds.y_min)
+    moved = _translate(base.translate_x + 400, base.translate_y + 200)
+    ct = ((0.5, 0.5, 0.5, 1.0), (0.0, 0.0, 0.0, 0.0))
+    span = _span_rect(tag.bounds)
+    rect = ast.Rect(0, span.x_max + 400, 0, span.y_max + 200)
+    movie = swf_binary.emit_movie_timeline(
+        frames=[
+            [swf_binary.Placement(depth=1, character_id=tag.id,
+                                  matrix=base, color_transform=ct)],
+            [swf_binary.Placement(depth=1, matrix=moved, move=True)],
+            [swf_binary.RemoveObject(depth=1)],
+        ],
+        shapes=[tag], stage_rect=rect)
+
+    parsed = swf_binary.parse_movie(movie)
+    assert len(parsed.frames) == 3
+    f0, f1, f2 = parsed.frames
+    assert f0[0].matrix == base and f0[0].color_transform == ct
+    # The move changed the matrix and RETAINED the color transform.
+    assert f1[0].matrix == moved and f1[0].color_transform == ct
+    assert f1[0].character_id == tag.id
+    assert f2 == ()
+
+    from swf_renderer_tpu.runtime.movie import (
+        load_movie_timeline, render_movie_timeline,
+    )
+
+    stages, _ = load_movie_timeline(movie)
+    got = render_movie_timeline(movie)
+    want = np.stack([_render_stage(s) for s in stages])
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # render_batch may take the fused batch path; its contract vs
+    # per-frame renders is one premul-u8 quantum.
+    assert diff.max() <= 1, diff.max()
+    assert got.shape[0] == 3
+    assert np.any(got[0] != got[1]), "move changed nothing"
+    # The removed frame shows only the background.
+    bg = np.array([255, 255, 255, 255], np.uint8)
+    assert (got[2] == bg).all()
+
+
+def test_movie_timeline_replace_retains_matrix(reference_tests):
+    """PlaceFlagMove WITH a character id swaps the definition at the
+    depth but keeps the unspecified matrix (player semantics)."""
+    tri = _load_shape(reference_tests, "flat-shapes/triangle")
+    sq = _load_shape(reference_tests, "flat-shapes/squares")
+    import dataclasses as dc
+    sq = dc.replace(sq, id=tri.id + 1)
+    base = _translate(-tri.bounds.x_min, -tri.bounds.y_min)
+    movie = swf_binary.emit_movie_timeline(
+        frames=[
+            [swf_binary.Placement(depth=1, character_id=tri.id,
+                                  matrix=base)],
+            [swf_binary.Placement(depth=1, character_id=sq.id,
+                                  move=True)],
+        ],
+        shapes=[tri, sq],
+        stage_rect=_span_rect(tri.bounds))
+    parsed = swf_binary.parse_movie(movie)
+    assert parsed.frames[1][0].character_id == sq.id
+    assert parsed.frames[1][0].matrix == base
+
+
+def test_movie_timeline_morph_ratio_track(reference_tests):
+    """A morph whose ratio advances per frame via PlaceFlagMove — the
+    wire form of the renderer's morph timeline tracks."""
+    tag = parse_define_morph_shape(
+        (reference_tests / "flat-morph-shapes" / "homestuck-beta-29"
+         / "ast.json").read_text())
+    x_min = min(tag.bounds.x_min, tag.morph_bounds.x_min)
+    x_max = max(tag.bounds.x_max, tag.morph_bounds.x_max)
+    y_min = min(tag.bounds.y_min, tag.morph_bounds.y_min)
+    y_max = max(tag.bounds.y_max, tag.morph_bounds.y_max)
+    m = _translate(-x_min, -y_min)
+    rect = ast.Rect(0, x_max - x_min, 0, y_max - y_min)
+    ratios = [0.0, 0.25, 0.5, 0.75]
+    frames = [[swf_binary.Placement(depth=1, character_id=tag.id,
+                                    matrix=m, ratio=ratios[0])]]
+    for r in ratios[1:]:
+        frames.append([swf_binary.Placement(depth=1, ratio=r, move=True)])
+    movie = swf_binary.emit_movie_timeline(
+        frames=frames, morphs=[tag], stage_rect=rect)
+    parsed = swf_binary.parse_movie(movie)
+    got_ratios = [f[0].ratio for f in parsed.frames]
+    assert np.allclose(got_ratios, ratios, atol=1e-4)
+
+    from swf_renderer_tpu.runtime.movie import render_movie_timeline
+
+    got = render_movie_timeline(movie)
+    assert got.shape[0] == len(ratios)
+    # Frames differ as the morph advances.
+    assert np.any(got[0] != got[-1])
+
+
+def test_movie_timeline_rejects_bad_ops():
+    with pytest.raises(ValueError):
+        swf_binary._emit_place_object2(swf_binary.Placement(depth=1))
+    tri_rect = ast.Rect(0, 200, 0, 200)
+    movie = swf_binary.emit_movie_timeline(
+        frames=[[swf_binary.Placement(depth=1, matrix=None, ratio=0.5,
+                                      move=True)]],
+        stage_rect=tri_rect)
+    with pytest.raises(ValueError):
+        swf_binary.parse_movie(movie)  # move at an empty depth

@@ -1226,11 +1226,22 @@ def emit_movie_timeline(
     return header + struct.pack("<I", total) + header_body
 
 
+def decompress_movie(data: bytes) -> bytes:
+    """CWS (zlib-compressed) movies inflate to their FWS twin; FWS
+    passes through.  Real-world .swf files are almost always CWS."""
+    if data[:3] == b"CWS":
+        import zlib
+
+        return b"FWS" + data[3:8] + zlib.decompress(data[8:])
+    return data
+
+
 def _iter_tags(data: bytes):
-    """(code, body) for each RECORDHEADER tag of an uncompressed
-    movie, up to and including TAG_END."""
+    """(code, body) for each RECORDHEADER tag of a movie, up to and
+    including TAG_END."""
+    data = decompress_movie(data)
     if data[:3] != b"FWS":
-        raise ValueError("only uncompressed (FWS) movies supported")
+        raise ValueError(f"not a .swf movie (signature {data[:3]!r})")
     r = BitReader(data, 8)
     _read_rect(r)
     pos = r.byte_pos + 4  # frame rate + count
@@ -1315,8 +1326,9 @@ def parse_movie(data: bytes) -> Movie:
     character id, replaces) the occupant, retaining any attribute left
     unspecified; RemoveObject2 clears the depth.  Each ShowFrame
     snapshots the resolved, depth-sorted display list."""
+    data = decompress_movie(data)
     if data[:3] != b"FWS":
-        raise ValueError("only uncompressed (FWS) movies supported")
+        raise ValueError(f"not a .swf movie (signature {data[:3]!r})")
     r = BitReader(data, 8)
     frame_rect = _read_rect(r)
     (rate_fixed, _count) = struct.unpack_from("<HH", data, r.byte_pos)

@@ -1,4 +1,4 @@
-"""Movie loading: an uncompressed ``.swf`` -> display-list Stage -> pixels.
+"""Movie loading: a ``.swf`` file (FWS or zlib CWS) -> Stage -> pixels.
 
 The reverse of ``models.swf_binary.emit_movie`` and a capability the
 reference never had — its entry points deserialize ``ast.json`` tags only

@@ -64,9 +64,22 @@ def test_movie_assembly_and_extraction(reference_tests):
     assert [s.bounds for s in shapes] == [t.bounds for t in tags]
 
 
-def test_movie_rejects_compressed():
+def test_movie_compressed_cws_roundtrip(reference_tests):
+    """CWS (zlib) movies inflate transparently — the form nearly every
+    real-world .swf ships in."""
+    import zlib
+
+    cases = _shape_dirs(reference_tests)[:2]
+    movie = swf_binary.emit_movie([_load(c) for c in cases])
+    cws = b"CWS" + movie[3:8] + zlib.compress(movie[8:])
+    assert swf_binary.parse_movie_shapes(cws) == \
+        swf_binary.parse_movie_shapes(movie)
+    assert swf_binary.parse_movie(cws) == swf_binary.parse_movie(movie)
+
+
+def test_movie_rejects_unknown_signature():
     with pytest.raises(ValueError):
-        swf_binary.parse_movie_shapes(b"CWS" + b"\x00" * 16)
+        swf_binary.parse_movie_shapes(b"ZWS" + b"\x00" * 16)
 
 
 def test_bit_roundtrip_edge_widths():
@@ -405,3 +418,80 @@ def test_textured_movie_assembly(reference_tests):
     (back,) = swf_binary.parse_movie_shapes(movie)
     assert swf_binary.emit_define_shape(back) == \
         swf_binary.emit_define_shape(shape)
+
+
+def test_timeline_fuzz_against_state_oracle(reference_tests):
+    """Random timeline op sequences emit -> parse to the same snapshots
+    an independent dict state machine predicts (place / move-modify /
+    move-replace / remove, attribute retention)."""
+    import numpy as np
+
+    tags = [_load(d) for d in _shape_dirs(reference_tests)[:2]]
+    import dataclasses as dc
+    tags[1] = dc.replace(tags[1], id=tags[0].id + 1)
+    ids = [t.id for t in tags]
+    rng = np.random.default_rng(284)
+    for _ in range(20):
+        frames = []
+        state = {}  # depth -> dict of attrs (the oracle)
+        oracle_frames = []
+        for _f in range(int(rng.integers(1, 6))):
+            ops = []
+            for _o in range(int(rng.integers(0, 4))):
+                depth = int(rng.integers(1, 4))
+                kind = rng.random()
+                matrix = (None if rng.random() < 0.5 else _tl(
+                    int(rng.integers(-2000, 2000)),
+                    int(rng.integers(-2000, 2000))))
+                ratio = (None if rng.random() < 0.7
+                         else int(rng.integers(0, 65536)) / 65536.0)
+                if kind < 0.35 and depth not in state:
+                    cid = ids[int(rng.integers(0, len(ids)))]
+                    ops.append(swf_binary.Placement(
+                        depth=depth, character_id=cid, matrix=matrix,
+                        ratio=ratio))
+                    state[depth] = dict(cid=cid, matrix=matrix,
+                                        ratio=ratio)
+                elif kind < 0.7 and depth in state:
+                    cid = (None if rng.random() < 0.6
+                           else ids[int(rng.integers(0, len(ids)))])
+                    ops.append(swf_binary.Placement(
+                        depth=depth, character_id=cid, matrix=matrix,
+                        ratio=ratio, move=True))
+                    prev = state[depth]
+                    state[depth] = dict(
+                        cid=cid if cid is not None else prev["cid"],
+                        matrix=matrix if matrix is not None
+                        else prev["matrix"],
+                        ratio=ratio if ratio is not None
+                        else prev["ratio"])
+                elif kind >= 0.7 and depth in state:
+                    ops.append(swf_binary.RemoveObject(depth=depth))
+                    del state[depth]
+            frames.append(ops)
+            oracle_frames.append({d: dict(v) for d, v in state.items()})
+        movie = swf_binary.emit_movie_timeline(
+            frames, shapes=tags, stage_rect=ast.Rect(0, 4000, 0, 4000))
+        parsed = swf_binary.parse_movie(movie)
+        assert len(parsed.frames) == len(oracle_frames)
+        for got, want in zip(parsed.frames, oracle_frames):
+            assert [p.depth for p in got] == sorted(want)
+            for p in got:
+                w = want[p.depth]
+                assert p.character_id == w["cid"]
+                assert p.matrix == w["matrix"]
+                if w["ratio"] is None:
+                    assert p.ratio is None
+                else:
+                    assert abs(p.ratio - w["ratio"]) < 1e-9
+
+
+def _tl(tx: int, ty: int) -> ast.Matrix:
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    return ast.Matrix(
+        scale_x=Sfixed16P16.from_value(1),
+        scale_y=Sfixed16P16.from_value(1),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=tx, translate_y=ty)

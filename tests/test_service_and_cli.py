@@ -308,3 +308,65 @@ def test_frame_server_timeline_endpoint(reference_tests):
         assert first.shape == (48, 48, 4) and first[..., 3].max() > 0
     finally:
         server.shutdown()
+
+
+def test_frame_server_movie_endpoint(reference_tests):
+    """POST /movie renders a whole .swf over HTTP — first frame as PNG,
+    full timeline as consecutive PAM frames (?timeline=1)."""
+    import json
+    import threading
+    import urllib.request
+
+    from tools.frame_server import FrameServer, Handler
+    from swf_renderer_tpu.models import ast as ast_model
+    from swf_renderer_tpu.models import swf_binary
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+    from swf_renderer_tpu.utils.pam import pam_to_rgba
+    from swf_renderer_tpu.utils.png import read_png
+
+    tag = parse_define_shape(json.loads(
+        (reference_tests / "flat-shapes" / "triangle"
+         / "ast.json").read_text()))
+
+    def tr(tx, ty):
+        return ast_model.Matrix(
+            Sfixed16P16.from_value(1), Sfixed16P16.from_value(1),
+            Sfixed16P16.from_value(0), Sfixed16P16.from_value(0), tx, ty)
+
+    base_m = tr(-tag.bounds.x_min, -tag.bounds.y_min)
+    span = ast_model.Rect(0, tag.bounds.x_max - tag.bounds.x_min,
+                          0, tag.bounds.y_max - tag.bounds.y_min)
+    movie = swf_binary.emit_movie([tag], shape_matrices=[base_m],
+                                  stage_rect=span)
+    anim = swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=tag.id,
+                               matrix=base_m)],
+         [swf_binary.Placement(depth=1, move=True,
+                               matrix=tr(base_m.translate_x + 200,
+                                         base_m.translate_y))]],
+        shapes=[tag], stage_rect=span)
+
+    server = FrameServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            return resp.read()
+
+    try:
+        frame = read_png(post("/movie", movie))
+        h = -(-(span.y_max) // 20)
+        w = -(-(span.x_max) // 20)
+        assert frame.shape == (h, w, 4)
+        assert frame[..., 3].max() == 255
+
+        blob = post("/movie?timeline=1", anim)
+        assert blob.count(b"P7\n") == 2
+        first = pam_to_rgba(blob)
+        assert first.shape == (h, w, 4)
+    finally:
+        server.shutdown()

@@ -125,6 +125,8 @@ class Handler(BaseHTTPRequestHandler):
                 handle = service.create_renderer(
                     int(spec.pop("width")), int(spec.pop("height")), **spec)
                 return self._json(200, {"handle": handle})
+            if parts == ["movie"]:
+                return self._movie(params)
             if len(parts) == 3 and parts[0] == "renderer":
                 handle = int(parts[1])
                 if parts[2] == "bitmap":
@@ -140,6 +142,42 @@ class Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"unknown route {self.path}"})
         except Exception as exc:  # noqa: BLE001 — serve errors as JSON
             self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def _movie(self, params):
+        """POST a whole .swf (FWS or zlib CWS): the first frame comes
+        back as PNG/PAM, or the full timeline as consecutive PAM frames
+        under ?timeline=1 (played through render_batch, so moving-matrix
+        movies auto-route to the on-device sweep).  The renderer is
+        server-cached per raster size, so repeat posts keep warm
+        compiled-scene caches."""
+        from swf_renderer_tpu.runtime.movie import (
+            load_movie_stage, load_movie_timeline,
+        )
+
+        data = self._body()
+        if params.get("timeline") in ("1", "true"):
+            stages, bitmaps = load_movie_timeline(data)
+            if not stages:
+                raise ValueError("movie has no frames")
+            renderer = self.server.fallback_renderer(
+                stages[0].width, stages[0].height)
+            for bmp in bitmaps:
+                renderer.add_bitmap(bmp)
+            frames = renderer.render_batch(stages)
+            buf = io.BytesIO()
+            for frame in frames:
+                buf.write(rgba_to_pam(frame))
+            return self._bytes(buf.getvalue(),
+                               "application/x-portable-arbitrarymap")
+        stage, bitmaps = load_movie_stage(data)
+        renderer = self.server.fallback_renderer(stage.width, stage.height)
+        for bmp in bitmaps:
+            renderer.add_bitmap(bmp)
+        frame = renderer.render(stage)
+        if params.get("format", "png") == "pam":
+            return self._bytes(rgba_to_pam(frame),
+                               "application/x-portable-arbitrarymap")
+        return self._bytes(encode_png(frame), "image/png")
 
     def _render(self, service, handle, params):
         tag = parse_tag(self._body().decode())

@@ -1,11 +1,12 @@
-"""Command-line renderer: ``python -m swf_renderer_tpu <ast.json> [-o out]``.
+"""Command-line renderer: ``python -m swf_renderer_tpu <ast.json|movie.swf>``.
 
 The real CLI the reference only sketched: its TS entry point is an
 unimplemented stub (reference ts/src/main/main.ts:1-10 — "NotImplemented:
 Deserialize a stage state and render it") and its Rust CLI opens a winit
 window for one shape (reference rs/bin/src/main.rs:9-82).  This one loads
-any supported tag from an ast.json, rasterizes on the available backend and
-writes PNG and/or PAM.
+any supported tag from an ast.json OR a whole .swf movie (FWS/CWS),
+rasterizes on the available backend and writes PNG and/or PAM
+(``--frames DIR`` plays a movie timeline to numbered PNGs).
 """
 
 from __future__ import annotations
@@ -22,7 +23,9 @@ def main(argv=None) -> int:
         prog="swf_renderer_tpu",
         description="TPU-native SWF shape rasterizer",
     )
-    parser.add_argument("ast", help="path to a define-shape/morph/bitmap ast.json")
+    parser.add_argument(
+        "ast", help="path to a define-shape/morph/bitmap ast.json "
+                    "or a .swf movie file")
     parser.add_argument("-o", "--output", default=None,
                         help="output path (.png or .pam); default: <ast>.png")
     parser.add_argument("--ratio", type=float, default=0.0,
@@ -33,6 +36,9 @@ def main(argv=None) -> int:
                         help="extra uniform scale applied to the stage")
     parser.add_argument("--stats", action="store_true",
                         help="print render statistics to stderr")
+    parser.add_argument("--frames", default=None, metavar="DIR",
+                        help="for .swf inputs: render the whole timeline "
+                             "to numbered PNGs in DIR (one device batch)")
     args = parser.parse_args(argv)
 
     from .models import ast as ast_model
@@ -43,10 +49,26 @@ def main(argv=None) -> int:
     from .utils.png import write_png
 
     if args.ast.endswith(".swf"):
-        # A whole movie file: define tags + first-frame placements.
-        from .runtime.movie import render_movie
+        # A whole movie file: define tags + placements (FWS or CWS).
+        from .runtime.movie import render_movie, render_movie_timeline
 
         t0 = time.perf_counter()
+        if args.frames is not None:
+            frames = render_movie_timeline(args.ast)
+            dt = time.perf_counter() - t0
+            out_dir = pathlib.Path(args.frames)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for i, frame in enumerate(frames):
+                write_png(out_dir / f"{i:04d}.png", frame)
+            if args.stats:
+                f, h, w = frames.shape[:3]
+                print(json.dumps({
+                    "frames": f, "width": w, "height": h,
+                    "seconds": round(dt, 4),
+                    "mpx_per_s": round(f * w * h / dt / 1e6, 3),
+                }), file=sys.stderr)
+            print(out_dir)
+            return 0
         frame = render_movie(args.ast)
         dt = time.perf_counter() - t0
         out = pathlib.Path(args.output or (args.ast + ".png"))

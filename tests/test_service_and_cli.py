@@ -370,3 +370,54 @@ def test_frame_server_movie_endpoint(reference_tests):
         assert first.shape == (h, w, 4)
     finally:
         server.shutdown()
+
+
+def test_cli_renders_movie_timeline(reference_tests, tmp_path):
+    """The CLI plays a .swf timeline to numbered PNGs (--frames DIR)."""
+    import json as json_mod
+
+    from swf_renderer_tpu.models import ast as ast_model
+    from swf_renderer_tpu.models import swf_binary
+    from swf_renderer_tpu.models.ast_io import parse_define_shape
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    tag = parse_define_shape(json_mod.loads(
+        (reference_tests / "flat-shapes" / "triangle"
+         / "ast.json").read_text()))
+
+    def tr(tx, ty):
+        return ast_model.Matrix(
+            Sfixed16P16.from_value(1), Sfixed16P16.from_value(1),
+            Sfixed16P16.from_value(0), Sfixed16P16.from_value(0), tx, ty)
+
+    base_m = tr(-tag.bounds.x_min, -tag.bounds.y_min)
+    movie = swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=tag.id,
+                               matrix=base_m)],
+         [swf_binary.Placement(depth=1, move=True,
+                               matrix=tr(base_m.translate_x + 100,
+                                         base_m.translate_y))],
+         [swf_binary.RemoveObject(depth=1)]],
+        shapes=[tag],
+        stage_rect=ast_model.Rect(0, tag.bounds.x_max - tag.bounds.x_min,
+                                  0, tag.bounds.y_max - tag.bounds.y_min))
+    swf = tmp_path / "anim.swf"
+    swf.write_bytes(movie)
+    out_dir = tmp_path / "frames"
+    result = subprocess.run(
+        [sys.executable, "-m", "swf_renderer_tpu", str(swf),
+         "--frames", str(out_dir), "--stats"],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    from swf_renderer_tpu.utils.png import read_png
+
+    names = sorted(p.name for p in out_dir.iterdir())
+    assert names == ["0000.png", "0001.png", "0002.png"]
+    f0 = read_png(out_dir / "0000.png")
+    f1 = read_png(out_dir / "0001.png")
+    assert f0.shape == (317, 502, 4)
+    assert (f0 != f1).any()
+    assert '"frames": 3' in result.stderr

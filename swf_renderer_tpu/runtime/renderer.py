@@ -365,8 +365,15 @@ class TpuRenderer:
         if (self.backend in ("scanline", "direct") or self.validate
                 or self.quality == "flash-pointaa"):
             return None
-        if any(s.exact_width is not None for s in stages):
-            return None  # exact sub-pixel clipping isn't in the sweep
+        # FRACTIONAL exact sub-pixel clipping isn't in the sweep; an
+        # exact extent equal to the integer raster (every real movie —
+        # .swf stage rects are whole pixels) clips nothing the raster
+        # crop doesn't already.
+        if any(s.exact_width is not None
+               and not (s.exact_width == s.width
+                        and s.exact_height == s.height)
+               for s in stages):
+            return None
         if any(s.width != self.width or s.height != self.height
                for s in stages):
             return None
@@ -623,10 +630,16 @@ class TpuRenderer:
     # -- single-frame interactive sweep ---------------------------------
 
     def _frame_sweep_gates(self, stage) -> bool:
+        # Integral exact extents (== the raster, every real movie's
+        # stage rect) clip nothing the raster crop doesn't; only
+        # FRACTIONAL exact clipping keeps a stage off the sweep.
+        fractional_clip = (stage.exact_width is not None
+                           and not (stage.exact_width == stage.width
+                                    and stage.exact_height == stage.height))
         return not (
             self.backend in ("scanline", "direct") or self.validate
             or self.quality == "flash-pointaa"
-            or stage.exact_width is not None
+            or fractional_clip
             or stage.width != self.width or stage.height != self.height)
 
     def _render_frame_sweep(self, stage, t0):

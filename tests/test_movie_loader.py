@@ -284,3 +284,63 @@ def test_movie_timeline_rejects_bad_ops():
         stage_rect=tri_rect)
     with pytest.raises(ValueError):
         swf_binary.parse_movie(movie)  # move at an empty depth
+
+
+def test_movie_timeline_routes_to_transform_sweep(reference_tests):
+    """A moving-matrix movie timeline doesn't just render correctly —
+    it auto-routes to the on-device transform sweep (the perf path the
+    timeline feature exists for), observable via RenderStats.path."""
+    from swf_renderer_tpu.runtime.movie import load_movie_timeline
+
+    tag = _load_shape(reference_tests, "flat-shapes/triangle")
+    base = _translate(-tag.bounds.x_min, -tag.bounds.y_min)
+    frames = [[swf_binary.Placement(depth=1, character_id=tag.id,
+                                    matrix=base)]]
+    for i in range(1, 6):
+        frames.append([swf_binary.Placement(
+            depth=1, move=True,
+            matrix=_translate(base.translate_x + 60 * i,
+                              base.translate_y + 20 * i))])
+    # Whole-pixel stage rect (multiples of 20 twips) — what every real
+    # movie declares; fractional rects legitimately stay on the fused
+    # batch path (the sweep has no sub-pixel exact clipping).
+    span_x = -(-(tag.bounds.x_max - tag.bounds.x_min + 400) // 20) * 20
+    span_y = -(-(tag.bounds.y_max - tag.bounds.y_min + 200) // 20) * 20
+    movie = swf_binary.emit_movie_timeline(
+        frames, shapes=[tag],
+        stage_rect=ast.Rect(0, span_x, 0, span_y))
+    stages, bitmaps = load_movie_timeline(movie)
+    renderer = TpuRenderer(stages[0].width, stages[0].height)
+    out = renderer.render_batch(stages)
+    assert out.shape[0] == 6
+    assert renderer.last_stats.path.startswith("transform-sweep"), \
+        renderer.last_stats.path
+
+
+def test_interactive_movie_render_upgrades_to_1f_sweep(reference_tests):
+    """Repeated render() of movie frames (same definitions, moved
+    matrices — interactive .swf playback) self-upgrades to the F=1
+    on-device sweep, same as hand-built stages."""
+    from swf_renderer_tpu.runtime.movie import load_movie_timeline
+
+    tag = _load_shape(reference_tests, "flat-shapes/triangle")
+    base = _translate(-tag.bounds.x_min, -tag.bounds.y_min)
+    frames = [[swf_binary.Placement(depth=1, character_id=tag.id,
+                                    matrix=base)]]
+    for i in range(1, 5):
+        frames.append([swf_binary.Placement(
+            depth=1, move=True,
+            matrix=_translate(base.translate_x + 40 * i,
+                              base.translate_y))])
+    span_x = -(-(tag.bounds.x_max - tag.bounds.x_min + 200) // 20) * 20
+    span_y = -(-(tag.bounds.y_max - tag.bounds.y_min) // 20) * 20
+    movie = swf_binary.emit_movie_timeline(
+        frames, shapes=[tag],
+        stage_rect=ast.Rect(0, span_x, 0, span_y))
+    stages, _ = load_movie_timeline(movie)
+    renderer = TpuRenderer(stages[0].width, stages[0].height)
+    paths = []
+    for s in stages:
+        renderer.render(s)
+        paths.append(renderer.last_stats.path)
+    assert any(p == "transform-sweep-1f" for p in paths), paths

@@ -41,6 +41,8 @@ from . import ast
 
 TAG_END = 0
 TAG_SHOW_FRAME = 1
+TAG_DEFINE_SHAPE = 2
+TAG_DEFINE_SHAPE2 = 22
 TAG_DEFINE_SHAPE3 = 32
 TAG_DEFINE_SHAPE4 = 83
 TAG_DEFINE_MORPH_SHAPE = 46
@@ -132,6 +134,12 @@ def _read_rgba(data: bytes, pos: int) -> Tuple[ast.StraightSRgba8, int]:
     return ast.StraightSRgba8(r, g, b, a), pos + 4
 
 
+def _read_rgb(data: bytes, pos: int) -> Tuple[ast.StraightSRgba8, int]:
+    """Pre-DefineShape3 tags store opaque RGB colors."""
+    r, g, b = data[pos : pos + 3]
+    return ast.StraightSRgba8(r, g, b, 255), pos + 3
+
+
 # ---------------------------------------------------------------------------
 # Styles
 # ---------------------------------------------------------------------------
@@ -183,11 +191,13 @@ def _emit_fill_style(fill: ast.FillStyle) -> bytes:
     return bytes(out)
 
 
-def _parse_fill_style(data: bytes, pos: int) -> Tuple[ast.FillStyle, int]:
+def _parse_fill_style(data: bytes, pos: int,
+                      rgb: bool = False) -> Tuple[ast.FillStyle, int]:
+    read_color = _read_rgb if rgb else _read_rgba
     kind = data[pos]
     pos += 1
     if kind == 0x00:
-        color, pos = _read_rgba(data, pos)
+        color, pos = read_color(data, pos)
         return ast.SolidFill(color=color), pos
     if kind in (0x10, 0x12, 0x13):
         r = BitReader(data, pos)
@@ -203,7 +213,7 @@ def _parse_fill_style(data: bytes, pos: int) -> Tuple[ast.FillStyle, int]:
         for _ in range(count):
             ratio = data[pos]
             pos += 1
-            color, pos = _read_rgba(data, pos)
+            color, pos = read_color(data, pos)
             stops.append(ast.GradientStop(ratio=ratio, color=color))
         grad = ast.Gradient(spread=spread, color_space=cs, colors=tuple(stops))
         if kind == 0x10:
@@ -264,8 +274,8 @@ def _default_line(width: int, color: ast.StraightSRgba8) -> ast.LineStyle:
     )
 
 
-def _parse_styles(data: bytes, pos: int,
-                  line2: bool = False) -> Tuple[ast.ShapeStyles, int]:
+def _parse_styles(data: bytes, pos: int, line2: bool = False,
+                  rgb: bool = False) -> Tuple[ast.ShapeStyles, int]:
     count = data[pos]
     pos += 1
     if count == 0xFF:
@@ -273,7 +283,7 @@ def _parse_styles(data: bytes, pos: int,
         pos += 2
     fills = []
     for _ in range(count):
-        fill, pos = _parse_fill_style(data, pos)
+        fill, pos = _parse_fill_style(data, pos, rgb)
         fills.append(fill)
     count = data[pos]
     pos += 1
@@ -288,7 +298,7 @@ def _parse_styles(data: bytes, pos: int,
             continue
         (width,) = struct.unpack_from("<H", data, pos)
         pos += 2
-        color, pos = _read_rgba(data, pos)
+        color, pos = (_read_rgb if rgb else _read_rgba)(data, pos)
         lines.append(_default_line(width, color))
     return ast.ShapeStyles(fill=tuple(fills), line=tuple(lines)), pos
 
@@ -408,9 +418,9 @@ def _emit_shape_records(body: ast.ShapeBody, line2: bool = False) -> bytes:
     return bytes(out)
 
 
-def _parse_shape_records(data: bytes, pos: int,
-                         line2: bool = False) -> Tuple[ast.ShapeBody, int]:
-    initial_styles, pos = _parse_styles(data, pos, line2)
+def _parse_shape_records(data: bytes, pos: int, line2: bool = False,
+                         rgb: bool = False) -> Tuple[ast.ShapeBody, int]:
+    initial_styles, pos = _parse_styles(data, pos, line2, rgb)
     records: List[ast.ShapeRecord] = []
     r = BitReader(data, pos)
     fill_bits = r.read_ub(4)
@@ -439,7 +449,8 @@ def _parse_shape_records(data: bytes, pos: int,
                 line = r.read_ub(line_bits)
             if has_new:
                 r.align()
-                new_styles, pos = _parse_styles(data, r.byte_pos, line2)
+                new_styles, pos = _parse_styles(data, r.byte_pos, line2,
+                                                rgb)
                 r = BitReader(data, pos)
                 fill_bits = r.read_ub(4)
                 line_bits = r.read_ub(4)
@@ -612,6 +623,17 @@ def parse_define_shape_tag(body: bytes) -> ast.DefineShape:
     r = BitReader(body, 2)
     bounds = _read_rect(r)
     shape, _ = _parse_shape_records(body, r.byte_pos)
+    return ast.DefineShape(id=shape_id, bounds=bounds, shape=shape)
+
+
+def parse_define_shape12_tag(body: bytes) -> ast.DefineShape:
+    """DefineShape (tag 2) / DefineShape2 (tag 22): the pre-alpha
+    encodings old movies ship — identical structure with opaque RGB
+    style colors (parse-only; the emitter writes DefineShape3+)."""
+    (shape_id,) = struct.unpack_from("<H", body, 0)
+    r = BitReader(body, 2)
+    bounds = _read_rect(r)
+    shape, _ = _parse_shape_records(body, r.byte_pos, rgb=True)
     return ast.DefineShape(id=shape_id, bounds=bounds, shape=shape)
 
 
@@ -1264,6 +1286,8 @@ def parse_movie_shapes(data: bytes) -> List[ast.DefineShape]:
     movie."""
     shapes = []
     for code, body in _iter_tags(data):
+        if code in (TAG_DEFINE_SHAPE, TAG_DEFINE_SHAPE2):
+            shapes.append(parse_define_shape12_tag(body))
         if code == TAG_DEFINE_SHAPE3:
             shapes.append(parse_define_shape_tag(body))
         if code == TAG_DEFINE_SHAPE4:
@@ -1339,6 +1363,9 @@ def parse_movie(data: bytes) -> Movie:
     for code, body in _iter_tags(data):
         if code == TAG_SET_BACKGROUND:
             background = ast.StraightSRgba8(body[0], body[1], body[2], 255)
+        elif code in (TAG_DEFINE_SHAPE, TAG_DEFINE_SHAPE2):
+            tag = parse_define_shape12_tag(body)
+            shapes[tag.id] = tag
         elif code == TAG_DEFINE_SHAPE3:
             tag = parse_define_shape_tag(body)
             shapes[tag.id] = tag

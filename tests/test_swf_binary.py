@@ -495,3 +495,56 @@ def _tl(tx: int, ty: int) -> ast.Matrix:
         rotate_skew0=Sfixed16P16.from_value(0),
         rotate_skew1=Sfixed16P16.from_value(0),
         translate_x=tx, translate_y=ty)
+
+
+def test_legacy_defineshape_rgb_parse():
+    """DefineShape (tag 2) / DefineShape2 (tag 22) — the pre-alpha RGB
+    encodings old movies ship — parse to opaque-color ASTs (the emitter
+    stays DefineShape3+; this is read-side compat)."""
+    import struct
+
+    from swf_renderer_tpu.models.decode_shape import decode_shape
+    from swf_renderer_tpu.utils.bits import BitWriter, ubits_for
+
+    records = (
+        ast.StyleChangeRecord(move_to=ast.Vector2D(20, 20), left_fill=1,
+                              line_style=1),
+        ast.EdgeRecord(delta=ast.Vector2D(400, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(0, 400)),
+        ast.EdgeRecord(delta=ast.Vector2D(-400, -400),
+                       control_delta=ast.Vector2D(-300, -50)),
+    )
+    body = bytearray(struct.pack("<H", 7))
+    w = BitWriter()
+    swf_binary._write_rect(w, ast.Rect(0, 440, 0, 440))
+    body.extend(w.bytes())
+    # RGB style arrays: one solid fill, one line style.
+    body.append(1)
+    body.append(0x00)                   # solid fill type
+    body.extend((10, 200, 30))          # fill RGB
+    body.append(1)
+    body.extend(struct.pack("<H", 40))  # line width
+    body.extend((1, 2, 3))              # line RGB
+    body.extend(swf_binary._emit_record_stream(
+        records, ubits_for(1), ubits_for(1)))
+
+    parsed = swf_binary.parse_define_shape12_tag(bytes(body))
+    assert parsed.id == 7
+    fill = parsed.shape.initial_styles.fill[0]
+    assert fill.color == ast.StraightSRgba8(10, 200, 30, 255)
+    line = parsed.shape.initial_styles.line[0]
+    assert line.width == 40
+    assert line.fill.color == ast.StraightSRgba8(1, 2, 3, 255)
+    assert parsed.shape.records == records
+    decode_shape(parsed)  # decodes like any DefineShape
+
+    # And inside a movie, under both legacy tag codes.
+    for code in (swf_binary.TAG_DEFINE_SHAPE, swf_binary.TAG_DEFINE_SHAPE2):
+        base = swf_binary.emit_movie([], stage_rect=ast.Rect(0, 440, 0, 440))
+        tag_bytes = swf_binary._tag(code, bytes(body))
+        end = base.rindex(b"\x40\x00")  # before ShowFrame
+        movie = base[:end] + tag_bytes + base[end:]
+        movie = movie[:4] + len(movie).to_bytes(4, "little") + movie[8:]
+        (back,) = swf_binary.parse_movie_shapes(movie)
+        assert back == parsed
+        assert swf_binary.parse_movie(movie).shapes[7] == parsed

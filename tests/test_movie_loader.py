@@ -344,3 +344,57 @@ def test_interactive_movie_render_upgrades_to_1f_sweep(reference_tests):
         renderer.render(s)
         paths.append(renderer.last_stats.path)
     assert any(p == "transform-sweep-1f" for p in paths), paths
+
+
+def test_movie_timeline_fuzz_sweep_vs_per_stage(reference_tests):
+    """Randomized rotating/translating movie timelines: the batched
+    render (transform sweep) agrees with fresh per-stage renders
+    (flat-block per-frame path) within the documented one-quantum
+    sweep envelope — a routing-consistency net across the two
+    pipelines, fed through the .swf wire format."""
+    tag = _load_shape(reference_tests, "flat-shapes/triangle")
+    rng = np.random.default_rng(4646)
+    for trial in range(3):
+        cx = float(tag.bounds.x_min + tag.bounds.x_max) / 2
+        cy = float(tag.bounds.y_min + tag.bounds.y_max) / 2
+        frames = []
+        n = int(rng.integers(3, 6))
+        for i in range(n):
+            th = float(rng.uniform(0, 2 * np.pi))
+            ca, sa = np.cos(th), np.sin(th)
+            # Rotate about the shape center, then translate to origin
+            # plus jitter (all in twips; Sfixed16P16 quantizes the
+            # rotation terms identically on emit and parse).
+            tx = int(-tag.bounds.x_min + cx - ca * cx + sa * cy
+                     + rng.integers(0, 200))
+            ty = int(-tag.bounds.y_min + cy - sa * cx - ca * cy
+                     + rng.integers(0, 200))
+            m = ast.Matrix(
+                scale_x=Sfixed16P16.from_value(ca),
+                scale_y=Sfixed16P16.from_value(ca),
+                rotate_skew0=Sfixed16P16.from_value(sa),
+                rotate_skew1=Sfixed16P16.from_value(-sa),
+                translate_x=tx, translate_y=ty)
+            if i == 0:
+                frames.append([swf_binary.Placement(
+                    depth=1, character_id=tag.id, matrix=m)])
+            else:
+                frames.append([swf_binary.Placement(
+                    depth=1, move=True, matrix=m)])
+        span = max(tag.bounds.x_max - tag.bounds.x_min,
+                   tag.bounds.y_max - tag.bounds.y_min)
+        side = -(-int(span * 1.6 + 400) // 20) * 20
+        movie = swf_binary.emit_movie_timeline(
+            frames, shapes=[tag], stage_rect=ast.Rect(0, side, 0, side))
+
+        from swf_renderer_tpu.runtime.movie import load_movie_timeline
+
+        stages, _ = load_movie_timeline(movie)
+        renderer = TpuRenderer(stages[0].width, stages[0].height)
+        got = renderer.render_batch(stages)
+        assert renderer.last_stats.path == "transform-sweep", \
+            renderer.last_stats.path
+        for i, s in enumerate(stages):
+            want = _render_stage(s)
+            diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+            assert diff.max() <= 1, (trial, i, diff.max())

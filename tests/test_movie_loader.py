@@ -398,3 +398,90 @@ def test_movie_timeline_fuzz_sweep_vs_per_stage(reference_tests):
             want = _render_stage(s)
             diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
             assert diff.max() <= 1, (trial, i, diff.max())
+
+
+def test_movie_timeline_gradient_fill_sweeps(reference_tests):
+    """A gradient-filled shape animated through the wire format routes
+    to the sweep (in-kernel gradient eval under per-frame composed
+    matrices) and agrees with per-stage renders."""
+    stops = (ast.GradientStop(ratio=0, color=ast.StraightSRgba8(
+        255, 40, 0, 255)),
+        ast.GradientStop(ratio=255, color=ast.StraightSRgba8(
+            0, 60, 255, 200)))
+    grad = ast.Gradient(spread=ast.GradientSpread.PAD,
+                        color_space=ast.ColorSpace.S_RGB, colors=stops)
+    gm = ast.Matrix(
+        scale_x=Sfixed16P16.from_value(0.04),
+        scale_y=Sfixed16P16.from_value(0.04),
+        rotate_skew0=Sfixed16P16.from_value(0),
+        rotate_skew1=Sfixed16P16.from_value(0),
+        translate_x=400, translate_y=400)
+    fill = ast.LinearGradientFill(matrix=gm, gradient=grad)
+    records = (
+        ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0), left_fill=1),
+        ast.EdgeRecord(delta=ast.Vector2D(800, 100)),
+        ast.EdgeRecord(delta=ast.Vector2D(-100, 700)),
+        ast.EdgeRecord(delta=ast.Vector2D(-700, -800)),
+    )
+    tag = ast.DefineShape(
+        id=3, bounds=ast.Rect(0, 800, 0, 800),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(fill=(fill,), line=()),
+            records=records))
+    frames = [[swf_binary.Placement(depth=1, character_id=3,
+                                    matrix=_translate(100, 100))]]
+    for i in range(1, 4):
+        frames.append([swf_binary.Placement(
+            depth=1, move=True, matrix=_translate(100 + 120 * i, 100))])
+    movie = swf_binary.emit_movie_timeline(
+        frames, shapes=[tag], stage_rect=ast.Rect(0, 1400, 0, 1000))
+
+    from swf_renderer_tpu.runtime.movie import load_movie_timeline
+
+    stages, _ = load_movie_timeline(movie)
+    renderer = TpuRenderer(stages[0].width, stages[0].height)
+    got = renderer.render_batch(stages)
+    assert renderer.last_stats.path == "transform-sweep", \
+        renderer.last_stats.path
+    for i, s in enumerate(stages):
+        want = _render_stage(s)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, (i, diff.max())
+
+
+def test_movie_timeline_bitmap_fill_sweeps(reference_tests):
+    """A bitmap-filled shape (hb4 + its corpus bitmap) animated through
+    the wire format routes to the sweep via per-frame field planes and
+    agrees with per-stage renders (axis-aligned frames take the same
+    separable filter both ways)."""
+    bitmap = parse_define_bitmap(
+        (reference_tests / "bitmap" / "homestuck-beta-3.ast.json")
+        .read_text())
+    tag = _load_shape(reference_tests, "textured-shapes/homestuck-beta-4")
+    base = _translate(-tag.bounds.x_min, -tag.bounds.y_min)
+    frames = [[swf_binary.Placement(depth=1, character_id=tag.id,
+                                    matrix=base)]]
+    for i in range(1, 3):
+        frames.append([swf_binary.Placement(
+            depth=1, move=True,
+            matrix=_translate(base.translate_x + 60 * i,
+                              base.translate_y + 40 * i))])
+    span_x = -(-(tag.bounds.x_max - tag.bounds.x_min + 200) // 20) * 20
+    span_y = -(-(tag.bounds.y_max - tag.bounds.y_min + 200) // 20) * 20
+    movie = swf_binary.emit_movie_timeline(
+        frames, shapes=[tag], bitmaps=[bitmap],
+        stage_rect=ast.Rect(0, span_x, 0, span_y))
+
+    from swf_renderer_tpu.runtime.movie import load_movie_timeline
+
+    stages, bitmaps = load_movie_timeline(movie)
+    renderer = TpuRenderer(stages[0].width, stages[0].height)
+    for b in bitmaps:
+        renderer.add_bitmap(b)
+    got = renderer.render_batch(stages)
+    assert renderer.last_stats.path == "transform-sweep", \
+        renderer.last_stats.path
+    for i, s in enumerate(stages):
+        want = _render_stage(s, bitmaps=bitmaps)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, (i, diff.max())

@@ -485,3 +485,48 @@ def test_movie_timeline_bitmap_fill_sweeps(reference_tests):
         want = _render_stage(s, bitmaps=bitmaps)
         diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 1, (i, diff.max())
+
+
+def test_movie_timeline_morph_ratio_track_sweeps():
+    """A fills-only morph whose ratio advances per frame through the
+    wire format routes to the on-device morph sweep plan (stroked
+    morphs legitimately fall back — outlines are not linear in the
+    ratio)."""
+    fills = (ast.MorphSolidFill(
+        color=ast.StraightSRgba8(200, 30, 30, 255),
+        morph_color=ast.StraightSRgba8(30, 30, 200, 255)),)
+    records = (
+        ast.MorphStyleChangeRecord(
+            move_to=ast.Vector2D(20, 20), morph_move_to=ast.Vector2D(40, 10),
+            left_fill=1),
+        ast.MorphEdgeRecord(delta=ast.Vector2D(600, 40),
+                            morph_delta=ast.Vector2D(500, 120)),
+        ast.MorphEdgeRecord(delta=ast.Vector2D(-60, 560),
+                            morph_delta=ast.Vector2D(40, 480)),
+        ast.MorphEdgeRecord(delta=ast.Vector2D(-540, -600),
+                            morph_delta=ast.Vector2D(-540, -600)),
+    )
+    tag = ast.DefineMorphShape(
+        id=5, bounds=ast.Rect(0, 660, 0, 660),
+        morph_bounds=ast.Rect(0, 660, 0, 660),
+        shape=ast.MorphShapeBody(
+            initial_styles=ast.MorphShapeStyles(fill=fills, line=()),
+            records=records))
+    frames = [[swf_binary.Placement(depth=1, character_id=5,
+                                    matrix=_translate(0, 0), ratio=0.0)]]
+    for r in (0.3, 0.6, 0.9):
+        frames.append([swf_binary.Placement(depth=1, move=True, ratio=r)])
+    movie = swf_binary.emit_movie_timeline(
+        frames, morphs=[tag], stage_rect=ast.Rect(0, 660, 0, 660))
+
+    from swf_renderer_tpu.runtime.movie import load_movie_timeline
+
+    stages, _ = load_movie_timeline(movie)
+    renderer = TpuRenderer(stages[0].width, stages[0].height)
+    got = renderer.render_batch(stages)
+    assert renderer.last_stats.path == "transform-sweep", \
+        renderer.last_stats.path
+    for i, s in enumerate(stages):
+        want = _render_stage(s)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, (i, diff.max())

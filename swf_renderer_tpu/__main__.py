@@ -48,7 +48,32 @@ def main(argv=None) -> int:
     from .utils.pam import rgba_to_pam
     from .utils.png import write_png
 
-    if args.ast.endswith(".swf"):
+    is_movie = args.ast.endswith(".swf")
+    if args.frames is not None and not is_movie:
+        parser.error("--frames only applies to .swf movie inputs")
+    if is_movie and (args.scale != 1.0 or args.ratio != 0.0 or args.bitmap):
+        # Movies carry their own placements, ratios, and bitmaps;
+        # silently ignoring these options would hand back wrong output.
+        parser.error("--scale/--ratio/--bitmap do not apply to .swf "
+                     "inputs (movies carry their own placements, "
+                     "ratios, and bitmaps)")
+
+    def write_output(frame, dt: float) -> int:
+        out = pathlib.Path(args.output or (args.ast + ".png"))
+        if out.suffix == ".pam":
+            out.write_bytes(rgba_to_pam(frame))
+        else:
+            write_png(out, frame)
+        if args.stats:
+            h, w = frame.shape[:2]
+            print(json.dumps({
+                "width": w, "height": h, "seconds": round(dt, 4),
+                "mpx_per_s": round(w * h / dt / 1e6, 3),
+            }), file=sys.stderr)
+        print(out)
+        return 0
+
+    if is_movie:
         # A whole movie file: define tags + placements (FWS or CWS).
         from .runtime.movie import render_movie, render_movie_timeline
 
@@ -69,21 +94,8 @@ def main(argv=None) -> int:
                 }), file=sys.stderr)
             print(out_dir)
             return 0
-        frame = render_movie(args.ast)
-        dt = time.perf_counter() - t0
-        out = pathlib.Path(args.output or (args.ast + ".png"))
-        if out.suffix == ".pam":
-            out.write_bytes(rgba_to_pam(frame))
-        else:
-            write_png(out, frame)
-        if args.stats:
-            h, w = frame.shape[:2]
-            print(json.dumps({
-                "width": w, "height": h, "seconds": round(dt, 4),
-                "mpx_per_s": round(w * h / dt / 1e6, 3),
-            }), file=sys.stderr)
-        print(out)
-        return 0
+        return write_output(render_movie(args.ast),
+                            time.perf_counter() - t0)
 
     tag = load_tag(args.ast)
     t0 = time.perf_counter()
@@ -96,14 +108,8 @@ def main(argv=None) -> int:
         # Render the decoded bitmap itself.
         from .runtime.bitmap_service import decode_x_swf_bmp
 
-        frame = decode_x_swf_bmp(tag.data)
-        out = pathlib.Path(args.output or (args.ast + ".png"))
-        if out.suffix == ".pam":
-            out.write_bytes(rgba_to_pam(frame))
-        else:
-            write_png(out, frame)
-        print(out)
-        return 0
+        return write_output(decode_x_swf_bmp(tag.data),
+                            time.perf_counter() - t0)
     else:
         print(f"unsupported tag: {tag!r}", file=sys.stderr)
         return 2
@@ -136,23 +142,7 @@ def main(argv=None) -> int:
     for bmp_path in args.bitmap:
         renderer.add_bitmap(load_tag(bmp_path))
     frame = renderer.render(stage)
-    dt = time.perf_counter() - t0
-
-    out = pathlib.Path(args.output or (args.ast + ".png"))
-    if out.suffix == ".pam":
-        out.write_bytes(rgba_to_pam(frame))
-    else:
-        write_png(out, frame)
-    if args.stats:
-        stats = {
-            "width": stage.width,
-            "height": stage.height,
-            "seconds": round(dt, 4),
-            "mpx_per_s": round(stage.width * stage.height / dt / 1e6, 3),
-        }
-        print(json.dumps(stats), file=sys.stderr)
-    print(out)
-    return 0
+    return write_output(frame, time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

@@ -308,6 +308,49 @@ def _parse_styles(data: bytes, pos: int, line2: bool = False,
 # ---------------------------------------------------------------------------
 
 
+def _write_style_change_fields(w: BitWriter, record, fill_bits: int,
+                               line_bits: int) -> None:
+    """The move/fill/line flag bits + payloads of a style-change record
+    (everything after the is-edge and new-styles flags) — shared by the
+    static SHAPEWITHSTYLE emitter and the morph record streams."""
+    has_line = record.line_style is not None
+    has_f1 = record.right_fill is not None
+    has_f0 = record.left_fill is not None
+    has_move = record.move_to is not None
+    w.write_ub(1 if has_line else 0, 1)
+    w.write_ub(1 if has_f1 else 0, 1)
+    w.write_ub(1 if has_f0 else 0, 1)
+    w.write_ub(1 if has_move else 0, 1)
+    if has_move:
+        nbits = sbits_for(record.move_to.x, record.move_to.y)
+        w.write_ub(nbits, 5)
+        w.write_sb(record.move_to.x, nbits)
+        w.write_sb(record.move_to.y, nbits)
+    if has_f0:
+        w.write_ub(record.left_fill, fill_bits)
+    if has_f1:
+        w.write_ub(record.right_fill, fill_bits)
+    if has_line:
+        w.write_ub(record.line_style, line_bits)
+
+
+def _read_style_change_fields(r: BitReader, flags: int, fill_bits: int,
+                              line_bits: int):
+    """Twin of _write_style_change_fields: (move_to, left, right, line)
+    from the 4 low flag bits."""
+    move_to = left = right = line = None
+    if flags & 0b00001:
+        nbits = r.read_ub(5)
+        move_to = ast.Vector2D(r.read_sb(nbits), r.read_sb(nbits))
+    if flags & 0b00010:
+        left = r.read_ub(fill_bits)
+    if flags & 0b00100:
+        right = r.read_ub(fill_bits)
+    if flags & 0b01000:
+        line = r.read_ub(line_bits)
+    return move_to, left, right, line
+
+
 def _write_edge(w: BitWriter, delta: ast.Vector2D,
                 control_delta) -> None:
     """One edge record's bits (after the is-edge flag)."""
@@ -378,26 +421,8 @@ def _emit_shape_records(body: ast.ShapeBody, line2: bool = False) -> bytes:
         if isinstance(record, ast.StyleChangeRecord):
             w.write_ub(0, 1)  # non-edge
             has_new = record.new_styles is not None
-            has_line = record.line_style is not None
-            has_f1 = record.right_fill is not None
-            has_f0 = record.left_fill is not None
-            has_move = record.move_to is not None
             w.write_ub(1 if has_new else 0, 1)
-            w.write_ub(1 if has_line else 0, 1)
-            w.write_ub(1 if has_f1 else 0, 1)
-            w.write_ub(1 if has_f0 else 0, 1)
-            w.write_ub(1 if has_move else 0, 1)
-            if has_move:
-                nbits = sbits_for(record.move_to.x, record.move_to.y)
-                w.write_ub(nbits, 5)
-                w.write_sb(record.move_to.x, nbits)
-                w.write_sb(record.move_to.y, nbits)
-            if has_f0:
-                w.write_ub(record.left_fill, fill_bits)
-            if has_f1:
-                w.write_ub(record.right_fill, fill_bits)
-            if has_line:
-                w.write_ub(record.line_style, line_bits)
+            _write_style_change_fields(w, record, fill_bits, line_bits)
             if has_new:
                 w.align()
                 out.extend(w.bytes())
@@ -433,20 +458,9 @@ def _parse_shape_records(data: bytes, pos: int, line2: bool = False,
             if flags == 0:
                 break  # end record
             has_new = bool(flags & 0b10000)
-            has_line = bool(flags & 0b01000)
-            has_f1 = bool(flags & 0b00100)
-            has_f0 = bool(flags & 0b00010)
-            has_move = bool(flags & 0b00001)
-            move_to = left = right = line = new_styles = None
-            if has_move:
-                nbits = r.read_ub(5)
-                move_to = ast.Vector2D(r.read_sb(nbits), r.read_sb(nbits))
-            if has_f0:
-                left = r.read_ub(fill_bits)
-            if has_f1:
-                right = r.read_ub(fill_bits)
-            if has_line:
-                line = r.read_ub(line_bits)
+            new_styles = None
+            move_to, left, right, line = _read_style_change_fields(
+                r, flags, fill_bits, line_bits)
             if has_new:
                 r.align()
                 new_styles, pos = _parse_styles(data, r.byte_pos, line2,
@@ -1003,21 +1017,7 @@ def _emit_record_stream(records, fill_bits: int, line_bits: int) -> bytes:
         if isinstance(record, ast.StyleChangeRecord):
             w.write_ub(0, 1)  # non-edge
             w.write_ub(0, 1)  # never new styles in morph streams
-            w.write_ub(1 if record.line_style is not None else 0, 1)
-            w.write_ub(1 if record.right_fill is not None else 0, 1)
-            w.write_ub(1 if record.left_fill is not None else 0, 1)
-            w.write_ub(1 if record.move_to is not None else 0, 1)
-            if record.move_to is not None:
-                nbits = sbits_for(record.move_to.x, record.move_to.y)
-                w.write_ub(nbits, 5)
-                w.write_sb(record.move_to.x, nbits)
-                w.write_sb(record.move_to.y, nbits)
-            if record.left_fill is not None:
-                w.write_ub(record.left_fill, fill_bits)
-            if record.right_fill is not None:
-                w.write_ub(record.right_fill, fill_bits)
-            if record.line_style is not None:
-                w.write_ub(record.line_style, line_bits)
+            _write_style_change_fields(w, record, fill_bits, line_bits)
         else:
             _write_edge(w, record.delta, record.control_delta)
     w.write_ub(0, 6)  # end record
@@ -1039,20 +1039,8 @@ def _parse_record_stream(data: bytes, pos: int) -> Tuple[list, int]:
             if flags & 0b10000:
                 raise ValueError(
                     "morph record streams cannot carry new styles")
-            has_line = bool(flags & 0b01000)
-            has_f1 = bool(flags & 0b00100)
-            has_f0 = bool(flags & 0b00010)
-            has_move = bool(flags & 0b00001)
-            move_to = left = right = line = None
-            if has_move:
-                nbits = r.read_ub(5)
-                move_to = ast.Vector2D(r.read_sb(nbits), r.read_sb(nbits))
-            if has_f0:
-                left = r.read_ub(fill_bits)
-            if has_f1:
-                right = r.read_ub(fill_bits)
-            if has_line:
-                line = r.read_ub(line_bits)
+            move_to, left, right, line = _read_style_change_fields(
+                r, flags, fill_bits, line_bits)
             records.append(ast.StyleChangeRecord(
                 move_to=move_to, left_fill=left, right_fill=right,
                 line_style=line))
@@ -1297,21 +1285,21 @@ def parse_movie_shapes(data: bytes) -> List[ast.DefineShape]:
 
 def parse_movie_morph_shapes(
         data: bytes) -> List[Tuple[ast.DefineMorphShape, float]]:
-    """Extract every DefineMorphShape/DefineMorphShape2 from an
-    uncompressed movie, paired with its placed ratio (PlaceObject2
-    HasRatio; 0.0 if the movie never places it)."""
-    morphs: List[ast.DefineMorphShape] = []
+    """Extract every DefineMorphShape/DefineMorphShape2 from a movie,
+    paired with its FIRST placed ratio (PlaceObject2 HasRatio; 0.0 if
+    the movie never places it).  Built on the resolved timeline, so
+    PlaceFlagMove ratio updates (which carry no character id on the
+    wire) attribute correctly."""
+    movie = parse_movie(data)
     ratios = {}
-    for code, body in _iter_tags(data):
-        if code == TAG_DEFINE_MORPH_SHAPE:
-            morphs.append(parse_define_morph_shape_tag(body))
-        if code == TAG_DEFINE_MORPH_SHAPE2:
-            morphs.append(parse_define_morph_shape2_tag(body))
-        if code == TAG_PLACE_OBJECT2:
-            p = _parse_place_object2(body)
-            if p.ratio is not None:
+    for frame in movie.frames:
+        for p in frame:
+            if (p.character_id in movie.morph_shapes
+                    and p.ratio is not None
+                    and p.character_id not in ratios):
                 ratios[p.character_id] = p.ratio
-    return [(m, ratios.get(m.id, 0.0)) for m in morphs]
+    return [(m, ratios.get(m.id, 0.0))
+            for m in movie.morph_shapes.values()]
 
 
 def parse_movie_bitmaps(data: bytes) -> List[ast.DefineBitmap]:

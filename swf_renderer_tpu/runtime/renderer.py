@@ -53,6 +53,19 @@ from .bitmap_service import BitmapService
 from .scene import Draw, SceneCompiler
 
 
+def _fractional_exact_clip(stage) -> bool:
+    """True when the stage needs SUB-PIXEL exact clipping the on-device
+    sweeps don't implement.  An exact extent equal to the integer
+    raster (every real movie — .swf stage rects are whole pixels) clips
+    nothing the raster crop doesn't; either axis set alone defaults the
+    other to the raster size."""
+    if stage.exact_width is None and stage.exact_height is None:
+        return False
+    ew = stage.width if stage.exact_width is None else stage.exact_width
+    eh = stage.height if stage.exact_height is None else stage.exact_height
+    return not (ew == stage.width and eh == stage.height)
+
+
 def _uniform_layer_structure(per_frame_draws) -> bool:
     """True when every frame has the same layer structure: equal draw
     counts and fill rules, and non-solid paints identical per layer
@@ -365,15 +378,8 @@ class TpuRenderer:
         if (self.backend in ("scanline", "direct") or self.validate
                 or self.quality == "flash-pointaa"):
             return None
-        # FRACTIONAL exact sub-pixel clipping isn't in the sweep; an
-        # exact extent equal to the integer raster (every real movie —
-        # .swf stage rects are whole pixels) clips nothing the raster
-        # crop doesn't already.
-        if any(s.exact_width is not None
-               and not (s.exact_width == s.width
-                        and s.exact_height == s.height)
-               for s in stages):
-            return None
+        if any(_fractional_exact_clip(s) for s in stages):
+            return None  # sub-pixel exact clipping isn't in the sweep
         if any(s.width != self.width or s.height != self.height
                for s in stages):
             return None
@@ -630,16 +636,10 @@ class TpuRenderer:
     # -- single-frame interactive sweep ---------------------------------
 
     def _frame_sweep_gates(self, stage) -> bool:
-        # Integral exact extents (== the raster, every real movie's
-        # stage rect) clip nothing the raster crop doesn't; only
-        # FRACTIONAL exact clipping keeps a stage off the sweep.
-        fractional_clip = (stage.exact_width is not None
-                           and not (stage.exact_width == stage.width
-                                    and stage.exact_height == stage.height))
         return not (
             self.backend in ("scanline", "direct") or self.validate
             or self.quality == "flash-pointaa"
-            or fractional_clip
+            or _fractional_exact_clip(stage)
             or stage.width != self.width or stage.height != self.height)
 
     def _render_frame_sweep(self, stage, t0):

@@ -530,3 +530,24 @@ def test_movie_timeline_morph_ratio_track_sweeps():
         want = _render_stage(s)
         diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 1, (i, diff.max())
+
+
+def test_exact_height_only_stage_stays_off_the_sweep(reference_tests):
+    """A stage with only a FRACTIONAL exact_height set (exact_width
+    None) must stay off the sweep — the one-sided form used to slip
+    through the gate and skip the sub-pixel clip."""
+    tag = _load_shape(reference_tests, "flat-shapes/triangle")
+    base = _translate(-tag.bounds.x_min, -tag.bounds.y_min)
+    w = math.ceil((tag.bounds.x_max - tag.bounds.x_min) / 20)
+    h = math.ceil((tag.bounds.y_max - tag.bounds.y_min) / 20)
+    stages = []
+    for i in range(3):
+        m = _translate(base.translate_x + 50 * i, base.translate_y)
+        stages.append(display.Stage(
+            width=w, height=h, children=(
+                display.ShapeInstance(definition=tag, matrix=m),),
+            exact_width=None, exact_height=h - 0.5))
+    renderer = TpuRenderer(w, h)
+    renderer.render_batch(stages)
+    assert not renderer.last_stats.path.startswith("transform-sweep"), \
+        renderer.last_stats.path

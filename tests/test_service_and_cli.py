@@ -421,3 +421,72 @@ def test_cli_renders_movie_timeline(reference_tests, tmp_path):
     assert f0.shape == (317, 502, 4)
     assert (f0 != f1).any()
     assert '"frames": 3' in result.stderr
+
+
+def test_cli_rejects_scale_for_movies(tmp_path):
+    from swf_renderer_tpu import __main__ as cli
+    from swf_renderer_tpu.models import ast as ast_model
+    from swf_renderer_tpu.models import swf_binary
+
+    swf = tmp_path / "empty.swf"
+    swf.write_bytes(swf_binary.emit_movie(
+        [], stage_rect=ast_model.Rect(0, 200, 0, 200)))
+    with pytest.raises(SystemExit):
+        cli.main([str(swf), "--scale", "2"])
+    with pytest.raises(SystemExit):
+        cli.main(["whatever.json", "--frames", str(tmp_path)])
+
+
+def test_frame_server_movie_bitmaps_do_not_leak(reference_tests):
+    """A movie that references a bitmap id it never defines must error,
+    even right after another movie DID define that id — per-request
+    renderers keep bitmap state isolated."""
+    import json
+    import threading
+    import urllib.request
+
+    from tools.frame_server import FrameServer, Handler
+    from swf_renderer_tpu.models import ast as ast_model
+    from swf_renderer_tpu.models import swf_binary
+    from swf_renderer_tpu.models.ast_io import (
+        parse_define_bitmap, parse_define_shape,
+    )
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    bitmap = parse_define_bitmap(
+        (reference_tests / "bitmap" / "homestuck-beta-3.ast.json")
+        .read_text())
+    tag = parse_define_shape(json.loads(
+        (reference_tests / "textured-shapes" / "homestuck-beta-4"
+         / "ast.json").read_text()))
+    m = ast_model.Matrix(
+        Sfixed16P16.from_value(1), Sfixed16P16.from_value(1),
+        Sfixed16P16.from_value(0), Sfixed16P16.from_value(0),
+        -tag.bounds.x_min, -tag.bounds.y_min)
+    rect = ast_model.Rect(0, tag.bounds.x_max - tag.bounds.x_min,
+                          0, tag.bounds.y_max - tag.bounds.y_min)
+    with_bmp = swf_binary.emit_movie(
+        [tag], bitmaps=[bitmap], shape_matrices=[m], stage_rect=rect)
+    without_bmp = swf_binary.emit_movie(
+        [tag], shape_matrices=[m], stage_rect=rect)
+
+    server = FrameServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as exc:
+            return exc.code, exc.read()
+
+    try:
+        status, _ = post("/movie", with_bmp)
+        assert status == 200
+        status, body = post("/movie", without_bmp)
+        assert status == 400, (status, body[:200])
+    finally:
+        server.shutdown()

@@ -548,3 +548,61 @@ def test_legacy_defineshape_rgb_parse():
         (back,) = swf_binary.parse_movie_shapes(movie)
         assert back == parsed
         assert swf_binary.parse_movie(movie).shapes[7] == parsed
+
+
+def test_build_movie_renumber_keeps_ids_unique(reference_tests, tmp_path):
+    """Review-found regression: with no bitmaps/morphs present,
+    colliding corpus shapes (all id 1) must renumber onto UNUSED ids,
+    not re-collide (duplicate characters: last define wins and a shape
+    silently vanishes)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools import build_movie
+
+    out = tmp_path / "two.swf"
+    build_movie.main([
+        str(out),
+        "--corpus", "flat-shapes/triangle",
+        "--corpus", "flat-shapes/squares",
+        "--reference-tests", str(reference_tests),
+    ])
+    shapes = swf_binary.parse_movie_shapes(out.read_bytes())
+    ids = [s.id for s in shapes]
+    assert len(set(ids)) == len(ids) == 2, ids
+    movie = swf_binary.parse_movie(out.read_bytes())
+    placed = [p.character_id for p in movie.placements]
+    assert sorted(placed) == sorted(ids)
+
+
+def test_morph_ratio_from_move_only_track():
+    """parse_movie_morph_shapes attributes PlaceFlagMove ratio updates
+    (no character id on the wire) via the resolved timeline — the raw
+    tag walk lost them under a None key."""
+    fills = (ast.MorphSolidFill(
+        color=ast.StraightSRgba8(1, 2, 3, 255),
+        morph_color=ast.StraightSRgba8(4, 5, 6, 255)),)
+    records = (
+        ast.MorphStyleChangeRecord(move_to=ast.Vector2D(0, 0),
+                                   morph_move_to=ast.Vector2D(0, 0),
+                                   left_fill=1),
+        ast.MorphEdgeRecord(delta=ast.Vector2D(100, 0),
+                            morph_delta=ast.Vector2D(80, 20)),
+        ast.MorphEdgeRecord(delta=ast.Vector2D(-100, 100),
+                            morph_delta=ast.Vector2D(-80, 80)),
+        ast.MorphEdgeRecord(delta=ast.Vector2D(0, -100),
+                            morph_delta=ast.Vector2D(0, -100)),
+    )
+    tag = ast.DefineMorphShape(
+        id=9, bounds=ast.Rect(0, 120, 0, 120),
+        morph_bounds=ast.Rect(0, 120, 0, 120),
+        shape=ast.MorphShapeBody(
+            initial_styles=ast.MorphShapeStyles(fill=fills, line=()),
+            records=records))
+    # First placement carries NO ratio; a later move sets 0.75.
+    movie = swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=9)],
+         [swf_binary.Placement(depth=1, move=True, ratio=0.75)]],
+        morphs=[tag], stage_rect=ast.Rect(0, 120, 0, 120))
+    (got, ratio), = swf_binary.parse_movie_morph_shapes(movie)
+    assert got == tag
+    assert abs(ratio - 0.75) < 1e-4

@@ -71,14 +71,18 @@ def main(argv=None):
 
     # Bitmap fills reference bitmaps by character id, so ids are
     # preserved; colliding SHAPE ids (corpus samples all start at 1)
-    # renumber into a free range instead.
+    # renumber onto the next id unused by ANY tag so far — allocating
+    # only past bitmap/morph ids could hand out an id an earlier kept
+    # shape already holds (duplicate characters: last define wins and a
+    # shape silently vanishes from the movie).
     used = {t.id for t in bitmaps} | {m.id for m, _ in morphs}
-    next_id = max(used, default=0) + 1
+    next_id = 1
     renumbered = []
     for tag in shapes:
         if tag.id in used:
+            while next_id in used:
+                next_id += 1
             tag = dataclasses.replace(tag, id=next_id)
-            next_id += 1
         used.add(tag.id)
         renumbered.append(tag)
 

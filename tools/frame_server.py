@@ -154,15 +154,29 @@ class Handler(BaseHTTPRequestHandler):
             load_movie_stage, load_movie_timeline,
         )
 
+        from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+        def renderer_for(width, height, bitmaps):
+            # Movies that carry bitmaps get a FRESH renderer: pouring
+            # their character ids into the shared per-size cache would
+            # cross-contaminate concurrent posts (corpus-style movies
+            # all number bitmaps from 1) and mask dangling references
+            # with a previous request's stale texture.
+            if bitmaps:
+                renderer = TpuRenderer(width, height)
+            else:
+                renderer = self.server.fallback_renderer(width, height)
+            for bmp in bitmaps:
+                renderer.add_bitmap(bmp)
+            return renderer
+
         data = self._body()
         if params.get("timeline") in ("1", "true"):
             stages, bitmaps = load_movie_timeline(data)
             if not stages:
                 raise ValueError("movie has no frames")
-            renderer = self.server.fallback_renderer(
-                stages[0].width, stages[0].height)
-            for bmp in bitmaps:
-                renderer.add_bitmap(bmp)
+            renderer = renderer_for(stages[0].width, stages[0].height,
+                                    bitmaps)
             frames = renderer.render_batch(stages)
             buf = io.BytesIO()
             for frame in frames:
@@ -170,9 +184,7 @@ class Handler(BaseHTTPRequestHandler):
             return self._bytes(buf.getvalue(),
                                "application/x-portable-arbitrarymap")
         stage, bitmaps = load_movie_stage(data)
-        renderer = self.server.fallback_renderer(stage.width, stage.height)
-        for bmp in bitmaps:
-            renderer.add_bitmap(bmp)
+        renderer = renderer_for(stage.width, stage.height, bitmaps)
         frame = renderer.render(stage)
         if params.get("format", "png") == "pam":
             return self._bytes(rgba_to_pam(frame),

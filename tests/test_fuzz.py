@@ -459,3 +459,97 @@ def test_random_morph_endpoints_match_static_twin(seed):
         diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
         assert diff.max() == 0, (
             f"seed {seed} ratio {ratio}: max diff {diff.max()}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_batch_routing_combo(seed):
+    """Randomized render_batch combos — multi-layer stages mixing solid
+    and gradient fills, rotation+translate matrix tracks, and per-frame
+    color transforms on random layers — agree with fresh per-stage
+    renders within the sweep envelope, whichever path the batch routes
+    to.  The ct-folding machinery (solids -> per-frame kernel colors,
+    gradients -> per-frame stop colors) is what this hunts."""
+    from swf_renderer_tpu.models import display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    rng = np.random.default_rng(8100 + seed)
+    size = 800
+
+    def solid_tag(tag_id):
+        color = ast.StraightSRgba8(*map(int, rng.integers(0, 256, 4)))
+        return _shape_with_fill(tag_id, ast.SolidFill(color=color))
+
+    def gradient_tag(tag_id):
+        gm = ast.Matrix(
+            scale_x=Sfixed16P16.from_value(size / 32768.0),
+            scale_y=Sfixed16P16.from_value(size / 32768.0),
+            rotate_skew0=Sfixed16P16.from_value(0.0),
+            rotate_skew1=Sfixed16P16.from_value(0.0),
+            translate_x=size // 2, translate_y=size // 2)
+        stops = [ast.GradientStop(
+            ratio=int(r), color=ast.StraightSRgba8(
+                *map(int, rng.integers(0, 256, 4))))
+            for r in sorted(rng.integers(0, 256, 2))]
+        grad = ast.Gradient(spread=ast.GradientSpread.PAD,
+                            color_space=ast.ColorSpace.S_RGB,
+                            colors=stops)
+        return _shape_with_fill(
+            tag_id, ast.LinearGradientFill(matrix=gm, gradient=grad))
+
+    def _shape_with_fill(tag_id, fill):
+        pts = rng.integers(50, size - 50, (3, 2))
+        # Random triangle, absolute corners -> delta edge chain.
+        records = [ast.StyleChangeRecord(
+            right_fill=1, move_to=ast.Vector2D(*map(int, pts[0])))]
+        cur = pts[0]
+        for p in (pts[1], pts[2], pts[0]):
+            records.append(ast.EdgeRecord(delta=ast.Vector2D(
+                int(p[0] - cur[0]), int(p[1] - cur[1]))))
+            cur = p
+        return ast.DefineShape(
+            id=tag_id, bounds=ast.Rect(0, size, 0, size),
+            shape=ast.ShapeBody(
+                initial_styles=ast.ShapeStyles(fill=[fill], line=[]),
+                records=records))
+
+    n_layers = int(rng.integers(1, 4))
+    tags = [(gradient_tag if rng.random() < 0.5 else solid_tag)(i + 1)
+            for i in range(n_layers)]
+    ct_layers = [bool(rng.random() < 0.5) for _ in range(n_layers)]
+    w = h = 44
+    frames = int(rng.integers(2, 5))
+    stages = []
+    for i in range(frames):
+        th = 2 * np.pi * i / 16 * float(rng.random())
+        a, b = np.cos(th), np.sin(th)
+        cx = cy = size / 2.0
+        children = []
+        for li, tag in enumerate(tags):
+            m = ast.Matrix(
+                scale_x=Sfixed16P16.from_value(a),
+                scale_y=Sfixed16P16.from_value(a),
+                rotate_skew0=Sfixed16P16.from_value(b),
+                rotate_skew1=Sfixed16P16.from_value(-b),
+                translate_x=int(round(cx - a * cx + b * cy))
+                + 20 * i * li,
+                translate_y=int(round(cy - b * cx - a * cy)))
+            ct = None
+            if ct_layers[li]:
+                ct = display.ColorTransform(
+                    mult=(1.0, max(0.0, 1.0 - 0.15 * i), 1.0,
+                          max(0.1, 1.0 - 0.2 * i)),
+                    add=(0.04 * i, 0.0, 0.02 * i, 0.0))
+            children.append(display.ShapeInstance(
+                definition=tag, matrix=m, color_transform=ct))
+        stages.append(display.Stage(width=w, height=h,
+                                    children=tuple(children)))
+
+    r = TpuRenderer(w, h)
+    got = r.render_batch(stages)
+    assert got.shape == (frames, h, w, 4)
+    for i, stage in enumerate(stages):
+        want = TpuRenderer(w, h).render(stage)
+        diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 2, (
+            seed, i, r.last_stats.path, diff.max())

@@ -1278,6 +1278,13 @@ def _wblock_for(width: int, hp: int) -> int:
     wb = min(wp, 256 if hp <= 640 else 128)
     while wb > 64 and wp // wb < 8 and (wb // 2) % 8 == 0:
         wb //= 2
+    # Tall frames also prefer 64 outright once the chunk-list walk owns
+    # the skip cost: the round-4 1080p interleaved A/B measured
+    # 64/bps3 at 0.943 ms/frame vs 128/bps3's 0.995 (+5.5%), consistent
+    # across five rounds (tools/exp_sweep1080.py); bps 4 regresses at
+    # wblock 64 (132 ms/120f) and still OOMs at 128.
+    if hp > 640 and wp // 64 >= 8:
+        wb = min(wb, 64)
     return wb
 
 

@@ -1302,7 +1302,7 @@ def render_affine_sweep(
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
-    e_chunk: int = 256,
+    e_chunk: int = None,      # None = 128 with the chunk-list walk, 256 else
     skip_empty: bool = True,
     wblock: int = None,       # column-block override (ablation knob)
     row_grid: bool = None,    # None = auto: row kernel when scratch fits
@@ -1437,6 +1437,7 @@ def render_affine_sweep(
         # ~pieces/n_blocks per block instead of every chunk — the
         # per-(block, chunk, layer) fixed cost was the dominant sweep
         # term (PERF.md round-3 decomposition).
+        e_chunk = e_chunk or 256  # compacted path: pre-list economics
         wblock = wblock or _wblock_for(width, hp)
         # Field planes add bps*(4, wblock, hp) f32 of VMEM per slot and
         # step; hold bps at 1 unless explicitly overridden.
@@ -1511,6 +1512,7 @@ def render_affine_sweep(
     if row_grid:
         prefilter = False
     if row_grid:
+        e_chunk = e_chunk or 256  # row kernel: static chunk loop
         wp = -(-wp8 // wchunk) * wchunk
         kernel = functools.partial(
             _xform_kernel_rows, layers=layers, wchunk=wchunk, wp=wp,
@@ -1527,7 +1529,7 @@ def render_affine_sweep(
     else:
         wblock = wblock or _wblock_for(width, hp)
         bps = blocks_per_step or (1 if n_fields else _auto_bps(
-            layers, hp, e_chunk, -(-wp8 // wblock)))
+            layers, hp, e_chunk or 256, -(-wp8 // wblock)))
         wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
         # The skip pays off only when there are enough column blocks for
         # transition-free (block, chunk) pairs to exist; at <= 2 blocks
@@ -1555,6 +1557,14 @@ def render_affine_sweep(
         # The dynamic chunk walk needs the prefix plane (skipped chunks'
         # left pieces live there) and supersedes the prefilter.
         chunk_list = chunk_list and skip_empty and prefix_cheap
+        if e_chunk is None:
+            # The walk inverted the chunk-size economics: finer chunks
+            # give tighter crossing sets at no branch cost (round-4
+            # re-sweep: ec128 +29% at 1080p, +12% at 512^2; ec64 fails
+            # TPU compilation; pre-list ec128 measured WORSE, so the
+            # static loop keeps 256).  Tile shards resolve identically
+            # (mirrored skip flags + x_shift), preserving bit-exactness.
+            e_chunk = 128 if chunk_list else 256
         if chunk_list:
             prefilter = False
             ep0 = tab.shape[-1]
@@ -1700,7 +1710,7 @@ def render_morph_affine_sweep(
     width: int,
     fill_rule: int = FILL_RULE_NONZERO,
     interpret: bool = None,
-    e_chunk: int = 256,
+    e_chunk: int = None,      # None = 128 with the chunk-list walk, 256 else
     skip_empty: bool = True,
     row_grid: bool = None,
     wchunk: int = 256,
@@ -1733,6 +1743,7 @@ def render_morph_affine_sweep(
         row_grid = _ROW_GRID_DEFAULT and _row_grid_fits(
             layers, -(-wp8 // wchunk) * wchunk, wchunk)
     if row_grid:
+        e_chunk = e_chunk or 256  # row kernel: static chunk loop
         wp = -(-wp8 // wchunk) * wchunk
         kernel = functools.partial(
             _xform_kernel_rows, layers=layers, wchunk=wchunk, wp=wp,
@@ -1747,7 +1758,7 @@ def render_morph_affine_sweep(
     else:
         wblock = wblock or _wblock_for(width, hp)
         bps = blocks_per_step or _auto_bps(
-            layers, hp, e_chunk, -(-wp8 // wblock))
+            layers, hp, e_chunk or 256, -(-wp8 // wblock))
         wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
         if x_shift is None:  # see render_affine_sweep: shards mirror
             skip_empty = skip_empty and wp // wblock >= 4
@@ -1759,6 +1770,10 @@ def render_morph_affine_sweep(
         if chunk_list is None:
             chunk_list = True
         chunk_list = chunk_list and skip_empty and prefix_cheap
+        if e_chunk is None:
+            # Same round-4 re-sweep as render_affine_sweep: finer
+            # chunks pay only under the list walk.
+            e_chunk = 128 if chunk_list else 256
         if chunk_list:
             pad = (-tab_s.shape[-1]) % e_chunk
             if pad:

@@ -32,12 +32,14 @@ def main():
     )
 
     h, w = 1088, 1920
+    if "--512" in sys.argv:
+        h = w = 512
     frames = 60
     tables, colors, mats = anim_scene(h, w, frames)
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
 
-    mult = 2
+    mult = 2 if h > 600 else 8
     big = np.concatenate([mats + np.float32(k) * 1e-9
                           for k in range(mult)])
 
@@ -49,13 +51,18 @@ def main():
     base = decode(np.asarray(render_affine_sweep(
         jnp.asarray(mats), *fargs, h, w)))  # production auto layout
 
-    variants = {"auto(128/3)": (None, None), "64/3": (64, 3),
-                "64/4": (64, 4), "128/4": (128, 4)}
+    variants = {"auto": {}, "64/3": dict(wblock=64, blocks_per_step=3),
+                "64/4": dict(wblock=64, blocks_per_step=4),
+                "128/4": dict(wblock=128, blocks_per_step=4)}
+    if "--echunk" in sys.argv:
+        # Second pass: e_chunk under the retuned block layout (the
+        # chunk-list walk changed chunk-size economics too).
+        variants = {"auto(ec256)": {},
+                    "ec128": dict(e_chunk=128),
+                    "ec64": dict(e_chunk=64),
+                    "ec512": dict(e_chunk=512)}
     fns = {}
-    for name, (wb, bps) in variants.items():
-        kw = {}
-        if wb is not None:
-            kw = dict(wblock=wb, blocks_per_step=bps)
+    for name, kw in variants.items():
         try:
             v = decode(np.asarray(render_affine_sweep(
                 jnp.asarray(mats), *fargs, h, w, **kw)))

@@ -54,7 +54,19 @@ def main():
     variants = {"auto": {}, "64/3": dict(wblock=64, blocks_per_step=3),
                 "64/4": dict(wblock=64, blocks_per_step=4),
                 "128/4": dict(wblock=128, blocks_per_step=4)}
-    if "--echunk" in sys.argv:
+    if "--pin" in sys.argv:
+        # perf_pin mode: production auto vs the pre-retune round-4
+        # layout (wblock 128 / bps 3 / e_chunk 256).
+        variants = {"prior(128/3/ec256)": dict(
+                        wblock=128, blocks_per_step=3, e_chunk=256),
+                    "production": {}}
+    elif "--fine" in sys.argv:
+        # Third pass: finer blocks under ec128 + chunk lists.
+        variants = {"auto": {},
+                    "wb64/bps3": dict(wblock=64, blocks_per_step=3),
+                    "wb32/bps4": dict(wblock=32, blocks_per_step=4),
+                    "wb32/bps8": dict(wblock=32, blocks_per_step=8)}
+    elif "--echunk" in sys.argv:
         # Second pass: e_chunk under the retuned block layout (the
         # chunk-list walk changed chunk-size economics too).
         variants = {"auto(ec256)": {},
@@ -88,7 +100,8 @@ def main():
         fns[name] = mk()
         fns[name](0)  # compile
 
-    for rnd in range(5):
+    rounds = 3 if "--pin" in sys.argv else 5
+    for rnd in range(rounds):
         row = {"round": rnd}
         for name in fns:
             row[name] = round(min(fns[name](i)

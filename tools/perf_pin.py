@@ -13,7 +13,9 @@ Pinned policies (each the headline lever of its config this round):
 
   flat256 / gradients / headline  plane-stride shrink (exp_stride)
   anim 512^2                      wblock 64 / bps 4 vs 256/1 (exp_sweepblocks)
-  anim1080                        chunk-index lists vs static loop
+  anim1080                        chunk-index lists vs static loop;
+                                  wblock 64 + e_chunk 128 retune
+                                  (exp_sweep1080 --pin)
                                   (exp_sweepcost --pin)
 
 Run (real TPU, strictly serial — never overlap TPU jobs):
@@ -105,6 +107,26 @@ def pin_chunk_list():
     }}
 
 
+def pin_sweep_retune():
+    """exp_sweep1080 --pin: production auto layout (wblock 64 / bps 3 /
+    e_chunk 128 under chunk lists) vs the pre-retune round-4 layout."""
+    rows = _run([PY, "tools/exp_sweep1080.py", "--pin"])
+    per = {}
+    for r in rows:
+        if "round" in r:
+            for k, v in r.items():
+                if k != "round":
+                    per.setdefault(k, []).append(v)
+    if not per or "production" not in per:
+        return {}
+    prior = min(per.get("prior(128/3/ec256)", [float("inf")]))
+    cur = min(per["production"])
+    return {"sweep-retune:anim1080": {
+        "prior_ms_120f": prior, "current_ms_120f": cur,
+        "ratio_current_over_prior": round(prior / cur, 3),
+    }}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
@@ -120,6 +142,7 @@ def main():
         results.update(pin_stride(["flat256", "gradients", "headline"]))
         results.update(pin_sweepblocks())
         results.update(pin_chunk_list())
+        results.update(pin_sweep_retune())
 
     regressions = [k for k, v in results.items()
                    if (v.get("ratio_current_over_prior") or 1.0) < 0.95]

@@ -240,7 +240,7 @@ def plan_compact_sweep(matrices, tab, height, width, e_chunk: int = 256,
     per_layer = _per_layer_mats(matrices, layers)
     hp = -(-height // LANE) * LANE
     wp8 = -(-width // 8) * 8
-    wblock = wblock or _wblock_for(width, hp)
+    wblock = wblock or _wblock_for(width, hp, lists=False)
     bps = blocks_per_step or _auto_bps(
         layers, hp, e_chunk, -(-wp8 // wblock))
     wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
@@ -1263,7 +1263,7 @@ def _auto_bps(layers: int, hp: int, e_chunk: int,
     return 1
 
 
-def _wblock_for(width: int, hp: int) -> int:
+def _wblock_for(width: int, hp: int, lists: bool = True) -> int:
     """Column-block sublane count: 256 fits comfortably for short lane
     extents; tall frames (hp > 640) drop to 128 so the layer accumulators
     + ramp temporaries stay inside the 16 MB scoped-VMEM budget (1080p
@@ -1283,7 +1283,10 @@ def _wblock_for(width: int, hp: int) -> int:
     # 64/bps3 at 0.943 ms/frame vs 128/bps3's 0.995 (+5.5%), consistent
     # across five rounds (tools/exp_sweep1080.py); bps 4 regresses at
     # wblock 64 (132 ms/120f) and still OOMs at 128.
-    if hp > 640 and wp // 64 >= 8:
+    # The drop is gated on ``lists`` — without the walk, round-3
+    # measured wblock 64 at 1.8-2.1 ms/frame vs 128's 1.33 (static
+    # loop), so compact/static callers keep 128.
+    if lists and hp > 640 and wp // 64 >= 8:
         wb = min(wb, 64)
     return wb
 
@@ -1438,7 +1441,7 @@ def render_affine_sweep(
         # per-(block, chunk, layer) fixed cost was the dominant sweep
         # term (PERF.md round-3 decomposition).
         e_chunk = e_chunk or 256  # compacted path: pre-list economics
-        wblock = wblock or _wblock_for(width, hp)
+        wblock = wblock or _wblock_for(width, hp, lists=False)
         # Field planes add bps*(4, wblock, hp) f32 of VMEM per slot and
         # step; hold bps at 1 unless explicitly overridden.
         bps = blocks_per_step or (1 if n_fields else _auto_bps(
@@ -1527,7 +1530,12 @@ def render_affine_sweep(
         scratch = [pltpu.VMEM((layers, wp, LANE), jnp.float32),
                    pltpu.VMEM((layers, wp // wchunk, LANE), jnp.float32)]
     else:
-        wblock = wblock or _wblock_for(width, hp)
+        # lists hint: will the chunk-list walk be on?  (skip/prefix
+        # resolve later, but the hp>640 drop only applies to frames
+        # whose block count passes every gate either way.)
+        lists_hint = (skip_empty and prefix_cheap is not False
+                      and chunk_list is not False)
+        wblock = wblock or _wblock_for(width, hp, lists=lists_hint)
         bps = blocks_per_step or (1 if n_fields else _auto_bps(
             layers, hp, e_chunk or 256, -(-wp8 // wblock)))
         wp = -(-wp8 // (wblock * bps)) * (wblock * bps)
@@ -1756,7 +1764,9 @@ def render_morph_affine_sweep(
         scratch = [pltpu.VMEM((layers, wp, LANE), jnp.float32),
                    pltpu.VMEM((layers, wp // wchunk, LANE), jnp.float32)]
     else:
-        wblock = wblock or _wblock_for(width, hp)
+        lists_hint = (skip_empty and prefix_cheap is not False
+                      and chunk_list is not False)
+        wblock = wblock or _wblock_for(width, hp, lists=lists_hint)
         bps = blocks_per_step or _auto_bps(
             layers, hp, e_chunk or 256, -(-wp8 // wblock))
         wp = -(-wp8 // (wblock * bps)) * (wblock * bps)

@@ -548,6 +548,13 @@ def test_random_batch_routing_combo(seed):
     r = TpuRenderer(w, h)
     got = r.render_batch(stages)
     assert got.shape == (frames, h, w, 4)
+    # ROUTING assertion, not just output equality (PERF.md round-4
+    # lesson): every combo here is sweepable (solid/sRGB-gradient
+    # paints, moving invertible matrices, uniform structure), so a
+    # fallback to the batch/per-stage paths would be a silent
+    # de-routing regression that renders identical pixels slower.
+    assert r.last_stats.path == "transform-sweep", (
+        seed, r.last_stats.path)
     for i, stage in enumerate(stages):
         want = TpuRenderer(w, h).render(stage)
         diff = np.abs(got[i].astype(np.int32) - want.astype(np.int32))

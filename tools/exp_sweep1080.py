@@ -39,7 +39,12 @@ def main():
     tab, subxy, colarr = affine_pieces(tables, colors, mats)
     fargs = tuple(jnp.asarray(x) for x in (tab, subxy, colarr))
 
-    mult = 2 if h > 600 else 8
+    # Amortize the ~26 ms tunnel floor: these are single-dispatch
+    # timings (the fori-chained fit stack-allocates the sweep output in
+    # scoped VMEM and OOMs — PERF.md round 3), so the track must be
+    # long enough that the floor is a small fraction (~7% at 1080p
+    # mult 4).  Ratios still UNDERSTATE device-side deltas slightly.
+    mult = 4 if h > 600 else 8
     big = np.concatenate([mats + np.float32(k) * 1e-9
                           for k in range(mult)])
 
@@ -69,7 +74,9 @@ def main():
     elif "--echunk" in sys.argv:
         # Second pass: e_chunk under the retuned block layout (the
         # chunk-list walk changed chunk-size economics too).
-        variants = {"auto(ec256)": {},
+        # Explicit on BOTH arms: auto now resolves to ec128 under the
+        # list walk, so an {} arm would compare ec128 against itself.
+        variants = {"ec256": dict(e_chunk=256),
                     "ec128": dict(e_chunk=128),
                     "ec64": dict(e_chunk=64),
                     "ec512": dict(e_chunk=512)}

@@ -113,10 +113,16 @@ def main():
                                            blocks_per_step=None)),
     ]
     if args.pin:
+        # Both arms pin EXPLICIT layouts: the round-3 baseline is
+        # wblock 128 / ec256 / static loop (leaving wblock/e_chunk to
+        # the auto defaults would silently measure the RETUNED layouts
+        # — wblock 64 + ec128 — under the round-3 label, drifting the
+        # PERFPIN baseline), and "production" uses the live defaults.
         grid = [
-            ("r3-static-loop", dict(e_chunk=256, blocks_per_step=None,
+            ("r3-static-loop", dict(e_chunk=256, wblock=128,
+                                    blocks_per_step=None,
                                     chunk_list=False)),
-            ("production", dict(e_chunk=256, blocks_per_step=None)),
+            ("production", dict(e_chunk=None, blocks_per_step=None)),
         ]
     for label, kw in grid:
         e_chunk = kw.pop("e_chunk", 512)

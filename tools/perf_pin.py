@@ -117,9 +117,10 @@ def pin_sweep_retune():
             for k, v in r.items():
                 if k != "round":
                     per.setdefault(k, []).append(v)
-    if not per or "production" not in per:
-        return {}
-    prior = min(per.get("prior(128/3/ec256)", [float("inf")]))
+    if "production" not in per or "prior(128/3/ec256)" not in per:
+        return {}  # an arm failed to compile/run: drop the pin, don't
+                   # emit Infinity into the artifact
+    prior = min(per["prior(128/3/ec256)"])
     cur = min(per["production"])
     return {"sweep-retune:anim1080": {
         "prior_ms_120f": prior, "current_ms_120f": cur,

@@ -48,6 +48,7 @@ TAG_DEFINE_SHAPE4 = 83
 TAG_DEFINE_MORPH_SHAPE = 46
 TAG_DEFINE_MORPH_SHAPE2 = 84
 TAG_DEFINE_BITS_LOSSLESS = 20
+TAG_DEFINE_BITS_LOSSLESS2 = 36
 TAG_SET_BACKGROUND = 9
 TAG_PLACE_OBJECT2 = 26
 TAG_REMOVE_OBJECT2 = 28
@@ -753,11 +754,16 @@ def emit_define_bits_lossless(tag: ast.DefineBitmap) -> bytes:
     colorTableSize u8, zlib(palette + padded indices) — exactly the
     header decode-x-swf-bmp.ts:9-41 parses, so emission is id + data
     after validating the header against the AST's declared geometry."""
-    if tag.media_type != "image/x-swf-bmp":
+    formats = {"image/x-swf-bmp": (3,), "image/x-swf-bmp-full": (4, 5)}
+    allowed = formats.get(tag.media_type)
+    if allowed is None:
         raise ValueError(
-            f"cannot emit media type {tag.media_type!r} (x-swf-bmp only)")
-    if len(tag.data) < 6 or tag.data[0] != 3:
-        raise ValueError("x-swf-bmp payload must start with formatId 3")
+            f"cannot emit media type {tag.media_type!r} "
+            "(x-swf-bmp / x-swf-bmp-full only)")
+    if len(tag.data) < 5 or tag.data[0] not in allowed:
+        raise ValueError(
+            f"{tag.media_type} payload must start with formatId "
+            f"{' or '.join(map(str, allowed))}")
     width, height = struct.unpack_from("<HH", tag.data, 1)
     if (width, height) != (tag.width, tag.height):
         raise ValueError(
@@ -770,13 +776,54 @@ def emit_define_bits_lossless(tag: ast.DefineBitmap) -> bytes:
 def parse_define_bits_lossless_tag(body: bytes) -> ast.DefineBitmap:
     (bitmap_id,) = struct.unpack_from("<H", body, 0)
     data = body[2:]
-    if len(data) < 6 or data[0] != 3:
+    if len(data) < 5 or data[0] not in (3, 4, 5):
         raise ValueError(
-            "only 8-bit colormapped (format 3) DefineBitsLossless "
-            "is supported")
+            "only colormapped (format 3) or direct-color (formats 4/5) "
+            "DefineBitsLossless is supported")
+    width, height = struct.unpack_from("<HH", data, 1)
+    media = ("image/x-swf-bmp" if data[0] == 3 else "image/x-swf-bmp-full")
+    return ast.DefineBitmap(id=bitmap_id, width=width, height=height,
+                            media_type=media, data=data)
+
+
+def emit_define_bits_lossless2(tag: ast.DefineBitmap) -> bytes:
+    """DefineBitsLossless2 (tag 36) bytes: the ``image/x-swf-bmp2``
+    payload (formatId 3 with an RGBA palette, or formatId 5 ARGB32
+    premultiplied) is the tag body minus the character id — the alpha
+    sibling of tag 20, beyond the reference's format-3-only codec
+    (decode-x-swf-bmp.ts:9-41)."""
+    if tag.media_type != "image/x-swf-bmp2":
+        raise ValueError(
+            f"cannot emit media type {tag.media_type!r} (x-swf-bmp2 only)")
+    if len(tag.data) < 5 or tag.data[0] not in (3, 5):
+        raise ValueError("x-swf-bmp2 payload must start with formatId 3 or 5")
+    width, height = struct.unpack_from("<HH", tag.data, 1)
+    if (width, height) != (tag.width, tag.height):
+        raise ValueError(
+            f"payload geometry {width}x{height} != declared "
+            f"{tag.width}x{tag.height}")
+    return _tag(TAG_DEFINE_BITS_LOSSLESS2,
+                struct.pack("<H", tag.id) + tag.data)
+
+
+def parse_define_bits_lossless2_tag(body: bytes) -> ast.DefineBitmap:
+    (bitmap_id,) = struct.unpack_from("<H", body, 0)
+    data = body[2:]
+    if len(data) < 5 or data[0] not in (3, 5):
+        raise ValueError(
+            "only colormapped (format 3) or ARGB32 (format 5) "
+            "DefineBitsLossless2 is supported")
     width, height = struct.unpack_from("<HH", data, 1)
     return ast.DefineBitmap(id=bitmap_id, width=width, height=height,
-                            media_type="image/x-swf-bmp", data=data)
+                            media_type="image/x-swf-bmp2", data=data)
+
+
+def emit_define_bitmap(tag: ast.DefineBitmap) -> bytes:
+    """Route a DefineBitmap to its wire tag by media type (tag 20 for
+    the x-swf-bmp families, tag 36 for x-swf-bmp2)."""
+    if tag.media_type == "image/x-swf-bmp2":
+        return emit_define_bits_lossless2(tag)
+    return emit_define_bits_lossless(tag)
 
 
 # ---------------------------------------------------------------------------
@@ -1209,7 +1256,7 @@ def emit_movie_timeline(
     tags.extend(_tag(TAG_SET_BACKGROUND,
                      bytes((background.r, background.g, background.b))))
     for bitmap in bitmaps:
-        tags.extend(emit_define_bits_lossless(bitmap))
+        tags.extend(emit_define_bitmap(bitmap))
     for shape in shapes:
         tags.extend(emit_define_shape4(shape) if shape4
                     else emit_define_shape(shape))
@@ -1303,10 +1350,14 @@ def parse_movie_morph_shapes(
 
 
 def parse_movie_bitmaps(data: bytes) -> List[ast.DefineBitmap]:
-    """Extract every DefineBitsLossless from an uncompressed movie."""
-    return [parse_define_bits_lossless_tag(body)
-            for code, body in _iter_tags(data)
-            if code == TAG_DEFINE_BITS_LOSSLESS]
+    """Extract every DefineBitsLossless/Lossless2 from a movie."""
+    out = []
+    for code, body in _iter_tags(data):
+        if code == TAG_DEFINE_BITS_LOSSLESS:
+            out.append(parse_define_bits_lossless_tag(body))
+        elif code == TAG_DEFINE_BITS_LOSSLESS2:
+            out.append(parse_define_bits_lossless2_tag(body))
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1368,6 +1419,9 @@ def parse_movie(data: bytes) -> Movie:
             morphs[tag.id] = tag
         elif code == TAG_DEFINE_BITS_LOSSLESS:
             tag = parse_define_bits_lossless_tag(body)
+            bitmaps[tag.id] = tag
+        elif code == TAG_DEFINE_BITS_LOSSLESS2:
+            tag = parse_define_bits_lossless2_tag(body)
             bitmaps[tag.id] = tag
         elif code == TAG_PLACE_OBJECT2:
             p = _parse_place_object2(body)

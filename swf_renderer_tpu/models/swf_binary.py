@@ -50,7 +50,9 @@ TAG_DEFINE_MORPH_SHAPE2 = 84
 TAG_DEFINE_BITS_LOSSLESS = 20
 TAG_DEFINE_BITS_LOSSLESS2 = 36
 TAG_SET_BACKGROUND = 9
+TAG_PLACE_OBJECT = 4
 TAG_PLACE_OBJECT2 = 26
+TAG_REMOVE_OBJECT = 5
 TAG_REMOVE_OBJECT2 = 28
 
 _SPREAD_TO_BITS = {
@@ -502,13 +504,22 @@ class Placement:
     color_transform: Tuple[Tuple[float, ...], Tuple[float, ...]] = None
     ratio: float = None
     move: bool = False
+    # PlaceObject2 instance name (flag 0x20) — carried, not interpreted.
+    name: Optional[str] = None
+    # Emit as the SWF1 PlaceObject (tag 4): character id + depth +
+    # mandatory matrix + optional RGB CXFORM.  Parsing tag 4 sets this.
+    legacy: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
 class RemoveObject:
-    """RemoveObject2: clear a depth from the display list."""
+    """RemoveObject2: clear a depth from the display list.
+
+    ``character_id`` set emits/parses as the SWF1 RemoveObject (tag 5),
+    whose removal names both the character and the depth."""
 
     depth: int
+    character_id: Optional[int] = None
 
 
 def _write_cxform_alpha(w: BitWriter, mult, add) -> None:
@@ -548,7 +559,90 @@ def _read_cxform_alpha(r: BitReader):
     return mult, add
 
 
+def _write_cxform_rgb(w: BitWriter, mult, add) -> None:
+    """CXFORM (no alpha, PlaceObject tag 4): RGB-only fixed-8.8 mults /
+    0..255 adds; the alpha terms of the (mult4, add4) tuple must be
+    identity (1, 0)."""
+    w.align()
+    mi = [int(round(float(m) * 256.0)) for m in mult[:3]]
+    ai = [int(round(float(a) * 255.0)) for a in add[:3]]
+    has_mult = mi != [256, 256, 256]
+    has_add = ai != [0, 0, 0]
+    w.write_ub(1 if has_add else 0, 1)
+    w.write_ub(1 if has_mult else 0, 1)
+    terms = (mi if has_mult else []) + (ai if has_add else [])
+    nbits = sbits_for(*terms) if terms else 1
+    w.write_ub(nbits, 4)
+    if has_mult:
+        for v in mi:
+            w.write_sb(v, nbits)
+    if has_add:
+        for v in ai:
+            w.write_sb(v, nbits)
+    w.align()
+
+
+def _read_cxform_rgb(r: BitReader):
+    r.align()
+    has_add = r.read_ub(1)
+    has_mult = r.read_ub(1)
+    nbits = r.read_ub(4)
+    mult = (1.0, 1.0, 1.0)
+    add = (0.0, 0.0, 0.0)
+    if has_mult:
+        mult = tuple(r.read_sb(nbits) / 256.0 for _ in range(3))
+    if has_add:
+        add = tuple(r.read_sb(nbits) / 255.0 for _ in range(3))
+    r.align()
+    return mult + (1.0,), add + (0.0,)
+
+
+def _identity_matrix() -> ast.Matrix:
+    from ..utils.fixed import Sfixed16P16
+
+    one = Sfixed16P16.from_value(1)
+    zero = Sfixed16P16.from_value(0)
+    return ast.Matrix(scale_x=one, scale_y=one, rotate_skew0=zero,
+                      rotate_skew1=zero, translate_x=0, translate_y=0)
+
+
+def _emit_place_object(p: Placement) -> bytes:
+    """SWF1 PlaceObject (tag 4): character id + depth + MATRIX
+    (mandatory — identity when the placement carries none) + optional
+    RGB CXFORM."""
+    if p.character_id is None:
+        raise ValueError("PlaceObject needs a character id")
+    if p.move or p.ratio is not None or p.name is not None:
+        raise ValueError(
+            "PlaceObject carries no move/ratio/name (PlaceObject2 forms)")
+    if p.color_transform is not None:
+        mult, add = p.color_transform
+        if tuple(mult)[3] != 1.0 or tuple(add)[3] != 0.0:
+            raise ValueError("PlaceObject CXFORM has no alpha terms")
+    body = bytearray(struct.pack("<HH", p.character_id, p.depth))
+    w = BitWriter()
+    _write_matrix(w, p.matrix if p.matrix is not None
+                  else _identity_matrix())
+    if p.color_transform is not None:
+        _write_cxform_rgb(w, *p.color_transform)
+    body.extend(w.bytes())
+    return _tag(TAG_PLACE_OBJECT, bytes(body))
+
+
+def _parse_place_object(body: bytes) -> Placement:
+    char_id, depth = struct.unpack_from("<HH", body, 0)
+    r = BitReader(body, 4)
+    matrix = _read_matrix(r)
+    ct = None
+    if r.byte_pos < len(body):
+        ct = _read_cxform_rgb(r)
+    return Placement(depth=depth, character_id=char_id, matrix=matrix,
+                     color_transform=ct, legacy=True)
+
+
 def _emit_place_object2(p: Placement) -> bytes:
+    if p.legacy:
+        return _emit_place_object(p)
     flags = 0
     if p.move:
         flags |= 0x01
@@ -562,6 +656,8 @@ def _emit_place_object2(p: Placement) -> bytes:
         flags |= 0x08
     if p.ratio is not None:
         flags |= 0x10
+    if p.name is not None:
+        flags |= 0x20
     body = bytearray(struct.pack("<BH", flags, p.depth))
     if p.character_id is not None:
         body.extend(struct.pack("<H", p.character_id))
@@ -577,15 +673,17 @@ def _emit_place_object2(p: Placement) -> bytes:
         # truncates ratio 1.0 the same way).
         ratio_u16 = min(65535, max(0, int(round(float(p.ratio) * 65536))))
         body.extend(struct.pack("<H", ratio_u16))
+    if p.name is not None:
+        body.extend(p.name.encode("utf-8") + b"\x00")
     return _tag(TAG_PLACE_OBJECT2, bytes(body))
 
 
 def _parse_place_object2(body: bytes) -> Placement:
     flags = body[0]
-    if flags & (0x80 | 0x40 | 0x20):
+    if flags & (0x80 | 0x40):
         raise ValueError(
             f"unsupported PlaceObject2 flags 0x{flags:02x} "
-            "(clip actions/depth, name)")
+            "(clip actions/depth)")
     move = bool(flags & 0x01)
     if not (flags & 0x02) and not move:
         raise ValueError("PlaceObject2 without a character id")
@@ -608,8 +706,13 @@ def _parse_place_object2(body: bytes) -> Placement:
     if flags & 0x10:
         (ratio_u16,) = struct.unpack_from("<H", body, pos)
         ratio = ratio_u16 / 65536.0
+        pos += 2
+    name = None
+    if flags & 0x20:
+        end = body.index(b"\x00", pos)
+        name = body[pos:end].decode("utf-8")
     return Placement(depth=depth, character_id=char_id, matrix=matrix,
-                     color_transform=ct, ratio=ratio, move=move)
+                     color_transform=ct, ratio=ratio, move=move, name=name)
 
 
 # ---------------------------------------------------------------------------
@@ -1265,8 +1368,12 @@ def emit_movie_timeline(
     for ops in frames:
         for op in ops:
             if isinstance(op, RemoveObject):
-                tags.extend(_tag(TAG_REMOVE_OBJECT2,
-                                 struct.pack("<H", op.depth)))
+                if op.character_id is not None:
+                    tags.extend(_tag(TAG_REMOVE_OBJECT, struct.pack(
+                        "<HH", op.character_id, op.depth)))
+                else:
+                    tags.extend(_tag(TAG_REMOVE_OBJECT2,
+                                     struct.pack("<H", op.depth)))
             else:
                 tags.extend(_emit_place_object2(op))
         tags.extend(_tag(TAG_SHOW_FRAME, b""))
@@ -1441,12 +1548,25 @@ def parse_movie(data: bytes) -> Movie:
                                      if p.color_transform is not None
                                      else prev.color_transform),
                     ratio=(p.ratio if p.ratio is not None
-                           else prev.ratio))
+                           else prev.ratio),
+                    name=(p.name if p.name is not None else prev.name))
             else:
                 if state.get(p.depth) is not None:
                     raise ValueError(
                         f"new placement at occupied depth {p.depth}")
                 state[p.depth] = p
+        elif code == TAG_PLACE_OBJECT:
+            # SWF1 form: places (or replaces) the depth's occupant.
+            p = _parse_place_object(body)
+            state[p.depth] = p
+        elif code == TAG_REMOVE_OBJECT:
+            char_id, depth = struct.unpack_from("<HH", body, 0)
+            prev = state.get(depth)
+            if prev is not None and prev.character_id != char_id:
+                raise ValueError(
+                    f"RemoveObject names character {char_id} but depth "
+                    f"{depth} holds {prev.character_id}")
+            state.pop(depth, None)
         elif code == TAG_REMOVE_OBJECT2:
             (depth,) = struct.unpack_from("<H", body, 0)
             state.pop(depth, None)

@@ -606,3 +606,114 @@ def test_morph_ratio_from_move_only_track():
     (got, ratio), = swf_binary.parse_movie_morph_shapes(movie)
     assert got == tag
     assert abs(ratio - 0.75) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Legacy display-list tags (PlaceObject 4 / RemoveObject 5) + names
+# ---------------------------------------------------------------------------
+
+
+def _one_frame_movie(ops_frames, shapes):
+    return swf_binary.emit_movie_timeline(
+        ops_frames, shapes=shapes, stage_rect=ast.Rect(0, 440, 0, 440))
+
+
+def _unit_shape(shape_id: int) -> ast.DefineShape:
+    records = (
+        ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0), left_fill=1),
+        ast.EdgeRecord(delta=ast.Vector2D(400, 0)),
+        ast.EdgeRecord(delta=ast.Vector2D(0, 400)),
+        ast.EdgeRecord(delta=ast.Vector2D(-400, -400)),
+    )
+    fill = ast.SolidFill(color=ast.StraightSRgba8(10, 20, 200, 255))
+    return ast.DefineShape(
+        id=shape_id, bounds=ast.Rect(0, 440, 0, 440),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(fill=(fill,), line=()),
+            records=records))
+
+
+def test_legacy_place_object_roundtrip():
+    """PlaceObject (tag 4): mandatory matrix + optional RGB CXFORM
+    round-trip through the movie; the alpha CT terms come back as
+    identity."""
+    shape = _unit_shape(3)
+    ct = ((0.5, 1.0, 0.25, 1.0), (0.1, 0.0, 0.0, 0.0))
+    p = swf_binary.Placement(depth=2, character_id=3, matrix=_tl(40, 60),
+                             color_transform=ct, legacy=True)
+    movie = swf_binary.parse_movie(_one_frame_movie([[p]], [shape]))
+    (got,) = movie.frames[0]
+    assert got.legacy and got.character_id == 3 and got.depth == 2
+    assert got.matrix == _tl(40, 60)
+    gm, ga = got.color_transform
+    assert gm[3] == 1.0 and ga[3] == 0.0
+    assert all(abs(a - b) < 1e-6 for a, b in zip(gm[:3], ct[0][:3]))
+    # Add terms quantize to u8 on the wire (0.5/255 half-quantum).
+    assert all(abs(a - b) <= 0.5 / 255 for a, b in zip(ga[:3], ct[1][:3]))
+
+
+def test_legacy_place_object_defaults_identity_matrix():
+    p = swf_binary.Placement(depth=1, character_id=3, legacy=True)
+    movie = swf_binary.parse_movie(_one_frame_movie([[p]], [_unit_shape(3)]))
+    (got,) = movie.frames[0]
+    assert got.matrix == swf_binary._identity_matrix()
+    assert got.color_transform is None
+
+
+def test_legacy_place_object_replaces_depth():
+    shapes = [_unit_shape(3), _unit_shape(4)]
+    frames = [
+        [swf_binary.Placement(depth=1, character_id=3, legacy=True)],
+        [swf_binary.Placement(depth=1, character_id=4, legacy=True)],
+    ]
+    movie = swf_binary.parse_movie(_one_frame_movie(frames, shapes))
+    assert movie.frames[0][0].character_id == 3
+    assert movie.frames[1][0].character_id == 4
+
+
+def test_legacy_remove_object():
+    """RemoveObject (tag 5) clears the depth when the character matches
+    and rejects a mismatched id."""
+    shape = _unit_shape(3)
+    frames = [
+        [swf_binary.Placement(depth=1, character_id=3, legacy=True)],
+        [swf_binary.RemoveObject(depth=1, character_id=3)],
+    ]
+    movie = swf_binary.parse_movie(_one_frame_movie(frames, [shape]))
+    assert movie.frames[0] and not movie.frames[1]
+
+    bad = [
+        [swf_binary.Placement(depth=1, character_id=3, legacy=True)],
+        [swf_binary.RemoveObject(depth=1, character_id=9)],
+    ]
+    with pytest.raises(ValueError):
+        swf_binary.parse_movie(_one_frame_movie(bad, [shape]))
+
+
+def test_place_object2_name_roundtrip_and_move_retention():
+    shape = _unit_shape(3)
+    frames = [
+        [swf_binary.Placement(depth=1, character_id=3, name="hero")],
+        [swf_binary.Placement(depth=1, move=True, matrix=_tl(100, 0))],
+        [swf_binary.Placement(depth=1, move=True, name="villain")],
+    ]
+    movie = swf_binary.parse_movie(_one_frame_movie(frames, [shape]))
+    assert movie.frames[0][0].name == "hero"
+    assert movie.frames[1][0].name == "hero"  # retained across move
+    assert movie.frames[1][0].matrix == _tl(100, 0)
+    assert movie.frames[2][0].name == "villain"
+
+
+def test_legacy_and_modern_placement_render_identically():
+    from swf_renderer_tpu.runtime.movie import render_movie
+    import numpy as np
+
+    shape = _unit_shape(3)
+    legacy = _one_frame_movie(
+        [[swf_binary.Placement(depth=1, character_id=3,
+                               matrix=_tl(20, 20), legacy=True)]], [shape])
+    modern = _one_frame_movie(
+        [[swf_binary.Placement(depth=1, character_id=3,
+                               matrix=_tl(20, 20))]], [shape])
+    np.testing.assert_array_equal(render_movie(legacy),
+                                  render_movie(modern))

@@ -50,6 +50,8 @@ TAG_DEFINE_MORPH_SHAPE2 = 84
 TAG_DEFINE_BITS_LOSSLESS = 20
 TAG_DEFINE_BITS_LOSSLESS2 = 36
 TAG_SET_BACKGROUND = 9
+TAG_DEFINE_SPRITE = 39
+TAG_FRAME_LABEL = 43
 TAG_PLACE_OBJECT = 4
 TAG_PLACE_OBJECT2 = 26
 TAG_REMOVE_OBJECT = 5
@@ -509,6 +511,11 @@ class Placement:
     # Emit as the SWF1 PlaceObject (tag 4): character id + depth +
     # mandatory matrix + optional RGB CXFORM.  Parsing tag 4 sets this.
     legacy: bool = False
+    # Resolved timelines only: the frame index (within the containing
+    # timeline) at which this depth's CURRENT character appeared —
+    # move-modify retains it, replacing the character resets it.  Sprite
+    # instances derive their loop phase from it.
+    placed_frame: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1337,14 +1344,18 @@ def emit_movie_timeline(
         frame_rate: float = 24.0,
         shape4: bool = False,
         morph2: bool = False,
-        stage_rect: Optional[ast.Rect] = None) -> bytes:
+        stage_rect: Optional[ast.Rect] = None,
+        sprites: Tuple = (),
+        frame_labels: Optional[dict] = None) -> bytes:
     """A multi-frame movie: define tags up front, then per frame a list
     of Placement / RemoveObject display-list operations followed by
     ShowFrame.  Placement.move carries the PlaceFlagMove form (modify
     or replace the depth's occupant) — the wire-level analog of the
     renderer's timeline tracks (render_batch consumes the loaded
     stages; moving-matrix animations auto-route to the on-device
-    sweep)."""
+    sweep).  ``sprites``: (sprite_id, frames) pairs emitted as
+    DefineSprite tags, where each frames entry is the same per-frame
+    op-list form as ``frames``."""
     if stage_rect is None:
         x_max = max((s.bounds.x_max for s in shapes), default=11000)
         y_max = max((s.bounds.y_max for s in shapes), default=8000)
@@ -1365,17 +1376,13 @@ def emit_movie_timeline(
                     else emit_define_shape(shape))
     for morph in morphs:
         tags.extend(emit_define_morph_shape(morph, shape2=morph2))
-    for ops in frames:
-        for op in ops:
-            if isinstance(op, RemoveObject):
-                if op.character_id is not None:
-                    tags.extend(_tag(TAG_REMOVE_OBJECT, struct.pack(
-                        "<HH", op.character_id, op.depth)))
-                else:
-                    tags.extend(_tag(TAG_REMOVE_OBJECT2,
-                                     struct.pack("<H", op.depth)))
-            else:
-                tags.extend(_emit_place_object2(op))
+    for sprite_id, sprite_frames in sprites:
+        tags.extend(emit_define_sprite(sprite_id, sprite_frames))
+    for fi, ops in enumerate(frames):
+        if frame_labels and fi in frame_labels:
+            tags.extend(_tag(TAG_FRAME_LABEL,
+                             frame_labels[fi].encode("utf-8") + b"\x00"))
+        tags.extend(_emit_display_ops(ops))
         tags.extend(_tag(TAG_SHOW_FRAME, b""))
     tags.extend(_tag(TAG_END, b""))
 
@@ -1390,6 +1397,140 @@ def emit_movie_timeline(
     return header + struct.pack("<I", total) + header_body
 
 
+class _DisplayList:
+    """Resolved display-list state machine — the PlaceObject/2,
+    RemoveObject/2, ShowFrame semantics shared by the movie root
+    timeline and DefineSprite timelines.  Each ShowFrame snapshots the
+    depth-sorted state; resolved placements carry ``placed_frame`` (the
+    frame their current character appeared) for sprite loop phases."""
+
+    def __init__(self) -> None:
+        self._state: dict = {}
+        self.frames: List[Tuple[Placement, ...]] = []
+
+    def handle(self, code: int, body: bytes) -> bool:
+        """Apply a display-list control tag; False if ``code`` is not
+        one (callers route define tags etc. themselves)."""
+        if code == TAG_PLACE_OBJECT2:
+            self._place2(_parse_place_object2(body))
+        elif code == TAG_PLACE_OBJECT:
+            # SWF1 form: places (or replaces) the depth's occupant.
+            p = _parse_place_object(body)
+            self._state[p.depth] = dataclasses.replace(
+                p, placed_frame=len(self.frames))
+        elif code == TAG_REMOVE_OBJECT:
+            char_id, depth = struct.unpack_from("<HH", body, 0)
+            prev = self._state.get(depth)
+            if prev is not None and prev.character_id != char_id:
+                raise ValueError(
+                    f"RemoveObject names character {char_id} but depth "
+                    f"{depth} holds {prev.character_id}")
+            self._state.pop(depth, None)
+        elif code == TAG_REMOVE_OBJECT2:
+            (depth,) = struct.unpack_from("<H", body, 0)
+            self._state.pop(depth, None)
+        elif code == TAG_SHOW_FRAME:
+            self.frames.append(tuple(
+                self._state[d] for d in sorted(self._state)))
+        else:
+            return False
+        return True
+
+    def _place2(self, p: Placement) -> None:
+        if p.move:
+            prev = self._state.get(p.depth)
+            if prev is None:
+                raise ValueError(f"PlaceFlagMove at empty depth {p.depth}")
+            replaced = (p.character_id is not None
+                        and p.character_id != prev.character_id)
+            self._state[p.depth] = Placement(
+                depth=p.depth,
+                character_id=(p.character_id
+                              if p.character_id is not None
+                              else prev.character_id),
+                matrix=(p.matrix if p.matrix is not None
+                        else prev.matrix),
+                color_transform=(p.color_transform
+                                 if p.color_transform is not None
+                                 else prev.color_transform),
+                ratio=(p.ratio if p.ratio is not None else prev.ratio),
+                name=(p.name if p.name is not None else prev.name),
+                placed_frame=(len(self.frames) if replaced
+                              else prev.placed_frame))
+        else:
+            if self._state.get(p.depth) is not None:
+                raise ValueError(
+                    f"new placement at occupied depth {p.depth}")
+            self._state[p.depth] = dataclasses.replace(
+                p, placed_frame=len(self.frames))
+
+
+@dataclasses.dataclass(frozen=True)
+class Sprite:
+    """A DefineSprite (tag 39): an embedded looping timeline.  ``frames``
+    are resolved display-list snapshots exactly like ``Movie.frames``;
+    instances of the sprite replay them, looping, phased from the frame
+    the instance was placed."""
+
+    id: int
+    frames: Tuple[Tuple[Placement, ...], ...]
+
+
+_SPRITE_DEFINE_CODES = frozenset({
+    TAG_DEFINE_SHAPE, TAG_DEFINE_SHAPE2, TAG_DEFINE_SHAPE3,
+    TAG_DEFINE_SHAPE4, TAG_DEFINE_MORPH_SHAPE, TAG_DEFINE_MORPH_SHAPE2,
+    TAG_DEFINE_BITS_LOSSLESS, TAG_DEFINE_BITS_LOSSLESS2,
+    TAG_DEFINE_SPRITE, TAG_SET_BACKGROUND,
+})
+
+
+def parse_define_sprite(body: bytes) -> Sprite:
+    """Sprite body: id u16, declared frame count u16, then control tags
+    (display-list ops, ShowFrame, End).  Define tags are illegal inside
+    sprites per the SWF spec; other control tags (labels, actions) are
+    skipped."""
+    (sprite_id,) = struct.unpack_from("<H", body, 0)
+    dl = _DisplayList()
+    for code, tbody in _iter_tag_records(body, 4):
+        if code == TAG_END:
+            break
+        if dl.handle(code, tbody):
+            continue
+        if code in _SPRITE_DEFINE_CODES:
+            raise ValueError(
+                f"define tag {code} inside DefineSprite {sprite_id}")
+    return Sprite(id=sprite_id, frames=tuple(dl.frames))
+
+
+def emit_define_sprite(sprite_id: int, frames: List[List]) -> bytes:
+    """DefineSprite (tag 39) bytes from per-frame display-list op lists
+    (Placement / RemoveObject, the ``emit_movie_timeline`` frame form)."""
+    tags = bytearray()
+    for ops in frames:
+        tags.extend(_emit_display_ops(ops))
+        tags.extend(_tag(TAG_SHOW_FRAME, b""))
+    tags.extend(_tag(TAG_END, b""))
+    return _tag(TAG_DEFINE_SPRITE,
+                struct.pack("<HH", sprite_id, len(frames)) + bytes(tags))
+
+
+def _emit_display_ops(ops) -> bytes:
+    """Placement / RemoveObject ops -> their wire tags (shared by the
+    root timeline emitter and DefineSprite)."""
+    tags = bytearray()
+    for op in ops:
+        if isinstance(op, RemoveObject):
+            if op.character_id is not None:
+                tags.extend(_tag(TAG_REMOVE_OBJECT, struct.pack(
+                    "<HH", op.character_id, op.depth)))
+            else:
+                tags.extend(_tag(TAG_REMOVE_OBJECT2,
+                                 struct.pack("<H", op.depth)))
+        else:
+            tags.extend(_emit_place_object2(op))
+    return bytes(tags)
+
+
 def decompress_movie(data: bytes) -> bytes:
     """CWS (zlib-compressed) movies inflate to their FWS twin; FWS
     passes through.  Real-world .swf files are almost always CWS."""
@@ -1400,15 +1541,9 @@ def decompress_movie(data: bytes) -> bytes:
     return data
 
 
-def _iter_tags(data: bytes):
-    """(code, body) for each RECORDHEADER tag of a movie, up to and
-    including TAG_END."""
-    data = decompress_movie(data)
-    if data[:3] != b"FWS":
-        raise ValueError(f"not a .swf movie (signature {data[:3]!r})")
-    r = BitReader(data, 8)
-    _read_rect(r)
-    pos = r.byte_pos + 4  # frame rate + count
+def _iter_tag_records(data: bytes, pos: int):
+    """(code, body) for each RECORDHEADER tag starting at ``pos``, up to
+    and including TAG_END (shared by the movie body and sprite bodies)."""
     while pos < len(data):
         (head,) = struct.unpack_from("<H", data, pos)
         pos += 2
@@ -1421,6 +1556,17 @@ def _iter_tags(data: bytes):
         pos += length
         if code == TAG_END:
             break
+
+
+def _iter_tags(data: bytes):
+    """(code, body) for each top-level tag of a movie, up to and
+    including TAG_END."""
+    data = decompress_movie(data)
+    if data[:3] != b"FWS":
+        raise ValueError(f"not a .swf movie (signature {data[:3]!r})")
+    r = BitReader(data, 8)
+    _read_rect(r)
+    yield from _iter_tag_records(data, r.byte_pos + 4)  # rate + count
 
 
 def parse_movie_shapes(data: bytes) -> List[ast.DefineShape]:
@@ -1481,6 +1627,9 @@ class Movie:
     morph_shapes: dict      # id -> ast.DefineMorphShape
     bitmaps: dict           # id -> ast.DefineBitmap
     frames: Tuple[Tuple[Placement, ...], ...]
+    sprites: dict = dataclasses.field(default_factory=dict)  # id -> Sprite
+    # frame index -> label (FrameLabel tags), informational.
+    frame_labels: dict = dataclasses.field(default_factory=dict)
 
     @property
     def placements(self) -> Tuple[Placement, ...]:
@@ -1503,11 +1652,13 @@ def parse_movie(data: bytes) -> Movie:
     frame_rect = _read_rect(r)
     (rate_fixed, _count) = struct.unpack_from("<HH", data, r.byte_pos)
     background = ast.StraightSRgba8(255, 255, 255, 255)
-    shapes, morphs, bitmaps = {}, {}, {}
-    state: dict = {}  # depth -> resolved Placement
-    frames: List[Tuple[Placement, ...]] = []
+    shapes, morphs, bitmaps, sprites = {}, {}, {}, {}
+    labels: dict = {}
+    dl = _DisplayList()
     for code, body in _iter_tags(data):
-        if code == TAG_SET_BACKGROUND:
+        if dl.handle(code, body):
+            pass
+        elif code == TAG_SET_BACKGROUND:
             background = ast.StraightSRgba8(body[0], body[1], body[2], 255)
         elif code in (TAG_DEFINE_SHAPE, TAG_DEFINE_SHAPE2):
             tag = parse_define_shape12_tag(body)
@@ -1530,50 +1681,14 @@ def parse_movie(data: bytes) -> Movie:
         elif code == TAG_DEFINE_BITS_LOSSLESS2:
             tag = parse_define_bits_lossless2_tag(body)
             bitmaps[tag.id] = tag
-        elif code == TAG_PLACE_OBJECT2:
-            p = _parse_place_object2(body)
-            if p.move:
-                prev = state.get(p.depth)
-                if prev is None:
-                    raise ValueError(
-                        f"PlaceFlagMove at empty depth {p.depth}")
-                state[p.depth] = Placement(
-                    depth=p.depth,
-                    character_id=(p.character_id
-                                  if p.character_id is not None
-                                  else prev.character_id),
-                    matrix=(p.matrix if p.matrix is not None
-                            else prev.matrix),
-                    color_transform=(p.color_transform
-                                     if p.color_transform is not None
-                                     else prev.color_transform),
-                    ratio=(p.ratio if p.ratio is not None
-                           else prev.ratio),
-                    name=(p.name if p.name is not None else prev.name))
-            else:
-                if state.get(p.depth) is not None:
-                    raise ValueError(
-                        f"new placement at occupied depth {p.depth}")
-                state[p.depth] = p
-        elif code == TAG_PLACE_OBJECT:
-            # SWF1 form: places (or replaces) the depth's occupant.
-            p = _parse_place_object(body)
-            state[p.depth] = p
-        elif code == TAG_REMOVE_OBJECT:
-            char_id, depth = struct.unpack_from("<HH", body, 0)
-            prev = state.get(depth)
-            if prev is not None and prev.character_id != char_id:
-                raise ValueError(
-                    f"RemoveObject names character {char_id} but depth "
-                    f"{depth} holds {prev.character_id}")
-            state.pop(depth, None)
-        elif code == TAG_REMOVE_OBJECT2:
-            (depth,) = struct.unpack_from("<H", body, 0)
-            state.pop(depth, None)
-        elif code == TAG_SHOW_FRAME:
-            frames.append(tuple(
-                state[d] for d in sorted(state)))
+        elif code == TAG_DEFINE_SPRITE:
+            sprite = parse_define_sprite(body)
+            sprites[sprite.id] = sprite
+        elif code == TAG_FRAME_LABEL:
+            end = body.index(b"\x00")
+            labels[len(dl.frames)] = body[:end].decode("utf-8")
     return Movie(frame_rect=frame_rect, frame_rate=rate_fixed / 256.0,
                  background=background, shapes=shapes,
                  morph_shapes=morphs, bitmaps=bitmaps,
-                 frames=tuple(frames))
+                 frames=tuple(dl.frames), sprites=sprites,
+                 frame_labels=labels)

@@ -31,7 +31,8 @@ def _movie_bytes(src: MovieSource) -> bytes:
     return pathlib.Path(src).read_bytes()
 
 
-def _placement_child(p, movie: Movie) -> display.DisplayObject:
+def _placement_child(p, movie: Movie,
+                     frame_idx: int = 0) -> display.DisplayObject:
     ct = None
     if p.color_transform is not None:
         ct = display.ColorTransform(mult=tuple(p.color_transform[0]),
@@ -45,15 +46,35 @@ def _placement_child(p, movie: Movie) -> display.DisplayObject:
             definition=movie.morph_shapes[p.character_id],
             ratio=float(p.ratio or 0.0), matrix=p.matrix,
             color_transform=ct)
+    if p.character_id in movie.sprites:
+        # A sprite instance replays its timeline, looping, phased from
+        # the frame it was placed (player semantics: a MovieClip starts
+        # playing when it appears and loops at its last frame).  The
+        # phase is a pure function of the containing timeline's frame
+        # index, so nested sprites derive their clocks recursively —
+        # a resolved-snapshot approximation of the player's
+        # free-running per-instance clocks (it diverges only when an
+        # OUTER loop resets mid-inner-loop).
+        sprite = movie.sprites[p.character_id]
+        if not sprite.frames:
+            return display.Container(children=(), matrix=p.matrix,
+                                     color_transform=ct)
+        phase = (frame_idx - p.placed_frame) % len(sprite.frames)
+        children = tuple(_placement_child(q, movie, phase)
+                         for q in sprite.frames[phase])
+        return display.Container(children=children, matrix=p.matrix,
+                                 color_transform=ct)
     raise KeyError(
         f"PlaceObject2 references undefined character {p.character_id}")
 
 
-def _frame_stage(movie: Movie, placements) -> display.Stage:
+def _frame_stage(movie: Movie, placements,
+                 frame_idx: int = 0) -> display.Stage:
     rect = movie.frame_rect
     span_x = rect.x_max - rect.x_min
     span_y = rect.y_max - rect.y_min
-    children = tuple(_placement_child(p, movie) for p in placements)
+    children = tuple(_placement_child(p, movie, frame_idx)
+                     for p in placements)
     if rect.x_min or rect.y_min:
         from ..utils.fixed import Sfixed16P16
 
@@ -92,7 +113,8 @@ def load_movie_timeline(
     """Parse a movie into one Stage per ShowFrame (resolved timeline:
     PlaceFlagMove modifications and RemoveObject2 applied)."""
     movie = parse_movie(_movie_bytes(src))
-    return [_frame_stage(movie, f) for f in movie.frames], list(
+    return [_frame_stage(movie, f, i)
+            for i, f in enumerate(movie.frames)], list(
         movie.bitmaps.values())
 
 

@@ -56,7 +56,25 @@ class Container:
     type: DisplayObjectType = DisplayObjectType.CONTAINER
 
 
-DisplayObject = Union[ShapeInstance, MorphShapeInstance, Container]
+@dataclasses.dataclass(frozen=True)
+class MaskedGroup:
+    """A clip group (framework extension; the reference ignores
+    PlaceObject2 clip depths): ``mask``'s FILL coverage clips
+    ``children``.  Flash semantics — the mask object is not painted,
+    its strokes do not contribute, and the clip follows the mask's own
+    transform.  Our rasterization multiplies the children's coverage by
+    the mask's antialiased coverage (the player clips hard-edged; the
+    AA form is strictly better and noted as a deliberate divergence)."""
+
+    mask: "DisplayObject"
+    children: Sequence["DisplayObject"] = ()
+    matrix: Optional[ast.Matrix] = None
+    color_transform: Optional[ColorTransform] = None
+    type: DisplayObjectType = DisplayObjectType.CONTAINER
+
+
+DisplayObject = Union[ShapeInstance, MorphShapeInstance, Container,
+                      MaskedGroup]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -508,6 +508,10 @@ class Placement:
     move: bool = False
     # PlaceObject2 instance name (flag 0x20) — carried, not interpreted.
     name: Optional[str] = None
+    # PlaceObject2 clip depth (flag 0x40): this character is a MASK for
+    # depths (depth, clip_depth]; the movie loader builds a
+    # display.MaskedGroup from it.
+    clip_depth: Optional[int] = None
     # Emit as the SWF1 PlaceObject (tag 4): character id + depth +
     # mandatory matrix + optional RGB CXFORM.  Parsing tag 4 sets this.
     legacy: bool = False
@@ -665,6 +669,8 @@ def _emit_place_object2(p: Placement) -> bytes:
         flags |= 0x10
     if p.name is not None:
         flags |= 0x20
+    if p.clip_depth is not None:
+        flags |= 0x40
     body = bytearray(struct.pack("<BH", flags, p.depth))
     if p.character_id is not None:
         body.extend(struct.pack("<H", p.character_id))
@@ -682,15 +688,16 @@ def _emit_place_object2(p: Placement) -> bytes:
         body.extend(struct.pack("<H", ratio_u16))
     if p.name is not None:
         body.extend(p.name.encode("utf-8") + b"\x00")
+    if p.clip_depth is not None:
+        body.extend(struct.pack("<H", p.clip_depth))
     return _tag(TAG_PLACE_OBJECT2, bytes(body))
 
 
 def _parse_place_object2(body: bytes) -> Placement:
     flags = body[0]
-    if flags & (0x80 | 0x40):
+    if flags & 0x80:
         raise ValueError(
-            f"unsupported PlaceObject2 flags 0x{flags:02x} "
-            "(clip actions/depth)")
+            f"unsupported PlaceObject2 flags 0x{flags:02x} (clip actions)")
     move = bool(flags & 0x01)
     if not (flags & 0x02) and not move:
         raise ValueError("PlaceObject2 without a character id")
@@ -718,8 +725,13 @@ def _parse_place_object2(body: bytes) -> Placement:
     if flags & 0x20:
         end = body.index(b"\x00", pos)
         name = body[pos:end].decode("utf-8")
+        pos = end + 1
+    clip_depth = None
+    if flags & 0x40:
+        (clip_depth,) = struct.unpack_from("<H", body, pos)
     return Placement(depth=depth, character_id=char_id, matrix=matrix,
-                     color_transform=ct, ratio=ratio, move=move, name=name)
+                     color_transform=ct, ratio=ratio, move=move, name=name,
+                     clip_depth=clip_depth)
 
 
 # ---------------------------------------------------------------------------
@@ -1455,6 +1467,8 @@ class _DisplayList:
                                  else prev.color_transform),
                 ratio=(p.ratio if p.ratio is not None else prev.ratio),
                 name=(p.name if p.name is not None else prev.name),
+                clip_depth=(p.clip_depth if p.clip_depth is not None
+                            else prev.clip_depth),
                 placed_frame=(len(self.frames) if replaced
                               else prev.placed_frame))
         else:

@@ -60,12 +60,36 @@ def _placement_child(p, movie: Movie,
             return display.Container(children=(), matrix=p.matrix,
                                      color_transform=ct)
         phase = (frame_idx - p.placed_frame) % len(sprite.frames)
-        children = tuple(_placement_child(q, movie, phase)
-                         for q in sprite.frames[phase])
+        children = tuple(_children_from_placements(
+            sprite.frames[phase], movie, phase))
         return display.Container(children=children, matrix=p.matrix,
                                  color_transform=ct)
     raise KeyError(
         f"PlaceObject2 references undefined character {p.character_id}")
+
+
+def _children_from_placements(placements, movie: Movie, frame_idx: int):
+    """Depth-ordered placements -> display children, folding clip-depth
+    placements into MaskedGroups over the depths they cover
+    ((depth, clip_depth]; nesting recurses)."""
+    out = []
+    ps = list(placements)
+    i = 0
+    while i < len(ps):
+        p = ps[i]
+        if p.clip_depth is not None and p.clip_depth > p.depth:
+            j = i + 1
+            while j < len(ps) and ps[j].depth <= p.clip_depth:
+                j += 1
+            out.append(display.MaskedGroup(
+                mask=_placement_child(p, movie, frame_idx),
+                children=tuple(_children_from_placements(
+                    ps[i + 1 : j], movie, frame_idx))))
+            i = j
+        else:
+            out.append(_placement_child(p, movie, frame_idx))
+            i += 1
+    return out
 
 
 def _frame_stage(movie: Movie, placements,
@@ -73,8 +97,8 @@ def _frame_stage(movie: Movie, placements,
     rect = movie.frame_rect
     span_x = rect.x_max - rect.x_min
     span_y = rect.y_max - rect.y_min
-    children = tuple(_placement_child(p, movie, frame_idx)
-                     for p in placements)
+    children = tuple(_children_from_placements(placements, movie,
+                                               frame_idx))
     if rect.x_min or rect.y_min:
         from ..utils.fixed import Sfixed16P16
 

@@ -1076,6 +1076,8 @@ class TpuRenderer:
             return "point-sampled AA quality"
         if self.validate:
             return "validate=True inspects raw coverage"
+        if any(d.mask_of is not None or d.mask_ids for d in draws):
+            return "clip groups (masked draws)"
         from ..ops.flatblock import LANE, MAX_CHUNKS, plane_geometry
 
         stride, _, _ = plane_geometry(self.height, self.width)
@@ -1133,10 +1135,44 @@ class TpuRenderer:
                     f"coverage out of range [{cov_np.min()}, {cov_np.max()}]"
                 )
 
+        draws, coverages = self._apply_clip_groups(draws, coverages)
+        if not draws:
+            return np.zeros((h, w, 4), dtype=np.uint8)
         colors = jnp.stack(
             [style_ops.paint_field(d.paint, h, w) for d in draws]
         )
         return composite_ops.composite_to_u8(coverages, colors)
+
+    @staticmethod
+    def _apply_clip_groups(draws: List[Draw], coverages):
+        """Resolve display.MaskedGroup tags on a coverage stack: fold
+        mask draws into per-group union coverage (1 - prod(1 - c), exact
+        for the disjoint fills one shape produces), multiply every
+        clipped draw's coverage by its groups, and drop the mask draws
+        from painting.  Draw order guarantees a group's mask draws
+        precede its content, and a NESTED mask's own coverage is already
+        clipped by its outer groups when it folds in."""
+        if not any(d.mask_of is not None or d.mask_ids for d in draws):
+            return draws, coverages
+        group_cov: dict = {}
+        kept: List[Draw] = []
+        kept_cov = []
+        for i, d in enumerate(draws):
+            c = coverages[i]
+            for g in d.mask_ids:
+                # A mask subtree that emitted no coverage (e.g. an empty
+                # container) clips its content to nothing.
+                c = c * group_cov.get(g, 0.0)
+            if d.mask_of is not None:
+                prev = group_cov.get(d.mask_of)
+                group_cov[d.mask_of] = (c if prev is None
+                                        else prev + c - prev * c)
+            else:
+                kept.append(d)
+                kept_cov.append(c)
+        import jax.numpy as jnp
+
+        return kept, (jnp.stack(kept_cov) if kept_cov else coverages[:0])
 
     def _coverage_scanline(self, draws: List[Draw], fill_rule: int):
         from ..ops import scanline as scanline_ops

@@ -113,11 +113,18 @@ _SPREAD_TO_INT = {
 
 @dataclasses.dataclass
 class Draw:
-    """One rasterization unit: a set of edges filled with one paint."""
+    """One rasterization unit: a set of edges filled with one paint.
+
+    ``mask_of``: this draw is part of mask group N's coverage (it is
+    NOT painted).  ``mask_ids``: groups whose coverage multiplies this
+    draw's coverage (outermost first; a mask draw nested inside another
+    mask carries the outer ids).  Both empty on unmasked scenes."""
 
     edges: np.ndarray  # (E, 4) float32, device pixels
     paint: style_ops.Paint
     fill_rule: int = FILL_RULE_NONZERO
+    mask_of: Optional[int] = None
+    mask_ids: Tuple[int, ...] = ()
 
 
 def lerp(a: float, b: float, t: float) -> float:
@@ -231,6 +238,12 @@ class SceneCompiler:
         # (quality='flash'; see _border_subtraction_rings).
         self.border_inner_half = border_inner_half
         self.draws: List[Draw] = []
+        # Clip-group state (display.MaskedGroup): the group currently
+        # being compiled as a MASK, the groups clipping the current
+        # subtree, and the number of groups allocated so far.
+        self._mask_target: Optional[int] = None
+        self._active_masks: Tuple[int, ...] = ()
+        self.mask_count = 0
         # Canvas2D context state: lineWidth starts at 1.0 (user-space units
         # = twips here) and ignores non-positive assignments.
         self.line_width_state = 1.0
@@ -261,6 +274,21 @@ class SceneCompiler:
         if isinstance(obj, display.Container):
             for child in obj.children:
                 self._walk(child, ctm, ct)
+        elif isinstance(obj, display.MaskedGroup):
+            gid = self.mask_count
+            self.mask_count += 1
+            prev_target = self._mask_target
+            # The mask's geometry is coverage-only: color transforms are
+            # irrelevant to it, and it may itself be clipped by OUTER
+            # groups (self._active_masks at this point excludes gid).
+            self._mask_target = gid
+            self._walk(obj.mask, ctm, None)
+            self._mask_target = prev_target
+            prev_active = self._active_masks
+            self._active_masks = prev_active + (gid,)
+            for child in obj.children:
+                self._walk(child, ctm, ct)
+            self._active_masks = prev_active
         elif isinstance(obj, display.ShapeInstance):
             self._draw_shape(obj.definition, ctm, ct)
         elif isinstance(obj, display.MorphShapeInstance):
@@ -302,7 +330,11 @@ class SceneCompiler:
     def _cached_draw(self, tag, ctm, ct, emit, extra=()):
         """Emit one instance's draws through the draws cache (replay the
         memoized list + restore the outgoing lineWidth state on a hit)."""
-        if self.draws_cache is None:
+        if (self.draws_cache is None or self._mask_target is not None
+                or self._active_masks):
+            # Clip-group tags (mask_of / mask_ids) are per-SCENE indices —
+            # memoized draw lists would replay stale tags, so masked
+            # subtrees bypass the cache.
             emit()
             return
         key = self._cache_key(tag, ctm, ct, extra)
@@ -411,12 +443,18 @@ class SceneCompiler:
             return
         paint = self._paint_for_fill(fill, ctm, ct)
         self.draws.append(Draw(edges=edges, paint=paint,
-                               fill_rule=fill_rule))
+                               fill_rule=fill_rule,
+                               mask_of=self._mask_target,
+                               mask_ids=self._active_masks))
 
     def _emit_stroke(self, commands, width: float, fill: ir.FillStyle,
                      ctm: Affine, ct: Optional[display.ColorTransform],
                      cap: str, join: str,
                      miter_limit: float = 10.0) -> None:
+        if self._mask_target is not None:
+            # Flash masks are built from FILLS only; a mask shape's
+            # strokes contribute no clip coverage.
+            return
         if not isinstance(fill, ir.SolidFill):
             raise NotImplementedError(f"NotImplementedLineStyle: {fill!r}")
         # Stroke geometry is computed in user (twip) space — Canvas2D stroke
@@ -459,7 +497,9 @@ class SceneCompiler:
         if edges.shape[0] == 0:
             return
         color = _apply_color_transform(fill.color, ct)
-        self.draws.append(Draw(edges=edges, paint=style_ops.solid_paint(color)))
+        self.draws.append(Draw(edges=edges,
+                               paint=style_ops.solid_paint(color),
+                               mask_ids=self._active_masks))
 
     def _paint_for_fill(self, fill: ir.FillStyle, ctm: Affine,
                         ct: Optional[display.ColorTransform]) -> style_ops.Paint:

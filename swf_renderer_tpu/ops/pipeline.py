@@ -413,6 +413,89 @@ def _render_styled_multipass(edge_tables, paints, height, width, colors,
     return frames_u32_to_u8(out32, height, width)
 
 
+def _render_styled_masked(edge_tables, paints, height, width, colors,
+                          fill_rule, interpret, cache, group, spp, tree):
+    """Clip groups on the fused kernel: the draw list's mask tree
+    (runtime.scene.build_mask_tree) executes as premul-plane algebra —
+    draw runs chain through fused passes, a group's content renders on a
+    transparent background, scales by the mask's union alpha (white
+    unit-alpha fills source-over to 1 - prod(1 - c)), and alpha-overs
+    the accumulated planes.  A final zero-alpha chained pass quantizes
+    through the kernel's own resolve, so masked scenes share every
+    output path's premul-u8 math."""
+    from ..ops import style as style_ops
+    from .flatblock import LANE, frames_u32_to_u8, render_fused_styled
+
+    frames = len(edge_tables)
+    white = style_ops.solid_paint((1.0, 1.0, 1.0, 1.0))
+
+    def passes(idxs, bg, force_white=False):
+        """Render layers ``idxs`` (ascending) over ``bg`` -> premul
+        planes, splitting across kernel passes when the subset exceeds
+        one pass's VMEM budget."""
+        sub_paints = [white if force_white else paints[i] for i in idxs]
+        sub_colors = (np.ones((frames, len(idxs), 4), np.float32)
+                      if force_white else colors[:, list(idxs)])
+        out = bg
+        for lo, hi in split_layer_groups(sub_paints):
+            part = idxs[lo:hi]
+            tables = [[per[i] for i in part] for per in edge_tables]
+            p_part = sub_paints[lo:hi]
+            rule = (fill_rule[part[0]]
+                    if len({fill_rule[i] for i in part}) == 1
+                    else tuple(fill_rule[i] for i in part))
+            kpaints, fields, _ = kernel_paints_for(p_part, height, width,
+                                                   spp=spp)
+            gsi, gfl, gla, grc, gcm, gvv, ns, nc = _pack_styled(
+                tables, height, width, group, spp, cache, len(part))
+            out = render_fused_styled(
+                jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+                jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+                jnp.asarray(sub_colors[:, lo:hi]), fields, frames,
+                len(part), ns, nc, kpaints, group=group, fill_rule=rule,
+                interpret=interpret, spp=spp, chain=True, bg=out,
+                emit="premul")
+        return out
+
+    def exec_items(items, bg):
+        run: List[int] = []
+
+        def flush(bg):
+            if run:
+                bg = passes(tuple(run), bg)
+                run.clear()
+            return bg
+
+        for item in items:
+            if item[0] == "draw":
+                run.append(item[1])
+                continue
+            bg = flush(bg)
+            _, mask_idxs, content_items = item
+            mask = passes(tuple(mask_idxs), None, force_white=True)
+            content = exec_items(content_items, None)
+            scaled = content * mask[:, :, 3:4]
+            bg = (scaled if bg is None
+                  else scaled + bg * (1.0 - scaled[:, :, 3:4]))
+        return flush(bg)
+
+    planes = exec_items(tree, None)
+    # Quantize through the kernel resolve: one chained zero-alpha layer
+    # (empty geometry) over the final planes, emitted as packed u32.
+    empty = [[np.zeros((0, 4), np.float32)] for _ in range(frames)]
+    kpaints, fields, _ = kernel_paints_for([white], height, width, spp=spp)
+    gsi, gfl, gla, grc, gcm, gvv, ns, nc = _pack_styled(
+        empty, height, width, group, spp, cache, 1)
+    out = np.asarray(render_fused_styled(
+        jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
+        jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
+        jnp.zeros((frames, 1, 4), np.float32), fields, frames, 1, ns, nc,
+        kpaints, group=group, fill_rule=fill_rule[0], interpret=interpret,
+        spp=spp, chain=True, bg=planes, emit="u32"))
+    out32 = out[:, :ns].reshape(frames, ns * spp * 8, nc * LANE)
+    return frames_u32_to_u8(out32, height, width)
+
+
 def _pack_styled(edge_tables, height, width, group, spp, cache, layers):
     """Shared lower+pack step of the styled pipeline (cache-aware)."""
     from ..native.bindings import native_available, pack_grouped_native
@@ -447,7 +530,7 @@ def _pack_styled(edge_tables, height, width, group, spp, cache, layers):
 def render_batch_styled(edge_tables, paints, height: int, width: int,
                         colors=None, fill_rule: int = FILL_RULE_NONZERO,
                         interpret: bool = None, cache=None,
-                        group: int = 6):
+                        group: int = 6, mask_tree=None):
     """Styled flagship renderer: every paint kind rides the fused
     flat-block kernel (the reference keeps gradients/patterns in the same
     hot fill path as solids, canvas-renderer.ts:292-335).
@@ -494,6 +577,13 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
                 base_colors[i] = p.color
         colors = np.broadcast_to(base_colors, (frames, layers, 4))
     colors = np.asarray(colors, np.float32)
+
+    if mask_tree is not None:
+        rules = (fill_rule if isinstance(fill_rule, tuple)
+                 else (fill_rule,) * layers)
+        return _render_styled_masked(
+            edge_tables, paints, height, width, colors, rules,
+            interpret, cache, group, spp, mask_tree)
 
     # Draw lists deeper than one kernel pass's VMEM budget (16 layers /
     # 4 field planes) compose across passes via chained premul planes.

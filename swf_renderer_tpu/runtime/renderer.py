@@ -322,6 +322,11 @@ class TpuRenderer:
                    else self._flatblock_refusal(per_frame_draws[0]))
         if not uniform:
             refusal = "non-uniform layer structure across frames"
+        elif any(d.mask_of is not None or d.mask_ids
+                 for draws in per_frame_draws for d in draws):
+            # Clip groups render per stage (the fused masked program);
+            # the uniform batch path doesn't thread mask trees.
+            refusal = "clip groups (masked draws)"
         if per_frame_draws[0] and refusal is None:
             from ..ops.pipeline import render_batch_styled
 
@@ -1076,8 +1081,6 @@ class TpuRenderer:
             return "point-sampled AA quality"
         if self.validate:
             return "validate=True inspects raw coverage"
-        if any(d.mask_of is not None or d.mask_ids for d in draws):
-            return "clip groups (masked draws)"
         from ..ops.flatblock import LANE, MAX_CHUNKS, plane_geometry
 
         stride, _, _ = plane_geometry(self.height, self.width)
@@ -1091,11 +1094,15 @@ class TpuRenderer:
     def _execute_flatblock(self, draws: List[Draw],
                            fill_rule) -> np.ndarray:
         from ..ops.pipeline import render_batch_styled
+        from .scene import build_mask_tree
 
+        tree = None
+        if any(d.mask_of is not None or d.mask_ids for d in draws):
+            tree = build_mask_tree(draws)
         out = render_batch_styled(
             [[d.edges for d in draws]], [d.paint for d in draws],
             self.height, self.width, fill_rule=fill_rule,
-            cache=self._packed_cache)
+            cache=self._packed_cache, mask_tree=tree)
         return out[0]
 
     def execute(self, draws: List[Draw]) -> np.ndarray:
@@ -1135,44 +1142,46 @@ class TpuRenderer:
                     f"coverage out of range [{cov_np.min()}, {cov_np.max()}]"
                 )
 
-        draws, coverages = self._apply_clip_groups(draws, coverages)
-        if not draws:
-            return np.zeros((h, w, 4), dtype=np.uint8)
+        if any(d.mask_of is not None or d.mask_ids for d in draws):
+            return self._composite_masked(draws, coverages)
         colors = jnp.stack(
             [style_ops.paint_field(d.paint, h, w) for d in draws]
         )
         return composite_ops.composite_to_u8(coverages, colors)
 
-    @staticmethod
-    def _apply_clip_groups(draws: List[Draw], coverages):
-        """Resolve display.MaskedGroup tags on a coverage stack: fold
-        mask draws into per-group union coverage (1 - prod(1 - c), exact
-        for the disjoint fills one shape produces), multiply every
-        clipped draw's coverage by its groups, and drop the mask draws
-        from painting.  Draw order guarantees a group's mask draws
-        precede its content, and a NESTED mask's own coverage is already
-        clipped by its outer groups when it folds in."""
-        if not any(d.mask_of is not None or d.mask_ids for d in draws):
-            return draws, coverages
-        group_cov: dict = {}
-        kept: List[Draw] = []
-        kept_cov = []
-        for i, d in enumerate(draws):
-            c = coverages[i]
-            for g in d.mask_ids:
-                # A mask subtree that emitted no coverage (e.g. an empty
-                # container) clips its content to nothing.
-                c = c * group_cov.get(g, 0.0)
-            if d.mask_of is not None:
-                prev = group_cov.get(d.mask_of)
-                group_cov[d.mask_of] = (c if prev is None
-                                        else prev + c - prev * c)
-            else:
-                kept.append(d)
-                kept_cov.append(c)
-        import jax.numpy as jnp
+    def _composite_masked(self, draws: List[Draw], coverages) -> np.ndarray:
+        """Group-level mask composite (display.MaskedGroup tags): each
+        clip group's content composites SEPARATELY, scales by the mask's
+        union coverage (source-over of unit-alpha fills = 1 - prod(1-c)),
+        and alpha-overs the accumulator — Flash clips the composed group,
+        not each member, which differs on AA mask edges where content
+        layers overlap.  Shares the fused path's semantics exactly
+        (ops.pipeline._render_styled_masked)."""
+        from .scene import build_mask_tree
 
-        return kept, (jnp.stack(kept_cov) if kept_cov else coverages[:0])
+        h, w = self.height, self.width
+        tree = build_mask_tree(draws)
+
+        def exec_items(items):
+            acc = jnp.zeros((h, w, 4), jnp.float32)
+            for item in items:
+                if item[0] == "draw":
+                    i = item[1]
+                    color = style_ops.paint_field(draws[i].paint, h, w)
+                    acc = composite_ops.over_premul(acc, color,
+                                                    coverages[i])
+                else:
+                    _, mask_idxs, content_items = item
+                    mask_a = jnp.zeros((h, w), jnp.float32)
+                    for i in mask_idxs:
+                        mask_a = mask_a + coverages[i] - mask_a * coverages[i]
+                    content = exec_items(content_items)
+                    scaled = content * mask_a[..., None]
+                    acc = scaled + acc * (1.0 - scaled[..., 3:4])
+            return acc
+
+        return np.asarray(composite_ops.premul_to_straight_u8(
+            exec_items(tree)))
 
     def _coverage_scanline(self, draws: List[Draw], fill_rule: int):
         from ..ops import scanline as scanline_ops

@@ -127,6 +127,43 @@ class Draw:
     mask_ids: Tuple[int, ...] = ()
 
 
+def build_mask_tree(draws: Sequence["Draw"]):
+    """Parse a compiled draw list's clip tags into a composition tree.
+
+    Returns a list of items: ``("draw", i)`` paints layer i;
+    ``("group", mask_idxs, items)`` composites ``items`` separately,
+    scales the result by the union coverage of ``mask_idxs``, and
+    alpha-overs it (group-level masking — Flash clips the composed
+    group, not each member).  The compiler emits a group's mask draws
+    immediately before its content, so the tags form a well-nested
+    parenthesization; anything else raises."""
+
+    def parse(items, path):
+        out = []
+        while items:
+            li, mo, mids = items[0]
+            if mo is not None and mids == path:
+                gid = mo
+                mask_idxs = []
+                while items and items[0][1] == gid and items[0][2] == path:
+                    mask_idxs.append(items.pop(0)[0])
+                inner = path + (gid,)
+                content = []
+                while items and items[0][2][: len(inner)] == inner:
+                    content.append(items.pop(0))
+                out.append(("group", mask_idxs, parse(content, inner)))
+            elif mo is None and mids == path:
+                out.append(("draw", items.pop(0)[0]))
+            else:
+                raise ValueError(
+                    f"non-well-nested mask tags at layer {li}: "
+                    f"mask_of={mo} mask_ids={mids} path={path}")
+        return out
+
+    infos = [(i, d.mask_of, tuple(d.mask_ids)) for i, d in enumerate(draws)]
+    return parse(infos, ())
+
+
 def lerp(a: float, b: float, t: float) -> float:
     return b * t + a * (1.0 - t)
 
@@ -282,7 +319,16 @@ class SceneCompiler:
             # irrelevant to it, and it may itself be clipped by OUTER
             # groups (self._active_masks at this point excludes gid).
             self._mask_target = gid
+            start = len(self.draws)
             self._walk(obj.mask, ctm, None)
+            if len(self.draws) == start:
+                # A mask that emitted no geometry still clips (to
+                # nothing) — a zero-edge sentinel keeps the group
+                # visible to build_mask_tree.
+                self.draws.append(Draw(
+                    edges=np.zeros((0, 4), np.float32),
+                    paint=style_ops.solid_paint((1.0, 1.0, 1.0, 1.0)),
+                    mask_of=gid, mask_ids=self._active_masks))
             self._mask_target = prev_target
             prev_active = self._active_masks
             self._active_masks = prev_active + (gid,)

@@ -74,7 +74,6 @@ def test_mask_clips_children_and_is_not_painted():
         mask=display.ShapeInstance(definition=HALF),
         children=(display.ShapeInstance(definition=FULL),))])
     got, r = _render(masked)
-    assert r._exec_path != "flatblock"  # clip groups fall back
     want, _ = _render(_stage([display.ShapeInstance(definition=FULL)]))
     # Interior of the mask: identical to the unmasked render.
     np.testing.assert_array_equal(got[:, :19], want[:, :19])
@@ -157,6 +156,63 @@ def test_direct_backend_agrees_with_scanline():
     a, _ = _render(stage, backend="scanline")
     b, _ = _render(stage, backend="direct")
     np.testing.assert_array_equal(a, b)
+
+
+def _overlap_scene():
+    """Nested groups + OVERLAPPING translucent content — exercises the
+    group-level semantics (content composites before the mask scales
+    it) and the union of a multi-fill mask."""
+    blue50 = _rect_shape(6, 700, 500, ast.StraightSRgba8(0, 0, 255, 128))
+    red50 = _rect_shape(7, 700, 500, ast.StraightSRgba8(255, 0, 0, 128))
+    top = _rect_shape(8, 800, 340, GREEN)
+    inner = display.MaskedGroup(
+        mask=display.ShapeInstance(definition=top),
+        children=(
+            display.ShapeInstance(definition=blue50, matrix=_tl(30, 20)),
+            display.ShapeInstance(definition=red50, matrix=_tl(130, 90)),
+        ))
+    return _stage([
+        display.ShapeInstance(definition=_rect_shape(9, 800, 600,
+                                                     GREEN)),
+        display.MaskedGroup(
+            mask=display.ShapeInstance(definition=HALF, matrix=_tl(50, 30)),
+            children=(inner,)),
+        display.ShapeInstance(
+            definition=_rect_shape(10, 300, 200, RED),
+            matrix=_tl(450, 350)),
+    ])
+
+
+def test_fused_masked_path_matches_layered_oracle():
+    """The fused premul-plane mask program (backend auto -> flatblock)
+    agrees with the layered group-level compositor on a scene with
+    nesting, overlap, translucency, and unmasked siblings."""
+    stage = _overlap_scene()
+    fused, r = _render(stage, backend="auto")
+    assert r._exec_path == "flatblock"
+    layered, _ = _render(stage, backend="scanline")
+    np.testing.assert_array_equal(fused, layered)
+
+
+def test_fused_masked_deep_content_multipass():
+    """Masked content deeper than one kernel pass's layer budget (>16)
+    chains passes inside the group."""
+    layers = [display.ShapeInstance(
+        definition=_rect_shape(20 + i, 400, 300,
+                               ast.StraightSRgba8(10 * i, 255 - 10 * i,
+                                                  40, 200)),
+        matrix=_tl(15 * i, 10 * i)) for i in range(18)]
+    stage = _stage([display.MaskedGroup(
+        mask=display.ShapeInstance(definition=HALF),
+        children=tuple(layers))])
+    fused, r = _render(stage, backend="auto")
+    assert r._exec_path == "flatblock"
+    layered, _ = _render(stage, backend="scanline")
+    # The in-group multipass chain regroups f32 ops vs the one-scan
+    # layered composite — same one-quantum envelope as unmasked deep
+    # scenes across paths.
+    diff = np.abs(fused.astype(np.int32) - layered.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
 
 
 # ---------------------------------------------------------------------------

@@ -273,3 +273,61 @@ def test_clip_depth_survives_move_modify():
     movie = swf_binary.parse_movie(movie_bytes)
     assert movie.frames[1][0].clip_depth == 3
     assert movie.frames[1][0].matrix == _tl(100, 0)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_random_mask_scenes(seed):
+    """Randomized mask trees (random rects/triangles, translucent
+    colors, optional nesting and siblings): the fused premul-plane
+    program and the layered group compositor agree within one quantum
+    (exactly, single-pass; the envelope covers pass-boundary f32
+    regrouping)."""
+    rng = np.random.default_rng(7000 + seed)
+
+    def rand_shape(sid):
+        w = int(rng.integers(100, 700))
+        h = int(rng.integers(100, 500))
+        color = ast.StraightSRgba8(*rng.integers(0, 256, 3), 
+                                   int(rng.integers(60, 256)))
+        if rng.uniform() < 0.5:
+            return _rect_shape(sid, w, h, color)
+        records = (
+            ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0), left_fill=1),
+            ast.EdgeRecord(delta=ast.Vector2D(w, int(rng.integers(0, h)))),
+            ast.EdgeRecord(delta=ast.Vector2D(-int(rng.integers(0, w)), h)),
+            ast.EdgeRecord(delta=ast.Vector2D(
+                -w + int(rng.integers(0, w)),
+                -h - int(rng.integers(0, h)))),
+        )
+        return ast.DefineShape(
+            id=sid, bounds=ast.Rect(0, w, 0, h),
+            shape=ast.ShapeBody(
+                initial_styles=ast.ShapeStyles(
+                    fill=(ast.SolidFill(color=color),), line=()),
+                records=records))
+
+    sid = [1]
+
+    def inst():
+        sid[0] += 1
+        return display.ShapeInstance(
+            definition=rand_shape(sid[0]),
+            matrix=_tl(int(rng.integers(0, 400)), int(rng.integers(0, 300))))
+
+    def rand_items(depth):
+        items = []
+        for _ in range(int(rng.integers(1, 4))):
+            if depth < 2 and rng.uniform() < 0.4:
+                items.append(display.MaskedGroup(
+                    mask=inst(),
+                    children=tuple(rand_items(depth + 1))))
+            else:
+                items.append(inst())
+        return items
+
+    stage = _stage(rand_items(0))
+    fused, r = _render(stage, backend="auto")
+    assert r._exec_path == "flatblock"
+    layered, _ = _render(stage, backend="scanline")
+    diff = np.abs(fused.astype(np.int32) - layered.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"

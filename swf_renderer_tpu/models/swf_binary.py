@@ -49,6 +49,10 @@ TAG_DEFINE_MORPH_SHAPE = 46
 TAG_DEFINE_MORPH_SHAPE2 = 84
 TAG_DEFINE_BITS_LOSSLESS = 20
 TAG_DEFINE_BITS_LOSSLESS2 = 36
+TAG_DEFINE_BITS = 6
+TAG_JPEG_TABLES = 8
+TAG_DEFINE_BITS_JPEG2 = 21
+TAG_DEFINE_BITS_JPEG3 = 35
 TAG_SET_BACKGROUND = 9
 TAG_DEFINE_SPRITE = 39
 TAG_FRAME_LABEL = 43
@@ -940,11 +944,114 @@ def parse_define_bits_lossless2_tag(body: bytes) -> ast.DefineBitmap:
                             media_type="image/x-swf-bmp2", data=data)
 
 
+def _strip_jpeg_quirk(data: bytes) -> bytes:
+    """Pre-SWF8 writers prepend an erroneous EOI+SOI pair to JPEG
+    payloads (SWF spec, DefineBitsJPEG2)."""
+    if data[:4] in (b"\xff\xd9\xff\xd8", b"\xff\xd8\xff\xd9"):
+        return data[4:]
+    return data
+
+
+def image_dimensions(data: bytes):
+    """(width, height) from a JPEG (SOF marker scan), PNG (IHDR), or
+    GIF header — the three payload containers DefineBitsJPEG2 allows.
+    Pure header parsing; no image codec dependency in the models layer."""
+    data = _strip_jpeg_quirk(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", data, 16)
+        return int(w), int(h)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", data, 6)
+        return int(w), int(h)
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame
+            # header: precision u8, height u16, width u16.
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", data, pos + 5)
+                return int(w), int(h)
+            pos += 2 + seg_len
+        raise ValueError("no JPEG SOF marker found")
+    raise ValueError(f"unrecognized image container {data[:4]!r}")
+
+
+def emit_define_bits_jpeg2(tag: ast.DefineBitmap) -> bytes:
+    """DefineBitsJPEG2 (tag 21): character id + the image bytes (JPEG,
+    or PNG/GIF89a from SWF 8 on) — an ``image/jpeg`` DefineBitmap's
+    payload IS the tag body minus the id."""
+    if tag.media_type != "image/jpeg":
+        raise ValueError(
+            f"cannot emit media type {tag.media_type!r} (image/jpeg only)")
+    if image_dimensions(tag.data) != (tag.width, tag.height):
+        raise ValueError("payload geometry != declared geometry")
+    return _tag(TAG_DEFINE_BITS_JPEG2, struct.pack("<H", tag.id) + tag.data)
+
+
+def parse_define_bits_jpeg2_tag(body: bytes) -> ast.DefineBitmap:
+    (bitmap_id,) = struct.unpack_from("<H", body, 0)
+    data = body[2:]
+    w, h = image_dimensions(data)
+    return ast.DefineBitmap(id=bitmap_id, width=w, height=h,
+                            media_type="image/jpeg", data=data)
+
+
+def emit_define_bits_jpeg3(tag: ast.DefineBitmap) -> bytes:
+    """DefineBitsJPEG3 (tag 35): id, alphaDataOffset u32, image bytes,
+    zlib alpha plane — the ``image/x-swf-jpeg3`` payload is the tag
+    body minus the id."""
+    if tag.media_type != "image/x-swf-jpeg3":
+        raise ValueError(
+            f"cannot emit media type {tag.media_type!r} (x-swf-jpeg3 only)")
+    (alpha_off,) = struct.unpack_from("<I", tag.data, 0)
+    if image_dimensions(tag.data[4 : 4 + alpha_off]) != (tag.width,
+                                                         tag.height):
+        raise ValueError("payload geometry != declared geometry")
+    return _tag(TAG_DEFINE_BITS_JPEG3, struct.pack("<H", tag.id) + tag.data)
+
+
+def parse_define_bits_jpeg3_tag(body: bytes) -> ast.DefineBitmap:
+    (bitmap_id,) = struct.unpack_from("<H", body, 0)
+    data = body[2:]
+    (alpha_off,) = struct.unpack_from("<I", data, 0)
+    w, h = image_dimensions(data[4 : 4 + alpha_off])
+    return ast.DefineBitmap(id=bitmap_id, width=w, height=h,
+                            media_type="image/x-swf-jpeg3", data=data)
+
+
+def _define_bits_v1_jpeg(jpeg_tables: bytes, body: bytes) -> ast.DefineBitmap:
+    """DefineBits (tag 6) + JPEGTables (tag 8): the SWF1 split-stream
+    JPEG.  The tables stream is SOI..tables..EOI and the per-character
+    stream SOI..scan..EOI; splicing tables[:-2] + data[2:] rebuilds one
+    decodable JPEG (the classic player concatenation)."""
+    (bitmap_id,) = struct.unpack_from("<H", body, 0)
+    data = _strip_jpeg_quirk(body[2:])
+    tables = _strip_jpeg_quirk(jpeg_tables)
+    if len(tables) > 4:
+        data = tables[:-2] + data[2:]
+    w, h = image_dimensions(data)
+    return ast.DefineBitmap(id=bitmap_id, width=w, height=h,
+                            media_type="image/jpeg", data=data)
+
+
 def emit_define_bitmap(tag: ast.DefineBitmap) -> bytes:
     """Route a DefineBitmap to its wire tag by media type (tag 20 for
-    the x-swf-bmp families, tag 36 for x-swf-bmp2)."""
+    the x-swf-bmp families, 36 for x-swf-bmp2, 21 for image/jpeg,
+    35 for x-swf-jpeg3)."""
     if tag.media_type == "image/x-swf-bmp2":
         return emit_define_bits_lossless2(tag)
+    if tag.media_type == "image/jpeg":
+        return emit_define_bits_jpeg2(tag)
+    if tag.media_type == "image/x-swf-jpeg3":
+        return emit_define_bits_jpeg3(tag)
     return emit_define_bits_lossless(tag)
 
 
@@ -1617,13 +1724,23 @@ def parse_movie_morph_shapes(
 
 
 def parse_movie_bitmaps(data: bytes) -> List[ast.DefineBitmap]:
-    """Extract every DefineBitsLossless/Lossless2 from a movie."""
+    """Extract every bitmap define tag (Lossless/Lossless2, DefineBits
+    + JPEGTables, JPEG2/JPEG3) from a movie."""
     out = []
+    jpeg_tables = b""
     for code, body in _iter_tags(data):
         if code == TAG_DEFINE_BITS_LOSSLESS:
             out.append(parse_define_bits_lossless_tag(body))
         elif code == TAG_DEFINE_BITS_LOSSLESS2:
             out.append(parse_define_bits_lossless2_tag(body))
+        elif code == TAG_JPEG_TABLES:
+            jpeg_tables = body
+        elif code == TAG_DEFINE_BITS:
+            out.append(_define_bits_v1_jpeg(jpeg_tables, body))
+        elif code == TAG_DEFINE_BITS_JPEG2:
+            out.append(parse_define_bits_jpeg2_tag(body))
+        elif code == TAG_DEFINE_BITS_JPEG3:
+            out.append(parse_define_bits_jpeg3_tag(body))
     return out
 
 
@@ -1668,6 +1785,7 @@ def parse_movie(data: bytes) -> Movie:
     background = ast.StraightSRgba8(255, 255, 255, 255)
     shapes, morphs, bitmaps, sprites = {}, {}, {}, {}
     labels: dict = {}
+    jpeg_tables = b""
     dl = _DisplayList()
     for code, body in _iter_tags(data):
         if dl.handle(code, body):
@@ -1694,6 +1812,17 @@ def parse_movie(data: bytes) -> Movie:
             bitmaps[tag.id] = tag
         elif code == TAG_DEFINE_BITS_LOSSLESS2:
             tag = parse_define_bits_lossless2_tag(body)
+            bitmaps[tag.id] = tag
+        elif code == TAG_JPEG_TABLES:
+            jpeg_tables = body
+        elif code == TAG_DEFINE_BITS:
+            tag = _define_bits_v1_jpeg(jpeg_tables, body)
+            bitmaps[tag.id] = tag
+        elif code == TAG_DEFINE_BITS_JPEG2:
+            tag = parse_define_bits_jpeg2_tag(body)
+            bitmaps[tag.id] = tag
+        elif code == TAG_DEFINE_BITS_JPEG3:
+            tag = parse_define_bits_jpeg3_tag(body)
             bitmaps[tag.id] = tag
         elif code == TAG_DEFINE_SPRITE:
             sprite = parse_define_sprite(body)

@@ -193,10 +193,46 @@ def encode_x_swf_bmp_pix15(rgb: np.ndarray) -> bytes:
             + zlib.compress(rows.tobytes()))
 
 
+def decode_swf_jpeg(data: bytes) -> np.ndarray:
+    """Decode a DefineBitsJPEG2 payload to straight RGBA.
+
+    SWF quirk: pre-SWF8 writers prepend an erroneous EOI+SOI pair
+    (``FF D9 FF D8``) before the real SOI — stripped here.  SWF >= 8
+    allows PNG and GIF89a payloads in the same tag; Pillow sniffs the
+    container, so all three decode through one path."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    if data[:4] in (b"\xff\xd9\xff\xd8", b"\xff\xd8\xff\xd9"):
+        data = data[4:]
+    img = Image.open(BytesIO(data)).convert("RGBA")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def decode_x_swf_jpeg3(data: bytes) -> np.ndarray:
+    """Decode a DefineBitsJPEG3 payload (tag body minus the character
+    id): ``alphaDataOffset u32LE``, JPEG/PNG/GIF bytes, then a
+    zlib-compressed 8-bit alpha plane.  The color data decodes like
+    DefineBitsJPEG2; the alpha plane replaces its alpha channel (color
+    treated as straight, clamped nowhere — JPEG loss makes premul
+    reconstruction moot; documented extension choice)."""
+    (alpha_off,) = struct.unpack_from("<I", data, 0)
+    rgba = decode_swf_jpeg(data[4 : 4 + alpha_off]).copy()
+    h, w = rgba.shape[:2]
+    alpha = np.frombuffer(
+        zlib.decompress(data[4 + alpha_off :])[: h * w], dtype=np.uint8
+    ).reshape(h, w)
+    rgba[..., 3] = alpha
+    return rgba
+
+
 _DECODERS = {
     "image/x-swf-bmp": decode_x_swf_bmp,
     "image/x-swf-bmp-full": decode_x_swf_bmp_full,
     "image/x-swf-bmp2": decode_x_swf_bmp2,
+    "image/jpeg": decode_swf_jpeg,
+    "image/x-swf-jpeg3": decode_x_swf_jpeg3,
 }
 
 

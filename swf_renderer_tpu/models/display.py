@@ -36,6 +36,9 @@ class ShapeInstance:
     definition: ast.DefineShape
     matrix: Optional[ast.Matrix] = None
     color_transform: Optional[ColorTransform] = None
+    # Framework extension (PlaceObject3): one of ops.composite.BLEND_MODES,
+    # or None for normal source-over.
+    blend_mode: Optional[str] = None
     type: DisplayObjectType = DisplayObjectType.SHAPE
 
 
@@ -45,6 +48,7 @@ class MorphShapeInstance:
     ratio: float = 0.0  # [0, 1]
     matrix: Optional[ast.Matrix] = None
     color_transform: Optional[ColorTransform] = None
+    blend_mode: Optional[str] = None
     type: DisplayObjectType = DisplayObjectType.MORPH_SHAPE
 
 
@@ -53,6 +57,7 @@ class Container:
     children: Sequence["DisplayObject"] = ()
     matrix: Optional[ast.Matrix] = None
     color_transform: Optional[ColorTransform] = None
+    blend_mode: Optional[str] = None
     type: DisplayObjectType = DisplayObjectType.CONTAINER
 
 
@@ -70,6 +75,7 @@ class MaskedGroup:
     children: Sequence["DisplayObject"] = ()
     matrix: Optional[ast.Matrix] = None
     color_transform: Optional[ColorTransform] = None
+    blend_mode: Optional[str] = None
     type: DisplayObjectType = DisplayObjectType.CONTAINER
 
 

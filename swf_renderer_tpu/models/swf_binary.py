@@ -58,8 +58,19 @@ TAG_DEFINE_SPRITE = 39
 TAG_FRAME_LABEL = 43
 TAG_PLACE_OBJECT = 4
 TAG_PLACE_OBJECT2 = 26
+TAG_PLACE_OBJECT3 = 70
 TAG_REMOVE_OBJECT = 5
 TAG_REMOVE_OBJECT2 = 28
+
+# PlaceObject3 blend mode ordinals (SWF spec v19).  0/1 normal; "alpha"
+# and "erase" need layer-alpha semantics this renderer does not
+# implement (the scene compiler raises NotImplementedBlendMode).
+_BLEND_ORDINALS = {
+    0: None, 1: None, 2: "layer", 3: "multiply", 4: "screen",
+    5: "lighten", 6: "darken", 7: "difference", 8: "add", 9: "subtract",
+    10: "invert", 11: "alpha", 12: "erase", 13: "overlay", 14: "hardlight",
+}
+_BLEND_NAMES = {v: k for k, v in _BLEND_ORDINALS.items() if v}
 
 _SPREAD_TO_BITS = {
     ast.GradientSpread.PAD: 0,
@@ -516,6 +527,9 @@ class Placement:
     # depths (depth, clip_depth]; the movie loader builds a
     # display.MaskedGroup from it.
     clip_depth: Optional[int] = None
+    # PlaceObject3 blend mode name (ops.composite.BLEND_MODES, or
+    # "layer"); None = normal.  Set -> emits as tag 70.
+    blend: Optional[str] = None
     # Emit as the SWF1 PlaceObject (tag 4): character id + depth +
     # mandatory matrix + optional RGB CXFORM.  Parsing tag 4 sets this.
     legacy: bool = False
@@ -655,9 +669,8 @@ def _parse_place_object(body: bytes) -> Placement:
                      color_transform=ct, legacy=True)
 
 
-def _emit_place_object2(p: Placement) -> bytes:
-    if p.legacy:
-        return _emit_place_object(p)
+def _place_flags_and_fields(p: Placement):
+    """The PlaceObject2/3 shared flag byte + post-depth field bytes."""
     flags = 0
     if p.move:
         flags |= 0x01
@@ -675,7 +688,7 @@ def _emit_place_object2(p: Placement) -> bytes:
         flags |= 0x20
     if p.clip_depth is not None:
         flags |= 0x40
-    body = bytearray(struct.pack("<BH", flags, p.depth))
+    body = bytearray()
     if p.character_id is not None:
         body.extend(struct.pack("<H", p.character_id))
     if p.matrix is not None or p.color_transform is not None:
@@ -686,15 +699,90 @@ def _emit_place_object2(p: Placement) -> bytes:
             _write_cxform_alpha(w, *p.color_transform)
         body.extend(w.bytes())
     if p.ratio is not None:
-        # u16 of ratio * 65536, clamped (the 65536-filename convention
-        # truncates ratio 1.0 the same way).
         ratio_u16 = min(65535, max(0, int(round(float(p.ratio) * 65536))))
         body.extend(struct.pack("<H", ratio_u16))
     if p.name is not None:
         body.extend(p.name.encode("utf-8") + b"\x00")
     if p.clip_depth is not None:
         body.extend(struct.pack("<H", p.clip_depth))
-    return _tag(TAG_PLACE_OBJECT2, bytes(body))
+    return flags, bytes(body)
+
+
+def _emit_place_object3(p: Placement) -> bytes:
+    """PlaceObject3 (tag 70): the PlaceObject2 fields plus a flags2
+    byte; emitted for blend-mode placements (filters, class names and
+    the other flags2 features are not written)."""
+    if p.blend not in _BLEND_NAMES:
+        raise ValueError(f"unknown blend mode {p.blend!r}")
+    flags, fields = _place_flags_and_fields(p)
+    flags2 = 0x02  # HasBlendMode
+    return _tag(TAG_PLACE_OBJECT3,
+                struct.pack("<BBH", flags, flags2, p.depth) + fields
+                + bytes([_BLEND_NAMES[p.blend]]))
+
+
+def _parse_place_object3(body: bytes) -> Placement:
+    flags, flags2 = body[0], body[1]
+    if flags & 0x80:
+        raise ValueError(
+            f"unsupported PlaceObject3 flags 0x{flags:02x} (clip actions)")
+    if flags2 & 0x01:
+        raise ValueError("unsupported PlaceObject3 surface filter list")
+    (depth,) = struct.unpack_from("<H", body, 2)
+    pos = 4
+    if flags2 & 0x08 or (flags2 & 0x10 and flags & 0x02):
+        pos = body.index(b"\x00", pos) + 1  # class name: skipped
+    char_id = None
+    if flags & 0x02:
+        (char_id,) = struct.unpack_from("<H", body, pos)
+        pos += 2
+    matrix = None
+    ct = None
+    if flags & (0x04 | 0x08):
+        r = BitReader(body, pos)
+        if flags & 0x04:
+            matrix = _read_matrix(r)
+        if flags & 0x08:
+            ct = _read_cxform_alpha(r)
+        pos = r.byte_pos
+    ratio = None
+    if flags & 0x10:
+        (ratio_u16,) = struct.unpack_from("<H", body, pos)
+        ratio = ratio_u16 / 65536.0
+        pos += 2
+    name = None
+    if flags & 0x20:
+        end = body.index(b"\x00", pos)
+        name = body[pos:end].decode("utf-8")
+        pos = end + 1
+    clip_depth = None
+    if flags & 0x40:
+        (clip_depth,) = struct.unpack_from("<H", body, pos)
+        pos += 2
+    blend = None
+    if flags2 & 0x02:
+        blend = _BLEND_ORDINALS.get(body[pos])
+        if body[pos] not in _BLEND_ORDINALS:
+            raise ValueError(f"unknown blend mode ordinal {body[pos]}")
+        pos += 1
+    if flags2 & 0x04:
+        pos += 1  # bitmap-cache hint: ignored
+    # HasVisible / OpaqueBackground (0x20/0x40) and everything after are
+    # ignored if present — they trail the fields we consume.
+    return Placement(depth=depth, character_id=char_id, matrix=matrix,
+                     color_transform=ct, ratio=ratio,
+                     move=bool(flags & 0x01), name=name,
+                     clip_depth=clip_depth, blend=blend)
+
+
+def _emit_place_object2(p: Placement) -> bytes:
+    if p.legacy:
+        return _emit_place_object(p)
+    if p.blend is not None:
+        return _emit_place_object3(p)
+    flags, fields = _place_flags_and_fields(p)
+    return _tag(TAG_PLACE_OBJECT2,
+                struct.pack("<BH", flags, p.depth) + fields)
 
 
 def _parse_place_object2(body: bytes) -> Placement:
@@ -1532,6 +1620,8 @@ class _DisplayList:
         one (callers route define tags etc. themselves)."""
         if code == TAG_PLACE_OBJECT2:
             self._place2(_parse_place_object2(body))
+        elif code == TAG_PLACE_OBJECT3:
+            self._place2(_parse_place_object3(body))
         elif code == TAG_PLACE_OBJECT:
             # SWF1 form: places (or replaces) the depth's occupant.
             p = _parse_place_object(body)
@@ -1576,6 +1666,7 @@ class _DisplayList:
                 name=(p.name if p.name is not None else prev.name),
                 clip_depth=(p.clip_depth if p.clip_depth is not None
                             else prev.clip_depth),
+                blend=(p.blend if p.blend is not None else prev.blend),
                 placed_frame=(len(self.frames) if replaced
                               else prev.placed_frame))
         else:

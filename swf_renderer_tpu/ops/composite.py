@@ -35,6 +35,74 @@ def over_premul(dst_pm: jnp.ndarray, src_rgba: jnp.ndarray,
     return src_pm * cov + dst_pm * (1.0 - src_a * cov)
 
 
+BLEND_MODES = (
+    "multiply", "screen", "lighten", "darken", "difference", "add",
+    "subtract", "invert", "overlay", "hardlight",
+)
+
+
+def _blend_fn(mode: str):
+    """Separable blend function B(Cb, Cs) on straight colors in [0, 1].
+
+    W3C compositing-1 formulas for the shared modes; Flash's add /
+    subtract are the clamped linear forms and ``invert`` ignores the
+    source color entirely (1 - Cb) — framework extension semantics, the
+    reference has no blend modes at all."""
+    if mode == "multiply":
+        return lambda cb, cs: cb * cs
+    if mode == "screen":
+        return lambda cb, cs: cb + cs - cb * cs
+    if mode == "lighten":
+        return jnp.maximum
+    if mode == "darken":
+        return jnp.minimum
+    if mode == "difference":
+        return lambda cb, cs: jnp.abs(cb - cs)
+    if mode == "add":
+        return lambda cb, cs: jnp.minimum(1.0, cb + cs)
+    if mode == "subtract":
+        return lambda cb, cs: jnp.maximum(0.0, cb - cs)
+    if mode == "invert":
+        return lambda cb, cs: 1.0 - cb
+    if mode == "hardlight":
+        return lambda cb, cs: jnp.where(
+            cs <= 0.5, cb * (2.0 * cs),
+            cb + (2.0 * cs - 1.0) - cb * (2.0 * cs - 1.0))
+    if mode == "overlay":
+        hl = _blend_fn("hardlight")
+        return lambda cb, cs: hl(cs, cb)
+    raise ValueError(f"unsupported blend mode {mode!r}")
+
+
+def blend_premul(dst_pm: jnp.ndarray, src_pm: jnp.ndarray, mode: str,
+                 channel_axis: int = -1) -> jnp.ndarray:
+    """Composite premultiplied ``src_pm`` onto ``dst_pm`` under a blend
+    mode (PDF/W3C group compositing):
+
+        Co_pm = (1-ab)*Cs_pm + (1-as)*Cb_pm + as*ab*B(Cb, Cs)
+        ao    = as + ab - as*ab
+
+    ``channel_axis`` locates the 4-wide (r, g, b, a) axis (the fused
+    kernel's planes keep it at axis 2; image-space frames at -1)."""
+    b = _blend_fn(mode)
+
+    def take(x, sl):
+        idx = [slice(None)] * x.ndim
+        idx[channel_axis] = sl
+        return x[tuple(idx)]
+
+    src_rgb = take(src_pm, slice(0, 3))
+    src_a = take(src_pm, slice(3, 4))
+    dst_rgb = take(dst_pm, slice(0, 3))
+    dst_a = take(dst_pm, slice(3, 4))
+    cs = src_rgb / jnp.maximum(src_a, 1e-6)
+    cb = dst_rgb / jnp.maximum(dst_a, 1e-6)
+    out_rgb = ((1.0 - dst_a) * src_rgb + (1.0 - src_a) * dst_rgb
+               + src_a * dst_a * b(cb, cs))
+    out_a = src_a + dst_a - src_a * dst_a
+    return jnp.concatenate([out_rgb, out_a], axis=channel_axis)
+
+
 def composite_draws(coverages: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:
     """Composite P draws in order.  coverages (P, H, W), colors (P, H, W, 4)
     straight RGBA -> (H, W, 4) premultiplied float."""

@@ -471,12 +471,25 @@ def _render_styled_masked(edge_tables, paints, height, width, colors,
                 run.append(item[1])
                 continue
             bg = flush(bg)
-            _, mask_idxs, content_items = item
-            mask = passes(tuple(mask_idxs), None, force_white=True)
-            content = exec_items(content_items, None)
-            scaled = content * mask[:, :, 3:4]
-            bg = (scaled if bg is None
-                  else scaled + bg * (1.0 - scaled[:, :, 3:4]))
+            if item[0] == "mask":
+                _, mask_idxs, content_items = item
+                mask = passes(tuple(mask_idxs), None, force_white=True)
+                content = exec_items(content_items, None)
+                if content is None:
+                    continue
+                scaled = content * mask[:, :, 3:4]
+                bg = (scaled if bg is None
+                      else scaled + bg * (1.0 - scaled[:, :, 3:4]))
+            else:
+                from .composite import blend_premul
+
+                _, mode, content_items = item
+                content = exec_items(content_items, None)
+                if content is None:
+                    continue
+                if bg is None:
+                    bg = jnp.zeros_like(content)
+                bg = blend_premul(bg, content, mode, channel_axis=2)
         return flush(bg)
 
     planes = exec_items(tree, None)

@@ -37,15 +37,16 @@ def _placement_child(p, movie: Movie,
     if p.color_transform is not None:
         ct = display.ColorTransform(mult=tuple(p.color_transform[0]),
                                     add=tuple(p.color_transform[1]))
+    blend = getattr(p, "blend", None)
     if p.character_id in movie.shapes:
         return display.ShapeInstance(
             definition=movie.shapes[p.character_id], matrix=p.matrix,
-            color_transform=ct)
+            color_transform=ct, blend_mode=blend)
     if p.character_id in movie.morph_shapes:
         return display.MorphShapeInstance(
             definition=movie.morph_shapes[p.character_id],
             ratio=float(p.ratio or 0.0), matrix=p.matrix,
-            color_transform=ct)
+            color_transform=ct, blend_mode=blend)
     if p.character_id in movie.sprites:
         # A sprite instance replays its timeline, looping, phased from
         # the frame it was placed (player semantics: a MovieClip starts
@@ -58,12 +59,12 @@ def _placement_child(p, movie: Movie,
         sprite = movie.sprites[p.character_id]
         if not sprite.frames:
             return display.Container(children=(), matrix=p.matrix,
-                                     color_transform=ct)
+                                     color_transform=ct, blend_mode=blend)
         phase = (frame_idx - p.placed_frame) % len(sprite.frames)
         children = tuple(_children_from_placements(
             sprite.frames[phase], movie, phase))
         return display.Container(children=children, matrix=p.matrix,
-                                 color_transform=ct)
+                                 color_transform=ct, blend_mode=blend)
     raise KeyError(
         f"PlaceObject2 references undefined character {p.character_id}")
 

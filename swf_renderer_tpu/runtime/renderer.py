@@ -591,6 +591,9 @@ class TpuRenderer:
         leaves = []
 
         def walk(obj, chain, ct) -> bool:
+            if getattr(obj, "blend_mode", None) not in (None, "normal",
+                                                        "layer"):
+                return False  # blend groups don't ride the sweeps
             if obj.matrix is not None:
                 chain = chain.then(Affine.from_swf_matrix(obj.matrix))
             ct = _compose_color_transform(ct, obj.color_transform)
@@ -1170,7 +1173,7 @@ class TpuRenderer:
                     color = style_ops.paint_field(draws[i].paint, h, w)
                     acc = composite_ops.over_premul(acc, color,
                                                     coverages[i])
-                else:
+                elif item[0] == "mask":
                     _, mask_idxs, content_items = item
                     mask_a = jnp.zeros((h, w), jnp.float32)
                     for i in mask_idxs:
@@ -1178,6 +1181,10 @@ class TpuRenderer:
                     content = exec_items(content_items)
                     scaled = content * mask_a[..., None]
                     acc = scaled + acc * (1.0 - scaled[..., 3:4])
+                else:
+                    _, mode, content_items = item
+                    content = exec_items(content_items)
+                    acc = composite_ops.blend_premul(acc, content, mode)
             return acc
 
         return np.asarray(composite_ops.premul_to_straight_u8(

@@ -128,35 +128,50 @@ class Draw:
 
 
 def build_mask_tree(draws: Sequence["Draw"]):
-    """Parse a compiled draw list's clip tags into a composition tree.
+    """Parse a compiled draw list's group tags into a composition tree.
 
-    Returns a list of items: ``("draw", i)`` paints layer i;
-    ``("group", mask_idxs, items)`` composites ``items`` separately,
-    scales the result by the union coverage of ``mask_idxs``, and
-    alpha-overs it (group-level masking — Flash clips the composed
-    group, not each member).  The compiler emits a group's mask draws
-    immediately before its content, so the tags form a well-nested
-    parenthesization; anything else raises."""
+    Returns a list of items:
+
+    - ``("draw", i)`` — paint layer i (source-over);
+    - ``("mask", mask_idxs, items)`` — composite ``items`` separately,
+      scale by the union coverage of ``mask_idxs``, alpha-over
+      (group-level masking — Flash clips the composed group, not each
+      member);
+    - ``("blend", mode, items)`` — composite ``items`` separately, then
+      combine with the backdrop via ops.composite.blend_premul.
+
+    The compiler's path tokens (``("mask", gid)`` / ``("blend", gid,
+    mode)`` in ``Draw.mask_ids``, mask coverage draws flagged by
+    ``Draw.mask_of``) form a well-nested parenthesization in draw
+    order; anything else raises."""
 
     def parse(items, path):
+        d = len(path)
         out = []
         while items:
             li, mo, mids = items[0]
-            if mo is not None and mids == path:
+            if mids == path and mo is None:
+                out.append(("draw", items.pop(0)[0]))
+            elif mo is not None and mids == path:
                 gid = mo
                 mask_idxs = []
                 while items and items[0][1] == gid and items[0][2] == path:
                     mask_idxs.append(items.pop(0)[0])
-                inner = path + (gid,)
+                inner = path + (("mask", gid),)
                 content = []
-                while items and items[0][2][: len(inner)] == inner:
+                while items and items[0][2][: d + 1] == inner:
                     content.append(items.pop(0))
-                out.append(("group", mask_idxs, parse(content, inner)))
-            elif mo is None and mids == path:
-                out.append(("draw", items.pop(0)[0]))
+                out.append(("mask", mask_idxs, parse(content, inner)))
+            elif len(mids) > d and mids[:d] == path and mids[d][0] == "blend":
+                token = mids[d]
+                inner = path + (token,)
+                content = []
+                while items and items[0][2][: d + 1] == inner:
+                    content.append(items.pop(0))
+                out.append(("blend", token[2], parse(content, inner)))
             else:
                 raise ValueError(
-                    f"non-well-nested mask tags at layer {li}: "
+                    f"non-well-nested group tags at layer {li}: "
                     f"mask_of={mo} mask_ids={mids} path={path}")
         return out
 
@@ -304,6 +319,30 @@ class SceneCompiler:
 
     def _walk(self, obj: display.DisplayObject, ctm: Affine,
               ct: Optional[display.ColorTransform]) -> None:
+        bm = getattr(obj, "blend_mode", None)
+        if bm is not None and bm not in ("normal", "layer"):
+            # A blended object composes as a GROUP against the backdrop
+            # (PlaceObject3 semantics): its draws carry a blend token and
+            # the executors composite the group's planes with
+            # ops.composite.blend_premul instead of source-over.
+            from ..ops.composite import BLEND_MODES
+
+            if bm not in BLEND_MODES:
+                raise NotImplementedError(
+                    f"NotImplementedBlendMode: {bm!r}")
+            gid = self.mask_count
+            self.mask_count += 1
+            prev = self._active_masks
+            self._active_masks = prev + (("blend", gid, bm),)
+            try:
+                self._walk_grouped(obj, ctm, ct)
+            finally:
+                self._active_masks = prev
+            return
+        self._walk_grouped(obj, ctm, ct)
+
+    def _walk_grouped(self, obj: display.DisplayObject, ctm: Affine,
+                      ct: Optional[display.ColorTransform]) -> None:
         if obj.matrix is not None:
             ctm = ctm.then(Affine.from_swf_matrix(obj.matrix))
         if getattr(obj, "color_transform", None) is not None:
@@ -331,7 +370,7 @@ class SceneCompiler:
                     mask_of=gid, mask_ids=self._active_masks))
             self._mask_target = prev_target
             prev_active = self._active_masks
-            self._active_masks = prev_active + (gid,)
+            self._active_masks = prev_active + (("mask", gid),)
             for child in obj.children:
                 self._walk(child, ctm, ct)
             self._active_masks = prev_active

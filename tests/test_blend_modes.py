@@ -1,0 +1,204 @@
+"""PlaceObject3 blend modes (framework extension; the reference has
+none).  A blended object composites as a group against the backdrop:
+Co_pm = (1-ab)Cs_pm + (1-as)Cb_pm + as*ab*B(Cb,Cs) with the W3C
+separable B per mode (Flash-style clamped add/subtract and
+source-ignoring invert).  "alpha"/"erase" need layer-alpha semantics
+and raise NotImplementedBlendMode.
+"""
+
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.models import ast, display, swf_binary
+from swf_renderer_tpu.runtime.renderer import TpuRenderer
+from tests.test_masks import _rect_shape, _stage, _tl
+
+
+def _render(stage, backend="auto"):
+    r = TpuRenderer(stage.width, stage.height, backend=backend)
+    return r.render(stage), r
+
+
+BACK = _rect_shape(1, 800, 600, ast.StraightSRgba8(200, 100, 50, 255))
+SRC = ast.StraightSRgba8(128, 255, 64, 255)
+
+
+def _blend_stage(mode, src_color=SRC, src_alpha=None):
+    c = (src_color if src_alpha is None
+         else ast.StraightSRgba8(src_color.r, src_color.g, src_color.b,
+                                 src_alpha))
+    top = _rect_shape(2, 400, 600, c)  # left half
+    return _stage([
+        display.ShapeInstance(definition=BACK),
+        display.ShapeInstance(definition=top, blend_mode=mode),
+    ])
+
+
+def _expected_opaque(mode):
+    cb = np.array([200, 100, 50], np.float64) / 255.0
+    cs = np.array([128, 255, 64], np.float64) / 255.0
+    B = {
+        "multiply": cb * cs,
+        "screen": cb + cs - cb * cs,
+        "lighten": np.maximum(cb, cs),
+        "darken": np.minimum(cb, cs),
+        "difference": np.abs(cb - cs),
+        "add": np.minimum(1.0, cb + cs),
+        "subtract": np.maximum(0.0, cb - cs),
+        "invert": 1.0 - cb,
+        "overlay": np.where(cb <= 0.5, cs * 2 * cb,
+                            cs + (2 * cb - 1) - cs * (2 * cb - 1)),
+        "hardlight": np.where(cs <= 0.5, cb * 2 * cs,
+                              cb + (2 * cs - 1) - cb * (2 * cs - 1)),
+    }[mode]
+    return np.round(B * 255.0).astype(np.uint8)
+
+
+@pytest.mark.parametrize("mode", [
+    "multiply", "screen", "lighten", "darken", "difference", "add",
+    "subtract", "invert", "overlay", "hardlight",
+])
+def test_opaque_blend_matches_formula(mode):
+    got, r = _render(_blend_stage(mode))
+    assert r._exec_path == "flatblock"
+    want = _expected_opaque(mode)
+    # Interior pixels (away from AA edges) of the blended left half.
+    np.testing.assert_array_equal(got[5:25, 2:18, :3],
+                                  np.broadcast_to(want, (20, 16, 3)))
+    # Right half: bare backdrop.
+    np.testing.assert_array_equal(got[5:25, 22:38, :3],
+                                  np.broadcast_to([200, 100, 50],
+                                                  (20, 16, 3)))
+    assert (got[..., 3] == 255).all()
+
+
+@pytest.mark.parametrize("mode", ["multiply", "add", "difference",
+                                  "overlay"])
+def test_fused_blend_matches_layered(mode):
+    stage = _blend_stage(mode, src_alpha=140)
+    fused, r = _render(stage, backend="auto")
+    assert r._exec_path == "flatblock"
+    layered, _ = _render(stage, backend="scanline")
+    np.testing.assert_array_equal(fused, layered)
+
+
+def test_blend_group_composes_children_first():
+    """A blended CONTAINER blends its composed children once, not each
+    child separately: two half-alpha children must first source-over
+    each other, then multiply the backdrop."""
+    a = _rect_shape(3, 400, 600, ast.StraightSRgba8(255, 0, 0, 128))
+    b = _rect_shape(4, 400, 600, ast.StraightSRgba8(0, 0, 255, 128))
+    grouped = _stage([
+        display.ShapeInstance(definition=BACK),
+        display.Container(children=(
+            display.ShapeInstance(definition=a),
+            display.ShapeInstance(definition=b),
+        ), blend_mode="multiply"),
+    ])
+    fused, _ = _render(grouped, backend="auto")
+    layered, _ = _render(grouped, backend="scanline")
+    np.testing.assert_array_equal(fused, layered)
+
+    # And it differs from blending each child separately.
+    separate = _stage([
+        display.ShapeInstance(definition=BACK),
+        display.ShapeInstance(definition=a, blend_mode="multiply"),
+        display.ShapeInstance(definition=b, blend_mode="multiply"),
+    ])
+    sep, _ = _render(separate, backend="auto")
+    assert (sep != fused).any()
+
+
+def test_blend_inside_mask_and_mask_inside_blend():
+    half = _rect_shape(5, 400, 600, ast.StraightSRgba8(0, 200, 0, 255))
+    top = _rect_shape(6, 800, 300, ast.StraightSRgba8(0, 200, 0, 255))
+    mul = display.ShapeInstance(
+        definition=_rect_shape(7, 700, 500, ast.StraightSRgba8(
+            90, 160, 220, 255)), blend_mode="multiply")
+    stage = _stage([
+        display.ShapeInstance(definition=BACK),
+        display.MaskedGroup(
+            mask=display.ShapeInstance(definition=half),
+            children=(mul,)),
+        display.Container(children=(
+            display.MaskedGroup(
+                mask=display.ShapeInstance(definition=top),
+                children=(display.ShapeInstance(definition=BACK),)),
+        ), blend_mode="screen"),
+    ])
+    fused, r = _render(stage, backend="auto")
+    assert r._exec_path == "flatblock"
+    layered, _ = _render(stage, backend="scanline")
+    np.testing.assert_array_equal(fused, layered)
+
+
+def test_alpha_and_erase_raise():
+    for mode in ("alpha", "erase"):
+        with pytest.raises(NotImplementedError):
+            _render(_blend_stage(mode))
+
+
+def test_layer_and_normal_are_plain_over():
+    plain, _ = _render(_blend_stage(None))
+    for mode in ("normal", "layer"):
+        got, _ = _render(_blend_stage(mode))
+        np.testing.assert_array_equal(got, plain)
+
+
+# ---------------------------------------------------------------------------
+# Wire format: PlaceObject3
+# ---------------------------------------------------------------------------
+
+
+def _movie(frames, shapes):
+    return swf_binary.emit_movie_timeline(
+        frames, shapes=shapes, stage_rect=ast.Rect(0, 800, 0, 600))
+
+
+def test_place_object3_roundtrip_and_render():
+    from swf_renderer_tpu.runtime.movie import load_movie_timeline
+
+    P = swf_binary.Placement
+    top = _rect_shape(2, 400, 600, SRC)
+    movie_bytes = _movie(
+        [[P(depth=1, character_id=1)],
+         [P(depth=2, character_id=2, blend="multiply", name="fx")],
+         [P(depth=2, move=True, matrix=_tl(100, 0))]],
+        [BACK, top])
+    movie = swf_binary.parse_movie(movie_bytes)
+    assert movie.frames[1][1].blend == "multiply"
+    assert movie.frames[2][1].blend == "multiply"  # retained on move
+    assert movie.frames[2][1].name == "fx"
+
+    stages, _ = load_movie_timeline(movie_bytes)
+    assert stages[1].children[1].blend_mode == "multiply"
+    got, _ = _render(stages[1])
+    want, _ = _render(_stage([
+        display.ShapeInstance(definition=BACK),
+        display.ShapeInstance(definition=top, blend_mode="multiply"),
+    ]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_place_object3_rejects_filter_list():
+    body = bytes([0x02, 0x01]) + (1).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        swf_binary._parse_place_object3(body)
+
+
+def test_blend_refuses_sweep_routing():
+    """A moving blended layer cannot ride the transform sweep — the
+    batch falls back and still renders correctly."""
+    top = _rect_shape(2, 400, 600, SRC)
+    stages = []
+    for k in range(4):
+        stages.append(_stage([
+            display.ShapeInstance(definition=BACK),
+            display.ShapeInstance(definition=top, matrix=_tl(40 * k, 0),
+                                  blend_mode="multiply"),
+        ]))
+    r = TpuRenderer(40, 30)
+    out = r.render_batch(stages)
+    assert r.last_stats.path != "transform-sweep"
+    single = TpuRenderer(40, 30).render(stages[2])
+    np.testing.assert_array_equal(out[2], single)

@@ -225,7 +225,19 @@ class MorphSolidFill:
     morph_color: StraightSRgba8
 
 
-MorphFillStyle = Union[MorphSolidFill]
+@dataclasses.dataclass(frozen=True)
+class MorphExtendedFill:
+    """Framework extension: a gradient or bitmap morph fill carried as
+    a [start, end] pair of same-kind STATIC fills (the wire format's
+    paired matrices / MORPHGRADIENT records).  The reference decoder
+    throws on every non-solid morph fill
+    (decode-swf-morph-shape.ts:94-106)."""
+
+    start: FillStyle
+    end: FillStyle
+
+
+MorphFillStyle = Union[MorphSolidFill, MorphExtendedFill]
 
 
 @dataclasses.dataclass(frozen=True)

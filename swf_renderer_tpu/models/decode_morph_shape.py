@@ -46,12 +46,20 @@ class _StyleLayer:
     lines: List[_SegmentSet]
 
 
-def decode_morph_fill_style(style: ast.MorphFillStyle) -> ir.MorphSolidFill:
+def decode_morph_fill_style(style: ast.MorphFillStyle) -> ir.MorphFillStyle:
     if isinstance(style, ast.MorphSolidFill):
         return ir.MorphSolidFill(
             start_color=ir.normalize_color(style.color),
             end_color=ir.normalize_color(style.morph_color),
         )
+    if isinstance(style, ast.MorphExtendedFill):
+        # Framework extension: gradient/bitmap morph fills decode as a
+        # [start, end] pair of static fills (the reference throws here,
+        # decode-swf-morph-shape.ts:94-106).
+        from .decode_shape import decode_fill_style
+
+        return ir.MorphExtendedFill(start=decode_fill_style(style.start),
+                                    end=decode_fill_style(style.end))
     raise ValueError(f"Unknown fill type: {style!r}")
 
 

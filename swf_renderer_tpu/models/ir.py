@@ -42,6 +42,9 @@ class FillStyleType(enum.IntEnum):
 
 class MorphFillStyleType(enum.IntEnum):
     SOLID = 0
+    # Framework extension (gradient/bitmap morph fills as [start, end]
+    # static-fill pairs); never appears in reference goldens.
+    EXTENDED = 1
 
 
 # Serialization ordinals for gradient enums.  No golden file in the reference
@@ -268,6 +271,23 @@ Pair = Tuple[float, float]
 
 
 @dataclasses.dataclass(frozen=True)
+class MorphExtendedFill:
+    """Framework extension: a [start, end] pair of same-kind STATIC
+    fills (gradient matrices/stops or bitmap matrices lerp at the draw
+    ratio).  Ordinal 1 never appears in reference goldens — the
+    reference throws on every non-solid morph fill
+    (decode-swf-morph-shape.ts:94-106)."""
+
+    start: FillStyle
+    end: FillStyle
+    type: MorphFillStyleType = MorphFillStyleType.EXTENDED
+
+    def to_golden(self) -> dict:
+        return {"type": int(self.type), "start": self.start.to_golden(),
+                "end": self.end.to_golden()}
+
+
+@dataclasses.dataclass(frozen=True)
 class MorphSolidFill:
     start_color: Rgba
     end_color: Rgba
@@ -281,7 +301,7 @@ class MorphSolidFill:
         }
 
 
-MorphFillStyle = Union[MorphSolidFill]
+MorphFillStyle = Union[MorphSolidFill, MorphExtendedFill]
 
 
 @dataclasses.dataclass(frozen=True)

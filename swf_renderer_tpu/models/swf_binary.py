@@ -1154,8 +1154,45 @@ def _emit_morph_fill_style(fill: ast.MorphFillStyle) -> bytes:
         _write_rgba(out, fill.color)
         _write_rgba(out, fill.morph_color)
         return bytes(out)
-    # Solid-only, matching the decoder (and the reference's
-    # decode-swf-morph-shape.ts:94-106, which throws for the rest).
+    if isinstance(fill, ast.MorphExtendedFill):
+        s, e = fill.start, fill.end
+        if (isinstance(s, (ast.LinearGradientFill, ast.RadialGradientFill))
+                and type(s) is type(e)):
+            out = bytearray(
+                (0x10 if isinstance(s, ast.LinearGradientFill) else 0x12,))
+            w = BitWriter()
+            _write_matrix(w, s.matrix)
+            _write_matrix(w, e.matrix)
+            out.extend(w.bytes())
+            gs, ge = s.gradient, e.gradient
+            if len(gs.colors) != len(ge.colors):
+                raise ValueError("morph gradient stop counts must match")
+            if len(gs.colors) > 15:
+                raise ValueError("SWF gradients cap at 15 stops")
+            out.append(
+                (_SPREAD_TO_BITS[gs.spread] << 6)
+                | ((0 if gs.color_space == ast.ColorSpace.S_RGB else 1) << 4)
+                | len(gs.colors))
+            for st, en in zip(gs.colors, ge.colors):
+                out.append(st.ratio)
+                _write_rgba(out, st.color)
+                out.append(en.ratio)
+                _write_rgba(out, en.color)
+            return bytes(out)
+        if isinstance(s, ast.BitmapFill) and isinstance(e, ast.BitmapFill):
+            if (s.bitmap_id, s.repeating, s.smoothed) != (
+                    e.bitmap_id, e.repeating, e.smoothed):
+                raise ValueError(
+                    "morph bitmap fills share one bitmap + mode")
+            code = 0x40 + (0 if s.repeating else 1) + (0 if s.smoothed
+                                                       else 2)
+            out = bytearray((code,))
+            out.extend(struct.pack("<H", s.bitmap_id))
+            w = BitWriter()
+            _write_matrix(w, s.matrix)
+            _write_matrix(w, e.matrix)
+            out.extend(w.bytes())
+            return bytes(out)
     raise ValueError(f"cannot emit morph fill style {fill!r}")
 
 
@@ -1167,6 +1204,48 @@ def _parse_morph_fill_style(data: bytes, pos: int
         color, pos = _read_rgba(data, pos)
         morph_color, pos = _read_rgba(data, pos)
         return ast.MorphSolidFill(color=color, morph_color=morph_color), pos
+    if kind in (0x10, 0x12):
+        r = BitReader(data, pos)
+        m_start = _read_matrix(r)
+        r.align()
+        m_end = _read_matrix(r)
+        pos = r.byte_pos
+        packed = data[pos]
+        pos += 1
+        spread = _BITS_TO_SPREAD[(packed >> 6) & 3]
+        cs = (ast.ColorSpace.S_RGB if ((packed >> 4) & 3) == 0
+              else ast.ColorSpace.LINEAR_RGB)
+        count = packed & 0x0F
+        starts, ends = [], []
+        for _ in range(count):
+            ratio_s = data[pos]
+            color_s, pos = _read_rgba(data, pos + 1)
+            ratio_e = data[pos]
+            color_e, pos = _read_rgba(data, pos + 1)
+            starts.append(ast.GradientStop(ratio=ratio_s, color=color_s))
+            ends.append(ast.GradientStop(ratio=ratio_e, color=color_e))
+        cls = (ast.LinearGradientFill if kind == 0x10
+               else ast.RadialGradientFill)
+        return ast.MorphExtendedFill(
+            start=cls(matrix=m_start, gradient=ast.Gradient(
+                spread=spread, color_space=cs, colors=tuple(starts))),
+            end=cls(matrix=m_end, gradient=ast.Gradient(
+                spread=spread, color_space=cs, colors=tuple(ends)))), pos
+    if 0x40 <= kind <= 0x43:
+        (bitmap_id,) = struct.unpack_from("<H", data, pos)
+        pos += 2
+        r = BitReader(data, pos)
+        m_start = _read_matrix(r)
+        r.align()
+        m_end = _read_matrix(r)
+        pos = r.byte_pos
+        repeating = kind in (0x40, 0x42)
+        smoothed = kind in (0x40, 0x41)
+        return ast.MorphExtendedFill(
+            start=ast.BitmapFill(bitmap_id=bitmap_id, matrix=m_start,
+                                 repeating=repeating, smoothed=smoothed),
+            end=ast.BitmapFill(bitmap_id=bitmap_id, matrix=m_end,
+                               repeating=repeating, smoothed=smoothed)), pos
     raise ValueError(f"unsupported morph fill style kind 0x{kind:02x}")
 
 

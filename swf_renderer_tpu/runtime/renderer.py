@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import ast, display
+from ..models import ir as ir_mod
 from ..models.geometry import split_edges_y
 from ..ops import composite as composite_ops
 from ..ops import style as style_ops
@@ -993,6 +994,13 @@ class TpuRenderer:
                 compiled = compiler._compiled_morph_shape(c.definition)
                 if any(p.line is not None for p in compiled.paths):
                     return None  # stroke outlines aren't linear in ratio
+                if any(p.fill is not None
+                       and not isinstance(p.fill, ir_mod.MorphSolidFill)
+                       for p in compiled.paths):
+                    # Extended (gradient/bitmap) morph fills lerp paints
+                    # per frame — not expressible as the sweep's color
+                    # pair; render per frame.
+                    return None
                 raw = morph_fill_edge_pairs(
                     compiled, s_aff, tolerance=compiler.curve_tolerance)
                 if not raw or any(

@@ -218,6 +218,46 @@ def lerp_morph_commands(
     return out
 
 
+@dataclasses.dataclass(frozen=True)
+class _LerpedMatrix:
+    """A float affine standing in for ast.Matrix inside ir fills (the
+    lerp of two fixed-point SWF matrices is not representable in
+    Sfixed16P16); Affine.from_swf_matrix only calls ``to_affine``."""
+
+    affine: Tuple[float, float, float, float, float, float]
+
+    def to_affine(self):
+        return self.affine
+
+
+def _lerp_matrix(a, b, t: float) -> _LerpedMatrix:
+    return _LerpedMatrix(tuple(
+        lerp(x, y, t) for x, y in zip(a.to_affine(), b.to_affine())))
+
+
+def _lerp_extended_fill(fill: "ir.MorphExtendedFill",
+                        t: float) -> ir.FillStyle:
+    """Interpolate a [start, end] static-fill pair at ratio ``t`` —
+    matrix components, gradient stop ratios/colors, and focal points
+    lerp independently (the player's morph semantics for gradient and
+    bitmap fills, the per-coordinate twin of lerp_morph_commands)."""
+    s, e = fill.start, fill.end
+    if isinstance(s, ir.BitmapFill):
+        return dataclasses.replace(s, matrix=_lerp_matrix(s.matrix,
+                                                          e.matrix, t))
+    stops = tuple(
+        ir.ColorStop(ratio=lerp(ss.ratio, es.ratio, t),
+                     color=lerp_rgba(ss.color, es.color, t))
+        for ss, es in zip(s.gradient.colors, e.gradient.colors))
+    grad = dataclasses.replace(s.gradient, colors=stops)
+    out = dataclasses.replace(s, matrix=_lerp_matrix(s.matrix, e.matrix, t),
+                              gradient=grad)
+    if isinstance(s, ir.FocalGradientFill):
+        out = dataclasses.replace(
+            out, focal_point=lerp(s.focal_point, e.focal_point, t))
+    return out
+
+
 def _apply_color_transform(color, ct: Optional[display.ColorTransform]):
     if ct is None:
         return color
@@ -498,7 +538,14 @@ class SceneCompiler:
         compiled = self._compiled_morph_shape(tag)
         for path in compiled.paths:
             commands = lerp_morph_commands(path.commands, ratio)
-            if path.fill is not None:
+            if isinstance(path.fill, ir.MorphExtendedFill):
+                # Framework extension: gradient/bitmap morph fills lerp
+                # their static [start, end] pair (matrix components,
+                # stop ratios/colors, focal point) at the draw ratio.
+                self._emit_fill(commands,
+                                _lerp_extended_fill(path.fill, ratio),
+                                ctm, ct)
+            elif path.fill is not None:
                 color = lerp_rgba(path.fill.start_color, path.fill.end_color,
                                   ratio)
                 self._emit_fill(commands, ir.SolidFill(color=color), ctm, ct)

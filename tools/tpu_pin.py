@@ -262,6 +262,61 @@ def pin_flatblock_stride_shrink():
     report("flatblock-stride-shrink", d, 2.0)
 
 
+def pin_group_composite():
+    """Round 4: clip groups + blend modes run as premul-plane algebra
+    around the fused kernel (incl. a chained zero-alpha quantize pass).
+    Pin the fused program against the layered scanline compositor ON
+    CHIP (independent coverage formulations — same premul budget 2 as
+    flatblock-vs-direct; the plane algebra itself is XLA elementwise and
+    must not add error)."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+
+    def rect(sid, w, h, color):
+        records = (
+            ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0), left_fill=1),
+            ast.EdgeRecord(delta=ast.Vector2D(w, 0)),
+            ast.EdgeRecord(delta=ast.Vector2D(0, h)),
+            ast.EdgeRecord(delta=ast.Vector2D(-w, 0)),
+            ast.EdgeRecord(delta=ast.Vector2D(0, -h)),
+        )
+        return ast.DefineShape(
+            id=sid, bounds=ast.Rect(0, w, 0, h),
+            shape=ast.ShapeBody(
+                initial_styles=ast.ShapeStyles(
+                    fill=(ast.SolidFill(color=ast.StraightSRgba8(*color)),),
+                    line=()),
+                records=records))
+
+    back = rect(1, 1600, 1200, (200, 100, 50, 255))
+    half = rect(2, 800, 1200, (0, 200, 0, 255))
+    blue = rect(3, 1400, 1000, (0, 0, 255, 128))
+    red = rect(4, 1400, 1000, (255, 0, 0, 128))
+    stage = display.Stage(
+        width=80, height=60,
+        background_color=ast.StraightSRgba8(0, 0, 0, 0),
+        children=(
+            display.ShapeInstance(definition=back),
+            display.MaskedGroup(
+                mask=display.ShapeInstance(definition=half),
+                children=(
+                    display.ShapeInstance(definition=blue),
+                    display.ShapeInstance(definition=red,
+                                          blend_mode="multiply"),
+                )),
+            display.ShapeInstance(definition=rect(5, 1600, 1200,
+                                                  (60, 220, 120, 255)),
+                                  blend_mode="screen"),
+        ))
+    a = TpuRenderer(80, 60, backend="auto").render(stage)
+    b = TpuRenderer(80, 60, backend="scanline").render(stage)
+    af, bf = a.astype(np.float64), b.astype(np.float64)
+    apm = af[..., :3] * af[..., 3:4] / 255.0
+    bpm = bf[..., :3] * bf[..., 3:4] / 255.0
+    d = max(np.abs(apm - bpm).max(), np.abs(af[..., 3] - bf[..., 3]).max())
+    report("group-composite-masks-blends", d, 2.0)
+
+
 def main():
     from bench import _enable_compile_cache
 
@@ -274,6 +329,7 @@ def main():
     pin_sweep_x_shift()
     pin_flatblock_vs_direct()
     pin_flatblock_stride_shrink()
+    pin_group_composite()
     import jax
 
     doc = {"platform": jax.devices()[0].platform,

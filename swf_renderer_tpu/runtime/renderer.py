@@ -321,13 +321,22 @@ class TpuRenderer:
         uniform = _uniform_layer_structure(per_frame_draws)
         refusal = (None if not per_frame_draws[0]
                    else self._flatblock_refusal(per_frame_draws[0]))
+        mask_tree = None
         if not uniform:
             refusal = "non-uniform layer structure across frames"
         elif any(d.mask_of is not None or d.mask_ids
                  for draws in per_frame_draws for d in draws):
-            # Clip groups render per stage (the fused masked program);
-            # the uniform batch path doesn't thread mask trees.
-            refusal = "clip groups (masked draws)"
+            tags0 = [(d.mask_of, tuple(d.mask_ids))
+                     for d in per_frame_draws[0]]
+            if all([(d.mask_of, tuple(d.mask_ids)) for d in draws] == tags0
+                   for draws in per_frame_draws[1:]):
+                from .scene import build_mask_tree
+
+                mask_tree = build_mask_tree(per_frame_draws[0])
+            else:
+                # Group structure changes across frames; render per
+                # stage (each through the fused masked program).
+                refusal = "non-uniform clip/blend groups across frames"
         if per_frame_draws[0] and refusal is None:
             from ..ops.pipeline import render_batch_styled
 
@@ -341,7 +350,7 @@ class TpuRenderer:
                 [[d.edges for d in draws] for draws in per_frame_draws],
                 paints, self.height, self.width, colors=colors,
                 fill_rule=tuple(d.fill_rule for d in per_frame_draws[0]),
-                cache=self._packed_cache)
+                cache=self._packed_cache, mask_tree=mask_tree)
             path = "batched-styled"
         else:
             # A batch that can't ride the fused kernel quietly forfeiting

@@ -331,3 +331,20 @@ def test_fuzz_random_mask_scenes(seed):
     layered, _ = _render(stage, backend="scanline")
     diff = np.abs(fused.astype(np.int32) - layered.astype(np.int32))
     assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_uniform_masked_timeline_rides_batched_path():
+    """Frames sharing one clip-group structure batch through the fused
+    masked program (no per-stage fallback) and match per-stage renders."""
+    stages = []
+    for k in range(4):
+        stages.append(_stage([display.MaskedGroup(
+            mask=display.ShapeInstance(definition=HALF),
+            children=(display.ShapeInstance(definition=FULL,
+                                            matrix=_tl(60 * k, 0)),))]))
+    r = TpuRenderer(40, 30)
+    out = r.render_batch(stages)
+    assert r.last_stats.path == "batched-styled"
+    for k, stage in enumerate(stages):
+        single, _ = _render(stage, backend="auto")
+        np.testing.assert_array_equal(out[k], single, err_msg=f"frame {k}")

@@ -530,6 +530,10 @@ class Placement:
     # PlaceObject3 blend mode name (ops.composite.BLEND_MODES, or
     # "layer"); None = normal.  Set -> emits as tag 70.
     blend: Optional[str] = None
+    # PlaceObject3 HasVisible flag: False hides the instance (it keeps
+    # its depth slot but draws nothing); None = unspecified (a move
+    # retains the previous value).
+    visible: Optional[bool] = None
     # Emit as the SWF1 PlaceObject (tag 4): character id + depth +
     # mandatory matrix + optional RGB CXFORM.  Parsing tag 4 sets this.
     legacy: bool = False
@@ -710,15 +714,22 @@ def _place_flags_and_fields(p: Placement):
 
 def _emit_place_object3(p: Placement) -> bytes:
     """PlaceObject3 (tag 70): the PlaceObject2 fields plus a flags2
-    byte; emitted for blend-mode placements (filters, class names and
-    the other flags2 features are not written)."""
-    if p.blend not in _BLEND_NAMES:
-        raise ValueError(f"unknown blend mode {p.blend!r}")
+    byte; emitted for blend-mode and visibility placements (filters,
+    class names and the other flags2 features are not written)."""
     flags, fields = _place_flags_and_fields(p)
-    flags2 = 0x02  # HasBlendMode
+    flags2 = 0
+    tail = bytearray()
+    if p.blend is not None:
+        if p.blend not in _BLEND_NAMES:
+            raise ValueError(f"unknown blend mode {p.blend!r}")
+        flags2 |= 0x02  # HasBlendMode
+        tail.append(_BLEND_NAMES[p.blend])
+    if p.visible is not None:
+        flags2 |= 0x20  # HasVisible
+        tail.append(1 if p.visible else 0)
     return _tag(TAG_PLACE_OBJECT3,
                 struct.pack("<BBH", flags, flags2, p.depth) + fields
-                + bytes([_BLEND_NAMES[p.blend]]))
+                + bytes(tail))
 
 
 def _parse_place_object3(body: bytes) -> Placement:
@@ -767,18 +778,22 @@ def _parse_place_object3(body: bytes) -> Placement:
         pos += 1
     if flags2 & 0x04:
         pos += 1  # bitmap-cache hint: ignored
-    # HasVisible / OpaqueBackground (0x20/0x40) and everything after are
-    # ignored if present — they trail the fields we consume.
+    visible = None
+    if flags2 & 0x20:
+        visible = bool(body[pos])
+        pos += 1
+        # OpaqueBackground color (RGBA) follows when 0x40 is also set;
+        # trailing — nothing further is consumed either way.
     return Placement(depth=depth, character_id=char_id, matrix=matrix,
                      color_transform=ct, ratio=ratio,
                      move=bool(flags & 0x01), name=name,
-                     clip_depth=clip_depth, blend=blend)
+                     clip_depth=clip_depth, blend=blend, visible=visible)
 
 
 def _emit_place_object2(p: Placement) -> bytes:
     if p.legacy:
         return _emit_place_object(p)
-    if p.blend is not None:
+    if p.blend is not None or p.visible is not None:
         return _emit_place_object3(p)
     flags, fields = _place_flags_and_fields(p)
     return _tag(TAG_PLACE_OBJECT2,
@@ -1746,6 +1761,8 @@ class _DisplayList:
                 clip_depth=(p.clip_depth if p.clip_depth is not None
                             else prev.clip_depth),
                 blend=(p.blend if p.blend is not None else prev.blend),
+                visible=(p.visible if p.visible is not None
+                         else prev.visible),
                 placed_frame=(len(self.frames) if replaced
                               else prev.placed_frame))
         else:

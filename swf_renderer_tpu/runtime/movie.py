@@ -88,7 +88,10 @@ def _children_from_placements(placements, movie: Movie, frame_idx: int):
                     ps[i + 1 : j], movie, frame_idx))))
             i = j
         else:
-            out.append(_placement_child(p, movie, frame_idx))
+            # PlaceObject3 HasVisible=0 keeps the depth slot but draws
+            # nothing (masks above still clip regardless of visibility).
+            if getattr(p, "visible", None) is not False:
+                out.append(_placement_child(p, movie, frame_idx))
             i += 1
     return out
 

@@ -202,3 +202,29 @@ def test_blend_refuses_sweep_routing():
     assert r.last_stats.path != "transform-sweep"
     single = TpuRenderer(40, 30).render(stages[2])
     np.testing.assert_array_equal(out[2], single)
+
+
+def test_place_object3_visible_flag():
+    """HasVisible=0 hides the instance (depth slot retained, nothing
+    drawn); a later move without the flag keeps it hidden, and
+    visible=True restores it."""
+    from swf_renderer_tpu.runtime.movie import render_movie_timeline
+
+    P = swf_binary.Placement
+    top = _rect_shape(2, 400, 600, SRC)
+    movie_bytes = _movie(
+        [[P(depth=1, character_id=1),
+          P(depth=2, character_id=2, visible=False)],
+         [P(depth=2, move=True, matrix=_tl(100, 0))],
+         [P(depth=2, move=True, visible=True)]],
+        [BACK, top])
+    movie = swf_binary.parse_movie(movie_bytes)
+    assert movie.frames[0][1].visible is False
+    assert movie.frames[1][1].visible is False  # retained across move
+    assert movie.frames[2][1].visible is True
+
+    frames = render_movie_timeline(movie_bytes)
+    bare, _ = _render(_stage([display.ShapeInstance(definition=BACK)]))
+    np.testing.assert_array_equal(frames[0], bare)
+    np.testing.assert_array_equal(frames[1], bare)
+    assert (frames[2] != bare).any()  # visible again

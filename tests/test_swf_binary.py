@@ -717,3 +717,23 @@ def test_legacy_and_modern_placement_render_identically():
                                matrix=_tl(20, 20))]], [shape])
     np.testing.assert_array_equal(render_movie(legacy),
                                   render_movie(modern))
+
+
+def test_unknown_control_tags_are_skipped():
+    """Real-world movies carry AS bytecode and metadata tags the
+    renderer has no use for — DoAction (12), ExportAssets (56),
+    FileAttributes (69), Metadata (77), Protect (24), ScriptLimits
+    (65), DefineSceneAndFrameLabelData (86) — all skip cleanly."""
+    base = _one_frame_movie(
+        [[swf_binary.Placement(depth=1, character_id=3)]],
+        [_unit_shape(3)])
+    noise = b"".join(
+        swf_binary._tag(code, b"\x00" * 6)
+        for code in (12, 56, 69, 77, 24, 65, 86))
+    end = base.rindex(b"\x40\x00")  # before ShowFrame
+    movie = base[:end] + noise + base[end:]
+    movie = movie[:4] + len(movie).to_bytes(4, "little") + movie[8:]
+    parsed = swf_binary.parse_movie(movie)
+    assert len(parsed.frames) == 1 and len(parsed.frames[0]) == 1
+    ref = swf_binary.parse_movie(base)
+    assert parsed.frames == ref.frames and parsed.shapes == ref.shapes

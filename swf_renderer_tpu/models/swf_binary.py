@@ -1647,7 +1647,9 @@ def emit_movie_timeline(
         morph2: bool = False,
         stage_rect: Optional[ast.Rect] = None,
         sprites: Tuple = (),
-        frame_labels: Optional[dict] = None) -> bytes:
+        frame_labels: Optional[dict] = None,
+        fonts: Tuple = (),
+        texts: Tuple = ()) -> bytes:
     """A multi-frame movie: define tags up front, then per frame a list
     of Placement / RemoveObject display-list operations followed by
     ShowFrame.  Placement.move carries the PlaceFlagMove form (modify
@@ -1677,6 +1679,14 @@ def emit_movie_timeline(
                     else emit_define_shape(shape))
     for morph in morphs:
         tags.extend(emit_define_morph_shape(morph, shape2=morph2))
+    for font in fonts:
+        tags.extend(emit_define_font(font) if font.divisor == 1
+                    and not font.name and not font.code_table
+                    else emit_define_font2(font))
+    for text in texts:
+        tags.extend(emit_define_text(
+            text, text2=any(r.color is not None and r.color.a != 255
+                            for r in text.runs)))
     for sprite_id, sprite_frames in sprites:
         tags.extend(emit_define_sprite(sprite_id, sprite_frames))
     for fi, ops in enumerate(frames):
@@ -1696,6 +1706,310 @@ def emit_movie_timeline(
     header = b"FWS" + bytes([8 if (shape4 or morph2) else 6])
     total = len(header) + 4 + len(header_body)
     return header + struct.pack("<I", total) + header_body
+
+
+# ---------------------------------------------------------------------------
+# Fonts and static text (DefineFont/2/3, DefineText/2)
+# ---------------------------------------------------------------------------
+
+TAG_DEFINE_FONT = 10
+TAG_DEFINE_FONT2 = 48
+TAG_DEFINE_FONT3 = 75
+TAG_DEFINE_TEXT = 11
+TAG_DEFINE_TEXT2 = 33
+
+
+@dataclasses.dataclass
+class Font:
+    """A glyph font: each glyph is a style-less SHAPE on the 1024-unit
+    em square (``divisor`` 20 for DefineFont3's 1/20th-unit glyphs).
+    ``glyph_shape(i)`` wraps glyph ``i`` as a cached white-filled
+    DefineShape — identity-stable so renderer caches and sweep routing
+    treat repeated text frames like any other shape instance."""
+
+    id: int
+    glyphs: Tuple[Tuple[ast.ShapeRecord, ...], ...]
+    divisor: int = 1
+    name: str = ""
+    code_table: Tuple[int, ...] = ()
+    _shape_defs: dict = dataclasses.field(default_factory=dict,
+                                          compare=False, repr=False)
+
+    def glyph_shape(self, index: int) -> ast.DefineShape:
+        hit = self._shape_defs.get(index)
+        if hit is None:
+            em = 1024 * self.divisor
+            hit = ast.DefineShape(
+                id=-(self.id * 65536 + index + 1),  # synthetic, unplaced
+                bounds=ast.Rect(-em, 2 * em, -2 * em, em),
+                shape=ast.ShapeBody(
+                    initial_styles=ast.ShapeStyles(
+                        fill=(ast.SolidFill(color=ast.StraightSRgba8(
+                            255, 255, 255, 255)),),
+                        line=()),
+                    records=self.glyphs[index]))
+            self._shape_defs[index] = hit
+        return hit
+
+
+@dataclasses.dataclass(frozen=True)
+class TextRun:
+    """One TEXTRECORD: style updates (fields left None RETAIN the
+    previous run's values — player semantics) + glyph entries.
+    ``height`` is in twips; advances are twips of the scaled text;
+    offsets are absolute pen positions in twips."""
+
+    glyphs: Tuple[Tuple[int, int], ...]  # (glyph index, advance twips)
+    font_id: Optional[int] = None
+    height: Optional[int] = None
+    color: Optional[ast.StraightSRgba8] = None
+    x_offset: Optional[int] = None
+    y_offset: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Text:
+    """DefineText/2: a static glyph layout."""
+
+    id: int
+    bounds: ast.Rect
+    matrix: ast.Matrix
+    runs: Tuple[TextRun, ...]
+
+
+def _emit_glyph(records) -> bytes:
+    """A glyph SHAPE: 1 fill bit / 0 line bits, style-change + edge
+    records selecting fill 0/1, end record (SWF spec DefineFont)."""
+    w = BitWriter()
+    w.write_ub(1, 4)
+    w.write_ub(0, 4)
+    for record in records:
+        if isinstance(record, ast.StyleChangeRecord):
+            if record.new_styles is not None:
+                raise ValueError("glyph shapes carry no style arrays")
+            w.write_ub(0, 1)
+            w.write_ub(0, 1)
+            _write_style_change_fields(w, record, 1, 0)
+        elif isinstance(record, ast.EdgeRecord):
+            _write_edge(w, record.delta, record.control_delta)
+        else:
+            raise ValueError(f"unknown record {record!r}")
+    w.write_ub(0, 6)
+    w.align()
+    return w.bytes()
+
+
+def _parse_glyph(data: bytes, pos: int) -> Tuple[Tuple, int]:
+    r = BitReader(data, pos)
+    fill_bits = r.read_ub(4)
+    line_bits = r.read_ub(4)
+    records = []
+    while True:
+        if r.read_ub(1):
+            records.append(_read_edge(r))
+            continue
+        flags = r.read_ub(5)
+        if flags == 0:
+            break
+        if flags & 0b10000:
+            raise ValueError("glyph shapes carry no style arrays")
+        move_to, left, right, line = _read_style_change_fields(
+            r, flags, fill_bits, line_bits)
+        records.append(ast.StyleChangeRecord(
+            move_to=move_to, left_fill=left, right_fill=right,
+            line_style=line))
+    r.align()
+    return tuple(records), r.byte_pos
+
+
+def emit_define_font(font: Font) -> bytes:
+    """DefineFont (tag 10): id + u16 offset table (relative to the
+    table start) + glyph shape table."""
+    glyph_blobs = [_emit_glyph(g) for g in font.glyphs]
+    n = len(glyph_blobs)
+    offsets = []
+    cursor = 2 * n
+    for blob in glyph_blobs:
+        offsets.append(cursor)
+        cursor += len(blob)
+    body = bytearray(struct.pack("<H", font.id))
+    for off in offsets:
+        body.extend(struct.pack("<H", off))
+    for blob in glyph_blobs:
+        body.extend(blob)
+    return _tag(TAG_DEFINE_FONT, bytes(body))
+
+
+def parse_define_font_tag(body: bytes) -> Font:
+    (font_id,) = struct.unpack_from("<H", body, 0)
+    table = 2
+    (off0,) = struct.unpack_from("<H", body, table)
+    n = off0 // 2
+    glyphs = []
+    for i in range(n):
+        (off,) = struct.unpack_from("<H", body, table + 2 * i)
+        records, _ = _parse_glyph(body, table + off)
+        glyphs.append(records)
+    return Font(id=font_id, glyphs=tuple(glyphs))
+
+
+def emit_define_font2(font: Font) -> bytes:
+    """DefineFont2/3 (tags 48/75; tag 75 when ``divisor`` is 20): wide
+    offsets + wide codes, no layout block."""
+    glyph_blobs = [_emit_glyph(g) for g in font.glyphs]
+    n = len(glyph_blobs)
+    codes = font.code_table or tuple(range(n))
+    if len(codes) != n:
+        raise ValueError("code table length != glyph count")
+    name = font.name.encode("utf-8")
+    body = bytearray(struct.pack("<H", font.id))
+    body.append(0x08 | 0x04)  # wideOffsets | wideCodes
+    body.append(0)            # language code
+    body.append(len(name))
+    body.extend(name)
+    body.extend(struct.pack("<H", n))
+    table = len(body)
+    cursor = 4 * (n + 1)
+    offs = []
+    for blob in glyph_blobs:
+        offs.append(cursor)
+        cursor += len(blob)
+    offs.append(cursor)  # code table offset
+    for off in offs:
+        body.extend(struct.pack("<I", off))
+    for blob in glyph_blobs:
+        body.extend(blob)
+    assert len(body) - table == cursor
+    for code in codes:
+        body.extend(struct.pack("<H", code))
+    return _tag(TAG_DEFINE_FONT3 if font.divisor == 20
+                else TAG_DEFINE_FONT2, bytes(body))
+
+
+def parse_define_font2_tag(body: bytes, font3: bool = False) -> Font:
+    (font_id,) = struct.unpack_from("<H", body, 0)
+    flags = body[2]
+    name_len = body[4]
+    name = body[5 : 5 + name_len].decode("utf-8", "replace")
+    pos = 5 + name_len
+    (n,) = struct.unpack_from("<H", body, pos)
+    pos += 2
+    table = pos
+    wide_off = bool(flags & 0x08)
+    fmt, step = ("<I", 4) if wide_off else ("<H", 2)
+    offs = [struct.unpack_from(fmt, body, table + step * i)[0]
+            for i in range(n + 1)]
+    glyphs = []
+    for i in range(n):
+        records, _ = _parse_glyph(body, table + offs[i])
+        glyphs.append(records)
+    wide_codes = font3 or bool(flags & 0x04)
+    cfmt, cstep = ("<H", 2) if wide_codes else ("<B", 1)
+    cpos = table + offs[n]
+    codes = tuple(struct.unpack_from(cfmt, body, cpos + cstep * i)[0]
+                  for i in range(n))
+    # A trailing layout block (flags 0x80) is not consumed — nothing
+    # the renderer needs lives there.
+    return Font(id=font_id, glyphs=tuple(glyphs),
+                divisor=20 if font3 else 1, name=name, code_table=codes)
+
+
+def emit_define_text(text: Text, text2: bool = False) -> bytes:
+    """DefineText (tag 11, RGB colors) / DefineText2 (tag 33, RGBA)."""
+    indices = [g for run in text.runs for g, _ in run.glyphs]
+    advances = [a for run in text.runs for _, a in run.glyphs]
+    glyph_bits = max((ubits_for(i + 1) for i in indices), default=1)
+    advance_bits = max((sbits_for(a) for a in advances), default=2)
+    w = BitWriter()
+    _write_rect(w, text.bounds)
+    _write_matrix(w, text.matrix)
+    body = bytearray(struct.pack("<H", text.id)) + w.bytes()
+    body.append(glyph_bits)
+    body.append(advance_bits)
+    for run in text.runs:
+        flags = 0x80
+        if run.font_id is not None:
+            if run.height is None:
+                raise ValueError("a font update carries the text height")
+            flags |= 0x08
+        if run.color is not None:
+            flags |= 0x04
+        if run.y_offset is not None:
+            flags |= 0x02
+        if run.x_offset is not None:
+            flags |= 0x01
+        body.append(flags)
+        if run.font_id is not None:
+            body.extend(struct.pack("<H", run.font_id))
+        if run.color is not None:
+            c = run.color
+            body.extend((c.r, c.g, c.b) if not text2
+                        else (c.r, c.g, c.b, c.a))
+        if run.x_offset is not None:
+            body.extend(struct.pack("<h", run.x_offset))
+        if run.y_offset is not None:
+            body.extend(struct.pack("<h", run.y_offset))
+        if run.font_id is not None:
+            body.extend(struct.pack("<H", run.height))
+        body.append(len(run.glyphs))
+        gw = BitWriter()
+        for gi, adv in run.glyphs:
+            gw.write_ub(gi, glyph_bits)
+            gw.write_sb(adv, advance_bits)
+        gw.align()
+        body.extend(gw.bytes())
+    body.append(0)  # end of text records
+    return _tag(TAG_DEFINE_TEXT2 if text2 else TAG_DEFINE_TEXT,
+                bytes(body))
+
+
+def parse_define_text_tag(body: bytes, text2: bool = False) -> Text:
+    (text_id,) = struct.unpack_from("<H", body, 0)
+    r = BitReader(body, 2)
+    bounds = _read_rect(r)
+    matrix = _read_matrix(r)
+    pos = r.byte_pos
+    glyph_bits = body[pos]
+    advance_bits = body[pos + 1]
+    pos += 2
+    runs = []
+    while True:
+        flags = body[pos]
+        pos += 1
+        if flags == 0:
+            break
+        if not flags & 0x80:
+            raise ValueError("DefineText record type must be 1")
+        font_id = height = color = x_off = y_off = None
+        if flags & 0x08:
+            (font_id,) = struct.unpack_from("<H", body, pos)
+            pos += 2
+        if flags & 0x04:
+            if text2:
+                color, pos = _read_rgba(body, pos)
+            else:
+                color, pos = _read_rgb(body, pos)
+        if flags & 0x01:
+            (x_off,) = struct.unpack_from("<h", body, pos)
+            pos += 2
+        if flags & 0x02:
+            (y_off,) = struct.unpack_from("<h", body, pos)
+            pos += 2
+        if flags & 0x08:
+            (height,) = struct.unpack_from("<H", body, pos)
+            pos += 2
+        count = body[pos]
+        pos += 1
+        gr = BitReader(body, pos)
+        glyphs = tuple(
+            (gr.read_ub(glyph_bits), gr.read_sb(advance_bits))
+            for _ in range(count))
+        gr.align()
+        pos = gr.byte_pos
+        runs.append(TextRun(glyphs=glyphs, font_id=font_id, height=height,
+                            color=color, x_offset=x_off, y_offset=y_off))
+    return Text(id=text_id, bounds=bounds, matrix=matrix,
+                runs=tuple(runs))
 
 
 class _DisplayList:
@@ -1948,6 +2262,8 @@ class Movie:
     sprites: dict = dataclasses.field(default_factory=dict)  # id -> Sprite
     # frame index -> label (FrameLabel tags), informational.
     frame_labels: dict = dataclasses.field(default_factory=dict)
+    fonts: dict = dataclasses.field(default_factory=dict)    # id -> Font
+    texts: dict = dataclasses.field(default_factory=dict)    # id -> Text
 
     @property
     def placements(self) -> Tuple[Placement, ...]:
@@ -1971,6 +2287,7 @@ def parse_movie(data: bytes) -> Movie:
     (rate_fixed, _count) = struct.unpack_from("<HH", data, r.byte_pos)
     background = ast.StraightSRgba8(255, 255, 255, 255)
     shapes, morphs, bitmaps, sprites = {}, {}, {}, {}
+    fonts, texts = {}, {}
     labels: dict = {}
     jpeg_tables = b""
     dl = _DisplayList()
@@ -2014,6 +2331,17 @@ def parse_movie(data: bytes) -> Movie:
         elif code == TAG_DEFINE_SPRITE:
             sprite = parse_define_sprite(body)
             sprites[sprite.id] = sprite
+        elif code == TAG_DEFINE_FONT:
+            font = parse_define_font_tag(body)
+            fonts[font.id] = font
+        elif code in (TAG_DEFINE_FONT2, TAG_DEFINE_FONT3):
+            font = parse_define_font2_tag(body,
+                                          font3=code == TAG_DEFINE_FONT3)
+            fonts[font.id] = font
+        elif code in (TAG_DEFINE_TEXT, TAG_DEFINE_TEXT2):
+            text = parse_define_text_tag(body,
+                                         text2=code == TAG_DEFINE_TEXT2)
+            texts[text.id] = text
         elif code == TAG_FRAME_LABEL:
             end = body.index(b"\x00")
             labels[len(dl.frames)] = body[:end].decode("utf-8")
@@ -2021,4 +2349,4 @@ def parse_movie(data: bytes) -> Movie:
                  background=background, shapes=shapes,
                  morph_shapes=morphs, bitmaps=bitmaps,
                  frames=tuple(dl.frames), sprites=sprites,
-                 frame_labels=labels)
+                 frame_labels=labels, fonts=fonts, texts=texts)

@@ -47,6 +47,9 @@ def _placement_child(p, movie: Movie,
             definition=movie.morph_shapes[p.character_id],
             ratio=float(p.ratio or 0.0), matrix=p.matrix,
             color_transform=ct, blend_mode=blend)
+    if p.character_id in movie.texts:
+        return _text_container(movie, movie.texts[p.character_id],
+                               p.matrix, ct, blend)
     if p.character_id in movie.sprites:
         # A sprite instance replays its timeline, looping, phased from
         # the frame it was placed (player semantics: a MovieClip starts
@@ -67,6 +70,59 @@ def _placement_child(p, movie: Movie,
                                  color_transform=ct, blend_mode=blend)
     raise KeyError(
         f"PlaceObject2 references undefined character {p.character_id}")
+
+
+def _text_container(movie: Movie, text, matrix, ct,
+                    blend) -> display.Container:
+    """Expand a DefineText/2 into glyph ShapeInstances.
+
+    Glyphs are white-filled shapes on the font's em square; each
+    instance scales by height / (1024 * divisor), translates to the pen
+    position (TEXTRECORD x/y offsets set it absolutely, advances move
+    it), and takes the run color as a pure-MULT color transform
+    (white * c == c exactly).  The layout rides the text matrix inside
+    the placement matrix; definitions are identity-cached on the Font,
+    so repeated frames hit the renderer's draw caches and moving text
+    rides the transform sweep like any shape hierarchy."""
+    from ..utils.fixed import Sfixed16P16
+
+    zero = Sfixed16P16.from_value(0)
+    children = []
+    font = None
+    height = 1024
+    color = ast.StraightSRgba8(0, 0, 0, 255)
+    x = y = 0
+    for run in text.runs:
+        if run.font_id is not None:
+            font = movie.fonts.get(run.font_id)
+            if font is None:
+                raise KeyError(f"FontNotFound: {run.font_id}")
+            height = run.height
+        if run.color is not None:
+            color = run.color
+        if run.x_offset is not None:
+            x = run.x_offset
+        if run.y_offset is not None:
+            y = run.y_offset
+        if run.glyphs and font is None:
+            raise ValueError("text record places glyphs with no font set")
+        scale = Sfixed16P16.from_value(height / (1024.0 * font.divisor)) \
+            if run.glyphs else None
+        tint = display.ColorTransform(
+            mult=(color.r / 255.0, color.g / 255.0, color.b / 255.0,
+                  color.a / 255.0))
+        for gi, adv in run.glyphs:
+            m = ast.Matrix(scale_x=scale, scale_y=scale,
+                           rotate_skew0=zero, rotate_skew1=zero,
+                           translate_x=x, translate_y=y)
+            children.append(display.ShapeInstance(
+                definition=font.glyph_shape(gi), matrix=m,
+                color_transform=tint))
+            x += adv
+    inner = display.Container(children=tuple(children),
+                              matrix=text.matrix)
+    return display.Container(children=(inner,), matrix=matrix,
+                             color_transform=ct, blend_mode=blend)
 
 
 def _children_from_placements(placements, movie: Movie, frame_idx: int):

@@ -1,0 +1,230 @@
+"""Fonts and static text (framework extension; the reference renders
+shapes only).  Glyphs are style-less SHAPEs on the 1024-unit em square
+(DefineFont3: 1/20th units); DefineText/2 lays them out with per-run
+font/height/color/offset state and per-glyph advances.  The loader
+expands text into white-filled glyph ShapeInstances tinted by a
+pure-MULT color transform, so text rides every existing path —
+draw caches, the fused kernel, and the transform sweep.
+"""
+
+import numpy as np
+import pytest
+
+from swf_renderer_tpu.models import ast, display, swf_binary
+from swf_renderer_tpu.runtime.movie import load_movie_timeline, render_movie
+from swf_renderer_tpu.runtime.renderer import TpuRenderer
+from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+# Two glyphs on the em square: a triangle and a square (baseline at
+# y=0, glyphs extend upward with negative y like real fonts).
+TRIANGLE = (
+    ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0), left_fill=1),
+    ast.EdgeRecord(delta=ast.Vector2D(900, 0)),
+    ast.EdgeRecord(delta=ast.Vector2D(-450, -900)),
+    ast.EdgeRecord(delta=ast.Vector2D(-450, 900)),
+)
+SQUARE = (
+    ast.StyleChangeRecord(move_to=ast.Vector2D(100, -800), left_fill=1),
+    ast.EdgeRecord(delta=ast.Vector2D(700, 0)),
+    ast.EdgeRecord(delta=ast.Vector2D(0, 800)),
+    ast.EdgeRecord(delta=ast.Vector2D(-700, 0)),
+    ast.EdgeRecord(delta=ast.Vector2D(0, -800),
+                   control_delta=ast.Vector2D(-200, -400)),
+)
+
+FONT = swf_binary.Font(id=1, glyphs=(TRIANGLE, SQUARE))
+RECT = ast.Rect(0, 4000, 0, 2400)
+
+
+def _identity():
+    one = Sfixed16P16.from_value(1)
+    zero = Sfixed16P16.from_value(0)
+    return ast.Matrix(scale_x=one, scale_y=one, rotate_skew0=zero,
+                      rotate_skew1=zero, translate_x=0, translate_y=0)
+
+
+def _scale_translate(s, tx, ty):
+    sv = Sfixed16P16.from_value(s)
+    zero = Sfixed16P16.from_value(0)
+    return ast.Matrix(scale_x=sv, scale_y=sv, rotate_skew0=zero,
+                      rotate_skew1=zero, translate_x=tx, translate_y=ty)
+
+
+def _strip(blob, code):
+    head = int.from_bytes(blob[:2], "little")
+    assert head >> 6 == code
+    return blob[2 + (4 if (head & 0x3F) == 0x3F else 0):]
+
+
+def test_define_font_roundtrip():
+    blob = swf_binary.emit_define_font(FONT)
+    parsed = swf_binary.parse_define_font_tag(
+        _strip(blob, swf_binary.TAG_DEFINE_FONT))
+    assert parsed.glyphs == FONT.glyphs and parsed.id == 1
+    assert parsed.divisor == 1
+
+
+def test_define_font2_and_font3_roundtrip():
+    f2 = swf_binary.Font(id=2, glyphs=(TRIANGLE, SQUARE), name="Tri",
+                         code_table=(65, 66))
+    parsed = swf_binary.parse_define_font2_tag(
+        _strip(swf_binary.emit_define_font2(f2),
+               swf_binary.TAG_DEFINE_FONT2))
+    assert (parsed.glyphs, parsed.name, parsed.code_table) == (
+        f2.glyphs, "Tri", (65, 66))
+    f3 = swf_binary.Font(id=3, glyphs=(SQUARE,), divisor=20, name="S",
+                         code_table=(83,))
+    parsed3 = swf_binary.parse_define_font2_tag(
+        _strip(swf_binary.emit_define_font2(f3),
+               swf_binary.TAG_DEFINE_FONT3), font3=True)
+    assert parsed3.divisor == 20 and parsed3.glyphs == f3.glyphs
+
+
+RED = ast.StraightSRgba8(200, 30, 30, 255)
+BLUE_T = ast.StraightSRgba8(20, 40, 220, 128)
+
+
+def _text(runs, text_id=5, matrix=None):
+    return swf_binary.Text(id=text_id, bounds=RECT,
+                           matrix=matrix or _identity(), runs=tuple(runs))
+
+
+def test_define_text_roundtrip():
+    text = _text([
+        swf_binary.TextRun(glyphs=((0, 1100), (1, -200), (0, 950)),
+                           font_id=1, height=2048, color=RED,
+                           x_offset=100, y_offset=1000),
+        swf_binary.TextRun(glyphs=((1, 800),),
+                           color=ast.StraightSRgba8(1, 2, 3, 255)),
+    ])
+    parsed = swf_binary.parse_define_text_tag(
+        _strip(swf_binary.emit_define_text(text),
+               swf_binary.TAG_DEFINE_TEXT))
+    assert parsed == text
+
+
+def test_define_text2_rgba_roundtrip():
+    text = _text([swf_binary.TextRun(glyphs=((1, 900),), font_id=1,
+                                     height=1024, color=BLUE_T,
+                                     x_offset=0, y_offset=900)])
+    parsed = swf_binary.parse_define_text_tag(
+        _strip(swf_binary.emit_define_text(text, text2=True),
+               swf_binary.TAG_DEFINE_TEXT2), text2=True)
+    assert parsed == text
+
+
+def _movie_with_text(text, fonts=(FONT,)):
+    return swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=text.id)]],
+        stage_rect=RECT, fonts=fonts, texts=[text])
+
+
+def _glyph_twin_stage(entries, bg=ast.StraightSRgba8(255, 255, 255, 255)):
+    """Hand-built equivalent: each entry = (records, scale, x, y, color)
+    placed as a DIRECTLY colored shape (no tint transform) — pins the
+    white-fill x MULT-ct == direct-color exactness."""
+    children = []
+    for i, (records, s, x, y, color) in enumerate(entries):
+        shape = ast.DefineShape(
+            id=100 + i, bounds=ast.Rect(-20480, 40960, -40960, 20480),
+            shape=ast.ShapeBody(
+                initial_styles=ast.ShapeStyles(
+                    fill=(ast.SolidFill(color=color),), line=()),
+                records=records))
+        children.append(display.ShapeInstance(
+            definition=shape, matrix=_scale_translate(s, x, y)))
+    return display.Stage(width=200, height=120, background_color=bg,
+                         children=tuple(children),
+                         exact_width=200.0, exact_height=120.0)
+
+
+def test_text_renders_like_equivalent_shapes():
+    text = _text([swf_binary.TextRun(
+        glyphs=((0, 1100), (1, 900)), font_id=1, height=2048,
+        color=RED, x_offset=100, y_offset=2000)])
+    got = render_movie(_movie_with_text(text))
+    want = TpuRenderer(200, 120).render(_glyph_twin_stage([
+        (TRIANGLE, 2.0, 100, 2000, RED),
+        (SQUARE, 2.0, 1200, 2000, RED),
+    ]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_text_run_state_retention_and_pen():
+    """A second run with only a color change keeps the font, height,
+    and pen position (x continues from the advances)."""
+    text = _text([
+        swf_binary.TextRun(glyphs=((0, 1000),), font_id=1, height=1024,
+                           color=RED, x_offset=0, y_offset=1200),
+        swf_binary.TextRun(glyphs=((1, 800),),
+                           color=ast.StraightSRgba8(10, 180, 60, 255)),
+    ])
+    got = render_movie(_movie_with_text(text))
+    want = TpuRenderer(200, 120).render(_glyph_twin_stage([
+        (TRIANGLE, 1.0, 0, 1200, RED),
+        (SQUARE, 1.0, 1000, 1200, ast.StraightSRgba8(10, 180, 60, 255)),
+    ]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_font3_twentieth_units():
+    font3 = swf_binary.Font(id=1, glyphs=(SQUARE,), divisor=20,
+                            name="S", code_table=(83,))
+    text = _text([swf_binary.TextRun(glyphs=((0, 600),), font_id=1,
+                                     height=2048, color=RED,
+                                     x_offset=200, y_offset=1500)])
+    got = render_movie(_movie_with_text(text, fonts=(font3,)))
+    want = TpuRenderer(200, 120).render(_glyph_twin_stage([
+        (SQUARE, 0.1, 200, 1500, RED),  # 2048 / (1024 * 20)
+    ]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_text_matrix_and_translucent_color():
+    matrix = _scale_translate(1.5, 300, 0)
+    text = _text([swf_binary.TextRun(glyphs=((0, 1000),), font_id=1,
+                                     height=1024, color=BLUE_T,
+                                     x_offset=0, y_offset=1000)],
+                 matrix=matrix)
+    got = render_movie(_movie_with_text(text))
+    # Twin: the text matrix composes outside the glyph placement.
+    shape = ast.DefineShape(
+        id=100, bounds=ast.Rect(-20480, 40960, -40960, 20480),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(color=BLUE_T),), line=()),
+            records=TRIANGLE))
+    stage = display.Stage(
+        width=200, height=120,
+        background_color=ast.StraightSRgba8(255, 255, 255, 255),
+        children=(display.Container(
+            children=(display.ShapeInstance(
+                definition=shape,
+                matrix=_scale_translate(1.0, 0, 1000)),),
+            matrix=matrix),),
+        exact_width=200.0, exact_height=120.0)
+    want = TpuRenderer(200, 120).render(stage)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_moving_text_rides_transform_sweep():
+    """A timeline that moves a text placement auto-routes to the
+    on-device transform sweep (glyph definitions are identity-stable)."""
+    text = _text([swf_binary.TextRun(glyphs=((0, 1100), (1, 900)),
+                                     font_id=1, height=1024, color=RED,
+                                     x_offset=0, y_offset=1100)])
+    P = swf_binary.Placement
+    frames = [[P(depth=1, character_id=5,
+                 matrix=_scale_translate(1.0, 0, 0))]]
+    for k in range(1, 6):
+        frames.append([P(depth=1, move=True,
+                         matrix=_scale_translate(1.0, 120 * k, 40 * k))])
+    movie = swf_binary.emit_movie_timeline(
+        frames, stage_rect=RECT, fonts=[FONT], texts=[text])
+    stages, _ = load_movie_timeline(movie)
+    r = TpuRenderer(stages[0].width, stages[0].height)
+    out = r.render_batch(stages)
+    assert "sweep" in (r.last_stats.path or "")
+    single = TpuRenderer(stages[3].width, stages[3].height).render(
+        stages[3])
+    np.testing.assert_array_equal(out[3], single)

@@ -1684,9 +1684,12 @@ def emit_movie_timeline(
                     and not font.name and not font.code_table
                     else emit_define_font2(font))
     for text in texts:
-        tags.extend(emit_define_text(
-            text, text2=any(r.color is not None and r.color.a != 255
-                            for r in text.runs)))
+        if isinstance(text, EditText):
+            tags.extend(emit_define_edit_text(text))
+        else:
+            tags.extend(emit_define_text(
+                text, text2=any(r.color is not None and r.color.a != 255
+                                for r in text.runs)))
     for sprite_id, sprite_frames in sprites:
         tags.extend(emit_define_sprite(sprite_id, sprite_frames))
     for fi, ops in enumerate(frames):
@@ -1732,8 +1735,20 @@ class Font:
     divisor: int = 1
     name: str = ""
     code_table: Tuple[int, ...] = ()
+    # DefineFont2/3 layout block (em-square units): present when
+    # ``advances`` is non-empty.  EditText layout needs these.
+    ascent: int = 0
+    descent: int = 0
+    leading: int = 0
+    advances: Tuple[int, ...] = ()
     _shape_defs: dict = dataclasses.field(default_factory=dict,
                                           compare=False, repr=False)
+
+    def glyph_for_code(self, code: int) -> Optional[int]:
+        try:
+            return self.code_table.index(code)
+        except ValueError:
+            return None
 
     def glyph_shape(self, index: int) -> ast.DefineShape:
         hit = self._shape_defs.get(index)
@@ -1861,9 +1876,12 @@ def emit_define_font2(font: Font) -> bytes:
     codes = font.code_table or tuple(range(n))
     if len(codes) != n:
         raise ValueError("code table length != glyph count")
+    has_layout = bool(font.advances)
+    if has_layout and len(font.advances) != n:
+        raise ValueError("advance table length != glyph count")
     name = font.name.encode("utf-8")
     body = bytearray(struct.pack("<H", font.id))
-    body.append(0x08 | 0x04)  # wideOffsets | wideCodes
+    body.append((0x80 if has_layout else 0) | 0x08 | 0x04)
     body.append(0)            # language code
     body.append(len(name))
     body.extend(name)
@@ -1882,6 +1900,16 @@ def emit_define_font2(font: Font) -> bytes:
     assert len(body) - table == cursor
     for code in codes:
         body.extend(struct.pack("<H", code))
+    if has_layout:
+        body.extend(struct.pack("<HHh", font.ascent, font.descent,
+                                font.leading))
+        for adv in font.advances:
+            body.extend(struct.pack("<h", adv))
+        w = BitWriter()
+        for _ in range(n):
+            _write_rect(w, ast.Rect(0, 0, 0, 0))
+        body.extend(w.bytes())
+        body.extend(struct.pack("<H", 0))  # kerning count
     return _tag(TAG_DEFINE_FONT3 if font.divisor == 20
                 else TAG_DEFINE_FONT2, bytes(body))
 
@@ -1908,10 +1936,21 @@ def parse_define_font2_tag(body: bytes, font3: bool = False) -> Font:
     cpos = table + offs[n]
     codes = tuple(struct.unpack_from(cfmt, body, cpos + cstep * i)[0]
                   for i in range(n))
-    # A trailing layout block (flags 0x80) is not consumed — nothing
-    # the renderer needs lives there.
+    ascent = descent = leading = 0
+    advances: Tuple[int, ...] = ()
+    if flags & 0x80:  # layout block: ascent/descent/leading + advances
+        lpos = cpos + cstep * n
+        ascent, descent, leading = struct.unpack_from("<HHh", body, lpos)
+        lpos += 6
+        advances = tuple(
+            struct.unpack_from("<h", body, lpos + 2 * i)[0]
+            for i in range(n))
+        # Glyph bounds and kerning records trail; nothing the renderer
+        # needs lives there.
     return Font(id=font_id, glyphs=tuple(glyphs),
-                divisor=20 if font3 else 1, name=name, code_table=codes)
+                divisor=20 if font3 else 1, name=name, code_table=codes,
+                ascent=ascent, descent=descent, leading=leading,
+                advances=advances)
 
 
 def emit_define_text(text: Text, text2: bool = False) -> bytes:
@@ -1961,6 +2000,103 @@ def emit_define_text(text: Text, text2: bool = False) -> bytes:
     body.append(0)  # end of text records
     return _tag(TAG_DEFINE_TEXT2 if text2 else TAG_DEFINE_TEXT,
                 bytes(body))
+
+
+TAG_DEFINE_EDIT_TEXT = 37
+
+
+@dataclasses.dataclass(frozen=True)
+class EditText:
+    """DefineEditText (tag 37): a text field.  The renderer draws its
+    INITIAL text with the embedded (use-outlines) font — no editing or
+    ActionScript, but the static look of the ubiquitous dynamic text
+    field.  Margins/indent/leading in twips; align 0..3 =
+    left/right/center/justify (justify renders as left)."""
+
+    id: int
+    bounds: ast.Rect
+    font_id: Optional[int] = None
+    height: int = 240
+    color: ast.StraightSRgba8 = ast.StraightSRgba8(0, 0, 0, 255)
+    text: str = ""
+    word_wrap: bool = False
+    multiline: bool = False
+    use_outlines: bool = False
+    align: int = 0
+    left_margin: int = 0
+    right_margin: int = 0
+    indent: int = 0
+    leading: int = 0
+    var_name: str = ""
+
+
+def emit_define_edit_text(field: EditText) -> bytes:
+    w = BitWriter()
+    _write_rect(w, field.bounds)
+    body = bytearray(struct.pack("<H", field.id)) + w.bytes()
+    flags1 = 0x08  # ReadOnly (we never edit)
+    if field.text:
+        flags1 |= 0x80
+    if field.word_wrap:
+        flags1 |= 0x40
+    if field.multiline:
+        flags1 |= 0x20
+    flags1 |= 0x04  # HasTextColor
+    if field.font_id is not None:
+        flags1 |= 0x01
+    flags2 = 0x20 | (0x01 if field.use_outlines else 0)  # HasLayout
+    body.extend((flags1, flags2))
+    if field.font_id is not None:
+        body.extend(struct.pack("<HH", field.font_id, field.height))
+    c = field.color
+    body.extend((c.r, c.g, c.b, c.a))
+    body.extend(struct.pack("<BHHHh", field.align, field.left_margin,
+                            field.right_margin, field.indent,
+                            field.leading))
+    body.extend(field.var_name.encode("utf-8") + b"\x00")
+    if field.text:
+        body.extend(field.text.encode("utf-8") + b"\x00")
+    return _tag(TAG_DEFINE_EDIT_TEXT, bytes(body))
+
+
+def parse_define_edit_text_tag(body: bytes) -> EditText:
+    (field_id,) = struct.unpack_from("<H", body, 0)
+    r = BitReader(body, 2)
+    bounds = _read_rect(r)
+    pos = r.byte_pos
+    flags1, flags2 = body[pos], body[pos + 1]
+    pos += 2
+    font_id = None
+    height = 240
+    if flags1 & 0x01:
+        font_id, height = struct.unpack_from("<HH", body, pos)
+        pos += 4
+    if flags2 & 0x80:  # font class name
+        pos = body.index(b"\x00", pos) + 1
+    color = ast.StraightSRgba8(0, 0, 0, 255)
+    if flags1 & 0x04:
+        color, pos = _read_rgba(body, pos)
+    if flags1 & 0x02:  # max length
+        pos += 2
+    align = left_m = right_m = indent = leading = 0
+    if flags2 & 0x20:
+        align, left_m, right_m, indent, leading = struct.unpack_from(
+            "<BHHHh", body, pos)
+        pos += 9
+    end = body.index(b"\x00", pos)
+    var_name = body[pos:end].decode("utf-8", "replace")
+    pos = end + 1
+    text = ""
+    if flags1 & 0x80:
+        end = body.index(b"\x00", pos)
+        text = body[pos:end].decode("utf-8", "replace")
+    return EditText(
+        id=field_id, bounds=bounds, font_id=font_id, height=height,
+        color=color, text=text,
+        word_wrap=bool(flags1 & 0x40), multiline=bool(flags1 & 0x20),
+        use_outlines=bool(flags2 & 0x01), align=align,
+        left_margin=left_m, right_margin=right_m, indent=indent,
+        leading=leading, var_name=var_name)
 
 
 def parse_define_text_tag(body: bytes, text2: bool = False) -> Text:
@@ -2264,6 +2400,7 @@ class Movie:
     frame_labels: dict = dataclasses.field(default_factory=dict)
     fonts: dict = dataclasses.field(default_factory=dict)    # id -> Font
     texts: dict = dataclasses.field(default_factory=dict)    # id -> Text
+    edit_texts: dict = dataclasses.field(default_factory=dict)  # -> EditText
 
     @property
     def placements(self) -> Tuple[Placement, ...]:
@@ -2287,7 +2424,7 @@ def parse_movie(data: bytes) -> Movie:
     (rate_fixed, _count) = struct.unpack_from("<HH", data, r.byte_pos)
     background = ast.StraightSRgba8(255, 255, 255, 255)
     shapes, morphs, bitmaps, sprites = {}, {}, {}, {}
-    fonts, texts = {}, {}
+    fonts, texts, edit_texts = {}, {}, {}
     labels: dict = {}
     jpeg_tables = b""
     dl = _DisplayList()
@@ -2342,6 +2479,9 @@ def parse_movie(data: bytes) -> Movie:
             text = parse_define_text_tag(body,
                                          text2=code == TAG_DEFINE_TEXT2)
             texts[text.id] = text
+        elif code == TAG_DEFINE_EDIT_TEXT:
+            field = parse_define_edit_text_tag(body)
+            edit_texts[field.id] = field
         elif code == TAG_FRAME_LABEL:
             end = body.index(b"\x00")
             labels[len(dl.frames)] = body[:end].decode("utf-8")
@@ -2349,4 +2489,5 @@ def parse_movie(data: bytes) -> Movie:
                  background=background, shapes=shapes,
                  morph_shapes=morphs, bitmaps=bitmaps,
                  frames=tuple(dl.frames), sprites=sprites,
-                 frame_labels=labels, fonts=fonts, texts=texts)
+                 frame_labels=labels, fonts=fonts, texts=texts,
+                 edit_texts=edit_texts)

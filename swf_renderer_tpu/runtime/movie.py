@@ -50,6 +50,9 @@ def _placement_child(p, movie: Movie,
     if p.character_id in movie.texts:
         return _text_container(movie, movie.texts[p.character_id],
                                p.matrix, ct, blend)
+    if p.character_id in movie.edit_texts:
+        return _edit_text_container(
+            movie, movie.edit_texts[p.character_id], p.matrix, ct, blend)
     if p.character_id in movie.sprites:
         # A sprite instance replays its timeline, looping, phased from
         # the frame it was placed (player semantics: a MovieClip starts
@@ -122,6 +125,93 @@ def _text_container(movie: Movie, text, matrix, ct,
     inner = display.Container(children=tuple(children),
                               matrix=text.matrix)
     return display.Container(children=(inner,), matrix=matrix,
+                             color_transform=ct, blend_mode=blend)
+
+
+_EDIT_TEXT_GUTTER = 40  # the player's 2 px text-field gutter, twips
+
+
+def _edit_text_container(movie: Movie, field, matrix, ct,
+                         blend) -> display.Container:
+    """Lay out a DefineEditText's INITIAL text with its embedded font.
+
+    Player-model layout: a 2 px gutter inside the bounds, pen starting
+    at left_margin + indent, baseline at the font ascent, greedy word
+    wrap at the right margin when word_wrap is set, '\\n'/'\\r' breaks
+    when multiline, line height = (ascent + descent) * scale + leading.
+    Alignment 1/2 right/center-shifts each laid line (3 = justify
+    renders as left).  Needs the font's layout block (advances)."""
+    from ..utils.fixed import Sfixed16P16
+
+    font = movie.fonts.get(field.font_id)
+    if font is None:
+        raise KeyError(f"FontNotFound: {field.font_id}")
+    if not font.advances:
+        raise ValueError(
+            "EditText needs a DefineFont2/3 layout block (advances)")
+    em = 1024.0 * font.divisor
+    scale = field.height / em
+    zero = Sfixed16P16.from_value(0)
+    sfx = Sfixed16P16.from_value(scale)
+    b = field.bounds
+    x0 = b.x_min + _EDIT_TEXT_GUTTER + field.left_margin
+    x_right = b.x_max - _EDIT_TEXT_GUTTER - field.right_margin
+    line_height = ((font.ascent + font.descent) / em * field.height
+                   + field.leading)
+    tint = display.ColorTransform(
+        mult=(field.color.r / 255.0, field.color.g / 255.0,
+              field.color.b / 255.0, field.color.a / 255.0))
+
+    def glyph_entries(chars):
+        out = []
+        for ch in chars:
+            gi = font.glyph_for_code(ord(ch))
+            if gi is None:
+                continue  # unmapped characters drop (player behavior)
+            out.append((gi, font.advances[gi] * scale))
+        return out
+
+    paragraphs = (field.text.replace("\r\n", "\n").replace("\r", "\n")
+                  .split("\n") if field.multiline else
+                  [field.text.replace("\r", " ").replace("\n", " ")])
+    lines = []
+    for para in paragraphs:
+        if field.word_wrap:
+            cur = []
+            cur_w = 0.0
+            indent = field.indent
+            for word in para.split(" "):
+                entries = glyph_entries(word + " ")
+                w_word = sum(a for _, a in entries)
+                if cur and x0 + indent + cur_w + w_word > x_right:
+                    lines.append((indent, cur))
+                    cur, cur_w, indent = [], 0.0, 0
+                cur.extend(entries)
+                cur_w += w_word
+            lines.append((indent, cur))
+        else:
+            lines.append((field.indent, glyph_entries(para)))
+
+    children = []
+    y = b.y_min + _EDIT_TEXT_GUTTER + font.ascent / em * field.height
+    for indent, entries in lines:
+        width = sum(a for _, a in entries)
+        x = x0 + indent
+        if field.align == 1:      # right
+            x = x_right - width
+        elif field.align == 2:    # center
+            x = x0 + indent + (x_right - x0 - indent - width) / 2.0
+        for gi, adv in entries:
+            m = ast.Matrix(scale_x=sfx, scale_y=sfx,
+                           rotate_skew0=zero, rotate_skew1=zero,
+                           translate_x=int(round(x)),
+                           translate_y=int(round(y)))
+            children.append(display.ShapeInstance(
+                definition=font.glyph_shape(gi), matrix=m,
+                color_transform=tint))
+            x += adv
+        y += line_height
+    return display.Container(children=tuple(children), matrix=matrix,
                              color_transform=ct, blend_mode=blend)
 
 

@@ -228,3 +228,98 @@ def test_moving_text_rides_transform_sweep():
     single = TpuRenderer(stages[3].width, stages[3].height).render(
         stages[3])
     np.testing.assert_array_equal(out[3], single)
+
+
+# ---------------------------------------------------------------------------
+# DefineEditText (dynamic text fields, rendered via embedded fonts)
+# ---------------------------------------------------------------------------
+
+# Code table maps 'A' -> triangle, 'B' -> square.
+LAYOUT_FONT = swf_binary.Font(
+    id=1, glyphs=(TRIANGLE, SQUARE), name="AB", code_table=(65, 66),
+    ascent=900, descent=200, leading=60, advances=(1000, 850))
+
+
+def test_font2_layout_roundtrip():
+    parsed = swf_binary.parse_define_font2_tag(
+        _strip(swf_binary.emit_define_font2(LAYOUT_FONT),
+               swf_binary.TAG_DEFINE_FONT2))
+    assert (parsed.ascent, parsed.descent, parsed.leading) == (900, 200, 60)
+    assert parsed.advances == (1000, 850)
+    assert parsed.glyphs == LAYOUT_FONT.glyphs
+
+
+def _edit_field(**kw):
+    defaults = dict(id=6, bounds=ast.Rect(0, 4000, 0, 2400), font_id=1,
+                    height=1024, color=ast.StraightSRgba8(10, 10, 10, 255),
+                    text="AB A", use_outlines=True)
+    defaults.update(kw)
+    return swf_binary.EditText(**defaults)
+
+
+def test_edit_text_tag_roundtrip():
+    field = _edit_field(word_wrap=True, multiline=True, align=2,
+                        left_margin=80, right_margin=40, indent=20,
+                        leading=100, var_name="score")
+    parsed = swf_binary.parse_define_edit_text_tag(
+        _strip(swf_binary.emit_define_edit_text(field),
+               swf_binary.TAG_DEFINE_EDIT_TEXT))
+    assert parsed == field
+
+
+def _movie_with_field(field, font=LAYOUT_FONT):
+    return swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=field.id)]],
+        stage_rect=ast.Rect(0, 4000, 0, 2400), fonts=[font],
+        texts=[field])
+
+
+def test_edit_text_renders_like_manual_layout():
+    """Single-line field: pen math (gutter + margins, baseline at the
+    ascent, advance table) replicated by hand renders pixel-equal."""
+    field = _edit_field(text="AB", left_margin=100)
+    got = render_movie(_movie_with_field(field))
+    g, asc = 40, 900  # gutter twips, ascent em-units at height 1024
+    x = 0 + g + 100
+    entries = [(TRIANGLE, 1.0, x, g + asc, field.color),
+               (SQUARE, 1.0, x + 1000, g + asc, field.color)]
+    want = TpuRenderer(200, 120).render(_glyph_twin_stage(entries))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_edit_text_word_wrap_and_multiline():
+    narrow = _edit_field(text="AB AB", word_wrap=True, multiline=True,
+                         bounds=ast.Rect(0, 2200, 0, 2400))
+    got = render_movie(_movie_with_field(narrow),
+                       )
+    # 'AB ' is ~2850 twips with the space advance; the second 'AB'
+    # wraps.  Line height = (900 + 200) * 1 + 0 leading = 1100 twips.
+    g, asc = 40, 900
+    entries = [
+        (TRIANGLE, 1.0, g, g + asc, narrow.color),
+        (SQUARE, 1.0, g + 1000, g + asc, narrow.color),
+        (TRIANGLE, 1.0, g, g + asc + 1100, narrow.color),
+        (SQUARE, 1.0, g + 1000, g + asc + 1100, narrow.color),
+    ]
+    want = TpuRenderer(200, 120).render(_glyph_twin_stage(entries))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_edit_text_alignment_shifts_lines():
+    left = render_movie(_movie_with_field(_edit_field(align=0)))
+    right = render_movie(_movie_with_field(_edit_field(align=1)))
+    center = render_movie(_movie_with_field(_edit_field(align=2)))
+    def ink_cols(frame):
+        ink = (frame[..., :3] < 200).any(axis=(0, 2))
+        idx = np.nonzero(ink)[0]
+        return idx[0], idx[-1]
+    l0, l1 = ink_cols(left)
+    r0, r1 = ink_cols(right)
+    c0, c1 = ink_cols(center)
+    assert l0 < c0 < r0 and l1 < c1 < r1
+
+
+def test_edit_text_unmapped_chars_drop():
+    got = render_movie(_movie_with_field(_edit_field(text="AZB")))
+    want = render_movie(_movie_with_field(_edit_field(text="AB")))
+    np.testing.assert_array_equal(got, want)

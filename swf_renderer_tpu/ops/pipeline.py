@@ -413,98 +413,152 @@ def _render_styled_multipass(edge_tables, paints, height, width, colors,
     return frames_u32_to_u8(out32, height, width)
 
 
-def _render_styled_masked(edge_tables, paints, height, width, colors,
-                          fill_rule, interpret, cache, group, spp, tree):
-    """Clip groups on the fused kernel: the draw list's mask tree
-    (runtime.scene.build_mask_tree) executes as premul-plane algebra —
-    draw runs chain through fused passes, a group's content renders on a
-    transparent background, scales by the mask's union alpha (white
-    unit-alpha fills source-over to 1 - prod(1 - c)), and alpha-overs
-    the accumulated planes.  A final zero-alpha chained pass quantizes
-    through the kernel's own resolve, so masked scenes share every
-    output path's premul-u8 math."""
+def plan_masked_program(tree, paints, fill_rule):
+    """Flatten a mask/blend tree into (segments, program).
+
+    ``segments``: ordered pass descriptors ``(idxs, paints, rule,
+    force_white)`` — each one fused-kernel pass (draw runs split at the
+    per-pass VMEM layer budget).  ``program``: nested steps —
+    ``("passes", [seg_id, ...])`` chains passes over the accumulator,
+    ``("mask", seg_id, subprogram)`` and ``("blend", mode, subprogram)``
+    composite a group.  The FINAL quantize segment (one empty zero-alpha
+    layer) is appended last; executors share this plan, so the
+    single-device path and the dp-sharded path run the identical
+    program."""
     from ..ops import style as style_ops
-    from .flatblock import LANE, frames_u32_to_u8, render_fused_styled
 
-    frames = len(edge_tables)
     white = style_ops.solid_paint((1.0, 1.0, 1.0, 1.0))
+    segments = []
 
-    def passes(idxs, bg, force_white=False):
-        """Render layers ``idxs`` (ascending) over ``bg`` -> premul
-        planes, splitting across kernel passes when the subset exceeds
-        one pass's VMEM budget."""
+    def add_segment(idxs, force_white):
         sub_paints = [white if force_white else paints[i] for i in idxs]
-        sub_colors = (np.ones((frames, len(idxs), 4), np.float32)
-                      if force_white else colors[:, list(idxs)])
-        out = bg
+        rule = (fill_rule[idxs[0]]
+                if len({fill_rule[i] for i in idxs}) == 1
+                else tuple(fill_rule[i] for i in idxs))
+        ids = []
         for lo, hi in split_layer_groups(sub_paints):
-            part = idxs[lo:hi]
-            tables = [[per[i] for i in part] for per in edge_tables]
-            p_part = sub_paints[lo:hi]
-            rule = (fill_rule[part[0]]
-                    if len({fill_rule[i] for i in part}) == 1
-                    else tuple(fill_rule[i] for i in part))
-            kpaints, fields, _ = kernel_paints_for(p_part, height, width,
-                                                   spp=spp)
-            gsi, gfl, gla, grc, gcm, gvv, ns, nc = _pack_styled(
-                tables, height, width, group, spp, cache, len(part))
-            out = render_fused_styled(
-                jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
-                jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
-                jnp.asarray(sub_colors[:, lo:hi]), fields, frames,
-                len(part), ns, nc, kpaints, group=group, fill_rule=rule,
-                interpret=interpret, spp=spp, chain=True, bg=out,
-                emit="premul")
-        return out
+            part_rule = (rule if not isinstance(rule, tuple)
+                         else (rule[lo:hi] if len(set(rule[lo:hi])) > 1
+                               else rule[lo]))
+            segments.append((tuple(idxs[lo:hi]), sub_paints[lo:hi],
+                             part_rule, force_white))
+            ids.append(len(segments) - 1)
+        return ids
 
-    def exec_items(items, bg):
+    def plan_items(items):
+        prog = []
         run: List[int] = []
 
-        def flush(bg):
+        def flush():
             if run:
-                bg = passes(tuple(run), bg)
+                prog.append(("passes", add_segment(tuple(run), False)))
                 run.clear()
-            return bg
 
         for item in items:
             if item[0] == "draw":
                 run.append(item[1])
                 continue
-            bg = flush(bg)
+            flush()
             if item[0] == "mask":
                 _, mask_idxs, content_items = item
-                mask = passes(tuple(mask_idxs), None, force_white=True)
-                content = exec_items(content_items, None)
+                (mseg,) = add_segment(tuple(mask_idxs), True) \
+                    if len(mask_idxs) <= MAX_KERNEL_LAYERS else (None,)
+                if mseg is None:
+                    raise ValueError("mask exceeds one pass's layers")
+                prog.append(("mask", mseg, plan_items(content_items)))
+            else:
+                _, mode, content_items = item
+                prog.append(("blend", mode, plan_items(content_items)))
+        flush()
+        return prog
+
+    program = plan_items(tree)
+    final = len(segments)
+    segments.append(((), [white], fill_rule[0], False))  # quantize pass
+    return segments, program, final
+
+
+def exec_masked_program(program, final_seg, seg_call):
+    """Run a plan_masked_program: ``seg_call(seg_id, bg, emit)`` renders
+    one segment over ``bg`` (None = transparent) and returns premul
+    planes (or the packed u32 strip for emit="u32")."""
+    from .composite import blend_premul
+
+    def exec_prog(prog, bg):
+        for step in prog:
+            if step[0] == "passes":
+                for sid in step[1]:
+                    bg = seg_call(sid, bg, "premul")
+            elif step[0] == "mask":
+                _, mseg, content_prog = step
+                mask = seg_call(mseg, None, "premul")
+                content = exec_prog(content_prog, None)
                 if content is None:
                     continue
                 scaled = content * mask[:, :, 3:4]
                 bg = (scaled if bg is None
                       else scaled + bg * (1.0 - scaled[:, :, 3:4]))
             else:
-                from .composite import blend_premul
-
-                _, mode, content_items = item
-                content = exec_items(content_items, None)
+                _, mode, content_prog = step
+                content = exec_prog(content_prog, None)
                 if content is None:
                     continue
                 if bg is None:
                     bg = jnp.zeros_like(content)
                 bg = blend_premul(bg, content, mode, channel_axis=2)
-        return flush(bg)
+        return bg
 
-    planes = exec_items(tree, None)
-    # Quantize through the kernel resolve: one chained zero-alpha layer
-    # (empty geometry) over the final planes, emitted as packed u32.
-    empty = [[np.zeros((0, 4), np.float32)] for _ in range(frames)]
-    kpaints, fields, _ = kernel_paints_for([white], height, width, spp=spp)
-    gsi, gfl, gla, grc, gcm, gvv, ns, nc = _pack_styled(
-        empty, height, width, group, spp, cache, 1)
-    out = np.asarray(render_fused_styled(
-        jnp.asarray(gsi), jnp.asarray(gfl), jnp.asarray(gla),
-        jnp.asarray(grc), jnp.asarray(gcm), jnp.asarray(gvv),
-        jnp.zeros((frames, 1, 4), np.float32), fields, frames, 1, ns, nc,
-        kpaints, group=group, fill_rule=fill_rule[0], interpret=interpret,
-        spp=spp, chain=True, bg=planes, emit="u32"))
+    planes = exec_prog(program, None)
+    return seg_call(final_seg, planes, "u32")
+
+
+def _segment_tables(edge_tables, idxs):
+    if not idxs:  # the final quantize segment: one empty layer
+        return [[np.zeros((0, 4), np.float32)] for _ in edge_tables]
+    return [[per[i] for i in idxs] for per in edge_tables]
+
+
+def _render_styled_masked(edge_tables, paints, height, width, colors,
+                          fill_rule, interpret, cache, group, spp, tree):
+    """Clip groups + blend modes on the fused kernel: the draw list's
+    group tree (runtime.scene.build_mask_tree) executes as premul-plane
+    algebra — draw runs chain through fused passes, a group's content
+    renders on a transparent background, scales by the mask's union
+    alpha (white unit-alpha fills source-over to 1 - prod(1 - c)) or
+    blends, and combines with the accumulated planes.  A final
+    zero-alpha chained pass quantizes through the kernel's own resolve,
+    so masked scenes share every output path's premul-u8 math."""
+    from .flatblock import LANE, frames_u32_to_u8, render_fused_styled
+
+    frames = len(edge_tables)
+    segments, program, final_seg = plan_masked_program(tree, paints,
+                                                       fill_rule)
+    packed = []
+    for idxs, sub_paints, rule, force_white in segments:
+        kpaints, fields, _ = kernel_paints_for(sub_paints, height, width,
+                                               spp=spp)
+        arrs = _pack_styled(_segment_tables(edge_tables, idxs), height,
+                            width, group, spp, cache, len(sub_paints))
+        sub_colors = (np.ones((frames, len(idxs), 4), np.float32)
+                      if force_white else
+                      (np.zeros((frames, 1, 4), np.float32) if not idxs
+                       else colors[:, list(idxs)]))
+        packed.append((tuple(jnp.asarray(x) for x in arrs[:6]),
+                       jnp.asarray(sub_colors), fields, kpaints,
+                       arrs[6], arrs[7], len(sub_paints), rule))
+
+    def seg_call(sid, bg, emit):
+        args, cols, fields, kpaints, ns, nc, nl, rule = packed[sid]
+        # chain=True even with bg=None: the chain-form composite is the
+        # form whose bit-pattern the masked-vs-layered exactness pins.
+        return render_fused_styled(
+            *args, cols, fields, frames, nl, ns, nc, kpaints,
+            group=group, fill_rule=rule, interpret=interpret, spp=spp,
+            chain=True, bg=bg, emit=emit)
+
+    out = np.asarray(exec_masked_program(program, final_seg, seg_call))
+    ns = packed[final_seg][4]
+    nc = packed[final_seg][5]
     out32 = out[:, :ns].reshape(frames, ns * spp * 8, nc * LANE)
     return frames_u32_to_u8(out32, height, width)
 

@@ -783,3 +783,115 @@ def render_deep_passes_sharded(mesh: Mesh, edge_tables, colors,
         acc = top + acc * (np.float32(1.0) - top[:, :, 3:4])
     pm = _premul_planes_to_frames(acc, height, width, nc)
     return np.asarray(premul_to_straight_u8(pm))
+
+
+def render_masked_dp(mesh: Mesh, edge_tables, paints, height: int,
+                     width: int, colors, mask_tree,
+                     fill_rule=None, interpret: bool = None):
+    """Data-parallel MASKED/BLENDED render: frames shard over ``dp``,
+    each device running the full group-composite program (pipeline
+    plan_masked_program / exec_masked_program — fused passes + premul
+    plane algebra + the chained quantize pass) on its own frames.
+    Zero cross-chip communication; per-shard packs pad to a common step
+    count with sentinel-strip no-op steps.  In-kernel paints only
+    (solid / sRGB gradients) — per-frame field planes would need
+    sharded bakes.  Returns (F, H, W, 4) uint8, bit-identical to the
+    single-device program (per-frame packing is frame-local)."""
+    from ..ops.coverage import FILL_RULE_NONZERO
+    from ..ops.flatblock import (
+        LANE, frames_u32_to_u8, plane_geometry, render_fused_styled,
+        strips_per_plane,
+    )
+    from ..ops.pipeline import (
+        _pack_styled, _segment_tables, exec_masked_program,
+        kernel_paints_for, plan_masked_program,
+    )
+
+    group = 6
+    dp = mesh.shape["dp"]
+    frames = len(edge_tables)
+    layers = len(edge_tables[0])
+    if frames % dp:
+        raise ValueError(f"frames ({frames}) must divide over dp ({dp})")
+    per = frames // dp
+    if fill_rule is None:
+        fill_rule = FILL_RULE_NONZERO
+    rules = (fill_rule if isinstance(fill_rule, tuple)
+             else (fill_rule,) * layers)
+    from ..native.bindings import native_available
+
+    _, nc_geo, ns_geo = plane_geometry(height, width)
+    spp = strips_per_plane(nc_geo, ns_geo) if native_available() else 1
+    colors = np.asarray(colors, np.float32)
+
+    segments, program, final_seg = plan_masked_program(mask_tree, paints,
+                                                       rules)
+    seg_meta = []
+    seg_arrays = []
+    for idxs, sub_paints, rule, force_white in segments:
+        kpaints, fields, _ = kernel_paints_for(sub_paints, height, width,
+                                               spp=spp)
+        if fields:
+            raise NotImplementedError(
+                "render_masked_dp supports in-kernel paints only "
+                "(field-plane paints need per-shard bakes)")
+        packs = []
+        for d in range(dp):
+            tables = _segment_tables(edge_tables[d * per:(d + 1) * per],
+                                     idxs)
+            packs.append(_pack_styled(tables, height, width, group, spp,
+                                      None, len(sub_paints)))
+        ns, nc = packs[0][6], packs[0][7]
+        nsteps = max(p[0].shape[0] for p in packs)
+        arrs = []
+        for ai in range(6):
+            stacked = []
+            for p in packs:
+                x = p[ai]
+                pad = nsteps - x.shape[0]
+                if pad:
+                    if ai == 0:    # sidx -> frame 0 / layer 0 / sentinel
+                        fill = np.full((pad,) + x.shape[1:], ns, x.dtype)
+                    elif ai == 1:  # flags: zero + emit, 0 used slots
+                        fill = np.full((pad,) + x.shape[1:], 3, x.dtype)
+                    else:
+                        fill = np.zeros((pad,) + x.shape[1:], x.dtype)
+                    x = np.concatenate([x, fill])
+                stacked.append(x)
+            arrs.append(np.stack(stacked))
+        if force_white:
+            sub_colors = np.ones((dp, per, len(idxs), 4), np.float32)
+        elif not idxs:
+            sub_colors = np.zeros((dp, per, 1, 4), np.float32)
+        else:
+            sub_colors = colors[:, list(idxs)].reshape(
+                dp, per, len(idxs), 4)
+        seg_arrays.extend(arrs + [sub_colors])
+        seg_meta.append((kpaints, ns, nc, len(sub_paints), rule))
+
+    def shard_fn(*flat):
+        local = [tuple(x[0] for x in flat[7 * i : 7 * i + 7])
+                 for i in range(len(segments))]
+
+        def seg_call(sid, bg, emit):
+            kpaints, ns, nc, nl, rule = seg_meta[sid]
+            args = local[sid]
+            return render_fused_styled(
+                args[0], args[1], args[2], args[3], args[4], args[5],
+                args[6], (), per, nl, ns, nc, kpaints, group=group,
+                fill_rule=rule, interpret=interpret, spp=spp,
+                chain=True, bg=bg, emit=emit)
+
+        return exec_masked_program(program, final_seg, seg_call)[None]
+
+    spec = P("dp")
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec,) * (7 * len(segments)),
+        out_specs=spec, check_vma=False,
+    )(*map(jnp.asarray, seg_arrays))
+    out = np.asarray(out).reshape((frames,) + out.shape[2:])
+    ns = seg_meta[final_seg][1]
+    nc = seg_meta[final_seg][2]
+    out32 = out[:, :ns].reshape(frames, ns * spp * 8, nc * LANE)
+    return frames_u32_to_u8(out32, height, width)

@@ -765,3 +765,40 @@ def test_tile_sharded_affine_sweep_unaligned_fallback():
     wu = want.view(np.uint8).reshape(*want.shape, 4).astype(np.int32)
     assert np.abs(gu - wu).max() <= 1
     assert gu[..., 3].max() > 100
+
+
+def test_render_masked_dp_matches_single_device():
+    """The dp-sharded group-composite program (masks + blends) is
+    bit-identical to the single-device fused masked path — packing is
+    frame-local, so sharding the frame axis changes nothing."""
+    from swf_renderer_tpu.ops.pipeline import render_batch_styled
+    from swf_renderer_tpu.ops.style import solid_paint
+    from swf_renderer_tpu.parallel.mesh import render_masked_dp
+
+    rng = np.random.default_rng(11)
+    f, h, w = 8, 48, 160
+    mask_rect = np.array(
+        [[10, 0, 100, 0], [100, 0, 100, h], [100, h, 10, h],
+         [10, h, 10, 0]], np.float32)
+
+    def blob():
+        pts = rng.uniform(0, (w, h), size=(6, 2)).astype(np.float32)
+        closed = np.concatenate([pts, pts[:1]])
+        return np.concatenate([closed[:-1], closed[1:]], axis=1)
+
+    edge_tables = [[blob(), mask_rect, blob(), blob()] for _ in range(f)]
+    paints = [solid_paint((0.9, 0.2, 0.2, 1.0)),
+              solid_paint((1.0, 1.0, 1.0, 1.0)),
+              solid_paint((0.2, 0.4, 0.9, 0.7)),
+              solid_paint((0.1, 0.8, 0.3, 0.5))]
+    colors = np.stack([np.stack([p.color for p in paints])
+                       for _ in range(f)]).astype(np.float32)
+    tree = [("draw", 0),
+            ("mask", [1], [("draw", 2),
+                           ("blend", "multiply", [("draw", 3)])])]
+
+    want = render_batch_styled(edge_tables, paints, h, w, colors=colors,
+                               mask_tree=tree)
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=1)
+    got = render_masked_dp(mesh, edge_tables, paints, h, w, colors, tree)
+    np.testing.assert_array_equal(got, want)

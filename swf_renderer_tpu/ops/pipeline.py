@@ -461,11 +461,11 @@ def plan_masked_program(tree, paints, fill_rule):
             flush()
             if item[0] == "mask":
                 _, mask_idxs, content_items = item
-                (mseg,) = add_segment(tuple(mask_idxs), True) \
-                    if len(mask_idxs) <= MAX_KERNEL_LAYERS else (None,)
-                if mseg is None:
-                    raise ValueError("mask exceeds one pass's layers")
-                prog.append(("mask", mseg, plan_items(content_items)))
+                # A deep mask splits into chained white passes —
+                # source-over of unit-alpha coverages IS the union, so
+                # chaining the segments composes exactly.
+                msegs = add_segment(tuple(mask_idxs), True)
+                prog.append(("mask", msegs, plan_items(content_items)))
             else:
                 _, mode, content_items = item
                 prog.append(("blend", mode, plan_items(content_items)))
@@ -490,8 +490,10 @@ def exec_masked_program(program, final_seg, seg_call):
                 for sid in step[1]:
                     bg = seg_call(sid, bg, "premul")
             elif step[0] == "mask":
-                _, mseg, content_prog = step
-                mask = seg_call(mseg, None, "premul")
+                _, msegs, content_prog = step
+                mask = None
+                for mseg in msegs:
+                    mask = seg_call(mseg, mask, "premul")
                 content = exec_prog(content_prog, None)
                 if content is None:
                     continue

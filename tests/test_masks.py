@@ -348,3 +348,23 @@ def test_uniform_masked_timeline_rides_batched_path():
     for k, stage in enumerate(stages):
         single, _ = _render(stage, backend="auto")
         np.testing.assert_array_equal(out[k], single, err_msg=f"frame {k}")
+
+
+def test_deep_mask_chains_white_passes():
+    """A mask whose own coverage has more layers than one kernel pass
+    (>16 fills) chains white passes — source-over of unit-alpha
+    coverages IS the union, so the fused result matches the layered
+    compositor."""
+    tiles = tuple(
+        display.ShapeInstance(
+            definition=_rect_shape(30 + i, 140, 700, GREEN),
+            matrix=_tl(120 * (i % 6), 60 * (i // 6)))
+        for i in range(18))
+    stage = _stage([display.MaskedGroup(
+        mask=display.Container(children=tiles),
+        children=(display.ShapeInstance(definition=FULL),))])
+    fused, r = _render(stage, backend="auto")
+    assert r._exec_path == "flatblock"
+    layered, _ = _render(stage, backend="scanline")
+    diff = np.abs(fused.astype(np.int32) - layered.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"

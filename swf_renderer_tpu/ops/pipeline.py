@@ -628,6 +628,13 @@ def render_batch_styled(edge_tables, paints, height: int, width: int,
     fill_rule = normalize_fill_rule(fill_rule, layers)
     stride, nc_geo, ns_geo = plane_geometry(height, width)
     if stride > MAX_CHUNKS * LANE:
+        if mask_tree is not None:
+            # The layered fallback here has no group compositor; the
+            # renderer routes over-wide masked scenes through its own
+            # scanline/direct backends instead (renderer.execute).
+            raise ValueError(
+                f"masked scenes wider than {MAX_CHUNKS * LANE} px don't "
+                "fit the fused program; use the layered renderer backends")
         return render_styled_layered(edge_tables, paints, height, width,
                                      colors=colors, fill_rule=fill_rule)
 

@@ -1649,7 +1649,8 @@ def emit_movie_timeline(
         sprites: Tuple = (),
         frame_labels: Optional[dict] = None,
         fonts: Tuple = (),
-        texts: Tuple = ()) -> bytes:
+        texts: Tuple = (),
+        buttons: Tuple = ()) -> bytes:
     """A multi-frame movie: define tags up front, then per frame a list
     of Placement / RemoveObject display-list operations followed by
     ShowFrame.  Placement.move carries the PlaceFlagMove form (modify
@@ -1690,6 +1691,8 @@ def emit_movie_timeline(
             tags.extend(emit_define_text(
                 text, text2=any(r.color is not None and r.color.a != 255
                                 for r in text.runs)))
+    for button in buttons:
+        tags.extend(emit_define_button2(button))
     for sprite_id, sprite_frames in sprites:
         tags.extend(emit_define_sprite(sprite_id, sprite_frames))
     for fi, ops in enumerate(frames):
@@ -1712,14 +1715,144 @@ def emit_movie_timeline(
 
 
 # ---------------------------------------------------------------------------
+# Buttons (DefineButton/DefineButton2) — rendered in their UP state
+# ---------------------------------------------------------------------------
+
+TAG_DEFINE_BUTTON = 7
+TAG_DEFINE_BUTTON2 = 34
+
+
+@dataclasses.dataclass(frozen=True)
+class ButtonRecord:
+    """One BUTTONRECORD: a character shown in some button states."""
+
+    character_id: int
+    depth: int
+    matrix: ast.Matrix
+    states: int  # bit0 up, bit1 over, bit2 down, bit3 hit-test
+    color_transform: Optional[Tuple] = None  # button2 only
+
+
+@dataclasses.dataclass(frozen=True)
+class Button:
+    """A button character.  The renderer draws the UP state (bit 0) —
+    interactivity is ActionScript's job, but buttons are placeable
+    characters and real movies are full of them."""
+
+    id: int
+    records: Tuple[ButtonRecord, ...]
+
+    def state_records(self, bit: int = 0x01):
+        return tuple(r for r in self.records
+                     if r.states & bit and not r.states & 0x08
+                     or (bit == 0x08 and r.states & 0x08))
+
+
+def emit_define_button2(button: Button) -> bytes:
+    body = bytearray(struct.pack("<H", button.id))
+    body.append(0)                      # flags: not TrackAsMenu
+    body.extend(struct.pack("<H", 0))   # action offset: no actions
+    for rec in button.records:
+        body.append(rec.states & 0x0F)
+        body.extend(struct.pack("<HH", rec.character_id, rec.depth))
+        w = BitWriter()
+        _write_matrix(w, rec.matrix if rec.matrix is not None
+                      else _identity_matrix())
+        _write_cxform_alpha(w, *(rec.color_transform
+                                 or ((1.0,) * 4, (0.0,) * 4)))
+        body.extend(w.bytes())
+    body.append(0)  # end of button records
+    return _tag(TAG_DEFINE_BUTTON2, bytes(body))
+
+
+def _parse_button_records(body: bytes, pos: int, button2: bool):
+    records = []
+    while True:
+        flags = body[pos]
+        pos += 1
+        if flags == 0:
+            break
+        char_id, depth = struct.unpack_from("<HH", body, pos)
+        pos += 4
+        r = BitReader(body, pos)
+        matrix = _read_matrix(r)
+        ct = None
+        if button2:
+            ct = _read_cxform_alpha(r)
+        pos = r.byte_pos
+        if button2 and flags & 0x30:
+            # Filter list / blend mode trailers (SWF8) — parse enough
+            # to skip: blend mode is 1 byte, filters are length-coded.
+            if flags & 0x10:
+                raise ValueError("button filter lists are unsupported")
+            if flags & 0x20:
+                pos += 1  # blend mode: ignored on buttons
+        records.append(ButtonRecord(
+            character_id=char_id, depth=depth, matrix=matrix,
+            states=flags & 0x0F, color_transform=ct))
+    return tuple(records), pos
+
+
+def parse_define_button2_tag(body: bytes) -> Button:
+    (button_id,) = struct.unpack_from("<H", body, 0)
+    (action_offset,) = struct.unpack_from("<H", body, 3)
+    records, _ = _parse_button_records(body, 5, button2=True)
+    # Trailing BUTTONCONDACTION blocks (ActionScript) are ignored.
+    return Button(id=button_id, records=records)
+
+
+def parse_define_button_tag(body: bytes) -> Button:
+    """SWF1 DefineButton (tag 7): records without color transforms,
+    trailed by actions (ignored)."""
+    (button_id,) = struct.unpack_from("<H", body, 0)
+    records, _ = _parse_button_records(body, 2, button2=False)
+    return Button(id=button_id, records=records)
+
+
+# ---------------------------------------------------------------------------
 # Fonts and static text (DefineFont/2/3, DefineText/2)
 # ---------------------------------------------------------------------------
 
 TAG_DEFINE_FONT = 10
 TAG_DEFINE_FONT2 = 48
 TAG_DEFINE_FONT3 = 75
+TAG_DEFINE_FONT_INFO = 13
+TAG_DEFINE_FONT_INFO2 = 62
 TAG_DEFINE_TEXT = 11
 TAG_DEFINE_TEXT2 = 33
+
+
+def parse_define_font_info_tag(body: bytes, info2: bool = False):
+    """(font_id, name, code_table) from DefineFontInfo/2 — attaches
+    character codes to a tag-10 font's glyphs."""
+    (font_id,) = struct.unpack_from("<H", body, 0)
+    name_len = body[2]
+    name = body[3 : 3 + name_len].decode("utf-8", "replace")
+    pos = 3 + name_len
+    flags = body[pos]
+    pos += 1
+    if info2:
+        pos += 1  # language code
+    wide = info2 or bool(flags & 0x01)
+    fmt, step = ("<H", 2) if wide else ("<B", 1)
+    codes = tuple(struct.unpack_from(fmt, body, pos + step * i)[0]
+                  for i in range((len(body) - pos) // step))
+    return font_id, name, codes
+
+
+def emit_define_font_info(font_id: int, name: str, codes,
+                          info2: bool = False) -> bytes:
+    nm = name.encode("utf-8")
+    body = bytearray(struct.pack("<H", font_id))
+    body.append(len(nm))
+    body.extend(nm)
+    body.append(0x01)  # wide codes
+    if info2:
+        body.append(0)  # language
+    for c in codes:
+        body.extend(struct.pack("<H", c))
+    return _tag(TAG_DEFINE_FONT_INFO2 if info2 else TAG_DEFINE_FONT_INFO,
+                bytes(body))
 
 
 @dataclasses.dataclass
@@ -2401,6 +2534,7 @@ class Movie:
     fonts: dict = dataclasses.field(default_factory=dict)    # id -> Font
     texts: dict = dataclasses.field(default_factory=dict)    # id -> Text
     edit_texts: dict = dataclasses.field(default_factory=dict)  # -> EditText
+    buttons: dict = dataclasses.field(default_factory=dict)  # id -> Button
 
     @property
     def placements(self) -> Tuple[Placement, ...]:
@@ -2424,7 +2558,7 @@ def parse_movie(data: bytes) -> Movie:
     (rate_fixed, _count) = struct.unpack_from("<HH", data, r.byte_pos)
     background = ast.StraightSRgba8(255, 255, 255, 255)
     shapes, morphs, bitmaps, sprites = {}, {}, {}, {}
-    fonts, texts, edit_texts = {}, {}, {}
+    fonts, texts, edit_texts, buttons = {}, {}, {}, {}
     labels: dict = {}
     jpeg_tables = b""
     dl = _DisplayList()
@@ -2482,6 +2616,18 @@ def parse_movie(data: bytes) -> Movie:
         elif code == TAG_DEFINE_EDIT_TEXT:
             field = parse_define_edit_text_tag(body)
             edit_texts[field.id] = field
+        elif code in (TAG_DEFINE_FONT_INFO, TAG_DEFINE_FONT_INFO2):
+            fid, fname, codes = parse_define_font_info_tag(
+                body, info2=code == TAG_DEFINE_FONT_INFO2)
+            if fid in fonts:
+                fonts[fid] = dataclasses.replace(
+                    fonts[fid], name=fname or fonts[fid].name,
+                    code_table=codes)
+        elif code in (TAG_DEFINE_BUTTON, TAG_DEFINE_BUTTON2):
+            button = (parse_define_button2_tag(body)
+                      if code == TAG_DEFINE_BUTTON2
+                      else parse_define_button_tag(body))
+            buttons[button.id] = button
         elif code == TAG_FRAME_LABEL:
             end = body.index(b"\x00")
             labels[len(dl.frames)] = body[:end].decode("utf-8")
@@ -2490,4 +2636,4 @@ def parse_movie(data: bytes) -> Movie:
                  morph_shapes=morphs, bitmaps=bitmaps,
                  frames=tuple(dl.frames), sprites=sprites,
                  frame_labels=labels, fonts=fonts, texts=texts,
-                 edit_texts=edit_texts)
+                 edit_texts=edit_texts, buttons=buttons)

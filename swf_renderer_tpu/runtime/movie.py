@@ -53,6 +53,25 @@ def _placement_child(p, movie: Movie,
     if p.character_id in movie.edit_texts:
         return _edit_text_container(
             movie, movie.edit_texts[p.character_id], p.matrix, ct, blend)
+    if p.character_id in movie.buttons:
+        # Buttons render their UP state (bit 0) — records become a
+        # depth-ordered container (interactivity is out of scope).
+        from ..models.swf_binary import Placement
+
+        button = movie.buttons[p.character_id]
+        identity_ct = ((1.0,) * 4, (0.0,) * 4)
+        children = tuple(
+            _placement_child(Placement(
+                depth=rec.depth, character_id=rec.character_id,
+                matrix=rec.matrix,
+                color_transform=(rec.color_transform
+                                 if rec.color_transform not in
+                                 (None, identity_ct) else None)),
+                movie, frame_idx)
+            for rec in sorted(button.state_records(0x01),
+                              key=lambda r: r.depth))
+        return display.Container(children=children, matrix=p.matrix,
+                                 color_transform=ct, blend_mode=blend)
     if p.character_id in movie.sprites:
         # A sprite instance replays its timeline, looping, phased from
         # the frame it was placed (player semantics: a MovieClip starts

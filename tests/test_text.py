@@ -323,3 +323,84 @@ def test_edit_text_unmapped_chars_drop():
     got = render_movie(_movie_with_field(_edit_field(text="AZB")))
     want = render_movie(_movie_with_field(_edit_field(text="AB")))
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Buttons (UP state) and DefineFontInfo
+# ---------------------------------------------------------------------------
+
+
+def test_button2_roundtrip_and_up_state_render():
+    """A DefineButton2 renders its UP-state records as a depth-ordered
+    container; over/down/hit-only records draw nothing."""
+    import numpy as np
+
+    from swf_renderer_tpu.runtime.movie import render_movie
+
+    sq = ast.DefineShape(
+        id=2, bounds=ast.Rect(0, 800, 0, 600),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(color=RED),), line=()),
+            records=(
+                ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0),
+                                      left_fill=1),
+                ast.EdgeRecord(delta=ast.Vector2D(800, 0)),
+                ast.EdgeRecord(delta=ast.Vector2D(0, 600)),
+                ast.EdgeRecord(delta=ast.Vector2D(-800, 0)),
+                ast.EdgeRecord(delta=ast.Vector2D(0, -600)),
+            )))
+    blue = ast.StraightSRgba8(10, 10, 200, 255)
+    sq_blue = ast.DefineShape(
+        id=3, bounds=sq.bounds,
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(color=blue),), line=()),
+            records=sq.shape.records))
+    button = swf_binary.Button(id=9, records=(
+        swf_binary.ButtonRecord(character_id=2, depth=1,
+                                matrix=_identity(), states=0x01),  # up
+        swf_binary.ButtonRecord(character_id=3, depth=2,
+                                matrix=_scale_translate(1.0, 400, 0),
+                                states=0x06),  # over | down only
+    ))
+    blob = swf_binary.emit_define_button2(button)
+    head = int.from_bytes(blob[:2], "little")
+    off = 2 + (4 if (head & 0x3F) == 0x3F else 0)
+    parsed = swf_binary.parse_define_button2_tag(blob[off:])
+    assert parsed.id == 9 and len(parsed.records) == 2
+    assert parsed.records[0].states == 0x01
+    assert [r.character_id for r in parsed.state_records(0x01)] == [2]
+
+    movie = swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=9)]],
+        shapes=[sq, sq_blue], buttons=[button],
+        stage_rect=ast.Rect(0, 1600, 0, 600))
+    got = render_movie(movie)
+    want = render_movie(swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=2)]],
+        shapes=[sq, sq_blue], stage_rect=ast.Rect(0, 1600, 0, 600)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_font_info_attaches_codes_to_v1_font():
+    """DefineFontInfo gives a tag-10 font its character codes, making
+    it usable by EditText."""
+    base = swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(
+            depth=1, character_id=6)]],
+        stage_rect=ast.Rect(0, 4000, 0, 2400),
+        fonts=[swf_binary.Font(id=1, glyphs=(TRIANGLE, SQUARE))],
+        texts=[swf_binary.Text(
+            id=6, bounds=ast.Rect(0, 4000, 0, 2400), matrix=_identity(),
+            runs=(swf_binary.TextRun(glyphs=((0, 1000),), font_id=1,
+                                     height=1024, color=RED,
+                                     x_offset=0, y_offset=1000),))])
+    info = swf_binary.emit_define_font_info(1, "TriFont", (65, 66))
+    end = base.rindex(b"\x40\x00")
+    movie = base[:end] + info + base[end:]
+    movie = movie[:4] + len(movie).to_bytes(4, "little") + movie[8:]
+    parsed = swf_binary.parse_movie(movie)
+    assert parsed.fonts[1].code_table == (65, 66)
+    assert parsed.fonts[1].name == "TriFont"
+    assert parsed.fonts[1].glyph_for_code(66) == 1

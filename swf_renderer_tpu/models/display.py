@@ -39,6 +39,9 @@ class ShapeInstance:
     # Framework extension (PlaceObject3): one of ops.composite.BLEND_MODES,
     # or None for normal source-over.
     blend_mode: Optional[str] = None
+    # Framework extension (PlaceObject3 filter list): ops.filters
+    # dataclasses applied to the object's composed image.
+    filters: Tuple = ()
     type: DisplayObjectType = DisplayObjectType.SHAPE
 
 
@@ -49,6 +52,7 @@ class MorphShapeInstance:
     matrix: Optional[ast.Matrix] = None
     color_transform: Optional[ColorTransform] = None
     blend_mode: Optional[str] = None
+    filters: Tuple = ()
     type: DisplayObjectType = DisplayObjectType.MORPH_SHAPE
 
 
@@ -58,6 +62,7 @@ class Container:
     matrix: Optional[ast.Matrix] = None
     color_transform: Optional[ColorTransform] = None
     blend_mode: Optional[str] = None
+    filters: Tuple = ()
     type: DisplayObjectType = DisplayObjectType.CONTAINER
 
 
@@ -76,6 +81,7 @@ class MaskedGroup:
     matrix: Optional[ast.Matrix] = None
     color_transform: Optional[ColorTransform] = None
     blend_mode: Optional[str] = None
+    filters: Tuple = ()
     type: DisplayObjectType = DisplayObjectType.CONTAINER
 
 

@@ -534,6 +534,10 @@ class Placement:
     # its depth slot but draws nothing); None = unspecified (a move
     # retains the previous value).
     visible: Optional[bool] = None
+    # PlaceObject3 surface filter list: ops.filters dataclasses
+    # (DropShadow/Blur/Glow/ColorMatrix; bevel/gradient/convolution
+    # parse-skip with a warning).
+    filters: Tuple = ()
     # Emit as the SWF1 PlaceObject (tag 4): character id + depth +
     # mandatory matrix + optional RGB CXFORM.  Parsing tag 4 sets this.
     legacy: bool = False
@@ -712,6 +716,131 @@ def _place_flags_and_fields(p: Placement):
     return flags, bytes(body)
 
 
+def _parse_filter_list(body: bytes, pos: int):
+    """PlaceObject3 SURFACEFILTERLIST -> ops.filters dataclasses.
+    Unsupported kinds (bevel, gradient glow/bevel, convolution) are
+    structurally skipped with a warning — a missing embellishment
+    beats refusing the movie."""
+    import logging
+
+    from ..ops.filters import (
+        BlurFilter, ColorMatrixFilter, DropShadowFilter, GlowFilter,
+    )
+
+    def fixed(off):
+        (v,) = struct.unpack_from("<i", body, off)
+        return v / 65536.0
+
+    def fixed8(off):
+        (v,) = struct.unpack_from("<h", body, off)
+        return v / 256.0
+
+    def rgba(off):
+        r, g, b, a = body[off : off + 4]
+        return (r / 255.0, g / 255.0, b / 255.0, a / 255.0)
+
+    count = body[pos]
+    pos += 1
+    filters = []
+    for _ in range(count):
+        fid = body[pos]
+        pos += 1
+        if fid == 0:  # drop shadow
+            color = rgba(pos)
+            bx, by = fixed(pos + 4), fixed(pos + 8)
+            angle, dist = fixed(pos + 12), fixed(pos + 16)
+            strength = fixed8(pos + 20)
+            flags = body[pos + 22]
+            filters.append(DropShadowFilter(
+                color=color, blur_x=bx, blur_y=by, angle=angle,
+                distance=dist, strength=strength,
+                inner=bool(flags & 0x80), knockout=bool(flags & 0x40),
+                passes=flags & 0x1F))
+            pos += 23
+        elif fid == 1:  # blur
+            bx, by = fixed(pos), fixed(pos + 4)
+            flags = body[pos + 8]
+            filters.append(BlurFilter(blur_x=bx, blur_y=by,
+                                      passes=flags >> 3))
+            pos += 9
+        elif fid == 2:  # glow
+            color = rgba(pos)
+            bx, by = fixed(pos + 4), fixed(pos + 8)
+            strength = fixed8(pos + 12)
+            flags = body[pos + 14]
+            filters.append(GlowFilter(
+                color=color, blur_x=bx, blur_y=by, strength=strength,
+                inner=bool(flags & 0x80), knockout=bool(flags & 0x40),
+                passes=flags & 0x1F))
+            pos += 15
+        elif fid == 6:  # color matrix
+            terms = struct.unpack_from("<20f", body, pos)
+            filters.append(ColorMatrixFilter(matrix=tuple(terms)))
+            pos += 80
+        elif fid == 3:  # bevel: skipped
+            pos += 27
+            logging.getLogger(__name__).warning(
+                "skipping unsupported bevel filter")
+        elif fid in (4, 7):  # gradient glow / gradient bevel: skipped
+            n = body[pos]
+            pos += 1 + 5 * n + 19
+            logging.getLogger(__name__).warning(
+                "skipping unsupported gradient filter %d", fid)
+        elif fid == 5:  # convolution: skipped
+            mx, my = body[pos], body[pos + 1]
+            pos += 2 + 8 + 4 * mx * my + 4 + 1
+            logging.getLogger(__name__).warning(
+                "skipping unsupported convolution filter")
+        else:
+            raise ValueError(f"unknown filter id {fid}")
+    return tuple(filters), pos
+
+
+def _emit_filter_list(filters) -> bytes:
+    from ..ops.filters import (
+        BlurFilter, ColorMatrixFilter, DropShadowFilter, GlowFilter,
+    )
+
+    def fixed(v):
+        return struct.pack("<i", int(round(v * 65536)))
+
+    def fixed8(v):
+        return struct.pack("<h", int(round(v * 256)))
+
+    def rgba(c):
+        return bytes(int(round(ch * 255)) for ch in c)
+
+    out = bytearray((len(filters),))
+    for f in filters:
+        if isinstance(f, DropShadowFilter):
+            out.append(0)
+            out.extend(rgba(f.color))
+            out.extend(fixed(f.blur_x) + fixed(f.blur_y))
+            out.extend(fixed(f.angle) + fixed(f.distance))
+            out.extend(fixed8(f.strength))
+            out.append((0x80 if f.inner else 0)
+                       | (0x40 if f.knockout else 0) | 0x20
+                       | (f.passes & 0x1F))
+        elif isinstance(f, BlurFilter):
+            out.append(1)
+            out.extend(fixed(f.blur_x) + fixed(f.blur_y))
+            out.append((f.passes & 0x1F) << 3)
+        elif isinstance(f, GlowFilter):
+            out.append(2)
+            out.extend(rgba(f.color))
+            out.extend(fixed(f.blur_x) + fixed(f.blur_y))
+            out.extend(fixed8(f.strength))
+            out.append((0x80 if f.inner else 0)
+                       | (0x40 if f.knockout else 0) | 0x20
+                       | (f.passes & 0x1F))
+        elif isinstance(f, ColorMatrixFilter):
+            out.append(6)
+            out.extend(struct.pack("<20f", *f.matrix))
+        else:
+            raise ValueError(f"cannot emit filter {f!r}")
+    return bytes(out)
+
+
 def _emit_place_object3(p: Placement) -> bytes:
     """PlaceObject3 (tag 70): the PlaceObject2 fields plus a flags2
     byte; emitted for blend-mode and visibility placements (filters,
@@ -719,6 +848,9 @@ def _emit_place_object3(p: Placement) -> bytes:
     flags, fields = _place_flags_and_fields(p)
     flags2 = 0
     tail = bytearray()
+    if p.filters:
+        flags2 |= 0x01  # HasFilterList
+        tail.extend(_emit_filter_list(p.filters))
     if p.blend is not None:
         if p.blend not in _BLEND_NAMES:
             raise ValueError(f"unknown blend mode {p.blend!r}")
@@ -737,8 +869,6 @@ def _parse_place_object3(body: bytes) -> Placement:
     if flags & 0x80:
         raise ValueError(
             f"unsupported PlaceObject3 flags 0x{flags:02x} (clip actions)")
-    if flags2 & 0x01:
-        raise ValueError("unsupported PlaceObject3 surface filter list")
     (depth,) = struct.unpack_from("<H", body, 2)
     pos = 4
     if flags2 & 0x08 or (flags2 & 0x10 and flags & 0x02):
@@ -770,6 +900,9 @@ def _parse_place_object3(body: bytes) -> Placement:
     if flags & 0x40:
         (clip_depth,) = struct.unpack_from("<H", body, pos)
         pos += 2
+    filters = ()
+    if flags2 & 0x01:
+        filters, pos = _parse_filter_list(body, pos)
     blend = None
     if flags2 & 0x02:
         blend = _BLEND_ORDINALS.get(body[pos])
@@ -787,13 +920,14 @@ def _parse_place_object3(body: bytes) -> Placement:
     return Placement(depth=depth, character_id=char_id, matrix=matrix,
                      color_transform=ct, ratio=ratio,
                      move=bool(flags & 0x01), name=name,
-                     clip_depth=clip_depth, blend=blend, visible=visible)
+                     clip_depth=clip_depth, blend=blend, visible=visible,
+                     filters=filters)
 
 
 def _emit_place_object2(p: Placement) -> bytes:
     if p.legacy:
         return _emit_place_object(p)
-    if p.blend is not None or p.visible is not None:
+    if p.blend is not None or p.visible is not None or p.filters:
         return _emit_place_object3(p)
     flags, fields = _place_flags_and_fields(p)
     return _tag(TAG_PLACE_OBJECT2,
@@ -2346,6 +2480,7 @@ class _DisplayList:
                 blend=(p.blend if p.blend is not None else prev.blend),
                 visible=(p.visible if p.visible is not None
                          else prev.visible),
+                filters=(p.filters if p.filters else prev.filters),
                 placed_frame=(len(self.frames) if replaced
                               else prev.placed_frame))
         else:

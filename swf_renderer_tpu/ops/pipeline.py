@@ -466,9 +466,13 @@ def plan_masked_program(tree, paints, fill_rule):
                 # chaining the segments composes exactly.
                 msegs = add_segment(tuple(mask_idxs), True)
                 prog.append(("mask", msegs, plan_items(content_items)))
-            else:
+            elif item[0] == "blend":
                 _, mode, content_items = item
                 prog.append(("blend", mode, plan_items(content_items)))
+            else:
+                raise NotImplementedError(
+                    "filter groups render on the layered compositor "
+                    "(renderer backends route them there)")
         flush()
         return prog
 

@@ -38,21 +38,23 @@ def _placement_child(p, movie: Movie,
         ct = display.ColorTransform(mult=tuple(p.color_transform[0]),
                                     add=tuple(p.color_transform[1]))
     blend = getattr(p, "blend", None)
+    filters = tuple(getattr(p, "filters", ()) or ())
     if p.character_id in movie.shapes:
         return display.ShapeInstance(
             definition=movie.shapes[p.character_id], matrix=p.matrix,
-            color_transform=ct, blend_mode=blend)
+            color_transform=ct, blend_mode=blend, filters=filters)
     if p.character_id in movie.morph_shapes:
         return display.MorphShapeInstance(
             definition=movie.morph_shapes[p.character_id],
             ratio=float(p.ratio or 0.0), matrix=p.matrix,
-            color_transform=ct, blend_mode=blend)
+            color_transform=ct, blend_mode=blend, filters=filters)
     if p.character_id in movie.texts:
         return _text_container(movie, movie.texts[p.character_id],
-                               p.matrix, ct, blend)
+                               p.matrix, ct, blend, filters)
     if p.character_id in movie.edit_texts:
         return _edit_text_container(
-            movie, movie.edit_texts[p.character_id], p.matrix, ct, blend)
+            movie, movie.edit_texts[p.character_id], p.matrix, ct, blend,
+            filters)
     if p.character_id in movie.buttons:
         # Buttons render their UP state (bit 0) — records become a
         # depth-ordered container (interactivity is out of scope).
@@ -71,7 +73,8 @@ def _placement_child(p, movie: Movie,
             for rec in sorted(button.state_records(0x01),
                               key=lambda r: r.depth))
         return display.Container(children=children, matrix=p.matrix,
-                                 color_transform=ct, blend_mode=blend)
+                                 color_transform=ct, blend_mode=blend,
+                                 filters=filters)
     if p.character_id in movie.sprites:
         # A sprite instance replays its timeline, looping, phased from
         # the frame it was placed (player semantics: a MovieClip starts
@@ -84,18 +87,20 @@ def _placement_child(p, movie: Movie,
         sprite = movie.sprites[p.character_id]
         if not sprite.frames:
             return display.Container(children=(), matrix=p.matrix,
-                                     color_transform=ct, blend_mode=blend)
+                                     color_transform=ct, blend_mode=blend,
+                                     filters=filters)
         phase = (frame_idx - p.placed_frame) % len(sprite.frames)
         children = tuple(_children_from_placements(
             sprite.frames[phase], movie, phase))
         return display.Container(children=children, matrix=p.matrix,
-                                 color_transform=ct, blend_mode=blend)
+                                 color_transform=ct, blend_mode=blend,
+                                 filters=filters)
     raise KeyError(
         f"PlaceObject2 references undefined character {p.character_id}")
 
 
-def _text_container(movie: Movie, text, matrix, ct,
-                    blend) -> display.Container:
+def _text_container(movie: Movie, text, matrix, ct, blend,
+                    filters=()) -> display.Container:
     """Expand a DefineText/2 into glyph ShapeInstances.
 
     Glyphs are white-filled shapes on the font's em square; each
@@ -144,14 +149,15 @@ def _text_container(movie: Movie, text, matrix, ct,
     inner = display.Container(children=tuple(children),
                               matrix=text.matrix)
     return display.Container(children=(inner,), matrix=matrix,
-                             color_transform=ct, blend_mode=blend)
+                             color_transform=ct, blend_mode=blend,
+                             filters=tuple(filters))
 
 
 _EDIT_TEXT_GUTTER = 40  # the player's 2 px text-field gutter, twips
 
 
-def _edit_text_container(movie: Movie, field, matrix, ct,
-                         blend) -> display.Container:
+def _edit_text_container(movie: Movie, field, matrix, ct, blend,
+                         filters=()) -> display.Container:
     """Lay out a DefineEditText's INITIAL text with its embedded font.
 
     Player-model layout: a 2 px gutter inside the bounds, pen starting
@@ -231,7 +237,8 @@ def _edit_text_container(movie: Movie, field, matrix, ct,
             x += adv
         y += line_height
     return display.Container(children=tuple(children), matrix=matrix,
-                             color_transform=ct, blend_mode=blend)
+                             color_transform=ct, blend_mode=blend,
+                             filters=tuple(filters))
 
 
 def _children_from_placements(placements, movie: Movie, frame_idx: int):

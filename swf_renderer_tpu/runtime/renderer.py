@@ -604,6 +604,8 @@ class TpuRenderer:
             if getattr(obj, "blend_mode", None) not in (None, "normal",
                                                         "layer"):
                 return False  # blend groups don't ride the sweeps
+            if getattr(obj, "filters", None):
+                return False  # filter groups don't ride the sweeps
             if obj.matrix is not None:
                 chain = chain.then(Affine.from_swf_matrix(obj.matrix))
             ct = _compose_color_transform(ct, obj.color_transform)
@@ -1101,6 +1103,10 @@ class TpuRenderer:
             return "point-sampled AA quality"
         if self.validate:
             return "validate=True inspects raw coverage"
+        if any(t[0] == "filter" for d in draws for t in d.mask_ids):
+            # Image-space filters run on the layered compositor (the
+            # fused program's planes are chunk-major; no convolutions).
+            return "filter groups (image-space filters)"
         from ..ops.flatblock import LANE, MAX_CHUNKS, plane_geometry
 
         stride, _, _ = plane_geometry(self.height, self.width)
@@ -1198,10 +1204,17 @@ class TpuRenderer:
                     content = exec_items(content_items)
                     scaled = content * mask_a[..., None]
                     acc = scaled + acc * (1.0 - scaled[..., 3:4])
-                else:
+                elif item[0] == "blend":
                     _, mode, content_items = item
                     content = exec_items(content_items)
                     acc = composite_ops.blend_premul(acc, content, mode)
+                else:
+                    from ..ops.filters import apply_filters
+
+                    _, filters, content_items = item
+                    content = apply_filters(exec_items(content_items),
+                                            filters)
+                    acc = content + acc * (1.0 - content[..., 3:4])
             return acc
 
         return np.asarray(composite_ops.premul_to_straight_u8(

@@ -162,13 +162,14 @@ def build_mask_tree(draws: Sequence["Draw"]):
                 while items and items[0][2][: d + 1] == inner:
                     content.append(items.pop(0))
                 out.append(("mask", mask_idxs, parse(content, inner)))
-            elif len(mids) > d and mids[:d] == path and mids[d][0] == "blend":
+            elif (len(mids) > d and mids[:d] == path
+                  and mids[d][0] in ("blend", "filter")):
                 token = mids[d]
                 inner = path + (token,)
                 content = []
                 while items and items[0][2][: d + 1] == inner:
                     content.append(items.pop(0))
-                out.append(("blend", token[2], parse(content, inner)))
+                out.append((token[0], token[2], parse(content, inner)))
             else:
                 raise ValueError(
                     f"non-well-nested group tags at layer {li}: "
@@ -374,6 +375,23 @@ class SceneCompiler:
             self.mask_count += 1
             prev = self._active_masks
             self._active_masks = prev + (("blend", gid, bm),)
+            try:
+                self._walk_filter(obj, ctm, ct)
+            finally:
+                self._active_masks = prev
+            return
+        self._walk_filter(obj, ctm, ct)
+
+    def _walk_filter(self, obj: display.DisplayObject, ctm: Affine,
+                     ct: Optional[display.ColorTransform]) -> None:
+        filters = tuple(getattr(obj, "filters", None) or ())
+        if filters:
+            # Filters apply to the object's COMPOSED image, INSIDE any
+            # blend against the backdrop (PlaceObject3 semantics).
+            gid = self.mask_count
+            self.mask_count += 1
+            prev = self._active_masks
+            self._active_masks = prev + (("filter", gid, filters),)
             try:
                 self._walk_grouped(obj, ctm, ct)
             finally:

@@ -53,6 +53,7 @@ TAG_DEFINE_BITS = 6
 TAG_JPEG_TABLES = 8
 TAG_DEFINE_BITS_JPEG2 = 21
 TAG_DEFINE_BITS_JPEG3 = 35
+TAG_DEFINE_BITS_JPEG4 = 90
 TAG_SET_BACKGROUND = 9
 TAG_DEFINE_SPRITE = 39
 TAG_FRAME_LABEL = 43
@@ -1259,6 +1260,19 @@ def parse_define_bits_jpeg3_tag(body: bytes) -> ast.DefineBitmap:
     (bitmap_id,) = struct.unpack_from("<H", body, 0)
     data = body[2:]
     (alpha_off,) = struct.unpack_from("<I", data, 0)
+    w, h = image_dimensions(data[4 : 4 + alpha_off])
+    return ast.DefineBitmap(id=bitmap_id, width=w, height=h,
+                            media_type="image/x-swf-jpeg3", data=data)
+
+
+def parse_define_bits_jpeg4_tag(body: bytes) -> ast.DefineBitmap:
+    """DefineBitsJPEG4 (tag 90): DefineBitsJPEG3 plus a u16 deblocking
+    hint between the alpha offset and the image data — the hint is a
+    decoder parameter we don't apply, so the payload normalizes to the
+    x-swf-jpeg3 form."""
+    (bitmap_id,) = struct.unpack_from("<H", body, 0)
+    (alpha_off,) = struct.unpack_from("<I", body, 2)
+    data = body[2:6] + body[8:]  # drop the deblock u16
     w, h = image_dimensions(data[4 : 4 + alpha_off])
     return ast.DefineBitmap(id=bitmap_id, width=w, height=h,
                             media_type="image/x-swf-jpeg3", data=data)
@@ -2733,6 +2747,9 @@ def parse_movie(data: bytes) -> Movie:
             bitmaps[tag.id] = tag
         elif code == TAG_DEFINE_BITS_JPEG3:
             tag = parse_define_bits_jpeg3_tag(body)
+            bitmaps[tag.id] = tag
+        elif code == TAG_DEFINE_BITS_JPEG4:
+            tag = parse_define_bits_jpeg4_tag(body)
             bitmaps[tag.id] = tag
         elif code == TAG_DEFINE_SPRITE:
             sprite = parse_define_sprite(body)

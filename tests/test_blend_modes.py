@@ -180,8 +180,10 @@ def test_place_object3_roundtrip_and_render():
     np.testing.assert_array_equal(got, want)
 
 
-def test_place_object3_rejects_filter_list():
-    body = bytes([0x02, 0x01]) + (1).to_bytes(2, "little")
+def test_place_object3_rejects_unknown_filter_id():
+    # flags2 HasFilterList; one filter with an undefined id (8).
+    body = (bytes([0x02, 0x01]) + (1).to_bytes(2, "little")
+            + (2).to_bytes(2, "little") + bytes([1, 8]))
     with pytest.raises(ValueError):
         swf_binary._parse_place_object3(body)
 

@@ -168,3 +168,18 @@ def test_bitmap_service_jpeg_media_types():
         id=1, width=4, height=4, media_type="image/jpeg",
         data=_png_bytes(rgba)))
     np.testing.assert_array_equal(svc.get_by_id(1).rgba, rgba)
+
+
+def test_jpeg4_normalizes_to_jpeg3():
+    rgba = _rgba(10, 6, 6)
+    jpeg = _jpeg_bytes(rgba[..., :3])
+    j3_payload = (struct.pack("<I", len(jpeg)) + jpeg
+                  + zlib.compress(rgba[..., 3].tobytes()))
+    body = (struct.pack("<H", 4) + struct.pack("<I", len(jpeg))
+            + struct.pack("<H", 0x0100)  # deblock hint, dropped
+            + jpeg + zlib.compress(rgba[..., 3].tobytes()))
+    tag = swf_binary.parse_define_bits_jpeg4_tag(body)
+    assert tag.media_type == "image/x-swf-jpeg3"
+    assert tag.data == j3_payload
+    got = decode_x_swf_jpeg3(tag.data)
+    np.testing.assert_array_equal(got[..., 3], rgba[..., 3])

@@ -1444,6 +1444,51 @@ def render_flat_blocks(
                               prefixed=True)
 
 
+def premul_planes_to_frames(planes, height: int, width: int,
+                            n_chunks: int, spp: int):
+    """Chunk-major premul planes (F, NSp+1, 4, plane_rows, LANE) ->
+    (F, height, width, 4) premul f32, any strips-per-plane packing.
+
+    Layout (validated against the u32 emit path): plane row =
+    sp * n_chunks*8 + chunk*8 + y%8, strip = plane*spp + sp, pixel row
+    = strip*8 + y%8.  Pure reshapes/transposes — runs under jit."""
+    f, nsp1, _, pr, lane = planes.shape
+    ns_p = nsp1 - 1
+    sp_cap = pr // (n_chunks * 8)
+    x = planes[:, :ns_p].reshape(f, ns_p, 4, sp_cap, n_chunks, 8, lane)
+    x = x.transpose(0, 1, 3, 5, 4, 6, 2)
+    x = x.reshape(f, ns_p * sp_cap * 8, n_chunks * lane, 4)
+    # Real strips occupy sp < spp within each plane; rows interleave as
+    # (plane, sp) so slicing needs the real-strip view first.
+    x = x.reshape(f, ns_p, sp_cap, 8, n_chunks * lane, 4)[:, :, :spp]
+    x = x.reshape(f, ns_p * spp * 8, n_chunks * lane, 4)
+    return x[:, :height, :width]
+
+
+def frames_to_premul_planes(frames, n_chunks: int, spp: int,
+                            ns_planes: int, plane_rows: int):
+    """Inverse of premul_planes_to_frames: (F, H, W, 4) premul f32 ->
+    (F, NSp+1, 4, plane_rows, LANE) with zero padding rows and a zero
+    sentinel plane (padding is never read by the resolve)."""
+    import jax.numpy as jnp
+
+    f, h, w, _ = frames.shape
+    hp = ns_planes * spp * 8
+    wp = n_chunks * LANE
+    x = jnp.zeros((f, hp, wp, 4), frames.dtype)
+    x = x.at[:, :h, :w].set(frames)
+    x = x.reshape(f, ns_planes, spp, 8, n_chunks, LANE, 4)
+    x = x.transpose(0, 1, 6, 2, 4, 3, 5)  # f, plane, c, sp, chunk, y8, lane
+    x = x.reshape(f, ns_planes, 4, spp * n_chunks * 8, LANE)
+    pad_rows = plane_rows - spp * n_chunks * 8
+    if pad_rows:
+        x = jnp.concatenate(
+            [x, jnp.zeros((f, ns_planes, 4, pad_rows, LANE), x.dtype)],
+            axis=3)
+    sentinel = jnp.zeros((f, 1, 4, plane_rows, LANE), x.dtype)
+    return jnp.concatenate([x, sentinel], axis=1)
+
+
 def frames_u32_to_u8(frames_u32: np.ndarray, height: int,
                      width: int) -> np.ndarray:
     """(F, HP, S) packed uint32 -> (F, height, width, 4) u8 (host view)."""

@@ -470,9 +470,9 @@ def plan_masked_program(tree, paints, fill_rule):
                 _, mode, content_items = item
                 prog.append(("blend", mode, plan_items(content_items)))
             else:
-                raise NotImplementedError(
-                    "filter groups render on the layered compositor "
-                    "(renderer backends route them there)")
+                _, filters, content_items = item
+                prog.append(("filter", filters,
+                             plan_items(content_items)))
         flush()
         return prog
 
@@ -482,10 +482,13 @@ def plan_masked_program(tree, paints, fill_rule):
     return segments, program, final
 
 
-def exec_masked_program(program, final_seg, seg_call):
+def exec_masked_program(program, final_seg, seg_call, plane_image=None):
     """Run a plan_masked_program: ``seg_call(seg_id, bg, emit)`` renders
     one segment over ``bg`` (None = transparent) and returns premul
-    planes (or the packed u32 strip for emit="u32")."""
+    planes (or the packed u32 strip for emit="u32").  ``plane_image``:
+    (to_frames, to_planes) converters between the kernel's chunk-major
+    planes and (F, H, W, 4) premul images — required for filter nodes
+    (ops.filters runs in image space)."""
     from .composite import blend_premul
 
     def exec_prog(prog, bg):
@@ -504,7 +507,7 @@ def exec_masked_program(program, final_seg, seg_call):
                 scaled = content * mask[:, :, 3:4]
                 bg = (scaled if bg is None
                       else scaled + bg * (1.0 - scaled[:, :, 3:4]))
-            else:
+            elif step[0] == "blend":
                 _, mode, content_prog = step
                 content = exec_prog(content_prog, None)
                 if content is None:
@@ -512,6 +515,21 @@ def exec_masked_program(program, final_seg, seg_call):
                 if bg is None:
                     bg = jnp.zeros_like(content)
                 bg = blend_premul(bg, content, mode, channel_axis=2)
+            else:
+                from .filters import apply_filters
+
+                _, filters, content_prog = step
+                content = exec_prog(content_prog, None)
+                if content is None:
+                    continue
+                if plane_image is None:
+                    raise NotImplementedError(
+                        "filter nodes need plane<->image converters")
+                to_frames, to_planes = plane_image
+                img = apply_filters(to_frames(content), filters)
+                content = to_planes(img, content)
+                bg = (content if bg is None
+                      else content + bg * (1.0 - content[:, :, 3:4]))
         return bg
 
     planes = exec_prog(program, None)
@@ -562,7 +580,19 @@ def _render_styled_masked(edge_tables, paints, height, width, colors,
             group=group, fill_rule=rule, interpret=interpret, spp=spp,
             chain=True, bg=bg, emit=emit)
 
-    out = np.asarray(exec_masked_program(program, final_seg, seg_call))
+    from .flatblock import (
+        frames_to_premul_planes, premul_planes_to_frames,
+    )
+
+    nc_final = packed[final_seg][5]
+    plane_image = (
+        lambda planes: premul_planes_to_frames(planes, height, width,
+                                               nc_final, spp),
+        lambda img, like: frames_to_premul_planes(
+            img, nc_final, spp, like.shape[1] - 1, like.shape[3]),
+    )
+    out = np.asarray(exec_masked_program(program, final_seg, seg_call,
+                                         plane_image=plane_image))
     ns = packed[final_seg][4]
     nc = packed[final_seg][5]
     out32 = out[:, :ns].reshape(frames, ns * spp * 8, nc * LANE)

@@ -882,7 +882,19 @@ def render_masked_dp(mesh: Mesh, edge_tables, paints, height: int,
                 fill_rule=rule, interpret=interpret, spp=spp,
                 chain=True, bg=bg, emit=emit)
 
-        return exec_masked_program(program, final_seg, seg_call)[None]
+        from ..ops.flatblock import (
+            frames_to_premul_planes, premul_planes_to_frames,
+        )
+
+        nc_final = seg_meta[final_seg][2]
+        plane_image = (
+            lambda planes: premul_planes_to_frames(
+                planes, height, width, nc_final, spp),
+            lambda img, like: frames_to_premul_planes(
+                img, nc_final, spp, like.shape[1] - 1, like.shape[3]),
+        )
+        return exec_masked_program(program, final_seg, seg_call,
+                                   plane_image=plane_image)[None]
 
     spec = P("dp")
     out = jax.shard_map(

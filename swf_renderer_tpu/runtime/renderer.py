@@ -1103,10 +1103,6 @@ class TpuRenderer:
             return "point-sampled AA quality"
         if self.validate:
             return "validate=True inspects raw coverage"
-        if any(t[0] == "filter" for d in draws for t in d.mask_ids):
-            # Image-space filters run on the layered compositor (the
-            # fused program's planes are chunk-major; no convolutions).
-            return "filter groups (image-space filters)"
         from ..ops.flatblock import LANE, MAX_CHUNKS, plane_geometry
 
         stride, _, _ = plane_geometry(self.height, self.width)

@@ -137,7 +137,7 @@ def test_subpixel_shadow_shift_bilinear():
 # ---------------------------------------------------------------------------
 
 
-def test_filtered_scene_routes_layered_and_blurs():
+def test_filtered_scene_blurs_on_the_fused_path():
     from swf_renderer_tpu.models import ast, display
     from swf_renderer_tpu.runtime.renderer import TpuRenderer
     from tests.test_masks import _rect_shape, _stage, _tl
@@ -148,7 +148,7 @@ def test_filtered_scene_routes_layered_and_blurs():
         filters=(BlurFilter(blur_x=7.0, blur_y=7.0, passes=3),))])
     r = TpuRenderer(stage.width, stage.height)
     got = r.render(stage)
-    assert r._exec_path != "flatblock"  # filters run layered
+    assert r._exec_path == "flatblock"  # filters ride the fused program
     plain = TpuRenderer(stage.width, stage.height).render(
         _stage([display.ShapeInstance(definition=dot,
                                       matrix=_tl(300, 200))]))
@@ -265,3 +265,35 @@ def test_unsupported_filters_skip_with_warning(caplog):
     filters, pos = swf_binary._parse_filter_list(body, 0)
     assert len(filters) == 1 and isinstance(filters[0], BlurFilter)
     assert pos == len(body)
+
+
+def test_fused_filters_match_layered_compositor():
+    """The fused program's plane<->image conversion around filter nodes
+    reproduces the layered compositor bit-for-bit (coverage is pinned
+    identical across paths and the filter math is the same jnp ops)."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from tests.test_masks import _rect_shape, _stage, _tl
+
+    back = _rect_shape(1, 800, 600, ast.StraightSRgba8(40, 90, 200, 255))
+    dot = _rect_shape(2, 200, 200, ast.StraightSRgba8(255, 230, 0, 230))
+    f = (DropShadowFilter(color=(0, 0, 0, 0.8), blur_x=4.0, blur_y=4.0,
+                          angle=math.pi / 5, distance=3.0, strength=1.2,
+                          passes=2),
+         ColorMatrixFilter(matrix=(0, 1, 0, 0, 0,  1, 0, 0, 0, 0,
+                                   0, 0, 1, 0, 10,  0, 0, 0, 1, 0)))
+    stage = _stage([
+        display.ShapeInstance(definition=back),
+        display.MaskedGroup(
+            mask=display.ShapeInstance(definition=_rect_shape(
+                3, 600, 600, ast.StraightSRgba8(0, 200, 0, 255))),
+            children=(display.ShapeInstance(
+                definition=dot, matrix=_tl(250, 150), filters=f),)),
+    ])
+    fused = TpuRenderer(stage.width, stage.height,
+                        backend="auto")
+    got = fused.render(stage)
+    assert fused._exec_path == "flatblock"
+    layered = TpuRenderer(stage.width, stage.height,
+                          backend="scanline").render(stage)
+    np.testing.assert_array_equal(got, layered)

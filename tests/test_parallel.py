@@ -793,9 +793,13 @@ def test_render_masked_dp_matches_single_device():
               solid_paint((0.1, 0.8, 0.3, 0.5))]
     colors = np.stack([np.stack([p.color for p in paints])
                        for _ in range(f)]).astype(np.float32)
+    from swf_renderer_tpu.ops.filters import BlurFilter
+
     tree = [("draw", 0),
             ("mask", [1], [("draw", 2),
-                           ("blend", "multiply", [("draw", 3)])])]
+                           ("blend", "multiply", [("draw", 3)])]),
+            ("filter", (BlurFilter(blur_x=4.0, blur_y=3.0, passes=2),),
+             [("draw", 0)])]
 
     want = render_batch_styled(edge_tables, paints, h, w, colors=colors,
                                mask_tree=tree)

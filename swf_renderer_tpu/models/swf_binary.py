@@ -2572,13 +2572,52 @@ def _emit_display_ops(ops) -> bytes:
 
 
 def decompress_movie(data: bytes) -> bytes:
-    """CWS (zlib-compressed) movies inflate to their FWS twin; FWS
-    passes through.  Real-world .swf files are almost always CWS."""
+    """CWS (zlib) and ZWS (LZMA, SWF >= 13) movies inflate to their FWS
+    twin; FWS passes through.  Real-world .swf files are almost always
+    CWS; ZWS appears in late-era mobile/AIR content.
+
+    ZWS layout (SWF spec, file header): ``ZWS`` + version + u32
+    uncompressed length (header included), then u32 compressed length,
+    5 LZMA property bytes, and a raw LZMA1 stream with no end marker.
+    stdlib ``lzma`` decodes it as a FORMAT_ALONE stream once the
+    13-byte alone-header (props + u64 uncompressed size) is rebuilt."""
     if data[:3] == b"CWS":
         import zlib
 
         return b"FWS" + data[3:8] + zlib.decompress(data[8:])
+    if data[:3] == b"ZWS":
+        import lzma
+
+        (uncomp_len,) = struct.unpack_from("<I", data, 4)
+        # data[8:12] is the compressed length (redundant); 12:17 props.
+        alone = (data[12:17]
+                 + struct.pack("<Q", uncomp_len - 8) + data[17:])
+        body = lzma.LZMADecompressor(format=lzma.FORMAT_ALONE).decompress(
+            alone)
+        return b"FWS" + data[3:8] + body
     return data
+
+
+def compress_movie(data: bytes, signature: str = "CWS") -> bytes:
+    """FWS movie bytes -> their CWS (zlib) or ZWS (LZMA) twin.  The
+    8-byte header stays uncompressed; ZWS additionally records the
+    compressed payload length and the 5 LZMA property bytes the player
+    expects (decoder counterpart above)."""
+    if data[:3] != b"FWS":
+        raise ValueError(f"not an uncompressed movie ({data[:3]!r})")
+    if signature == "CWS":
+        import zlib
+
+        return b"CWS" + data[3:8] + zlib.compress(data[8:], 9)
+    if signature == "ZWS":
+        import lzma
+
+        alone = lzma.compress(data[8:], format=lzma.FORMAT_ALONE)
+        props, payload = alone[:5], alone[13:]  # drop the u64 size
+        version = max(data[3], 13)  # ZWS is only legal from SWF 13
+        return (b"ZWS" + bytes([version]) + data[4:8]
+                + struct.pack("<I", len(payload)) + props + payload)
+    raise ValueError(f"unknown movie signature {signature!r}")
 
 
 def _iter_tag_records(data: bytes, pos: int):

@@ -1,4 +1,5 @@
-"""Movie loading: a ``.swf`` file (FWS or zlib CWS) -> Stage -> pixels.
+"""Movie loading: a ``.swf`` file (FWS, zlib CWS, or LZMA ZWS) -> Stage
+-> pixels.
 
 The reverse of ``models.swf_binary.emit_movie`` and a capability the
 reference never had — its entry points deserialize ``ast.json`` tags only

@@ -77,9 +77,28 @@ def test_movie_compressed_cws_roundtrip(reference_tests):
     assert swf_binary.parse_movie(cws) == swf_binary.parse_movie(movie)
 
 
+def test_movie_compressed_zws_roundtrip(reference_tests):
+    """ZWS (LZMA, SWF >= 13) movies inflate transparently; the emitter
+    twin rebuilds the player's header (compressed length + 5 property
+    bytes) so compress -> decompress is the identity on the FWS body."""
+    cases = _shape_dirs(reference_tests)[:2]
+    movie = swf_binary.emit_movie([_load(c) for c in cases])
+    zws = swf_binary.compress_movie(movie, "ZWS")
+    assert zws[:3] == b"ZWS" and zws[3] >= 13
+    assert zws[4:8] == movie[4:8]  # uncompressed length preserved
+    inflated = swf_binary.decompress_movie(zws)
+    assert inflated[8:] == movie[8:]
+    assert swf_binary.parse_movie(zws) == swf_binary.parse_movie(movie)
+    # compress_movie's CWS twin matches the hand-rolled form above.
+    cws = swf_binary.compress_movie(movie, "CWS")
+    assert swf_binary.parse_movie(cws) == swf_binary.parse_movie(movie)
+
+
 def test_movie_rejects_unknown_signature():
     with pytest.raises(ValueError):
-        swf_binary.parse_movie_shapes(b"ZWS" + b"\x00" * 16)
+        swf_binary.parse_movie_shapes(b"XWS" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        swf_binary.compress_movie(b"XWS" + b"\x00" * 16)
 
 
 def test_bit_roundtrip_edge_widths():

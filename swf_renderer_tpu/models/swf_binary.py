@@ -718,14 +718,13 @@ def _place_flags_and_fields(p: Placement):
 
 
 def _parse_filter_list(body: bytes, pos: int):
-    """PlaceObject3 SURFACEFILTERLIST -> ops.filters dataclasses.
-    Unsupported kinds (bevel, gradient glow/bevel, convolution) are
-    structurally skipped with a warning — a missing embellishment
-    beats refusing the movie."""
-    import logging
-
+    """PlaceObject3 SURFACEFILTERLIST -> ops.filters dataclasses (all
+    eight spec kinds: drop shadow, blur, glow, bevel, gradient glow,
+    convolution, color matrix, gradient bevel)."""
     from ..ops.filters import (
-        BlurFilter, ColorMatrixFilter, DropShadowFilter, GlowFilter,
+        BevelFilter, BlurFilter, ColorMatrixFilter, ConvolutionFilter,
+        DropShadowFilter, GlowFilter, GradientBevelFilter,
+        GradientGlowFilter,
     )
 
     def fixed(off):
@@ -778,20 +777,50 @@ def _parse_filter_list(body: bytes, pos: int):
             terms = struct.unpack_from("<20f", body, pos)
             filters.append(ColorMatrixFilter(matrix=tuple(terms)))
             pos += 80
-        elif fid == 3:  # bevel: skipped
+        elif fid == 3:  # bevel
+            shadow, highlight = rgba(pos), rgba(pos + 4)
+            bx, by = fixed(pos + 8), fixed(pos + 12)
+            angle, dist = fixed(pos + 16), fixed(pos + 20)
+            strength = fixed8(pos + 24)
+            flags = body[pos + 26]
+            filters.append(BevelFilter(
+                shadow_color=shadow, highlight_color=highlight,
+                blur_x=bx, blur_y=by, angle=angle, distance=dist,
+                strength=strength, inner=bool(flags & 0x80),
+                knockout=bool(flags & 0x40),
+                on_top=bool(flags & 0x10), passes=flags & 0x0F))
             pos += 27
-            logging.getLogger(__name__).warning(
-                "skipping unsupported bevel filter")
-        elif fid in (4, 7):  # gradient glow / gradient bevel: skipped
+        elif fid in (4, 7):  # gradient glow / gradient bevel
             n = body[pos]
-            pos += 1 + 5 * n + 19
-            logging.getLogger(__name__).warning(
-                "skipping unsupported gradient filter %d", fid)
-        elif fid == 5:  # convolution: skipped
+            pos += 1
+            colors = tuple(rgba(pos + 4 * i) for i in range(n))
+            pos += 4 * n
+            ratios = tuple(body[pos + i] / 255.0 for i in range(n))
+            pos += n
+            bx, by = fixed(pos), fixed(pos + 4)
+            angle, dist = fixed(pos + 8), fixed(pos + 12)
+            strength = fixed8(pos + 16)
+            flags = body[pos + 18]
+            pos += 19
+            cls = GradientGlowFilter if fid == 4 else GradientBevelFilter
+            filters.append(cls(
+                colors=colors, ratios=ratios, blur_x=bx, blur_y=by,
+                angle=angle, distance=dist, strength=strength,
+                inner=bool(flags & 0x80), knockout=bool(flags & 0x40),
+                on_top=bool(flags & 0x10), passes=flags & 0x0F))
+        elif fid == 5:  # convolution
             mx, my = body[pos], body[pos + 1]
-            pos += 2 + 8 + 4 * mx * my + 4 + 1
-            logging.getLogger(__name__).warning(
-                "skipping unsupported convolution filter")
+            divisor, bias = struct.unpack_from("<2f", body, pos + 2)
+            terms = struct.unpack_from(f"<{mx * my}f", body, pos + 10)
+            off = pos + 10 + 4 * mx * my
+            default = rgba(off)
+            flags = body[off + 4]
+            filters.append(ConvolutionFilter(
+                matrix_x=mx, matrix_y=my, matrix=tuple(terms),
+                divisor=divisor, bias=bias, default_color=default,
+                clamp=bool(flags & 0x02),
+                preserve_alpha=bool(flags & 0x01)))
+            pos = off + 5
         else:
             raise ValueError(f"unknown filter id {fid}")
     return tuple(filters), pos
@@ -799,7 +828,9 @@ def _parse_filter_list(body: bytes, pos: int):
 
 def _emit_filter_list(filters) -> bytes:
     from ..ops.filters import (
-        BlurFilter, ColorMatrixFilter, DropShadowFilter, GlowFilter,
+        BevelFilter, BlurFilter, ColorMatrixFilter, ConvolutionFilter,
+        DropShadowFilter, GlowFilter, GradientBevelFilter,
+        GradientGlowFilter,
     )
 
     def fixed(v):
@@ -837,6 +868,37 @@ def _emit_filter_list(filters) -> bytes:
         elif isinstance(f, ColorMatrixFilter):
             out.append(6)
             out.extend(struct.pack("<20f", *f.matrix))
+        elif isinstance(f, BevelFilter):
+            out.append(3)
+            out.extend(rgba(f.shadow_color) + rgba(f.highlight_color))
+            out.extend(fixed(f.blur_x) + fixed(f.blur_y))
+            out.extend(fixed(f.angle) + fixed(f.distance))
+            out.extend(fixed8(f.strength))
+            out.append((0x80 if f.inner else 0)
+                       | (0x40 if f.knockout else 0) | 0x20
+                       | (0x10 if f.on_top else 0) | (f.passes & 0x0F))
+        elif isinstance(f, (GradientGlowFilter, GradientBevelFilter)):
+            out.append(4 if isinstance(f, GradientGlowFilter) else 7)
+            out.append(len(f.colors))
+            for c in f.colors:
+                out.extend(rgba(c))
+            out.extend(int(round(r * 255)) for r in f.ratios)
+            out.extend(fixed(f.blur_x) + fixed(f.blur_y))
+            out.extend(fixed(f.angle) + fixed(f.distance))
+            out.extend(fixed8(f.strength))
+            out.append((0x80 if f.inner else 0)
+                       | (0x40 if f.knockout else 0) | 0x20
+                       | (0x10 if f.on_top else 0) | (f.passes & 0x0F))
+        elif isinstance(f, ConvolutionFilter):
+            out.append(5)
+            out.append(f.matrix_x)
+            out.append(f.matrix_y)
+            out.extend(struct.pack("<2f", f.divisor, f.bias))
+            out.extend(struct.pack(f"<{f.matrix_x * f.matrix_y}f",
+                                   *f.matrix))
+            out.extend(rgba(f.default_color))
+            out.append((0x02 if f.clamp else 0)
+                       | (0x01 if f.preserve_alpha else 0))
         else:
             raise ValueError(f"cannot emit filter {f!r}")
     return bytes(out)

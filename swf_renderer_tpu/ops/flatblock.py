@@ -1455,7 +1455,11 @@ def premul_planes_to_frames(planes, height: int, width: int,
     f, nsp1, _, pr, lane = planes.shape
     ns_p = nsp1 - 1
     sp_cap = pr // (n_chunks * 8)
-    x = planes[:, :ns_p].reshape(f, ns_p, 4, sp_cap, n_chunks, 8, lane)
+    # plane_rows may carry tail padding beyond the last full sp slot
+    # (e.g. 256 rows at 5 chunks = 6 slots * 40 + 16 pad) — drop it
+    # before the slot reshape (frames_to_premul_planes zero-fills it).
+    x = planes[:, :ns_p, :, :sp_cap * n_chunks * 8]
+    x = x.reshape(f, ns_p, 4, sp_cap, n_chunks, 8, lane)
     x = x.transpose(0, 1, 3, 5, 4, 6, 2)
     x = x.reshape(f, ns_p * sp_cap * 8, n_chunks * lane, 4)
     # Real strips occupy sp < spp within each plane; rows interleave as

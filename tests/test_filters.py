@@ -1,8 +1,10 @@
 """Bitmap filter math (ops/filters.py) against numpy oracles, and the
 group-level filter compositing semantics."""
 
+import dataclasses
 import math
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -254,17 +256,180 @@ def test_filter_wire_roundtrip_and_movie_render():
     np.testing.assert_array_equal(got, want)
 
 
-def test_unsupported_filters_skip_with_warning(caplog):
+def test_all_spec_filter_kinds_parse():
+    """All eight SURFACEFILTERLIST kinds parse: a zeroed bevel body is
+    a real (degenerate) BevelFilter now, not a skip."""
     import struct
 
     from swf_renderer_tpu.models import swf_binary
+    from swf_renderer_tpu.ops.filters import BevelFilter
 
-    # count=2: a bevel (skipped) then a blur (kept).
     body = bytes([2, 3]) + b"\x00" * 27 + bytes([1]) + (
         struct.pack("<ii", 4 << 16, 4 << 16) + bytes([1 << 3]))
     filters, pos = swf_binary._parse_filter_list(body, 0)
-    assert len(filters) == 1 and isinstance(filters[0], BlurFilter)
+    assert len(filters) == 2
+    assert isinstance(filters[0], BevelFilter)
+    assert isinstance(filters[1], BlurFilter)
     assert pos == len(body)
+    with pytest.raises(ValueError):
+        swf_binary._parse_filter_list(bytes([1, 9]), 0)
+
+
+def test_extended_filter_wire_roundtrip():
+    """Bevel / gradient glow / gradient bevel / convolution emit ->
+    parse to equal dataclasses (fixed-point fields within quantum)."""
+    from swf_renderer_tpu.models import swf_binary
+    from swf_renderer_tpu.ops.filters import (
+        BevelFilter, ConvolutionFilter, GradientBevelFilter,
+        GradientGlowFilter,
+    )
+
+    filters = (
+        BevelFilter(shadow_color=(0.0, 0.0, 0.0, 1.0),
+                    highlight_color=(1.0, 1.0, 1.0, 1.0),
+                    blur_x=4.0, blur_y=4.0, angle=0.25, distance=3.0,
+                    strength=1.5, inner=True, passes=2),
+        GradientGlowFilter(
+            colors=((1.0, 0.0, 0.0, 0.0), (1.0, 1.0, 0.0, 1.0)),
+            ratios=(0.0, 1.0), blur_x=6.0, blur_y=2.0, angle=0.5,
+            distance=1.0, strength=2.0, knockout=True, passes=3),
+        GradientBevelFilter(
+            colors=((0.0, 0.0, 1.0, 1.0), (0.0, 0.0, 0.0, 0.0),
+                    (1.0, 0.0, 0.0, 1.0)),
+            ratios=(0.0, 0.5, 1.0), blur_x=3.0, blur_y=3.0,
+            angle=0.75, distance=2.0, strength=1.0, on_top=True,
+            passes=1),
+        ConvolutionFilter(
+            matrix_x=3, matrix_y=2,
+            matrix=(0.0, 1.0, 0.0, 1.0, 2.0, 1.0), divisor=5.0,
+            bias=8.0, default_color=(0.0, 1.0, 0.0, 1.0),
+            clamp=False, preserve_alpha=True),
+    )
+    blob = swf_binary._emit_filter_list(filters)
+    got, pos = swf_binary._parse_filter_list(blob, 0)
+    assert pos == len(blob)
+    assert len(got) == len(filters)
+    for g, w in zip(got, filters):
+        assert type(g) is type(w)
+        for field in dataclasses.fields(w):
+            gv, wv = getattr(g, field.name), getattr(w, field.name)
+            if isinstance(wv, (int, bool, str)):
+                assert gv == wv, (type(w).__name__, field.name)
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(gv, np.float64),
+                    np.asarray(wv, np.float64), atol=1 / 128.0,
+                    err_msg=f"{type(w).__name__}.{field.name}")
+
+
+def test_bevel_highlight_and_shadow_sides():
+    """angle=0 casts the shadow toward +x: the lit (-x) flank gets the
+    highlight color, the +x flank the shadow color; outer placement
+    keeps the object pixels untouched."""
+    from swf_renderer_tpu.ops.filters import BevelFilter
+
+    img = np.zeros((1, 40, 40, 4), np.float32)
+    img[:, 8:32, 12:28, :] = [0.5, 0.5, 0.5, 1.0]  # premul gray
+    f = BevelFilter(shadow_color=(0.0, 0.0, 1.0, 1.0),
+                    highlight_color=(1.0, 0.0, 0.0, 1.0),
+                    blur_x=4.0, blur_y=4.0, angle=0.0, distance=2.0,
+                    strength=2.0)
+    out = np.asarray(apply_filter(jnp.asarray(img), f))
+    left = out[0, 20, 9]    # just outside the lit flank
+    right = out[0, 20, 30]  # just outside the shadow flank
+    assert left[0] > 0.2 and left[2] < 0.05, left    # red highlight
+    assert right[2] > 0.2 and right[0] < 0.05, right  # blue shadow
+    # Outer bevel leaves the object itself untouched.
+    np.testing.assert_array_equal(out[0, 20, 20], img[0, 20, 20])
+    # Inner bevel shades INSIDE and leaves the outside transparent.
+    fi = dataclasses.replace(f, inner=True)
+    out_i = np.asarray(apply_filter(jnp.asarray(img), fi))
+    assert out_i[0, 20, 9, 3] == 0.0
+    assert out_i[0, 20, 13, 0] > img[0, 20, 13, 0]  # lit inner flank
+
+
+def test_gradient_glow_maps_blur_through_lut():
+    from swf_renderer_tpu.ops.filters import (
+        GlowFilter, GradientGlowFilter,
+    )
+
+    img = np.zeros((1, 32, 32, 4), np.float32)
+    img[:, 10:22, 10:22, :] = [0.0, 0.0, 0.0, 1.0]
+    # A two-stop gradient from transparent red to opaque red is the
+    # solid glow with a linear alpha ramp — compare against GlowFilter
+    # with strength 1 (same blur, no shift).
+    gg = GradientGlowFilter(
+        colors=((1.0, 0.0, 0.0, 0.0), (1.0, 0.0, 0.0, 1.0)),
+        ratios=(0.0, 1.0), blur_x=5.0, blur_y=5.0, strength=1.0)
+    sg = GlowFilter(color=(1.0, 0.0, 0.0, 1.0), blur_x=5.0, blur_y=5.0,
+                    strength=1.0)
+    got = np.asarray(apply_filter(jnp.asarray(img), gg))
+    want = np.asarray(apply_filter(jnp.asarray(img), sg))
+    # LUT quantization (256 entries) bounds the difference.
+    assert np.abs(got - want).max() < 1 / 64.0
+
+
+def test_gradient_bevel_neutral_midpoint():
+    """Flat regions (no directional difference) sample the gradient's
+    midpoint; a transparent mid stop keeps them untouched."""
+    from swf_renderer_tpu.ops.filters import GradientBevelFilter
+
+    img = np.zeros((1, 40, 40, 4), np.float32)
+    img[:, 8:32, 8:32, :] = [0.3, 0.3, 0.3, 1.0]
+    f = GradientBevelFilter(
+        colors=((0.0, 0.0, 1.0, 1.0), (0.0, 0.0, 0.0, 0.0),
+                (1.0, 0.0, 0.0, 1.0)),
+        ratios=(0.0, 0.5, 1.0), blur_x=3.0, blur_y=3.0, angle=0.0,
+        distance=2.0, strength=1.0, inner=True)
+    out = np.asarray(apply_filter(jnp.asarray(img), f))
+    # Deep interior: g == f == 1 -> index 0.5 -> transparent stop.
+    np.testing.assert_allclose(out[0, 20, 20], img[0, 20, 20],
+                               atol=1 / 100.0)
+    # The lit inner flank picks up the high-ratio (red) side.
+    assert out[0, 20, 9, 0] > out[0, 20, 9, 2]
+    # The shadow inner flank picks up the low-ratio (blue) side.
+    assert out[0, 20, 30, 2] > out[0, 20, 30, 0]
+
+
+def test_convolution_matches_numpy_oracle():
+    from swf_renderer_tpu.ops.filters import ConvolutionFilter
+
+    rng = np.random.default_rng(7)
+    straight = rng.uniform(0.0, 1.0, (6, 9, 4)).astype(np.float32)
+    img = straight.copy()
+    img[..., :3] *= img[..., 3:4]  # premultiply
+    kern = np.asarray([[0.0, 1.0, 0.0],
+                       [1.0, 2.0, 1.0],
+                       [0.5, 1.0, 0.5]], np.float32)
+
+    for clamp, preserve in ((True, True), (False, False)):
+        f = ConvolutionFilter(
+            matrix_x=3, matrix_y=3, matrix=tuple(kern.ravel()),
+            divisor=8.0, bias=4.0,
+            default_color=(0.2, 0.4, 0.6, 0.8), clamp=clamp,
+            preserve_alpha=preserve)
+        got = np.asarray(apply_filter(jnp.asarray(img), f))
+
+        if clamp:
+            pad = np.pad(straight, ((1, 1), (1, 1), (0, 0)),
+                         mode="edge")
+        else:
+            pad = np.pad(straight, ((1, 1), (1, 1), (0, 0)))
+            dc = np.asarray(f.default_color, np.float32)
+            mask = np.pad(np.ones((6, 9, 1), np.float32),
+                          ((1, 1), (1, 1), (0, 0)))
+            pad = pad + (1.0 - mask) * dc
+        acc = np.zeros_like(straight)
+        for j in range(3):
+            for i in range(3):
+                acc += kern[j, i] * pad[j:j + 6, i:i + 9]
+        want = np.clip(acc / 8.0 + 4.0 / 255.0, 0.0, 1.0)
+        if preserve:
+            want[..., 3] = straight[..., 3]
+        want_pm = want.copy()
+        want_pm[..., :3] *= want_pm[..., 3:4]
+        np.testing.assert_allclose(got, want_pm, atol=1e-5,
+                                   err_msg=f"clamp={clamp}")
 
 
 def test_fused_filters_match_layered_compositor():
@@ -277,9 +442,24 @@ def test_fused_filters_match_layered_compositor():
 
     back = _rect_shape(1, 800, 600, ast.StraightSRgba8(40, 90, 200, 255))
     dot = _rect_shape(2, 200, 200, ast.StraightSRgba8(255, 230, 0, 230))
+    from swf_renderer_tpu.ops.filters import (
+        BevelFilter, ConvolutionFilter, GradientGlowFilter,
+    )
+
     f = (DropShadowFilter(color=(0, 0, 0, 0.8), blur_x=4.0, blur_y=4.0,
                           angle=math.pi / 5, distance=3.0, strength=1.2,
                           passes=2),
+         BevelFilter(shadow_color=(0.1, 0.1, 0.3, 0.9),
+                     highlight_color=(1.0, 1.0, 0.9, 0.9), blur_x=3.0,
+                     blur_y=3.0, angle=math.pi / 4, distance=2.0,
+                     strength=1.5, inner=True),
+         GradientGlowFilter(
+             colors=((1.0, 0.2, 0.0, 0.0), (1.0, 0.9, 0.0, 0.8)),
+             ratios=(0.0, 1.0), blur_x=5.0, blur_y=5.0, strength=1.0),
+         ConvolutionFilter(
+             matrix_x=3, matrix_y=3,
+             matrix=(0, 1, 0, 1, 4, 1, 0, 1, 0), divisor=8.0,
+             bias=0.0, clamp=True, preserve_alpha=False),
          ColorMatrixFilter(matrix=(0, 1, 0, 0, 0,  1, 0, 0, 0, 0,
                                    0, 0, 1, 0, 10,  0, 0, 0, 1, 0)))
     stage = _stage([
@@ -297,3 +477,29 @@ def test_fused_filters_match_layered_compositor():
     layered = TpuRenderer(stage.width, stage.height,
                           backend="scanline").render(stage)
     np.testing.assert_array_equal(got, layered)
+
+
+def test_fused_filters_padded_plane_rows():
+    """Frame sizes whose plane rows carry tail padding beyond the last
+    full strips-per-plane slot (e.g. width 521 -> 5 chunks, 256 plane
+    rows = 6 slots * 40 + 16 pad) reshape correctly through the
+    plane<->image converters (regression: the forward converter used
+    to require plane_rows % (n_chunks*8) == 0)."""
+    from swf_renderer_tpu.models import ast, display
+    from swf_renderer_tpu.runtime.renderer import TpuRenderer
+    from tests.test_masks import _rect_shape, _tl
+
+    dot = _rect_shape(1, 2000, 2000, ast.StraightSRgba8(250, 40, 40, 255))
+    stage = display.Stage(
+        width=521, height=358,
+        background_color=ast.StraightSRgba8(255, 255, 255, 255),
+        children=(display.ShapeInstance(
+            definition=dot, matrix=_tl(3000, 2000),
+            filters=(BlurFilter(blur_x=5.0, blur_y=5.0, passes=2),)),),
+        exact_width=521.0, exact_height=358.0)
+    fused = TpuRenderer(stage.width, stage.height)
+    got = fused.render(stage)
+    assert fused._exec_path == "flatblock"
+    lay = TpuRenderer(stage.width, stage.height,
+                      backend="scanline").render(stage)
+    np.testing.assert_array_equal(got, lay)

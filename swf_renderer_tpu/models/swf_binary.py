@@ -1941,21 +1941,32 @@ class ButtonRecord:
     matrix: ast.Matrix
     states: int  # bit0 up, bit1 over, bit2 down, bit3 hit-test
     color_transform: Optional[Tuple] = None  # button2 only
+    filters: Tuple = ()        # button2 SWF8 trailer (flags & 0x10)
+    # button2 SWF8 trailer (flags & 0x20): blend mode NAME, the same
+    # vocabulary as Placement.blend (ops.composite.BLEND_MODES/"layer").
+    blend: Optional[str] = None
+
+
+BUTTON_STATE_BITS = {"up": 0x01, "over": 0x02, "down": 0x04,
+                     "hit": 0x08}
 
 
 @dataclasses.dataclass(frozen=True)
 class Button:
-    """A button character.  The renderer draws the UP state (bit 0) —
-    interactivity is ActionScript's job, but buttons are placeable
-    characters and real movies are full of them."""
+    """A button character.  The renderer draws a selected state (UP by
+    default; the loaders accept over/down/hit) — interactivity is
+    ActionScript's job, but buttons are placeable characters and real
+    movies are full of them."""
 
     id: int
     records: Tuple[ButtonRecord, ...]
 
     def state_records(self, bit: int = 0x01):
-        return tuple(r for r in self.records
-                     if r.states & bit and not r.states & 0x08
-                     or (bit == 0x08 and r.states & 0x08))
+        """Records visible in one state.  The hit-test bit is just
+        another selector: a record flagged up|hit still DRAWS in the up
+        state (the hit flag only matters when the hit mask is asked
+        for)."""
+        return tuple(r for r in self.records if r.states & bit)
 
 
 def emit_define_button2(button: Button) -> bytes:
@@ -1963,7 +1974,9 @@ def emit_define_button2(button: Button) -> bytes:
     body.append(0)                      # flags: not TrackAsMenu
     body.extend(struct.pack("<H", 0))   # action offset: no actions
     for rec in button.records:
-        body.append(rec.states & 0x0F)
+        body.append((rec.states & 0x0F)
+                    | (0x10 if rec.filters else 0)
+                    | (0x20 if rec.blend is not None else 0))
         body.extend(struct.pack("<HH", rec.character_id, rec.depth))
         w = BitWriter()
         _write_matrix(w, rec.matrix if rec.matrix is not None
@@ -1971,6 +1984,12 @@ def emit_define_button2(button: Button) -> bytes:
         _write_cxform_alpha(w, *(rec.color_transform
                                  or ((1.0,) * 4, (0.0,) * 4)))
         body.extend(w.bytes())
+        if rec.filters:
+            body.extend(_emit_filter_list(rec.filters))
+        if rec.blend is not None:
+            if rec.blend not in _BLEND_NAMES:
+                raise ValueError(f"unknown blend mode {rec.blend!r}")
+            body.append(_BLEND_NAMES[rec.blend])
     body.append(0)  # end of button records
     return _tag(TAG_DEFINE_BUTTON2, bytes(body))
 
@@ -1990,16 +2009,20 @@ def _parse_button_records(body: bytes, pos: int, button2: bool):
         if button2:
             ct = _read_cxform_alpha(r)
         pos = r.byte_pos
-        if button2 and flags & 0x30:
-            # Filter list / blend mode trailers (SWF8) — parse enough
-            # to skip: blend mode is 1 byte, filters are length-coded.
-            if flags & 0x10:
-                raise ValueError("button filter lists are unsupported")
-            if flags & 0x20:
-                pos += 1  # blend mode: ignored on buttons
+        filters: Tuple = ()
+        blend = None
+        if button2 and flags & 0x10:  # ButtonHasFilterList (SWF8)
+            filters, pos = _parse_filter_list(body, pos)
+        if button2 and flags & 0x20:  # ButtonHasBlendMode (SWF8)
+            if body[pos] not in _BLEND_ORDINALS:
+                raise ValueError(
+                    f"unknown blend mode ordinal {body[pos]}")
+            blend = _BLEND_ORDINALS.get(body[pos])  # 0/1 -> None
+            pos += 1
         records.append(ButtonRecord(
             character_id=char_id, depth=depth, matrix=matrix,
-            states=flags & 0x0F, color_transform=ct))
+            states=flags & 0x0F, color_transform=ct, filters=filters,
+            blend=blend))
     return tuple(records), pos
 
 

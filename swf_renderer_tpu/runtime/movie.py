@@ -32,8 +32,8 @@ def _movie_bytes(src: MovieSource) -> bytes:
     return pathlib.Path(src).read_bytes()
 
 
-def _placement_child(p, movie: Movie,
-                     frame_idx: int = 0) -> display.DisplayObject:
+def _placement_child(p, movie: Movie, frame_idx: int = 0,
+                     button_bit: int = 0x01) -> display.DisplayObject:
     ct = None
     if p.color_transform is not None:
         ct = display.ColorTransform(mult=tuple(p.color_transform[0]),
@@ -57,8 +57,10 @@ def _placement_child(p, movie: Movie,
             movie, movie.edit_texts[p.character_id], p.matrix, ct, blend,
             filters)
     if p.character_id in movie.buttons:
-        # Buttons render their UP state (bit 0) — records become a
-        # depth-ordered container (interactivity is out of scope).
+        # Buttons render one selected state (UP unless the loader asked
+        # for over/down/hit) — records become a depth-ordered container
+        # (interactivity is out of scope).  SWF8 per-record filter and
+        # blend trailers ride the record's Placement like PlaceObject3.
         from ..models.swf_binary import Placement
 
         button = movie.buttons[p.character_id]
@@ -69,9 +71,10 @@ def _placement_child(p, movie: Movie,
                 matrix=rec.matrix,
                 color_transform=(rec.color_transform
                                  if rec.color_transform not in
-                                 (None, identity_ct) else None)),
-                movie, frame_idx)
-            for rec in sorted(button.state_records(0x01),
+                                 (None, identity_ct) else None),
+                blend=rec.blend, filters=tuple(rec.filters)),
+                movie, frame_idx, button_bit)
+            for rec in sorted(button.state_records(button_bit),
                               key=lambda r: r.depth))
         return display.Container(children=children, matrix=p.matrix,
                                  color_transform=ct, blend_mode=blend,
@@ -92,7 +95,7 @@ def _placement_child(p, movie: Movie,
                                      filters=filters)
         phase = (frame_idx - p.placed_frame) % len(sprite.frames)
         children = tuple(_children_from_placements(
-            sprite.frames[phase], movie, phase))
+            sprite.frames[phase], movie, phase, button_bit))
         return display.Container(children=children, matrix=p.matrix,
                                  color_transform=ct, blend_mode=blend,
                                  filters=filters)
@@ -242,7 +245,8 @@ def _edit_text_container(movie: Movie, field, matrix, ct, blend,
                              filters=tuple(filters))
 
 
-def _children_from_placements(placements, movie: Movie, frame_idx: int):
+def _children_from_placements(placements, movie: Movie, frame_idx: int,
+                              button_bit: int = 0x01):
     """Depth-ordered placements -> display children, folding clip-depth
     placements into MaskedGroups over the depths they cover
     ((depth, clip_depth]; nesting recurses)."""
@@ -256,26 +260,38 @@ def _children_from_placements(placements, movie: Movie, frame_idx: int):
             while j < len(ps) and ps[j].depth <= p.clip_depth:
                 j += 1
             out.append(display.MaskedGroup(
-                mask=_placement_child(p, movie, frame_idx),
+                mask=_placement_child(p, movie, frame_idx, button_bit),
                 children=tuple(_children_from_placements(
-                    ps[i + 1 : j], movie, frame_idx))))
+                    ps[i + 1 : j], movie, frame_idx, button_bit))))
             i = j
         else:
             # PlaceObject3 HasVisible=0 keeps the depth slot but draws
             # nothing (masks above still clip regardless of visibility).
             if getattr(p, "visible", None) is not False:
-                out.append(_placement_child(p, movie, frame_idx))
+                out.append(_placement_child(p, movie, frame_idx,
+                                            button_bit))
             i += 1
     return out
 
 
-def _frame_stage(movie: Movie, placements,
-                 frame_idx: int = 0) -> display.Stage:
+def _button_bit(button_state: str) -> int:
+    from ..models.swf_binary import BUTTON_STATE_BITS
+
+    try:
+        return BUTTON_STATE_BITS[button_state]
+    except KeyError:
+        raise ValueError(
+            f"unknown button state {button_state!r}; expected one of "
+            f"{sorted(BUTTON_STATE_BITS)}") from None
+
+
+def _frame_stage(movie: Movie, placements, frame_idx: int = 0,
+                 button_bit: int = 0x01) -> display.Stage:
     rect = movie.frame_rect
     span_x = rect.x_max - rect.x_min
     span_y = rect.y_max - rect.y_min
     children = tuple(_children_from_placements(placements, movie,
-                                               frame_idx))
+                                               frame_idx, button_bit))
     if rect.x_min or rect.y_min:
         from ..utils.fixed import Sfixed16P16
 
@@ -296,41 +312,46 @@ def _frame_stage(movie: Movie, placements,
     )
 
 
-def load_movie_stage(src: MovieSource
+def load_movie_stage(src: MovieSource, button_state: str = "up"
                      ) -> Tuple[display.Stage, List[ast.DefineBitmap]]:
     """Parse a movie into (first-frame Stage, bitmaps to register).
 
     Placements stack in depth order (the SWF display list is keyed by
     depth; painter's order = ascending depth).  A nonzero frame-RECT
-    origin shifts the children like the player's stage origin."""
+    origin shifts the children like the player's stage origin.
+    ``button_state`` selects which records buttons draw
+    (up/over/down/hit)."""
     movie = parse_movie(_movie_bytes(src))
-    return _frame_stage(movie, movie.placements), list(
+    return _frame_stage(movie, movie.placements, 0,
+                        _button_bit(button_state)), list(
         movie.bitmaps.values())
 
 
 def load_movie_timeline(
-        src: MovieSource
+        src: MovieSource, button_state: str = "up"
 ) -> Tuple[List[display.Stage], List[ast.DefineBitmap]]:
     """Parse a movie into one Stage per ShowFrame (resolved timeline:
     PlaceFlagMove modifications and RemoveObject2 applied)."""
     movie = parse_movie(_movie_bytes(src))
-    return [_frame_stage(movie, f, i)
+    bit = _button_bit(button_state)
+    return [_frame_stage(movie, f, i, bit)
             for i, f in enumerate(movie.frames)], list(
         movie.bitmaps.values())
 
 
-def render_movie(src: MovieSource, **renderer_kwargs) -> np.ndarray:
+def render_movie(src: MovieSource, button_state: str = "up",
+                 **renderer_kwargs) -> np.ndarray:
     """Load a movie and rasterize its first frame."""
     from .renderer import TpuRenderer
 
-    stage, bitmaps = load_movie_stage(src)
+    stage, bitmaps = load_movie_stage(src, button_state)
     renderer = TpuRenderer(stage.width, stage.height, **renderer_kwargs)
     for bmp in bitmaps:
         renderer.add_bitmap(bmp)
     return renderer.render(stage)
 
 
-def render_movie_timeline(src: MovieSource,
+def render_movie_timeline(src: MovieSource, button_state: str = "up",
                           **renderer_kwargs) -> np.ndarray:
     """Rasterize every frame of a movie as ONE device batch.
 
@@ -341,7 +362,7 @@ def render_movie_timeline(src: MovieSource,
     Returns (frames, H, W, 4) uint8."""
     from .renderer import TpuRenderer
 
-    stages, bitmaps = load_movie_timeline(src)
+    stages, bitmaps = load_movie_timeline(src, button_state)
     if not stages:
         raise ValueError("movie has no frames")
     renderer = TpuRenderer(stages[0].width, stages[0].height,

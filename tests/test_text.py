@@ -383,6 +383,96 @@ def test_button2_roundtrip_and_up_state_render():
     np.testing.assert_array_equal(got, want)
 
 
+def _button_movie_shapes():
+    sq = ast.DefineShape(
+        id=2, bounds=ast.Rect(0, 800, 0, 600),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(color=RED),), line=()),
+            records=(
+                ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0),
+                                      left_fill=1),
+                ast.EdgeRecord(delta=ast.Vector2D(800, 0)),
+                ast.EdgeRecord(delta=ast.Vector2D(0, 600)),
+                ast.EdgeRecord(delta=ast.Vector2D(-800, 0)),
+                ast.EdgeRecord(delta=ast.Vector2D(0, -600)),
+            )))
+    blue = ast.StraightSRgba8(10, 10, 200, 255)
+    sq_blue = ast.DefineShape(
+        id=3, bounds=sq.bounds,
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(
+                fill=(ast.SolidFill(color=blue),), line=()),
+            records=sq.shape.records))
+    return sq, sq_blue
+
+
+def test_button_state_selection_renders_down_records():
+    """load/render with button_state='down' draws the over|down records
+    instead of up; up|hit records still draw in the up state."""
+    from swf_renderer_tpu.runtime.movie import render_movie
+
+    sq, sq_blue = _button_movie_shapes()
+    button = swf_binary.Button(id=9, records=(
+        swf_binary.ButtonRecord(character_id=2, depth=1,
+                                matrix=_identity(), states=0x09),  # up|hit
+        swf_binary.ButtonRecord(character_id=3, depth=2,
+                                matrix=_scale_translate(1.0, 400, 0),
+                                states=0x06),  # over | down
+    ))
+    movie = swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=9)]],
+        shapes=[sq, sq_blue], buttons=[button],
+        stage_rect=ast.Rect(0, 1600, 0, 600))
+    up = render_movie(movie)  # default state: the up|hit red square
+    want_up = render_movie(swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=2)]],
+        shapes=[sq, sq_blue], stage_rect=ast.Rect(0, 1600, 0, 600)))
+    np.testing.assert_array_equal(up, want_up)
+    down = render_movie(movie, button_state="down")
+    want_down = render_movie(swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=3,
+                               matrix=_scale_translate(1.0, 400, 0))]],
+        shapes=[sq, sq_blue], stage_rect=ast.Rect(0, 1600, 0, 600)))
+    np.testing.assert_array_equal(down, want_down)
+    with pytest.raises(ValueError, match="unknown button state"):
+        render_movie(movie, button_state="hover")
+
+
+def test_button2_record_filters_and_blend_roundtrip_and_render():
+    """SWF8 per-record filter/blend trailers: emit -> parse preserves
+    them, and the record renders exactly like the equivalent
+    PlaceObject3 placement carrying the same filters + blend."""
+    from swf_renderer_tpu.ops.filters import BlurFilter
+    from swf_renderer_tpu.runtime.movie import render_movie
+
+    sq, sq_blue = _button_movie_shapes()
+    blur = BlurFilter(blur_x=2.0, blur_y=2.0, passes=1)
+    button = swf_binary.Button(id=9, records=(
+        swf_binary.ButtonRecord(character_id=2, depth=1,
+                                matrix=_scale_translate(1.0, 100, 100),
+                                states=0x01, filters=(blur,),
+                                blend="add"),))
+    blob = swf_binary.emit_define_button2(button)
+    head = int.from_bytes(blob[:2], "little")
+    off = 2 + (4 if (head & 0x3F) == 0x3F else 0)
+    parsed = swf_binary.parse_define_button2_tag(blob[off:])
+    assert parsed.records[0].filters == (blur,)
+    assert parsed.records[0].blend == "add"
+
+    movie = swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=9)]],
+        shapes=[sq, sq_blue], buttons=[button],
+        stage_rect=ast.Rect(0, 1600, 0, 600))
+    got = render_movie(movie)
+    want = render_movie(swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=2,
+                               matrix=_scale_translate(1.0, 100, 100),
+                               filters=(blur,), blend="add")]],
+        shapes=[sq, sq_blue], stage_rect=ast.Rect(0, 1600, 0, 600)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_font_info_attaches_codes_to_v1_font():
     """DefineFontInfo gives a tag-10 font its character codes, making
     it usable by EditText."""

@@ -63,9 +63,10 @@ TAG_PLACE_OBJECT3 = 70
 TAG_REMOVE_OBJECT = 5
 TAG_REMOVE_OBJECT2 = 28
 
-# PlaceObject3 blend mode ordinals (SWF spec v19).  0/1 normal; "alpha"
-# and "erase" need layer-alpha semantics this renderer does not
-# implement (the scene compiler raises NotImplementedBlendMode).
+# PlaceObject3 blend mode ordinals (SWF spec v19).  0/1 normal.
+# "alpha"/"erase" are the layer-alpha group modes (soft mask / alpha
+# knockout inside an offscreen group); "layer" composites its subtree
+# offscreen (observable only when it carries alpha/erase children).
 _BLEND_ORDINALS = {
     0: None, 1: None, 2: "layer", 3: "multiply", 4: "screen",
     5: "lighten", 6: "darken", 7: "difference", 8: "add", 9: "subtract",

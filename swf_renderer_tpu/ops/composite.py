@@ -40,6 +40,14 @@ BLEND_MODES = (
     "subtract", "invert", "overlay", "hardlight",
 )
 
+# Group-compositing modes: not separable color blends — they operate on
+# the BACKDROP plane as a whole (Flash's layer/alpha/erase family).
+# "layer" is plain source-over of the composed group; "alpha" rewrites
+# the backdrop's alpha from the source's (a soft mask); "erase" removes
+# backdrop where the source is opaque.  alpha/erase only make sense
+# inside an offscreen group buffer — the scene compiler guarantees one.
+GROUP_MODES = ("layer", "alpha", "erase")
+
 
 def _blend_fn(mode: str):
     """Separable blend function B(Cb, Cs) on straight colors in [0, 1].
@@ -83,13 +91,27 @@ def blend_premul(dst_pm: jnp.ndarray, src_pm: jnp.ndarray, mode: str,
         ao    = as + ab - as*ab
 
     ``channel_axis`` locates the 4-wide (r, g, b, a) axis (the fused
-    kernel's planes keep it at axis 2; image-space frames at -1)."""
-    b = _blend_fn(mode)
+    kernel's planes keep it at axis 2; image-space frames at -1).
+
+    The GROUP_MODES bypass the separable formula: on premultiplied
+    planes "layer" is source-over, "alpha" scales every backdrop
+    channel by the source alpha (premul algebra keeps color/alpha
+    consistent under a pure alpha rescale), and "erase" scales by its
+    complement."""
 
     def take(x, sl):
         idx = [slice(None)] * x.ndim
         idx[channel_axis] = sl
         return x[tuple(idx)]
+
+    if mode in GROUP_MODES:
+        src_a = take(src_pm, slice(3, 4))
+        if mode == "layer":
+            return src_pm + dst_pm * (1.0 - src_a)
+        if mode == "alpha":
+            return dst_pm * src_a
+        return dst_pm * (1.0 - src_a)
+    b = _blend_fn(mode)
 
     src_rgb = take(src_pm, slice(0, 3))
     src_a = take(src_pm, slice(3, 4))

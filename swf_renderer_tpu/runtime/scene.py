@@ -361,6 +361,17 @@ class SceneCompiler:
     def _walk(self, obj: display.DisplayObject, ctm: Affine,
               ct: Optional[display.ColorTransform]) -> None:
         bm = getattr(obj, "blend_mode", None)
+        if bm in ("alpha", "erase"):
+            # Flash's layer-alpha modes rewrite the buffer they are
+            # drawn INTO (alpha = soft mask, erase = alpha knockout).
+            # They only act when an enclosing group composites
+            # offscreen — the player documents "parent must be LAYER";
+            # every token on our path (mask content, blend group,
+            # filter group) IS an offscreen sub-composite.  With none,
+            # the player draws nothing, and so do we.
+            if not self._active_masks:
+                return
+            return self._walk_blend_group(obj, ctm, ct, bm)
         if bm is not None and bm not in ("normal", "layer"):
             # A blended object composes as a GROUP against the backdrop
             # (PlaceObject3 semantics): its draws carry a blend token and
@@ -371,16 +382,45 @@ class SceneCompiler:
             if bm not in BLEND_MODES:
                 raise NotImplementedError(
                     f"NotImplementedBlendMode: {bm!r}")
-            gid = self.mask_count
-            self.mask_count += 1
-            prev = self._active_masks
-            self._active_masks = prev + (("blend", gid, bm),)
-            try:
-                self._walk_filter(obj, ctm, ct)
-            finally:
-                self._active_masks = prev
-            return
+            return self._walk_blend_group(obj, ctm, ct, bm)
+        if bm == "layer" and self._needs_layer_buffer(obj):
+            # "layer" composites its subtree offscreen first.  With
+            # leaf-folded color transforms, source-over associativity
+            # makes that unobservable — EXCEPT when the subtree carries
+            # alpha/erase children that read the group buffer; only
+            # then does the group materialize (mode "layer" =
+            # source-over in ops.composite.blend_premul).
+            return self._walk_blend_group(obj, ctm, ct, "layer")
         self._walk_filter(obj, ctm, ct)
+
+    def _walk_blend_group(self, obj, ctm, ct, mode: str) -> None:
+        gid = self.mask_count
+        self.mask_count += 1
+        prev = self._active_masks
+        self._active_masks = prev + (("blend", gid, mode),)
+        try:
+            self._walk_filter(obj, ctm, ct)
+        finally:
+            self._active_masks = prev
+
+    def _needs_layer_buffer(self, obj) -> bool:
+        """Does this subtree contain an alpha/erase child that would
+        read THIS object's layer buffer?  Children that composite their
+        own offscreen group (non-normal blends incl. nested layers,
+        filters, masked groups) shield their subtrees — alpha/erase
+        under them targets their buffer, not this one."""
+        for child in getattr(obj, "children", ()):
+            bm = getattr(child, "blend_mode", None)
+            if bm in ("alpha", "erase"):
+                return True
+            if bm not in (None, "normal") or getattr(child, "filters",
+                                                     None):
+                continue
+            if isinstance(child, display.MaskedGroup):
+                continue
+            if self._needs_layer_buffer(child):
+                return True
+        return False
 
     def _walk_filter(self, obj: display.DisplayObject, ctm: Affine,
                      ct: Optional[display.ColorTransform]) -> None:

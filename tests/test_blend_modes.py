@@ -2,8 +2,11 @@
 none).  A blended object composites as a group against the backdrop:
 Co_pm = (1-ab)Cs_pm + (1-as)Cb_pm + as*ab*B(Cb,Cs) with the W3C
 separable B per mode (Flash-style clamped add/subtract and
-source-ignoring invert).  "alpha"/"erase" need layer-alpha semantics
-and raise NotImplementedBlendMode.
+source-ignoring invert).  The layer-alpha family ("layer", "alpha",
+"erase") operates on the enclosing group buffer as a whole: alpha
+scales the buffer's premul planes by the source alpha (soft mask),
+erase by its complement; with no enclosing offscreen group the player
+draws the object not at all.
 """
 
 import numpy as np
@@ -132,10 +135,110 @@ def test_blend_inside_mask_and_mask_inside_blend():
     np.testing.assert_array_equal(fused, layered)
 
 
-def test_alpha_and_erase_raise():
+def test_alpha_and_erase_without_group_draw_nothing():
+    """The player only applies alpha/erase inside an offscreen group
+    buffer ("parent must be LAYER"); at top level the object simply
+    does not draw."""
+    bare, _ = _render(_stage([display.ShapeInstance(definition=BACK)]))
     for mode in ("alpha", "erase"):
-        with pytest.raises(NotImplementedError):
-            _render(_blend_stage(mode))
+        got, _ = _render(_blend_stage(mode))
+        np.testing.assert_array_equal(got, bare)
+
+
+GREEN_FULL = _rect_shape(8, 800, 600, ast.StraightSRgba8(0, 200, 0, 255))
+
+
+def _layer_stage(child_mode, child_alpha):
+    """Backdrop + a LAYER group [full green, left-half alpha/erase]."""
+    knock = _rect_shape(9, 400, 600, ast.StraightSRgba8(
+        255, 255, 255, child_alpha))
+    return _stage([
+        display.ShapeInstance(definition=BACK),
+        display.Container(children=(
+            display.ShapeInstance(definition=GREEN_FULL),
+            display.ShapeInstance(definition=knock, blend_mode=child_mode),
+        ), blend_mode="layer"),
+    ])
+
+
+def test_erase_knocks_out_group_not_backdrop():
+    """An opaque erase child removes the GROUP's coverage where it
+    lands — the backdrop beneath survives untouched."""
+    got, r = _render(_layer_stage("erase", 255))
+    assert r._exec_path == "flatblock"
+    # Left half: group fully erased -> bare backdrop.
+    np.testing.assert_array_equal(
+        got[5:25, 2:18], np.broadcast_to([200, 100, 50, 255], (20, 16, 4)))
+    # Right half: the group's green, composited normally.
+    np.testing.assert_array_equal(
+        got[5:25, 22:38], np.broadcast_to([0, 200, 0, 255], (20, 16, 4)))
+
+
+def test_alpha_is_a_soft_mask_on_the_group():
+    """alpha rescales the group's premul planes by the source alpha:
+    where the source is absent the group vanishes; where it is
+    half-transparent the group shows at that alpha."""
+    got, r = _render(_layer_stage("alpha", 128))
+    assert r._exec_path == "flatblock"
+    # Left half: green at 128/255 over the backdrop; premul-u8 exact:
+    # pm = round(src_pm*255) with src_pm = g*(128/255) + b*(127/255).
+    want = [round(0 * 128 / 255 + 200 * 127 / 255),
+            round(200 * 128 / 255 + 100 * 127 / 255),
+            round(0 * 128 / 255 + 50 * 127 / 255), 255]
+    np.testing.assert_array_equal(
+        got[5:25, 2:18], np.broadcast_to(want, (20, 16, 4)))
+    # Right half: the alpha source is absent (src_a = 0) -> the group
+    # is fully masked away; bare backdrop.
+    np.testing.assert_array_equal(
+        got[5:25, 22:38], np.broadcast_to([200, 100, 50, 255], (20, 16, 4)))
+
+
+@pytest.mark.parametrize("mode,alpha", [
+    ("alpha", 128), ("alpha", 255), ("erase", 255), ("erase", 90),
+])
+def test_fused_group_modes_match_layered(mode, alpha):
+    stage = _layer_stage(mode, alpha)
+    fused, r = _render(stage, backend="auto")
+    assert r._exec_path == "flatblock"
+    layered, _ = _render(stage, backend="scanline")
+    np.testing.assert_array_equal(fused, layered)
+
+
+def test_alpha_under_nested_blend_targets_inner_buffer():
+    """A non-normal blend child composites its own offscreen group —
+    an alpha grandchild under it rewrites THAT buffer, and the outer
+    layer group does not additionally materialize."""
+    knock = _rect_shape(9, 400, 600, ast.StraightSRgba8(255, 255, 255, 200))
+    inner = display.Container(children=(
+        display.ShapeInstance(definition=GREEN_FULL),
+        display.ShapeInstance(definition=knock, blend_mode="alpha"),
+    ), blend_mode="multiply")
+    stage = _stage([
+        display.ShapeInstance(definition=BACK),
+        display.Container(children=(inner,), blend_mode="layer"),
+    ])
+    fused, _ = _render(stage, backend="auto")
+    layered, _ = _render(stage, backend="scanline")
+    np.testing.assert_array_equal(fused, layered)
+    # Equivalent without the outer layer wrapper (it must not buffer).
+    plain, _ = _render(_stage([
+        display.ShapeInstance(definition=BACK), inner]), backend="auto")
+    np.testing.assert_array_equal(fused, plain)
+
+
+def test_place_object3_layer_alpha_erase_roundtrip():
+    P = swf_binary.Placement
+    knock = _rect_shape(2, 400, 600, ast.StraightSRgba8(255, 255, 255, 255))
+    movie_bytes = _movie(
+        [[P(depth=1, character_id=1),
+          P(depth=2, character_id=2, blend="layer")],
+         [P(depth=3, character_id=2, blend="alpha"),
+          P(depth=4, character_id=2, blend="erase")]],
+        [BACK, knock])
+    movie = swf_binary.parse_movie(movie_bytes)
+    assert movie.frames[0][1].blend == "layer"
+    assert movie.frames[1][2].blend == "alpha"  # depth 2 carries over
+    assert movie.frames[1][3].blend == "erase"
 
 
 def test_layer_and_normal_are_plain_over():

@@ -85,8 +85,30 @@ class MaskedGroup:
     type: DisplayObjectType = DisplayObjectType.CONTAINER
 
 
+@dataclasses.dataclass(frozen=True)
+class ScaleGridGroup:
+    """A 9-slice scaling group (framework extension; the reference has no
+    DefineScalingGrid support).  ``grid`` is the DefineScalingGrid RECT and
+    ``bounds`` the character's untransformed bounds, both in twips
+    (x_min, y_min, x_max, y_max).  When the group's total transform is an
+    axis-aligned positive scale, the children's geometry is remapped by the
+    separable piecewise-linear scale-9 map (corner bands keep their natural
+    size, the center band absorbs the scaling — Flash scale9Grid
+    semantics); under rotation/skew the grid is ignored and the group
+    renders as a plain Container, exactly like the player."""
+
+    children: Sequence["DisplayObject"] = ()
+    grid: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    bounds: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    matrix: Optional[ast.Matrix] = None
+    color_transform: Optional[ColorTransform] = None
+    blend_mode: Optional[str] = None
+    filters: Tuple = ()
+    type: DisplayObjectType = DisplayObjectType.CONTAINER
+
+
 DisplayObject = Union[ShapeInstance, MorphShapeInstance, Container,
-                      MaskedGroup]
+                      MaskedGroup, ScaleGridGroup]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,6 +56,7 @@ TAG_DEFINE_BITS_JPEG3 = 35
 TAG_DEFINE_BITS_JPEG4 = 90
 TAG_SET_BACKGROUND = 9
 TAG_DEFINE_SPRITE = 39
+TAG_DEFINE_SCALING_GRID = 78
 TAG_FRAME_LABEL = 43
 TAG_PLACE_OBJECT = 4
 TAG_PLACE_OBJECT2 = 26
@@ -1861,7 +1862,8 @@ def emit_movie_timeline(
         frame_labels: Optional[dict] = None,
         fonts: Tuple = (),
         texts: Tuple = (),
-        buttons: Tuple = ()) -> bytes:
+        buttons: Tuple = (),
+        scaling_grids: Tuple = ()) -> bytes:
     """A multi-frame movie: define tags up front, then per frame a list
     of Placement / RemoveObject display-list operations followed by
     ShowFrame.  Placement.move carries the PlaceFlagMove form (modify
@@ -1906,6 +1908,8 @@ def emit_movie_timeline(
         tags.extend(emit_define_button2(button))
     for sprite_id, sprite_frames in sprites:
         tags.extend(emit_define_sprite(sprite_id, sprite_frames))
+    for character_id, grid_rect in scaling_grids:
+        tags.extend(emit_define_scaling_grid(character_id, grid_rect))
     for fi, ops in enumerate(frames):
         if frame_labels and fi in frame_labels:
             tags.extend(_tag(TAG_FRAME_LABEL,
@@ -2628,6 +2632,22 @@ def parse_define_sprite(body: bytes) -> Sprite:
     return Sprite(id=sprite_id, frames=tuple(dl.frames))
 
 
+def emit_define_scaling_grid(character_id: int,
+                             grid_rect: ast.Rect) -> bytes:
+    """DefineScalingGrid (tag 78, SWF8): character id + the 9-slice
+    center RECT in the character's local twips (SWF spec v19 §'
+    DefineScalingGrid')."""
+    w = BitWriter()
+    _write_rect(w, grid_rect)
+    return _tag(TAG_DEFINE_SCALING_GRID,
+                struct.pack("<H", character_id) + w.bytes())
+
+
+def parse_define_scaling_grid_tag(body: bytes) -> Tuple[int, ast.Rect]:
+    (character_id,) = struct.unpack_from("<H", body, 0)
+    return character_id, _read_rect(BitReader(body, 2))
+
+
 def emit_define_sprite(sprite_id: int, frames: List[List]) -> bytes:
     """DefineSprite (tag 39) bytes from per-frame display-list op lists
     (Placement / RemoveObject, the ``emit_movie_timeline`` frame form)."""
@@ -2809,6 +2829,8 @@ class Movie:
     texts: dict = dataclasses.field(default_factory=dict)    # id -> Text
     edit_texts: dict = dataclasses.field(default_factory=dict)  # -> EditText
     buttons: dict = dataclasses.field(default_factory=dict)  # id -> Button
+    # DefineScalingGrid: character id -> 9-slice center ast.Rect (twips).
+    scaling_grids: dict = dataclasses.field(default_factory=dict)
 
     @property
     def placements(self) -> Tuple[Placement, ...]:
@@ -2833,6 +2855,7 @@ def parse_movie(data: bytes) -> Movie:
     background = ast.StraightSRgba8(255, 255, 255, 255)
     shapes, morphs, bitmaps, sprites = {}, {}, {}, {}
     fonts, texts, edit_texts, buttons = {}, {}, {}, {}
+    scaling_grids: dict = {}
     labels: dict = {}
     jpeg_tables = b""
     dl = _DisplayList()
@@ -2908,9 +2931,13 @@ def parse_movie(data: bytes) -> Movie:
         elif code == TAG_FRAME_LABEL:
             end = body.index(b"\x00")
             labels[len(dl.frames)] = body[:end].decode("utf-8")
+        elif code == TAG_DEFINE_SCALING_GRID:
+            cid, grid_rect = parse_define_scaling_grid_tag(body)
+            scaling_grids[cid] = grid_rect
     return Movie(frame_rect=frame_rect, frame_rate=rate_fixed / 256.0,
                  background=background, shapes=shapes,
                  morph_shapes=morphs, bitmaps=bitmaps,
                  frames=tuple(dl.frames), sprites=sprites,
                  frame_labels=labels, fonts=fonts, texts=texts,
-                 edit_texts=edit_texts, buttons=buttons)
+                 edit_texts=edit_texts, buttons=buttons,
+                 scaling_grids=scaling_grids)

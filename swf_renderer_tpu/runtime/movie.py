@@ -96,11 +96,70 @@ def _placement_child(p, movie: Movie, frame_idx: int = 0,
         phase = (frame_idx - p.placed_frame) % len(sprite.frames)
         children = tuple(_children_from_placements(
             sprite.frames[phase], movie, phase, button_bit))
+        grid = movie.scaling_grids.get(p.character_id)
+        if grid is not None:
+            bounds = _placements_bounds(movie, sprite.frames[phase])
+            if bounds is not None:
+                # DefineScalingGrid: the sprite renders 9-sliced against
+                # its own bounds (this phase's subtree union — the
+                # player uses the clip's current bounds too).
+                return display.ScaleGridGroup(
+                    children=children,
+                    grid=(float(grid.x_min), float(grid.y_min),
+                          float(grid.x_max), float(grid.y_max)),
+                    bounds=bounds, matrix=p.matrix, color_transform=ct,
+                    blend_mode=blend, filters=filters)
         return display.Container(children=children, matrix=p.matrix,
                                  color_transform=ct, blend_mode=blend,
                                  filters=filters)
     raise KeyError(
         f"PlaceObject2 references undefined character {p.character_id}")
+
+
+def _character_bounds_rect(movie: Movie, cid: int):
+    """A character's untransformed bounds in twips as (x0, y0, x1, y1),
+    or None when not derivable (texts/buttons — their extents are
+    layout-dependent; scale-9 wrapping simply stays off for them)."""
+    if cid in movie.shapes:
+        b = movie.shapes[cid].bounds
+        return (float(b.x_min), float(b.y_min),
+                float(b.x_max), float(b.y_max))
+    if cid in movie.morph_shapes:
+        m = movie.morph_shapes[cid]
+        return (float(min(m.bounds.x_min, m.morph_bounds.x_min)),
+                float(min(m.bounds.y_min, m.morph_bounds.y_min)),
+                float(max(m.bounds.x_max, m.morph_bounds.x_max)),
+                float(max(m.bounds.y_max, m.morph_bounds.y_max)))
+    if cid in movie.sprites:
+        sprite = movie.sprites[cid]
+        if sprite.frames:
+            return _placements_bounds(movie, sprite.frames[0])
+    return None
+
+
+def _placements_bounds(movie: Movie, placements):
+    """Union of the placements' transformed character bounds (twips) —
+    the sprite-bounds approximation the scale-9 wrapper slices against."""
+    from ..models.geometry import Affine
+
+    box = None
+    for p in placements:
+        local = _character_bounds_rect(movie, p.character_id)
+        if local is None:
+            continue
+        x0, y0, x1, y1 = local
+        pts = np.array([[x0, y0], [x1, y0], [x0, y1], [x1, y1]],
+                       dtype=np.float64)
+        if p.matrix is not None:
+            pts = Affine.from_swf_matrix(p.matrix).apply(pts)
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        if box is None:
+            box = [lo[0], lo[1], hi[0], hi[1]]
+        else:
+            box = [min(box[0], lo[0]), min(box[1], lo[1]),
+                   max(box[2], hi[0]), max(box[3], hi[1])]
+    return None if box is None else tuple(float(v) for v in box)
 
 
 def _text_container(movie: Movie, text, matrix, ct, blend,

@@ -441,6 +441,8 @@ class SceneCompiler:
 
     def _walk_grouped(self, obj: display.DisplayObject, ctm: Affine,
                       ct: Optional[display.ColorTransform]) -> None:
+        if isinstance(obj, display.ScaleGridGroup):
+            return self._walk_scale_grid(obj, ctm, ct)
         if obj.matrix is not None:
             ctm = ctm.then(Affine.from_swf_matrix(obj.matrix))
         if getattr(obj, "color_transform", None) is not None:
@@ -478,6 +480,108 @@ class SceneCompiler:
             self._draw_morph_shape(obj.definition, obj.ratio, ctm, ct)
         else:
             raise ValueError("UnexpectedDisplayObjectType")
+
+    # -- scale-9 (DefineScalingGrid) ----------------------------------------
+
+    @staticmethod
+    def _scale9_bands(lo: float, hi: float, glo: float, ghi: float,
+                      s: float):
+        """Per-axis scale-9 bands ``[(src_lo, src_hi, slope, offset)]`` of
+        the piecewise-linear map f with f(lo) = s*lo and f(hi) = s*hi:
+        the outer bands translate rigidly (slope 1 — corners keep their
+        natural size) and the center band absorbs the scaling, clamped at
+        slope 0 when the scaled extent is smaller than the two fixed bands
+        (the corners then meet; Flash's too-small case)."""
+        off_l = s * lo - lo
+        off_r = s * hi - hi
+        cs = max(0.0, (s * (hi - lo) - (glo - lo) - (hi - ghi))
+                 / (ghi - glo))
+        off_c = (glo + off_l) - cs * glo
+        return ((lo, glo, 1.0, off_l), (glo, ghi, cs, off_c),
+                (ghi, hi, 1.0, off_r))
+
+    def _walk_scale_grid(self, obj, ctm: Affine,
+                         ct: Optional[display.ColorTransform]) -> None:
+        """Compile a display.ScaleGridGroup: nine per-slice walks, each
+        under its own axis-aligned affine, box-clipped to its band in
+        device space.  Slices partition the bounds, so their winding
+        integrals ADD — same-solid-paint slices merge into one edge table
+        (seam-exact); otherwise slices emit as separate draws (disjoint
+        regions, so painter's order across slices is immaterial).
+
+        The grid engages against the OBJECT's own matrix scale — outer
+        transforms (stage zoom, ancestors) scale the whole sliced result,
+        corners included.  Under rotation/skew anywhere on the chain the
+        player ignores scale9Grid and so do we (plain Container walk)."""
+        m = (Affine.from_swf_matrix(obj.matrix) if obj.matrix is not None
+             else Affine.identity())
+        if getattr(obj, "color_transform", None) is not None:
+            ct = _compose_color_transform(ct, obj.color_transform)
+        bx0, by0, bx1, by1 = obj.bounds
+        gx0, gy0, gx1, gy1 = obj.grid
+        gx0, gx1 = max(gx0, bx0), min(gx1, bx1)
+        gy0, gy1 = max(gy0, by0), min(gy1, by1)
+        plain = (m.b != 0.0 or m.c != 0.0 or m.a <= 0.0 or m.d <= 0.0
+                 or ctm.b != 0.0 or ctm.c != 0.0
+                 or ctm.a <= 0.0 or ctm.d <= 0.0
+                 or gx1 <= gx0 or gy1 <= gy0)
+        if plain:
+            full = ctm.then(m)
+            for child in obj.children:
+                self._walk(child, full, ct)
+            return
+        bands_x = self._scale9_bands(bx0, bx1, gx0, gx1, m.a)
+        bands_y = self._scale9_bands(by0, by1, gy0, gy1, m.d)
+        groups_before = self.mask_count
+        slices = []
+        for sx0, sx1, ax, ox in bands_x:
+            for sy0, sy1, ay, oy in bands_y:
+                if sx1 <= sx0 or sy1 <= sy0:
+                    continue
+                ctm_s = ctm.then(Affine(a=ax, d=ay, e=ox + m.e,
+                                        f=oy + m.f))
+                # Device-space image of the source band (monotonic:
+                # slopes and the outer scale are non-negative).
+                dx0 = ctm.a * (ax * sx0 + ox + m.e) + ctm.e
+                dx1 = ctm.a * (ax * sx1 + ox + m.e) + ctm.e
+                dy0 = ctm.d * (ay * sy0 + oy + m.f) + ctm.f
+                dy1 = ctm.d * (ay * sy1 + oy + m.f) + ctm.f
+                start = len(self.draws)
+                for child in obj.children:
+                    self._walk(child, ctm_s, ct)
+                emitted = self.draws[start:]
+                del self.draws[start:]
+                slices.append([
+                    dataclasses.replace(d, edges=clip_edges_rect(
+                        d.edges, dx1, dy1, xmin=dx0, ymin=dy0))
+                    for d in emitted])
+        has_groups = self.mask_count != groups_before
+        parallel = (not has_groups and slices
+                    and all(len(s) == len(slices[0]) for s in slices))
+        if not parallel:
+            # Group-bearing subtrees must keep each slice's draw order
+            # contiguous (build_mask_tree well-nesting); slices are
+            # spatially disjoint so slice-major order still composes
+            # correctly.
+            for sl in slices:
+                self.draws.extend(sl)
+            return
+        for i in range(len(slices[0])):
+            copies = [sl[i] for sl in slices]
+            nonempty = [d for d in copies if d.edges.shape[0] > 0]
+            if not nonempty:
+                continue
+            d0 = nonempty[0]
+            mergeable = all(
+                d.paint.kind == style_ops.PAINT_SOLID
+                and d.paint.color == d0.paint.color
+                and d.fill_rule == d0.fill_rule for d in nonempty)
+            if mergeable and len(nonempty) > 1:
+                self.draws.append(dataclasses.replace(
+                    d0, edges=np.concatenate(
+                        [d.edges for d in nonempty], axis=0)))
+            else:
+                self.draws.extend(nonempty)
 
     def _compiled_shape(self, tag: ast.DefineShape) -> ir.Shape:
         # Keyed by identity like the reference's WeakMap

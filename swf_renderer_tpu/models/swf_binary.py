@@ -57,6 +57,8 @@ TAG_DEFINE_BITS_JPEG4 = 90
 TAG_SET_BACKGROUND = 9
 TAG_DEFINE_SPRITE = 39
 TAG_DEFINE_SCALING_GRID = 78
+TAG_DEFINE_VIDEO_STREAM = 60
+TAG_VIDEO_FRAME = 61
 TAG_FRAME_LABEL = 43
 TAG_PLACE_OBJECT = 4
 TAG_PLACE_OBJECT2 = 26
@@ -1863,7 +1865,8 @@ def emit_movie_timeline(
         fonts: Tuple = (),
         texts: Tuple = (),
         buttons: Tuple = (),
-        scaling_grids: Tuple = ()) -> bytes:
+        scaling_grids: Tuple = (),
+        videos: Tuple = ()) -> bytes:
     """A multi-frame movie: define tags up front, then per frame a list
     of Placement / RemoveObject display-list operations followed by
     ShowFrame.  Placement.move carries the PlaceFlagMove form (modify
@@ -1910,6 +1913,11 @@ def emit_movie_timeline(
         tags.extend(emit_define_sprite(sprite_id, sprite_frames))
     for character_id, grid_rect in scaling_grids:
         tags.extend(emit_define_scaling_grid(character_id, grid_rect))
+    for stream in videos:
+        tags.extend(emit_define_video_stream(stream))
+        for num in sorted(stream.frames):
+            tags.extend(emit_video_frame(stream.id, num,
+                                         stream.frames[num]))
     for fi, ops in enumerate(frames):
         if frame_labels and fi in frame_labels:
             tags.extend(_tag(TAG_FRAME_LABEL,
@@ -2632,6 +2640,54 @@ def parse_define_sprite(body: bytes) -> Sprite:
     return Sprite(id=sprite_id, frames=tuple(dl.frames))
 
 
+@dataclasses.dataclass
+class VideoStream:
+    """DefineVideoStream (tag 60) + its VideoFrame (tag 61) packets.
+
+    ``frames`` maps frame number -> raw codec packet bytes (for codec 3,
+    a SCREENVIDEOPACKET — models.screenvideo decodes/encodes it).
+    ``decoded`` / ``frame_bitmap_ids`` are loader-side caches
+    (runtime.movie materializes decoded frames as synthetic bitmap
+    characters); they never touch the wire."""
+
+    id: int
+    width: int
+    height: int
+    num_frames: int = 0
+    codec: int = 3  # 3 = Screen Video
+    smoothing: bool = True
+    frames: dict = dataclasses.field(default_factory=dict)
+    decoded: dict = dataclasses.field(default_factory=dict)
+    frame_bitmap_ids: dict = dataclasses.field(default_factory=dict)
+
+
+def emit_define_video_stream(stream: VideoStream) -> bytes:
+    """DefineVideoStream tag 60: id, frame count, dimensions, flags
+    (bit 0 = smoothing), codec id."""
+    return _tag(TAG_DEFINE_VIDEO_STREAM, struct.pack(
+        "<HHHHBB", stream.id, stream.num_frames or len(stream.frames),
+        stream.width, stream.height, 1 if stream.smoothing else 0,
+        stream.codec))
+
+
+def parse_define_video_stream_tag(body: bytes) -> VideoStream:
+    sid, num, w, h, flags, codec = struct.unpack_from("<HHHHBB", body, 0)
+    return VideoStream(id=sid, width=w, height=h, num_frames=num,
+                       codec=codec, smoothing=bool(flags & 0x01))
+
+
+def emit_video_frame(stream_id: int, frame_num: int,
+                     packet: bytes) -> bytes:
+    """VideoFrame tag 61: stream id, frame number, raw codec packet."""
+    return _tag(TAG_VIDEO_FRAME,
+                struct.pack("<HH", stream_id, frame_num) + packet)
+
+
+def parse_video_frame_tag(body: bytes) -> Tuple[int, int, bytes]:
+    sid, num = struct.unpack_from("<HH", body, 0)
+    return sid, num, body[4:]
+
+
 def emit_define_scaling_grid(character_id: int,
                              grid_rect: ast.Rect) -> bytes:
     """DefineScalingGrid (tag 78, SWF8): character id + the 9-slice
@@ -2831,6 +2887,7 @@ class Movie:
     buttons: dict = dataclasses.field(default_factory=dict)  # id -> Button
     # DefineScalingGrid: character id -> 9-slice center ast.Rect (twips).
     scaling_grids: dict = dataclasses.field(default_factory=dict)
+    videos: dict = dataclasses.field(default_factory=dict)  # -> VideoStream
 
     @property
     def placements(self) -> Tuple[Placement, ...]:
@@ -2856,6 +2913,7 @@ def parse_movie(data: bytes) -> Movie:
     shapes, morphs, bitmaps, sprites = {}, {}, {}, {}
     fonts, texts, edit_texts, buttons = {}, {}, {}, {}
     scaling_grids: dict = {}
+    videos: dict = {}
     labels: dict = {}
     jpeg_tables = b""
     dl = _DisplayList()
@@ -2934,10 +2992,17 @@ def parse_movie(data: bytes) -> Movie:
         elif code == TAG_DEFINE_SCALING_GRID:
             cid, grid_rect = parse_define_scaling_grid_tag(body)
             scaling_grids[cid] = grid_rect
+        elif code == TAG_DEFINE_VIDEO_STREAM:
+            stream = parse_define_video_stream_tag(body)
+            videos[stream.id] = stream
+        elif code == TAG_VIDEO_FRAME:
+            sid, num, packet = parse_video_frame_tag(body)
+            if sid in videos:
+                videos[sid].frames[num] = packet
     return Movie(frame_rect=frame_rect, frame_rate=rate_fixed / 256.0,
                  background=background, shapes=shapes,
                  morph_shapes=morphs, bitmaps=bitmaps,
                  frames=tuple(dl.frames), sprites=sprites,
                  frame_labels=labels, fonts=fonts, texts=texts,
                  edit_texts=edit_texts, buttons=buttons,
-                 scaling_grids=scaling_grids)
+                 scaling_grids=scaling_grids, videos=videos)

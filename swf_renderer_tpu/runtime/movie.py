@@ -112,8 +112,97 @@ def _placement_child(p, movie: Movie, frame_idx: int = 0,
         return display.Container(children=children, matrix=p.matrix,
                                  color_transform=ct, blend_mode=blend,
                                  filters=filters)
+    if p.character_id in movie.videos:
+        return display.ShapeInstance(
+            definition=_video_shape(movie, movie.videos[p.character_id],
+                                    frame_idx, p.ratio),
+            matrix=p.matrix, color_transform=ct, blend_mode=blend,
+            filters=filters)
     raise KeyError(
         f"PlaceObject2 references undefined character {p.character_id}")
+
+
+def _ensure_video_frames(movie: Movie) -> None:
+    """Materialize every Screen Video stream's frames as synthetic
+    bitmap characters (decoded once per Movie; VideoStream.decoded /
+    frame_bitmap_ids cache in place).  Non-codec-3 streams (H.263,
+    VP6) are left undecoded — placing one raises, like any other
+    unsupported media type."""
+    from ..models.screenvideo import decode_screen_video_packet
+    from .bitmap_service import encode_x_swf_bmp2_argb
+
+    next_id = 1 + max(
+        [0, *movie.shapes, *movie.morph_shapes, *movie.bitmaps,
+         *movie.sprites, *movie.fonts, *movie.texts, *movie.edit_texts,
+         *movie.buttons, *movie.videos])
+    for stream in movie.videos.values():
+        if stream.codec != 3 or not stream.frames or stream.decoded:
+            continue
+        prev = None
+        for num in sorted(stream.frames):
+            prev = decode_screen_video_packet(stream.frames[num], prev)
+            stream.decoded[num] = prev
+            rgba = np.dstack([prev, np.full(prev.shape[:2], 255,
+                                            np.uint8)])
+            movie.bitmaps[next_id] = ast.DefineBitmap(
+                id=next_id, width=stream.width, height=stream.height,
+                media_type="image/x-swf-bmp2",
+                data=encode_x_swf_bmp2_argb(rgba))
+            stream.frame_bitmap_ids[num] = next_id
+            next_id += 1
+
+
+def _video_shape(movie: Movie, stream, frame_idx: int,
+                 ratio) -> ast.DefineShape:
+    """The synthetic shape one video placement draws: a stream-sized
+    rect filled with the selected frame's bitmap (fill matrix scale 20
+    — one texel per stage pixel, the SWF bitmap-fill convention).
+
+    Frame selection follows the player: the PlaceObject RATIO names the
+    video frame (embedded-video seek semantics); without one the stream
+    advances with the timeline.  Missing numbers hold the latest
+    earlier frame (dropped-frame behavior)."""
+    if not stream.frame_bitmap_ids:
+        raise NotImplementedError(
+            f"NotImplemented: Support for video codec {stream.codec}")
+    target = (int(round(ratio * 65536)) if ratio is not None
+              else frame_idx)
+    nums = sorted(stream.frame_bitmap_ids)
+    shown = nums[0]
+    for n in nums:
+        if n <= target:
+            shown = n
+    cache_key = ("shape", shown)
+    hit = stream.decoded.get(cache_key)
+    if hit is not None:
+        return hit
+    from ..utils.fixed import Sfixed16P16
+
+    w_tw = stream.width * 20
+    h_tw = stream.height * 20
+    fill = ast.BitmapFill(
+        bitmap_id=stream.frame_bitmap_ids[shown],
+        matrix=ast.Matrix(
+            scale_x=Sfixed16P16.from_value(20),
+            scale_y=Sfixed16P16.from_value(20),
+            rotate_skew0=Sfixed16P16.from_value(0),
+            rotate_skew1=Sfixed16P16.from_value(0),
+            translate_x=0, translate_y=0),
+        repeating=False, smoothed=stream.smoothing)
+    tag = ast.DefineShape(
+        id=stream.frame_bitmap_ids[shown],
+        bounds=ast.Rect(0, w_tw, 0, h_tw),
+        shape=ast.ShapeBody(
+            initial_styles=ast.ShapeStyles(fill=(fill,), line=()),
+            records=(
+                ast.StyleChangeRecord(move_to=ast.Vector2D(0, 0),
+                                      left_fill=1),
+                ast.EdgeRecord(delta=ast.Vector2D(w_tw, 0)),
+                ast.EdgeRecord(delta=ast.Vector2D(0, h_tw)),
+                ast.EdgeRecord(delta=ast.Vector2D(-w_tw, 0)),
+                ast.EdgeRecord(delta=ast.Vector2D(0, -h_tw)))))
+    stream.decoded[cache_key] = tag
+    return tag
 
 
 def _character_bounds_rect(movie: Movie, cid: int):
@@ -134,6 +223,9 @@ def _character_bounds_rect(movie: Movie, cid: int):
         sprite = movie.sprites[cid]
         if sprite.frames:
             return _placements_bounds(movie, sprite.frames[0])
+    if cid in movie.videos:
+        v = movie.videos[cid]
+        return (0.0, 0.0, float(v.width * 20), float(v.height * 20))
     return None
 
 
@@ -349,6 +441,7 @@ def _frame_stage(movie: Movie, placements, frame_idx: int = 0,
     rect = movie.frame_rect
     span_x = rect.x_max - rect.x_min
     span_y = rect.y_max - rect.y_min
+    _ensure_video_frames(movie)
     children = tuple(_children_from_placements(placements, movie,
                                                frame_idx, button_bit))
     if rect.x_min or rect.y_min:

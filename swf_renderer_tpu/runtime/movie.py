@@ -76,6 +76,21 @@ def _placement_child(p, movie: Movie, frame_idx: int = 0,
                 movie, frame_idx, button_bit)
             for rec in sorted(button.state_records(button_bit),
                               key=lambda r: r.depth))
+        grid = movie.scaling_grids.get(p.character_id)
+        if grid is not None:
+            # DefineScalingGrid names buttons too (SWF spec v19): the
+            # selected state's record union is the sliced bounds.
+            bounds = _placements_bounds(movie, [
+                Placement(depth=rec.depth, character_id=rec.character_id,
+                          matrix=rec.matrix)
+                for rec in button.state_records(button_bit)])
+            if bounds is not None:
+                return display.ScaleGridGroup(
+                    children=children,
+                    grid=(float(grid.x_min), float(grid.y_min),
+                          float(grid.x_max), float(grid.y_max)),
+                    bounds=bounds, matrix=p.matrix, color_transform=ct,
+                    blend_mode=blend, filters=filters)
         return display.Container(children=children, matrix=p.matrix,
                                  color_transform=ct, blend_mode=blend,
                                  filters=filters)

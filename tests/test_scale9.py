@@ -175,6 +175,38 @@ def test_scaling_grid_wire_round_trip():
     _assert_close(got, want)
 
 
+def test_button_scaling_grid():
+    # DefineScalingGrid names buttons too: the selected state's records
+    # render 9-sliced against their union bounds.
+    red = _rect_shape(1, 200, 200, RED)
+    green = _rect_shape(2, 200, 200, GREEN)
+    button = swf_binary.Button(id=20, records=(
+        swf_binary.ButtonRecord(character_id=1, depth=1, matrix=None,
+                                states=0x01),
+        swf_binary.ButtonRecord(character_id=2, depth=2,
+                                matrix=_mat(tx=1800, ty=1800),
+                                states=0x01)))
+    data = swf_binary.emit_movie_timeline(
+        frames=[[swf_binary.Placement(depth=1, character_id=20,
+                                      matrix=_mat(sx=2.0, sy=2.0))]],
+        shapes=[red, green], buttons=(button,),
+        scaling_grids=((20, ast.Rect(800, 1200, 800, 1200)),),
+        background=ast.StraightSRgba8(0, 0, 0, 0),
+        stage_rect=ast.Rect(0, 4000, 0, 4000))
+    stage, _bitmaps = load_movie_stage(data)
+    assert any(isinstance(c, display.ScaleGridGroup)
+               for c in stage.children)
+    got = render_movie(data)
+    want = _render(display.Stage(
+        width=200, height=200,
+        background_color=ast.StraightSRgba8(0, 0, 0, 255),
+        children=(
+            display.ShapeInstance(definition=red),
+            display.ShapeInstance(definition=green,
+                                  matrix=_mat(tx=3800, ty=3800)))))
+    _assert_close(got, want)
+
+
 def test_grid_inside_masked_group_slices_slice_major():
     # A scale-9 group nested under a clip: group tokens force the
     # slice-major emission path; the masked composite must still equal

@@ -59,6 +59,11 @@ TAG_DEFINE_SPRITE = 39
 TAG_DEFINE_SCALING_GRID = 78
 TAG_DEFINE_VIDEO_STREAM = 60
 TAG_VIDEO_FRAME = 61
+TAG_DEFINE_SOUND = 14
+TAG_START_SOUND = 15
+TAG_SOUND_STREAM_HEAD = 18
+TAG_SOUND_STREAM_BLOCK = 19
+TAG_SOUND_STREAM_HEAD2 = 45
 TAG_FRAME_LABEL = 43
 TAG_PLACE_OBJECT = 4
 TAG_PLACE_OBJECT2 = 26
@@ -1866,7 +1871,10 @@ def emit_movie_timeline(
         texts: Tuple = (),
         buttons: Tuple = (),
         scaling_grids: Tuple = (),
-        videos: Tuple = ()) -> bytes:
+        videos: Tuple = (),
+        sounds: Tuple = (),
+        sound_events: Optional[dict] = None,
+        sound_stream=None) -> bytes:
     """A multi-frame movie: define tags up front, then per frame a list
     of Placement / RemoveObject display-list operations followed by
     ShowFrame.  Placement.move carries the PlaceFlagMove form (modify
@@ -1918,10 +1926,19 @@ def emit_movie_timeline(
         for num in sorted(stream.frames):
             tags.extend(emit_video_frame(stream.id, num,
                                          stream.frames[num]))
+    for snd in sounds:
+        tags.extend(emit_define_sound(snd))
+    if sound_stream is not None:
+        tags.extend(emit_sound_stream_head(sound_stream))
     for fi, ops in enumerate(frames):
         if frame_labels and fi in frame_labels:
             tags.extend(_tag(TAG_FRAME_LABEL,
                              frame_labels[fi].encode("utf-8") + b"\x00"))
+        for sid, info in (sound_events or {}).get(fi, ()):
+            tags.extend(emit_start_sound(sid, info))
+        if sound_stream is not None and fi in sound_stream.blocks:
+            tags.extend(_tag(TAG_SOUND_STREAM_BLOCK,
+                             sound_stream.blocks[fi]))
         tags.extend(_emit_display_ops(ops))
         tags.extend(_tag(TAG_SHOW_FRAME, b""))
     tags.extend(_tag(TAG_END, b""))
@@ -2640,6 +2657,99 @@ def parse_define_sprite(body: bytes) -> Sprite:
     return Sprite(id=sprite_id, frames=tuple(dl.frames))
 
 
+def _sound_flags(format: int, rate: int, bits: int, channels: int) -> int:
+    from .sound import RATES
+
+    return ((format << 4) | (RATES.index(rate) << 2)
+            | ((1 if bits == 16 else 0) << 1)
+            | (1 if channels == 2 else 0))
+
+
+def emit_define_sound(snd) -> bytes:
+    """DefineSound (tag 14): id, format/rate/size/type flags, sample
+    count, codec data (models.sound codecs)."""
+    return _tag(TAG_DEFINE_SOUND, struct.pack(
+        "<HBI", snd.id,
+        _sound_flags(snd.format, snd.rate, snd.bits, snd.channels),
+        snd.sample_count) + snd.data)
+
+
+def parse_define_sound_tag(body: bytes):
+    from .sound import RATES, Sound
+
+    sid, flags, count = struct.unpack_from("<HBI", body, 0)
+    return Sound(id=sid, format=flags >> 4, rate=RATES[(flags >> 2) & 3],
+                 bits=16 if (flags >> 1) & 1 else 8,
+                 channels=2 if flags & 1 else 1, sample_count=count,
+                 data=body[7:])
+
+
+def emit_start_sound(sound_id: int, info=None) -> bytes:
+    """StartSound (tag 15): sound id + SOUNDINFO."""
+    from .sound import SoundInfo
+
+    info = info or SoundInfo()
+    flags = ((0x20 if info.stop else 0)
+             | (0x10 if info.no_multiple else 0)
+             | (0x04 if info.loops != 1 else 0)
+             | (0x02 if info.out_point is not None else 0)
+             | (0x01 if info.in_point is not None else 0))
+    body = bytearray(struct.pack("<HB", sound_id, flags))
+    if info.in_point is not None:
+        body.extend(struct.pack("<I", info.in_point))
+    if info.out_point is not None:
+        body.extend(struct.pack("<I", info.out_point))
+    if info.loops != 1:
+        body.extend(struct.pack("<H", info.loops))
+    return _tag(TAG_START_SOUND, bytes(body))
+
+
+def parse_start_sound_tag(body: bytes):
+    from .sound import SoundInfo
+
+    sid, flags = struct.unpack_from("<HB", body, 0)
+    pos = 3
+    in_point = out_point = None
+    loops = 1
+    if flags & 0x01:
+        (in_point,) = struct.unpack_from("<I", body, pos)
+        pos += 4
+    if flags & 0x02:
+        (out_point,) = struct.unpack_from("<I", body, pos)
+        pos += 4
+    if flags & 0x04:
+        (loops,) = struct.unpack_from("<H", body, pos)
+        pos += 2
+    if flags & 0x08:
+        # Envelope records: consumed (count * 8 bytes), not modeled.
+        pos += 1 + body[pos] * 8
+    return sid, SoundInfo(stop=bool(flags & 0x20),
+                          no_multiple=bool(flags & 0x10),
+                          in_point=in_point, out_point=out_point,
+                          loops=loops)
+
+
+def emit_sound_stream_head(stream, head2: bool = False) -> bytes:
+    """SoundStreamHead/Head2 (tags 18/45): playback hint byte, stream
+    format byte, average samples per frame."""
+    playback = _sound_flags(0, stream.rate, stream.bits, stream.channels)
+    streamf = _sound_flags(stream.format, stream.rate, stream.bits,
+                           stream.channels)
+    return _tag(TAG_SOUND_STREAM_HEAD2 if head2 else TAG_SOUND_STREAM_HEAD,
+                struct.pack("<BBH", playback & 0x0F, streamf,
+                            stream.samples_per_frame))
+
+
+def parse_sound_stream_head_tag(body: bytes):
+    from .sound import RATES, SoundStream
+
+    _playback, streamf, spf = struct.unpack_from("<BBH", body, 0)
+    return SoundStream(format=streamf >> 4, rate=RATES[(streamf >> 2) & 3],
+                       bits=16 if (streamf >> 1) & 1 else 8,
+                       channels=2 if streamf & 1 else 1,
+                       samples_per_frame=spf)
+
+
 @dataclasses.dataclass
 class VideoStream:
     """DefineVideoStream (tag 60) + its VideoFrame (tag 61) packets.
@@ -2888,6 +2998,11 @@ class Movie:
     # DefineScalingGrid: character id -> 9-slice center ast.Rect (twips).
     scaling_grids: dict = dataclasses.field(default_factory=dict)
     videos: dict = dataclasses.field(default_factory=dict)  # -> VideoStream
+    sounds: dict = dataclasses.field(default_factory=dict)  # id -> Sound
+    # StartSound events: frame index -> [(sound id, SoundInfo), ...]
+    sound_events: dict = dataclasses.field(default_factory=dict)
+    # Main-timeline SoundStreamHead(+blocks), or None.
+    sound_stream: Optional[object] = None
 
     @property
     def placements(self) -> Tuple[Placement, ...]:
@@ -2914,6 +3029,9 @@ def parse_movie(data: bytes) -> Movie:
     fonts, texts, edit_texts, buttons = {}, {}, {}, {}
     scaling_grids: dict = {}
     videos: dict = {}
+    sounds: dict = {}
+    sound_events: dict = {}
+    sound_stream = None
     labels: dict = {}
     jpeg_tables = b""
     dl = _DisplayList()
@@ -2999,10 +3117,24 @@ def parse_movie(data: bytes) -> Movie:
             sid, num, packet = parse_video_frame_tag(body)
             if sid in videos:
                 videos[sid].frames[num] = packet
+        elif code == TAG_DEFINE_SOUND:
+            snd = parse_define_sound_tag(body)
+            sounds[snd.id] = snd
+        elif code == TAG_START_SOUND:
+            sid, info = parse_start_sound_tag(body)
+            sound_events.setdefault(len(dl.frames), []).append(
+                (sid, info))
+        elif code in (TAG_SOUND_STREAM_HEAD, TAG_SOUND_STREAM_HEAD2):
+            sound_stream = parse_sound_stream_head_tag(body)
+        elif code == TAG_SOUND_STREAM_BLOCK:
+            if sound_stream is not None:
+                sound_stream.blocks[len(dl.frames)] = body
     return Movie(frame_rect=frame_rect, frame_rate=rate_fixed / 256.0,
                  background=background, shapes=shapes,
                  morph_shapes=morphs, bitmaps=bitmaps,
                  frames=tuple(dl.frames), sprites=sprites,
                  frame_labels=labels, fonts=fonts, texts=texts,
                  edit_texts=edit_texts, buttons=buttons,
-                 scaling_grids=scaling_grids, videos=videos)
+                 scaling_grids=scaling_grids, videos=videos,
+                 sounds=sounds, sound_events=sound_events,
+                 sound_stream=sound_stream)

@@ -1,0 +1,108 @@
+"""Timeline audio: mix a movie's event sounds + stream into one PCM track.
+
+The audio twin of ``runtime.movie``'s visual loaders (framework
+extension; the reference has no audio).  StartSound events trigger
+DefineSound characters at their frame's time (with SOUNDINFO in/out
+points, loop counts, and the stop/no-multiple flags); SoundStreamBlock
+payloads play back-to-back from the first block's frame.  Everything
+is mixed offline at ``rate`` into float32 (samples, 2), clipped to
+[-1, 1] — ``utils.wav.write_wav`` serializes it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..models.sound import decode_sound
+from ..models.swf_binary import Movie
+
+
+def _resample(pcm: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    if src_rate == dst_rate or pcm.shape[0] == 0:
+        return pcm
+    n_out = int(round(pcm.shape[0] * dst_rate / src_rate))
+    t_out = np.arange(n_out) * (src_rate / dst_rate)
+    t_in = np.arange(pcm.shape[0])
+    return np.stack([np.interp(t_out, t_in, pcm[:, c])
+                     for c in range(pcm.shape[1])], axis=1).astype(
+        np.float32)
+
+
+def _to_stereo(pcm: np.ndarray) -> np.ndarray:
+    if pcm.shape[1] == 2:
+        return pcm
+    return np.repeat(pcm, 2, axis=1)
+
+
+def _event_pcm(snd, info, rate: int) -> np.ndarray:
+    """One StartSound instance's samples: decode, apply in/out points
+    (sample indices at the SOUND's rate, player semantics), loop,
+    resample to the mix rate."""
+    pcm = decode_sound(snd.format, snd.data, snd.bits, snd.channels)
+    lo = min(info.in_point or 0, pcm.shape[0])
+    hi = (min(info.out_point, pcm.shape[0])
+          if info.out_point is not None else pcm.shape[0])
+    pcm = pcm[lo:hi]
+    if info.loops > 1:
+        pcm = np.tile(pcm, (info.loops, 1))
+    return _to_stereo(_resample(pcm, snd.rate, rate))
+
+
+def mix_movie_audio(movie: Movie, n_frames: Optional[int] = None,
+                    rate: int = 44100) -> np.ndarray:
+    """The movie's mixed audio track as float32 (samples, 2).
+
+    ``n_frames`` bounds the timeline length (default: every ShowFrame;
+    sounds ring past the last frame rather than truncating, like the
+    player letting an event sound finish)."""
+    frames = n_frames if n_frames is not None else max(
+        len(movie.frames), 1)
+    spf = rate / max(movie.frame_rate, 1e-6)
+    chunks = []  # (start_sample, pcm, sound_id or None)
+
+    active_by_id: dict = {}
+    for f in sorted(movie.sound_events):
+        if f >= frames:
+            continue
+        start = int(round(f * spf))
+        for sid, info in movie.sound_events[f]:
+            snd = movie.sounds.get(sid)
+            if snd is None:
+                continue
+            if info.stop:
+                # syncStop: every playing instance of this sound is cut
+                # at this frame.
+                for entry in active_by_id.get(sid, ()):
+                    s0, pcm = entry
+                    entry[1] = pcm[:max(0, start - s0)]
+                active_by_id[sid] = []
+                continue
+            if info.no_multiple and any(
+                    s0 + len(pcm) > start
+                    for s0, pcm in active_by_id.get(sid, ())):
+                continue
+            pcm = _event_pcm(snd, info, rate)
+            entry = [start, pcm]
+            active_by_id.setdefault(sid, []).append(entry)
+            chunks.append(entry)
+
+    stream = movie.sound_stream
+    if stream is not None and stream.blocks:
+        first = min(stream.blocks)
+        pcm_blocks = [
+            decode_sound(stream.format, stream.blocks[f], stream.bits,
+                         stream.channels)
+            for f in sorted(stream.blocks)]
+        pcm = np.concatenate(pcm_blocks, axis=0)
+        chunks.append([int(round(first * spf)),
+                       _to_stereo(_resample(pcm, stream.rate, rate))])
+
+    total = int(np.ceil(frames * spf))
+    for s0, pcm in chunks:
+        total = max(total, s0 + pcm.shape[0])
+    out = np.zeros((total, 2), np.float32)
+    for s0, pcm in chunks:
+        out[s0:s0 + pcm.shape[0]] += pcm
+    return np.clip(out, -1.0, 1.0)

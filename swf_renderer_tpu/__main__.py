@@ -39,6 +39,9 @@ def main(argv=None) -> int:
     parser.add_argument("--frames", default=None, metavar="DIR",
                         help="for .swf inputs: render the whole timeline "
                              "to numbered PNGs in DIR (one device batch)")
+    parser.add_argument("--wav", default=None, metavar="PATH",
+                        help="for .swf inputs: mix the movie's audio "
+                             "track (events + stream) to a 16-bit WAV")
     args = parser.parse_args(argv)
 
     from .models import ast as ast_model
@@ -51,6 +54,8 @@ def main(argv=None) -> int:
     is_movie = args.ast.endswith(".swf")
     if args.frames is not None and not is_movie:
         parser.error("--frames only applies to .swf movie inputs")
+    if args.wav is not None and not is_movie:
+        parser.error("--wav only applies to .swf movie inputs")
     if is_movie and (args.scale != 1.0 or args.ratio != 0.0 or args.bitmap):
         # Movies carry their own placements, ratios, and bitmaps;
         # silently ignoring these options would hand back wrong output.
@@ -76,6 +81,16 @@ def main(argv=None) -> int:
     if is_movie:
         # A whole movie file: define tags + placements (FWS or CWS).
         from .runtime.movie import render_movie, render_movie_timeline
+
+        if args.wav is not None:
+            from .models.swf_binary import parse_movie
+            from .runtime.audio import mix_movie_audio
+            from .runtime.movie import _movie_bytes
+            from .utils.wav import write_wav
+
+            movie = parse_movie(_movie_bytes(args.ast))
+            write_wav(args.wav, mix_movie_audio(movie))
+            print(args.wav)
 
         t0 = time.perf_counter()
         if args.frames is not None:

@@ -64,6 +64,12 @@ TAG_START_SOUND = 15
 TAG_SOUND_STREAM_HEAD = 18
 TAG_SOUND_STREAM_BLOCK = 19
 TAG_SOUND_STREAM_HEAD2 = 45
+TAG_EXPORT_ASSETS = 56
+TAG_IMPORT_ASSETS = 57
+TAG_IMPORT_ASSETS2 = 71
+TAG_METADATA = 77
+TAG_DEFINE_SCENE_AND_FRAME_LABEL_DATA = 86
+TAG_DEFINE_FONT_NAME = 88
 TAG_FRAME_LABEL = 43
 TAG_PLACE_OBJECT = 4
 TAG_PLACE_OBJECT2 = 26
@@ -1874,7 +1880,9 @@ def emit_movie_timeline(
         videos: Tuple = (),
         sounds: Tuple = (),
         sound_events: Optional[dict] = None,
-        sound_stream=None) -> bytes:
+        sound_stream=None,
+        exports: Optional[dict] = None,
+        metadata: Optional[str] = None) -> bytes:
     """A multi-frame movie: define tags up front, then per frame a list
     of Placement / RemoveObject display-list operations followed by
     ShowFrame.  Placement.move carries the PlaceFlagMove form (modify
@@ -1930,6 +1938,11 @@ def emit_movie_timeline(
         tags.extend(emit_define_sound(snd))
     if sound_stream is not None:
         tags.extend(emit_sound_stream_head(sound_stream))
+    if metadata is not None:
+        tags.extend(_tag(TAG_METADATA,
+                         metadata.encode("utf-8") + b"\x00"))
+    if exports:
+        tags.extend(emit_export_assets(exports))
     for fi, ops in enumerate(frames):
         if frame_labels and fi in frame_labels:
             tags.extend(_tag(TAG_FRAME_LABEL,
@@ -2657,6 +2670,77 @@ def parse_define_sprite(body: bytes) -> Sprite:
     return Sprite(id=sprite_id, frames=tuple(dl.frames))
 
 
+def _zstring(data: bytes, pos: int) -> Tuple[str, int]:
+    end = data.index(b"\x00", pos)
+    return data[pos:end].decode("utf-8"), end + 1
+
+
+def _read_varint(data: bytes, pos: int) -> Tuple[int, int]:
+    """SWF EncodedU32 (LEB128, 1-5 bytes)."""
+    v = 0
+    for i in range(5):
+        b = data[pos + i]
+        v |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            return v, pos + i + 1
+    return v, pos + 5
+
+
+def emit_export_assets(exports: dict) -> bytes:
+    """ExportAssets (tag 56): name -> character id."""
+    body = bytearray(struct.pack("<H", len(exports)))
+    for name, cid in exports.items():
+        body.extend(struct.pack("<H", cid))
+        body.extend(name.encode("utf-8") + b"\x00")
+    return _tag(TAG_EXPORT_ASSETS, bytes(body))
+
+
+def parse_export_assets_tag(body: bytes) -> dict:
+    (count,) = struct.unpack_from("<H", body, 0)
+    pos = 2
+    out = {}
+    for _ in range(count):
+        (cid,) = struct.unpack_from("<H", body, pos)
+        name, pos = _zstring(body, pos + 2)
+        out[name] = cid
+    return out
+
+
+def parse_import_assets_tag(body: bytes, assets2: bool = False) -> dict:
+    """ImportAssets/2 (tags 57/71): name -> (url, local id).  The
+    characters live in another movie; the mapping is carried so an
+    embedder can resolve them, nothing renders from it."""
+    url, pos = _zstring(body, 0)
+    if assets2:
+        pos += 2  # reserved version bytes
+    (count,) = struct.unpack_from("<H", body, pos)
+    pos += 2
+    out = {}
+    for _ in range(count):
+        (cid,) = struct.unpack_from("<H", body, pos)
+        name, pos = _zstring(body, pos + 2)
+        out[name] = (url, cid)
+    return out
+
+
+def parse_scene_frame_label_tag(body: bytes):
+    """DefineSceneAndFrameLabelData (tag 86): ((offset, scene name)...),
+    {frame -> label}."""
+    count, pos = _read_varint(body, 0)
+    scenes = []
+    for _ in range(count):
+        off, pos = _read_varint(body, pos)
+        name, pos = _zstring(body, pos)
+        scenes.append((off, name))
+    count, pos = _read_varint(body, pos)
+    labels = {}
+    for _ in range(count):
+        num, pos = _read_varint(body, pos)
+        name, pos = _zstring(body, pos)
+        labels[num] = name
+    return tuple(scenes), labels
+
+
 def _sound_flags(format: int, rate: int, bits: int, channels: int) -> int:
     from .sound import RATES
 
@@ -3003,6 +3087,11 @@ class Movie:
     sound_events: dict = dataclasses.field(default_factory=dict)
     # Main-timeline SoundStreamHead(+blocks), or None.
     sound_stream: Optional[object] = None
+    exported: dict = dataclasses.field(default_factory=dict)  # name -> id
+    imported: dict = dataclasses.field(default_factory=dict)  # -> (url,id)
+    metadata: Optional[str] = None      # Metadata tag XML
+    scenes: Tuple = ()                  # ((frame offset, name), ...)
+    font_names: dict = dataclasses.field(default_factory=dict)
 
     @property
     def placements(self) -> Tuple[Placement, ...]:
@@ -3032,6 +3121,11 @@ def parse_movie(data: bytes) -> Movie:
     sounds: dict = {}
     sound_events: dict = {}
     sound_stream = None
+    exported: dict = {}
+    imported: dict = {}
+    metadata = None
+    scenes: tuple = ()
+    font_names: dict = {}
     labels: dict = {}
     jpeg_tables = b""
     dl = _DisplayList()
@@ -3129,6 +3223,22 @@ def parse_movie(data: bytes) -> Movie:
         elif code == TAG_SOUND_STREAM_BLOCK:
             if sound_stream is not None:
                 sound_stream.blocks[len(dl.frames)] = body
+        elif code == TAG_EXPORT_ASSETS:
+            exported.update(parse_export_assets_tag(body))
+        elif code in (TAG_IMPORT_ASSETS, TAG_IMPORT_ASSETS2):
+            imported.update(parse_import_assets_tag(
+                body, assets2=code == TAG_IMPORT_ASSETS2))
+        elif code == TAG_METADATA:
+            metadata = _zstring(body, 0)[0]
+        elif code == TAG_DEFINE_SCENE_AND_FRAME_LABEL_DATA:
+            scenes, scene_labels = parse_scene_frame_label_tag(body)
+            for num, name in scene_labels.items():
+                labels.setdefault(num, name)
+        elif code == TAG_DEFINE_FONT_NAME:
+            (fid,) = struct.unpack_from("<H", body, 0)
+            display, pos = _zstring(body, 2)
+            copyright_, _pos = _zstring(body, pos)
+            font_names[fid] = (display, copyright_)
     return Movie(frame_rect=frame_rect, frame_rate=rate_fixed / 256.0,
                  background=background, shapes=shapes,
                  morph_shapes=morphs, bitmaps=bitmaps,
@@ -3137,4 +3247,6 @@ def parse_movie(data: bytes) -> Movie:
                  edit_texts=edit_texts, buttons=buttons,
                  scaling_grids=scaling_grids, videos=videos,
                  sounds=sounds, sound_events=sound_events,
-                 sound_stream=sound_stream)
+                 sound_stream=sound_stream, exported=exported,
+                 imported=imported, metadata=metadata, scenes=scenes,
+                 font_names=font_names)

@@ -125,6 +125,37 @@ def test_mixer_stop_truncates():
     assert np.abs(mixed[cut:]).max() == 0.0
 
 
+def test_frame_server_audio_endpoint():
+    """POST /movie?audio=1 serves the mixed track as a WAV."""
+    import threading
+    import urllib.request
+
+    from tools.frame_server import FrameServer, Handler
+
+    snd = sound.Sound(id=1, format=sound.FORMAT_UNCOMPRESSED_LE,
+                      rate=11025, bits=16, channels=1, sample_count=500,
+                      data=sound.encode_uncompressed(_sine(500), 16))
+    data = swf_binary.emit_movie_timeline(
+        frames=[[]], sounds=(snd,),
+        sound_events={0: [(1, sound.SoundInfo())]},
+        stage_rect=ast.Rect(0, 2000, 0, 2000), frame_rate=10.0)
+    server = FrameServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/movie?audio=1", data=data,
+            method="POST")
+        with urllib.request.urlopen(req) as resp:
+            body = resp.read()
+            assert resp.headers["Content-Type"] == "audio/wav"
+        pcm, rate = read_wav(body)
+        assert rate == 44100
+        assert pcm.shape[1] == 2 and np.abs(pcm).max() > 0.1
+    finally:
+        server.shutdown()
+
+
 def test_wav_round_trip():
     pcm = np.concatenate([_sine(300), _sine(300, 880)], axis=1)
     back, rate = read_wav(wav_bytes(pcm, 22050))

@@ -145,11 +145,12 @@ class Handler(BaseHTTPRequestHandler):
 
     def _movie(self, params):
         """POST a whole .swf (FWS or zlib CWS): the first frame comes
-        back as PNG/PAM, or the full timeline as consecutive PAM frames
+        back as PNG/PAM, the full timeline as consecutive PAM frames
         under ?timeline=1 (played through render_batch, so moving-matrix
-        movies auto-route to the on-device sweep).  The renderer is
-        server-cached per raster size, so repeat posts keep warm
-        compiled-scene caches."""
+        movies auto-route to the on-device sweep), or the mixed audio
+        track as a WAV under ?audio=1.  The renderer is server-cached
+        per raster size, so repeat posts keep warm compiled-scene
+        caches."""
         from swf_renderer_tpu.runtime.movie import (
             load_movie_stage, load_movie_timeline,
         )
@@ -171,6 +172,15 @@ class Handler(BaseHTTPRequestHandler):
             return renderer
 
         data = self._body()
+        if params.get("audio") in ("1", "true"):
+            # The movie's mixed audio track (StartSound events + the
+            # sound stream) as a 16-bit WAV.
+            from swf_renderer_tpu.models.swf_binary import parse_movie
+            from swf_renderer_tpu.runtime.audio import mix_movie_audio
+            from swf_renderer_tpu.utils.wav import wav_bytes
+
+            pcm = mix_movie_audio(parse_movie(data))
+            return self._bytes(wav_bytes(pcm), "audio/wav")
         if params.get("timeline") in ("1", "true"):
             stages, bitmaps = load_movie_timeline(data)
             if not stages:

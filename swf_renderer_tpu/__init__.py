@@ -41,6 +41,10 @@ __all__ = [
     "MorphShapeInstance",
     "Container",
     "RendererService",
+    "render_movie",
+    "render_movie_timeline",
+    "load_movie_stage",
+    "mix_movie_audio",
 ]
 
 
@@ -61,4 +65,13 @@ def __getattr__(name):
         from .runtime.service import RendererService
 
         return RendererService
+    if name in ("render_movie", "render_movie_timeline",
+                "load_movie_stage"):
+        from .runtime import movie
+
+        return getattr(movie, name)
+    if name == "mix_movie_audio":
+        from .runtime.audio import mix_movie_audio
+
+        return mix_movie_audio
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -91,6 +91,10 @@ def main(argv=None) -> int:
             movie = parse_movie(_movie_bytes(args.ast))
             write_wav(args.wav, mix_movie_audio(movie))
             print(args.wav)
+            if args.output is None and args.frames is None:
+                # Audio-only invocation: don't pay a render (a cold TPU
+                # compile can take minutes) the user never asked for.
+                return 0
 
         t0 = time.perf_counter()
         if args.frames is not None:

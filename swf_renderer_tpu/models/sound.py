@@ -250,11 +250,20 @@ def encode_adpcm(pcm: np.ndarray) -> bytes:
     return w.bytes()
 
 
-def decode_sound(format: int, data: bytes, bits: int,
-                 channels: int) -> np.ndarray:
+def decode_sound(format: int, data: bytes, bits: int, channels: int,
+                 sample_count: Optional[int] = None) -> np.ndarray:
+    """Decode one sound payload to (samples, channels) f32.
+
+    ``sample_count`` trims the result (DefineSound declares it; ADPCM
+    byte-alignment padding otherwise decodes as spurious trailing
+    samples — one per block tail, enough to drift a stream mix)."""
     if format in (FORMAT_UNCOMPRESSED, FORMAT_UNCOMPRESSED_LE):
-        return decode_uncompressed(data, bits, channels)
-    if format == FORMAT_ADPCM:
-        return decode_adpcm(data, channels)
-    raise NotImplementedError(
-        f"NotImplemented: Support for sound format {format}")
+        pcm = decode_uncompressed(data, bits, channels)
+    elif format == FORMAT_ADPCM:
+        pcm = decode_adpcm(data, channels)
+    else:
+        raise NotImplementedError(
+            f"NotImplemented: Support for sound format {format}")
+    if sample_count is not None:
+        pcm = pcm[:sample_count]
+    return pcm

@@ -2813,9 +2813,16 @@ def parse_start_sound_tag(body: bytes):
                           loops=loops)
 
 
-def emit_sound_stream_head(stream, head2: bool = False) -> bytes:
+def emit_sound_stream_head(stream, head2: Optional[bool] = None) -> bytes:
     """SoundStreamHead/Head2 (tags 18/45): playback hint byte, stream
-    format byte, average samples per frame."""
+    format byte, average samples per frame.
+
+    Tag 18 only admits ADPCM/MP3 compression (SWF spec v19); any other
+    format auto-selects Head2, which allows them all."""
+    from .sound import FORMAT_ADPCM, FORMAT_MP3
+
+    if head2 is None:
+        head2 = stream.format not in (FORMAT_ADPCM, FORMAT_MP3)
     playback = _sound_flags(0, stream.rate, stream.bits, stream.channels)
     streamf = _sound_flags(stream.format, stream.rate, stream.bits,
                            stream.channels)

@@ -36,11 +36,16 @@ def _to_stereo(pcm: np.ndarray) -> np.ndarray:
     return np.repeat(pcm, 2, axis=1)
 
 
-def _event_pcm(snd, info, rate: int) -> np.ndarray:
-    """One StartSound instance's samples: decode, apply in/out points
-    (sample indices at the SOUND's rate, player semantics), loop,
-    resample to the mix rate."""
-    pcm = decode_sound(snd.format, snd.data, snd.bits, snd.channels)
+def _event_pcm(snd, info, rate: int, cache: dict) -> np.ndarray:
+    """One StartSound instance's samples: decode (once per sound id —
+    retriggered ADPCM clicks shouldn't re-run the bit reader), apply
+    in/out points (sample indices at the SOUND's rate, player
+    semantics), loop, resample to the mix rate."""
+    pcm = cache.get(snd.id)
+    if pcm is None:
+        pcm = decode_sound(snd.format, snd.data, snd.bits, snd.channels,
+                           snd.sample_count)
+        cache[snd.id] = pcm
     lo = min(info.in_point or 0, pcm.shape[0])
     hi = (min(info.out_point, pcm.shape[0])
           if info.out_point is not None else pcm.shape[0])
@@ -62,6 +67,7 @@ def mix_movie_audio(movie: Movie, n_frames: Optional[int] = None,
     spf = rate / max(movie.frame_rate, 1e-6)
     chunks = []  # (start_sample, pcm, sound_id or None)
 
+    decoded: dict = {}
     active_by_id: dict = {}
     for f in sorted(movie.sound_events):
         if f >= frames:
@@ -83,7 +89,7 @@ def mix_movie_audio(movie: Movie, n_frames: Optional[int] = None,
                     s0 + len(pcm) > start
                     for s0, pcm in active_by_id.get(sid, ())):
                 continue
-            pcm = _event_pcm(snd, info, rate)
+            pcm = _event_pcm(snd, info, rate, decoded)
             entry = [start, pcm]
             active_by_id.setdefault(sid, []).append(entry)
             chunks.append(entry)
@@ -93,7 +99,7 @@ def mix_movie_audio(movie: Movie, n_frames: Optional[int] = None,
         first = min(stream.blocks)
         pcm_blocks = [
             decode_sound(stream.format, stream.blocks[f], stream.bits,
-                         stream.channels)
+                         stream.channels, stream.samples_per_frame)
             for f in sorted(stream.blocks)]
         pcm = np.concatenate(pcm_blocks, axis=0)
         chunks.append([int(round(first * spf)),

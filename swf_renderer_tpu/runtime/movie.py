@@ -128,9 +128,12 @@ def _placement_child(p, movie: Movie, frame_idx: int = 0,
                                  color_transform=ct, blend_mode=blend,
                                  filters=filters)
     if p.character_id in movie.videos:
+        # The stream's clock starts when the placement appears (same
+        # phase rule as sprites); a RATIO seeks absolutely.
+        local_frame = frame_idx - getattr(p, "placed_frame", 0)
         return display.ShapeInstance(
             definition=_video_shape(movie, movie.videos[p.character_id],
-                                    frame_idx, p.ratio),
+                                    local_frame, p.ratio),
             matrix=p.matrix, color_transform=ct, blend_mode=blend,
             filters=filters)
     raise KeyError(
@@ -241,6 +244,21 @@ def _character_bounds_rect(movie: Movie, cid: int):
     if cid in movie.videos:
         v = movie.videos[cid]
         return (0.0, 0.0, float(v.width * 20), float(v.height * 20))
+    if cid in movie.texts:
+        b = movie.texts[cid].bounds
+        return (float(b.x_min), float(b.y_min),
+                float(b.x_max), float(b.y_max))
+    if cid in movie.edit_texts:
+        b = movie.edit_texts[cid].bounds
+        return (float(b.x_min), float(b.y_min),
+                float(b.x_max), float(b.y_max))
+    if cid in movie.buttons:
+        from ..models.swf_binary import Placement as _P
+
+        return _placements_bounds(movie, [
+            _P(depth=r.depth, character_id=r.character_id,
+               matrix=r.matrix)
+            for r in movie.buttons[cid].state_records(0x01)])
     return None
 
 

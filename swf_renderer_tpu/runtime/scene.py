@@ -489,16 +489,26 @@ class SceneCompiler:
         """Per-axis scale-9 bands ``[(src_lo, src_hi, slope, offset)]`` of
         the piecewise-linear map f with f(lo) = s*lo and f(hi) = s*hi:
         the outer bands translate rigidly (slope 1 — corners keep their
-        natural size) and the center band absorbs the scaling, clamped at
-        slope 0 when the scaled extent is smaller than the two fixed bands
-        (the corners then meet; Flash's too-small case)."""
-        off_l = s * lo - lo
-        off_r = s * hi - hi
-        cs = max(0.0, (s * (hi - lo) - (glo - lo) - (hi - ghi))
-                 / (ghi - glo))
-        off_c = (glo + off_l) - cs * glo
-        return ((lo, glo, 1.0, off_l), (glo, ghi, cs, off_c),
-                (ghi, hi, 1.0, off_r))
+        natural size) and the center band absorbs the scaling.  When the
+        scaled extent is smaller than the two fixed bands, the center
+        collapses to slope 0 and the corner bands COMPRESS equally so
+        they meet instead of overlapping (slices must stay a partition
+        of the output — the merge/compositing logic depends on it)."""
+        fixed = (glo - lo) + (hi - ghi)
+        total = s * (hi - lo)
+        if total >= fixed:
+            off_l = s * lo - lo
+            off_r = s * hi - hi
+            cs = (total - fixed) / (ghi - glo)
+            off_c = (glo + off_l) - cs * glo
+            return ((lo, glo, 1.0, off_l), (glo, ghi, cs, off_c),
+                    (ghi, hi, 1.0, off_r))
+        k = total / fixed if fixed > 0.0 else 0.0
+        off_l = s * lo - k * lo
+        off_r = s * hi - k * hi
+        off_c = s * lo + k * (glo - lo)
+        return ((lo, glo, k, off_l), (glo, ghi, 0.0, off_c),
+                (ghi, hi, k, off_r))
 
     def _walk_scale_grid(self, obj, ctm: Affine,
                          ct: Optional[display.ColorTransform]) -> None:

@@ -102,6 +102,24 @@ def test_full_bounds_fill_is_seam_exact():
     _assert_close(got, want, tol=0)
 
 
+def test_too_small_scale_partitions_without_overlap():
+    # Below the fixed-band budget (scale*extent < left+right bands) the
+    # corners compress to meet: a full-bounds solid rect must still
+    # exactly equal the plain uniformly scaled rect — any band overlap
+    # (double cover) or gap breaks this equality.
+    rect = _rect_shape(1, 2000, 2000, BLUE)
+    group = display.ScaleGridGroup(
+        children=(display.ShapeInstance(definition=rect),),
+        grid=(800.0, 800.0, 1200.0, 1200.0),
+        bounds=(0.0, 0.0, 2000.0, 2000.0),
+        matrix=_mat(sx=0.45, sy=0.45))
+    got = _render(_stage([group]))
+    want = _render(_stage([
+        display.ShapeInstance(definition=rect, matrix=_mat(sx=0.45,
+                                                           sy=0.45))]))
+    _assert_close(got, want, tol=0)
+
+
 def test_center_rect_stretches():
     # A rect covering exactly the grid center under 2x scale: with
     # bounds [0, 2000] and grid [500, 1500], the center slope is

@@ -125,6 +125,33 @@ def test_mixer_stop_truncates():
     assert np.abs(mixed[cut:]).max() == 0.0
 
 
+def test_decode_sound_trims_to_sample_count():
+    # ADPCM byte-alignment padding would otherwise decode as spurious
+    # trailing samples (mono 4-bit: one per block tail).
+    pcm = _sine(800)
+    data = sound.encode_adpcm(pcm)
+    assert sound.decode_adpcm(data, 1).shape[0] > 800
+    assert sound.decode_sound(sound.FORMAT_ADPCM, data, 16, 1,
+                              sample_count=800).shape[0] == 800
+
+
+def test_stream_head_tag_selection():
+    # Tag 18 only admits ADPCM/MP3; uncompressed streams auto-emit
+    # SoundStreamHead2 (tag 45).
+    def tag_code(raw):
+        import struct as _s
+
+        return _s.unpack_from("<H", raw, 0)[0] >> 6
+
+    un = sound.SoundStream(format=sound.FORMAT_UNCOMPRESSED_LE,
+                           rate=11025, bits=16, channels=1,
+                           samples_per_frame=1102)
+    ad = sound.SoundStream(format=sound.FORMAT_ADPCM, rate=11025,
+                           bits=16, channels=1, samples_per_frame=1102)
+    assert tag_code(swf_binary.emit_sound_stream_head(un)) == 45
+    assert tag_code(swf_binary.emit_sound_stream_head(ad)) == 18
+
+
 def test_frame_server_audio_endpoint():
     """POST /movie?audio=1 serves the mixed track as a WAV."""
     import threading

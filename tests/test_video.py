@@ -89,6 +89,22 @@ def test_video_advances_with_timeline():
     assert np.array_equal(_interior(out[1]), f1[1:-1, 1:-1])
 
 
+def test_video_placed_mid_timeline_starts_at_frame_zero():
+    # The stream's clock starts when the placement appears: placed on
+    # timeline frame 1, video frame 0 shows there (not frame 1).
+    f0, f1 = _frames()
+    stream = swf_binary.VideoStream(id=5, width=37, height=23,
+                                    smoothing=False)
+    stream.frames[0] = encode_screen_video_packet(f0, block=16)
+    stream.frames[1] = encode_screen_video_packet(f1, prev=f0, block=16)
+    data = swf_binary.emit_movie_timeline(
+        frames=[[], [swf_binary.Placement(depth=1, character_id=5)], []],
+        videos=(stream,), stage_rect=ast.Rect(0, 37 * 20, 0, 23 * 20))
+    out = render_movie_timeline(data)
+    assert np.array_equal(_interior(out[1]), f0[1:-1, 1:-1])
+    assert np.array_equal(_interior(out[2]), f1[1:-1, 1:-1])
+
+
 def test_video_seeks_by_ratio():
     # A placement RATIO of 1 (u16 on the wire) pins video frame 1 on
     # timeline frame 0 (embedded-video seek semantics).

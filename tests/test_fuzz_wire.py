@@ -229,3 +229,66 @@ def test_fuzz_sprite_timeline_oracle(seed):
             cid, m, placed = want[p.depth]
             assert (p.character_id, p.matrix, p.placed_frame) == (
                 cid, m, placed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_new_subsystem_tags_roundtrip(seed):
+    """End-of-round-4 families: sounds, video streams, scaling grids,
+    exports, metadata — emit -> parse is the identity on the
+    structured form; screen-video packets decode at random sizes."""
+    from swf_renderer_tpu.models import sound as sound_model
+    from swf_renderer_tpu.models.screenvideo import (
+        decode_screen_video_packet,
+        encode_screen_video_packet,
+    )
+
+    rng = _rng(seed + 900)
+    fmt = int(rng.choice([sound_model.FORMAT_UNCOMPRESSED_LE,
+                          sound_model.FORMAT_ADPCM]))
+    rate = int(rng.choice(sound_model.RATES))
+    channels = int(rng.integers(1, 3))
+    n = int(rng.integers(50, 900))
+    pcm = rng.uniform(-0.8, 0.8, (n, channels)).astype(np.float32)
+    data = (sound_model.encode_adpcm(pcm)
+            if fmt == sound_model.FORMAT_ADPCM
+            else sound_model.encode_uncompressed(pcm, 16))
+    snd = sound_model.Sound(id=1, format=fmt, rate=rate, bits=16,
+                            channels=channels, sample_count=n, data=data)
+
+    vw = int(rng.integers(3, 70))
+    vh = int(rng.integers(3, 70))
+    img = rng.integers(0, 256, (vh, vw, 3), dtype=np.uint8)
+    img2 = img.copy()
+    img2[: vh // 2] = rng.integers(0, 256, (vh // 2, vw, 3),
+                                   dtype=np.uint8)
+    stream = swf_binary.VideoStream(id=2, width=vw, height=vh)
+    stream.frames[0] = encode_screen_video_packet(img, block=16)
+    stream.frames[1] = encode_screen_video_packet(img2, prev=img,
+                                                  block=16)
+
+    grid = ast.Rect(*(int(v) for v in (200, 700, 300, 800)))
+    exports = {f"sym{i}": int(rng.integers(1, 100)) for i in range(3)}
+    events = {0: [(1, sound_model.SoundInfo(
+        loops=int(rng.integers(1, 4))))]}
+
+    movie_bytes = swf_binary.emit_movie_timeline(
+        frames=[[], []], sounds=(snd,), sound_events=events,
+        videos=(stream,), scaling_grids=((3, grid),), exports=exports,
+        metadata="<x/>", stage_rect=ast.Rect(0, 4000, 0, 4000))
+    movie = swf_binary.parse_movie(movie_bytes)
+
+    got = movie.sounds[1]
+    assert (got.format, got.rate, got.bits, got.channels,
+            got.sample_count) == (fmt, rate, 16, channels, n)
+    assert got.data == data
+    decoded = sound_model.decode_sound(fmt, got.data, 16, channels, n)
+    assert decoded.shape == (n, channels)
+    assert movie.sound_events[0][0][0] == 1
+    assert movie.videos[2].frames.keys() == {0, 1}
+    d0 = decode_screen_video_packet(movie.videos[2].frames[0])
+    d1 = decode_screen_video_packet(movie.videos[2].frames[1], d0)
+    assert np.array_equal(d0, img) and np.array_equal(d1, img2)
+    g = movie.scaling_grids[3]
+    assert (g.x_min, g.x_max, g.y_min, g.y_max) == (200, 700, 300, 800)
+    assert movie.exported == exports
+    assert movie.metadata == "<x/>"

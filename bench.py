@@ -20,12 +20,50 @@ Usage:
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 TARGET_GPX_S = 5.0
+
+# --- Deadline watchdog -----------------------------------------------------
+# The driver runs ``python bench.py`` under a timeout; a cold TPU compile over
+# the tunnel can exceed it (round 4's BENCH capture died rc=124 with NO
+# headline line).  The watchdog guarantees a headline JSON line: once any
+# measurement exists it is stashed here, and on SIGALRM the best-so-far is
+# printed before exit.  The committed .jax_cache makes the cold-compile case
+# rare; this makes it non-fatal.
+_BEST: dict = {}
+_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "480"))
+
+
+def _stash(result: dict) -> None:
+    _BEST.clear()
+    _BEST.update(result)
+
+
+def _deadline(signum, frame):
+    if _BEST:
+        _BEST.setdefault("note", "deadline fallback (partial measurement)")
+        print(json.dumps(_BEST), flush=True)
+    else:
+        print(json.dumps({
+            "metric": "fill_rate_1080p60_multilayer_sustained",
+            "value": 0.0, "unit": "Gpx/s", "vs_baseline": 0.0,
+            "note": f"deadline {_DEADLINE_S}s hit before any measurement "
+                    f"completed (cold compile?)"}), flush=True)
+    os._exit(0)
+
+
+def _arm_watchdog() -> None:
+    try:
+        signal.signal(signal.SIGALRM, _deadline)
+        signal.alarm(_DEADLINE_S)
+    except (ValueError, AttributeError):
+        pass  # non-main thread / platform without SIGALRM
 
 
 def build_scene_edges(frames, layers, height, width, shapes_per_layer=16,
@@ -763,16 +801,30 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
             group=GROUP, spp=spp)
         return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
+    # ONE compiled program for every repetition count: k is a traced scalar
+    # driving a dynamic-bound fori_loop, so the two-point fit costs a single
+    # TPU compile instead of one per k (halves cold-cache wall time — the
+    # round-4 driver capture died inside the second compile).
+    @jax.jit
+    def run(uv, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, acc: one_rep(uv, acc), 0.0)
+
+    t0 = time.perf_counter()
+    float(run(args[5], 1))  # compile + warm
+    print(json.dumps({"note": "compile + first call seconds",
+                      "seconds": round(time.perf_counter() - t0, 1)}),
+          file=sys.stderr, flush=True)
+
+    pixels = frames * height * width
+
     def timed(k):
-        @jax.jit
-        def run(uv):
-            return jax.lax.fori_loop(
-                0, k, lambda i, acc: one_rep(uv, acc), 0.0)
-        float(run(args[5]))  # compile + warm
+        kj = jnp.int32(k)
+        float(run(args[5], kj))  # warm this trip count
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            float(run(args[5]))
+            float(run(args[5], kj))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
@@ -782,29 +834,39 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
     k0, k1 = 1, 9
     fits = []
     t_k0 = None
+
+    def emit(dt, partial=False):
+        gpx_s = pixels / dt / 1e9
+        result = {
+            "metric": metric,
+            "value": round(gpx_s, 4),
+            "unit": "Gpx/s",
+            "vs_baseline": (round(gpx_s / TARGET_GPX_S, 4)
+                            if vs_target else None),
+        }
+        if partial:
+            _stash(result)
+        else:
+            print(json.dumps(result), flush=True)
+        return result
+
     for _ in range(2):
         a, b = timed(k0), timed(k1)
         t_k0 = a if t_k0 is None else min(t_k0, a)
         fits.append((b - a) / (k1 - k0))
+        emit(min(fits), partial=True)  # watchdog fallback after fit 1
     dt = min(fits)
     print(
         json.dumps({"note": "latency (single call, incl. dispatch)",
                     "ms": round(t_k0 * 1e3, 1)}),
         file=sys.stderr,
     )
-
-    pixels = frames * height * width
-    gpx_s = pixels / dt / 1e9
-    print(json.dumps({
-        "metric": metric,
-        "value": round(gpx_s, 4),
-        "unit": "Gpx/s",
-        "vs_baseline": round(gpx_s / TARGET_GPX_S, 4) if vs_target else None,
-    }))
+    emit(dt)
 
 
 def main() -> None:
     _enable_compile_cache()
+    _arm_watchdog()
     smoke = "--smoke" in sys.argv
     direct = "--direct" in sys.argv
     if "--config" in sys.argv:

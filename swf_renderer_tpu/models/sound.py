@@ -261,6 +261,15 @@ def decode_sound(format: int, data: bytes, bits: int, channels: int,
         pcm = decode_uncompressed(data, bits, channels)
     elif format == FORMAT_ADPCM:
         pcm = decode_adpcm(data, channels)
+    elif format == FORMAT_MP3:
+        # MP3SOUNDDATA (SWF spec): s16 LE SeekSamples, then MPEG frames.
+        # SeekSamples skips encoder-delay samples from the decode head.
+        from .mp3 import decode_mp3
+
+        seek = int.from_bytes(data[:2], "little", signed=True)
+        pcm, _rate = decode_mp3(data[2:])
+        if seek > 0:
+            pcm = pcm[seek:]
     else:
         raise NotImplementedError(
             f"NotImplemented: Support for sound format {format}")

@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..models.sound import decode_sound
+from ..models.sound import FORMAT_MP3, decode_sound
 from ..models.swf_binary import Movie
 
 
@@ -97,11 +97,33 @@ def mix_movie_audio(movie: Movie, n_frames: Optional[int] = None,
     stream = movie.sound_stream
     if stream is not None and stream.blocks:
         first = min(stream.blocks)
-        pcm_blocks = [
-            decode_sound(stream.format, stream.blocks[f], stream.bits,
-                         stream.channels, stream.samples_per_frame)
-            for f in sorted(stream.blocks)]
-        pcm = np.concatenate(pcm_blocks, axis=0)
+        if stream.format == FORMAT_MP3:
+            # MP3STREAMSOUNDDATA: u16 SampleCount + s16 SeekSamples per
+            # block, then raw MPEG frames.  The Layer III bit reservoir
+            # spans block boundaries, so the frames must decode as ONE
+            # stream, not block-by-block.
+            from ..models.mp3 import decode_mp3
+
+            total_samples = 0
+            seek = 0
+            payload = b""
+            for bi, f in enumerate(sorted(stream.blocks)):
+                blk = stream.blocks[f]
+                total_samples += int.from_bytes(blk[:2], "little")
+                if bi == 0:
+                    seek = int.from_bytes(blk[2:4], "little", signed=True)
+                payload += blk[4:]
+            pcm, _mp3_rate = decode_mp3(payload)
+            if seek > 0:
+                pcm = pcm[seek:]
+            if total_samples:
+                pcm = pcm[:total_samples]
+        else:
+            pcm_blocks = [
+                decode_sound(stream.format, stream.blocks[f], stream.bits,
+                             stream.channels, stream.samples_per_frame)
+                for f in sorted(stream.blocks)]
+            pcm = np.concatenate(pcm_blocks, axis=0)
         chunks.append([int(round(first * spf)),
                        _to_stereo(_resample(pcm, stream.rate, rate))])
 

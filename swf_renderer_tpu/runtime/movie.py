@@ -352,8 +352,9 @@ def _edit_text_container(movie: Movie, field, matrix, ct, blend,
     at left_margin + indent, baseline at the font ascent, greedy word
     wrap at the right margin when word_wrap is set, '\\n'/'\\r' breaks
     when multiline, line height = (ascent + descent) * scale + leading.
-    Alignment 1/2 right/center-shifts each laid line (3 = justify
-    renders as left).  Needs the font's layout block (advances)."""
+    Alignment 1/2 right/center-shifts each laid line; 3 justifies
+    wrapped lines by stretching word gaps (last line of each paragraph
+    left-set).  Needs the font's layout block (advances)."""
     from ..utils.fixed import Sfixed16P16
 
     font = movie.fonts.get(field.font_id)
@@ -381,13 +382,13 @@ def _edit_text_container(movie: Movie, field, matrix, ct, blend,
             gi = font.glyph_for_code(ord(ch))
             if gi is None:
                 continue  # unmapped characters drop (player behavior)
-            out.append((gi, font.advances[gi] * scale))
+            out.append((gi, font.advances[gi] * scale, ch == " "))
         return out
 
     paragraphs = (field.text.replace("\r\n", "\n").replace("\r", "\n")
                   .split("\n") if field.multiline else
                   [field.text.replace("\r", " ").replace("\n", " ")])
-    lines = []
+    lines = []  # (indent, entries, is_last_line_of_paragraph)
     for para in paragraphs:
         if field.word_wrap:
             cur = []
@@ -395,26 +396,38 @@ def _edit_text_container(movie: Movie, field, matrix, ct, blend,
             indent = field.indent
             for word in para.split(" "):
                 entries = glyph_entries(word + " ")
-                w_word = sum(a for _, a in entries)
+                w_word = sum(a for _, a, _ in entries)
                 if cur and x0 + indent + cur_w + w_word > x_right:
-                    lines.append((indent, cur))
+                    lines.append((indent, cur, False))
                     cur, cur_w, indent = [], 0.0, 0
                 cur.extend(entries)
                 cur_w += w_word
-            lines.append((indent, cur))
+            lines.append((indent, cur, True))
         else:
-            lines.append((field.indent, glyph_entries(para)))
+            lines.append((field.indent, glyph_entries(para), True))
 
     children = []
     y = b.y_min + _EDIT_TEXT_GUTTER + font.ascent / em * field.height
-    for indent, entries in lines:
-        width = sum(a for _, a in entries)
+    for indent, entries, last_line in lines:
+        width = sum(a for _, a, _ in entries)
         x = x0 + indent
+        stretch = 0.0
         if field.align == 1:      # right
             x = x_right - width
         elif field.align == 2:    # center
             x = x0 + indent + (x_right - x0 - indent - width) / 2.0
-        for gi, adv in entries:
+        elif field.align == 3 and not last_line:
+            # Justify: wrapped (non-final) lines stretch their word
+            # gaps to fill the margin box; the paragraph's last line
+            # stays left-set (player layout).
+            while entries and entries[-1][2]:
+                entries = entries[:-1]      # trailing space off the edge
+            n_gaps = sum(1 for _, _, sp in entries if sp)
+            w_line = sum(a for _, a, _ in entries)
+            slack = x_right - x - w_line
+            if n_gaps and slack > 0:
+                stretch = slack / n_gaps
+        for gi, adv, is_space in entries:
             m = ast.Matrix(scale_x=sfx, scale_y=sfx,
                            rotate_skew0=zero, rotate_skew1=zero,
                            translate_x=int(round(x)),
@@ -422,7 +435,7 @@ def _edit_text_container(movie: Movie, field, matrix, ct, blend,
             children.append(display.ShapeInstance(
                 definition=font.glyph_shape(gi), matrix=m,
                 color_transform=tint))
-            x += adv
+            x += adv + (stretch if is_space else 0.0)
         y += line_height
     return display.Container(children=tuple(children), matrix=matrix,
                              color_transform=ct, blend_mode=blend,

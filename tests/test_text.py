@@ -325,6 +325,46 @@ def test_edit_text_unmapped_chars_drop():
     np.testing.assert_array_equal(got, want)
 
 
+# Space glyph (empty outline) so justify has stretchable word gaps.
+SPACE_FONT = swf_binary.Font(
+    id=1, glyphs=(TRIANGLE, SQUARE, ()), name="AB ",
+    code_table=(65, 66, 32), ascent=900, descent=200, leading=60,
+    advances=(1000, 850, 500))
+
+
+def test_edit_text_justify_matches_manual_layout():
+    """align=3: wrapped lines stretch their word gaps to fill the
+    margin box; the last line stays left-set.  Pinned against a
+    hand-laid glyph twin (VERDICT r4 item 10)."""
+    field = _edit_field(text="AB AB AB AB", height=512, align=3,
+                        word_wrap=True, multiline=True)
+    got = render_movie(_movie_with_field(field, font=SPACE_FONT))
+    # scale 0.5: A=500, B=425, space=250 twips; bounds 4000 - gutters ->
+    # x_right 3960.  Three words fit (40+3*1175 < 3960), the fourth
+    # wraps.  Line 1 justified: stripped width 3275, slack 645 over two
+    # gaps -> +322.5 per space.
+    g, asc, lh = 40, 450, 550  # gutter, 900*0.5 ascent, (900+200)*0.5
+    s = 0.5
+    entries = []
+    x = 40.0
+    y1 = g + asc
+    for adv, records in ((500, TRIANGLE), (425, SQUARE), (250 + 322.5, None),
+                         (500, TRIANGLE), (425, SQUARE), (250 + 322.5, None),
+                         (500, TRIANGLE), (425, SQUARE)):
+        if records is not None:
+            entries.append((records, s, int(round(x)), y1, field.color))
+        x += adv
+    x = 40.0
+    for adv, records in ((500, TRIANGLE), (425, SQUARE)):
+        entries.append((records, s, int(round(x)), y1 + lh, field.color))
+        x += adv
+    want = TpuRenderer(200, 120).render(_glyph_twin_stage(entries))
+    np.testing.assert_array_equal(got, want)
+    # And the justified line really reaches the right margin.
+    ink = (got[..., :3] < 200).any(axis=(0, 2))
+    assert np.nonzero(ink)[0][-1] >= 3960 / 20 - 4
+
+
 # ---------------------------------------------------------------------------
 # Buttons (UP state) and DefineFontInfo
 # ---------------------------------------------------------------------------
@@ -494,3 +534,49 @@ def test_font_info_attaches_codes_to_v1_font():
     assert parsed.fonts[1].code_table == (65, 66)
     assert parsed.fonts[1].name == "TriFont"
     assert parsed.fonts[1].glyph_for_code(66) == 1
+
+
+def test_frame_server_button_state_switch():
+    """POST /movie?button_state=down renders the over|down records over
+    HTTP — the interactive state switch exposed through the embedding
+    surface (VERDICT r4 item 10)."""
+    import threading
+    import urllib.request
+
+    from tools.frame_server import FrameServer, Handler
+    from swf_renderer_tpu.runtime.movie import render_movie
+    from swf_renderer_tpu.utils.png import read_png
+
+    sq, sq_blue = _button_movie_shapes()
+    button = swf_binary.Button(id=9, records=(
+        swf_binary.ButtonRecord(character_id=2, depth=1,
+                                matrix=_identity(), states=0x01),
+        swf_binary.ButtonRecord(character_id=3, depth=2,
+                                matrix=_scale_translate(1.0, 400, 0),
+                                states=0x06),
+    ))
+    movie = swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=9)]],
+        shapes=[sq, sq_blue], buttons=[button],
+        stage_rect=ast.Rect(0, 1600, 0, 600))
+    server = FrameServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(query=""):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/movie{query}", data=movie,
+            method="POST")
+        with urllib.request.urlopen(req) as resp:
+            return read_png(resp.read())
+
+    try:
+        np.testing.assert_array_equal(post(), render_movie(movie))
+        np.testing.assert_array_equal(
+            post("?button_state=down"),
+            render_movie(movie, button_state="down"))
+        np.testing.assert_array_equal(
+            post("?button_state=hit"),
+            render_movie(movie, button_state="hit"))
+    finally:
+        server.shutdown()

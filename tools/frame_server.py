@@ -181,8 +181,14 @@ class Handler(BaseHTTPRequestHandler):
 
             pcm = mix_movie_audio(parse_movie(data))
             return self._bytes(wav_bytes(pcm), "audio/wav")
+        # ?button_state=up|over|down|hit selects which records button
+        # characters draw (the loader threads it through sprites and
+        # masks too) — switching states reuses the same compiled-scene
+        # caches, the interactive path's zero-recompile property.
+        button_state = params.get("button_state", "up")
         if params.get("timeline") in ("1", "true"):
-            stages, bitmaps = load_movie_timeline(data)
+            stages, bitmaps = load_movie_timeline(
+                data, button_state=button_state)
             if not stages:
                 raise ValueError("movie has no frames")
             renderer = renderer_for(stages[0].width, stages[0].height,
@@ -193,7 +199,7 @@ class Handler(BaseHTTPRequestHandler):
                 buf.write(rgba_to_pam(frame))
             return self._bytes(buf.getvalue(),
                                "application/x-portable-arbitrarymap")
-        stage, bitmaps = load_movie_stage(data)
+        stage, bitmaps = load_movie_stage(data, button_state=button_state)
         renderer = renderer_for(stage.width, stage.height, bitmaps)
         frame = renderer.render(stage)
         if params.get("format", "png") == "pam":

@@ -66,6 +66,32 @@ def _arm_watchdog() -> None:
         pass  # non-main thread / platform without SIGALRM
 
 
+def two_point_fit(run_k, k0=1, k1=9, n_fits=2, reps=5):
+    """Sustained per-repetition seconds from a chained-repetition
+    two-point fit: ``run_k(k)`` executes ONE call of the jitted
+    dynamic-k chain (forcing a checksum) — endpoint noise divides by
+    (k1-k0), two full fits guard against minute-scale load epochs on
+    the shared chip, and min-of-reps rejects transient contention.
+    The headline methodology (bench_flatblock), shared by every config
+    so no metric rides a single-fit band (VERDICT r4 #9)."""
+    def timed(k):
+        run_k(k)  # warm this trip count
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_k(k)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    fits = []
+    t_k0 = None
+    for _ in range(n_fits):
+        a, b = timed(k0), timed(k1)
+        t_k0 = a if t_k0 is None else min(t_k0, a)
+        fits.append((b - a) / (k1 - k0))
+    return min(fits), t_k0
+
+
 def build_scene_edges(frames, layers, height, width, shapes_per_layer=16,
                       seed=7):
     """Random multi-shape layered scenes: per (frame, layer) an edge table."""
@@ -170,23 +196,23 @@ def bench_morph16() -> None:
             rr + prev * 1e-30, *fargs, stage.height, stage.width)
         return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
-    def timed(k):
-        @jax.jit
-        def run(rr):
-            return jax.lax.fori_loop(
-                0, k, lambda i, acc: one_rep(rr, acc), 0.0)
-        float(run(ratios_j))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(ratios_j))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    @jax.jit
+    def run(rr, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, acc: one_rep(rr, acc), 0.0)
 
-    # Sustained two-point fit (same methodology as the headline bench):
-    # the whole 256-ratio sweep renders in ~1 ms of device time, far under
-    # the ~26 ms dispatch floor a single call pays.
-    dt_fused = (timed(9) - timed(1)) / 8
+    float(run(ratios_j, 1))  # one compile serves every trip count
+    # Sustained two-point fit (headline methodology — two fits, min of
+    # 5 reps per endpoint): the whole 256-ratio sweep renders in ~1 ms
+    # of device time, far under the ~26 ms dispatch floor a single call
+    # pays, and the r4 single-fit band swung 15-35 Gpx/s across epochs.
+    # Very wide k1: one 256-ratio sweep rep is well under 1 ms of
+    # device work, so narrow fits (k1-k0 <= 24) leave the signal inside
+    # the ~5 ms tunnel jitter — round-4/5 epochs swung the recorded
+    # number 13-122 Gpx/s and once NEGATIVE.  ~200 reps of signal
+    # (~100 ms, the headline fit's scale) collapse the band.
+    dt_fused, _ = two_point_fit(
+        lambda k: float(run(ratios_j, jnp.int32(k))), k0=25, k1=225)
     print(json.dumps({"note": "morph paths",
                       "direct_single_call_ms": round(dt_direct * 1e3, 1),
                       "fused_sustained_ms": round(dt_fused * 1e3, 2)}),
@@ -554,53 +580,44 @@ def bench_masked(h: int = 1088, w: int = 1920, layers: int = 4,
     pre = segment([per[:half] for per in tables],
                   [solid_paint(tuple(colors[0, j])) for j in range(half)],
                   colors[:, :half])
-    mask = segment([[mask_rect]] * frames,
-                   [solid_paint((1.0, 1.0, 1.0, 1.0))],
-                   np.ones((frames, 1, 4), np.float32))
-    content = segment([per[half:] for per in tables],
-                      [solid_paint(tuple(colors[0, j]))
-                       for j in range(half, layers)],
-                      colors[:, half:])
-    final = segment([[np.zeros((0, 4), np.float32)]] * frames,
-                    [solid_paint((1.0, 1.0, 1.0, 1.0))],
-                    np.zeros((frames, 1, 4), np.float32))
-    ns, nc = pre[4], pre[5]
+    # Round-5 fused mask-group pass (VERDICT r4 #5): content layers +
+    # the mask layer render in ONE kernel chain (mask_from) that also
+    # quantizes over the pre planes — 2 full-frame chains instead of 4
+    # (pre/mask/content/quantize), float-op identical (pinned by
+    # tests/test_masks.py and tpu_pin).
+    contmask = segment(
+        [per[half:] + [mask_rect] for per in tables],
+        [solid_paint(tuple(colors[0, j])) for j in range(half, layers)]
+        + [solid_paint((1.0, 1.0, 1.0, 1.0))],
+        np.concatenate([colors[:, half:],
+                        np.ones((frames, 1, 4), np.float32)], axis=1))
+    n_content = layers - half
 
-    def seg_run(seg, perturb, bg=None, emit="premul"):
+    def seg_run(seg, perturb, bg=None, emit="premul", mask_from=None):
         args, colors_j, fields, kpaints, s_ns, s_nc, nl = seg
         return render_fused_styled(
             args[0], args[1], args[2], args[3], args[4],
             args[5] + perturb, colors_j, fields, frames, nl, s_ns, s_nc,
-            kpaints, group=GROUP, spp=spp, chain=bg is not None, bg=bg,
-            emit=emit)
+            kpaints, group=GROUP, spp=spp,
+            chain=bg is not None and mask_from is None, bg=bg,
+            emit=emit, mask_from=mask_from)
 
     def one_rep(prev):
         eps = prev * 1e-30
         pre_p = seg_run(pre, eps)
-        mask_p = seg_run(mask, eps)
-        content_p = seg_run(content, eps)
-        scaled = content_p * mask_p[:, :, 3:4]
-        comb = scaled + pre_p * (1.0 - scaled[:, :, 3:4])
-        out = seg_run(final, eps, bg=comb, emit="u32")
+        out = seg_run(contmask, eps, bg=pre_p, emit="u32",
+                      mask_from=n_content)
         return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
-    def timed(k):
-        @jax.jit
-        def run(_):
-            return jax.lax.fori_loop(0, k, lambda i, acc: one_rep(acc),
-                                     0.0)
-        float(run(0.0))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(0.0))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    @jax.jit
+    def run(k):
+        return jax.lax.fori_loop(0, k, lambda i, acc: one_rep(acc), 0.0)
 
-    dt = (timed(5) - timed(1)) / 4
+    float(run(1))
+    dt, _ = two_point_fit(lambda k: float(run(jnp.int32(k))), k0=1, k1=5)
     gpx = frames * h * w / dt / 1e9
-    print(json.dumps({"note": "masked fused program (pre/mask/content/"
-                              "quantize passes + plane algebra)",
+    print(json.dumps({"note": "masked fused program (pre pass + fused "
+                              "content*mask-over-pre quantize pass)",
                       "ms_per_frame": round(dt / frames * 1e3, 3)},
                      ), file=sys.stderr)
     print(json.dumps({
@@ -690,21 +707,15 @@ def bench_style(kind: str) -> None:
             kpaints, group=GROUP, spp=spp)
         return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
-    def timed(k):
-        @jax.jit
-        def run(uv):
-            return jax.lax.fori_loop(
-                0, k, lambda i, acc: one_rep(uv, acc), 0.0)
-        float(run(args[5]))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(args[5]))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    @jax.jit
+    def run(uv, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, acc: one_rep(uv, acc), 0.0)
 
+    float(run(args[5], 1))
     # Sustained two-point fit (headline methodology).
-    dt = (timed(5) - timed(1)) / 4
+    dt, _ = two_point_fit(lambda k: float(run(args[5], jnp.int32(k))),
+                          k0=1, k1=5)
     print(json.dumps({
         "metric": f"{kind}_{h}x{w}_sustained",
         "value": round(batch * h * w / dt / 1e6, 2),

@@ -287,7 +287,8 @@ def _iotas(plane_rows: int = LANE):
 def _resolve_strip_packed(read_plane, read_color, *, layers: int,
                           fill_rule: int, prefixed: bool = True,
                           chain: bool = False, plane_rows: int = LANE,
-                          window: int = None, bg=None, emit: str = "u32"):
+                          window: int = None, bg=None, emit: str = "u32",
+                          mask_from: int = None):
     """THE shared winding->pixels resolve (every kernel in this module ends
     here): cross-chunk carry ladder, fill rule, alpha-over composite,
     straight-u8 quantization, little-endian RGBA packing.
@@ -360,7 +361,8 @@ def _resolve_strip_packed(read_plane, read_color, *, layers: int,
             winding[lyr * plane_rows:(lyr + 1) * plane_rows], rules[lyr])
             for lyr in range(layers)]
     return composite_quantize_pack(covs, read_color, layers=layers,
-                                   chain=chain, bg=bg, emit=emit)
+                                   chain=chain, bg=bg, emit=emit,
+                                   mask_from=mask_from)
 
 
 def fill_rule_cov(winding, fill_rule: int):
@@ -373,7 +375,7 @@ def fill_rule_cov(winding, fill_rule: int):
 
 def composite_quantize_pack(covs, read_color, *, layers: int,
                             chain: bool = False, bg=None,
-                            emit: str = "u32"):
+                            emit: str = "u32", mask_from: int = None):
     """Coverage planes -> alpha-over composite -> premul-u8 quantization ->
     packed little-endian RGBA uint32 (the shared tail of every resolve).
 
@@ -383,7 +385,34 @@ def composite_quantize_pack(covs, read_color, *, layers: int,
     ``bg``: optional (r, g, b, a) premul f32 planes seeding the CHAIN
     composite (multi-pass composition of deep draw lists: the chain is a
     left fold, so pass-by-pass grouping is exact).  ``emit="premul"``
-    skips quantization and returns the premul (r, g, b, a) planes."""
+    skips quantization and returns the premul (r, g, b, a) planes.
+
+    ``mask_from``: layers [mask_from:] are a clip-group MASK, not
+    content — the content layers [:mask_from] composite as a group from
+    a transparent base (same composite form as the standalone content
+    pass), the mask layers' union alpha left-folds exactly like the
+    standalone white mask pass, the group scales by that union, and the
+    scaled group alpha-overs ``bg`` — the in-kernel form of the group
+    plane algebra ``scaled = content * mask_a; out = scaled + bg *
+    (1 - scaled_a)`` (runtime/pipeline exec_masked_program), float-op
+    identical so the layered-compositor pin still holds."""
+    if mask_from is not None:
+        cr, cg, cb, ca_g = composite_quantize_pack(
+            covs[:mask_from], read_color, layers=mask_from,
+            chain=chain, emit="premul")
+        m = None  # union alpha of the mask sub-layers (left fold)
+        for j in range(mask_from, layers):
+            ca = read_color(j, 3) * covs[j]
+            m = ca if m is None else ca + m * (1.0 - ca)
+        r, g, b, a = cr * m, cg * m, cb * m, ca_g * m
+        if bg is not None:
+            kp = 1.0 - a
+            r = r + bg[0] * kp
+            g = g + bg[1] * kp
+            b = b + bg[2] * kp
+            a = a + bg[3] * kp
+        pm = (r, g, b)
+        return _quantize_pack_tail(pm, a, emit)
     if bg is not None and not chain:
         raise ValueError("bg seeding requires the chain composite form")
     if chain:
@@ -428,6 +457,10 @@ def composite_quantize_pack(covs, read_color, *, layers: int,
 
         pm = (channel(0), channel(1), channel(2))
 
+    return _quantize_pack_tail(pm, a, emit)
+
+
+def _quantize_pack_tail(pm, a, emit: str):
     if emit == "premul":
         return pm + (a,)
 
@@ -1052,7 +1085,7 @@ def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
                          paints, n_fields: int, plane_rows: int = LANE,
                          spp: int = 1, chain: bool = False,
                          has_bg: bool = False, emit: str = "u32",
-                         vfold: bool = False):
+                         vfold: bool = False, mask_from: int = None):
     """_fusedn_kernel generalized to styled per-layer paints.
 
     ``has_bg``: a premul background plane input follows the fields
@@ -1104,7 +1137,7 @@ def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
             lambda lyr: acc_ref[lyr], read_color,
             layers=layers, fill_rule=fill_rule, prefixed=True, chain=chain,
             plane_rows=plane_rows, window=nc8 if spp > 1 else None,
-            bg=bg, emit=emit)
+            bg=bg, emit=emit, mask_from=mask_from)
         if emit == "premul":
             for ch in range(4):
                 out_ref[0, 0, ch] = res[ch]
@@ -1120,7 +1153,8 @@ def _fused_styled_kernel(sidx_ref, flags_ref, *rest, layers: int, ns1: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "frames", "layers", "n_strips", "n_chunks", "group", "paints",
-    "fill_rule", "interpret", "spp", "chain", "emit", "vfold"))
+    "fill_rule", "interpret", "spp", "chain", "emit", "vfold",
+    "mask_from"))
 def render_fused_styled(
     sidx: jax.Array,    # (NG,) i32 packed target
     flags: jax.Array,   # (NG,) i32 bit0 zero, bit1 resolve
@@ -1143,6 +1177,7 @@ def render_fused_styled(
     bg: jax.Array = None,  # (F, NS+1, 4, plane_rows, 128) premul planes
     emit: str = "u32",
     vfold: bool = None,  # None = _VFOLD_DEFAULT
+    mask_from: int = None,
 ) -> jax.Array:
     """Styled group-per-step fused render -> (F, NS+1, spp*8, stride)
     uint32.
@@ -1163,8 +1198,8 @@ def render_fused_styled(
         interpret = not _on_tpu()
     if vfold is None:
         vfold = _VFOLD_DEFAULT
-    if bg is not None and not chain:
-        raise ValueError("bg requires chain=True")
+    if bg is not None and not chain and mask_from is None:
+        raise ValueError("bg requires chain=True (or mask_from)")
     ng = urc.shape[0]
     ns1 = n_strips + 1
     stride = n_chunks * LANE
@@ -1232,7 +1267,8 @@ def render_fused_styled(
         _fused_styled_kernel, layers=layers, ns1=ns1, n_chunks=n_chunks,
         fill_rule=fill_rule, group=group, paints=paints, n_fields=n_fields,
         plane_rows=plane_rows, spp=spp, chain=chain,
-        has_bg=bg is not None, emit=emit, vfold=vfold)
+        has_bg=bg is not None, emit=emit, vfold=vfold,
+        mask_from=mask_from)
     args = [sidx, flags, *(lays[g] for g in range(group)), colors,
             urc, ucm, uval, *fields]
     if bg is not None:

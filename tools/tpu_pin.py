@@ -316,6 +316,30 @@ def pin_group_composite():
     d = max(np.abs(apm - bpm).max(), np.abs(af[..., 3] - bf[..., 3]).max())
     report("group-composite-masks-blends", d, 2.0)
 
+    # Round 5: plain-draw mask content routes through the FUSED
+    # mask-group pass (render_fused_styled mask_from — content + mask
+    # union + over-bg + quantize in ONE kernel chain).  Pin that branch
+    # on chip too (the blend scene above falls back to plane algebra).
+    stage_f = display.Stage(
+        width=80, height=60,
+        background_color=ast.StraightSRgba8(0, 0, 0, 0),
+        children=(
+            display.ShapeInstance(definition=back),
+            display.MaskedGroup(
+                mask=display.ShapeInstance(definition=half),
+                children=(
+                    display.ShapeInstance(definition=blue),
+                    display.ShapeInstance(definition=red),
+                )),
+        ))
+    a = TpuRenderer(80, 60, backend="auto").render(stage_f)
+    b = TpuRenderer(80, 60, backend="scanline").render(stage_f)
+    af, bf = a.astype(np.float64), b.astype(np.float64)
+    apm = af[..., :3] * af[..., 3:4] / 255.0
+    bpm = bf[..., :3] * bf[..., 3:4] / 255.0
+    d = max(np.abs(apm - bpm).max(), np.abs(af[..., 3] - bf[..., 3]).max())
+    report("group-composite-fused-mask-pass", d, 2.0)
+
 
 def main():
     from bench import _enable_compile_cache

@@ -109,6 +109,17 @@ class Affine:
         return (self.a, self.b, self.c, self.d, self.e, self.f)
 
 
+# Production curve-flattening tolerance (device px).  Round 5 calibrated
+# 0.1 -> 0.075 against the hb29 morph goldens: the finer setting bumps
+# exactly the curves whose ceil(sqrt(dev/4tol)) sits just under a pow2
+# boundary (hb29's left-border curve: n 8 -> 16), dropping pm-max 22 ->
+# 17 at ALL three ratios with zero change on the other four corpus
+# samples (tools/exp_role_tol.py round-5 study; pm >2 frac trades
+# 0.0093 -> 0.0115 at ratio 1.0 only).  x0.9 is a no-op and x0.6
+# regresses — the optimum is the measured plateau [0.7, 0.8].
+CURVE_TOLERANCE = 0.075
+
+
 def quad_subdivisions(
     p0: np.ndarray, ctrl: np.ndarray, p1: np.ndarray, tolerance: float,
     pow2: bool = False,

@@ -46,7 +46,7 @@ import numpy as np
 
 from ..models import ast, display
 from ..models import ir as ir_mod
-from ..models.geometry import split_edges_y
+from ..models.geometry import CURVE_TOLERANCE, split_edges_y
 from ..ops import composite as composite_ops
 from ..ops import style as style_ops
 from ..ops.coverage import FILL_RULE_NONZERO, coverage, normalize_fill_rule
@@ -241,7 +241,7 @@ class TpuRenderer:
             self.bitmap_service, self._shape_cache, self._morph_cache,
             # The player flattens curves by recursive midpoint subdivision
             # at ~0.1 px flatness (measured, PERF.md round 2).
-            curve_tolerance=0.1,
+            curve_tolerance=CURVE_TOLERANCE,
             curve_pow2=flash_like,
             honor_swf_caps=flash_like,
             honor_fill_winding=self.honor_fill_winding,
@@ -308,7 +308,7 @@ class TpuRenderer:
         for stage in stages:
             compiler = SceneCompiler(
                 self.bitmap_service, self._shape_cache, self._morph_cache,
-                curve_tolerance=0.1,
+                curve_tolerance=CURVE_TOLERANCE,
                 curve_pow2=flash_like,
                 honor_swf_caps=flash_like,
                 honor_fill_winding=self.honor_fill_winding,
@@ -645,7 +645,7 @@ class TpuRenderer:
             devs.append(row)
         compiler = SceneCompiler(
             self.bitmap_service, self._shape_cache, self._morph_cache,
-            curve_tolerance=0.1 / smax,
+            curve_tolerance=CURVE_TOLERANCE / smax,
             curve_pow2=flash_like,
             honor_swf_caps=flash_like,
             honor_fill_winding=self.honor_fill_winding,
@@ -723,7 +723,7 @@ class TpuRenderer:
         s_aff = Affine.scaling(1.0 / TWIPS_PER_PX, 1.0 / TWIPS_PER_PX)
         compiler = SceneCompiler(
             self.bitmap_service, self._shape_cache, self._morph_cache,
-            curve_tolerance=0.1 / smax,
+            curve_tolerance=CURVE_TOLERANCE / smax,
             curve_pow2=flash_like,
             honor_swf_caps=flash_like,
             honor_fill_winding=self.honor_fill_winding,
@@ -1367,7 +1367,7 @@ def render_shape_animation(
         service, {}, {},
         # Flatten in LOCAL space at a tolerance that holds after the most
         # magnifying frame transform.
-        curve_tolerance=0.1 / max(1.0, smax),
+        curve_tolerance=CURVE_TOLERANCE / max(1.0, smax),
         curve_pow2=flash_like,
         honor_swf_caps=flash_like,
     )

@@ -34,6 +34,7 @@ from ..models import ast, display, ir
 from ..models.decode_morph_shape import decode_morph_shape
 from ..models.decode_shape import decode_shape
 from ..models.geometry import (
+    CURVE_TOLERANCE,
     Affine,
     TWIPS_PER_PX,
     clip_edges_rect,
@@ -294,7 +295,7 @@ class SceneCompiler:
         bitmaps: BitmapService,
         shape_cache: dict,
         morph_cache: dict,
-        curve_tolerance: float = 0.1,
+        curve_tolerance: float = CURVE_TOLERANCE,
         curve_pow2: bool = False,
         honor_fill_winding: bool = False,
         honor_swf_caps: bool = False,

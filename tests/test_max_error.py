@@ -51,13 +51,21 @@ SHAPE_BUDGETS = {
     # BOTH qualities (gated at 'flash', the stricter player target).
     "textured-shapes/homestuck-beta-4": (2, 0.0, "flash", 1, 0.0),
 }
-# pow2 (recursive-midpoint) curve flattening at 0.1 px: >2/255 fraction
-# halved vs uniform-count flattening (player parity, PERF.md round 2).
+# pow2 (recursive-midpoint) curve flattening (player parity, PERF.md
+# round 2).  Round 5: tolerance calibrated 0.1 -> 0.075
+# (geometry.CURVE_TOLERANCE — the 0.75 plateau bumps exactly the
+# boundary-straddling curves' counts): pm-max RATCHETS 22 -> 17 at all
+# three ratios; the ratio-1.0 >2 frac budget loosens 0.010 -> 0.012
+# (measured 0.0115) as the documented cost of the 5/255 max win —
+# tools/exp_role_tol.py + the round-5 model-family studies (per-role
+# tolerance, twip snapping, monotonization, extrema insertion, and
+# integer-twip recursive subdivision all measured WORSE; x0.75 is the
+# best surviving global model).
 # (straight max, >2 frac, premul max, premul >2 frac)
 MORPH_BUDGETS = {
-    0.0: (22, 0.010, 22, 0.010),
-    0.5: (22, 0.009, 22, 0.009),
-    1.0: (22, 0.010, 22, 0.010),
+    0.0: (17, 0.009, 17, 0.009),
+    0.5: (17, 0.008, 17, 0.008),
+    1.0: (17, 0.012, 17, 0.012),
 }
 BITMAPS = {"textured-shapes/homestuck-beta-4": ["bitmap/homestuck-beta-3"]}
 

@@ -472,6 +472,23 @@ def bake_sweep_fields(field_specs, height: int, width: int,
         track = None if stop_tracks is None else stop_tracks[si]
         p = spec.paint
         invs_np = np.asarray(spec.invs, np.float32)
+        # Identical-inverse dedup (round 5): a layer whose composed
+        # device->paint inverse repeats across frames (static bitmap
+        # layer in an otherwise-animated scene, a rotation track with
+        # repeated angles, a paused timeline) bakes each UNIQUE matrix
+        # once and broadcasts — exact by construction (byte-equal rows
+        # produce byte-equal planes), F/U x less bake compute.
+        if track is None and invs_np.shape[0] > 1:
+            uniq, inv_idx = np.unique(invs_np, axis=0,
+                                      return_inverse=True)
+            if uniq.shape[0] < invs_np.shape[0]:
+                sub = bake_sweep_fields(
+                    [SweepFieldSpec(spec.layer, p, uniq)], height,
+                    width, frame_chunk=frame_chunk)[0]
+                outs.append(jnp.take(sub,
+                                     jnp.asarray(inv_idx.reshape(-1)),
+                                     axis=0))
+                continue
         invs = jnp.asarray(invs_np)
         if p.kind == style_ops.PAINT_BITMAP:
             # Axis-aligned frames MUST bake through the same separable

@@ -310,3 +310,50 @@ def test_texfield_frames_per_step_invariant():
             for f in (1, 2, 6)]
         np.testing.assert_array_equal(outs[0], outs[1])
         np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_bake_sweep_fields_dedups_repeated_inverses():
+    """A layer whose composed inverse repeats across frames (static
+    bitmap layer in an animated scene) bakes each unique matrix ONCE
+    and broadcasts — bit-identical to the undeduped bake (round 5)."""
+    from unittest import mock
+
+    import numpy as np
+
+    from swf_renderer_tpu.ops import style as style_ops
+    from swf_renderer_tpu.ops import transform as tf
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16, 4)).astype(np.uint8)
+    paint = style_ops.Paint(
+        kind=style_ops.PAINT_BITMAP,
+        inv_matrix=(0.31, 0.12, -0.12, 0.31, 1.0, 2.0),
+        image=img, repeating=True, smoothed=True, supersample=2)
+    # 6 frames, only 2 distinct matrices (repeated pattern).
+    a = np.array([0.31, 0.12, -0.12, 0.31, 1.0, 2.0], np.float32)
+    b = np.array([0.28, -0.2, 0.2, 0.28, 3.0, -1.0], np.float32)
+    invs = np.stack([a, b, a, a, b, a])
+    spec = tf.SweepFieldSpec(0, paint, invs)
+
+    calls = []
+    orig = tf.bake_sweep_fields
+
+    def spy(specs, h, w, stop_tracks=None, frame_chunk=8):
+        calls.append(np.asarray(specs[0].invs).shape[0])
+        return orig(specs, h, w, stop_tracks=stop_tracks,
+                    frame_chunk=frame_chunk)
+
+    got = None
+    with mock.patch.object(tf, "bake_sweep_fields", side_effect=spy,
+                           wraps=orig):
+        got = np.asarray(tf.bake_sweep_fields([spec], 24, 40)[0])
+    # The recursive bake saw only the 2 unique matrices.
+    assert 2 in calls, calls
+    # Bit-identical to baking every frame without dedup (force by
+    # perturbing each row by a unique zero-effect... instead bake the
+    # two unique rows directly and index).
+    ref = np.asarray(orig([tf.SweepFieldSpec(0, paint,
+                                             np.stack([a, b]))],
+                          24, 40)[0])
+    want = ref[[0, 1, 0, 0, 1, 0]]
+    np.testing.assert_array_equal(got, want)

@@ -542,7 +542,8 @@ def bench_interactive(h: int = 1088, w: int = 1920,
 
 
 def bench_masked(h: int = 1088, w: int = 1920, layers: int = 4,
-                 frames: int = 60) -> None:
+                 frames: int = 60, fused: bool = True,
+                 emit_metric: bool = True) -> float:
     """Clip-group throughput: a 1080p multi-layer scene whose top half
     of layers sits inside a MaskedGroup, as the fused masked program
     (round-4 feature): pre-layers -> premul planes, white mask pass,
@@ -592,21 +593,41 @@ def bench_masked(h: int = 1088, w: int = 1920, layers: int = 4,
         np.concatenate([colors[:, half:],
                         np.ones((frames, 1, 4), np.float32)], axis=1))
     n_content = layers - half
+    # The round-4 plane-algebra arms (perf_pin A/B: fused=False).
+    mask = segment([[mask_rect]] * frames,
+                   [solid_paint((1.0, 1.0, 1.0, 1.0))],
+                   np.ones((frames, 1, 4), np.float32))
+    content = segment([per[half:] for per in tables],
+                      [solid_paint(tuple(colors[0, j]))
+                       for j in range(half, layers)],
+                      colors[:, half:])
+    final = segment([[np.zeros((0, 4), np.float32)]] * frames,
+                    [solid_paint((1.0, 1.0, 1.0, 1.0))],
+                    np.zeros((frames, 1, 4), np.float32))
 
-    def seg_run(seg, perturb, bg=None, emit="premul", mask_from=None):
+    def seg_run(seg, perturb, bg=None, emit="premul", mask_from=None,
+                chain=None):
         args, colors_j, fields, kpaints, s_ns, s_nc, nl = seg
+        if chain is None:
+            chain = bg is not None and mask_from is None
         return render_fused_styled(
             args[0], args[1], args[2], args[3], args[4],
             args[5] + perturb, colors_j, fields, frames, nl, s_ns, s_nc,
-            kpaints, group=GROUP, spp=spp,
-            chain=bg is not None and mask_from is None, bg=bg,
+            kpaints, group=GROUP, spp=spp, chain=chain, bg=bg,
             emit=emit, mask_from=mask_from)
 
     def one_rep(prev):
         eps = prev * 1e-30
         pre_p = seg_run(pre, eps)
-        out = seg_run(contmask, eps, bg=pre_p, emit="u32",
-                      mask_from=n_content)
+        if fused:
+            out = seg_run(contmask, eps, bg=pre_p, emit="u32",
+                          mask_from=n_content)
+        else:
+            mask_p = seg_run(mask, eps)
+            content_p = seg_run(content, eps)
+            scaled = content_p * mask_p[:, :, 3:4]
+            comb = scaled + pre_p * (1.0 - scaled[:, :, 3:4])
+            out = seg_run(final, eps, bg=comb, emit="u32", chain=True)
         return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
     @jax.jit
@@ -616,15 +637,18 @@ def bench_masked(h: int = 1088, w: int = 1920, layers: int = 4,
     float(run(1))
     dt, _ = two_point_fit(lambda k: float(run(jnp.int32(k))), k0=1, k1=5)
     gpx = frames * h * w / dt / 1e9
-    print(json.dumps({"note": "masked fused program (pre pass + fused "
-                              "content*mask-over-pre quantize pass)",
+    label = ("fused content*mask-over-pre quantize pass" if fused
+             else "round-4 plane-algebra program (4 passes)")
+    print(json.dumps({"note": f"masked program: pre pass + {label}",
                       "ms_per_frame": round(dt / frames * 1e3, 3)},
                      ), file=sys.stderr)
-    print(json.dumps({
-        "metric": "fill_rate_1080p_masked_sustained",
-        "value": round(gpx, 3), "unit": "Gpx/s",
-        "vs_baseline": round(gpx / 5.0, 3),
-    }))
+    if emit_metric:
+        print(json.dumps({
+            "metric": "fill_rate_1080p_masked_sustained",
+            "value": round(gpx, 3), "unit": "Gpx/s",
+            "vs_baseline": round(gpx / 5.0, 3),
+        }))
+    return gpx
 
 
 def bench_style(kind: str) -> None:

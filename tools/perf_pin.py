@@ -128,6 +128,21 @@ def pin_sweep_retune():
     }}
 
 
+def pin_mask_fuse():
+    """Round 5: fused mask-group kernel pass vs the round-4 4-pass
+    plane-algebra program (tools/exp_maskfuse.py, one epoch)."""
+    rows = _run([PY, "tools/exp_maskfuse.py"])
+    for r in rows:
+        if r.get("pin") == "mask-fuse":
+            return {"mask-fuse:masked1080": {
+                "prior_gpx_s": r["prior_gpx_s"],
+                "current_gpx_s": r["current_gpx_s"],
+                "ratio_current_over_prior":
+                    r["ratio_current_over_prior"],
+            }}
+    return {}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
@@ -144,6 +159,7 @@ def main():
         results.update(pin_sweepblocks())
         results.update(pin_chunk_list())
         results.update(pin_sweep_retune())
+        results.update(pin_mask_fuse())
 
     regressions = [k for k, v in results.items()
                    if (v.get("ratio_current_over_prior") or 1.0) < 0.95]

@@ -275,7 +275,13 @@ def tiled_frame_fit(timed, tracks, frames: int,
     def tile(arr):
         if arr is None:
             return None
-        return np.concatenate([arr + np.float32(k) * 1e-9
+        # The per-tile perturbation must change the f32 BITS (eps at
+        # 1.0 is 1.2e-7): round 5's bake_sweep_fields dedups
+        # byte-identical frame matrices, so a below-resolution 1e-9
+        # nudge let the k1 arm skip its extra bakes entirely and the
+        # fit measured only the sweep marginal (animtex read 807
+        # Mpx/s).  1e-6 stays visually nil but keeps frames distinct.
+        return np.concatenate([arr + np.float32(k) * 1e-6
                                for k in range(mult)])
 
     t_k0 = timed(tracks)
@@ -964,21 +970,24 @@ def main() -> None:
                     colors_j, f, l, ns, nc, group=6)
                 return jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-12
 
-            def timed(k):
-                @jax.jit
-                def run(uv):
-                    return jax.lax.fori_loop(
-                        0, k, lambda i, acc: one(uv, acc), 0.0)
-                float(run(a[5]))
-                ts = []
-                for _ in range(5):
-                    t0 = time.perf_counter()
-                    float(run(a[5]))
-                    ts.append(time.perf_counter() - t0)
-                return min(ts)
+            @jax.jit
+            def run(uv, k):
+                return jax.lax.fori_loop(
+                    0, k, lambda i, acc: one(uv, acc), 0.0)
 
-            t1, t9 = timed(1), timed(9)
-            dev_ms = (t9 - t1) / 8 * 1e3
+            float(run(a[5], 1))
+            t1 = None
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(run(a[5], 1))
+                dt1 = time.perf_counter() - t0
+                t1 = dt1 if t1 is None else min(t1, dt1)
+            # Wide fit: one 1080p frame is ~0.5 ms of device work, so a
+            # k1-k0 of 8 sits under the ~5 ms tunnel jitter (a loaded
+            # epoch measured NEGATIVE); ~200 reps of signal stabilize.
+            dt, _ = two_point_fit(
+                lambda k: float(run(a[5], jnp.int32(k))), k0=25, k1=225)
+            dev_ms = dt * 1e3
             print(json.dumps({"note": "single-call wall incl. dispatch",
                               "ms": round(t1 * 1e3, 2)}), file=sys.stderr)
             print(json.dumps({

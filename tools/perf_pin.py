@@ -128,6 +128,25 @@ def pin_sweep_retune():
     }}
 
 
+def pin_morph16_stability():
+    """Round 5 (VERDICT r4 #9): the morph16 metric must not swing 2x
+    across epochs.  Three consecutive full bench runs of the wide
+    (k0=25, k1=225) chained fit; the band ratio (max/min) is the pin —
+    the round-4 narrow fit swung 15-35 Gpx/s and once went negative."""
+    vals = []
+    for _ in range(3):
+        rows = _run([PY, "bench.py", "--config", "morph16"])
+        for r in rows:
+            if r.get("metric") == "morph16_batch_sustained":
+                vals.append(r["value"] / 1e3)  # Mpx/s -> Gpx/s
+    if len(vals) < 3 or min(vals) <= 0:
+        return {}
+    return {"morph16-stability": {
+        "gpx_s_runs": [round(v, 2) for v in vals],
+        "band_max_over_min": round(max(vals) / min(vals), 3),
+    }}
+
+
 def pin_mask_fuse():
     """Round 5: fused mask-group kernel pass vs the round-4 4-pass
     plane-algebra program (tools/exp_maskfuse.py, one epoch)."""
@@ -160,6 +179,7 @@ def main():
         results.update(pin_chunk_list())
         results.update(pin_sweep_retune())
         results.update(pin_mask_fuse())
+        results.update(pin_morph16_stability())
 
     regressions = [k for k, v in results.items()
                    if (v.get("ratio_current_over_prior") or 1.0) < 0.95]

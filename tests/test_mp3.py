@@ -152,3 +152,28 @@ def test_non_mp3_data_raises():
         decode_mp3(b"\x00" * 1000)
     with pytest.raises(NotImplementedError):
         sound.decode_sound(6, b"\x00" * 16, 16, 1)  # Nellymoser refusal
+
+
+def test_fuzzed_streams_never_crash():
+    """Malformed input (random bytes, truncation, corruption) must
+    decode to whatever prefix parses or raise ValueError — never an
+    unhandled exception (framework robustness: real movies carry
+    damaged audio)."""
+    rng = np.random.default_rng(0)
+    real = FIXTURE.read_bytes() if FIXTURE.exists() else b"\xff\xe2" * 600
+    for trial in range(24):
+        kind = trial % 3
+        if kind == 0:
+            buf = bytes(rng.integers(0, 256, 4000, dtype=np.uint8))
+        elif kind == 1:
+            buf = real[: int(rng.integers(100, len(real)))]
+        else:
+            b = bytearray(real[:20000])
+            for _ in range(30):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            buf = bytes(b)
+        try:
+            pcm, rate = decode_mp3(buf)
+            assert rate > 0 and pcm.ndim == 2
+        except ValueError:
+            pass

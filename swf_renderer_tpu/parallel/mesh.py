@@ -826,9 +826,57 @@ def render_masked_dp(mesh: Mesh, edge_tables, paints, height: int,
 
     segments, program, final_seg = plan_masked_program(mask_tree, paints,
                                                        rules)
+    # Fused mask-group passes (round 5): the same (content + mask) ONE
+    # kernel-chain fusion the single-device executor uses — fusible
+    # steps get a combined "virtual segment" packed per shard, so the
+    # dp program stays bit-identical to the single-device one.
+    from ..ops.pipeline import MAX_KERNEL_LAYERS, _fusible_mask_step
+
+    def _rule_tuple(rule, n):
+        return rule if isinstance(rule, tuple) else (rule,) * n
+
+    fused_pairs = {}
+
+    def _scan(prog):
+        for step in prog:
+            if step[0] == "mask":
+                if _fusible_mask_step(step):
+                    cid, msids = step[2][0][1][0], tuple(step[1])
+                    ci = segments[cid][0]
+                    mi = []
+                    for msid in msids:
+                        mi.extend(segments[msid][0])
+                    if ci and 0 < len(ci) + len(mi) <= MAX_KERNEL_LAYERS:
+                        fused_pairs.setdefault((cid, msids), None)
+                _scan(step[2])
+            elif step[0] in ("blend", "filter"):
+                _scan(step[2])
+
+    _scan(program)
+    virtual = []
+    for (cid, msids) in fused_pairs:
+        ci, cp, crule, _ = segments[cid]
+        mi, mp, mrule = [], [], ()
+        for msid in msids:
+            s_i, s_p, s_rule, _ = segments[msid]
+            mi.extend(s_i)
+            mp.extend(s_p)
+            mrule = mrule + _rule_tuple(s_rule, len(s_i))
+        rule = _rule_tuple(crule, len(ci)) + mrule
+        if len(set(rule)) == 1:
+            rule = rule[0]
+        virtual.append(((cid, msids), tuple(ci) + tuple(mi),
+                        list(cp) + list(mp), rule, len(ci)))
+
     seg_meta = []
     seg_arrays = []
-    for idxs, sub_paints, rule, force_white in segments:
+    pack_list = ([(idxs, sub_paints, rule, force_white, None)
+                  for idxs, sub_paints, rule, force_white in segments]
+                 + [(idxs, sub_paints, rule, None, (key, mfrom))
+                    for key, idxs, sub_paints, rule, mfrom in virtual])
+    fused_slot = {}
+    for seg_i, (idxs, sub_paints, rule, force_white,
+                fused_info) in enumerate(pack_list):
         kpaints, fields, _ = kernel_paints_for(sub_paints, height, width,
                                                spp=spp)
         if fields:
@@ -859,7 +907,17 @@ def render_masked_dp(mesh: Mesh, edge_tables, paints, height: int,
                     x = np.concatenate([x, fill])
                 stacked.append(x)
             arrs.append(np.stack(stacked))
-        if force_white:
+        if fused_info is not None:
+            key, mfrom = fused_info
+            n_mask = len(idxs) - mfrom
+            base = (colors[:, list(idxs[:mfrom])]
+                    if mfrom else
+                    np.zeros((frames, 0, 4), np.float32))
+            sub_colors = np.concatenate(
+                [base, np.ones((frames, n_mask, 4), np.float32)],
+                axis=1).reshape(dp, per, len(idxs), 4)
+            fused_slot[key] = (seg_i, mfrom)
+        elif force_white:
             sub_colors = np.ones((dp, per, len(idxs), 4), np.float32)
         elif not idxs:
             sub_colors = np.zeros((dp, per, 1, 4), np.float32)
@@ -869,18 +927,27 @@ def render_masked_dp(mesh: Mesh, edge_tables, paints, height: int,
         seg_arrays.extend(arrs + [sub_colors])
         seg_meta.append((kpaints, ns, nc, len(sub_paints), rule))
 
+    n_packs = len(pack_list)
+
     def shard_fn(*flat):
         local = [tuple(x[0] for x in flat[7 * i : 7 * i + 7])
-                 for i in range(len(segments))]
+                 for i in range(n_packs)]
 
-        def seg_call(sid, bg, emit):
+        def seg_call(sid, bg, emit, mask_from=None):
             kpaints, ns, nc, nl, rule = seg_meta[sid]
             args = local[sid]
             return render_fused_styled(
                 args[0], args[1], args[2], args[3], args[4], args[5],
                 args[6], (), per, nl, ns, nc, kpaints, group=group,
                 fill_rule=rule, interpret=interpret, spp=spp,
-                chain=True, bg=bg, emit=emit)
+                chain=True, bg=bg, emit=emit, mask_from=mask_from)
+
+        def seg_call_masked(cid, msids, bg, emit):
+            slot = fused_slot.get((cid, msids))
+            if slot is None:
+                return None
+            seg_i, mfrom = slot
+            return seg_call(seg_i, bg, emit, mask_from=mfrom)
 
         from ..ops.flatblock import (
             frames_to_premul_planes, premul_planes_to_frames,
@@ -894,12 +961,13 @@ def render_masked_dp(mesh: Mesh, edge_tables, paints, height: int,
                 img, nc_final, spp, like.shape[1] - 1, like.shape[3]),
         )
         return exec_masked_program(program, final_seg, seg_call,
-                                   plane_image=plane_image)[None]
+                                   plane_image=plane_image,
+                                   seg_call_masked=seg_call_masked)[None]
 
     spec = P("dp")
     out = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(spec,) * (7 * len(segments)),
+        in_specs=(spec,) * (7 * n_packs),
         out_specs=spec, check_vma=False,
     )(*map(jnp.asarray, seg_arrays))
     out = np.asarray(out).reshape((frames,) + out.shape[2:])

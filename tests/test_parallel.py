@@ -806,3 +806,40 @@ def test_render_masked_dp_matches_single_device():
     mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=1)
     got = render_masked_dp(mesh, edge_tables, paints, h, w, colors, tree)
     np.testing.assert_array_equal(got, want)
+
+
+def test_render_masked_dp_fused_pass_matches_single_device():
+    """Plain-draw mask content routes through the FUSED mask-group
+    kernel pass on BOTH the single-device executor and the dp shards
+    (round 5) — the sharded program must stay bit-identical."""
+    from swf_renderer_tpu.ops.pipeline import render_batch_styled
+    from swf_renderer_tpu.ops.style import solid_paint
+    from swf_renderer_tpu.parallel.mesh import render_masked_dp
+
+    rng = np.random.default_rng(13)
+    f, h, w = 8, 48, 160
+    mask_rect = np.array(
+        [[10, 0, 100, 0], [100, 0, 100, h], [100, h, 10, h],
+         [10, h, 10, 0]], np.float32)
+
+    def blob():
+        pts = rng.uniform(0, (w, h), size=(6, 2)).astype(np.float32)
+        closed = np.concatenate([pts, pts[:1]])
+        return np.concatenate([closed[:-1], closed[1:]], axis=1)
+
+    edge_tables = [[blob(), mask_rect, blob(), blob()] for _ in range(f)]
+    paints = [solid_paint((0.9, 0.2, 0.2, 1.0)),
+              solid_paint((1.0, 1.0, 1.0, 1.0)),
+              solid_paint((0.2, 0.4, 0.9, 0.7)),
+              solid_paint((0.1, 0.8, 0.3, 0.5))]
+    colors = np.stack([np.stack([p.color for p in paints])
+                       for _ in range(f)]).astype(np.float32)
+    # Plain draws inside the mask: the fusible shape.
+    tree = [("draw", 0),
+            ("mask", [1], [("draw", 2), ("draw", 3)])]
+
+    want = render_batch_styled(edge_tables, paints, h, w, colors=colors,
+                               mask_tree=tree)
+    mesh = make_mesh(n_devices=8, axis_names=("dp", "tp"), tp=1)
+    got = render_masked_dp(mesh, edge_tables, paints, h, w, colors, tree)
+    np.testing.assert_array_equal(got, want)

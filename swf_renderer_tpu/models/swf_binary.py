@@ -1876,6 +1876,7 @@ def emit_movie_timeline(
         fonts: Tuple = (),
         texts: Tuple = (),
         buttons: Tuple = (),
+        button_sounds: Optional[dict] = None,
         scaling_grids: Tuple = (),
         videos: Tuple = (),
         sounds: Tuple = (),
@@ -1936,6 +1937,8 @@ def emit_movie_timeline(
                                          stream.frames[num]))
     for snd in sounds:
         tags.extend(emit_define_sound(snd))
+    for bid, slots in (button_sounds or {}).items():
+        tags.extend(emit_define_button_sound(bid, slots))
     if sound_stream is not None:
         tags.extend(emit_sound_stream_head(sound_stream))
     if metadata is not None:
@@ -1973,6 +1976,7 @@ def emit_movie_timeline(
 
 TAG_DEFINE_BUTTON = 7
 TAG_DEFINE_BUTTON2 = 34
+TAG_DEFINE_BUTTON_SOUND = 17
 
 
 @dataclasses.dataclass(frozen=True)
@@ -2768,8 +2772,9 @@ def parse_define_sound_tag(body: bytes):
                  data=body[7:])
 
 
-def emit_start_sound(sound_id: int, info=None) -> bytes:
-    """StartSound (tag 15): sound id + SOUNDINFO."""
+def _sound_head_bytes(sound_id: int, info=None) -> bytes:
+    """Sound id u16 + SOUNDINFO (shared by StartSound and
+    DefineButtonSound)."""
     from .sound import SoundInfo
 
     info = info or SoundInfo()
@@ -2785,14 +2790,15 @@ def emit_start_sound(sound_id: int, info=None) -> bytes:
         body.extend(struct.pack("<I", info.out_point))
     if info.loops != 1:
         body.extend(struct.pack("<H", info.loops))
-    return _tag(TAG_START_SOUND, bytes(body))
+    return bytes(body)
 
 
-def parse_start_sound_tag(body: bytes):
+def _parse_sound_head(body: bytes, pos: int):
+    """-> (sound_id, SoundInfo, next_pos)."""
     from .sound import SoundInfo
 
-    sid, flags = struct.unpack_from("<HB", body, 0)
-    pos = 3
+    sid, flags = struct.unpack_from("<HB", body, pos)
+    pos += 3
     in_point = out_point = None
     loops = 1
     if flags & 0x01:
@@ -2810,7 +2816,55 @@ def parse_start_sound_tag(body: bytes):
     return sid, SoundInfo(stop=bool(flags & 0x20),
                           no_multiple=bool(flags & 0x10),
                           in_point=in_point, out_point=out_point,
-                          loops=loops)
+                          loops=loops), pos
+
+
+def emit_start_sound(sound_id: int, info=None) -> bytes:
+    """StartSound (tag 15): sound id + SOUNDINFO."""
+    return _tag(TAG_START_SOUND, _sound_head_bytes(sound_id, info))
+
+
+def parse_start_sound_tag(body: bytes):
+    sid, info, _pos = _parse_sound_head(body, 0)
+    return sid, info
+
+
+# The four DefineButtonSound slots, in wire order (state transitions).
+BUTTON_SOUND_TRANSITIONS = ("over_up_to_idle", "idle_to_over_up",
+                            "over_up_to_over_down", "over_down_to_over_up")
+
+
+def emit_define_button_sound(button_id: int, sounds) -> bytes:
+    """DefineButtonSound (tag 17): per state-transition sound triggers.
+
+    ``sounds``: 4 entries (wire order BUTTON_SOUND_TRANSITIONS), each
+    None or (sound_id, SoundInfo)."""
+    body = bytearray(struct.pack("<H", button_id))
+    for entry in sounds:
+        if entry is None:
+            body.extend(struct.pack("<H", 0))
+        else:
+            sid, info = entry
+            if sid == 0:
+                raise ValueError("button sound id 0 means 'none'")
+            body.extend(_sound_head_bytes(sid, info))
+    return _tag(TAG_DEFINE_BUTTON_SOUND, bytes(body))
+
+
+def parse_define_button_sound_tag(body: bytes):
+    """-> (button_id, 4-tuple of None | (sound_id, SoundInfo))."""
+    (button_id,) = struct.unpack_from("<H", body, 0)
+    pos = 2
+    out = []
+    for _ in range(4):
+        (sid,) = struct.unpack_from("<H", body, pos)
+        if sid == 0:
+            out.append(None)
+            pos += 2
+        else:
+            sid, info, pos = _parse_sound_head(body, pos)
+            out.append((sid, info))
+    return button_id, tuple(out)
 
 
 def emit_sound_stream_head(stream, head2: Optional[bool] = None) -> bytes:
@@ -3086,6 +3140,9 @@ class Movie:
     texts: dict = dataclasses.field(default_factory=dict)    # id -> Text
     edit_texts: dict = dataclasses.field(default_factory=dict)  # -> EditText
     buttons: dict = dataclasses.field(default_factory=dict)  # id -> Button
+    # DefineButtonSound: button id -> 4-tuple (wire order
+    # BUTTON_SOUND_TRANSITIONS) of None | (sound id, SoundInfo).
+    button_sounds: dict = dataclasses.field(default_factory=dict)
     # DefineScalingGrid: character id -> 9-slice center ast.Rect (twips).
     scaling_grids: dict = dataclasses.field(default_factory=dict)
     videos: dict = dataclasses.field(default_factory=dict)  # -> VideoStream
@@ -3127,6 +3184,7 @@ def parse_movie(data: bytes) -> Movie:
     videos: dict = {}
     sounds: dict = {}
     sound_events: dict = {}
+    button_sounds: dict = {}
     sound_stream = None
     exported: dict = {}
     imported: dict = {}
@@ -3205,6 +3263,9 @@ def parse_movie(data: bytes) -> Movie:
                       if code == TAG_DEFINE_BUTTON2
                       else parse_define_button_tag(body))
             buttons[button.id] = button
+        elif code == TAG_DEFINE_BUTTON_SOUND:
+            bid, slots = parse_define_button_sound_tag(body)
+            button_sounds[bid] = slots
         elif code == TAG_FRAME_LABEL:
             end = body.index(b"\x00")
             labels[len(dl.frames)] = body[:end].decode("utf-8")
@@ -3252,6 +3313,7 @@ def parse_movie(data: bytes) -> Movie:
                  frames=tuple(dl.frames), sprites=sprites,
                  frame_labels=labels, fonts=fonts, texts=texts,
                  edit_texts=edit_texts, buttons=buttons,
+                 button_sounds=button_sounds,
                  scaling_grids=scaling_grids, videos=videos,
                  sounds=sounds, sound_events=sound_events,
                  sound_stream=sound_stream, exported=exported,

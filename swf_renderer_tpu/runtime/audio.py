@@ -55,6 +55,40 @@ def _event_pcm(snd, info, rate: int, cache: dict) -> np.ndarray:
     return _to_stereo(_resample(pcm, snd.rate, rate))
 
 
+def button_transition_pcm(movie: Movie, button_id: int, transition: str,
+                          rate: int = 44100) -> Optional[np.ndarray]:
+    """The PCM a button plays on one state transition, or None.
+
+    ``transition``: one of swf_binary.BUTTON_SOUND_TRANSITIONS
+    (DefineButtonSound wire order).  Interaction timing is the
+    embedder's job (the frame server's button_state switches select
+    what to DRAW); this resolves what to PLAY — decoded, SOUNDINFO
+    (in/out points, loops) applied, float32 (samples, 2) at ``rate``.
+    A stop-flagged slot returns an empty track (the player cuts the
+    sound)."""
+    from ..models.swf_binary import BUTTON_SOUND_TRANSITIONS
+
+    slots = movie.button_sounds.get(button_id)
+    if slots is None:
+        return None
+    try:
+        idx = BUTTON_SOUND_TRANSITIONS.index(transition)
+    except ValueError:
+        raise ValueError(
+            f"unknown button transition {transition!r}; expected one "
+            f"of {BUTTON_SOUND_TRANSITIONS}") from None
+    entry = slots[idx]
+    if entry is None:
+        return None
+    sid, info = entry
+    snd = movie.sounds.get(sid)
+    if snd is None:
+        return None
+    if info.stop:
+        return np.zeros((0, 2), np.float32)
+    return _event_pcm(snd, info, rate, {})
+
+
 def mix_movie_audio(movie: Movie, n_frames: Optional[int] = None,
                     rate: int = 44100) -> np.ndarray:
     """The movie's mixed audio track as float32 (samples, 2).

@@ -189,3 +189,58 @@ def test_wav_round_trip():
     assert rate == 22050
     assert back.shape == pcm.shape
     assert np.abs(back - pcm).max() < 1 / 32000
+
+
+def test_define_button_sound_round_trip_and_playback():
+    """DefineButtonSound (tag 17): per state-transition sound triggers
+    round-trip the wire and resolve to decoded PCM via
+    button_transition_pcm (SOUNDINFO applied)."""
+    from swf_renderer_tpu.models.swf_binary import (
+        BUTTON_SOUND_TRANSITIONS, Button, ButtonRecord,
+    )
+    from swf_renderer_tpu.runtime.audio import button_transition_pcm
+    from swf_renderer_tpu.utils.fixed import Sfixed16P16
+
+    one = Sfixed16P16.from_value(1)
+    zero = Sfixed16P16.from_value(0)
+    ident = ast.Matrix(scale_x=one, scale_y=one, rotate_skew0=zero,
+                       rotate_skew1=zero, translate_x=0, translate_y=0)
+    pcm = _sine(600)
+    snd = sound.Sound(id=4, format=sound.FORMAT_UNCOMPRESSED_LE,
+                      rate=11025, bits=16, channels=1, sample_count=600,
+                      data=sound.encode_uncompressed(pcm, 16))
+    button = Button(id=9, records=(
+        ButtonRecord(character_id=4, depth=1, matrix=ident,
+                     states=0x01),))
+    slots = (None,
+             (4, sound.SoundInfo(loops=2)),
+             (4, sound.SoundInfo(in_point=100, out_point=400)),
+             (4, sound.SoundInfo(stop=True)))
+    data = swf_binary.emit_movie_timeline(
+        frames=[[]], sounds=(snd,), buttons=(button,),
+        button_sounds={9: slots},
+        stage_rect=ast.Rect(0, 2000, 0, 2000), frame_rate=10.0)
+    movie = swf_binary.parse_movie(data)
+    got = movie.button_sounds[9]
+    assert got[0] is None
+    assert got[1] == (4, sound.SoundInfo(loops=2))
+    assert got[2] == (4, sound.SoundInfo(in_point=100, out_point=400))
+    assert got[3][1].stop
+
+    assert button_transition_pcm(movie, 9, "over_up_to_idle") is None
+    mono = sound.decode_uncompressed(snd.data, 16, 1)
+    enter = button_transition_pcm(movie, 9, "idle_to_over_up",
+                                  rate=11025)
+    np.testing.assert_allclose(
+        enter, np.tile(np.repeat(mono, 2, axis=1), (2, 1)), atol=1e-6)
+    down = button_transition_pcm(movie, 9, "over_up_to_over_down",
+                                 rate=11025)
+    np.testing.assert_allclose(
+        down, np.repeat(mono[100:400], 2, axis=1), atol=1e-6)
+    up = button_transition_pcm(movie, 9, "over_down_to_over_up")
+    assert up.shape == (0, 2)
+    assert button_transition_pcm(movie, 1, "idle_to_over_up") is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown button transition"):
+        button_transition_pcm(movie, 9, "hover")

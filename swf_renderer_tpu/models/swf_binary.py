@@ -1877,6 +1877,7 @@ def emit_movie_timeline(
         texts: Tuple = (),
         buttons: Tuple = (),
         button_sounds: Optional[dict] = None,
+        button_cxforms: Optional[dict] = None,
         scaling_grids: Tuple = (),
         videos: Tuple = (),
         sounds: Tuple = (),
@@ -1939,6 +1940,8 @@ def emit_movie_timeline(
         tags.extend(emit_define_sound(snd))
     for bid, slots in (button_sounds or {}).items():
         tags.extend(emit_define_button_sound(bid, slots))
+    for bid, bct in (button_cxforms or {}).items():
+        tags.extend(emit_define_button_cxform(bid, bct))
     if sound_stream is not None:
         tags.extend(emit_sound_stream_head(sound_stream))
     if metadata is not None:
@@ -1977,6 +1980,7 @@ def emit_movie_timeline(
 TAG_DEFINE_BUTTON = 7
 TAG_DEFINE_BUTTON2 = 34
 TAG_DEFINE_BUTTON_SOUND = 17
+TAG_DEFINE_BUTTON_CXFORM = 23
 
 
 @dataclasses.dataclass(frozen=True)
@@ -2834,6 +2838,26 @@ BUTTON_SOUND_TRANSITIONS = ("over_up_to_idle", "idle_to_over_up",
                             "over_up_to_over_down", "over_down_to_over_up")
 
 
+def emit_define_button_cxform(button_id: int, color_transform) -> bytes:
+    """DefineButtonCxform (tag 23): an RGB CXFORM applied to the
+    (SWF1 DefineButton) character's records; alpha terms must be
+    identity."""
+    mult, add = color_transform
+    if tuple(mult[3:]) not in ((), (1.0,)) or tuple(add[3:]) not in (
+            (), (0.0,)):
+        raise ValueError("DefineButtonCxform carries RGB terms only")
+    w = BitWriter()
+    _write_cxform_rgb(w, mult, add)
+    return _tag(TAG_DEFINE_BUTTON_CXFORM,
+                struct.pack("<H", button_id) + w.bytes())
+
+
+def parse_define_button_cxform_tag(body: bytes):
+    (button_id,) = struct.unpack_from("<H", body, 0)
+    r = BitReader(body[2:])
+    return button_id, _read_cxform_rgb(r)
+
+
 def emit_define_button_sound(button_id: int, sounds) -> bytes:
     """DefineButtonSound (tag 17): per state-transition sound triggers.
 
@@ -3143,6 +3167,8 @@ class Movie:
     # DefineButtonSound: button id -> 4-tuple (wire order
     # BUTTON_SOUND_TRANSITIONS) of None | (sound id, SoundInfo).
     button_sounds: dict = dataclasses.field(default_factory=dict)
+    # DefineButtonCxform: button id -> (mult4, add4) RGB color transform.
+    button_cxforms: dict = dataclasses.field(default_factory=dict)
     # DefineScalingGrid: character id -> 9-slice center ast.Rect (twips).
     scaling_grids: dict = dataclasses.field(default_factory=dict)
     videos: dict = dataclasses.field(default_factory=dict)  # -> VideoStream
@@ -3185,6 +3211,7 @@ def parse_movie(data: bytes) -> Movie:
     sounds: dict = {}
     sound_events: dict = {}
     button_sounds: dict = {}
+    button_cxforms: dict = {}
     sound_stream = None
     exported: dict = {}
     imported: dict = {}
@@ -3266,6 +3293,9 @@ def parse_movie(data: bytes) -> Movie:
         elif code == TAG_DEFINE_BUTTON_SOUND:
             bid, slots = parse_define_button_sound_tag(body)
             button_sounds[bid] = slots
+        elif code == TAG_DEFINE_BUTTON_CXFORM:
+            bid, bct = parse_define_button_cxform_tag(body)
+            button_cxforms[bid] = bct
         elif code == TAG_FRAME_LABEL:
             end = body.index(b"\x00")
             labels[len(dl.frames)] = body[:end].decode("utf-8")
@@ -3314,6 +3344,7 @@ def parse_movie(data: bytes) -> Movie:
                  frame_labels=labels, fonts=fonts, texts=texts,
                  edit_texts=edit_texts, buttons=buttons,
                  button_sounds=button_sounds,
+                 button_cxforms=button_cxforms,
                  scaling_grids=scaling_grids, videos=videos,
                  sounds=sounds, sound_events=sound_events,
                  sound_stream=sound_stream, exported=exported,

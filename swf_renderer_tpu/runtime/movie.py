@@ -76,6 +76,15 @@ def _placement_child(p, movie: Movie, frame_idx: int = 0,
                 movie, frame_idx, button_bit)
             for rec in sorted(button.state_records(button_bit),
                               key=lambda r: r.depth))
+        bct = movie.button_cxforms.get(p.character_id)
+        if bct is not None and bct != identity_ct:
+            # DefineButtonCxform tints the button's records; it nests
+            # INSIDE the placement's own transform (Flash composition
+            # semantics — same nesting as sprite-internal cts).
+            children = (display.Container(
+                children=children,
+                color_transform=display.ColorTransform(
+                    mult=tuple(bct[0]), add=tuple(bct[1]))),)
         grid = movie.scaling_grids.get(p.character_id)
         if grid is not None:
             # DefineScalingGrid names buttons too (SWF spec v19): the

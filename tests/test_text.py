@@ -580,3 +580,32 @@ def test_frame_server_button_state_switch():
             render_movie(movie, button_state="hit"))
     finally:
         server.shutdown()
+
+
+def test_define_button_cxform_tints_records():
+    """DefineButtonCxform (tag 23) round-trips the wire and tints the
+    button's records exactly like an equivalent placement color
+    transform on the record's character."""
+    sq, sq_blue = _button_movie_shapes()
+    button = swf_binary.Button(id=9, records=(
+        swf_binary.ButtonRecord(character_id=2, depth=1,
+                                matrix=_identity(), states=0x01),))
+    # wire-exact terms: mults are /256 fixed, adds /255
+    bct = ((0.5, 1.0, 0.25, 1.0), (0.2, 0.0, 0.2, 0.0))
+    movie = swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=9)]],
+        shapes=[sq, sq_blue], buttons=[button], button_cxforms={9: bct},
+        stage_rect=ast.Rect(0, 1600, 0, 600))
+    parsed = swf_binary.parse_movie(movie)
+    assert parsed.button_cxforms[9] == bct
+    got = render_movie(movie)
+    want = render_movie(swf_binary.emit_movie_timeline(
+        [[swf_binary.Placement(depth=1, character_id=2,
+                               color_transform=bct)]],
+        shapes=[sq, sq_blue], stage_rect=ast.Rect(0, 1600, 0, 600)))
+    np.testing.assert_array_equal(got, want)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RGB terms only"):
+        swf_binary.emit_define_button_cxform(
+            9, ((1.0, 1.0, 1.0, 0.5), (0.0,) * 4))

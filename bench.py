@@ -50,12 +50,26 @@ def _deadline(signum, frame):
         _BEST.setdefault("note", "deadline fallback (partial measurement)")
         print(json.dumps(_BEST), flush=True)
     else:
+        cfg = (sys.argv[sys.argv.index("--config") + 1]
+               if "--config" in sys.argv else "headline")
+        metric = ("fill_rate_1080p60_multilayer_sustained"
+                  if cfg == "headline" else f"{cfg}_deadline_fallback")
         print(json.dumps({
-            "metric": "fill_rate_1080p60_multilayer_sustained",
+            "metric": metric,
             "value": 0.0, "unit": "Gpx/s", "vs_baseline": 0.0,
             "note": f"deadline {_DEADLINE_S}s hit before any measurement "
                     f"completed (cold compile?)"}), flush=True)
     os._exit(0)
+
+
+def _disarm_watchdog() -> None:
+    """Cancel the deadline after the real metric prints: a late alarm
+    must not append a stale partial line after a successful run."""
+    _BEST.clear()
+    try:
+        signal.alarm(0)
+    except (ValueError, AttributeError):
+        pass
 
 
 def _arm_watchdog() -> None:
@@ -201,7 +215,7 @@ def bench_morph16() -> None:
         return jax.lax.fori_loop(
             0, k, lambda i, acc: one_rep(rr, acc), 0.0)
 
-    float(run(ratios_j, 1))  # one compile serves every trip count
+    float(run(ratios_j, jnp.int32(1)))  # one compile, all trip counts
     # Sustained two-point fit (headline methodology — two fits, min of
     # 5 reps per endpoint): the whole 256-ratio sweep renders in ~1 ms
     # of device time, far under the ~26 ms dispatch floor a single call
@@ -275,13 +289,13 @@ def tiled_frame_fit(timed, tracks, frames: int,
     def tile(arr):
         if arr is None:
             return None
-        # The per-tile perturbation must change the f32 BITS (eps at
-        # 1.0 is 1.2e-7): round 5's bake_sweep_fields dedups
-        # byte-identical frame matrices, so a below-resolution 1e-9
-        # nudge let the k1 arm skip its extra bakes entirely and the
-        # fit measured only the sweep marginal (animtex read 807
-        # Mpx/s).  1e-6 stays visually nil but keeps frames distinct.
-        return np.concatenate([arr + np.float32(k) * 1e-6
+        # The per-tile perturbation must change the f32 BITS for EVERY
+        # magnitude: round 5's bake_sweep_fields dedups byte-identical
+        # frame matrices, and a below-resolution additive nudge (1e-9,
+        # then 1e-6 for entries > ~16) let the k1 arm skip its extra
+        # bakes and over-report (animtex read 807 Mpx/s).  A RELATIVE
+        # 2x-ulp scale is distinct at any magnitude and visually nil.
+        return np.concatenate([arr * (1.0 + np.float32(k) * 2.5e-7)
                                for k in range(mult)])
 
     t_k0 = timed(tracks)
@@ -640,7 +654,7 @@ def bench_masked(h: int = 1088, w: int = 1920, layers: int = 4,
     def run(k):
         return jax.lax.fori_loop(0, k, lambda i, acc: one_rep(acc), 0.0)
 
-    float(run(1))
+    float(run(jnp.int32(1)))
     dt, _ = two_point_fit(lambda k: float(run(jnp.int32(k))), k0=1, k1=5)
     gpx = frames * h * w / dt / 1e9
     label = ("fused content*mask-over-pre quantize pass" if fused
@@ -742,7 +756,7 @@ def bench_style(kind: str) -> None:
         return jax.lax.fori_loop(
             0, k, lambda i, acc: one_rep(uv, acc), 0.0)
 
-    float(run(args[5], 1))
+    float(run(args[5], jnp.int32(1)))
     # Sustained two-point fit (headline methodology).
     dt, _ = two_point_fit(lambda k: float(run(args[5], jnp.int32(k))),
                           k0=1, k1=5)
@@ -852,7 +866,9 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
             0, k, lambda i, acc: one_rep(uv, acc), 0.0)
 
     t0 = time.perf_counter()
-    float(run(args[5], 1))  # compile + warm
+    # jnp.int32, not a Python int: a weak-typed warm call creates a
+    # SECOND jit cache entry and the timed calls retrace (review r5).
+    float(run(args[5], jnp.int32(1)))  # compile + warm
     print(json.dumps({"note": "compile + first call seconds",
                       "seconds": round(time.perf_counter() - t0, 1)}),
           file=sys.stderr, flush=True)
@@ -889,6 +905,7 @@ def bench_flatblock(tables, colors, frames, layers, height, width,
             _stash(result)
         else:
             print(json.dumps(result), flush=True)
+            _disarm_watchdog()
         return result
 
     for _ in range(2):
@@ -975,11 +992,11 @@ def main() -> None:
                 return jax.lax.fori_loop(
                     0, k, lambda i, acc: one(uv, acc), 0.0)
 
-            float(run(a[5], 1))
+            float(run(a[5], jnp.int32(1)))
             t1 = None
             for _ in range(5):
                 t0 = time.perf_counter()
-                float(run(a[5], 1))
+                float(run(a[5], jnp.int32(1)))
                 dt1 = time.perf_counter() - t0
                 t1 = dt1 if t1 is None else min(t1, dt1)
             # Wide fit: one 1080p frame is ~0.5 ms of device work, so a

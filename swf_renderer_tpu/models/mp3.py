@@ -495,59 +495,79 @@ def _stereo(xl, xr, gr_l, gr_r, h: FrameHeader, sf_r_long, sf_r_short,
             int_scale):
     ms = h.mode == 1 and (h.mode_ext & 2)
     intensity = h.mode == 1 and (h.mode_ext & 1)
-    # The intensity region starts where the right channel's Huffman data
-    # ends — detected on the ORIGINAL right spectrum, before any MS mix.
-    bound = 576
-    if intensity:
-        nz = np.nonzero(xr)[0]
-        bound = (int(nz[-1]) + 1) if len(nz) else 0
-    if ms:
-        s = np.sqrt(0.5)
-        l_new = (xl[:bound] + xr[:bound]) * s
-        r_new = (xl[:bound] - xr[:bound]) * s
-        xl[:bound], xr[:bound] = l_new, r_new
-    if intensity:
-        band = _TAB["bandinfo"][h.band_index]
-        short_block = gr_r.window_switching and gr_r.block_type == 2
-        if not short_block:
-            li = band["longIdx"]
-            for sfb in range(22):
-                a, b = li[sfb], li[sfb + 1]
-                if b <= bound:
+    s = np.sqrt(0.5)
+
+    def ms_band(a, b):
+        l_new = (xl[a:b] + xr[a:b]) * s
+        r_new = (xl[a:b] - xr[a:b]) * s
+        xl[a:b], xr[a:b] = l_new, r_new
+
+    if not intensity:
+        if ms:
+            ms_band(0, 576)
+        return xl, xr
+    # The intensity region starts at the first SCALEFACTOR BAND at or
+    # above the right channel's Huffman-data end (detected on the
+    # ORIGINAL right spectrum, before any MS mix) — a band straddling
+    # the boundary keeps its real right-channel data (MS/LR).
+    nz = np.nonzero(xr)[0]
+    bound = (int(nz[-1]) + 1) if len(nz) else 0
+    band = _TAB["bandinfo"][h.band_index]
+    short_block = gr_r.window_switching and gr_r.block_type == 2
+    if not short_block:
+        li = band["longIdx"]
+        start_sfb = 22
+        for sfb in range(22):
+            if li[sfb] >= bound:
+                start_sfb = sfb
+                break
+        if ms:
+            ms_band(0, li[min(start_sfb, 22)])
+        for sfb in range(start_sfb, 22):
+            a, b = li[sfb], li[sfb + 1]
+            is_pos = int(sf_r_long[sfb]) if sf_r_long is not None else 7
+            if not _apply_intensity(xl, xr, a, b, is_pos, h, int_scale) \
+                    and ms:
+                # Illegal is_pos turns intensity OFF for the band; in
+                # MS+intensity frames the band decodes as MS instead.
+                ms_band(a, b)
+    else:
+        si, sw = band["shortIdx"], band["shortDiff"]
+        for sfb in range(13):
+            w = sw[sfb]
+            for win in range(3):
+                a = si[sfb] + win * w
+                in_zero = a >= bound
+                is_pos = (int(sf_r_short[sfb, win])
+                          if sf_r_short is not None else 7)
+                if in_zero and _apply_intensity(xl, xr, a, a + w, is_pos,
+                                                h, int_scale):
                     continue
-                is_pos = int(sf_r_long[sfb]) if sf_r_long is not None else 7
-                _apply_intensity(xl, xr, a, b, is_pos, h, int_scale)
-        else:
-            si, sw = band["shortIdx"], band["shortDiff"]
-            for sfb in range(13):
-                w = sw[sfb]
-                for win in range(3):
-                    a = si[sfb] + win * w
-                    if a + w <= bound:
-                        continue
-                    is_pos = (int(sf_r_short[sfb, win])
-                              if sf_r_short is not None else 7)
-                    _apply_intensity(xl, xr, a, a + w, is_pos, h, int_scale)
+                if ms:
+                    ms_band(a, a + w)
     return xl, xr
 
 
 def _apply_intensity(xl, xr, a, b, is_pos, h: FrameHeader, int_scale):
+    """Apply intensity positioning to one band; False = the is_pos is
+    the 'intensity off' marker and the band falls back to MS/LR."""
     if h.lsf:
         if is_pos == 0:
-            return
+            return False
         k = 2.0 ** (-(int_scale + 1) * ((is_pos + 1) // 2) * 0.5)
         if is_pos & 1:
             xr[a:b] = xl[a:b] * k
         else:
             xr[a:b] = xl[a:b]
             xl[a:b] = xl[a:b] * k
-        return
+        return True
     if is_pos >= 7:
-        return
+        return False
     ratio = _INT_RATIO[is_pos]
     l = xl[a:b]
     xl[a:b] = l * (ratio / (1.0 + ratio))
     xr[a:b] = l * (1.0 / (1.0 + ratio))
+    return True
 
 
 def _antialias(xs, g: _Granule):

@@ -250,13 +250,32 @@ def encode_adpcm(pcm: np.ndarray) -> bytes:
     return w.bytes()
 
 
+def _linear_resample(pcm: np.ndarray, src: int, dst: int) -> np.ndarray:
+    if src == dst or pcm.shape[0] == 0:
+        return pcm
+    n_out = int(round(pcm.shape[0] * dst / src))
+    t_out = np.arange(n_out) * (src / dst)
+    t_in = np.arange(pcm.shape[0])
+    return np.stack([np.interp(t_out, t_in, pcm[:, c])
+                     for c in range(pcm.shape[1])], axis=1).astype(
+        np.float32)
+
+
 def decode_sound(format: int, data: bytes, bits: int, channels: int,
-                 sample_count: Optional[int] = None) -> np.ndarray:
+                 sample_count: Optional[int] = None,
+                 declared_rate: Optional[int] = None) -> np.ndarray:
     """Decode one sound payload to (samples, channels) f32.
 
     ``sample_count`` trims the result (DefineSound declares it; ADPCM
     byte-alignment padding otherwise decodes as spurious trailing
-    samples — one per block tail, enough to drift a stream mix)."""
+    samples — one per block tail, enough to drift a stream mix).
+
+    ``declared_rate``: the SWF tag's rate enum value.  MP3 frames carry
+    their OWN sample rate (the MPEG enum covers rates the SWF field
+    cannot express — 8/12/16/24/32/48 kHz; the player derives timing
+    from the frames), so when the true rate differs the PCM is
+    resampled to the declared rate, keeping downstream scheduling —
+    which uses the tag's rate — pitch-correct."""
     if format in (FORMAT_UNCOMPRESSED, FORMAT_UNCOMPRESSED_LE):
         pcm = decode_uncompressed(data, bits, channels)
     elif format == FORMAT_ADPCM:
@@ -267,9 +286,11 @@ def decode_sound(format: int, data: bytes, bits: int, channels: int,
         from .mp3 import decode_mp3
 
         seek = int.from_bytes(data[:2], "little", signed=True)
-        pcm, _rate = decode_mp3(data[2:])
+        pcm, mp3_rate = decode_mp3(data[2:])
         if seek > 0:
             pcm = pcm[seek:]
+        if declared_rate and mp3_rate != declared_rate:
+            pcm = _linear_resample(pcm, mp3_rate, declared_rate)
     else:
         raise NotImplementedError(
             f"NotImplemented: Support for sound format {format}")

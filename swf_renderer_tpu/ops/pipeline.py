@@ -489,6 +489,34 @@ def _fusible_mask_step(step):
             and step[2][0][0] == "passes" and len(step[2][0][1]) == 1)
 
 
+def _rule_tuple(rule, n):
+    return rule if isinstance(rule, tuple) else (rule,) * n
+
+
+def build_fused_mask_pair(segments, cid, msids):
+    """Merge a fusible (content segment, mask segments) pair into ONE
+    kernel pass's (idxs, paints, rule, mask_from) — or None when the
+    combined layers exceed the pass budget.
+
+    Shared by the single-device executor and parallel.mesh's
+    render_masked_dp: both programs MUST build the fused pass
+    identically or the dp-sharded output drifts from the single-device
+    one (their bit-equality is pinned in tests/test_parallel.py)."""
+    ci, cp, crule, _ = segments[cid]
+    mi, mp_, mrule = [], [], ()
+    for msid in msids:
+        s_i, s_p, s_rule, _ = segments[msid]
+        mi.extend(s_i)
+        mp_.extend(s_p)
+        mrule = mrule + _rule_tuple(s_rule, len(s_i))
+    if not ci or not 0 < len(ci) + len(mi) <= MAX_KERNEL_LAYERS:
+        return None
+    rule = _rule_tuple(crule, len(ci)) + mrule
+    if len(set(rule)) == 1:
+        rule = rule[0]
+    return tuple(ci) + tuple(mi), list(cp) + list(mp_), rule, len(ci)
+
+
 def exec_masked_program(program, final_seg, seg_call, plane_image=None,
                         seg_call_masked=None):
     """Run a plan_masked_program: ``seg_call(seg_id, bg, emit)`` renders
@@ -617,38 +645,27 @@ def _render_styled_masked(edge_tables, paints, height, width, colors,
     # #5).  Packed lazily per (content, masks) pair on first use.
     fused_packed: dict = {}
 
-    def _rule_tuple(rule, n):
-        return rule if isinstance(rule, tuple) else (rule,) * n
-
     def seg_call_masked(cid, msids, bg, emit):
         key = (cid, msids)
         entry = fused_packed.get(key, False)
         if entry is False:
-            ci, cp, crule, _ = segments[cid]
-            mi, mp, mrule = [], [], ()
-            for msid in msids:
-                s_i, s_p, s_rule, _ = segments[msid]
-                mi.extend(s_i)
-                mp.extend(s_p)
-                mrule = mrule + _rule_tuple(s_rule, len(s_i))
+            pair = build_fused_mask_pair(segments, cid, msids)
             entry = None
-            if ci and 0 < len(ci) + len(mi) <= MAX_KERNEL_LAYERS:
-                all_paints = list(cp) + list(mp)
-                rule = _rule_tuple(crule, len(ci)) + mrule
-                if len(set(rule)) == 1:
-                    rule = rule[0]
+            if pair is not None:
+                idxs, all_paints, rule, mfrom = pair
                 kpaints, fields, _ = kernel_paints_for(
                     all_paints, height, width, spp=spp)
                 arrs = _pack_styled(
-                    _segment_tables(edge_tables, tuple(ci) + tuple(mi)),
+                    _segment_tables(edge_tables, idxs),
                     height, width, group, spp, cache, len(all_paints))
                 cols = np.concatenate(
-                    [colors[:, list(ci)],
-                     np.ones((frames, len(mi), 4), np.float32)], axis=1)
+                    [colors[:, list(idxs[:mfrom])],
+                     np.ones((frames, len(idxs) - mfrom, 4),
+                             np.float32)], axis=1)
                 entry = (tuple(jnp.asarray(x) for x in arrs[:6]),
                          jnp.asarray(cols), fields, kpaints,
                          arrs[6], arrs[7], len(all_paints), rule,
-                         len(ci))
+                         mfrom)
             fused_packed[key] = entry
         if entry is None:
             return None

@@ -828,12 +828,11 @@ def render_masked_dp(mesh: Mesh, edge_tables, paints, height: int,
                                                        rules)
     # Fused mask-group passes (round 5): the same (content + mask) ONE
     # kernel-chain fusion the single-device executor uses — fusible
-    # steps get a combined "virtual segment" packed per shard, so the
-    # dp program stays bit-identical to the single-device one.
-    from ..ops.pipeline import MAX_KERNEL_LAYERS, _fusible_mask_step
-
-    def _rule_tuple(rule, n):
-        return rule if isinstance(rule, tuple) else (rule,) * n
+    # steps get a combined "virtual segment" packed per shard.  The
+    # pair merge is the SHARED pipeline.build_fused_mask_pair, so the
+    # dp program stays bit-identical to the single-device one by
+    # construction.
+    from ..ops.pipeline import _fusible_mask_step, build_fused_mask_pair
 
     fused_pairs = {}
 
@@ -842,12 +841,7 @@ def render_masked_dp(mesh: Mesh, edge_tables, paints, height: int,
             if step[0] == "mask":
                 if _fusible_mask_step(step):
                     cid, msids = step[2][0][1][0], tuple(step[1])
-                    ci = segments[cid][0]
-                    mi = []
-                    for msid in msids:
-                        mi.extend(segments[msid][0])
-                    if ci and 0 < len(ci) + len(mi) <= MAX_KERNEL_LAYERS:
-                        fused_pairs.setdefault((cid, msids), None)
+                    fused_pairs.setdefault((cid, msids), None)
                 _scan(step[2])
             elif step[0] in ("blend", "filter"):
                 _scan(step[2])
@@ -855,18 +849,10 @@ def render_masked_dp(mesh: Mesh, edge_tables, paints, height: int,
     _scan(program)
     virtual = []
     for (cid, msids) in fused_pairs:
-        ci, cp, crule, _ = segments[cid]
-        mi, mp, mrule = [], [], ()
-        for msid in msids:
-            s_i, s_p, s_rule, _ = segments[msid]
-            mi.extend(s_i)
-            mp.extend(s_p)
-            mrule = mrule + _rule_tuple(s_rule, len(s_i))
-        rule = _rule_tuple(crule, len(ci)) + mrule
-        if len(set(rule)) == 1:
-            rule = rule[0]
-        virtual.append(((cid, msids), tuple(ci) + tuple(mi),
-                        list(cp) + list(mp), rule, len(ci)))
+        pair = build_fused_mask_pair(segments, cid, msids)
+        if pair is not None:
+            idxs, all_paints, rule, mfrom = pair
+            virtual.append(((cid, msids), idxs, all_paints, rule, mfrom))
 
     seg_meta = []
     seg_arrays = []

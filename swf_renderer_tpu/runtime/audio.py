@@ -44,7 +44,7 @@ def _event_pcm(snd, info, rate: int, cache: dict) -> np.ndarray:
     pcm = cache.get(snd.id)
     if pcm is None:
         pcm = decode_sound(snd.format, snd.data, snd.bits, snd.channels,
-                           snd.sample_count)
+                           snd.sample_count, declared_rate=snd.rate)
         cache[snd.id] = pcm
     lo = min(info.in_point or 0, pcm.shape[0])
     hi = (min(info.out_point, pcm.shape[0])
@@ -140,26 +140,31 @@ def mix_movie_audio(movie: Movie, n_frames: Optional[int] = None,
 
             total_samples = 0
             seek = 0
-            payload = b""
+            parts = []
             for bi, f in enumerate(sorted(stream.blocks)):
                 blk = stream.blocks[f]
                 total_samples += int.from_bytes(blk[:2], "little")
                 if bi == 0:
                     seek = int.from_bytes(blk[2:4], "little", signed=True)
-                payload += blk[4:]
-            pcm, _mp3_rate = decode_mp3(payload)
+                parts.append(blk[4:])
+            pcm, mp3_rate = decode_mp3(b"".join(parts))
             if seek > 0:
                 pcm = pcm[seek:]
             if total_samples:
                 pcm = pcm[:total_samples]
+            # The MPEG frames carry the TRUE rate (the SWF enum cannot
+            # express 8/12/16/24/32/48 kHz); resample from that, not
+            # the head's declared enum value.
+            src_rate = mp3_rate
         else:
             pcm_blocks = [
                 decode_sound(stream.format, stream.blocks[f], stream.bits,
                              stream.channels, stream.samples_per_frame)
                 for f in sorted(stream.blocks)]
             pcm = np.concatenate(pcm_blocks, axis=0)
+            src_rate = stream.rate
         chunks.append([int(round(first * spf)),
-                       _to_stereo(_resample(pcm, stream.rate, rate))])
+                       _to_stereo(_resample(pcm, src_rate, rate))])
 
     total = int(np.ceil(frames * spf))
     for s0, pcm in chunks:

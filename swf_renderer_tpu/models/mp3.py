@@ -564,7 +564,7 @@ def _apply_intensity(xl, xr, a, b, is_pos, h: FrameHeader, int_scale):
     if is_pos >= 7:
         return False
     ratio = _INT_RATIO[is_pos]
-    l = xl[a:b]
+    l = xl[a:b].copy()  # a view would alias the write below into xr's
     xl[a:b] = l * (ratio / (1.0 + ratio))
     xr[a:b] = l * (1.0 / (1.0 + ratio))
     return True

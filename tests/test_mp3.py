@@ -177,3 +177,47 @@ def test_fuzzed_streams_never_crash():
             assert rate > 0 and pcm.ndim == 2
         except ValueError:
             pass
+
+
+def test_stereo_ms_and_intensity_band_rules():
+    """Joint-stereo band rules on synthetic spectra: MS below the
+    intensity bound, intensity above it, and bands whose is_pos is the
+    'intensity off' marker (7 for MPEG-1) fall back to MS — reference
+    decoder behavior (libmad/minimp3)."""
+    from swf_renderer_tpu.models.mp3 import (
+        _TAB, FrameHeader, _Granule, _stereo,
+    )
+
+    h = FrameHeader(version=3, bitrate=128, samplerate=44100, padding=0,
+                    channels=2, mode=1, mode_ext=3, crc=False,
+                    frame_bytes=418, band_index=0, lsf=False)
+    g = _Granule()
+    li = _TAB["bandinfo"][0]["longIdx"]
+    # Right channel nonzero through band 10; zero after.
+    bound = li[10]
+    xl = np.ones(576)
+    xr = np.zeros(576)
+    xr[:bound] = 0.5
+    sf_r = np.zeros(22, np.int32)
+    sf_r[12] = 3   # intensity position tan-ratio band
+    sf_r[14] = 7   # 'intensity off' -> MS fallback
+    l, r = _stereo(xl.copy(), xr.copy(), g, g, h, sf_r, None, 0)
+    s = np.sqrt(0.5)
+    # Below the bound: MS everywhere.
+    np.testing.assert_allclose(l[:bound], (1.0 + 0.5) * s)
+    np.testing.assert_allclose(r[:bound], (1.0 - 0.5) * s)
+    # Band 12: intensity ratio tan(3*pi/12) splits the left signal.
+    ratio = np.tan(3 * np.pi / 12.0)
+    a, b = li[12], li[13]
+    np.testing.assert_allclose(l[a:b], ratio / (1 + ratio))
+    np.testing.assert_allclose(r[a:b], 1.0 / (1 + ratio))
+    # Band 14 (is_pos 7): MS fallback — NOT left-unscaled/right-silent.
+    a, b = li[14], li[15]
+    np.testing.assert_allclose(l[a:b], 1.0 * s)
+    np.testing.assert_allclose(r[a:b], 1.0 * s)
+    # is_pos 0 means intensity hard-left: right copies nothing.
+    sf_r2 = np.zeros(22, np.int32)
+    l2, r2 = _stereo(xl.copy(), xr.copy(), g, g, h, sf_r2, None, 0)
+    a, b = li[12], li[13]
+    np.testing.assert_allclose(l2[a:b], 0.0)   # tan(0)/(1+tan(0)) = 0
+    np.testing.assert_allclose(r2[a:b], 1.0)

@@ -221,3 +221,19 @@ def test_stereo_ms_and_intensity_band_rules():
     a, b = li[12], li[13]
     np.testing.assert_allclose(l2[a:b], 0.0)   # tan(0)/(1+tan(0)) = 0
     np.testing.assert_allclose(r2[a:b], 1.0)
+
+
+MPEG2_FIXTURE = pathlib.Path(
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/"
+    "test.mp3")
+
+
+@pytest.mark.skipif(not MPEG2_FIXTURE.exists(), reason="fixture absent")
+def test_mpeg2_lsf_stream_decodes():
+    """MPEG-2 (22.05 kHz LSF) coverage: an ID3-prefixed silent stream
+    decodes to the reference sample count and to silence (the mpg123
+    reference decodes the same file to 25920 zero samples)."""
+    pcm, rate = decode_mp3(MPEG2_FIXTURE.read_bytes())
+    assert rate == 22050 and pcm.shape[1] == 1
+    assert abs(pcm.shape[0] - 25920) <= 1152  # end-of-stream granule
+    assert float(np.abs(pcm).max()) < 1e-4

@@ -1927,8 +1927,9 @@ def emit_movie_timeline(
                                 for r in text.runs)))
     for button in buttons:
         tags.extend(emit_define_button2(button))
-    for sprite_id, sprite_frames in sprites:
-        tags.extend(emit_define_sprite(sprite_id, sprite_frames))
+    for entry in sprites:
+        # (id, frames) or (id, frames, sprite_sound_stream)
+        tags.extend(emit_define_sprite(*entry))
     for character_id, grid_rect in scaling_grids:
         tags.extend(emit_define_scaling_grid(character_id, grid_rect))
     for stream in videos:
@@ -2650,6 +2651,9 @@ class Sprite:
 
     id: int
     frames: Tuple[Tuple[Placement, ...], ...]
+    # Sprite-local SoundStreamHead(+blocks), keyed by SPRITE frame
+    # index — plays from the frame an instance is placed.
+    sound_stream: Optional[object] = None
 
 
 _SPRITE_DEFINE_CODES = frozenset({
@@ -2667,15 +2671,24 @@ def parse_define_sprite(body: bytes) -> Sprite:
     skipped."""
     (sprite_id,) = struct.unpack_from("<H", body, 0)
     dl = _DisplayList()
+    stream = None
     for code, tbody in _iter_tag_records(body, 4):
         if code == TAG_END:
             break
         if dl.handle(code, tbody):
             continue
+        if code in (TAG_SOUND_STREAM_HEAD, TAG_SOUND_STREAM_HEAD2):
+            stream = parse_sound_stream_head_tag(tbody)
+            continue
+        if code == TAG_SOUND_STREAM_BLOCK:
+            if stream is not None:
+                stream.blocks[len(dl.frames)] = tbody
+            continue
         if code in _SPRITE_DEFINE_CODES:
             raise ValueError(
                 f"define tag {code} inside DefineSprite {sprite_id}")
-    return Sprite(id=sprite_id, frames=tuple(dl.frames))
+    return Sprite(id=sprite_id, frames=tuple(dl.frames),
+                  sound_stream=stream)
 
 
 def _zstring(data: bytes, pos: int) -> Tuple[str, int]:
@@ -2983,11 +2996,19 @@ def parse_define_scaling_grid_tag(body: bytes) -> Tuple[int, ast.Rect]:
     return character_id, _read_rect(BitReader(body, 2))
 
 
-def emit_define_sprite(sprite_id: int, frames: List[List]) -> bytes:
+def emit_define_sprite(sprite_id: int, frames: List[List],
+                       sound_stream=None) -> bytes:
     """DefineSprite (tag 39) bytes from per-frame display-list op lists
-    (Placement / RemoveObject, the ``emit_movie_timeline`` frame form)."""
+    (Placement / RemoveObject, the ``emit_movie_timeline`` frame form).
+    ``sound_stream``: optional sprite-local SoundStreamHead + per-frame
+    blocks (keyed by sprite frame index)."""
     tags = bytearray()
-    for ops in frames:
+    if sound_stream is not None:
+        tags.extend(emit_sound_stream_head(sound_stream))
+    for fi, ops in enumerate(frames):
+        if sound_stream is not None and fi in sound_stream.blocks:
+            tags.extend(_tag(TAG_SOUND_STREAM_BLOCK,
+                             sound_stream.blocks[fi]))
         tags.extend(_emit_display_ops(ops))
         tags.extend(_tag(TAG_SHOW_FRAME, b""))
     tags.extend(_tag(TAG_END, b""))

@@ -89,6 +89,42 @@ def button_transition_pcm(movie: Movie, button_id: int, transition: str,
     return _event_pcm(snd, info, rate, {})
 
 
+def _stream_pcm(stream):
+    """Decode a SoundStreamHead's blocks -> (pcm, source_rate,
+    first_block_frame).  MP3 blocks decode as ONE stream (the Layer III
+    bit reservoir crosses block boundaries) at the MPEG frames' own
+    rate; other codecs decode per block at the head's declared rate."""
+    first = min(stream.blocks)
+    if stream.format == FORMAT_MP3:
+        # MP3STREAMSOUNDDATA: u16 SampleCount + s16 SeekSamples per
+        # block, then raw MPEG frames.
+        from ..models.mp3 import decode_mp3
+
+        total_samples = 0
+        seek = 0
+        parts = []
+        for bi, f in enumerate(sorted(stream.blocks)):
+            blk = stream.blocks[f]
+            total_samples += int.from_bytes(blk[:2], "little")
+            if bi == 0:
+                seek = int.from_bytes(blk[2:4], "little", signed=True)
+            parts.append(blk[4:])
+        pcm, mp3_rate = decode_mp3(b"".join(parts))
+        if seek > 0:
+            pcm = pcm[seek:]
+        if total_samples:
+            pcm = pcm[:total_samples]
+        # The MPEG frames carry the TRUE rate (the SWF enum cannot
+        # express 8/12/16/24/32/48 kHz); resample from that, not the
+        # head's declared enum value.
+        return pcm, mp3_rate, first
+    pcm_blocks = [
+        decode_sound(stream.format, stream.blocks[f], stream.bits,
+                     stream.channels, stream.samples_per_frame)
+        for f in sorted(stream.blocks)]
+    return np.concatenate(pcm_blocks, axis=0), stream.rate, first
+
+
 def mix_movie_audio(movie: Movie, n_frames: Optional[int] = None,
                     rate: int = 44100) -> np.ndarray:
     """The movie's mixed audio track as float32 (samples, 2).
@@ -130,41 +166,32 @@ def mix_movie_audio(movie: Movie, n_frames: Optional[int] = None,
 
     stream = movie.sound_stream
     if stream is not None and stream.blocks:
-        first = min(stream.blocks)
-        if stream.format == FORMAT_MP3:
-            # MP3STREAMSOUNDDATA: u16 SampleCount + s16 SeekSamples per
-            # block, then raw MPEG frames.  The Layer III bit reservoir
-            # spans block boundaries, so the frames must decode as ONE
-            # stream, not block-by-block.
-            from ..models.mp3 import decode_mp3
-
-            total_samples = 0
-            seek = 0
-            parts = []
-            for bi, f in enumerate(sorted(stream.blocks)):
-                blk = stream.blocks[f]
-                total_samples += int.from_bytes(blk[:2], "little")
-                if bi == 0:
-                    seek = int.from_bytes(blk[2:4], "little", signed=True)
-                parts.append(blk[4:])
-            pcm, mp3_rate = decode_mp3(b"".join(parts))
-            if seek > 0:
-                pcm = pcm[seek:]
-            if total_samples:
-                pcm = pcm[:total_samples]
-            # The MPEG frames carry the TRUE rate (the SWF enum cannot
-            # express 8/12/16/24/32/48 kHz); resample from that, not
-            # the head's declared enum value.
-            src_rate = mp3_rate
-        else:
-            pcm_blocks = [
-                decode_sound(stream.format, stream.blocks[f], stream.bits,
-                             stream.channels, stream.samples_per_frame)
-                for f in sorted(stream.blocks)]
-            pcm = np.concatenate(pcm_blocks, axis=0)
-            src_rate = stream.rate
+        pcm, src_rate, first = _stream_pcm(stream)
         chunks.append([int(round(first * spf)),
                        _to_stereo(_resample(pcm, src_rate, rate))])
+
+    # Sprite-local sound streams (round 5): a sprite instance's stream
+    # plays from the frame the instance is PLACED (its timeline clock);
+    # one pass per placement, not per loop (documented approximation —
+    # the player restarts a looping sprite's stream each loop).
+    scheduled = set()
+    for fi, placements in enumerate(movie.frames):
+        if fi >= frames:
+            break
+        for p in placements:
+            cid = getattr(p, "character_id", None)
+            sprite = movie.sprites.get(cid) if cid is not None else None
+            if (sprite is None or sprite.sound_stream is None
+                    or not sprite.sound_stream.blocks):
+                continue
+            placed = getattr(p, "placed_frame", fi)
+            key = (cid, p.depth, placed)
+            if placed != fi or key in scheduled:
+                continue
+            scheduled.add(key)
+            pcm, src_rate, s_first = _stream_pcm(sprite.sound_stream)
+            chunks.append([int(round((fi + s_first) * spf)),
+                           _to_stereo(_resample(pcm, src_rate, rate))])
 
     total = int(np.ceil(frames * spf))
     for s0, pcm in chunks:

@@ -244,3 +244,36 @@ def test_define_button_sound_round_trip_and_playback():
 
     with _pytest.raises(ValueError, match="unknown button transition"):
         button_transition_pcm(movie, 9, "hover")
+
+
+def test_sprite_local_sound_stream_round_trip_and_mix():
+    """A DefineSprite carrying its own SoundStreamHead + blocks (round
+    5): the wire round-trips, and the mixer schedules the sprite's
+    stream from the frame its instance is PLACED."""
+    rate = 11025
+    stream = sound.SoundStream(format=sound.FORMAT_UNCOMPRESSED_LE,
+                               rate=rate, bits=16, channels=1,
+                               samples_per_frame=1102)
+    tone = _sine(1102, 660, amp=0.3)
+    stream.blocks[0] = sound.encode_uncompressed(tone, 16)
+    sprite = (7, [[], []], stream)
+    # The sprite instance appears on MAIN frame 2.
+    frames = [[], [],
+              [swf_binary.Placement(depth=1, character_id=7)], []]
+    data = swf_binary.emit_movie_timeline(
+        frames, sprites=[sprite],
+        stage_rect=ast.Rect(0, 2000, 0, 2000), frame_rate=10.0)
+    movie = swf_binary.parse_movie(data)
+    got = movie.sprites[7].sound_stream
+    assert got is not None and got.blocks.keys() == {0}
+    assert got.blocks[0] == stream.blocks[0]
+
+    mixed = mix_movie_audio(movie, rate=rate)
+    spf = rate / 10.0
+    s0 = int(round(2 * spf))
+    want = np.zeros_like(mixed)
+    decoded = sound.decode_uncompressed(stream.blocks[0], 16, 1)
+    want[s0:s0 + 1102] += np.repeat(decoded, 2, axis=1)
+    assert np.abs(mixed - np.clip(want, -1, 1)).max() < 1e-6
+    # Nothing plays before the instance appears.
+    assert np.abs(mixed[:s0]).max() == 0.0
